@@ -1,0 +1,114 @@
+"""VersionTracker interface + shared default logic.
+
+Reference: core/src/main/scala/dev/chronicles/core/VersionTracker.scala:14-87.
+Backends implement the small primitive set (``table_state``, appends,
+head-pointer update); the derived operations (``current_version``,
+``updates``, ``is_snapshot_table``) are shared default methods folding the
+ops stream, exactly like the reference's trait default methods (:37-61,:76).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import List, Optional, Sequence
+
+from ..core import fold
+from ..core.model import TableName
+from ..core.ops import InitTable, TableUpdate, TableUpdateMetadata
+
+
+class UnknownTableError(KeyError):
+    def __init__(self, table: TableName):
+        super().__init__(f"unknown table: {table}")
+        self.table = table
+
+
+class UnknownCommitError(KeyError):
+    def __init__(self, commit_id: str):
+        super().__init__(f"unknown commit: {commit_id}")
+        self.commit_id = commit_id
+
+
+@dataclass(frozen=True)
+class TableState:
+    """Head commit id + updates in ascending time order
+    (VersionTracker.scala:137-151)."""
+
+    current_version: str  # head commit id
+    updates: Sequence[TableUpdate]
+
+
+class VersionTracker(abc.ABC):
+    # -- backend primitives -------------------------------------------------
+
+    @abc.abstractmethod
+    def tables(self) -> List[TableName]:
+        """All tracked tables (VersionTracker.scala:19)."""
+
+    @abc.abstractmethod
+    def table_state(self, table: TableName) -> TableState:
+        """Head + ascending updates stream (VersionTracker.scala:85).
+        Raises UnknownTableError."""
+
+    @abc.abstractmethod
+    def _append_commit(self, table: TableName, update: TableUpdate) -> None:
+        """Append a commit and advance the head pointer."""
+
+    @abc.abstractmethod
+    def _set_head(self, table: TableName, commit_id: str) -> None:
+        """Move the head pointer to an existing commit."""
+
+    @abc.abstractmethod
+    def _table_exists(self, table: TableName) -> bool: ...
+
+    @abc.abstractmethod
+    def _create_table(self, table: TableName, init_update: TableUpdate, is_snapshot: bool) -> None:
+        """Create tracking state with the initial commit."""
+
+    # -- shared derived operations -----------------------------------------
+
+    def init_table(
+        self,
+        table: TableName,
+        is_snapshot: bool,
+        user_id: str,
+        message: str = "init",
+        timestamp: Optional[datetime] = None,
+    ) -> None:
+        """Begin tracking; idempotent no-op if already tracked
+        (VersionTracker.scala:27-32, VersionTrackerSpec.scala:57-77)."""
+        if self._table_exists(table):
+            return
+        meta = TableUpdateMetadata.new(user_id, message, timestamp or datetime.now(timezone.utc))
+        init = TableUpdate(meta, (InitTable(table.fully_qualified, is_snapshot),))
+        self._create_table(table, init, is_snapshot)
+
+    def commit(self, table: TableName, update: TableUpdate) -> None:
+        """Append a commit; errors on unknown table (VersionTracker.scala:66)."""
+        if not self._table_exists(table):
+            raise UnknownTableError(table)
+        self._append_commit(table, update)
+
+    def set_current_version(self, table: TableName, commit_id: str) -> None:
+        """Move head to an existing commit — rollback/forward
+        (VersionTracker.scala:71)."""
+        state = self.table_state(table)  # raises UnknownTableError
+        if not any(u.metadata.commit_id == commit_id for u in state.updates):
+            raise UnknownCommitError(commit_id)
+        self._set_head(table, commit_id)
+
+    def current_version(self, table: TableName):
+        """Fold ops up to head (VersionTracker.scala:37-55)."""
+        state = self.table_state(table)
+        return fold.current_version(state.updates, state.current_version)
+
+    def updates(self, table: TableName) -> List[TableUpdateMetadata]:
+        """Commit history, most recent first (VersionTracker.scala:58-61)."""
+        state = self.table_state(table)
+        return [u.metadata for u in reversed(list(state.updates))]
+
+    def is_snapshot_table(self, table: TableName) -> bool:
+        state = self.table_state(table)
+        return fold.is_snapshot_from_updates(state.updates)

@@ -1,0 +1,153 @@
+"""Shared black-box behaviour suite run against every tracker backend —
+the reference's key test pattern (VersionTrackerSpec.scala:26-495,
+instantiated for in-memory / H2 / filesystem backends)."""
+
+import random
+from datetime import datetime, timezone
+
+import pytest
+
+from chronicles_spark.core.model import Partition, PartitionedTableVersion, SnapshotTableVersion, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    AddTableVersion,
+    RemovePartition,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import Version, generate_version
+from chronicles_spark.trackers import (
+    FileBackedVersionTracker,
+    InMemoryVersionTracker,
+    SqliteVersionTracker,
+    UnknownCommitError,
+    UnknownTableError,
+)
+
+T = TableName("db", "events")
+
+
+@pytest.fixture(params=["memory", "files", "sqlite"])
+def tracker(request, tmp_path):
+    if request.param == "memory":
+        return InMemoryVersionTracker()
+    if request.param == "files":
+        return FileBackedVersionTracker(str(tmp_path / "log"))
+    return SqliteVersionTracker(str(tmp_path / "log.db"))
+
+
+def _commit(tracker, *ops, msg="update"):
+    meta = TableUpdateMetadata.new("alice", msg)
+    tracker.commit(T, TableUpdate(meta, tuple(ops)))
+    return meta.commit_id
+
+
+def test_init_idempotent(tracker):
+    # VersionTrackerSpec.scala:57-77
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    state1 = tracker.table_state(T)
+    tracker.init_table(T, is_snapshot=False, user_id="bob")
+    state2 = tracker.table_state(T)
+    assert [u.metadata.commit_id for u in state1.updates] == [
+        u.metadata.commit_id for u in state2.updates
+    ]
+    assert tracker.tables() == [T]
+
+
+def test_unknown_table_errors(tracker):
+    with pytest.raises(UnknownTableError):
+        tracker.table_state(T)
+    with pytest.raises(UnknownTableError):
+        tracker.commit(T, TableUpdate(TableUpdateMetadata.new("a", "m"), ()))
+
+
+def test_partition_add_update_remove_fold(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    p1, p2 = Partition.parse("date=2019-01-01"), Partition.parse("date=2019-01-02")
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, AddPartitionVersion(p1, v1), AddPartitionVersion(p2, v1))
+    _commit(tracker, AddPartitionVersion(p1, v2))
+    cv = tracker.current_version(T)
+    assert cv == PartitionedTableVersion({p1: v2, p2: v1})
+    _commit(tracker, RemovePartition(p2))
+    assert tracker.current_version(T) == PartitionedTableVersion({p1: v2})
+    # re-add with fresh version (VersionTrackerSpec.scala:184-190)
+    _commit(tracker, AddPartitionVersion(p2, v3))
+    assert tracker.current_version(T) == PartitionedTableVersion({p1: v2, p2: v3})
+
+
+def test_snapshot_versions(tracker):
+    tracker.init_table(T, is_snapshot=True, user_id="alice")
+    assert tracker.is_snapshot_table(T)
+    v1, v2 = generate_version(), generate_version()
+    _commit(tracker, AddTableVersion(v1))
+    _commit(tracker, AddTableVersion(v2))
+    assert tracker.current_version(T) == SnapshotTableVersion(v2)
+
+
+def test_log_ordering_many_commits(tracker):
+    # VersionTrackerSpec.scala:408-435 — 100 commits, strict log order
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    ids = []
+    rng = random.Random(42)
+    for i in rng.sample(range(100), 100):
+        p = Partition.parse(f"date=2019-01-{(i % 28) + 1:02d}")
+        ids.append(_commit(tracker, AddPartitionVersion(p, generate_version()), msg=f"c{i}"))
+    history = tracker.updates(T)
+    # most recent first, init last
+    assert [m.commit_id for m in history[:-1]] == list(reversed(ids))
+
+
+def test_time_travel_every_commit(tracker):
+    # VersionTrackerSpec: setCurrentVersion to every historical point
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    p = Partition.parse("date=2019-01-01")
+    versions = [generate_version() for _ in range(5)]
+    commit_ids = [_commit(tracker, AddPartitionVersion(p, v)) for v in versions]
+    init_id = tracker.table_state(T).updates[0].metadata.commit_id
+
+    for cid, expect in zip(commit_ids, versions):
+        tracker.set_current_version(T, cid)
+        assert tracker.current_version(T) == PartitionedTableVersion({p: expect})
+        assert tracker.table_state(T).current_version == cid
+    # rollback to empty init state
+    tracker.set_current_version(T, init_id)
+    assert tracker.current_version(T) == PartitionedTableVersion({})
+    # roll forward to latest
+    tracker.set_current_version(T, commit_ids[-1])
+    assert tracker.current_version(T) == PartitionedTableVersion({p: versions[-1]})
+
+
+def test_set_current_version_unknown_commit(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    with pytest.raises(UnknownCommitError):
+        tracker.set_current_version(T, "no-such-commit")
+    with pytest.raises(UnknownTableError):
+        tracker.set_current_version(TableName("x", "y"), "whatever")
+
+
+def test_head_not_at_latest_hides_later_commits(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    p = Partition.parse("date=2019-01-01")
+    v1, v2 = generate_version(), generate_version()
+    c1 = _commit(tracker, AddPartitionVersion(p, v1))
+    _commit(tracker, AddPartitionVersion(p, v2))
+    tracker.set_current_version(T, c1)
+    assert tracker.current_version(T) == PartitionedTableVersion({p: v1})
+
+
+def test_json_roundtrip_files(tmp_path):
+    # codec round-trips (JsonCodecsSpec) via a real file tracker reload
+    tr = FileBackedVersionTracker(str(tmp_path / "log"))
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    p = Partition.parse("year=2019/month=01")
+    v = generate_version()
+    meta = TableUpdateMetadata.new("bob", "add jan")
+    tr.commit(T, TableUpdate(meta, (AddPartitionVersion(p, v), RemovePartition(p))))
+    # fresh instance re-reads from disk
+    tr2 = FileBackedVersionTracker(str(tmp_path / "log"))
+    state = tr2.table_state(T)
+    assert state.updates[-1].operations[0] == AddPartitionVersion(p, v)
+    assert state.updates[-1].operations[1] == RemovePartition(p)
+    assert state.current_version == meta.commit_id
+    assert tr2.tables() == [T]
