@@ -1,0 +1,152 @@
+"""The commit-log algebra as distributed DataFrame computations.
+
+These re-express the reference's driver-side metadata folds as Catalyst
+plans, so the same algebra scales to logs with millions of partitions
+(Delta-scale metadata) without driver materialization:
+
+* V4 ``currentVersion`` fold → windowed argmax over (part) ordered by
+  sequence (reference semantics: core/.../VersionTracker.scala:37-55,156-183);
+* M12 ``computeChanges`` diff → FULL OUTER JOIN + classification
+  (reference: core/.../Metastore.scala:56-84);
+* V5 ``updates`` / V8 ``tableState`` → filter/sort and group-collect over
+  the joined log (reference SQL shape: db/.../DbVersionTracker.scala:239-256).
+
+Scale notes:
+- The fold's only shuffle is the window partition by (table_name, part) —
+  exactly the key the result is keyed by; no driver collect.
+- The diff joins two folded states on their natural key; both sides arrive
+  pre-partitioned by the window, so AQE can often avoid a second exchange.
+- For a billion-row log, checkpointing folded state (Delta-style) drops
+  the window input to the tail since the checkpoint; the fold is
+  associative so this composes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+ADD_PART = "add_part_version"
+REMOVE_PART = "remove_part"
+ADD_TABLE = "add_table_version"
+INIT = "init_table"
+
+
+def _cutoff(ops: DataFrame, head: DataFrame | None) -> DataFrame:
+    """Apply the time-travel cutoff: keep ops with sequence_id <= head_seq
+    of their table (VersionTracker.scala:41-44). head=None → no cutoff."""
+    if head is None:
+        return ops
+    return ops.join(F.broadcast(head), "table_name").where(
+        F.col("sequence_id") <= F.col("head_seq")
+    )
+
+
+def current_version_fold(
+    ops: DataFrame, head: DataFrame | None = None, table_name: str | None = None
+) -> DataFrame:
+    """V4 for partitioned tables: last operation per partition wins; a
+    trailing remove is a tombstone. Returns (part, version).
+
+    The window argmax is the distributed equivalent of the reference's
+    in-order map fold (VersionTracker.scala:156-172)."""
+    df = _cutoff(ops, head)
+    if table_name is not None:
+        df = df.where(F.col("table_name") == table_name)
+    df = df.where(F.col("operation_type").isin(ADD_PART, REMOVE_PART))
+    w = W.partitionBy("part").orderBy(
+        F.col("sequence_id").desc(), F.col("index_in_commit").desc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("operation_type") == ADD_PART))
+        .select("part", "version")
+    )
+
+
+def snapshot_version_fold(
+    ops: DataFrame, head: DataFrame | None = None, table_name: str | None = None
+) -> DataFrame:
+    """V4 for snapshot tables: last AddTableVersion wins
+    (VersionTracker.scala:177-183). Returns one row (current_table_version)."""
+    df = _cutoff(ops, head)
+    if table_name is not None:
+        df = df.where(F.col("table_name") == table_name)
+    df = df.where(F.col("operation_type") == ADD_TABLE)
+    return df.agg(
+        F.max_by("version", F.struct("sequence_id", "index_in_commit")).alias(
+            "current_table_version"
+        )
+    )
+
+
+def compute_changes_df(current: DataFrame, target: DataFrame) -> DataFrame:
+    """M12 as a FULL OUTER JOIN diff (Metastore.scala:56-84).
+
+    Inputs are folded states (part, version); output rows are the metastore
+    operations needed to move current → target."""
+    c = current.select(F.col("part").alias("c_part"), F.col("version").alias("c_version"))
+    t = target.select(F.col("part").alias("t_part"), F.col("version").alias("t_version"))
+    joined = c.join(t, c.c_part == t.t_part, "full_outer")
+    return (
+        joined.where(
+            F.col("c_part").isNull()
+            | F.col("t_part").isNull()
+            | (F.col("c_version") != F.col("t_version"))
+        )
+        .select(
+            F.coalesce(F.col("c_part"), F.col("t_part")).alias("part"),
+            F.when(F.col("c_part").isNull(), F.lit("add_partition"))
+            .when(F.col("t_part").isNull(), F.lit("remove_partition"))
+            .otherwise(F.lit("update_partition_version"))
+            .alias("change_type"),
+            F.col("t_version").alias("new_version"),
+        )
+    )
+
+
+def updates_log(ops: DataFrame) -> DataFrame:
+    """V5: commit history, most recent first (VersionTracker.scala:58-61).
+    One row per commit = the index_in_commit=0 row of each."""
+    return (
+        ops.where(F.col("index_in_commit") == 0)
+        .select("sequence_id", "commit_id", "table_name", "user_id", "message")
+        .orderBy(F.col("sequence_id").desc())
+    )
+
+
+def table_state_group(ops: DataFrame) -> DataFrame:
+    """V8: reassemble commits from flattened op rows — groupBy(commit) +
+    order-preserving collect (reference: db/.../DbVersionTracker.scala:67-84
+    ``groupAdjacentBy``). Ops are rendered as a CSV in index order so the
+    result is hashable by the oracle."""
+    return (
+        ops.groupBy("commit_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("index_in_commit", "operation_type"))
+                    ),
+                    lambda s: s.operation_type,
+                ),
+                ",",
+            ).alias("ops_csv"),
+        )
+        .orderBy("commit_id")
+    )
+
+
+def tables_list(ops: DataFrame) -> DataFrame:
+    """V1: all tracked tables (VersionTracker.scala:19)."""
+    return ops.select("table_name").distinct().orderBy("table_name")
+
+
+def is_snapshot(ops: DataFrame) -> DataFrame:
+    """V7: the isSnapshot flag off each table's InitTable op
+    (VersionTracker.scala:76)."""
+    return (
+        ops.where(F.col("operation_type") == INIT)
+        .select("table_name", "is_snapshot_table")
+        .orderBy("table_name")
+    )

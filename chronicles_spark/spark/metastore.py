@@ -1,0 +1,172 @@
+"""Metastore abstraction + implementations.
+
+Reference: core/src/main/scala/dev/chronicles/core/Metastore.scala:20-54
+(interface + TableOperation diff ADT — our ops live in core/diff.py) and
+spark/src/main/scala/dev/chronicles/spark/SparkHiveMetastore.scala (Hive
+impl via ``spark.sql`` DDL strings). An in-memory impl mirrors the shape
+for metastore-free deployments and tests.
+
+The metastore's single job: make "current version of table" equal whatever
+the partition LOCATION pointers say, and apply diffs with cheap, per-
+partition-atomic ALTER statements (the near-instantaneous swap,
+docs/concepts.md:75).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Dict, List
+
+from ..core import paths as vpaths
+from ..core.diff import (
+    AddPartition,
+    MetastoreOperation,
+    RemovePartitionOp,
+    UpdatePartitionVersion,
+    UpdateTableVersion,
+)
+from ..core.model import (
+    Partition,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+)
+from ..core.version import Version
+
+
+class Metastore(abc.ABC):
+    """Metastore.scala:20-45."""
+
+    @abc.abstractmethod
+    def current_version(self, table: TableDefinition):
+        """Resolve TableVersion from actual metastore state (M1)."""
+
+    def update(self, table: TableDefinition, changes: List[MetastoreOperation]) -> None:
+        """Apply a change list by dispatch (M2, SparkHiveMetastore.scala:45-54)."""
+        for op in changes:
+            if isinstance(op, AddPartition):
+                self.add_partition(table, op.partition, op.version)
+            elif isinstance(op, UpdatePartitionVersion):
+                self.update_partition_version(table, op.partition, op.version)
+            elif isinstance(op, RemovePartitionOp):
+                self.remove_partition(table, op.partition)
+            elif isinstance(op, UpdateTableVersion):
+                self.update_table_version(table, op.version)
+            else:
+                raise TypeError(f"unknown metastore op {op!r}")
+
+    @abc.abstractmethod
+    def add_partition(self, table: TableDefinition, p: Partition, v: Version) -> None: ...
+
+    @abc.abstractmethod
+    def update_partition_version(self, table: TableDefinition, p: Partition, v: Version) -> None: ...
+
+    @abc.abstractmethod
+    def remove_partition(self, table: TableDefinition, p: Partition) -> None: ...
+
+    @abc.abstractmethod
+    def update_table_version(self, table: TableDefinition, v: Version) -> None: ...
+
+
+class InMemoryMetastore(Metastore):
+    """Pointer map in memory — the metastore-free deployment's stand-in.
+    Matches the reference's test InMemoryMetastore behaviour
+    (core/src/test/.../MetastoreSpec via InMemory impl): updating an
+    unknown partition fails and leaves state unchanged."""
+
+    def __init__(self) -> None:
+        self._partitions: Dict[str, Dict[Partition, Version]] = {}
+        self._table_versions: Dict[str, Version] = {}
+
+    def current_version(self, table: TableDefinition):
+        name = table.name.fully_qualified
+        if table.is_snapshot:
+            from ..core.version import UNVERSIONED
+
+            return SnapshotTableVersion(self._table_versions.get(name, UNVERSIONED))
+        return PartitionedTableVersion(dict(self._partitions.get(name, {})))
+
+    def add_partition(self, table, p, v):
+        self._partitions.setdefault(table.name.fully_qualified, {})[p] = v
+
+    def update_partition_version(self, table, p, v):
+        parts = self._partitions.setdefault(table.name.fully_qualified, {})
+        if p not in parts:
+            raise KeyError(f"unknown partition {p} in {table.name}")
+        parts[p] = v
+
+    def remove_partition(self, table, p):
+        self._partitions.get(table.name.fully_qualified, {}).pop(p, None)
+
+    def update_table_version(self, table, v):
+        self._table_versions[table.name.fully_qualified] = v
+
+
+class SparkHiveMetastore(Metastore):
+    """Hive session-catalog impl issuing the same DDL as the reference
+    (SparkHiveMetastore.scala:21-171). Requires a Hive-enabled SparkSession
+    and an existing EXTERNAL TABLE."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+
+    # M1 (SparkHiveMetastore.scala:21-43)
+    def current_version(self, table: TableDefinition):
+        name = table.name.fully_qualified
+        if table.is_snapshot:
+            loc = self._table_location(name)
+            return SnapshotTableVersion(vpaths.parse_version(loc))
+        parts = [r[0] for r in self.spark.sql(f"SHOW PARTITIONS {name}").collect()]
+        out: Dict[Partition, Version] = {}
+        for pstr in parts:
+            partition = Partition.parse(pstr)
+            loc = self._partition_location(name, partition)
+            out[partition] = vpaths.parse_version(loc)
+        return PartitionedTableVersion(out)
+
+    # M7 (SparkHiveMetastore.scala:114-126)
+    def _table_location(self, name: str) -> str:
+        rows = self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        for r in rows:
+            if r[0] and r[0].strip() == "Location":
+                return r[1].strip()
+        raise KeyError(f"no location for table {name}")
+
+    def _partition_location(self, name: str, p: Partition) -> str:
+        rows = self.spark.sql(
+            f"DESCRIBE FORMATTED {name} PARTITION {p.hive_expr()}"
+        ).collect()
+        for r in rows:
+            if r[0] and r[0].strip() == "Location":
+                return r[1].strip()
+        raise KeyError(f"no location for partition {p} of {name}")
+
+    # M3 (SparkHiveMetastore.scala:56-68)
+    def add_partition(self, table, p, v):
+        loc = vpaths.path_for(p.resolve_path(table.location), v)
+        self.spark.sql(
+            f"ALTER TABLE {table.name} ADD IF NOT EXISTS PARTITION {p.hive_expr()} "
+            f"LOCATION '{loc}'"
+        )
+
+    # M4 — the atomic swap primitive (SparkHiveMetastore.scala:70-82)
+    def update_partition_version(self, table, p, v):
+        loc = vpaths.path_for(p.resolve_path(table.location), v)
+        self.spark.sql(
+            f"ALTER TABLE {table.name} PARTITION {p.hive_expr()} SET LOCATION '{loc}'"
+        )
+
+    # M5 (SparkHiveMetastore.scala:84-89)
+    def remove_partition(self, table, p):
+        self.spark.sql(
+            f"ALTER TABLE {table.name} DROP IF EXISTS PARTITION {p.hive_expr()}"
+        )
+
+    # M6 (SparkHiveMetastore.scala:91-99)
+    def update_table_version(self, table, v):
+        loc = vpaths.path_for(table.location, v)
+        self.spark.sql(f"ALTER TABLE {table.name} SET LOCATION '{loc}'")
+
+    # M9 — prefer catalog API over DESCRIBE parsing (SURVEY §7 risk 2)
+    def is_partitioned(self, name: str) -> bool:
+        return any(c.isPartition for c in self.spark.catalog.listColumns(name))

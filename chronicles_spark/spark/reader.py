@@ -1,0 +1,97 @@
+"""Current-view and time-travel reads (metastore-free path).
+
+The reference reads the current view through the metastore: partition
+LOCATION pointers select the live version, so ``spark.table(t)`` never sees
+more than one version per partition (docs/concepts.md:65-67, W5 in SURVEY
+§2.1). The metastore-free equivalent implemented here resolves the live
+``(partition → version)`` map from the commit log (V4 fold), builds the
+concrete directory list, and hands it to one ``spark.read`` — driver-side
+partition *selection*, with Spark's normal partition pruning still applying
+on top for query filters (W7: acceptance-tests/.../DatePartitionedTableSpec.scala:95-105).
+
+Scale notes:
+- The path list is O(#live partitions) driver-side metadata (the same
+  cardinality the Hive metastore client would hand Spark); data listing and
+  reading stay fully distributed.
+- ``basePath`` keeps partition-column recovery from directory names, so
+  filters on partition columns prune directories before any file is read
+  (verify via PartitionFilters in .explain).
+- A 100k-partition table costs a 100k-element path list — same order as
+  Hive partition listing; for bigger metadata, checkpoint the folded map
+  (Delta-style) — see plans/log_queries.py which computes the fold
+  distributed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core import paths as vpaths
+from ..core.model import (
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+)
+from ..core.paths import VERSION_COLUMN
+from ..trackers.base import VersionTracker
+
+
+def live_paths(table: TableDefinition, table_version) -> List[str]:
+    """Concrete directories holding the live data for a resolved state."""
+    if isinstance(table_version, SnapshotTableVersion):
+        return [vpaths.path_for(table.location, table_version.version)]
+    assert isinstance(table_version, PartitionedTableVersion)
+    out = []
+    for partition, version in sorted(
+        table_version.partition_versions.items(), key=lambda kv: kv[0].path
+    ):
+        out.append(vpaths.path_for(partition.resolve_path(table.location), version))
+    return out
+
+
+def read_version(
+    spark: SparkSession,
+    table: TableDefinition,
+    table_version,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """Read a specific resolved state (current or historical)."""
+    paths_ = live_paths(table, table_version)
+    if not paths_:
+        raise ValueError(f"table {table.name} has no live data (empty state)")
+    reader = spark.read.format(table.format).option("basePath", table.location)
+    df = reader.load(paths_)
+    if not keep_version_column and VERSION_COLUMN in df.columns:
+        df = df.drop(VERSION_COLUMN)
+    return df
+
+
+def read_current(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """W5, metastore-free: fold the log at head → read live directories."""
+    return read_version(
+        spark, table, tracker.current_version(table.name), keep_version_column
+    )
+
+
+def read_at_commit(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    commit_id: str,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """Time travel WITHOUT moving the head: fold the log up to ``commit_id``
+    and read that historical state (the read-only cousin of checkout,
+    VersionTracker.scala:37-55)."""
+    from ..core import fold
+
+    state = tracker.table_state(table.name)
+    tv = fold.current_version(state.updates, commit_id)
+    return read_version(spark, table, tv, keep_version_column)
