@@ -32,6 +32,7 @@ from chronicles_spark.sources import load_table, register_views
 from chronicles_spark.spark import read_current, versioned_insert_into
 from chronicles_spark.spark.reader import read_at_commit
 from chronicles_spark.trackers import FileBackedVersionTracker
+from chronicles_spark.operators import dedup as DD, similarity as SIM, text as TX
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -148,6 +149,86 @@ SELECT event_id, user_id, event_type, value,
        CAST(CAST(ts AS DATE) AS STRING) AS event_date
 FROM events
 """
+
+
+
+
+def _longify(df: DataFrame) -> DataFrame:
+    """Cast int32 columns to long: DuckDB counts/len() are BIGINT, Spark
+    size()/row_number() are int — align schemas for the oracle compare."""
+    from pyspark.sql import types as T
+
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.IntegerType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments for the pipeline operators (dialect: DuckDB list lambdas)
+
+_DOCS_SHINGLES_CTE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+        FROM documents) x
+)
+"""
+
+_MINHASH_BANDS = 8
+_MINHASH_ROWS = 2
+_JACCARD_THRESHOLD = 0.5
+_NGRAM_THRESHOLD = 0.4
+_COSINE_DEDUP_THRESHOLD = 0.4
+
+
+def _minhash_sigs_sql(n: int) -> str:
+    cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
+        for i in range(n)
+    )
+    return f"sigs AS (\n  SELECT doc_id,\n    {cols}\n  FROM docs WHERE len(shingles) > 0\n)"
+
+
+def _lsh_bands_sql(bands: int, rows: int) -> str:
+    pieces = []
+    for b in range(bands):
+        expr = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        pieces.append(
+            f"SELECT doc_id, {b} AS band_id, md5({expr}) AS band_key FROM sigs"
+        )
+    return "bands AS (\n" + "\nUNION ALL\n".join(pieces) + "\n)"
+
+
+_VERIFY_SQL = """
+ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+  FROM docs WHERE len(shingles) > 0
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter,
+         min(sa.n_sh) AS n_a, min(sb.n_sh) AS n_b
+  FROM cand c
+  JOIN ex sa ON sa.doc_id = c.id_a
+  JOIN ex sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+_EMB_V_CTE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+)
+"""
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +417,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+
+    # --- training-data pipeline: text analysis -----------------------------
+
+    def q_token_count(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(TX.with_token_counts(docs).drop("text"))
+
+    def q_quality_score(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(TX.with_quality_score(docs).drop("text"))
+
+    def q_lang_id(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(TX.with_lang_id(docs).drop("text"))
+
+    def q_fingerprint(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return TX.with_fingerprints(docs).drop("text")
+
+    # --- training-data pipeline: dedup -------------------------------------
+
+    def q_dedup_exact(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return DD.exact_duplicate_groups(
+            docs, F.md5(F.substring("text", 1, 100))
+        )
+
+    def q_dedup_minhash_lsh(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        cands = DD.minhash_lsh_candidates(
+            docs, bands=_MINHASH_BANDS, rows=_MINHASH_ROWS
+        )
+        return _longify(DD.jaccard_verify(docs, cands, threshold=_JACCARD_THRESHOLD))
+
+    def q_dedup_ngram_jaccard(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(DD.ngram_jaccard_pairs(docs, threshold=_NGRAM_THRESHOLD))
+
+    def q_dedup_simhash(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return docs.select("doc_id", DD.simhash_expr("text").alias("simhash"))
+
+    def q_dedup_simhash_pairs(spark, sf):
+        # rows-only: candidate pairs + exact hamming via banding
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(DD.simhash_near_dup_candidates(docs).where(F.col("hamming") <= 6))
+
+    def q_dedup_embedding(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return DD.embedding_cosine_pairs(emb, threshold=_COSINE_DEDUP_THRESHOLD)
+
+    # --- training-data pipeline: similarity search -------------------------
+
+    def q_ann_cosine_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qids = emb.select("vec_id").where(F.col("vec_id") < 5)
+        return _longify(SIM.brute_topk(emb, qids, k=10).withColumnRenamed("rank", "rnk"))
+
+    def q_ann_ivf(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qids = emb.select("vec_id").where(F.col("vec_id") < 5)
+        return _longify(
+            SIM.ivf_topk(emb, qids, k=10, n_probe=2).withColumnRenamed("rank", "rnk")
+        )
+
+    def q_ann_sign_lsh(spark, sf):
+        # rows-only: LSH bucket keys (the scale-path candidate generator)
+        emb = load_table(spark, sf, "embeddings")
+        return SIM.sign_lsh_buckets(emb, n_planes=16)
+
     for name, fn in list(locals().items()):
         if name.startswith("q_"):
             q[name] = fn
@@ -469,5 +620,151 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
+""",
+    
+        # --- training-data pipeline oracles --------------------------------
+        "q_token_count": """
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       len(regexp_split_to_array(trim(text), ' +')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS n_distinct_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_pieces
+FROM documents
+""",
+        "q_quality_score": """
+SELECT doc_id, len(t) AS n_tokens,
+       round((least(len(t), 100) / 100.0
+              + len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) / len(t)
+              + len(list_distinct(t)) / len(t)) / 3, 4) AS quality_score
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+      FROM documents) x
+""",
+        "q_lang_id": """
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+            WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+            WHEN score_fr >= score_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS score_en,
+    len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','nicht'))) AS score_de,
+    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS score_es,
+    len(list_filter(t, x -> x IN ('le','la','de','et','un','est','dans','que'))) AS score_fr,
+    len(list_filter(t, x -> x IN ('de','shi','le','zai','wo','you','he','bu'))) AS score_zh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+        FROM documents) x
+) s
+""",
+        "q_fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(
+         regexp_extract_all(lower(text), '[a-z0-9]+', 0))), ' ')) AS fp_content
+FROM documents
+""",
+        "q_dedup_exact": """
+SELECT md5(substr(text, 1, 100)) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(substr(text, 1, 100))
+HAVING count(*) > 1
+""",
+        "q_dedup_minhash_lsh": _DOCS_SHINGLES_CTE
+        + ", "
+        + _minhash_sigs_sql(_MINHASH_BANDS * _MINHASH_ROWS)
+        + ",\n"
+        + _lsh_bands_sql(_MINHASH_BANDS, _MINHASH_ROWS)
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+"""
+        + _VERIFY_SQL
+        + f"""
+SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
+""",
+        "q_dedup_ngram_jaccard": _DOCS_SHINGLES_CTE
+        + f""",
+ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+  FROM docs WHERE len(shingles) > 0
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+         min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
+""",
+        "q_dedup_simhash": "SELECT doc_id, "
+        + DD.simhash_sql("text")
+        + " AS simhash FROM documents",
+        "q_dedup_embedding": _EMB_V_CTE
+        + f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a="a.v", b="b.v")} AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) s
+WHERE cosine >= {_COSINE_DEDUP_THRESHOLD}
+""",
+        "q_ann_cosine_topk": _EMB_V_CTE
+        + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.qv", b="v.v")} AS cosine
+  FROM q, v WHERE v.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
+""",
+        "q_ann_ivf": _EMB_V_CTE
+        + f"""
+, cents AS (
+  SELECT label AS centroid_id, v AS cv
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v) z
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+qc AS (
+  SELECT q.query_id, q.qv, cents.centroid_id,
+         {_COS_SQL.format(a="q.qv", b="cents.cv")} AS ccos
+  FROM q, cents
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, centroid_id ASC) AS crank
+        FROM qc) z
+  WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qv", b="v.v")} AS cosine
+  FROM probes p JOIN v ON v.label = p.bucket AND v.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
     }

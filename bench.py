@@ -1,0 +1,186 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.md self-baseline plan:
+  B1 versioned write (all partitions new) + plain-write baseline
+  B2 overwrite-one-partition commit
+  B3 checkout (rollback) + log listing — must be metadata-only
+  B4 current-view read + aggregate vs plain parquet aggregate
+  B5 metadata fold/diff queries on a synthetic 10k-partition ops log
+plus the pipeline + TPC-H headline queries from __spark_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as entry
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.plans import log_queries as LQ
+    from chronicles_spark.sources import load_table
+    from chronicles_spark.spark import read_current, versioned_insert_into
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+    from chronicles_spark.spark.metastore import InMemoryMetastore
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("chronicles-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="chronicles_bench_")
+
+    # ---- B1: versioned write vs plain write -------------------------------
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.col("ts").cast("date").cast("string")
+    )
+    events.count()  # warm the scan
+
+    results["b1_plain_write"] = _timed(
+        lambda: events.write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(tmp + "/plain")
+    )
+
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    table = TableDefinition(
+        TableName("bench", "events"), tmp + "/versioned", PartitionSchema(("event_date",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="bench")
+    results["b1_versioned_write"] = _timed(
+        lambda: versioned_insert_into(events, table, tracker, "bench", "v1")
+    )
+
+    # ---- B2: overwrite one partition --------------------------------------
+    one_day = events.where(F.col("event_date") == "2024-01-05")
+    results["b2_overwrite_partition"] = _timed(
+        lambda: versioned_insert_into(one_day, table, tracker, "bench", "redo")
+    )
+
+    # ---- B3: rollback + log (metadata-only) -------------------------------
+    ms = InMemoryMetastore()
+    vm = VersionedMetastore(tracker, ms)
+    state = tracker.table_state(table.name)
+    first_commit = state.updates[1].metadata.commit_id
+
+    def _rollback_and_log():
+        vm.checkout(table, first_commit)
+        tracker.updates(table.name)
+        vm.checkout(table, state.updates[-1].metadata.commit_id)
+
+    results["b3_rollback_and_log"] = _timed(_rollback_and_log)
+
+    # ---- B4: current-view read + agg vs plain ------------------------------
+    results["b4_plain_agg"] = _timed(
+        lambda: spark.read.parquet(tmp + "/plain")
+        .groupBy("event_date")
+        .count()
+        .collect()
+    )
+    results["b4_versioned_agg"] = _timed(
+        lambda: read_current(spark, table, tracker)
+        .groupBy("event_date")
+        .count()
+        .collect()
+    )
+
+    # ---- B5: metadata algebra on a 10k-partition synthetic log ------------
+    big_log = spark.range(10000).select(
+        F.col("id").alias("sequence_id"),
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("commit_id"),
+        F.lit("bench.table").alias("table_name"),
+        F.lit("bench").alias("user_id"),
+        F.lit("m").alias("message"),
+        F.lit(0).alias("index_in_commit"),
+        F.when(F.col("id") % 17 == 0, F.lit("remove_part"))
+        .otherwise(F.lit("add_part_version"))
+        .alias("operation_type"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("version"),
+        F.concat(F.lit("p="), (F.col("id") % 3000).cast("string")).alias("part"),
+        F.lit(None).cast("boolean").alias("is_snapshot_table"),
+    )
+    big_log.cache().count()
+
+    def _fold_diff():
+        cur = LQ.current_version_fold(big_log.where(F.col("sequence_id") <= 9000))
+        tgt = LQ.current_version_fold(big_log)
+        LQ.compute_changes_df(cur, tgt).collect()
+
+    results["b5_fold_diff_10k"] = _timed(_fold_diff)
+    big_log.unpersist()
+
+    # ---- headline queries from the driver contract ------------------------
+    qs = entry.queries()
+    headline = [
+        "q_current_version_fold",
+        "q_compute_changes",
+        "q_current_view",
+        "q_partition_filter",
+        "q_tpch_q1",
+        "q_tpch_q3",
+        "q_token_count",
+        "q_quality_score",
+        "q_lang_id",
+        "q_fingerprint",
+        "q_dedup_exact",
+        "q_dedup_minhash_lsh",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_simhash",
+        "q_dedup_embedding",
+        "q_ann_cosine_topk",
+        "q_ann_ivf",
+    ]
+    for name in headline:
+        df_fn = qs[name]
+        results[name] = _timed(lambda fn=df_fn: fn(spark, SF_DIR).collect())
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(results.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "chronicles_spark bench: versioned-lake ops + pipeline + TPC-H headline queries",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

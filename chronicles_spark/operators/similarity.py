@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_topk`` — exact cosine top-k: broadcast the (small) query set,
+  one pass over the corpus, per-query heap via window row_number. The
+  shuffle carries only (query, candidate, score) survivors.
+* ``ivf_topk`` — IVF-style two-stage search: assign every vector to its
+  nearest centroid (tiny broadcast), probe only the ``n_probe`` closest
+  centroid buckets per query. At 100 TB the corpus side is read once,
+  bucketed by centroid id (partition pruning on a bucketed/partitioned
+  layout makes probes near-free); this module uses deterministic
+  representative centroids (min-id member per label) so the DuckDB oracle
+  reproduces results exactly — swap in k-means centroids in production.
+* ``sign_lsh_buckets`` — random-hyperplane sign buckets (deterministic,
+  md5-derived ±1 hyperplanes) for candidate generation at scale.
+
+All arithmetic: element-wise float32→float64, sequential folds, scores
+rounded to 6 decimals before ranking with id tie-breaks — deterministic
+and engine-reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def brute_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query id.
+
+    query_ids: DataFrame with a single ``vec_id`` column (small). The
+    queries side is broadcast; the corpus is scanned once."""
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = (
+        v.join(query_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    )
+    joined = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def representative_centroids(
+    df: DataFrame, label_col: str = "label", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-label centroid: the embedding of the min-id member
+    (medoid seed). Production path: k-means via pyspark.ml; this keeps the
+    oracle bit-exact."""
+    w = W.partitionBy(label_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(label_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF search: probe the n_probe nearest centroid buckets per query,
+    exact cosine within the probed buckets only."""
+    cents = representative_centroids(df, label_col, id_col, vec_col)
+    v = df.select(
+        F.col(id_col), F.col(label_col).alias("bucket"), as_double(F.col(vec_col)).alias("v")
+    )
+    q = (
+        v.join(query_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    )
+    # stage 1: nearest centroids (tiny cross join, broadcast both sides)
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
+    )
+    # stage 2: exact search inside probed buckets (bucket-equi join prunes)
+    joined = v.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits (shared with any oracle:
+    hashlib.md5 == SQL md5). Plane j, dim i sign = parity of first hex
+    nibble of md5('<j>-<i>')."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}-{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector: bit j = sign(v · h_j).
+    Map-side only; the bucket key then drives a groupBy/join for candidate
+    pairs (cosine-similar vectors collide with high probability)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_signs(n_planes, dim)
+    v = as_double(F.col(vec_col))
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket_key"))

@@ -1,0 +1,116 @@
+"""Text-analysis operators: tokenization, counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side, inside
+whole-stage codegen) — a 100 TB corpus pass stays a single narrow
+projection stage with zero shuffles and zero Python. The token regexes
+avoid backslash classes so identical pattern strings run in DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+# BPE-ish segmentation: letter runs, single digits grouped, other symbols
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# tiny function-word lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "dans", "que"),
+    "zh": ("de", "shi", "le", "zai", "wo", "you", "he", "bu"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")  # tie-break priority
+
+
+def tokens_of(text: Column) -> Column:
+    """Lower-cased alphanumeric tokens (array<string>)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, alnum tokens, BPE-ish pieces,
+    distinct tokens, chars. One projection, no shuffle."""
+    toks = tokens_of(F.col(text_col))
+    return df.select(
+        "*",
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+        F.size(F.split(F.trim(F.col(text_col)), " +")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_pieces"
+        ),
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of any listed word — array filter,
+    JVM-side, no explode."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from length / stopword ratio / repetition ratio.
+
+    score = (len_norm + stopword_ratio + distinct_ratio) / 3, rounded to 4
+    decimals; every component is an exact int/int division so the value is
+    engine-reproducible bit-for-bit."""
+    toks = tokens_of(F.col(text_col))
+    n = F.size(toks)
+    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    n_distinct = F.size(F.array_distinct(toks))
+    len_norm = F.least(n, F.lit(100)) / F.lit(100.0)
+    stop_ratio = stop_hits / n
+    distinct_ratio = n_distinct / n
+    return df.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.round((len_norm + stop_ratio + distinct_ratio) / F.lit(3), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by function-word frequency (n-gram heuristic): count
+    stopword occurrences per language, argmax with fixed tie-break order,
+    'und' when nothing matches."""
+    toks = tokens_of(F.col(text_col))
+    scores = {
+        lang: _stopword_hits(toks, words).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    with_scores = df.select("*", *scores.values())
+    all_scores = [F.col(f"score_{lang}") for lang in LANG_ORDER]
+    pred = F.when(F.greatest(*all_scores) == 0, F.lit("und"))
+    remaining = list(LANG_ORDER)
+    while remaining:
+        lang = remaining.pop(0)
+        if remaining:
+            rest = [F.col(f"score_{l}") for l in remaining]
+            best_rest = rest[0] if len(rest) == 1 else F.greatest(*rest)
+            pred = pred.when(F.col(f"score_{lang}") >= best_rest, F.lit(lang))
+        else:
+            pred = pred.otherwise(F.lit(lang))
+    return with_scores.withColumn("lang_pred", pred)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    * ``fp_exact``   — md5 of the whitespace-normalized lower-cased text
+      (exact-dup key),
+    * ``fp_content`` — md5 of the sorted distinct token set (order- and
+      multiplicity-insensitive content key)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    toks = tokens_of(F.col(text_col))
+    return df.select(
+        "*",
+        F.md5(norm).alias("fp_exact"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fp_content"
+        ),
+    )
