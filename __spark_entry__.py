@@ -181,7 +181,11 @@ _MINHASH_BANDS = 8
 _MINHASH_ROWS = 2
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_THRESHOLD = 0.4
+_NGRAM_MAX_SHINGLE_FREQ = 100  # skew guard: shingle in f docs → f² join rows
 _COSINE_DEDUP_THRESHOLD = 0.4
+_EMB_DIM = 64
+_EMB_LSH_PLANES = 16
+_EMB_LSH_BANDS = 4
 
 
 def _minhash_sigs_sql(n: int) -> str:
@@ -217,6 +221,28 @@ inter AS (
 )
 """
 
+def _mk_minhash_ctes() -> str:
+    """Shared CTE chain for the MinHash oracle: shingles → signatures →
+    LSH bands → candidate pairs → intersection counts (``inter``)."""
+    return (
+        _DOCS_SHINGLES_CTE
+        + ", "
+        + _minhash_sigs_sql(_MINHASH_BANDS * _MINHASH_ROWS)
+        + ",\n"
+        + _lsh_bands_sql(_MINHASH_BANDS, _MINHASH_ROWS)
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+"""
+        + _VERIFY_SQL
+    )
+
+
+_MINHASH_CTES = _mk_minhash_ctes()
+
 _EMB_V_CTE = """
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -229,6 +255,51 @@ _COS_SQL = (
     "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
     "sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
 )
+
+
+def _emb_lsh_sql(n_planes: int, bands: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of DD.embedding_lsh_dedup: same md5-derived hyperplanes,
+    same banded candidate join, same exact-cosine verify."""
+    from chronicles_spark.operators.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(n_planes, dim)
+    r = n_planes // bands
+
+    def bit_sql(plane: list[float]) -> str:
+        lit = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
+        )
+
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(bit_sql(planes[b * r + j]) for j in range(r))
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_id, {key} AS band_key FROM v"
+        )
+    bands_cte = "bands AS (\n" + "\nUNION ALL\n".join(band_selects) + "\n)"
+    return (
+        _EMB_V_CTE
+        + ", "
+        + bands_cte
+        + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b, """
+        + _COS_SQL.format(a="va.v", b="vb.v")
+        + f""" AS cosine
+  FROM cand c
+  JOIN v va ON va.vec_id = c.id_a
+  JOIN v vb ON vb.vec_id = c.id_b
+) s
+WHERE cosine >= {threshold}
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -446,14 +517,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_minhash_lsh(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        cands = DD.minhash_lsh_candidates(
-            docs, bands=_MINHASH_BANDS, rows=_MINHASH_ROWS
+        return _longify(
+            DD.minhash_dedup(
+                docs,
+                bands=_MINHASH_BANDS,
+                rows=_MINHASH_ROWS,
+                threshold=_JACCARD_THRESHOLD,
+            )
         )
-        return _longify(DD.jaccard_verify(docs, cands, threshold=_JACCARD_THRESHOLD))
 
     def q_dedup_ngram_jaccard(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return _longify(DD.ngram_jaccard_pairs(docs, threshold=_NGRAM_THRESHOLD))
+        return _longify(
+            DD.ngram_jaccard_pairs(
+                docs,
+                threshold=_NGRAM_THRESHOLD,
+                max_shingle_freq=_NGRAM_MAX_SHINGLE_FREQ,
+            )
+        )
+
+    def q_dedup_clusters(spark, sf):
+        # verified near-dup pairs → connected components → survivor table
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        pairs = DD.minhash_dedup(
+            docs,
+            bands=_MINHASH_BANDS,
+            rows=_MINHASH_ROWS,
+            threshold=_JACCARD_THRESHOLD,
+        )
+        return DD.dedup_clusters(pairs)
 
     def q_dedup_simhash(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -465,8 +557,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(DD.simhash_near_dup_candidates(docs).where(F.col("hamming") <= 6))
 
     def q_dedup_embedding(spark, sf):
+        # scale path: banded sign-LSH candidates → exact-cosine verify.
+        # The O(N²) all-pairs join lives only in tests as the recall oracle.
         emb = load_table(spark, sf, "embeddings")
-        return DD.embedding_cosine_pairs(emb, threshold=_COSINE_DEDUP_THRESHOLD)
+        return DD.embedding_lsh_dedup(
+            emb,
+            dim=_EMB_DIM,
+            threshold=_COSINE_DEDUP_THRESHOLD,
+            n_planes=_EMB_LSH_PLANES,
+            bands=_EMB_LSH_BANDS,
+        )
 
     # --- training-data pipeline: similarity search -------------------------
 
@@ -485,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_sign_lsh(spark, sf):
         # rows-only: LSH bucket keys (the scale-path candidate generator)
         emb = load_table(spark, sf, "embeddings")
-        return SIM.sign_lsh_buckets(emb, n_planes=16)
+        return SIM.sign_lsh_buckets(emb, dim=_EMB_DIM, n_planes=16)
 
     for name, fn in list(locals().items()):
         if name.startswith("q_"):
@@ -672,30 +772,41 @@ FROM documents
 GROUP BY md5(substr(text, 1, 100))
 HAVING count(*) > 1
 """,
-        "q_dedup_minhash_lsh": _DOCS_SHINGLES_CTE
-        + ", "
-        + _minhash_sigs_sql(_MINHASH_BANDS * _MINHASH_ROWS)
-        + ",\n"
-        + _lsh_bands_sql(_MINHASH_BANDS, _MINHASH_ROWS)
-        + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-"""
-        + _VERIFY_SQL
+        "q_dedup_minhash_lsh": _MINHASH_CTES
         + f"""
 SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
 FROM inter
 WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
 """,
+        "q_dedup_clusters": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
+        + f""",
+verified AS (
+  SELECT id_a, id_b FROM inter
+  WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
         "q_dedup_ngram_jaccard": _DOCS_SHINGLES_CTE
         + f""",
-ex AS (
+ex0 AS (
   SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
   FROM docs WHERE len(shingles) > 0
 ),
+freq_ok AS (
+  SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= {_NGRAM_MAX_SHINGLE_FREQ}
+),
+ex AS (SELECT ex0.* FROM ex0 JOIN freq_ok USING (sh)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
          min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
@@ -709,15 +820,9 @@ WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
         "q_dedup_simhash": "SELECT doc_id, "
         + DD.simhash_sql("text")
         + " AS simhash FROM documents",
-        "q_dedup_embedding": _EMB_V_CTE
-        + f"""
-SELECT * FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_COS_SQL.format(a="a.v", b="b.v")} AS cosine
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-) s
-WHERE cosine >= {_COSINE_DEDUP_THRESHOLD}
-""",
+        "q_dedup_embedding": _emb_lsh_sql(
+            _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
+        ),
         "q_ann_cosine_topk": _EMB_V_CTE
         + f"""
 , q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),

@@ -1,22 +1,34 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+embedding-cosine near-dup, and duplicate-cluster resolution.
 
 Scale design (the point of each shape):
 * **Exact**: hash-groupBy on a fingerprint — one shuffle keyed by the md5,
   perfectly parallel, skew-free (hashes are uniform).
-* **MinHash+LSH**: signatures are computed per-row with array lambdas
-  (``array_min`` over transformed shingles — NO explode, NO shuffle), then
-  only the b band keys per doc are exploded. Candidate generation is a
-  self-equi-join on (band, key): the shuffle carries b rows/doc, not the
-  corpus. Verification (true Jaccard) runs only on candidates.
-* **SimHash**: again per-row array aggregation; near-dup candidates via
-  banding the fingerprint (pigeonhole: hamming ≤ k → some band equal).
+* **Shingle base**: tokenize → shingle is the expensive per-row step, so it
+  runs ONCE behind an explicit materialization barrier (``materialize``:
+  persist for in-memory scale, write-parquet-and-reread for the 100 TB
+  path).  Every downstream consumer (signatures, LSH bands, Jaccard
+  verify, n-gram index) reads the materialized column — no Catalyst
+  projection-collapse re-evaluation of the shingle expression.
+* **MinHash+LSH**: signatures are per-row array lambdas over the cached
+  shingles (NO explode, NO shuffle), then only the b band keys per doc are
+  exploded.  Candidate generation is a self-equi-join on (band, key): the
+  shuffle carries b rows/doc, not the corpus.  Verification (true Jaccard)
+  runs only on candidates, from the same shingle base.
+* **SimHash**: ONE tokenization, ONE md5 per token, all ``bits`` bit-votes
+  accumulated in a single ``aggregate`` fold into a vote array — not one
+  regex pass per bit.  Near-dup candidates via banding the fingerprint
+  (pigeonhole: hamming <= bands-1 → some band equal).
 * **n-gram Jaccard**: classic inverted-index join on shingles with a
-  frequency cutoff to drop super-common shingles (skew control at scale);
-  exact Jaccard from the intersection counts.
-* **Embedding cosine**: candidate-free brute pair join is quadratic — kept
-  only as the verification/baseline; the scale path buckets by
-  sign-random-projection (see similarity.py) or IVF centroids first.
+  frequency cutoff to drop super-common shingles (skew control at scale:
+  a shingle in f docs contributes f² join rows).
+* **Embedding near-dup**: the scale path is banded sign-LSH (random
+  hyperplane bits, disjoint plane subsets per band → zero recompute) →
+  in-bucket candidate pairs → exact-cosine verify.  The brute O(N²) pair
+  join is kept only as the small-N verification baseline.
+* **Cluster resolution**: verified pairs → connected components via
+  iterative min-label propagation (pure DataFrame joins, lineage cut per
+  round with localCheckpoint) → ``(id, cluster_id, keep)`` survivors.
 
 All hashes are md5-hex (lexicographic min of uniform hex strings is a
 valid min-hash) so the DuckDB oracles reproduce results bit-for-bit.
@@ -25,6 +37,7 @@ valid min-hash) so the DuckDB oracles reproduce results bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokens_of
 
@@ -47,6 +60,34 @@ def shingles_of(text: Column, width: int = SHINGLE_WIDTH) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def materialize(df: DataFrame, scratch_dir: str | None = None, name: str = "mat") -> DataFrame:
+    """Materialization barrier: persist (memory+disk) by default; when a
+    ``scratch_dir`` is given, write parquet and re-read — the barrier of
+    choice for a 100 TB corpus where the executor cache can't hold the
+    intermediate and a re-readable columnar copy amortizes downstream
+    passes (signatures, verify, clustering)."""
+    if scratch_dir is not None:
+        path = f"{scratch_dir.rstrip('/')}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def shingle_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = SHINGLE_WIDTH,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(id, shingles) with the shingle expression evaluated exactly once.
+
+    The single-column projection keeps the barrier narrow; consumers take
+    ``F.size('shingles')`` etc. as cheap attribute ops on the cached data."""
+    base = df.select(F.col(id_col), shingles_of(F.col(text_col), width).alias("shingles"))
+    return materialize(base, scratch_dir, name="shingle_base")
 
 
 def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,7 +116,9 @@ def exact_duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -
 
 def minhash_signature(num_hashes: int, shingle_col: str = "shingles") -> list[Column]:
     """num_hashes min-hash values as columns sig_0..sig_{n-1}: per hash i,
-    the lexicographic min of md5('<i>|' || shingle). Map-side only."""
+    the lexicographic min of md5('<i>|' || shingle). Map-side only; reads
+    the materialized shingle column (one md5 pass per hash function is
+    inherent to MinHash — the shingle ARRAY itself is never recomputed)."""
     out = []
     for i in range(num_hashes):
         out.append(
@@ -89,7 +132,8 @@ def minhash_signature(num_hashes: int, shingle_col: str = "shingles") -> list[Co
 
 
 def lsh_band_keys(bands: int, rows: int) -> list[Column]:
-    """Band keys: md5 of the concatenated signature slice per band."""
+    """Band keys: md5 of the concatenated signature slice per band. Each
+    sig_i feeds exactly one band — disjoint slices, no re-evaluation."""
     out = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -98,20 +142,19 @@ def lsh_band_keys(bands: int, rows: int) -> list[Column]:
 
 
 def minhash_lsh_candidates(
-    df: DataFrame,
+    base: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     bands: int = 8,
     rows: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing at least one LSH band.
 
-    Plan shape: project signatures (no shuffle) → explode b band rows/doc →
-    self-join on (band_id, band_key) → distinct pairs. The join shuffle is
-    O(b·N) rows; hot buckets (identical docs) square only within a bucket."""
-    sigs = with_shingles(df.select(id_col, text_col), text_col).select(
-        F.col(id_col), *minhash_signature(bands * rows)
-    )
+    ``base`` is a materialized shingle base from :func:`shingle_base`.
+    Plan shape: project signatures from cached shingles (no shuffle) →
+    explode b band rows/doc → self-join on (band_id, band_key) → distinct
+    pairs. The join shuffle is O(b·N) rows; hot buckets (identical docs)
+    square only within a bucket."""
+    sigs = base.select(F.col(id_col), *minhash_signature(bands * rows))
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -140,13 +183,14 @@ def minhash_lsh_candidates(
 
 
 def jaccard_verify(
-    df: DataFrame,
+    base: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only.
+    """Exact Jaccard over shingle sets for candidate pairs only, reading
+    the SAME materialized shingle base as candidate generation (no second
+    tokenization of the corpus).
 
     Intersection via the inverted-index join restricted to candidates
     (semi-joined first so only candidate docs explode)."""
@@ -155,11 +199,10 @@ def jaccard_verify(
         .union(pairs.select("id_b"))
         .distinct()
     )
-    sh = (
-        with_shingles(df.join(cand_ids, id_col, "left_semi").select(id_col, text_col), text_col)
-        .select(id_col, F.col("shingles"), F.size("shingles").alias("n_sh"))
+    sh = base.join(cand_ids, id_col, "left_semi")
+    exploded = sh.select(
+        id_col, F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    exploded = sh.select(id_col, "n_sh", F.explode("shingles").alias("sh"))
     a = exploded.alias("sa")
     b = exploded.alias("sb")
     inter = (
@@ -182,6 +225,28 @@ def jaccard_verify(
     )
 
 
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.5,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH dedup pipeline: ONE shingle materialization feeds
+    both candidate generation and Jaccard verification.  The candidate
+    pair set is also materialized — verify references it three times
+    (endpoint semi-join + both sides of the intersection join), and the
+    pair set is tiny relative to the corpus, so re-running the LSH join
+    per reference would dominate the pipeline."""
+    base = shingle_base(df, id_col, text_col, scratch_dir=scratch_dir)
+    cands = materialize(
+        minhash_lsh_candidates(base, id_col, bands, rows), scratch_dir, name="cands"
+    )
+    return jaccard_verify(base, cands, id_col, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
@@ -190,22 +255,29 @@ def simhash_expr(text_col: str = "text", bits: int = 32) -> Column:
     """SimHash fingerprint as a ``bits``-char bit string.
 
     Bit p is the sign of Σ over tokens of ±1, where the vote is the high
-    bit of hex digit p of md5(token). Pure array aggregation — map-side,
-    SQL-lambda form so the identical text runs in the DuckDB oracle."""
-    pieces = []
-    for p in range(1, bits + 1):
-        s = (
-            f"aggregate(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), 0, "
-            f"(acc, t) -> acc + (CASE WHEN instr('0123456789abcdef', "
-            f"substr(md5(t), {p}, 1)) - 1 >= 8 THEN 1 ELSE -1 END))"
-        )
-        pieces.append(f"(CASE WHEN ({s}) > 0 THEN '1' ELSE '0' END)")
-    return F.expr("concat(" + ", ".join(pieces) + ")")
+    bit of hex digit p of md5(token).  Single pass: tokenize once, md5
+    each token once, accumulate all ``bits`` votes in ONE ``aggregate``
+    fold into a vote array — the document is NOT re-tokenized per bit
+    (ref: the round-1 32× regex-pass version was the bench hot spot)."""
+    return F.expr(
+        f"""concat_ws('', transform(
+  aggregate(
+    transform(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), t -> md5(t)),
+    array_repeat(0, {bits}),
+    (acc, h) -> zip_with(
+      acc,
+      transform(sequence(1, {bits}), p ->
+        CASE WHEN instr('0123456789abcdef', substr(h, p, 1)) - 1 >= 8
+             THEN 1 ELSE -1 END),
+      (a, b) -> a + b)
+  ),
+  v -> CASE WHEN v > 0 THEN '1' ELSE '0' END))"""
+    )
 
 
-def simhash_sql(text_col: str = "text", bits: int = 32, agg_fn: str = "list_aggregate") -> str:
-    """The DuckDB-dialect twin of :func:`simhash_expr` (DuckDB's aggregate
-    over lists is ``list_reduce``-style; we emit list_sum(list_transform))."""
+def simhash_sql(text_col: str = "text", bits: int = 32) -> str:
+    """The DuckDB-dialect twin of :func:`simhash_expr` (correctness oracle
+    only — one list_sum per bit is fine there)."""
     pieces = []
     for p in range(1, bits + 1):
         s = (
@@ -220,11 +292,18 @@ def simhash_sql(text_col: str = "text", bits: int = 32, agg_fn: str = "list_aggr
 def simhash_near_dup_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 32, bands: int = 4,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup candidates by banding the simhash: hamming(a,b) <= bands-1
-    implies at least one of ``bands`` equal slices (pigeonhole)."""
+    implies at least one of ``bands`` equal slices (pigeonhole).  The
+    fingerprint frame is materialized so the fold expression evaluates
+    once per document, not once per band slice."""
     width = bits // bands
-    fp = df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    fp = materialize(
+        df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash")),
+        scratch_dir,
+        name="simhash_fp",
+    )
     slices = fp.select(
         id_col,
         "simhash",
@@ -280,15 +359,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.3,
     max_shingle_freq: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold, via the inverted-
     index self-join. ``max_shingle_freq`` drops shingles appearing in more
     than that many docs before the join — the standard skew guard at scale
-    (a shingle in f docs contributes f² join rows)."""
-    sh = with_shingles(df.select(id_col, text_col), text_col).select(
-        id_col, F.col("shingles"), F.size("shingles").alias("n_sh")
+    (a shingle in f docs contributes f² join rows).  Jaccard denominators
+    use the FULL shingle-set sizes; only the join index is pruned, so the
+    score is a documented under-estimate for pairs sharing pruned
+    stop-shingles (mirrored exactly in the oracle)."""
+    if base is None:
+        base = shingle_base(df, id_col, text_col)
+    exploded = base.select(
+        id_col, F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    exploded = sh.select(id_col, "n_sh", F.explode("shingles").alias("sh"))
     if max_shingle_freq is not None:
         freq_ok = (
             exploded.groupBy("sh")
@@ -320,7 +404,7 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup (baseline verification path)
+# embedding cosine near-dup
 
 
 def embedding_cosine_pairs(
@@ -330,8 +414,9 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — brute-force O(N²) baseline used
-    to verify the bucketed paths; at scale use sign-LSH / IVF from
-    similarity.py to generate candidates first.
+    to verify the bucketed paths on SMALL inputs only; the declared scale
+    path is :func:`embedding_lsh_dedup` (banded sign-LSH candidates →
+    exact-cosine verify).
 
     Arithmetic: element-wise float32→float64 cast, sequential fold — the
     exact shape DuckDB's list functions use, so results are bit-identical."""
@@ -361,4 +446,143 @@ def embedding_cosine_pairs(
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded sign-LSH candidates →
+    exact-cosine verify.  NO all-pairs join anywhere.
+
+    Plan shape: per vector compute n_planes sign bits (each hyperplane's
+    bit feeds exactly ONE band — disjoint subsets, so nothing is
+    re-evaluated), explode ``bands`` (band_id, band_key) rows per vector,
+    self-equi-join on the band key (shuffle carries bands·N rows), then
+    exact cosine only on in-bucket candidate pairs.  Recall is tunable via
+    (n_planes, bands); pairs with cosine >= threshold that never collide
+    in any band are missed — the documented LSH trade-off."""
+    from .similarity import as_double, cosine as cos_fn, hyperplane_signs
+
+    planes = hyperplane_signs(n_planes, dim)
+    r = n_planes // bands
+    v = df.select(F.col(id_col), F.col(vec_col))
+
+    def bit(plane: list[float]) -> Column:
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(*[bit(planes[b * r + j]) for j in range(r)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = v.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band_id", "bk.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    va = vd.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vd.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over verified near-dup pairs → survivor table
+    ``(id_col, cluster_id, keep)``: cluster_id is the minimum member id
+    (the canonical survivor), keep = (id == cluster_id).
+
+    Algorithm: iterative min-label propagation on DataFrames — label(v) =
+    min(label(v), min label over neighbors), repeated until a fixpoint.
+    Converges in O(diameter) rounds; each round is one join + one
+    aggregation, lineage cut with localCheckpoint so plans stay bounded.
+    No GraphFrames dependency.  At 100 TB scale the pair set (near-dup
+    edges) is orders of magnitude smaller than the corpus, and the label
+    frame shrinks to distinct endpoint ids — both shuffle-partitioned by
+    id, so every round is a co-partitioned join."""
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
     )

@@ -158,14 +158,19 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
 
 def sign_lsh_buckets(
     df: DataFrame,
+    dim: int,
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket key per vector: bit j = sign(v · h_j).
     Map-side only; the bucket key then drives a groupBy/join for candidate
-    pairs (cosine-similar vectors collide with high probability)."""
-    dim = len(df.select(vec_col).first()[0])
+    pairs (cosine-similar vectors collide with high probability).
+
+    ``dim`` is passed explicitly — probing the data for it would be a
+    hidden driver-side Spark action at plan-construction time.  The
+    composed candidate→verify dedup pipeline is
+    :func:`chronicles_spark.operators.dedup.embedding_lsh_dedup`."""
     planes = hyperplane_signs(n_planes, dim)
     v = as_double(F.col(vec_col))
     bits = []
