@@ -1,0 +1,411 @@
+"""``chronicles`` command-line interface.
+
+Mirrors the reference CLI surface (cli/src/main/scala/dev/chronicles/cli/
+ChroniclesCli.scala:95-158 parser, CliClient.scala:19-96 execution,
+Config.scala:7-45 + docs/usage.md:63-78 config):
+
+    chronicles tables
+    chronicles init [--isSnapshot] --message <m> <schema.table>
+    chronicles log <schema.table>
+    chronicles partitions <schema.table>
+    chronicles partition add <schema.table> <k=v[/k2=v2]> --message <m>
+    chronicles partition remove <schema.table> <k=v[/k2=v2]> --message <m>
+
+Config lives at ``~/.chronicles/config`` (override: ``--config`` flag or
+``CHRONICLES_CONFIG`` env var), in the reference's ``key: value`` shape:
+
+    type: mem-config                      # in-memory (useful for tests only)
+    type: files-config\\nroot: /path      # JSON commit files (our default)
+    type: db-config\\ndb-name: /path.db   # sqlite (the serializable option)
+
+Divergences from the reference, on purpose:
+* ``partition remove`` prints "Removed partition ..." — the reference
+  prints "Added" by copy-paste mistake (CliClient.scala:94); not copied.
+* The stub metastore is a no-op instead of raising "Not implemented"
+  (cli/.../StubMetastore.scala:9-14), so commit-carrying verbs actually
+  work end-to-end against the tracker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import getpass
+import os
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+from .core.model import (
+    Partition,
+    PartitionSchema,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+    TableName,
+)
+from .core.ops import AddPartitionVersion, RemovePartition, TableUpdate, TableUpdateMetadata
+from .core.version import UNVERSIONED, generate_version
+from .spark.metastore import Metastore
+from .trackers import (
+    FileBackedVersionTracker,
+    InMemoryVersionTracker,
+    SqliteVersionTracker,
+    VersionTracker,
+)
+from .versioned_metastore import VersionedMetastore
+
+DEFAULT_CONFIG_PATH = "~/.chronicles/config"
+
+
+class CliError(Exception):
+    """User-facing CLI failure (bad arguments, bad config, bad state)."""
+
+
+# ---------------------------------------------------------------------------
+# actions (cli/.../Action.scala:19-28)
+
+
+@dataclass(frozen=True)
+class ListTables:
+    pass
+
+
+@dataclass(frozen=True)
+class InitTableAction:
+    table: TableName
+    is_snapshot: bool
+    message: str
+
+
+@dataclass(frozen=True)
+class ShowTableHistory:
+    table: TableName
+
+
+@dataclass(frozen=True)
+class ListPartitions:
+    table: TableName
+
+
+@dataclass(frozen=True)
+class AddPartitionAction:
+    table: TableName
+    partition_name: str
+    message: str
+
+
+@dataclass(frozen=True)
+class RemovePartitionAction:
+    table: TableName
+    partition_name: str
+    message: str
+
+
+# ---------------------------------------------------------------------------
+# console (cli/.../Console.scala — capture-able for tests like StubConsole)
+
+
+class Console:
+    def println(self, line: str) -> None:
+        print(line)
+
+    def errorln(self, line: str) -> None:
+        print(line, file=sys.stderr)
+
+
+class CapturingConsole(Console):
+    """Test double ≙ cli/src/test/.../StubConsole.scala."""
+
+    def __init__(self) -> None:
+        self.out: List[str] = []
+        self.err: List[str] = []
+
+    def println(self, line: str) -> None:
+        self.out.append(line)
+
+    def errorln(self, line: str) -> None:
+        self.err.append(line)
+
+
+# ---------------------------------------------------------------------------
+# config (cli/.../Config.scala:7-45; format per docs/usage.md:63-78)
+
+
+@dataclass(frozen=True)
+class Config:
+    type: str  # "mem-config" | "files-config" | "db-config"
+    root: Optional[str] = None  # files-config
+    db_name: Optional[str] = None  # db-config (sqlite file path)
+
+
+def parse_config(text: str) -> Config:
+    """Parse the reference's flat ``key: value`` config shape."""
+    values = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if ":" not in line:
+            raise CliError(f"Invalid configuration line: {line!r}")
+        k, v = line.split(":", 1)
+        values[k.strip().lower().replace("_", "-")] = v.strip().strip('"')
+    ctype = values.get("type")
+    if ctype == "mem-config":
+        return Config(type=ctype)
+    if ctype == "files-config":
+        if not values.get("root"):
+            raise CliError("Invalid configuration: files-config requires 'root'")
+        return Config(type=ctype, root=values["root"])
+    if ctype == "db-config":
+        db_type = values.get("db-type", "sqlite")
+        if db_type not in ("sqlite", "h2"):  # h2 name accepted, backed by sqlite
+            raise CliError(f"Invalid configuration: unsupported db-type '{db_type}'")
+        if not values.get("db-name"):
+            raise CliError("Invalid configuration: db-config requires 'db-name'")
+        return Config(type=ctype, db_name=values["db-name"])
+    raise CliError(f"Invalid configuration: unknown type '{ctype}'")
+
+
+def load_config(path: Optional[str] = None) -> Config:
+    p = Path(
+        path
+        or os.environ.get("CHRONICLES_CONFIG")
+        or os.path.expanduser(DEFAULT_CONFIG_PATH)
+    ).expanduser()
+    if not p.exists():
+        raise CliError(
+            f"Failed to read configuration: {p} not found "
+            f"(write 'type: files-config' + 'root: <dir>' there, or pass --config)"
+        )
+    return parse_config(p.read_text())
+
+
+def tracker_from_config(config: Config) -> VersionTracker:
+    if config.type == "mem-config":
+        return InMemoryVersionTracker()
+    if config.type == "files-config":
+        return FileBackedVersionTracker(config.root)
+    if config.type == "db-config":
+        return SqliteVersionTracker(config.db_name)
+    raise CliError(f"Invalid configuration: unknown type '{config.type}'")
+
+
+class StubMetastore(Metastore):
+    """CLI metastore stand-in: reports the empty state and applies nothing,
+    so VersionedMetastore.commit still folds + diffs but syncs nowhere.
+    (The reference stub raises instead — CLI metastore clients are WIP
+    there, cli/.../StubMetastore.scala:9-14.)"""
+
+    def current_version(self, table: TableDefinition):
+        if table.is_snapshot:
+            return SnapshotTableVersion(UNVERSIONED)
+        return PartitionedTableVersion({})
+
+    def add_partition(self, table, p, v):
+        pass
+
+    def update_partition_version(self, table, p, v):
+        pass
+
+    def remove_partition(self, table, p):
+        pass
+
+    def update_table_version(self, table, v):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# argument parsing (ChroniclesCli.scala:95-158)
+
+
+def _table_name(s: str) -> TableName:
+    try:
+        return TableName.parse(s)
+    except ValueError:
+        raise CliError(
+            f"Invalid table name: '{s}'. Should be in format <schema>.<table name>"
+        )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="chronicles", description="Version control for tables", add_help=True
+    )
+    parser.add_argument("--config", help="Path to config file", default=None)
+    sub = parser.add_subparsers(dest="command")
+
+    sub.add_parser("tables", help="List details about tables")
+
+    p_init = sub.add_parser("init", help="Initialise version tracking for table")
+    p_init.add_argument("table")
+    p_init.add_argument(
+        "--isSnapshot",
+        action="store_true",
+        help="The new table is a snapshot (non-partitioned) table",
+    )
+    p_init.add_argument("--message", required=True, help="Commit message")
+
+    p_log = sub.add_parser("log", help="List version history for table")
+    p_log.add_argument("table")
+
+    p_parts = sub.add_parser("partitions", help="List partitions for table")
+    p_parts.add_argument("table")
+
+    p_part = sub.add_parser("partition", help="Modify table partition")
+    p_part.add_argument("operation", choices=["add", "remove"])
+    p_part.add_argument("table")
+    p_part.add_argument("partition")
+    p_part.add_argument("--message", required=True, help="Commit message")
+
+    return parser
+
+
+def parse_action(argv: Sequence[str]):
+    """argv (without program name) → Action dataclass. Raises CliError."""
+    parser = build_parser()
+    try:
+        ns, extra = parser.parse_known_args(list(argv))
+    except SystemExit:
+        raise CliError("Invalid arguments")
+    if extra:
+        raise CliError(f"Invalid arguments: unexpected {extra!r}")
+    if ns.command is None:
+        raise CliError("Usage: chronicles {tables|init|log|partitions|partition} ...")
+    if ns.command == "tables":
+        return ns, ListTables()
+    if ns.command == "init":
+        return ns, InitTableAction(_table_name(ns.table), ns.isSnapshot, ns.message)
+    if ns.command == "log":
+        return ns, ShowTableHistory(_table_name(ns.table))
+    if ns.command == "partitions":
+        return ns, ListPartitions(_table_name(ns.table))
+    if ns.command == "partition":
+        act = AddPartitionAction if ns.operation == "add" else RemovePartitionAction
+        return ns, act(_table_name(ns.table), ns.partition, ns.message)
+    raise CliError(f"Unknown command {ns.command!r}")
+
+
+# ---------------------------------------------------------------------------
+# execution (CliClient.scala:19-96)
+
+
+class CliClient:
+    def __init__(self, delegate: VersionedMetastore, console: Console) -> None:
+        self.delegate = delegate
+        self.console = console
+
+    def _table_def(self, table: TableName) -> TableDefinition:
+        """Location-less TableDefinition for commit/diff against the stub
+        metastore; partition schema only carries the snapshot-ness bit."""
+        is_snapshot = self.delegate.tracker.is_snapshot_table(table)
+        schema = PartitionSchema(() if is_snapshot else ("p",))
+        return TableDefinition(table, location="", partition_schema=schema)
+
+    def execute(self, action, user_id: str) -> None:
+        if isinstance(action, ListTables):
+            self.list_tables()
+        elif isinstance(action, InitTableAction):
+            self.init_table(action.table, action.is_snapshot, user_id, action.message)
+        elif isinstance(action, ListPartitions):
+            self.list_partitions(action.table)
+        elif isinstance(action, ShowTableHistory):
+            self.show_table_history(action.table)
+        elif isinstance(action, AddPartitionAction):
+            self.add_partition(action.table, action.partition_name, user_id, action.message)
+        elif isinstance(action, RemovePartitionAction):
+            self.remove_partition(action.table, action.partition_name, user_id, action.message)
+        else:
+            raise CliError(f"Unknown action {action!r}")
+
+    def list_tables(self) -> None:
+        for t in self.delegate.tables():
+            self.console.println(t.fully_qualified)
+
+    def init_table(self, table: TableName, is_snapshot: bool, user_id: str, message: str) -> None:
+        self.delegate.init_table(table, is_snapshot, user_id, message)
+        self.console.println(f"Initialised table {table.fully_qualified}")
+
+    def list_partitions(self, table: TableName) -> None:
+        version = self.delegate.current_version(table)
+        if isinstance(version, SnapshotTableVersion):
+            raise CliError(f"Table {table} is unpartitioned")
+        lines = [
+            f"{p} {v.label}" for p, v in version.partition_versions.items()
+        ]
+        self.console.println("\n".join(lines))
+
+    def show_table_history(self, table: TableName) -> None:
+        for u in self.delegate.updates(table):
+            self.console.println(
+                f"{u.commit_id}\t{u.timestamp.isoformat()}\t{u.user_id}\t{u.message}"
+            )
+
+    def add_partition(self, table: TableName, partition_name: str, user_id: str, message: str) -> None:
+        try:
+            partition = Partition.parse(partition_name)
+        except ValueError as e:
+            raise CliError(str(e))
+        update = TableUpdate(
+            TableUpdateMetadata.new(user_id, message),
+            (AddPartitionVersion(partition, generate_version()),),
+        )
+        self.delegate.commit(self._table_def(table), update)
+        self.console.println(
+            f"Added partition '{partition_name}' to table '{table.fully_qualified}'"
+        )
+
+    def remove_partition(self, table: TableName, partition_name: str, user_id: str, message: str) -> None:
+        try:
+            partition = Partition.parse(partition_name)
+        except ValueError as e:
+            raise CliError(str(e))
+        update = TableUpdate(
+            TableUpdateMetadata.new(user_id, message),
+            (RemovePartition(partition),),
+        )
+        self.delegate.commit(self._table_def(table), update)
+        # reference prints "Added ..." here by mistake (CliClient.scala:94)
+        self.console.println(
+            f"Removed partition '{partition_name}' from table '{table.fully_qualified}'"
+        )
+
+
+def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) -> int:
+    """Parse + execute; console-reported errors → exit code 1."""
+    try:
+        _, action = parse_action(argv)
+        client.execute(action, user_id)
+        return 0
+    except CliError as e:
+        console.errorln(str(e))
+        return 1
+    except KeyError as e:  # UnknownTableError / UnknownCommitError etc.
+        console.errorln(str(e.args[0]) if e.args else str(e))
+        return 1
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    console = Console()
+    # peel --config before action parsing so `chronicles --config x tables` works
+    config_path = None
+    if "--config" in argv:
+        i = argv.index("--config")
+        if i + 1 >= len(argv):
+            console.errorln("--config requires a path")
+            return 1
+        config_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    try:
+        config = load_config(config_path)
+        tracker = tracker_from_config(config)
+    except CliError as e:
+        console.errorln(str(e))
+        return 1
+    client = CliClient(VersionedMetastore(tracker, StubMetastore()), console)
+    return run(argv, client, console, getpass.getuser())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,20 @@ class VersionedMetastore:
         self.tracker = tracker
         self.metastore = metastore
 
+    # -- tracker forwarders (VersionedMetastore.scala:18-45) ----------------
+
+    def tables(self):
+        return self.tracker.tables()
+
+    def init_table(self, table, is_snapshot, user_id, message, timestamp=None):
+        return self.tracker.init_table(table, is_snapshot, user_id, message, timestamp)
+
+    def current_version(self, table):
+        return self.tracker.current_version(table)
+
+    def updates(self, table):
+        return self.tracker.updates(table)
+
     def commit(
         self, table: TableDefinition, update: TableUpdate
     ) -> Tuple[object, List[MetastoreOperation]]:

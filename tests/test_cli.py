@@ -1,0 +1,202 @@
+"""CLI behaviour tests ≙ cli/src/test/scala/dev/chronicles/cli/
+ChroniclesCliSpec.scala:13-131 (parser, config, end-to-end console output),
+plus the partition add/remove verbs (exercised there via CliClient)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from chronicles_spark import cli as C
+from chronicles_spark.core.model import TableName
+from chronicles_spark.trackers import InMemoryVersionTracker
+from chronicles_spark.versioned_metastore import VersionedMetastore
+
+
+def make_client(console=None):
+    console = console or C.CapturingConsole()
+    tracker = InMemoryVersionTracker()
+    client = C.CliClient(VersionedMetastore(tracker, C.StubMetastore()), console)
+    return client, console
+
+
+# -- argument parsing (ChroniclesCliSpec.scala:15-40) -----------------------
+
+
+def test_no_command_complains_with_usage():
+    with pytest.raises(C.CliError, match="Usage"):
+        C.parse_action([])
+
+
+def test_tables_command_parses():
+    _, action = C.parse_action(["tables"])
+    assert action == C.ListTables()
+
+
+def test_tables_with_extra_args_is_error():
+    with pytest.raises(C.CliError):
+        C.parse_action(["tables", "foo"])
+
+
+def test_log_command_parses_table_name():
+    _, action = C.parse_action(["log", "schema.table_name"])
+    assert action == C.ShowTableHistory(TableName("schema", "table_name"))
+
+
+def test_init_requires_message():
+    with pytest.raises(C.CliError):
+        C.parse_action(["init", "db.t"])
+
+
+def test_partition_parses_add_and_remove():
+    _, add = C.parse_action(["partition", "add", "db.t", "date=2019-01-01", "--message", "m"])
+    assert add == C.AddPartitionAction(TableName("db", "t"), "date=2019-01-01", "m")
+    _, rem = C.parse_action(["partition", "remove", "db.t", "date=2019-01-01", "--message", "m"])
+    assert rem == C.RemovePartitionAction(TableName("db", "t"), "date=2019-01-01", "m")
+
+
+def test_partition_bogus_operation_is_error():
+    with pytest.raises(C.CliError):
+        C.parse_action(["partition", "frobnicate", "db.t", "date=1", "--message", "m"])
+
+
+# -- config parsing (ChroniclesCliSpec.scala:42-100) ------------------------
+
+
+def test_mem_config_parses():
+    assert C.parse_config('type: "mem-config"') == C.Config(type="mem-config")
+
+
+def test_db_config_parses():
+    cfg = C.parse_config(
+        """
+        type: "db-config"
+        db-type: sqlite
+        db-name: "/tmp/foo.db"
+        """
+    )
+    assert cfg == C.Config(type="db-config", db_name="/tmp/foo.db")
+
+
+def test_files_config_parses():
+    cfg = C.parse_config("type: files-config\nroot: /tmp/log")
+    assert cfg == C.Config(type="files-config", root="/tmp/log")
+
+
+def test_unknown_db_type_is_invalid_configuration():
+    with pytest.raises(C.CliError, match="[Ii]nvalid configuration"):
+        C.parse_config("type: db-config\ndb-type: bogobase\ndb-name: x")
+
+
+def test_unknown_config_type_is_invalid_configuration():
+    with pytest.raises(C.CliError, match="[Ii]nvalid configuration"):
+        C.parse_config("type: wat-config")
+
+
+# -- end-to-end console scenarios (ChroniclesCliSpec.scala:102-131) ---------
+
+
+def test_add_and_list_tables_shows_all_tables():
+    client, console = make_client()
+    C.run(["tables"], client, console, "user-1")
+    C.run(["init", "db.test_table", "--message", "Initial commit"], client, console, "user-1")
+    C.run(["tables"], client, console, "user-1")
+    assert console.out == ["Initialised table db.test_table", "db.test_table"]
+
+
+def test_invalid_table_name_reports_helpful_error():
+    client, console = make_client()
+    code = C.run(["init", "invalid name", "--message", "m"], client, console, "user-1")
+    assert code == 1
+    assert console.out == []
+    assert len(console.err) == 1
+    assert "invalid name" in console.err[0]
+
+
+def test_partition_add_list_remove_roundtrip():
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    code = C.run(
+        ["partition", "add", "db.t", "date=2019-01-31", "--message", "add it"],
+        client, console, "u",
+    )
+    assert code == 0
+    assert console.out[-1] == "Added partition 'date=2019-01-31' to table 'db.t'"
+
+    C.run(["partitions", "db.t"], client, console, "u")
+    # "<partition> <version-label>" lines (CliClient.scala:38-41)
+    assert re.match(r"^date=2019-01-31 \d{8}-\d{6}\.\d{9}-[0-9a-f-]{36}$", console.out[-1])
+
+    code = C.run(
+        ["partition", "remove", "db.t", "date=2019-01-31", "--message", "drop it"],
+        client, console, "u",
+    )
+    assert code == 0
+    # reference bug (prints "Added", CliClient.scala:94) deliberately not copied
+    assert console.out[-1] == "Removed partition 'date=2019-01-31' from table 'db.t'"
+
+    C.run(["partitions", "db.t"], client, console, "u")
+    assert console.out[-1] == ""
+
+
+def test_log_lists_history_most_recent_first():
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "first"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2019-01-01", "--message", "second"], client, console, "u")
+    C.run(["log", "db.t"], client, console, "u")
+    log_lines = console.out[2:]
+    assert len(log_lines) == 2
+    # id \t timestamp \t user \t message (CliClient.scala:60-66)
+    assert log_lines[0].split("\t")[3] == "second"
+    assert log_lines[1].split("\t")[3] == "first"
+    assert all(len(l.split("\t")) == 4 for l in log_lines)
+
+
+def test_partitions_on_snapshot_table_errors():
+    client, console = make_client()
+    C.run(["init", "db.snap", "--isSnapshot", "--message", "m"], client, console, "u")
+    code = C.run(["partitions", "db.snap"], client, console, "u")
+    assert code == 1
+    assert "unpartitioned" in console.err[-1]
+
+
+def test_log_unknown_table_errors():
+    client, console = make_client()
+    code = C.run(["log", "db.nope"], client, console, "u")
+    assert code == 1
+    assert "db.nope" in console.err[-1]
+
+
+# -- main() end-to-end with a files-config over separate invocations --------
+
+
+def test_main_files_config_persists_across_invocations(tmp_path, monkeypatch, capsys):
+    cfg = tmp_path / "config"
+    cfg.write_text(f"type: files-config\nroot: {tmp_path}/log\n")
+    monkeypatch.setenv("CHRONICLES_CONFIG", str(cfg))
+
+    assert C.main(["init", "db.events", "--message", "init"]) == 0
+    assert C.main(["partition", "add", "db.events", "date=2024-01-01", "--message", "m"]) == 0
+    assert C.main(["tables"]) == 0
+    assert C.main(["partitions", "db.events"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "Initialised table db.events" in out
+    assert "db.events" in out
+    assert any(l.startswith("date=2024-01-01 ") for l in out)
+
+
+def test_main_missing_config_reports_error(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("CHRONICLES_CONFIG", str(tmp_path / "nope"))
+    assert C.main(["tables"]) == 1
+    assert "configuration" in capsys.readouterr().err.lower()
+
+
+def test_main_db_config_sqlite(tmp_path, monkeypatch, capsys):
+    cfg = tmp_path / "config"
+    cfg.write_text(f'type: db-config\ndb-type: sqlite\ndb-name: {tmp_path}/c.db\n')
+    monkeypatch.setenv("CHRONICLES_CONFIG", str(cfg))
+    assert C.main(["init", "db.t", "--message", "m"]) == 0
+    assert C.main(["tables"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["Initialised table db.t", "db.t"]
