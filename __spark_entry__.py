@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
     versioned table from sf0.001 events, write all partitions, overwrite one
     partition with reprocessed data, then aggregate over the current view —
     proves write/commit/fold/read end-to-end."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tmp = tempfile.mkdtemp(prefix="chronicles_entry_")
     tracker = FileBackedVersionTracker(tmp + "/_log")
     table = TableDefinition(
@@ -126,6 +127,7 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str):
     """Write events as a versioned table: v1 = all partitions, then one
     partition overwritten with identical data (fresh version). Returns
     (table, tracker, first_commit_id)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tmp = tempfile.mkdtemp(prefix="chronicles_q_")
     tracker = FileBackedVersionTracker(tmp + "/_log")
     table = TableDefinition(

@@ -64,14 +64,29 @@ class Partition:
         return self.path
 
     def resolve_path(self, table_location: str) -> str:
-        """Partition directory under the table location (model.scala:57-69)."""
+        """Partition DIRECTORY under the table location (model.scala:57-69).
+
+        Values are Hive-escaped here — this is the value→directory-name
+        boundary, matching what Spark's partitionBy writes on disk; the
+        ``path`` property (used in the commit log) stays raw."""
+        from . import paths as _vp
+
         base = table_location.rstrip("/")
-        return f"{base}/{self.path}"
+        frag = "/".join(
+            f"{k}={_vp.escape_path_name(v)}" for k, v in self.column_values
+        )
+        return f"{base}/{frag}"
 
     def hive_expr(self) -> str:
         """Render ``(k1='v1',k2='v2')`` for ALTER TABLE statements
-        (reference: spark/.../SparkHiveMetastore.scala:163-171)."""
-        inner = ",".join(f"{k}='{v}'" for k, v in self.column_values)
+        (reference: spark/.../SparkHiveMetastore.scala:163-171; unlike the
+        reference, quotes/backslashes in values are escaped so the DDL
+        fragment can't break or inject)."""
+
+        def q(v: str) -> str:
+            return v.replace("\\", "\\\\").replace("'", "\\'")
+
+        inner = ",".join(f"{k}='{q(v)}'" for k, v in self.column_values)
         return f"({inner})"
 
     @staticmethod

@@ -43,3 +43,47 @@ def versioned_to_base_path(location: str) -> str:
     if last.startswith(_PREFIX):
         return head
     return trimmed
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partition-directory escaping.
+#
+# Spark's partitionBy writes directory names with Hive's escapePathName
+# charset (percent-escaped %XX, uppercase hex); partition VALUES in the
+# commit log stay raw, and the escaping is applied exactly where values
+# become filesystem path segments (and undone when parsing them back).
+# Charset per Hive FileUtils.escapePathName / Spark ExternalCatalogUtils.
+
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(i) for i in range(0x20)
+)
+
+
+def escape_path_name(value: str) -> str:
+    """Raw partition value → Hive-escaped directory-name fragment."""
+    out = []
+    for ch in value:
+        if ch in _ESCAPE_CHARS:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def unescape_path_name(fragment: str) -> str:
+    """Hive-escaped directory-name fragment → raw partition value."""
+    out = []
+    i = 0
+    n = len(fragment)
+    while i < n:
+        ch = fragment[i]
+        if ch == "%" and i + 2 < n + 1 and i + 3 <= n:
+            try:
+                out.append(chr(int(fragment[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)

@@ -53,7 +53,9 @@ def current_version_fold(
     if table_name is not None:
         df = df.where(F.col("table_name") == table_name)
     df = df.where(F.col("operation_type").isin(ADD_PART, REMOVE_PART))
-    w = W.partitionBy("part").orderBy(
+    # key is (table_name, part): identical partition strings in different
+    # tables must fold independently even when table_name is None
+    w = W.partitionBy("table_name", "part").orderBy(
         F.col("sequence_id").desc(), F.col("index_in_commit").desc()
     )
     return (
@@ -67,15 +69,23 @@ def snapshot_version_fold(
     ops: DataFrame, head: DataFrame | None = None, table_name: str | None = None
 ) -> DataFrame:
     """V4 for snapshot tables: last AddTableVersion wins
-    (VersionTracker.scala:177-183). Returns one row (current_table_version)."""
+    (VersionTracker.scala:177-183). With a concrete ``table_name``, returns
+    one row (current_table_version); with ``table_name=None`` on a
+    multi-table log, returns one row per table (table_name,
+    current_table_version) — tables never clobber each other."""
     df = _cutoff(ops, head)
+    agg = F.max_by("version", F.struct("sequence_id", "index_in_commit")).alias(
+        "current_table_version"
+    )
     if table_name is not None:
-        df = df.where(F.col("table_name") == table_name)
-    df = df.where(F.col("operation_type") == ADD_TABLE)
-    return df.agg(
-        F.max_by("version", F.struct("sequence_id", "index_in_commit")).alias(
-            "current_table_version"
-        )
+        return df.where(
+            (F.col("table_name") == table_name)
+            & (F.col("operation_type") == ADD_TABLE)
+        ).agg(agg)
+    return (
+        df.where(F.col("operation_type") == ADD_TABLE)
+        .groupBy("table_name")
+        .agg(agg)
     )
 
 

@@ -119,7 +119,15 @@ class SparkHiveMetastore(Metastore):
         parts = [r[0] for r in self.spark.sql(f"SHOW PARTITIONS {name}").collect()]
         out: Dict[Partition, Version] = {}
         for pstr in parts:
-            partition = Partition.parse(pstr)
+            # SHOW PARTITIONS returns escaped directory fragments; partition
+            # values in our metadata stay raw
+            escaped = Partition.parse(pstr)
+            partition = Partition(
+                tuple(
+                    (k, vpaths.unescape_path_name(v))
+                    for k, v in escaped.column_values
+                )
+            )
             loc = self._partition_location(name, partition)
             out[partition] = vpaths.parse_version(loc)
         return PartitionedTableVersion(out)

@@ -57,6 +57,17 @@ def partition_values(df: DataFrame, partition_columns: Tuple[str, ...]) -> List[
         .distinct()
         .collect()
     )
+    # Reject null/empty partition values up front: Spark's partitionBy would
+    # write them as __HIVE_DEFAULT_PARTITION__, which the commit log can't
+    # point back at (the reference fails before commit via NPE; committing
+    # a silently-broken pointer would be worse).
+    for r in rows:
+        for c in partition_columns:
+            if r[c] is None or r[c] == "":
+                raise ValueError(
+                    f"partition column {c!r} contains null/empty values; "
+                    "versioned writes require concrete partition values"
+                )
     return [Partition(tuple((c, r[c]) for c in partition_columns)) for r in rows]
 
 
@@ -99,6 +110,16 @@ def versioned_insert_into(
     Returns ``(table_version, changes)`` — the resolved state after the
     commit and the metastore operations applied.
     """
+    # W3 config guard (VersionContext.scala:62-69): without dynamic
+    # partition-overwrite semantics, a true overwrite write would clobber
+    # sibling partitions. Fail fast like the reference.
+    mode = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode", "")
+    if (mode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+
     version = version or generate_version()
     prev_state = tracker.current_version(table.name)
 

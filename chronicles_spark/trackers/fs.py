@@ -1,0 +1,180 @@
+"""Minimal filesystem facade for the file-backed tracker.
+
+Mirrors the reference's PureFileSystem (files/src/main/scala/dev/chronicles/
+files/PureFileSystem.scala:13-52: exists / mkdirs / read / write / list on a
+Hadoop FileSystem) so the commit log can live on any storage a real lake
+uses — local disk by default, ``memory://`` for tests, and any
+fsspec-registered scheme (s3://, gs://, hdfs://, ...) when fsspec is
+installed on the cluster.  All paths are plain strings; the facade is the
+only place that touches storage.
+"""
+
+from __future__ import annotations
+
+import abc
+import posixpath
+import threading
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+
+class FileSystem(abc.ABC):
+    """exists/mkdirs/read/write/list — the full surface the tracker needs."""
+
+    @abc.abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abc.abstractmethod
+    def mkdirs(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def read_text(self, path: str) -> str: ...
+
+    @abc.abstractmethod
+    def write_text(self, path: str, text: str) -> None: ...
+
+    @abc.abstractmethod
+    def list_dir(self, path: str) -> List[str]:
+        """Names (not full paths) of entries directly under ``path``;
+        empty list if the directory doesn't exist."""
+
+    @abc.abstractmethod
+    def is_dir(self, path: str) -> bool: ...
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+
+class LocalFileSystem(FileSystem):
+    def exists(self, path: str) -> bool:
+        return Path(path).exists()
+
+    def mkdirs(self, path: str) -> None:
+        Path(path).mkdir(parents=True, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        return Path(path).read_text()
+
+    def write_text(self, path: str, text: str) -> None:
+        Path(path).write_text(text)
+
+    def list_dir(self, path: str) -> List[str]:
+        p = Path(path)
+        if not p.is_dir():
+            return []
+        return [c.name for c in p.iterdir()]
+
+    def is_dir(self, path: str) -> bool:
+        return Path(path).is_dir()
+
+    def join(self, *parts: str) -> str:
+        return str(Path(parts[0]).joinpath(*parts[1:]))
+
+
+class MemoryFileSystem(FileSystem):
+    """Dict-backed store, shared per-bucket across instances (like fsspec's
+    global memory filesystem) so a second tracker instance opened on the
+    same ``memory://bucket/...`` URL sees the same log."""
+
+    _buckets: Dict[str, Dict[str, str]] = {}
+    _dirs: Dict[str, set] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, bucket: str) -> None:
+        with MemoryFileSystem._lock:
+            self._files = MemoryFileSystem._buckets.setdefault(bucket, {})
+            self._d = MemoryFileSystem._dirs.setdefault(bucket, set())
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return posixpath.normpath(path).lstrip("/")
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        return p in self._files or p in self._d
+
+    def mkdirs(self, path: str) -> None:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            while p and p != ".":
+                self._d.add(p)
+                p = posixpath.dirname(p)
+
+    def read_text(self, path: str) -> str:
+        p = self._norm(path)
+        if p not in self._files:
+            raise FileNotFoundError(path)
+        return self._files[p]
+
+    def write_text(self, path: str, text: str) -> None:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            parent = posixpath.dirname(p)
+            if parent:
+                self.mkdirs(parent)
+            self._files[p] = text
+
+    def list_dir(self, path: str) -> List[str]:
+        p = self._norm(path)
+        out = set()
+        for known in list(self._files) + list(self._d):
+            if known != p and posixpath.dirname(known) == p:
+                out.add(posixpath.basename(known))
+        return sorted(out)
+
+    def is_dir(self, path: str) -> bool:
+        return self._norm(path) in self._d
+
+
+class FsspecFileSystem(FileSystem):
+    """Adapter over an fsspec filesystem (s3://, gs://, hdfs://, ...).
+    Only constructed when fsspec is importable — clusters that talk to
+    object stores have it; this container does not, and that's fine."""
+
+    def __init__(self, fs) -> None:
+        self._fs = fs
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with self._fs.open(path, "r") as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with self._fs.open(path, "w") as f:
+            f.write(text)
+
+    def list_dir(self, path: str) -> List[str]:
+        if not self._fs.exists(path):
+            return []
+        return [posixpath.basename(p.rstrip("/")) for p in self._fs.ls(path, detail=False)]
+
+    def is_dir(self, path: str) -> bool:
+        return self._fs.isdir(path)
+
+
+def filesystem_for(url: str) -> Tuple[FileSystem, str]:
+    """URL/path → (filesystem, root path within it).
+
+    * no scheme → local filesystem
+    * ``memory://bucket/path`` → shared in-memory store (tests)
+    * any other scheme → fsspec (raises a clear error if not installed)
+    """
+    if "://" not in url:
+        return LocalFileSystem(), url
+    scheme, rest = url.split("://", 1)
+    if scheme == "memory":
+        bucket, _, path = rest.partition("/")
+        return MemoryFileSystem(bucket), path or "root"
+    try:
+        import fsspec  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            f"scheme {scheme!r} needs the fsspec package (not installed); "
+            "use a local path or memory:// instead"
+        ) from e
+    return FsspecFileSystem(fsspec.filesystem(scheme)), url

@@ -166,7 +166,10 @@ class SqliteVersionTracker(VersionTracker):
                 "SELECT current_version FROM chronicles_version_refs_v1 WHERE table_name = ?",
                 (name,),
             ).fetchone()[0]
-            # two inner equi-joins + order, exactly S5 (DbVersionTracker.scala:239-256)
+            # S5 join shape (DbVersionTracker.scala:239-256) with the ops side
+            # LEFT-joined so zero-operation commits (e.g. versioned insert of
+            # an empty DataFrame) survive as empty-ops updates, matching the
+            # memory/files backends.
             rows = self._conn.execute(
                 """
                 SELECT u.commit_id, u.update_time, u.user_id, u.message,
@@ -174,7 +177,7 @@ class SqliteVersionTracker(VersionTracker):
                        o.is_snapshot_table
                 FROM chronicle_tables_v1 t
                 JOIN chronicle_table_updates_v1 u ON u.table_name = t.table_name
-                JOIN chronicle_table_operations_v1 o ON o.commit_id = u.commit_id
+                LEFT JOIN chronicle_table_operations_v1 o ON o.commit_id = u.commit_id
                 WHERE t.table_name = ?
                 ORDER BY u.sequence_id ASC, o.index_in_commit ASC
                 """,
@@ -194,7 +197,8 @@ class SqliteVersionTracker(VersionTracker):
                     commit_id, user_id, message, datetime.fromisoformat(update_time)
                 )
                 cur_ops = []
-            cur_ops.append(_row_op(op_t, ver, part, snap, name))
+            if op_t is not None:  # NULL from LEFT JOIN = zero-op commit
+                cur_ops.append(_row_op(op_t, ver, part, snap, name))
         if cur_meta is not None:
             updates.append(TableUpdate(cur_meta, tuple(cur_ops)))
         return TableState(head, tuple(updates))

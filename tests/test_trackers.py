@@ -27,12 +27,16 @@ from chronicles_spark.trackers import (
 T = TableName("db", "events")
 
 
-@pytest.fixture(params=["memory", "files", "sqlite"])
+@pytest.fixture(params=["memory", "files", "files-memfs", "sqlite"])
 def tracker(request, tmp_path):
     if request.param == "memory":
         return InMemoryVersionTracker()
     if request.param == "files":
         return FileBackedVersionTracker(str(tmp_path / "log"))
+    if request.param == "files-memfs":
+        # same tracker through the FS facade on a memory:// URL — proves the
+        # commit log is storage-agnostic (PureFileSystem.scala:13-52 parity)
+        return FileBackedVersionTracker(f"memory://t-{tmp_path.name}/log")
     return SqliteVersionTracker(str(tmp_path / "log.db"))
 
 
