@@ -32,7 +32,12 @@ from chronicles_spark.sources import load_table, register_views
 from chronicles_spark.spark import read_current, versioned_insert_into
 from chronicles_spark.spark.reader import read_at_commit
 from chronicles_spark.trackers import FileBackedVersionTracker
-from chronicles_spark.operators import dedup as DD, similarity as SIM, text as TX
+from chronicles_spark.operators import (
+    dedup as DD,
+    multimodal as MM,
+    similarity as SIM,
+    text as TX,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -570,6 +575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bands=_EMB_LSH_BANDS,
         )
 
+    # --- training-data pipeline: multimodal (binary) columns ---------------
+
+    def q_mm_binary_meta(spark, sf):
+        # opaque payload bytes + typed metadata, pure JVM exprs
+        docs = load_table(spark, sf, "documents")
+        return MM.with_binary_meta(MM.as_binary_assets(docs)).drop("content")
+
+    def q_mm_decode_meta(spark, sf):
+        # Arrow-batched mapInPandas decode pass (deterministic fake codec)
+        docs = load_table(spark, sf, "documents")
+        return _longify(MM.decode_image_meta(MM.as_binary_assets(docs)))
+
+    def q_mm_dedup_binary(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return MM.dedup_binary_exact(MM.as_binary_assets(docs))
+
+    def q_mm_frame_sample(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return _longify(MM.sample_frames(MM.as_binary_assets(docs)))
+
     # --- training-data pipeline: similarity search -------------------------
 
     def q_ann_cosine_topk(spark, sf):
@@ -825,6 +850,39 @@ WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
         "q_dedup_embedding": _emb_lsh_sql(
             _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
         ),
+        "q_mm_binary_meta": """
+SELECT doc_id AS asset_id,
+       'application/octet-stream' AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS content_sha256,
+       upper(hex(encode(substring(text, 1, 4)))) AS magic_bytes
+FROM documents
+""",
+        "q_mm_decode_meta": """
+SELECT doc_id AS asset_id,
+       16 + octet_length(encode(text)) % 16 AS width,
+       16 + (octet_length(encode(text)) // 7) % 16 AS height,
+       3 AS n_channels,
+       (16 + octet_length(encode(text)) % 16)
+         * (16 + (octet_length(encode(text)) // 7) % 16) * 3 AS n_pixel_bytes,
+       'fake' AS codec
+FROM documents
+""",
+        "q_mm_dedup_binary": """
+SELECT substring(sha256(text), 1, 16) AS fingerprint,
+       count(*) AS n_assets, min(doc_id) AS keep_id
+FROM documents
+GROUP BY substring(sha256(text), 1, 16)
+HAVING count(*) > 1
+""",
+        "q_mm_frame_sample": """
+SELECT asset_id, frame_index, frame_index * 4096 AS frame_offset
+FROM (
+  SELECT doc_id AS asset_id,
+         unnest(range(0, least(8, octet_length(encode(text)) // 4096 + 1))) AS frame_index
+  FROM documents
+) x
+""",
         "q_ann_cosine_topk": _EMB_V_CTE
         + f"""
 , q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),

@@ -110,6 +110,7 @@ def main():
 
     # ---- B3: rollback + log (metadata-only) -------------------------------
     ms = InMemoryMetastore()
+    ms.create_table(table)
     vm = VersionedMetastore(tracker, ms)
     state = tracker.table_state(table.name)
     first_commit = state.updates[1].metadata.commit_id
@@ -181,6 +182,8 @@ def main():
         "q_dedup_clusters",
         "q_ann_cosine_topk",
         "q_ann_ivf",
+        "q_mm_decode_meta",
+        "q_mm_dedup_binary",
     ]
     for name in headline:
         df_fn = qs[name]

@@ -1,0 +1,176 @@
+"""Multimodal (binary-column) operators: opaque media bytes + typed metadata.
+
+Design for a 100 TB lake: image/audio/video assets live as an opaque
+``binary`` column plus typed metadata columns, exactly like any other
+column — versioned writes, partition pruning and column projection all
+work unchanged, and a scan that only needs metadata never deserializes
+the payload bytes (parquet column pruning drops ``content``).
+
+Three layers, in order of cost:
+
+1. **Metadata extraction** — pure JVM column expressions
+   (``octet_length`` / ``sha2`` / ``hex(substring(...))``): single narrow
+   projection, whole-stage codegen, zero Python.
+2. **Fingerprint dedup** — exact binary dedup via content hash; one
+   hash-partitioned aggregation, skew-free 256-bit keys.
+3. **Decode / feature extraction** — Arrow-batched ``mapInPandas``.  The
+   actual image codec is NOT available in this environment, so the decode
+   kernel is a clearly-marked deterministic fake (`_fake_decode_meta`);
+   everything around it — output schema, batch iteration, vectorized
+   per-batch compute, partition-preserving plan shape — is the real
+   production plumbing.  Swapping the fake for PIL/ffmpeg is a one-function
+   change on the executors.
+
+The reference (stettix/chronicles) has no multimodal surface; this module
+is part of the training-data-pipeline extension requested by the build
+brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def as_binary_assets(
+    df: DataFrame, source_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Project a source column into the multimodal asset schema:
+    ``(asset_id, content: binary, media_type)``.
+
+    In production the binary column arrives from ingest (image/audio
+    bytes); here the testdata's text bytes stand in, which keeps every
+    downstream operator byte-exact and oracle-checkable."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.to_binary(F.col(source_col), F.lit("utf-8")).alias("content"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+def with_binary_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata over the opaque payload — byte length, sha256 content
+    address, and the leading magic bytes (what a format sniffer reads).
+    Pure JVM exprs; parquet scans that only need these columns still read
+    the payload column, so in a real pipeline these are computed once at
+    ingest and stored alongside the bytes."""
+    c = F.col(content_col)
+    return df.select(
+        "*",
+        F.octet_length(c).alias("byte_len"),
+        F.sha2(c, 256).alias("content_sha256"),
+        F.upper(F.hex(F.substring(c, 1, 4))).alias("magic_bytes"),
+    )
+
+
+def binary_fingerprint(content_col: str = "content"):
+    """64-bit content fingerprint (hex) for grouping/dedup.
+
+    Stands in for a perceptual hash: on decoded media a pHash replaces
+    this expression (same column contract — 16 hex chars), computed in the
+    decode `mapInPandas` pass. For the opaque-bytes baseline it is the
+    sha256 prefix, which is exact-dup-complete and skew-free."""
+    return F.substring(F.sha2(F.col(content_col), 256), 1, 16)
+
+
+def dedup_binary_exact(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Exact duplicate groups by content fingerprint: one hash aggregation
+    (partial aggregates map-side), returns groups with >1 asset —
+    ``(fingerprint, n_assets, keep_id)`` where keep_id is the smallest id
+    (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col), binary_fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_assets") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature extraction — Arrow-batched mapInPandas.
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def _fake_decode_meta(lengths: pd.Series) -> pd.DataFrame:
+    """DETERMINISTIC FAKE image decode (the real codec — PIL/libjpeg — is
+    not installed in this environment).  Derives plausible dimensions from
+    the payload length only, so the result is reproducible anywhere,
+    including in a SQL oracle.  Production swaps this one function for a
+    real decoder; the surrounding plumbing is unchanged."""
+    width = (16 + lengths % 16).astype("int32")
+    height = (16 + (lengths // 7) % 16).astype("int32")
+    channels = pd.Series(3, index=lengths.index, dtype="int32")
+    return pd.DataFrame(
+        {
+            "width": width,
+            "height": height,
+            "n_channels": channels,
+            "n_pixel_bytes": (width.astype("int64") * height * channels),
+            "codec": "fake",
+        }
+    )
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Decode pass over ``(asset_id, content)`` → ``DECODED_META_SCHEMA``.
+
+    ``mapInPandas`` streams Arrow batches through Python: no shuffle, the
+    plan stays partition-preserving, and each batch is processed with
+    vectorized pandas ops (never per-row Python). At 100 TB this is the
+    canonical shape for any decode/feature-extract stage: executors touch
+    only their own input splits and the payload bytes never cross the
+    wire."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lengths = pdf["content"].map(len)
+            out = _fake_decode_meta(lengths)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return df.select("asset_id", "content").mapInPandas(
+        decode, schema=DECODED_META_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video-ish payloads: emit up to
+    ``max_frames`` (asset_id, frame_index, frame_offset) rows per asset by
+    striding the payload.  Pure JVM (sequence + explode): the 1→N row
+    expansion happens executor-side with no Python and no shuffle; a real
+    pipeline would feed these offsets to a decode ``mapInPandas`` stage
+    like `decode_image_meta`."""
+    n_frames = F.least(
+        F.lit(max_frames),
+        (F.octet_length(F.col("content")) / every_n_bytes).cast("int") + 1,
+    )
+    frames = F.sequence(F.lit(0), n_frames - 1)
+    return (
+        df.select("asset_id", F.explode(frames).alias("frame_index"))
+        .withColumn("frame_offset", F.col("frame_index") * every_n_bytes)
+    )

@@ -77,9 +77,17 @@ class InMemoryMetastore(Metastore):
     def __init__(self) -> None:
         self._partitions: Dict[str, Dict[Partition, Version]] = {}
         self._table_versions: Dict[str, Version] = {}
+        self._known: set[str] = set()
+
+    def create_table(self, table: TableDefinition) -> None:
+        """Register the underlying table (≙ CREATE EXTERNAL TABLE); resolving
+        an unregistered table errors, matching the Hive impl."""
+        self._known.add(table.name.fully_qualified)
 
     def current_version(self, table: TableDefinition):
         name = table.name.fully_qualified
+        if name not in self._known:
+            raise KeyError(f"unknown table: {name} not found")
         if table.is_snapshot:
             from ..core.version import UNVERSIONED
 

@@ -78,7 +78,8 @@ class MemoryFileSystem(FileSystem):
 
     _buckets: Dict[str, Dict[str, str]] = {}
     _dirs: Dict[str, set] = {}
-    _lock = threading.Lock()
+    # RLock: write_text calls mkdirs while holding the lock
+    _lock = threading.RLock()
 
     def __init__(self, bucket: str) -> None:
         with MemoryFileSystem._lock:

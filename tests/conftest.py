@@ -6,9 +6,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
+    # Hive-enabled (embedded Derby in a per-session tmp dir) so the
+    # SparkHiveMetastore DDL paths run for real, mirroring the reference's
+    # SparkHiveSuite rig (spark/src/test/.../SparkHiveSuite.scala:42-88).
+    hive_dir = tmp_path_factory.mktemp("hive")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("chronicles-spark-tests")
@@ -17,6 +21,13 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={hive_dir}/metastore;create=true",
+        )
+        .config("spark.sql.warehouse.dir", str(hive_dir / "warehouse"))
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={hive_dir}")
+        .enableHiveSupport()
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -169,6 +169,7 @@ def test_metastore_sync_with_inmemory(spark, tmp_path, tracker):
     table = _pageview_table(tmp_path)
     tracker.init_table(table.name, is_snapshot=False, user_id="a")
     ms = InMemoryMetastore()
+    ms.create_table(table)
     versioned_insert_into(
         _pageviews(spark, [("u1", "p", "2019-01-01")]), table, tracker, "a", "w1",
         metastore=ms,
