@@ -386,6 +386,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         table, tracker, _ = _write_versioned_events(spark, sf)
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
+    def q_log_json_read(spark, sf):
+        # V15 (rows-only): the commit log is itself distributed-readable —
+        # one JSON file per commit, Delta-log style (JsonCodecs.scala:18-135,
+        # FileBackedVersionTracker.scala:157-175). Read with an explicit
+        # schema (never inferSchema at 100 TB), explode the ops array.
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        table, tracker, _ = _write_versioned_events(spark, sf)
+        log_glob = tracker.fs.join(
+            tracker.root, f"_chronicles_table_{table.name.fully_qualified}",
+            "table_update_*.json",
+        )
+        op_t = StructType(
+            [
+                StructField("type", StringType()),
+                StructField("partition", StringType()),
+                StructField("version", StringType()),
+                StructField("table_name", StringType()),
+                StructField("is_snapshot", BooleanType()),
+            ]
+        )
+        schema = StructType(
+            [
+                StructField("commit_id", StringType()),
+                StructField("user_id", StringType()),
+                StructField("message", StringType()),
+                StructField("timestamp", StringType()),
+                StructField("operations", ArrayType(op_t)),
+            ]
+        )
+        log = spark.read.schema(schema).json(log_glob)
+        return (
+            log.select(
+                "commit_id", "user_id", "message",
+                F.posexplode("operations").alias("op_index", "op"),
+            )
+            .select(
+                "commit_id", "user_id", "message", "op_index",
+                F.col("op.type").alias("op_type"),
+                F.col("op.partition").alias("partition"),
+            )
+            .orderBy("commit_id", "op_index")
+        )
+
     # --- string algebra as column functions --------------------------------
 
     def q_version_parse(spark, sf):
@@ -588,8 +638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(MM.decode_image_meta(MM.as_binary_assets(docs)))
 
     def q_mm_dedup_binary(spark, sf):
+        # prefix fingerprint (header-chunk identity) so the testdata's
+        # shared-prefix duplicates actually group
         docs = load_table(spark, sf, "documents")
-        return MM.dedup_binary_exact(MM.as_binary_assets(docs))
+        return MM.dedup_binary_exact(MM.as_binary_assets(docs), prefix_bytes=100)
 
     def q_mm_frame_sample(spark, sf):
         docs = load_table(spark, sf, "documents")
@@ -869,10 +921,10 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
         "q_mm_dedup_binary": """
-SELECT substring(sha256(text), 1, 16) AS fingerprint,
+SELECT substring(sha256(substring(text, 1, 100)), 1, 16) AS fingerprint,
        count(*) AS n_assets, min(doc_id) AS keep_id
 FROM documents
-GROUP BY substring(sha256(text), 1, 16)
+GROUP BY substring(sha256(substring(text, 1, 100)), 1, 16)
 HAVING count(*) > 1
 """,
         "q_mm_frame_sample": """

@@ -185,10 +185,13 @@ def main():
         "q_mm_decode_meta",
         "q_mm_dedup_binary",
     ]
+    import gc
+
     for name in headline:
         df_fn = qs[name]
         results[name] = _timed(lambda fn=df_fn: fn(spark, data_dir).collect())
         spark.catalog.clearCache()  # no cross-query cache reuse in timings
+        gc.collect()  # drop localCheckpoint RDD refs so ContextCleaner frees them
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(results.values()), 3)

@@ -75,6 +75,23 @@ def materialize(df: DataFrame, scratch_dir: str | None = None, name: str = "mat"
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def lineage_barrier(
+    df: DataFrame, scratch_dir: str | None = None, name: str = "barrier"
+) -> DataFrame:
+    """Materialize AND truncate the logical plan.
+
+    ``persist`` caches data but keeps the full lineage; a cached subplan
+    referenced k times still embeds its logical tree k times, and for a
+    self-join-shaped subtree (LSH candidates) the analyzer cost of the
+    composed query explodes — measured 135s analyzer-dominated vs 12s with
+    the lineage cut, same data.  Use this for small re-referenced
+    intermediates (candidate pairs); keep ``materialize`` (columnar cache)
+    for bases that big column expressions re-scan."""
+    if scratch_dir is not None:
+        return materialize(df, scratch_dir, name)
+    return df.localCheckpoint(eager=True)
+
+
 def shingle_base(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -241,7 +258,7 @@ def minhash_dedup(
     pair set is tiny relative to the corpus, so re-running the LSH join
     per reference would dominate the pipeline."""
     base = shingle_base(df, id_col, text_col, scratch_dir=scratch_dir)
-    cands = materialize(
+    cands = lineage_barrier(
         minhash_lsh_candidates(base, id_col, bands, rows), scratch_dir, name="cands"
     )
     return jaccard_verify(base, cands, id_col, threshold)
@@ -504,6 +521,8 @@ def embedding_lsh_dedup(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # cut lineage: the candidate set is re-referenced by both verify joins
+    cands = lineage_barrier(cands, name="emb_cands")
     vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     va = vd.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = vd.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))

@@ -73,23 +73,35 @@ def with_binary_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def binary_fingerprint(content_col: str = "content"):
+def binary_fingerprint(content_col: str = "content", prefix_bytes: int | None = None):
     """64-bit content fingerprint (hex) for grouping/dedup.
 
     Stands in for a perceptual hash: on decoded media a pHash replaces
     this expression (same column contract — 16 hex chars), computed in the
     decode `mapInPandas` pass. For the opaque-bytes baseline it is the
-    sha256 prefix, which is exact-dup-complete and skew-free."""
-    return F.substring(F.sha2(F.col(content_col), 256), 1, 16)
+    sha256 prefix, which is exact-dup-complete and skew-free.
+
+    ``prefix_bytes`` hashes only the leading chunk — the standard trick for
+    container formats whose header region determines identity (and it lets
+    the fingerprint be computed from a ranged read at 100 TB)."""
+    c = F.col(content_col)
+    if prefix_bytes is not None:
+        c = F.substring(c, 1, prefix_bytes)
+    return F.substring(F.sha2(c, 256), 1, 16)
 
 
-def dedup_binary_exact(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def dedup_binary_exact(
+    df: DataFrame, id_col: str = "asset_id", prefix_bytes: int | None = None
+) -> DataFrame:
     """Exact duplicate groups by content fingerprint: one hash aggregation
     (partial aggregates map-side), returns groups with >1 asset —
     ``(fingerprint, n_assets, keep_id)`` where keep_id is the smallest id
     (the canonical survivor)."""
     return (
-        df.select(F.col(id_col), binary_fingerprint().alias("fingerprint"))
+        df.select(
+            F.col(id_col),
+            binary_fingerprint(prefix_bytes=prefix_bytes).alias("fingerprint"),
+        )
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
