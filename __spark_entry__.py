@@ -647,6 +647,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return _longify(MM.sample_frames(MM.as_binary_assets(docs)))
 
+    # --- streaming aggregates (batch mode of the dual-mode plans) ----------
+
+    def q_stream_windowed_agg(spark, sf):
+        # same plan a readStream runs with a watermark; batch mode is the
+        # deterministic oracle-checkable path
+        from chronicles_spark.streaming import windowed_counts
+
+        events = load_table(spark, sf, "events")
+        return windowed_counts(events)
+
+    def q_sessionize(spark, sf):
+        from chronicles_spark.streaming import sessionize
+
+        events = load_table(spark, sf, "events")
+        return sessionize(events)
+
     # --- training-data pipeline: similarity search -------------------------
 
     def q_ann_cosine_topk(spark, sf):
@@ -934,6 +950,34 @@ FROM (
          unnest(range(0, least(8, octet_length(encode(text)) // 4096 + 1))) AS frame_index
   FROM documents
 ) x
+""",
+        "q_stream_windowed_agg": """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "q_sessionize": """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess
+GROUP BY user_id, sid
 """,
         "q_ann_cosine_topk": _EMB_V_CTE
         + f"""
