@@ -323,6 +323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops_log_df(spark, sf), head_ref_df(spark, sf), "demo.events"
         )
 
+    def q_fold_incremental(spark, sf):
+        # checkpoint the fold mid-log, then fold only the tail; the result
+        # must equal the full fold (same oracle SQL) — the Delta-style
+        # checkpoint path for billion-row logs
+        ops = ops_log_df(spark, sf)
+        ckpt = LQ.fold_state_checkpoint(ops, upto_seq=15, table_name="demo.events")
+        return LQ.current_version_fold_incremental(
+            ops, ckpt, 15, head_ref_df(spark, sf), "demo.events"
+        )
+
     def q_compute_changes(spark, sf):
         ops = ops_log_df(spark, sf)
         cur = LQ.current_version_fold(ops, head_ref_df(spark, sf), "demo.events")
@@ -696,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
     fold_re = "^" + VERSION_LABEL_RE + "$"
     return {
         "q_current_version_fold": LOG_CTE + FOLD_AT_HEAD,
+        # incremental fold == full fold, so the oracle is identical
+        "q_fold_incremental": LOG_CTE + FOLD_AT_HEAD,
         "q_compute_changes": LOG_CTE
         + ", fold_head AS ("
         + FOLD_AT_HEAD

@@ -89,6 +89,87 @@ def snapshot_version_fold(
     )
 
 
+def fold_state_checkpoint(
+    ops: DataFrame, upto_seq: int, table_name: str | None = None
+) -> DataFrame:
+    """Folded partition state at ``sequence_id <= upto_seq`` — the frame a
+    metadata pipeline persists as a Delta-style checkpoint.  Returns
+    (table_name, part, version) with tombstoned partitions already dropped.
+
+    At a billion-row log this is written to parquet periodically; the live
+    fold then reads only the tail (see
+    :func:`current_version_fold_incremental`)."""
+    df = ops.where(F.col("sequence_id") <= upto_seq)
+    if table_name is not None:
+        df = df.where(F.col("table_name") == table_name)
+    df = df.where(F.col("operation_type").isin(ADD_PART, REMOVE_PART))
+    w = W.partitionBy("table_name", "part").orderBy(
+        F.col("sequence_id").desc(), F.col("index_in_commit").desc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("operation_type") == ADD_PART))
+        .select("table_name", "part", "version")
+    )
+
+
+def current_version_fold_incremental(
+    ops: DataFrame,
+    checkpoint: DataFrame,
+    checkpoint_seq: int,
+    head: DataFrame | None = None,
+    table_name: str | None = None,
+) -> DataFrame:
+    """V4 fold reading ONLY the log tail past a checkpoint.
+
+    The fold is a last-writer-wins map merge, which is associative:
+    fold(log) == merge(fold(log[..S]), fold(log[S..])).  So the window
+    input shrinks from the whole log to the tail since the checkpoint —
+    the optimization the module docstring's scale note promises
+    (``docs`` Delta checkpointing analogue; reference semantics unchanged,
+    core/.../VersionTracker.scala:156-172).
+
+    ``checkpoint`` is :func:`fold_state_checkpoint` output (possibly read
+    back from parquet); ``checkpoint_seq`` must be <= the head cutoff.
+    Output equals :func:`current_version_fold` over the full log."""
+    tail = _cutoff(ops, head)
+    if table_name is not None:
+        tail = tail.where(F.col("table_name") == table_name)
+        checkpoint = checkpoint.where(F.col("table_name") == table_name)
+    tail = tail.where(
+        (F.col("sequence_id") > checkpoint_seq)
+        & F.col("operation_type").isin(ADD_PART, REMOVE_PART)
+    )
+    w = W.partitionBy("table_name", "part").orderBy(
+        F.col("sequence_id").desc(), F.col("index_in_commit").desc()
+    )
+    tail_last = (
+        tail.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "table_name",
+            "part",
+            F.col("operation_type").alias("tail_op"),
+            F.col("version").alias("tail_version"),
+        )
+    )
+    ckpt = checkpoint.select(
+        "table_name", "part", F.col("version").alias("ckpt_version")
+    )
+    merged = ckpt.join(tail_last, ["table_name", "part"], "full_outer")
+    return (
+        merged.where(
+            # tail ADD wins; tail REMOVE tombstones; no tail op → checkpoint
+            (F.col("tail_op") == ADD_PART)
+            | (F.col("tail_op").isNull() & F.col("ckpt_version").isNotNull())
+        )
+        .select(
+            "part",
+            F.coalesce(F.col("tail_version"), F.col("ckpt_version")).alias("version"),
+        )
+    )
+
+
 def compute_changes_df(current: DataFrame, target: DataFrame) -> DataFrame:
     """M12 as a FULL OUTER JOIN diff (Metastore.scala:56-84).
 
