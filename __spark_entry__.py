@@ -264,6 +264,24 @@ _COS_SQL = (
 )
 
 
+def _sign_lsh_bucket_sql(n_planes: int, dim: int) -> str:
+    """DuckDB twin of SIM.sign_lsh_buckets: same md5-derived hyperplanes,
+    one concatenated sign-bit key per vector."""
+    from chronicles_spark.operators.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(n_planes, dim)
+
+    def bit(plane: list[float]) -> str:
+        lit = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
+        )
+
+    key = " || ".join(bit(p) for p in planes)
+    return _EMB_V_CTE + f"SELECT vec_id, {key} AS bucket_key FROM v"
+
+
 def _emb_lsh_sql(n_planes: int, bands: int, dim: int, threshold: float) -> str:
     """DuckDB twin of DD.embedding_lsh_dedup: same md5-derived hyperplanes,
     same banded candidate join, same exact-cosine verify."""
@@ -927,6 +945,28 @@ WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
         "q_dedup_simhash": "SELECT doc_id, "
         + DD.simhash_sql("text")
         + " AS simhash FROM documents",
+        "q_dedup_simhash_pairs": "WITH fp AS (SELECT doc_id, "
+        + DD.simhash_sql("text")
+        + """ AS simhash FROM documents),
+slices AS (
+  SELECT doc_id, simhash, band_id,
+         substr(simhash, CAST(band_id * 8 + 1 AS INT), 8) AS piece
+  FROM fp, (SELECT unnest(range(0, 4)) AS band_id) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM slices a
+  JOIN slices b ON a.band_id = b.band_id AND a.piece = b.piece
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_filter(range(1, 33), i -> substr(sa, CAST(i AS INT), 1)
+           <> substr(sb, CAST(i AS INT), 1))) AS hamming
+FROM pairs
+WHERE len(list_filter(range(1, 33), i -> substr(sa, CAST(i AS INT), 1)
+          <> substr(sb, CAST(i AS INT), 1))) <= 6
+""",
         "q_dedup_embedding": _emb_lsh_sql(
             _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
         ),
@@ -1040,4 +1080,5 @@ r AS (
 )
 SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
+        "q_ann_sign_lsh": _sign_lsh_bucket_sql(16, _EMB_DIM),
     }
