@@ -705,6 +705,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SIM.ivf_topk(emb, qids, k=10, n_probe=2).withColumnRenamed("rank", "rnk")
         )
 
+    def q_ann_ivf_kmeans(spark, sf):
+        # rows-only (iterative algorithm — no SQL oracle; pytest verifies
+        # against an independent numpy reference): IVF over LEARNED
+        # k-means buckets, the production centroid path
+        emb = load_table(spark, sf, "embeddings")
+        queries = emb.selectExpr("vec_id").where("vec_id < 5")
+        return SIM.ivf_topk_kmeans(
+            emb, queries, k=10, n_probe=2, n_clusters=8, iters=3
+        )
+
     def q_ann_sign_lsh(spark, sf):
         # rows-only: LSH bucket keys (the scale-path candidate generator)
         emb = load_table(spark, sf, "embeddings")

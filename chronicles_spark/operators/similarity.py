@@ -142,6 +142,125 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means over the embedding column.
+
+    The production centroid builder for :func:`ivf_topk_kmeans`
+    (``representative_centroids`` stays as the oracle-exact variant).
+    Deterministic: init = the k lowest-id vectors; assignment = min
+    squared-L2 with lowest-centroid-id tie-break.
+
+    Scale shape: per iteration ONE job — assignment is a map-side
+    expression against broadcast centroid literals (k·dim doubles), the
+    mean update is a (cluster, dim_pos) partial-aggregated shuffle of
+    k·dim cells, and only the k·dim centroid matrix ever reaches the
+    driver (same metadata-scale driver state as the reference's W1
+    partition collect).  The corpus is scanned once per iteration, never
+    cached driver-side."""
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    seed_rows = v.orderBy(F.col(id_col).asc()).limit(k).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        assigned = _assign_nearest(v, centroids)
+        cell = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cell:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+    return centroids
+
+
+def _assign_nearest(
+    v: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(id, v) → + cluster: argmin squared-L2 against broadcast centroid
+    literals, ties to the lowest centroid id.  Pure map-side JVM exprs."""
+
+    def sqdist(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(sqdist(c).alias("d"), F.lit(cid).alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+    )
+    return v.withColumn("cluster", best["cid"])
+
+
+def ivf_topk_kmeans(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over LEARNED k-means buckets (vs ``ivf_topk``'s
+    label-derived buckets): fit centroids, assign every vector once, then
+    the same probe-and-verify two-stage search.  At 100 TB the assignment
+    is written as a bucket/partition column so probes prune at the scan."""
+    centroids = kmeans_fit(df, n_clusters, iters, id_col, vec_col)
+    v = _assign_nearest(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
+    ).select(id_col, F.col("cluster").alias("bucket"), "v")
+    cents = df.sparkSession.createDataFrame(
+        [(cid, c) for cid, c in centroids], ["centroid_id", "cv"]
+    )
+    q = (
+        v.join(query_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
+    )
+    joined = v.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits (shared with any oracle:
     hashlib.md5 == SQL md5). Plane j, dim i sign = parity of first hex
