@@ -129,12 +129,18 @@ class FileFormat:
 
 @dataclass(frozen=True)
 class TableDefinition:
-    """name + location + partition schema + format (model.scala:106-108)."""
+    """name + location + partition schema + format (model.scala:106-108).
+
+    ``format_options`` carry source options a non-self-describing format
+    needs on both sides (e.g. ``{"header": "true"}`` for csv); columnar
+    formats leave it empty.  Stored as a tuple of pairs so the dataclass
+    stays hashable/frozen."""
 
     name: TableName
     location: str
     partition_schema: PartitionSchema = field(default_factory=PartitionSchema)
     format: str = FileFormat.PARQUET
+    format_options: tuple = ()
 
     @property
     def is_snapshot(self) -> bool:

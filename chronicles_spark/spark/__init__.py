@@ -2,6 +2,7 @@
 
 from .writer import partition_values, versioned_insert_into
 from .reader import read_current, read_version, live_paths
+from .vacuum import vacuum
 
 __all__ = [
     "partition_values",
@@ -9,4 +10,5 @@ __all__ = [
     "read_current",
     "read_version",
     "live_paths",
+    "vacuum",
 ]

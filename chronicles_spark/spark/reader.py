@@ -62,6 +62,8 @@ def read_version(
     if not paths_:
         raise ValueError(f"table {table.name} has no live data (empty state)")
     reader = spark.read.format(table.format).option("basePath", table.location)
+    for k, v in table.format_options:
+        reader = reader.option(k, v)
     df = reader.load(paths_)
     if not keep_version_column and VERSION_COLUMN in df.columns:
         df = df.drop(VERSION_COLUMN)

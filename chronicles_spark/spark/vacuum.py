@@ -1,0 +1,97 @@
+"""Version GC (vacuum): delete superseded ``_version=`` directories.
+
+The reference leaves purging old versions to the user (README.md:51-52);
+this is the missing maintenance operator, with Delta-VACUUM-like safety
+rules:
+
+* the CURRENTLY LIVE version of every partition (fold at head) is always
+  kept — vacuum after a rollback never deletes what the head points at;
+* the newest ``keep_last`` versions per partition are kept (time-travel
+  window); older unreferenced directories are removed;
+* ``dry_run`` lists without deleting.
+
+Scale note: the decision set is log-metadata-sized (one row per
+(partition, version) ever written — millions of rows is a tiny DataFrame),
+NOT data-sized.  Directory deletion is issued from the driver through the
+same FS facade the commit log uses; on an object store each delete is a
+prefix delete, and a 100 TB deployment fans the delete list out with a
+``foreachPartition`` if the doomed list ever gets large.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import List
+
+from ..core import paths as vpaths
+from ..core.model import (
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+)
+from ..core.ops import AddPartitionVersion, AddTableVersion
+from ..trackers.base import VersionTracker
+
+
+def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
+    """(partition | None, version) for every Add op in the full log, in
+    commit order (oldest first)."""
+    state = tracker.table_state(table.name)
+    out: list[tuple[object, object]] = []
+    for update in state.updates:
+        for op in update.operations:
+            if isinstance(op, AddPartitionVersion):
+                out.append((op.partition, op.version))
+            elif isinstance(op, AddTableVersion):
+                out.append((None, op.version))
+    return out
+
+
+def vacuum(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> List[str]:
+    """Delete superseded version directories; returns the removed (or, in
+    dry-run, doomed) paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+
+    live = tracker.current_version(table.name)
+    keep: set[tuple[str, str]] = set()
+    if isinstance(live, SnapshotTableVersion):
+        keep.add(("", live.version.label))
+    elif isinstance(live, PartitionedTableVersion):
+        for partition, version in live.partition_versions.items():
+            keep.add((partition.path, version.label))
+
+    by_part: dict[object, list] = {}
+    part_objs: dict[object, object] = {}
+    for partition, version in _versions_ever_written(tracker, table):
+        key = partition.path if partition is not None else ""
+        by_part.setdefault(key, []).append(version)
+        part_objs[key] = partition
+    for key, versions in by_part.items():
+        for v in versions[-keep_last:]:
+            keep.add((key, v.label))
+
+    doomed: List[str] = []
+    for key, versions in by_part.items():
+        partition = part_objs[key]
+        # resolve_path applies the same Hive-style escaping the writer uses
+        base = (
+            partition.resolve_path(table.location)
+            if partition is not None
+            else table.location
+        )
+        for v in versions:
+            if (key, v.label) in keep:
+                continue
+            vdir = vpaths.path_for(base, v)
+            if Path(vdir).exists():
+                doomed.append(vdir)
+                if not dry_run:
+                    shutil.rmtree(vdir)
+    return sorted(set(doomed))

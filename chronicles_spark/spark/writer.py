@@ -79,13 +79,15 @@ def write_versioned(
     """W2+W4: stamp ``_version`` and append under versioned directories
     (VersionContext.scala:81-96)."""
     part_cols = list(table.partition_schema.columns)
-    (
+    writer = (
         df.withColumn(VERSION_COLUMN, F.lit(version.label))
         .write.partitionBy(*part_cols, VERSION_COLUMN)
         .mode("append")
         .format(table.format)
-        .save(table.location)
     )
+    for k, v in table.format_options:
+        writer = writer.option(k, v)
+    writer.save(table.location)
 
 
 def versioned_insert_into(
