@@ -1,0 +1,173 @@
+"""``spark.read.format("chronicles")`` — a PySpark Python Data Source over
+versioned tables.
+
+The catalog-free reader (`read_current`) resolves live directories in
+Python driver code and hands Spark a path list; this module packages the
+same resolution as a first-class data source, so any Spark reader — SQL,
+DataFrame, other sessions — consumes versioned tables with standard
+syntax::
+
+    spark.dataSource.register(ChroniclesDataSource)
+    df = (spark.read.format("chronicles")
+          .option("root", "/lake/_log")         # commit-log root (any FS URL)
+          .option("table", "db.events")
+          .option("location", "/lake/events")   # table storage location
+          .option("commit", "<commit-id>")      # optional time travel
+          .option("pushdown", "true")           # partition-filter pruning
+          .load())
+
+Execution shape: planning (log fold → live dirs) is driver-side metadata
+work; each live ``_version=`` directory becomes one InputPartition, and
+executors read it with pyarrow.dataset streaming Arrow RecordBatches —
+zero row-at-a-time Python.  Equality filters on partition columns are
+pushed down at planning time and prune whole directories before any I/O
+(``pushFilters``); everything else stays in Spark.
+
+Partition columns surface as strings (Hive path semantics, §1.4 of
+SURVEY.md); the reference has no comparable integration point — this is
+the Spark-native equivalent of its Hive-metastore LOCATION pointers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+class _LiveDir(InputPartition):
+    def __init__(self, path: str, part_values: Tuple[Tuple[str, str], ...], fmt: str):
+        self.path = path
+        self.part_values = part_values
+        self.fmt = fmt
+
+
+def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
+    """(live_dir, ((col, value), ...)) list + file format, from the log."""
+    from ..core import fold, paths as vpaths
+    from ..core.model import (
+        PartitionedTableVersion,
+        SnapshotTableVersion,
+        TableName,
+    )
+    from ..trackers.files import FileBackedVersionTracker
+
+    root = options.get("root")
+    table = options.get("table")
+    location = options.get("location")
+    if not (root and table and location):
+        raise ValueError(
+            "chronicles data source needs options: root, table, location"
+        )
+    fmt = options.get("format", "parquet")
+    tracker = FileBackedVersionTracker(root)
+    name = TableName.parse(table)
+    commit = options.get("commit")
+    if commit:
+        state = tracker.table_state(name)
+        tv = fold.current_version(state.updates, commit)
+    else:
+        tv = tracker.current_version(name)
+
+    out: list[tuple[str, tuple]] = []
+    if isinstance(tv, SnapshotTableVersion):
+        out.append((vpaths.path_for(location, tv.version), ()))
+    else:
+        assert isinstance(tv, PartitionedTableVersion)
+        for partition, version in sorted(
+            tv.partition_versions.items(), key=lambda kv: kv[0].path
+        ):
+            out.append(
+                (
+                    vpaths.path_for(partition.resolve_path(location), version),
+                    partition.column_values,
+                )
+            )
+    return out, fmt
+
+
+class ChroniclesReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._dirs, self._fmt = _resolve_live_dirs(options)
+        self._schema = schema
+        self._part_cols = (
+            [c for c, _ in self._dirs[0][1]] if self._dirs else []
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_LiveDir(p, tuple(pv), self._fmt) for p, pv in self._dirs]
+
+    def read(self, partition: _LiveDir) -> Iterator["object"]:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        data_fields = [
+            f for f in self._schema.fields
+            if f.name not in {c for c, _ in partition.part_values}
+        ]
+        dataset = ds.dataset(partition.path, format=partition.fmt)
+        for batch in dataset.to_batches(columns=[f.name for f in data_fields]):
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            for col, val in partition.part_values:
+                arrays.append(pa.array([val] * batch.num_rows, type=pa.string()))
+                names.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class ChroniclesPushdownReader(ChroniclesReader):
+    """Adds partition pruning — surfaced as a separate class because Spark
+    refuses a reader that declares ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false."""
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Partition pruning: accept equality filters on partition columns
+        (drop whole directories at planning time); everything else is
+        returned for Spark to evaluate."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in self._part_cols
+            ):
+                col, want = f.attribute[0], str(f.value)
+                self._dirs = [
+                    (p, pv) for p, pv in self._dirs if dict(pv).get(col) == want
+                ]
+            else:
+                yield f
+
+
+class ChroniclesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "chronicles"
+
+    def schema(self):
+        import pyarrow.dataset as ds
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        dirs, fmt = _resolve_live_dirs(self.options)
+        if not dirs:
+            raise ValueError("table has no live data (empty state)")
+        path, part_values = dirs[0]
+        arrow_schema = ds.dataset(path, format=fmt).schema
+        base = from_arrow_schema(arrow_schema)
+        fields: List[StructField] = list(base.fields)
+        for col, _ in part_values:
+            fields.append(StructField(col, StringType()))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        # planning runs in a separate Python worker (no SparkSession), so
+        # pushdown is opted into per-read; it additionally requires the
+        # session conf spark.sql.python.filterPushdown.enabled=true
+        pushdown = str(self.options.get("pushdown", "false")).lower() == "true"
+        cls = ChroniclesPushdownReader if pushdown else ChroniclesReader
+        return cls(self.options, schema)
