@@ -184,6 +184,9 @@ def main():
         "q_ann_ivf",
         "q_mm_decode_meta",
         "q_mm_dedup_binary",
+        "q_stream_windowed_agg",
+        "q_sessionize",
+        "q_fold_incremental",
     ]
     import gc
 

@@ -255,3 +255,37 @@ def test_hive_is_partitioned(rig):
     snap, part = make_snapshot(), make_partitioned()
     assert ms.is_partitioned(str(part.name)) is True
     assert ms.is_partitioned(str(snap.name)) is False
+
+
+def test_hive_find_table_location(rig):
+    """M7: DESCRIBE FORMATTED → Location row (SparkHiveMetastore.scala:114-126)."""
+    ms, make_snapshot, _ = rig
+    if not isinstance(ms, SparkHiveMetastore):
+        pytest.skip("DESCRIBE parsing is Hive-specific")
+    snap = make_snapshot()
+    loc = ms._table_location(str(snap.name))
+    assert loc.replace("file:", "") == snap.location
+
+    v = generate_version()
+    _materialize(snap, UpdateTableVersion(v))
+    _update(ms, snap, [UpdateTableVersion(v)])
+    loc2 = ms._table_location(str(snap.name))
+    assert loc2.endswith(f"_version={v.label}")
+
+
+def test_hive_show_partitions_listing(rig):
+    """M8: SHOW PARTITIONS surfaces exactly the registered partitions, with
+    escaped directory fragments mapped back to raw values."""
+    ms, _, make_partitioned = rig
+    if not isinstance(ms, SparkHiveMetastore):
+        pytest.skip("SHOW PARTITIONS is Hive-specific")
+    table = make_partitioned()
+    v = generate_version()
+    _update(
+        ms, table,
+        [AddPartition(_part("2019-05-01"), v), AddPartition(_part("2019-05-02"), v)],
+    )
+    tv = ms.current_version(table)
+    assert {p.path for p in tv.partition_versions} == {
+        "date=2019-05-01", "date=2019-05-02",
+    }
