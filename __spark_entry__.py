@@ -414,6 +414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         table, tracker, _ = _write_versioned_events(spark, sf)
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
+    def q_vacuum_dry_run(spark, sf):
+        # rows-only (side-effecting lifecycle): the overwritten partition
+        # holds two versions; vacuum dry-run reports exactly the superseded
+        # one and never the live one
+        from chronicles_spark.spark import vacuum
+
+        table, tracker, _ = _write_versioned_events(spark, sf)
+        doomed = vacuum(table, tracker, keep_last=1, dry_run=True)
+        return spark.createDataFrame(
+            [(p,) for p in doomed], "doomed_path string"
+        )
+
     def q_log_json_read(spark, sf):
         # V15 (rows-only): the commit log is itself distributed-readable —
         # one JSON file per commit, Delta-log style (JsonCodecs.scala:18-135,

@@ -1,0 +1,61 @@
+"""Salted join == plain join; bucketed join plans with no Exchange."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from chronicles_spark.operators.joins import bucketed_join, salted_join, write_bucketed
+from chronicles_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_salted_join_equals_plain_join(spark):
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = events.select("event_type").distinct().withColumn(
+        "type_code", F.upper(F.col("event_type"))
+    )
+    plain = events.join(dim, "event_type")
+    salted = salted_join(events, dim, "event_type", F.col("event_id"), n_salts=8)
+    key = lambda r: (r["event_id"], r["event_type"], r["type_code"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_salted_join_splits_hot_key(spark):
+    events = load_table(spark, SF_DIR, "events")
+    salted = events.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(8)))
+    # every event_type (hot key) must actually spread over multiple salts
+    spread = (
+        salted.groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("n_salts"))
+        .agg(F.min("n_salts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert spread >= 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=4)
+
+    # at test SF the planner would just broadcast the tiny side; disable it
+    # so the plan shows what bucketing buys at scale: a merge join whose
+    # both sides read pre-bucketed files with NO Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the result matches the plain (shuffling) join
+        plain = orders.join(lineitem, "o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
