@@ -687,6 +687,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return _longify(MM.sample_frames(MM.as_binary_assets(docs)))
 
+    def q_asof_join(spark, sf):
+        # backward as-of join (union-tag plan, one shuffle) vs DuckDB's
+        # native ASOF JOIN: every non-purchase event picks up the user's
+        # latest prior purchase value
+        from chronicles_spark.operators.joins import as_of_join
+
+        events = load_table(spark, sf, "events")
+        purchases = (
+            events.where("event_type = 'purchase'")
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("last_purchase_value"))
+        )
+        left = events.where("event_type <> 'purchase'").select(
+            "event_id", "user_id", "ts"
+        )
+        return as_of_join(left, purchases, "user_id").select(
+            "event_id", "user_id", "ts", "last_purchase_value"
+        )
+
     # --- streaming aggregates (batch mode of the dual-mode plans) ----------
 
     def q_stream_windowed_agg(spark, sf):
@@ -1024,6 +1043,18 @@ FROM (
          unnest(range(0, least(8, octet_length(encode(text)) // 4096 + 1))) AS frame_index
   FROM documents
 ) x
+""",
+        "q_asof_join": """
+WITH p AS (
+  SELECT user_id, ts, max_by(value, event_id) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, p.last_purchase_value
+FROM l ASOF LEFT JOIN p
+  ON l.user_id = p.user_id AND l.ts >= p.ts
 """,
         "q_stream_windowed_agg": """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)

@@ -66,6 +66,70 @@ def write_bucketed(
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the LATEST right row
+    of the same ``key`` with ``right_ts <= left_ts`` (nulls when none) —
+    the time-series join Spark has no native operator for (DuckDB/ kdb
+    ``ASOF JOIN`` semantics, equal timestamps match).
+
+    Implementation is the union-tag trick, a pure composition of built-in
+    ops: tag both sides, sort per key by (ts, tag) in ONE window, and carry
+    the last non-null right payload forward onto left rows.  Cost: a
+    single shuffle on ``key`` — no range-explode, no per-row Python, and
+    skew behaves like any keyed window (salt the key upstream if one key
+    dominates).  Right payload columns must not collide with left columns;
+    rename before joining."""
+    from pyspark.sql import Window as W
+
+    payload = [c for c in right.columns if c not in (key, right_ts)]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    for c in payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c) for c in payload],
+    )
+    for c in left.columns:
+        if c not in (key,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tagged.select(
+        key, "_ts", "_is_left", *payload, *[c for c in left.columns if c != key]
+    ).unionByName(
+        r_tagged.select(
+            key, "_ts", "_is_left", *payload, *[c for c in left.columns if c != key]
+        )
+    )
+    # right rows (tag 0) sort before left rows (tag 1) at equal ts, so an
+    # exactly-simultaneous right row IS matched (ASOF >= semantics)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        key,
+        "_is_left",
+        *[c for c in left.columns if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.where(F.col("_is_left") == 1).drop("_is_left")
+
+
 def bucketed_join(
     spark, left_table: str, right_table: str, key: str, select: Sequence[str] = ()
 ) -> DataFrame:

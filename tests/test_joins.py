@@ -59,3 +59,52 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_as_of_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt(2020, 1, 1, 10)),   # before any right row -> null
+            (2, "u1", dt(2020, 1, 1, 12)),   # exactly at right ts -> match
+            (3, "u1", dt(2020, 1, 1, 15)),   # after both -> latest wins
+            (4, "u2", dt(2020, 1, 1, 12)),   # other key, no right rows
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt(2020, 1, 1, 12), 100.0),
+            ("u1", dt(2020, 1, 1, 14), 200.0),
+        ],
+        ["user_id", "ts", "amount"],
+    )
+    got = {r["event_id"]: r["amount"] for r in as_of_join(left, right, "user_id").collect()}
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_as_of_join_rejects_column_collision(spark):
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, "u", dt(2020, 1, 1), 5.0)], ["id", "k", "ts", "v"])
+    right = spark.createDataFrame([("u", dt(2020, 1, 1), 7.0)], ["k", "ts", "v"])
+    with _pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, "k")
+
+
+def test_as_of_join_single_shuffle(spark):
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, "u", dt(2020, 1, 1))], ["id", "k", "ts"])
+    right = spark.createDataFrame([("u", dt(2020, 1, 1), 7.0)], ["k", "ts", "v"])
+    plan = as_of_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
