@@ -706,6 +706,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "ts", "last_purchase_value"
         )
 
+    def q_range_join(spark, sf):
+        # point-in-interval via bucketize + equi-join + exact filter (never
+        # the O(points·intervals) cartesian); oracle is DuckDB's native
+        # inequality join
+        from chronicles_spark.operators.joins import range_join
+
+        events = load_table(spark, sf, "events")
+        points = events.select("event_id", "event_type", "ts")
+        intervals = (
+            events.select(
+                "event_type", F.col("ts").cast("date").alias("d")
+            )
+            .distinct()
+            .select(
+                "event_type",
+                F.col("d").cast("timestamp_ntz").alias("start_ts"),
+                F.date_add("d", 2).cast("timestamp_ntz").alias("end_ts"),
+            )
+        )
+        return range_join(
+            points, intervals, "event_type", "ts", "start_ts", "end_ts"
+        ).select("event_id", "event_type", "ts", "start_ts", "end_ts")
+
     # --- streaming aggregates (batch mode of the dual-mode plans) ----------
 
     def q_stream_windowed_agg(spark, sf):
@@ -1055,6 +1078,18 @@ l AS (
 SELECT l.event_id, l.user_id, l.ts, p.last_purchase_value
 FROM l ASOF LEFT JOIN p
   ON l.user_id = p.user_id AND l.ts >= p.ts
+""",
+        "q_range_join": """
+WITH ivals AS (
+  SELECT DISTINCT event_type,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS start_ts,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 2 DAY AS end_ts
+  FROM events
+)
+SELECT e.event_id, e.event_type, e.ts, i.start_ts, i.end_ts
+FROM events e JOIN ivals i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.start_ts AND e.ts < i.end_ts
 """,
         "q_stream_windowed_agg": """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)

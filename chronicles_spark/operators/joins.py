@@ -130,6 +130,47 @@ def as_of_join(
     return carried.where(F.col("_is_left") == 1).drop("_is_left")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point < end``, same ``key``)
+    without the cartesian blow-up of a naive non-equi join.
+
+    The classic bucketize composition: every interval explodes into the
+    time buckets it covers, every point maps to its one bucket, and the
+    join becomes an EQUI-join on (key, bucket) followed by the exact range
+    filter.  Shuffle volume is O(points + intervals · buckets_per_interval)
+    instead of O(points · intervals); pick ``bucket_seconds`` near the
+    typical interval length so intervals explode into ~1-2 buckets."""
+    bucket_of = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)
+    p = points.withColumn("_b", bucket_of(F.col(point_col)))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col(start_col)),
+                # end is exclusive: a zero-length tail bucket is still listed,
+                # the exact filter below discards non-matches
+                bucket_of(F.expr(f"{end_col} - INTERVAL 1 SECOND")),
+            )
+        ),
+    )
+    return (
+        p.join(iv, [key, "_b"])
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )
+
+
 def bucketed_join(
     spark, left_table: str, right_table: str, key: str, select: Sequence[str] = ()
 ) -> DataFrame:

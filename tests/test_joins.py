@@ -108,3 +108,42 @@ def test_as_of_join_single_shuffle(spark):
     right = spark.createDataFrame([("u", dt(2020, 1, 1), 7.0)], ["k", "ts", "v"])
     plan = as_of_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_boundaries_and_buckets(spark):
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "k", dt(2020, 1, 1, 0, 0, 0)),    # == start -> in
+            (2, "k", dt(2020, 1, 2, 23, 59, 59)), # just before end -> in
+            (3, "k", dt(2020, 1, 3, 0, 0, 0)),    # == end -> out (exclusive)
+            (4, "k", dt(2019, 12, 31, 23, 59)),   # before start -> out
+            (5, "x", dt(2020, 1, 1, 12, 0)),      # wrong key -> out
+        ],
+        ["pid", "key", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [("k", dt(2020, 1, 1), dt(2020, 1, 3))],  # spans 2 day-buckets
+        ["key", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join(points, intervals, "key", "ts", "start_ts", "end_ts").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_no_duplicate_matches(spark):
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(1, "k", dt(2020, 1, 2, 12))], ["pid", "key", "ts"])
+    intervals = spark.createDataFrame(
+        [("k", dt(2020, 1, 1), dt(2020, 1, 5))], ["key", "start_ts", "end_ts"]
+    )
+    rows = range_join(points, intervals, "key", "ts", "start_ts", "end_ts").collect()
+    assert len(rows) == 1  # interval covers 4 buckets; point matches once
