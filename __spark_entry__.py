@@ -687,6 +687,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return _longify(MM.sample_frames(MM.as_binary_assets(docs)))
 
+    def q_topk_per_group(spark, sf):
+        # top-3 events by value per type: the canonical windowed top-k
+        from pyspark.sql import Window as W
+
+        events = load_table(spark, sf, "events")
+        w = W.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id").asc()
+        )
+        return (
+            events.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("event_type", "rnk", "event_id", "value")
+        )
+
+    def q_running_totals(spark, sf):
+        # batch twin of the streaming applyInPandasWithState operator:
+        # cumulative per-user totals over event time
+        from pyspark.sql import Window as W
+
+        events = load_table(spark, sf, "events")
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_so_far"),
+            F.round(F.sum("value").over(w), 6).alias("total_so_far"),
+        )
+
     def q_asof_join(spark, sf):
         # backward as-of join (union-tag plan, one shuffle) vs DuckDB's
         # native ASOF JOIN: every non-purchase event picks up the user's
@@ -1066,6 +1099,24 @@ FROM (
          unnest(range(0, least(8, octet_length(encode(text)) // 4096 + 1))) AS frame_index
   FROM documents
 ) x
+""",
+        "q_topk_per_group": """
+SELECT event_type, rnk, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) x
+WHERE rnk <= 3
+""",
+        "q_running_totals": """
+SELECT user_id, event_id, ts,
+       count(*) OVER w AS n_so_far,
+       round(sum(value) OVER w, 6) AS total_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING)
 """,
         "q_asof_join": """
 WITH p AS (
