@@ -20,8 +20,6 @@ prefix delete, and a 100 TB deployment fans the delete list out with a
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
 from typing import List
 
 from ..core import paths as vpaths
@@ -32,6 +30,7 @@ from ..core.model import (
 )
 from ..core.ops import AddPartitionVersion, AddTableVersion
 from ..trackers.base import VersionTracker
+from ..trackers.fs import filesystem_for
 
 
 def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
@@ -77,21 +76,26 @@ def vacuum(
         for v in versions[-keep_last:]:
             keep.add((key, v.label))
 
+    # deletion goes through the FS facade, so a table whose data lives on
+    # an object store (s3://, memory://, any fsspec scheme) vacuums the
+    # same way a local one does
+    fs, location = filesystem_for(table.location)
+
     doomed: List[str] = []
     for key, versions in by_part.items():
         partition = part_objs[key]
         # resolve_path applies the same Hive-style escaping the writer uses
         base = (
-            partition.resolve_path(table.location)
+            partition.resolve_path(location)
             if partition is not None
-            else table.location
+            else location
         )
         for v in versions:
             if (key, v.label) in keep:
                 continue
             vdir = vpaths.path_for(base, v)
-            if Path(vdir).exists():
+            if fs.exists(vdir):
                 doomed.append(vdir)
                 if not dry_run:
-                    shutil.rmtree(vdir)
+                    fs.remove_tree(vdir)
     return sorted(set(doomed))

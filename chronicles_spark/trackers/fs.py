@@ -41,6 +41,10 @@ class FileSystem(abc.ABC):
     @abc.abstractmethod
     def is_dir(self, path: str) -> bool: ...
 
+    @abc.abstractmethod
+    def remove_tree(self, path: str) -> None:
+        """Recursively delete a directory (no-op if absent)."""
+
     def join(self, *parts: str) -> str:
         return posixpath.join(*parts)
 
@@ -66,6 +70,11 @@ class LocalFileSystem(FileSystem):
 
     def is_dir(self, path: str) -> bool:
         return Path(path).is_dir()
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
     def join(self, *parts: str) -> str:
         return str(Path(parts[0]).joinpath(*parts[1:]))
@@ -126,6 +135,16 @@ class MemoryFileSystem(FileSystem):
     def is_dir(self, path: str) -> bool:
         return self._norm(path) in self._d
 
+    def remove_tree(self, path: str) -> None:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            for known in list(self._files):
+                if known == p or known.startswith(p + "/"):
+                    del self._files[known]
+            for known in list(self._d):
+                if known == p or known.startswith(p + "/"):
+                    self._d.discard(known)
+
 
 class FsspecFileSystem(FileSystem):
     """Adapter over an fsspec filesystem (s3://, gs://, hdfs://, ...).
@@ -156,6 +175,10 @@ class FsspecFileSystem(FileSystem):
 
     def is_dir(self, path: str) -> bool:
         return self._fs.isdir(path)
+
+    def remove_tree(self, path: str) -> None:
+        if self._fs.exists(path):
+            self._fs.rm(path, recursive=True)
 
 
 def filesystem_for(url: str) -> Tuple[FileSystem, str]:

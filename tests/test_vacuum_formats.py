@@ -119,3 +119,39 @@ def test_avro_lifecycle_if_available(spark, tmp_path):
     )
     cur = read_current(spark, table, tracker)
     assert {r["user"] for r in cur.collect()} == {"u1"}
+
+
+def test_vacuum_on_memory_fs_location(tmp_path):
+    """Storage-agnostic vacuum: data 'directories' live on the in-memory
+    FS (standing in for an object store); vacuum removes superseded ones
+    through the facade without touching local disk."""
+    from chronicles_spark.core import paths as vpaths
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers.fs import filesystem_for
+
+    location = f"memory://vac-{tmp_path.name}/pageviews"
+    table = TableDefinition(
+        TableName("gc", "mem"), location, PartitionSchema(("date",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    fs, root = filesystem_for(location)
+    part = Partition((("date", "2019-01-01"),))
+    versions = [generate_version() for _ in range(3)]
+    for i, v in enumerate(versions):
+        fs.mkdirs(vpaths.path_for(part.resolve_path(root), v))
+        meta = TableUpdateMetadata.new("a", f"w{i}")
+        tracker.commit(table.name, TableUpdate(meta, (AddPartitionVersion(part, v),)))
+
+    removed = vacuum(table, tracker, keep_last=1)
+    assert len(removed) == 2
+    live_dir = vpaths.path_for(part.resolve_path(root), versions[-1])
+    assert fs.exists(live_dir)
+    for v in versions[:-1]:
+        assert not fs.exists(vpaths.path_for(part.resolve_path(root), v))
