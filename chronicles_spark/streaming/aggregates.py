@@ -17,7 +17,7 @@ tool).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
 
@@ -92,6 +92,30 @@ def sessionize(
         "n_events",
         "sum_value",
     )
+
+
+def stream_dedup_exact(
+    events: DataFrame,
+    id_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact in-flight dedup — the first stage of any streaming
+    training-data ingest.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keys the state store by
+    ``id_cols`` and evicts entries once the watermark passes, so state is
+    bounded by the dedup window, not the stream length (plain
+    ``dropDuplicates`` on a stream grows state forever).  Batch: ordinary
+    ``dropDuplicates`` — deterministic when duplicate rows are bit-equal
+    (the exact-dup case this operator exists for)."""
+    if events.isStreaming:
+        return (
+            events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(id_cols))
+        )
+    return events.dropDuplicates(list(id_cols))
 
 
 RUNNING_TOTALS_SCHEMA = StructType(

@@ -161,3 +161,30 @@ def test_running_totals_stateful(spark, tmp_path, events_batch):
     for r in rows:  # memory sink appends in emission order per batch
         final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
     assert final == {u: (n, round(t, 6)) for u, (n, t) in expected.items()}
+
+
+def test_stream_dedup_exact(spark, tmp_path, events_batch):
+    from chronicles_spark.streaming import stream_dedup_exact
+
+    batch_df, _ = events_batch
+    # duplicate the whole input (union with itself), write as stream source
+    dup = batch_df.unionAll(batch_df)
+    src = str(tmp_path / "dup_src")
+    dup.repartition(4).write.parquet(src)
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = _stream_from(spark, src, batch_df.schema)
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    assert got.count() == batch_df.count()  # every duplicate dropped once
+    assert got.select("event_id").distinct().count() == batch_df.count()
+    # batch mode gives the same distinct id set
+    assert stream_dedup_exact(dup).count() == batch_df.count()
