@@ -606,6 +606,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline: dedup -------------------------------------
 
+    def q_curate_corpus(spark, sf):
+        # the end-to-end composition: quality filter + near-dup cluster
+        # survivor selection, every stage reusing an audited operator
+        from chronicles_spark.operators.pipeline import curate_corpus
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(
+            curate_corpus(
+                docs,
+                quality_threshold=0.3,
+                bands=_MINHASH_BANDS,
+                rows=_MINHASH_ROWS,
+                jaccard_threshold=_JACCARD_THRESHOLD,
+            )
+        )
+
     def q_dedup_exact(spark, sf):
         docs = load_table(spark, sf, "documents")
         return DD.exact_duplicate_groups(
@@ -1018,6 +1034,37 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
+""",
+        "q_curate_corpus": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
+        + f""",
+verified AS (
+  SELECT id_a, id_b FROM inter
+  WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, (id = min(r)) AS keep FROM reach GROUP BY id
+),
+quality AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         round((least(len(t), 100) / 100.0
+                + len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) / len(t)
+                + len(list_distinct(t)) / len(t)) / 3, 4) AS quality_score
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+        FROM documents) x
+)
+SELECT q.doc_id, q.n_tokens, q.quality_score
+FROM quality q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+WHERE q.quality_score >= 0.3 AND COALESCE(c.keep, TRUE)
 """,
         "q_dedup_ngram_jaccard": _DOCS_SHINGLES_CTE
         + f""",
