@@ -187,6 +187,9 @@ def main():
         "q_stream_windowed_agg",
         "q_sessionize",
         "q_fold_incremental",
+        "q_asof_join",
+        "q_range_join",
+        "q_curate_corpus",
     ]
     import gc
 
