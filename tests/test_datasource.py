@@ -77,3 +77,37 @@ def test_sql_over_datasource(spark, versioned_table):
         ("2019-01-01", 7),
         ("2019-01-02", 5),
     ]
+
+
+def test_snapshot_table_and_orc(spark, tmp_path):
+    """Unpartitioned (snapshot) tables and ORC files through the data
+    source: whole-table versions, no partition columns."""
+    from chronicles_spark.core.model import PartitionSchema
+
+    root = str(tmp_path / "_log2")
+    tracker = FileBackedVersionTracker(root)
+    table = TableDefinition(
+        TableName("demo", "snap"),
+        str(tmp_path / "snap"),
+        PartitionSchema(()),  # snapshot
+        format="orc",
+    )
+    tracker.init_table(table.name, is_snapshot=True, user_id="a")
+    versioned_insert_into(
+        spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]),
+        table, tracker, "a", "v1",
+    )
+    versioned_insert_into(
+        spark.createDataFrame([("c", 3)], ["k", "v"]), table, tracker, "a", "v2"
+    )
+    spark.dataSource.register(ChroniclesDataSource)
+    df = (
+        spark.read.format("chronicles")
+        .option("root", root)
+        .option("table", "demo.snap")
+        .option("location", table.location)
+        .option("format", "orc")
+        .load()
+    )
+    # snapshot semantics: latest whole-table version only
+    assert {(r["k"], r["v"]) for r in df.collect()} == {("c", 3)}
