@@ -606,6 +606,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline: dedup -------------------------------------
 
+    def q_redact_pii(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return TX.with_redactions(docs).select(
+            "doc_id", "text_redacted", "was_redacted"
+        )
+
+    def q_top_ngrams(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(TX.top_ngrams(docs, n=2, k=50))
+
     def q_curate_corpus(spark, sf):
         # the end-to-end composition: quality filter + near-dup cluster
         # survivor selection, every stage reusing an audited operator
@@ -1034,6 +1044,32 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
+""",
+        "q_redact_pii": """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\\s]+', '<URL>', 'g'),
+         '[+]?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\\s]+', '<URL>', 'g'),
+         '[+]?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') <> text AS was_redacted
+FROM documents
+""",
+        "q_top_ngrams": """
+WITH grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS ngram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+        FROM documents) x,
+       UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+counts AS (SELECT ngram, count(*) AS doc_freq FROM grams GROUP BY ngram)
+SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
+       ngram, doc_freq
+FROM counts
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 50
 """,
         "q_curate_corpus": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
         + f""",

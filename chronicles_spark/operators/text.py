@@ -114,3 +114,58 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_content"
         ),
     )
+
+
+# regexes shared with any SQL oracle: plain character-class patterns that
+# mean the same thing in Java regex (Spark) and RE2-style engines (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"[+]?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def with_redactions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub pass: emails, URLs and phone-shaped numbers replaced with
+    typed placeholder tokens — the standard pre-training hygiene step.
+    Pure JVM regexp_replace chain (one projection, no shuffle); patterns
+    deliberately stay in the engine-portable regex subset so a SQL oracle
+    applies the identical rewrite."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return df.select(
+        "*",
+        c.alias("text_redacted"),
+        (c != F.col(text_col)).alias("was_redacted"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k n-grams by document frequency: tokenize (one
+    map-side pass), build n-grams, distinct per document, explode, ONE
+    count shuffle, windowed top-k with deterministic tie-break.  The
+    corpus-stats primitive behind stop-shingle lists and contamination
+    checks."""
+    from pyspark.sql import Window as W
+
+    toks = tokens_of(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    counts = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, no single-partition global window bottleneck); the
+    # rank window then runs over only k rows
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
+    w = W.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "ngram", "doc_freq"
+    )

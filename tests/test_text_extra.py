@@ -1,0 +1,40 @@
+"""Redaction and corpus n-gram operators."""
+
+from chronicles_spark.operators import text as TX
+
+
+def test_redactions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com or visit https://x.io/page now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text_redacted"], r["was_redacted"])
+           for r in TX.with_redactions(df).collect()}
+    assert got[1] == ("mail <EMAIL> or visit <URL> now", True)
+    assert got[2] == ("call <PHONE> today", True)
+    assert got[3] == ("nothing sensitive here", False)
+
+
+def test_top_ngrams_counts_doc_freq_not_term_freq(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big data big data big data"),  # repeated in ONE doc
+            (2, "big data only once"),
+            (3, "something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = TX.top_ngrams(df, n=2, k=3).collect()
+    top = {r["ngram"]: r["doc_freq"] for r in rows}
+    assert top["big data"] == 2  # document frequency, not term frequency
+    assert rows[0]["rnk"] == 1 and rows[0]["ngram"] == "big data"
+
+
+def test_top_ngrams_plan_has_no_global_window_over_counts(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = TX.top_ngrams(df, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
