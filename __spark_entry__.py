@@ -616,6 +616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.top_ngrams(docs, n=2, k=50))
 
+    def q_contamination(spark, sf):
+        # benchmark decontamination: docs sharing >= 2 distinct 3-grams with
+        # the "eval set" (deterministically: doc_id < 5)
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        benchmark = docs.where("doc_id < 5")
+        return TX.flag_contaminated(
+            docs.where("doc_id >= 5"), benchmark, n=3, min_hits=2
+        )
+
     def q_curate_corpus(spark, sf):
         # the end-to-end composition: quality filter + near-dup cluster
         # survivor selection, every stage reusing an audited operator
@@ -1070,6 +1079,22 @@ SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
 FROM counts
 ORDER BY doc_freq DESC, ngram ASC
 LIMIT 50
+""",
+        "q_contamination": """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 5)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN bench b ON g.ngram = b.ngram
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
+HAVING count(*) >= 2
 """,
         "q_curate_corpus": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
         + f""",

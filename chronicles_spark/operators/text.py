@@ -169,3 +169,47 @@ def top_ngrams(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "rnk", "ngram", "doc_freq"
     )
+
+
+def ngrams_of(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column (shared by corpus stats and
+    contamination checks)."""
+    toks = tokens_of(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_hits`` distinct word n-grams with any benchmark/eval text —
+    the standard guard against test-set leakage into training data.
+
+    Plan: both sides explode to (source, ngram) with per-doc distinct
+    n-grams; the benchmark n-gram set (small) is broadcast into the join,
+    so the corpus side is one map-side pass + one aggregation keyed by
+    doc — no shuffle of the corpus text itself.  Returns
+    (id_col, n_hits) for flagged docs."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngrams_of(F.col(text_col), n)).alias("ngram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_of(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )

@@ -38,3 +38,21 @@ def test_top_ngrams_plan_has_no_global_window_over_counts(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = TX.top_ngrams(df, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_flag_contaminated(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # 2+ shared 3-grams
+            (11, "the quick brown cat sat"),                      # 1 shared 3-gram
+            (12, "completely unrelated text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "a quick brown fox jumps over a fence")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in TX.flag_contaminated(docs, bench, n=3, min_hits=2).collect()}
+    assert 10 in got and got[10] >= 2
+    assert 11 not in got and 12 not in got
