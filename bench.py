@@ -190,6 +190,9 @@ def main():
         "q_asof_join",
         "q_range_join",
         "q_curate_corpus",
+        "q_redact_pii",
+        "q_top_ngrams",
+        "q_contamination",
     ]
     import gc
 
