@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    In,
     InputPartition,
 )
 from pyspark.sql.types import StringType, StructField, StructType
@@ -127,18 +128,21 @@ class ChroniclesPushdownReader(ChroniclesReader):
     ``spark.sql.python.filterPushdown.enabled`` is false."""
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        """Partition pruning: accept equality filters on partition columns
-        (drop whole directories at planning time); everything else is
-        returned for Spark to evaluate."""
+        """Partition pruning: accept equality and IN filters on partition
+        columns (drop whole directories at planning time); everything else
+        is returned for Spark to evaluate."""
         for f in filters:
-            if (
-                isinstance(f, EqualTo)
-                and len(f.attribute) == 1
-                and f.attribute[0] in self._part_cols
-            ):
+            on_part_col = len(f.attribute) == 1 and f.attribute[0] in self._part_cols
+            if isinstance(f, EqualTo) and on_part_col:
                 col, want = f.attribute[0], str(f.value)
                 self._dirs = [
                     (p, pv) for p, pv in self._dirs if dict(pv).get(col) == want
+                ]
+            elif isinstance(f, In) and on_part_col:
+                col = f.attribute[0]
+                wanted = {str(v) for v in f.value}
+                self._dirs = [
+                    (p, pv) for p, pv in self._dirs if dict(pv).get(col) in wanted
                 ]
             else:
                 yield f

@@ -111,3 +111,15 @@ def test_snapshot_table_and_orc(spark, tmp_path):
     )
     # snapshot semantics: latest whole-table version only
     assert {(r["k"], r["v"]) for r in df.collect()} == {("c", 3)}
+
+
+def test_in_filter_prunes_dirs(spark, versioned_table):
+    table, root, _ = versioned_table
+    df = (
+        _reader(spark, table, root)
+        .option("pushdown", "true")
+        .load()
+        .where(F.col("date").isin("2019-01-02", "2019-09-09"))
+    )
+    assert [r["user"] for r in df.collect()] == ["u2"]
+    assert df.rdd.getNumPartitions() == 1  # only the matching dir planned
