@@ -253,10 +253,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: ONE shingle materialization feeds
     both candidate generation and Jaccard verification.  The candidate
-    pair set is also materialized — verify references it three times
-    (endpoint semi-join + both sides of the intersection join), and the
-    pair set is tiny relative to the corpus, so re-running the LSH join
-    per reference would dominate the pipeline."""
+    pair set goes behind a LINEAGE barrier (localCheckpoint /
+    write-and-reread), not a plain persist: verify references it three
+    times (endpoint semi-join + both sides of the intersection join), and
+    with full lineage each reference re-embeds the LSH self-join subtree,
+    blowing up Catalyst analysis (measured 135s → 12s at sf0.1 from the
+    cut alone).  The pair set itself is tiny relative to the corpus."""
     base = shingle_base(df, id_col, text_col, scratch_dir=scratch_dir)
     cands = lineage_barrier(
         minhash_lsh_candidates(base, id_col, bands, rows), scratch_dir, name="cands"
