@@ -84,3 +84,65 @@ def test_full_lifecycle_through_spark_table(spark, tmp_path, hive_table):
     df3 = spark.createDataFrame([("u5", 5, "2019-01-03")], ["user", "n", "date"])
     versioned_insert_into(df3, table, tracker, "a", "add d3", metastore=ms)
     assert ("u5", 5, "2019-01-03") in _read_catalog(spark, table)
+
+
+def test_snapshot_lifecycle_through_spark_table(spark, tmp_path):
+    # SnapshotTableSpec.scala:33-104: whole-table versions, latest wins,
+    # rollback flips the table LOCATION pointer
+    name = TableName("test", f"users_{uuid.uuid4().hex[:8]}")
+    table = TableDefinition(name, str(tmp_path / "users"), PartitionSchema(()))
+    spark.sql("CREATE DATABASE IF NOT EXISTS test")
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {name} (id bigint, email string) "
+        f"STORED AS parquet LOCATION '{table.location}'"
+    )
+    try:
+        tracker = InMemoryVersionTracker()
+        tracker.init_table(table.name, is_snapshot=True, user_id="a")
+        ms = SparkHiveMetastore(spark)
+
+        v1 = spark.createDataFrame([(1, "a@x"), (2, "b@x")], ["id", "email"])
+        versioned_insert_into(v1, table, tracker, "a", "v1", metastore=ms)
+        first = tracker.table_state(table.name).current_version
+        assert spark.table(str(name)).count() == 2
+
+        v2 = spark.createDataFrame([(3, "c@x")], ["id", "email"])
+        versioned_insert_into(v2, table, tracker, "a", "v2", metastore=ms)
+        assert {r["id"] for r in spark.table(str(name)).collect()} == {3}
+
+        VersionedMetastore(tracker, ms).checkout(table, first)
+        assert {r["id"] for r in spark.table(str(name)).collect()} == {1, 2}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_multi_partition_orc_through_spark_table(spark, tmp_path):
+    # MultiPartitionTableSpec.scala:22-122: two partition columns, ORC
+    name = TableName("test", f"sales_{uuid.uuid4().hex[:8]}")
+    table = TableDefinition(
+        name, str(tmp_path / "sales"), PartitionSchema(("region", "date")),
+        format="orc",
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS test")
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {name} (amount bigint) "
+        "PARTITIONED BY (`region` string, `date` string) STORED AS orc "
+        f"LOCATION '{table.location}'"
+    )
+    try:
+        tracker = InMemoryVersionTracker()
+        tracker.init_table(table.name, is_snapshot=False, user_id="a")
+        ms = SparkHiveMetastore(spark)
+        df = spark.createDataFrame(
+            [(10, "eu", "2019-01-01"), (20, "us", "2019-01-01"), (30, "eu", "2019-01-02")],
+            ["amount", "region", "date"],
+        )
+        versioned_insert_into(df, table, tracker, "a", "v1", metastore=ms)
+        got = spark.table(str(name))
+        assert got.count() == 3
+        # overwrite ONE (region, date) cell
+        redo = spark.createDataFrame([(99, "eu", "2019-01-01")], ["amount", "region", "date"])
+        versioned_insert_into(redo, table, tracker, "a", "redo eu/d1", metastore=ms)
+        assert {r["amount"] for r in spark.table(str(name)).collect()} == {99, 20, 30}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
