@@ -42,9 +42,10 @@ def curate_corpus(
         threshold=jaccard_threshold,
     )
     clusters = DD.dedup_clusters(pairs, id_col=id_col)
-    joined = scored.join(
-        F.broadcast(clusters.select(id_col, "keep")), id_col, "left"
-    )
+    # no broadcast hint: the cluster frame is duplicate-count-sized, which a
+    # high-dup-rate 100 TB corpus can push past broadcast limits — AQE
+    # broadcasts it at runtime when it IS small
+    joined = scored.join(clusters.select(id_col, "keep"), id_col, "left")
     return joined.where(
         (F.col("quality_score") >= quality_threshold)
         & F.coalesce(F.col("keep"), F.lit(True))
