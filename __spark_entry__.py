@@ -616,6 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.top_ngrams(docs, n=2, k=50))
 
+    def q_pack_sequences(spark, sf):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _longify(TX.pack_sequences(docs, token_budget=2048, n_shards=64))
+
     def q_contamination(spark, sf):
         # benchmark decontamination: docs sharing >= 2 distinct 3-grams with
         # the "eval set" (deterministically: doc_id < 5)
@@ -1079,6 +1083,24 @@ SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
 FROM counts
 ORDER BY doc_freq DESC, ngram ASC
 LIMIT 50
+""",
+        "q_pack_sequences": """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens,
+         doc_id % 64 AS shard
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       (cum - n_tokens) // 2048 AS pack_id,
+       (cum - n_tokens) % 2048 AS pack_offset
+FROM cums
 """,
         "q_contamination": """
 WITH tok AS (

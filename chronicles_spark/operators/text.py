@@ -213,3 +213,46 @@ def flag_contaminated(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training: assign whole documents to
+    fixed-token-budget packs — ``(doc_id, n_tokens, shard, pack_id,
+    pack_offset)``.
+
+    Offset packing, sharded: documents are split across ``n_shards`` by
+    ``doc_id % n_shards`` (deterministic, no hash-function skew between
+    engines), and within a shard each document's pack is
+    ``floor(start_offset / token_budget)`` over the id-ordered running
+    token sum.  One window per shard — the shard count bounds window
+    partition size, so there is no global single-partition sort at 100 TB.
+    A document may straddle a pack boundary by less than its own length
+    (offset packing's documented slack vs. strictly-sequential greedy
+    fill, which is an inherently serial recurrence)."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(tokens_of(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        (F.col(id_col) % n_shards).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / token_budget).alias("pack_id"),
+        ((cum - F.col("n_tokens")) % token_budget).alias("pack_offset"),
+    )

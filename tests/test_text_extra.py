@@ -56,3 +56,25 @@ def test_flag_contaminated(spark):
            for r in TX.flag_contaminated(docs, bench, n=3, min_hits=2).collect()}
     assert 10 in got and got[10] >= 2
     assert 11 not in got and 12 not in got
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "word " * (i % 7 + 1)) for i in range(40)], ["doc_id", "text"]
+    )
+    rows = TX.pack_sequences(df, token_budget=10, n_shards=4).collect()
+    assert len(rows) == 40
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 4
+        assert 0 <= r["pack_offset"] < 10
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        # pack ids are non-decreasing in id order and offsets are the
+        # running token sum modulo the budget
+        cum = 0
+        for r in docs:
+            assert r["pack_id"] == cum // 10
+            assert r["pack_offset"] == cum % 10
+            cum += r["n_tokens"]
