@@ -616,6 +616,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.top_ngrams(docs, n=2, k=50))
 
+    def q_stratified_sample(spark, sf):
+        # deterministic language-mix reweighting: keep all de/zh, half en,
+        # a quarter es, drop fr — md5-hash uniforms, stable across engines
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+        return TX.stratified_sample(
+            docs, {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 1.0}, "lang"
+        )
+
     def q_pack_sequences(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.pack_sequences(docs, token_budget=2048, n_shards=64))
@@ -1083,6 +1091,17 @@ SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
 FROM counts
 ORDER BY doc_freq DESC, ngram ASC
 LIMIT 50
+""",
+        "q_stratified_sample": """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT / 268435456.0 AS u,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                   WHEN 'es' THEN 0.25 WHEN 'zh' THEN 1.0 END AS frac
+  FROM documents
+) x
+WHERE frac IS NOT NULL AND u < frac
 """,
         "q_pack_sequences": """
 WITH base AS (

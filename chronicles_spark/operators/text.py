@@ -256,3 +256,36 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / token_budget).alias("pack_id"),
         ((cum - F.col("n_tokens")) % token_budget).alias("pack_offset"),
     )
+
+
+def with_uniform_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A deterministic uniform-[0,1) draw per row: the first 7 hex digits
+    of md5(id) scaled down.  Reproducible across engines and runs — the
+    right primitive for sampling decisions that must be auditable (a
+    seeded ``rand()`` is neither cross-engine nor cross-partitioning
+    stable)."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+    return df.withColumn("u", (u.cast("double") / F.lit(float(16**7))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strat_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step that
+    reweights domains/languages/sources in a training corpus.  Each
+    stratum keeps its configured fraction of rows, chosen by the
+    per-row uniform hash (so the sample is stable under re-runs,
+    repartitioning and incremental corpus growth).  Strata absent from
+    ``fractions`` are dropped.  Pure map-side filter: no shuffle, no rand()."""
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    return (
+        with_uniform_hash(df, id_col)
+        .withColumn("_frac", frac[F.col(strat_col)])
+        .where(F.col("_frac").isNotNull() & (F.col("u") < F.col("_frac")))
+        .drop("u", "_frac")
+    )

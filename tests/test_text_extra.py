@@ -78,3 +78,25 @@ def test_pack_sequences_invariants(spark):
             assert r["pack_id"] == cum // 10
             assert r["pack_offset"] == cum % 10
             cum += r["n_tokens"]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], ["doc_id", "lang"]
+    )
+    s1 = TX.stratified_sample(df, {"en": 0.3, "de": 1.0}, "lang")
+    s2 = TX.stratified_sample(df.repartition(16), {"en": 0.3, "de": 1.0}, "lang")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2  # stable under repartitioning
+    by_lang = {}
+    for r in s1.collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang["de"] == 1000  # fraction 1.0 keeps everything
+    assert 200 < by_lang["en"] < 400  # ~0.3 of 1000
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "xx")], ["doc_id", "lang"])
+    got = TX.stratified_sample(df, {"en": 1.0}, "lang").collect()
+    assert [r["doc_id"] for r in got] == [1]
