@@ -839,6 +839,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SIM.ivf_topk(emb, qids, k=10, n_probe=2).withColumnRenamed("rank", "rnk")
         )
 
+    def q_emb_normalize(spark, sf):
+        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+        return SIM.normalize_l2(emb).select("vec_id", "embedding_unit")
+
+    def q_emb_quantize(spark, sf):
+        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+        return _longify(
+            SIM.quantize_int8(emb).select("vec_id", "q_codes", "q_scale")
+        )
+
     def q_ann_ivf_kmeans(spark, sf):
         # rows-only (iterative algorithm — no SQL oracle; pytest verifies
         # against an independent numpy reference): IVF over LEARNED
@@ -1369,4 +1379,20 @@ r AS (
 SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
         "q_ann_sign_lsh": _sign_lsh_bucket_sql(16, _EMB_DIM),
+        "q_emb_normalize": _EMB_V_CTE
+        + """
+SELECT vec_id,
+       list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
+         AS embedding_unit
+FROM v
+""",
+        "q_emb_quantize": _EMB_V_CTE
+        + """
+SELECT vec_id,
+       list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q_codes,
+       round(127.0 / amax, 6) AS q_scale
+FROM (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM v) s
+""",
     }

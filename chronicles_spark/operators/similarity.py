@@ -297,3 +297,34 @@ def sign_lsh_buckets(
         plane = F.array(*[F.lit(x) for x in row])
         bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket_key"))
+
+
+def normalize_l2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize the embedding column (unit vectors, 6-decimal rounding
+    for engine-reproducible values); cosine then reduces to a dot product.
+    Map-side only."""
+    v = as_double(F.col(vec_col))
+    n = norm(v)
+    return df.withColumn(
+        "embedding_unit", F.transform(v, lambda x: F.round(x / n, 6))
+    )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization for embedding storage: per-vector scale
+    127/max|x|, values floor(x*scale + 0.5) — explicit floor arithmetic
+    (not round()) so every engine reproduces identical codes.  Cuts
+    embedding storage 4x; dequantize with q/scale.  Map-side only."""
+    v = as_double(F.col(vec_col))
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.lit(127.0) / amax
+    return df.select(
+        "*",
+        F.transform(
+            v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        ).alias("q_codes"),
+        F.round(scale, 6).alias("q_scale"),
+    )

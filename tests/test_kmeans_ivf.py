@@ -88,3 +88,27 @@ def test_ivf_kmeans_topk_shape_and_recall(spark, emb):
     for qid, lst in per_q.items():
         top1 = min(lst)[1]
         assert top1 in brute_sets[qid]
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, emb):
+    df, ids, vecs = emb
+    import numpy as np
+
+    rows = SIM.quantize_int8(df).select("vec_id", "q_codes", "q_scale").collect()
+    by_id = {r["vec_id"]: (np.array(r["q_codes"]), r["q_scale"]) for r in rows}
+    for i, vid in enumerate(ids[:50]):
+        q, scale = by_id[vid]
+        assert np.abs(q).max() <= 127
+        deq = q / scale
+        # symmetric quantization error is bounded by half a code step
+        assert np.abs(deq - vecs[i]).max() <= (0.5 / scale) + 1e-9
+
+
+def test_normalize_l2_unit_norm(spark, emb):
+    df, _, _ = emb
+    import numpy as np
+
+    rows = SIM.normalize_l2(df).select("embedding_unit").limit(20).collect()
+    for r in rows:
+        n = np.linalg.norm(np.array(r["embedding_unit"]))
+        assert abs(n - 1.0) < 1e-4  # 6-decimal rounding slack
