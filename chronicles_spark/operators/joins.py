@@ -91,6 +91,9 @@ def as_of_join(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    reserved = {"_ts", "_is_left"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"reserved column names in input: {sorted(reserved)}")
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_is_left", F.lit(1)
@@ -150,6 +153,9 @@ def range_join(
     typical interval length so intervals explode into ~1-2 buckets."""
     bucket_of = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)
     p = points.withColumn("_b", bucket_of(F.col(point_col)))
+    # an inverted interval (end <= start) can never match, and would make
+    # F.sequence emit a huge DESCENDING bucket list — drop it up front
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "_b",
         F.explode(

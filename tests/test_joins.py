@@ -147,3 +147,28 @@ def test_range_join_no_duplicate_matches(spark):
     )
     rows = range_join(points, intervals, "key", "ts", "start_ts", "end_ts").collect()
     assert len(rows) == 1  # interval covers 4 buckets; point matches once
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(1, "k", dt(2020, 1, 2))], ["pid", "key", "ts"])
+    bad = spark.createDataFrame(
+        [("k", dt(2020, 6, 1), dt(2020, 1, 1))], ["key", "start_ts", "end_ts"]
+    )
+    assert range_join(points, bad, "key", "ts", "start_ts", "end_ts").count() == 0
+
+
+def test_as_of_join_rejects_reserved_names(spark):
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, "u", dt(2020, 1, 1), 0)], ["id", "k", "ts", "_is_left"])
+    right = spark.createDataFrame([("u", dt(2020, 1, 1), 7.0)], ["k", "ts", "v"])
+    with _pytest.raises(ValueError, match="reserved"):
+        as_of_join(left, right, "k")
