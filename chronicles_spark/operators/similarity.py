@@ -178,9 +178,16 @@ def kmeans_fit(
         by_cluster: dict[int, dict[int, float]] = {}
         for r in cell:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        # a cluster that lost every member keeps its previous centroid
+        # (standard Lloyd behavior; dropping it would renumber buckets)
         centroids = [
-            (cid, [dims[p] for p in sorted(dims)])
-            for cid, dims in sorted(by_cluster.items())
+            (
+                cid,
+                [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
+                if cid in by_cluster
+                else prev,
+            )
+            for cid, prev in centroids
         ]
     return centroids
 

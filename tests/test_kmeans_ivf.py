@@ -112,3 +112,21 @@ def test_normalize_l2_unit_norm(spark, emb):
     for r in rows:
         n = np.linalg.norm(np.array(r["embedding_unit"]))
         assert abs(n - 1.0) < 1e-4  # 6-decimal rounding slack
+
+
+def test_kmeans_keeps_empty_cluster_centroids(spark):
+    # two far groups, k=3: the seed centroids all start inside group A, so
+    # at least one cluster loses all members once the far group pulls one
+    # centroid away — its centroid must survive, not be dropped/renumbered
+    import numpy as np
+
+    data = [(i, [0.0, 0.0]) for i in range(5)] + [(10 + i, [100.0, 100.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in data], ["vec_id", "embedding"]
+    )
+    got = SIM.kmeans_fit(df, k=3, iters=4)
+    assert [cid for cid, _ in got] == [0, 1, 2]  # ids stable, none dropped
+    ids = np.array([i for i, _ in data])
+    vecs = np.array([v for _, v in data], dtype=np.float64)
+    expected, _ = _numpy_kmeans(ids, vecs, 3, 4)
+    np.testing.assert_allclose(np.array([c for _, c in got]), expected, atol=1e-9)
