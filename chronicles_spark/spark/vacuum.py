@@ -93,6 +93,11 @@ def vacuum(
         for v in versions:
             if (key, v.label) in keep:
                 continue
+            if v.is_unversioned:
+                # the adopt-in-place sentinel maps to the BARE partition/table
+                # path (VersionPaths.scala:19-20) — deleting it would take the
+                # whole table (nested _version dirs included) with it
+                continue
             vdir = vpaths.path_for(base, v)
             if fs.exists(vdir):
                 doomed.append(vdir)

@@ -155,3 +155,43 @@ def test_vacuum_on_memory_fs_location(tmp_path):
     assert fs.exists(live_dir)
     for v in versions[:-1]:
         assert not fs.exists(vpaths.path_for(part.resolve_path(root), v))
+
+
+def test_vacuum_never_deletes_unversioned_adopted_data(spark, tmp_path):
+    """Adopt-in-place (UNVERSIONED sentinel) maps to the bare table path;
+    vacuum must never remove it even when superseded."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import UNVERSIONED, generate_version
+
+    table = _mk_table(tmp_path)
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    part = Partition((("date", "2019-01-01"),))
+
+    # adopt pre-existing unversioned data, then supersede it twice
+    os.makedirs(os.path.join(table.location, "date=2019-01-01"), exist_ok=True)
+    tracker.commit(
+        table.name,
+        TableUpdate(TableUpdateMetadata.new("a", "adopt"),
+                    (AddPartitionVersion(part, UNVERSIONED),)),
+    )
+    for i in range(2):
+        v = generate_version()
+        os.makedirs(
+            os.path.join(table.location, "date=2019-01-01", f"_version={v.label}")
+        )
+        tracker.commit(
+            table.name,
+            TableUpdate(TableUpdateMetadata.new("a", f"w{i}"),
+                        (AddPartitionVersion(part, v),)),
+        )
+
+    removed = vacuum(table, tracker, keep_last=1)
+    # the superseded REAL version is gone; the bare partition dir survives
+    assert len(removed) == 1 and "_version=" in removed[0]
+    assert os.path.isdir(os.path.join(table.location, "date=2019-01-01"))
