@@ -43,7 +43,12 @@ def salted_join(
     entropy (an id); the salt is ``pmod(hash(salt_src), n_salts)``, so the
     result is reproducible.  The small side is replicated ``n_salts``
     times (explode of a literal range — cheap for dimension-sized
-    inputs).  Result columns = plain join's."""
+    inputs).  Result columns = plain join's.
+
+    Only inner/left joins are meaningful: in a right or full join, every
+    UNMATCHED small-side row would surface once per replica."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salted_big = big.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

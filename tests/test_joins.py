@@ -172,3 +172,14 @@ def test_as_of_join_rejects_reserved_names(spark):
     right = spark.createDataFrame([("u", dt(2020, 1, 1), 7.0)], ["k", "ts", "v"])
     with _pytest.raises(ValueError, match="reserved"):
         as_of_join(left, right, "k")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    from chronicles_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "k")], ["id", "key"])
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(df, df, "key", F.col("id"), how=how)
