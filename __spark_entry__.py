@@ -1127,8 +1127,8 @@ cums AS (
   FROM base
 )
 SELECT doc_id, n_tokens, shard,
-       (cum - n_tokens) // 2048 AS pack_id,
-       (cum - n_tokens) % 2048 AS pack_offset
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
 FROM cums
 """,
         "q_contamination": """
