@@ -1,4 +1,4 @@
-from .ingest import versioned_stream_sink
+from .ingest import commit_stream_batch, versioned_stream_sink
 from .aggregates import (
     running_user_totals_stream,
     sessionize,
@@ -8,6 +8,7 @@ from .aggregates import (
 
 __all__ = [
     "versioned_stream_sink",
+    "commit_stream_batch",
     "windowed_counts",
     "sessionize",
     "stream_dedup_exact",

@@ -8,29 +8,129 @@ hands each micro-batch to the exact same ``versioned_insert_into`` path the
 batch API uses (spark/.../VersionContext.scala:51-104 parity), so every
 micro-batch becomes one commit in the version tracker's log.
 
-Delivery semantics: the streaming checkpoint gives at-least-once batch
-delivery; a replayed epoch re-runs ``versioned_insert_into``, which writes
-a FRESH ``_version=`` directory for the affected partitions and commits it.
-The current view therefore never shows duplicated rows from a replay — the
-replayed version simply supersedes the original, the same
-overwrite-by-partition idempotence the batch writer has.  Epoch ids are
-recorded in the commit message for audit.
+IMPORTANT — partition semantics. ``versioned_insert_into`` OVERWRITES each
+partition it touches (a new ``_version=`` supersedes the old one). For a
+steady-state stream, one date partition's rows normally arrive across MANY
+micro-batches, so naive per-batch supersession silently drops previously
+ingested rows from the current view. The ``mode`` parameter makes the
+choice explicit:
 
-At scale: each micro-batch shuffles only its own partitions; the commit is
-O(metadata).  Backpressure / trigger sizing is the caller's choice
-(``trigger(availableNow=True)`` for catch-up ingest, processing-time
-triggers for steady state).
+* ``mode="append"`` (default, safe): before committing, each batch is
+  unioned with the CURRENT LIVE rows of exactly the partitions it touches,
+  so the fresh version is cumulative — true append semantics at the cost of
+  rewriting the touched partitions' live data each batch (O(touched
+  partitions), never the whole table). Replayed epochs are detected via the
+  commit log (the epoch id is part of the commit message) and skipped, so a
+  checkpoint replay cannot double rows: batch-level exactly-once.
+* ``mode="overwrite_partitions"``: reference-parity supersession. Each
+  micro-batch's version replaces the live version of every partition it
+  touches. ONLY correct when every micro-batch carries WHOLE partitions
+  (e.g. a catch-up ingest where source files are partition-aligned).
+  Replay is naturally idempotent (the replayed version supersedes).
+* ``mode="strict"``: like ``overwrite_partitions`` but fails fast with
+  ``ValueError`` if a batch touches a partition that already has a live
+  version — turns the silent-data-loss scenario into an error.
+
+At scale: each micro-batch shuffles only its own partitions (plus, in
+append mode, a scan of the touched partitions' live directories).  The
+commit is O(metadata).  Backpressure / trigger sizing is the caller's
+choice (``trigger(availableNow=True)`` for catch-up ingest,
+processing-time triggers for steady state).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-from ..core.model import TableDefinition
-from ..spark.writer import versioned_insert_into
+from ..core.model import PartitionedTableVersion, SnapshotTableVersion, TableDefinition
+from ..spark.reader import read_version
+from ..spark.writer import partition_values, versioned_insert_into
 from ..trackers.base import VersionTracker
+
+_MODES = ("append", "overwrite_partitions", "strict")
+
+
+def _epoch_committed(tracker: VersionTracker, table_name, message: str) -> bool:
+    """True if a commit with this exact message is already in the log —
+    the replay guard that makes append mode batch-level exactly-once."""
+    state = tracker.table_state(table_name)
+    return any(u.metadata.message == message for u in state.updates)
+
+
+def _align(live: DataFrame, batch_df: DataFrame) -> DataFrame:
+    """Partition-column types are recovered from directory names on read;
+    align the live frame to the batch schema before a union."""
+    return live.select(
+        [F.col(c).cast(batch_df.schema[c].dataType).alias(c) for c in batch_df.columns]
+    )
+
+
+def commit_stream_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str,
+    metastore=None,
+    message_prefix: str = "stream",
+    mode: str = "append",
+) -> None:
+    """Land ONE micro-batch as a versioned commit (the ``foreachBatch``
+    body of :func:`versioned_stream_sink`, exposed for direct use/testing).
+
+    See the module docstring for ``mode`` semantics."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if batch_df.isEmpty():
+        return
+    message = f"{message_prefix} epoch {epoch_id}"
+    if mode == "append" and _epoch_committed(tracker, table.name, message):
+        return  # checkpoint replay of an already-committed epoch
+
+    part_cols = table.partition_schema.columns
+    out = batch_df
+    if mode in ("append", "strict"):
+        current = tracker.current_version(table.name)
+        if isinstance(current, PartitionedTableVersion) and part_cols:
+            batch_df = batch_df.persist()
+            try:
+                touched = partition_values(batch_df, part_cols)
+                overlap = {
+                    p: v
+                    for p, v in current.partition_versions.items()
+                    if p in set(touched)
+                }
+                if overlap and mode == "strict":
+                    raise ValueError(
+                        f"micro-batch epoch {epoch_id} touches live "
+                        f"partition(s) {sorted(p.path for p in overlap)}; "
+                        "strict mode forbids cross-batch partition "
+                        "supersession — use mode='append'"
+                    )
+                out = batch_df
+                if overlap:
+                    live = read_version(
+                        batch_df.sparkSession, table, PartitionedTableVersion(overlap)
+                    )
+                    out = batch_df.unionByName(_align(live, batch_df))
+                versioned_insert_into(
+                    out, table, tracker, user_id, message, metastore=metastore
+                )
+            finally:
+                batch_df.unpersist()
+            return
+        if (
+            isinstance(current, SnapshotTableVersion)
+            and mode == "append"
+            and not current.version.is_unversioned
+        ):
+            # snapshot append = cumulative whole-table version
+            live = read_version(batch_df.sparkSession, table, current)
+            out = batch_df.unionByName(_align(live, batch_df))
+
+    versioned_insert_into(out, table, tracker, user_id, message, metastore=metastore)
 
 
 def versioned_stream_sink(
@@ -41,6 +141,7 @@ def versioned_stream_sink(
     checkpoint_dir: str,
     metastore=None,
     message_prefix: str = "stream",
+    mode: str = "append",
 ):
     """Configure a ``DataStreamWriter`` that lands every micro-batch as a
     versioned commit.  Caller starts it (and picks the trigger)::
@@ -48,18 +149,26 @@ def versioned_stream_sink(
         q = versioned_stream_sink(df, table, tracker, "etl",
                                   "/ckpt/events").trigger(availableNow=True).start()
         q.awaitTermination()
+
+    See the module docstring for the crucial ``mode`` semantics
+    (default ``"append"`` accumulates rows per partition across batches;
+    ``"overwrite_partitions"`` is per-batch supersession and requires
+    whole-partitions-per-batch arrival; ``"strict"`` errors on overlap).
     """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            versioned_insert_into(
-                batch_df,
-                table,
-                tracker,
-                user_id,
-                f"{message_prefix} epoch {epoch_id}",
-                metastore=metastore,
-            )
+        commit_stream_batch(
+            batch_df,
+            epoch_id,
+            table,
+            tracker,
+            user_id,
+            metastore=metastore,
+            message_prefix=message_prefix,
+            mode=mode,
+        )
 
     return stream_df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

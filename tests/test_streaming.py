@@ -41,26 +41,31 @@ def _stream_from(spark, path, schema):
     )
 
 
-def test_versioned_stream_sink_commits_batches(spark, tmp_path, events_batch):
+def _make_table(tmp_path, name="events"):
+    return TableDefinition(
+        TableName("stream", name),
+        str(tmp_path / f"versioned_{name}"),
+        PartitionSchema(("event_date",)),
+    )
+
+
+def test_versioned_stream_sink_overwrite_whole_partitions(spark, tmp_path, events_batch):
     batch_df, _ = events_batch
-    # versioned_insert_into has overwrite-by-partition semantics, so each
-    # micro-batch must carry WHOLE partitions (date-aligned arrival);
+    # overwrite_partitions mode supersedes each touched partition per batch,
+    # so each micro-batch must carry WHOLE partitions (date-aligned arrival);
     # repartition by the partition column makes source files date-disjoint
     src_path = str(tmp_path / "events_by_date")
     batch_df.repartition(4, "event_date").write.parquet(src_path)
     stream = _stream_from(spark, src_path, batch_df.schema)
 
     tracker = InMemoryVersionTracker()
-    table = TableDefinition(
-        TableName("stream", "events"),
-        str(tmp_path / "versioned"),
-        PartitionSchema(("event_date",)),
-    )
+    table = _make_table(tmp_path)
     tracker.init_table(table.name, is_snapshot=False, user_id="etl")
 
     q = (
         versioned_stream_sink(
-            stream, table, tracker, "etl", str(tmp_path / "ckpt")
+            stream, table, tracker, "etl", str(tmp_path / "ckpt"),
+            mode="overwrite_partitions",
         )
         .trigger(availableNow=True)
         .start()
@@ -77,6 +82,85 @@ def test_versioned_stream_sink_commits_batches(spark, tmp_path, events_batch):
     # and the on-disk layout is versioned
     roots = os.listdir(table.location)
     assert any(d.startswith("event_date=") for d in roots)
+
+
+def test_versioned_stream_sink_append_cross_batch_partitions(
+    spark, tmp_path, events_batch
+):
+    """Default append mode: one date's rows arrive across MANY micro-batches
+    (randomly partitioned source files) and the current view still holds
+    every row — the silent-loss scenario of naive per-batch supersession."""
+    batch_df, src_path = events_batch  # repartition(4) — dates span files
+
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "append")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    stream = _stream_from(spark, src_path, batch_df.schema)
+    q = (
+        versioned_stream_sink(stream, table, tracker, "etl", str(tmp_path / "ckpt_a"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = tracker.table_state(table.name)
+    commits = [u for u in state.updates if u.metadata.message.startswith("stream epoch")]
+    assert len(commits) >= 2  # dates genuinely crossed batch boundaries
+
+    cur = read_current(spark, table, tracker)
+    assert cur.count() == batch_df.count()
+    # value-level check, not just count: per-date sums match the batch input
+    # (partition-column type is recovered as DATE from directory names; cast
+    # back to the source's string type for the comparison)
+    got = {
+        r["event_date"]: round(r["s"], 6)
+        for r in cur.withColumn("event_date", F.col("event_date").cast("string"))
+        .groupBy("event_date")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    want = {
+        r["event_date"]: round(r["s"], 6)
+        for r in batch_df.groupBy("event_date").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_commit_stream_batch_replay_is_noop(spark, tmp_path, events_batch):
+    """Replaying an epoch (checkpoint recovery) must not double rows."""
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "replay")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    half = batch_df.limit(40)
+    commit_stream_batch(half, 0, table, tracker, "etl")
+    n_commits = len(list(tracker.table_state(table.name).updates))
+    n_rows = read_current(spark, table, tracker).count()
+
+    commit_stream_batch(half, 0, table, tracker, "etl")  # replay, same epoch
+    assert len(list(tracker.table_state(table.name).updates)) == n_commits
+    assert read_current(spark, table, tracker).count() == n_rows
+
+    commit_stream_batch(half, 1, table, tracker, "etl")  # new epoch appends
+    assert read_current(spark, table, tracker).count() == 2 * n_rows
+
+
+def test_commit_stream_batch_strict_raises_on_overlap(spark, tmp_path, events_batch):
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "strict")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    commit_stream_batch(batch_df.limit(30), 0, table, tracker, "etl", mode="strict")
+    with pytest.raises(ValueError, match="strict mode"):
+        # same rows again → touches partitions that already have live versions
+        commit_stream_batch(batch_df.limit(30), 1, table, tracker, "etl", mode="strict")
 
 
 def test_windowed_counts_stream_equals_batch(spark, tmp_path, events_batch):
