@@ -85,57 +85,76 @@ def as_of_join(
 
     Implementation is the union-tag trick, a pure composition of built-in
     ops: tag both sides, sort per key by (ts, tag) in ONE window, and carry
-    the last non-null right payload forward onto left rows.  Cost: a
-    single shuffle on ``key`` — no range-explode, no per-row Python, and
-    skew behaves like any keyed window (salt the key upstream if one key
+    the last non-null right payload forward onto left rows.  The payload
+    travels as ONE struct, so the matched right ROW is carried atomically:
+    a NULL field of the matched row surfaces as NULL (it is not silently
+    replaced by an older row's value) and a multi-column payload can never
+    mix values from different right rows.  Ties — multiple right rows with
+    equal (key, ts) — resolve deterministically to the row with the
+    greatest payload struct (Spark struct ordering), which requires the
+    payload fields to be orderable types (no maps).  Cost: a single
+    shuffle on ``key`` — no range-explode, no per-row Python, and skew
+    behaves like any keyed window (salt the key upstream if one key
     dominates).  Right payload columns must not collide with left columns;
     rename before joining."""
     from pyspark.sql import Window as W
+    from pyspark.sql.types import StructField, StructType
 
     payload = [c for c in right.columns if c not in (key, right_ts)]
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
-    reserved = {"_ts", "_is_left"} & (set(left.columns) | set(right.columns))
+    reserved = {"_ts", "_is_left", "_payload"} & (
+        set(left.columns) | set(right.columns)
+    )
     if reserved:
         raise ValueError(f"reserved column names in input: {sorted(reserved)}")
+    if not payload:
+        raise ValueError("right side has no payload columns besides key/ts")
 
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_is_left", F.lit(1)
+    left_rest = [c for c in left.columns if c != key]
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in payload]
     )
-    for c in payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *left_rest,
+        F.lit(None).cast(payload_type).alias("_payload"),
+    )
     r_tagged = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c) for c in payload],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_rest
+        ],
+        F.struct(*payload).alias("_payload"),
     )
-    for c in left.columns:
-        if c not in (key,):
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    unioned = l_tagged.select(
-        key, "_ts", "_is_left", *payload, *[c for c in left.columns if c != key]
-    ).unionByName(
-        r_tagged.select(
-            key, "_ts", "_is_left", *payload, *[c for c in left.columns if c != key]
-        )
-    )
+    unioned = l_tagged.unionByName(r_tagged)
     # right rows (tag 0) sort before left rows (tag 1) at equal ts, so an
-    # exactly-simultaneous right row IS matched (ASOF >= semantics)
+    # exactly-simultaneous right row IS matched (ASOF >= semantics); the
+    # payload struct is the deterministic tie-break among equal-ts right
+    # rows (left rows all have NULL payload — their mutual order is moot)
     w = (
         W.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_payload").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
         key,
         "_is_left",
-        *[c for c in left.columns if c != key],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        *left_rest,
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return carried.where(F.col("_is_left") == 1).drop("_is_left")
+    return carried.where(F.col("_is_left") == 1).select(
+        key,
+        *left_rest,
+        *[F.col(f"_payload.{c}").alias(c) for c in payload],
+    )
 
 
 def range_join(

@@ -86,6 +86,66 @@ def test_as_of_join_semantics(spark):
     assert got == {1: None, 2: 100.0, 3: 200.0, 4: None}
 
 
+def test_as_of_join_null_payload_surfaces(spark):
+    """A matched right row whose payload value is NULL must yield NULL —
+    not fall through to an older right row's value."""
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2020, 1, 1, 15))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2020, 1, 1, 10), 100.0), ("u", dt(2020, 1, 1, 14), None)],
+        ["user_id", "ts", "amount"],
+    )
+    rows = as_of_join(left, right, "user_id").collect()
+    assert rows[0]["amount"] is None  # the matched (14:00) row's NULL, not 100.0
+
+
+def test_as_of_join_payload_row_atomicity(spark):
+    """Multi-column payload must come from ONE right row even when some of
+    its fields are NULL — no mixing across right rows."""
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2020, 1, 1, 15))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", dt(2020, 1, 1, 10), 100.0, "old"),
+            ("u", dt(2020, 1, 1, 14), None, "new"),
+        ],
+        ["user_id", "ts", "amount", "tag"],
+    )
+    r = as_of_join(left, right, "user_id").collect()[0]
+    assert (r["amount"], r["tag"]) == (None, "new")  # whole 14:00 row, atomically
+
+
+def test_as_of_join_duplicate_ts_deterministic(spark):
+    """Equal (key, ts) right rows resolve to the greatest payload struct,
+    stable across shuffles/re-runs."""
+    from datetime import datetime as dt
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2020, 1, 1, 15))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2020, 1, 1, 14), 100.0), ("u", dt(2020, 1, 1, 14), 200.0)],
+        ["user_id", "ts", "amount"],
+    )
+    for n_parts in (1, 4):
+        got = as_of_join(
+            left.repartition(n_parts), right.repartition(n_parts), "user_id"
+        ).collect()[0]["amount"]
+        assert got == 200.0
+
+
 def test_as_of_join_rejects_column_collision(spark):
     from datetime import datetime as dt
 
