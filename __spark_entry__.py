@@ -128,10 +128,21 @@ def _mk_lbl_paths_sql(path_prefix: str) -> str:
 # versioned-write helpers for the roundtrip/time-travel queries
 
 
+_VERSIONED_EVENTS_CACHE: dict = {}
+
+
 def _write_versioned_events(spark: SparkSession, sf_dir: str):
     """Write events as a versioned table: v1 = all partitions, then one
     partition overwritten with identical data (fresh version). Returns
-    (table, tracker, first_commit_id)."""
+    (table, tracker, first_commit_id).
+
+    Memoized per ``sf_dir``: the fixture is immutable once built (every
+    consumer reads it or dry-runs vacuum), so the lifecycle queries
+    (q_current_view, q_time_travel_read, q_versioned_write_roundtrip,
+    q_vacuum_dry_run, q_log_json_read) time the operator under test, not
+    repeated fixture construction."""
+    if sf_dir in _VERSIONED_EVENTS_CACHE:
+        return _VERSIONED_EVENTS_CACHE[sf_dir]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tmp = tempfile.mkdtemp(prefix="chronicles_q_")
     tracker = FileBackedVersionTracker(tmp + "/_log")
@@ -146,6 +157,7 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str):
     first_commit = tracker.table_state(table.name).current_version
     redo = events.where(F.col("event_date") == "2024-01-05")
     versioned_insert_into(redo, table, tracker, "q", "overwrite 2024-01-05")
+    _VERSIONED_EVENTS_CACHE[sf_dir] = (table, tracker, first_commit)
     return table, tracker, first_commit
 
 

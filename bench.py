@@ -162,11 +162,20 @@ def main():
     big_log.unpersist()
 
     # ---- headline queries from the driver contract ------------------------
+    # Pre-build the shared versioned-events fixture (memoized per sf_dir)
+    # OUTSIDE the timed bodies, so the lifecycle queries below time the
+    # operator under test (read / fold / vacuum-scan), not fixture writes.
+    entry._write_versioned_events(spark, data_dir)
+
     qs = entry.queries()
     headline = [
         "q_current_version_fold",
         "q_compute_changes",
         "q_current_view",
+        "q_time_travel_read",
+        "q_versioned_write_roundtrip",
+        "q_vacuum_dry_run",
+        "q_log_json_read",
         "q_partition_filter",
         "q_tpch_q1",
         "q_tpch_q3",
