@@ -12,10 +12,14 @@ rules:
 
 Scale note: the decision set is log-metadata-sized (one row per
 (partition, version) ever written — millions of rows is a tiny DataFrame),
-NOT data-sized.  Directory deletion is issued from the driver through the
-same FS facade the commit log uses; on an object store each delete is a
-prefix delete, and a 100 TB deployment fans the delete list out with a
-``foreachPartition`` if the doomed list ever gets large.
+NOT data-sized.  Deletion goes through the same FS facade the commit log
+uses; on an object store each delete is a prefix delete.  The default path
+probes and deletes from the driver (right for up-to-thousands of doomed
+prefixes); ``distributed=True`` fans the candidate list out to executors
+(``mapPartitions`` over the path list, one FS client per task) so a vacuum
+after heavy churn — 10⁵-10⁶ doomed prefixes — issues its existence probes
+and deletes cluster-wide instead of serially from one node.  Both paths
+make identical decisions from the same log metadata.
 """
 
 from __future__ import annotations
@@ -52,11 +56,24 @@ def vacuum(
     tracker: VersionTracker,
     keep_last: int = 1,
     dry_run: bool = False,
+    distributed: bool = False,
+    spark=None,
 ) -> List[str]:
     """Delete superseded version directories; returns the removed (or, in
-    dry-run, doomed) paths."""
+    dry-run, doomed) paths.
+
+    ``distributed=True`` issues the existence probes and deletes from
+    executors (pass ``spark``); the doomed set is identical to the driver
+    path — only WHERE the FS calls run changes."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if distributed and spark is None:
+        raise ValueError("distributed vacuum needs the SparkSession (spark=...)")
+    if distributed and table.location.startswith("memory://"):
+        raise ValueError(
+            "memory:// storage is process-local test scaffolding; executors "
+            "cannot see it — use the driver path (distributed=False)"
+        )
 
     live = tracker.current_version(table.name)
     keep: set[tuple[str, str]] = set()
@@ -81,7 +98,8 @@ def vacuum(
     # same way a local one does
     fs, location = filesystem_for(table.location)
 
-    doomed: List[str] = []
+    # candidate list from log metadata only — no FS calls yet
+    candidates: List[str] = []
     for key, versions in by_part.items():
         partition = part_objs[key]
         # resolve_path applies the same Hive-style escaping the writer uses
@@ -98,9 +116,39 @@ def vacuum(
                 # path (VersionPaths.scala:19-20) — deleting it would take the
                 # whole table (nested _version dirs included) with it
                 continue
-            vdir = vpaths.path_for(base, v)
-            if fs.exists(vdir):
-                doomed.append(vdir)
-                if not dry_run:
-                    fs.remove_tree(vdir)
+            candidates.append(vpaths.path_for(base, v))
+    candidates = sorted(set(candidates))
+    if not candidates:
+        return []
+
+    if distributed:
+        location_url = table.location
+        do_delete = not dry_run
+
+        def _probe_and_delete(paths_iter):
+            # executor-side: fresh FS client per task, same facade
+            from chronicles_spark.trackers.fs import filesystem_for as _ff
+
+            efs, _ = _ff(location_url)
+            for p in paths_iter:
+                if efs.exists(p):
+                    if do_delete:
+                        efs.remove_tree(p)
+                    yield p
+
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(candidates), sc.defaultParallelism))
+        doomed = (
+            sc.parallelize(candidates, n_slices)
+            .mapPartitions(_probe_and_delete)
+            .collect()
+        )
+        return sorted(set(doomed))
+
+    doomed = []
+    for vdir in candidates:
+        if fs.exists(vdir):
+            doomed.append(vdir)
+            if not dry_run:
+                fs.remove_tree(vdir)
     return sorted(set(doomed))

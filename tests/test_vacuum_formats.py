@@ -87,6 +87,38 @@ def test_vacuum_after_rollback_keeps_live_old_version(spark, versioned_3x):
     assert {r["user"] for r in read_current(spark, table, tracker).collect()} == live_before
 
 
+def test_vacuum_distributed_matches_driver_path(spark, versioned_3x):
+    """distributed=True must decide the identical doomed set (dry-run) and
+    delete exactly the same directories as the driver loop."""
+    table, tracker = versioned_3x
+
+    doomed_driver = vacuum(table, tracker, keep_last=1, dry_run=True)
+    doomed_dist = vacuum(
+        table, tracker, keep_last=1, dry_run=True, distributed=True, spark=spark
+    )
+    assert doomed_dist == doomed_driver and len(doomed_dist) == 2
+    # dry-run deletes nothing on either path
+    assert len(_version_dirs(table, "2019-01-01")) == 3
+
+    removed = vacuum(table, tracker, keep_last=1, distributed=True, spark=spark)
+    assert removed == doomed_driver
+    assert len(_version_dirs(table, "2019-01-01")) == 1
+    assert len(_version_dirs(table, "2019-01-02")) == 1
+    cur = read_current(spark, table, tracker)
+    assert {r["user"] for r in cur.collect()} == {"u2", "x"}
+
+
+def test_vacuum_distributed_requires_spark_and_real_fs(spark, versioned_3x):
+    table, tracker = versioned_3x
+    with pytest.raises(ValueError, match="SparkSession"):
+        vacuum(table, tracker, distributed=True)
+    mem_table = TableDefinition(
+        TableName("gc", "mem"), "memory://b/t", PartitionSchema(("date",))
+    )
+    with pytest.raises(ValueError, match="process-local"):
+        vacuum(mem_table, tracker, distributed=True, spark=spark)
+
+
 def test_csv_lifecycle(spark, tmp_path):
     table = _mk_table(tmp_path, fmt="csv", options=(("header", "true"),))
     tracker = InMemoryVersionTracker()
