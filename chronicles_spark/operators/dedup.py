@@ -551,9 +551,14 @@ def dedup_clusters(
     (the canonical survivor), keep = (id == cluster_id).
 
     Algorithm: iterative min-label propagation on DataFrames — label(v) =
-    min(label(v), min label over neighbors), repeated until a fixpoint.
-    Converges in O(diameter) rounds; each round is one join + one
-    aggregation, lineage cut with localCheckpoint so plans stay bounded.
+    min(label(v), min label over neighbors) — followed by a pointer-doubling
+    shortcut each round (label(v) ← label(label(v))), so convergence is
+    O(log diameter) rounds rather than O(diameter): a chain-shaped cluster
+    of 10⁶ docs converges in ~20 rounds, not 10⁶.  Each round is two
+    co-partitioned joins + one aggregation, lineage cut with
+    localCheckpoint so plans stay bounded.  Raises ``RuntimeError`` if the
+    fixpoint is NOT reached within ``max_iter`` rounds — unconverged labels
+    would silently split one duplicate cluster into several "survivors".
     No GraphFrames dependency.  At 100 TB scale the pair set (near-dup
     edges) is orders of magnitude smaller than the corpus, and the label
     frame shrinks to distinct endpoint ids — both shuffle-partitioned by
@@ -577,18 +582,32 @@ def dedup_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: jump each label to its label's label — path
+        # lengths halve every round (every label is itself a vertex id)
+        lookup = propagated.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            propagated.join(lookup, propagated.label == lookup.lid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -602,6 +621,12 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter — "
+            "unconverged labels would split duplicate clusters"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

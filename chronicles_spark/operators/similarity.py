@@ -51,17 +51,28 @@ def brute_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query id.
 
-    query_ids: DataFrame with a single ``vec_id`` column (small). The
-    queries side is broadcast; the corpus is scanned once."""
+    query_ids: DataFrame with a single ``vec_id`` column. With the default
+    ``broadcast_queries=True`` the (small) query set is broadcast and the
+    corpus is scanned once — right for interactive query workloads.  Set
+    ``broadcast_queries=False`` when the query set is itself large (won't
+    fit a broadcast): the product is then computed as a partitioned
+    cartesian — still O(N·Q) work (inherent to brute force; for
+    corpus×corpus similarity use ``ivf_topk(..., broadcast_queries=False)``
+    or ``dedup.embedding_lsh_dedup``), but no single node ever needs to
+    hold the query set."""
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     q = (
         v.join(query_ids, id_col, "left_semi")
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
     )
-    joined = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    if broadcast_queries:
+        joined = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    else:
+        joined = v.crossJoin(q).where(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -103,9 +114,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF search: probe the n_probe nearest centroid buckets per query,
-    exact cosine within the probed buckets only."""
+    exact cosine within the probed buckets only.
+
+    ``broadcast_queries=False`` is the corpus-scale path: only the CENTROID
+    table (k·dim — always tiny) is broadcast in stage 1, and stage 2
+    becomes a shuffle equi-join on the bucket key, so a query set as large
+    as the corpus itself is co-partitioned with its probed buckets instead
+    of being replicated to every executor."""
     cents = representative_centroids(df, label_col, id_col, vec_col)
     v = df.select(
         F.col(id_col), F.col(label_col).alias("bucket"), as_double(F.col(vec_col)).alias("v")
@@ -114,7 +132,7 @@ def ivf_topk(
         v.join(query_ids, id_col, "left_semi")
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
     )
-    # stage 1: nearest centroids (tiny cross join, broadcast both sides)
+    # stage 1: nearest centroids (centroid side broadcast — always tiny)
     qc = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
     )
@@ -124,9 +142,11 @@ def ivf_topk(
         .where(F.col("crank") <= n_probe)
         .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
     )
-    # stage 2: exact search inside probed buckets (bucket-equi join prunes)
+    # stage 2: exact search inside probed buckets (bucket-equi join prunes;
+    # without the broadcast hint Catalyst shuffles both sides on the bucket)
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     joined = v.join(
-        F.broadcast(probes),
+        probe_side,
         (F.col("bucket") == F.col("probe_bucket")) & (F.col(id_col) != F.col("query_id")),
     )
     scored = joined.select(
@@ -226,11 +246,14 @@ def ivf_topk_kmeans(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF search over LEARNED k-means buckets (vs ``ivf_topk``'s
     label-derived buckets): fit centroids, assign every vector once, then
     the same probe-and-verify two-stage search.  At 100 TB the assignment
-    is written as a bucket/partition column so probes prune at the scan."""
+    is written as a bucket/partition column so probes prune at the scan.
+    ``broadcast_queries=False`` = corpus-scale query sets (see
+    :func:`ivf_topk`)."""
     centroids = kmeans_fit(df, n_clusters, iters, id_col, vec_col)
     v = _assign_nearest(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
@@ -251,8 +274,9 @@ def ivf_topk_kmeans(
         .where(F.col("crank") <= n_probe)
         .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
     )
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     joined = v.join(
-        F.broadcast(probes),
+        probe_side,
         (F.col("bucket") == F.col("probe_bucket")) & (F.col(id_col) != F.col("query_id")),
     )
     scored = joined.select(
@@ -309,11 +333,15 @@ def sign_lsh_buckets(
 def normalize_l2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize the embedding column (unit vectors, 6-decimal rounding
     for engine-reproducible values); cosine then reduces to a dot product.
-    Map-side only."""
+    Map-side only.  A zero vector has no direction — its ``embedding_unit``
+    is NULL (explicit, instead of a divide-by-zero NaN array)."""
     v = as_double(F.col(vec_col))
     n = norm(v)
     return df.withColumn(
-        "embedding_unit", F.transform(v, lambda x: F.round(x / n, 6))
+        "embedding_unit",
+        F.when(n == 0.0, F.lit(None)).otherwise(
+            F.transform(v, lambda x: F.round(x / n, 6))
+        ),
     )
 
 
@@ -321,13 +349,16 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization for embedding storage: per-vector scale
     127/max|x|, values floor(x*scale + 0.5) — explicit floor arithmetic
     (not round()) so every engine reproduces identical codes.  Cuts
-    embedding storage 4x; dequantize with q/scale.  Map-side only."""
+    embedding storage 4x; dequantize with q/scale.  Map-side only.
+    An all-zero vector gets scale 0 and all-zero codes (instead of an
+    infinite scale overflowing the codes); dequantizers must treat
+    ``q_scale = 0`` as the zero vector."""
     v = as_double(F.col(vec_col))
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    scale = F.lit(127.0) / amax
+    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
     return df.select(
         "*",
         F.transform(

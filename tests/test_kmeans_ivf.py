@@ -130,3 +130,66 @@ def test_kmeans_keeps_empty_cluster_centroids(spark):
     vecs = np.array([v for _, v in data], dtype=np.float64)
     expected, _ = _numpy_kmeans(ids, vecs, 3, 4)
     np.testing.assert_allclose(np.array([c for _, c in got]), expected, atol=1e-9)
+
+
+def test_zero_vector_guards(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 0.0, 4.0])], ["vec_id", "embedding"]
+    )
+    norm_rows = {r["vec_id"]: r["embedding_unit"]
+                 for r in SIM.normalize_l2(df).collect()}
+    assert norm_rows[1] is None                      # zero vector -> NULL unit
+    assert norm_rows[2] == [0.6, 0.0, 0.8]
+
+    q_rows = {r["vec_id"]: (r["q_codes"], r["q_scale"])
+              for r in SIM.quantize_int8(df).collect()}
+    assert q_rows[1] == ([0, 0, 0], 0.0)             # zero codes, scale 0
+    codes, scale = q_rows[2]
+    assert max(abs(c) for c in codes) == 127 and scale > 0
+
+
+def test_brute_topk_shuffle_variant_matches_broadcast(spark, emb):
+    df, ids, _ = emb
+    qids = spark.createDataFrame([(int(i),) for i in ids[:5]], ["vec_id"])
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in SIM.brute_topk(df, qids, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in SIM.brute_topk(df, qids, k=5, broadcast_queries=False).collect()}
+    assert a == b and len(a) == 25
+
+
+def test_ivf_topk_large_query_set_not_broadcast(spark, emb):
+    """1k-query workload: with broadcast_queries=False the stage-2 join must
+    be a shuffle join — the query/probe side never appears under a
+    BroadcastExchange (only the tiny centroid table is broadcast)."""
+    df, ids, _ = emb
+    big_q = spark.createDataFrame([(int(i),) for i in ids[:1000]], ["vec_id"])
+
+    plan_bcast = SIM.ivf_topk(df, big_q, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # default path: probes broadcast (2 BroadcastExchange: centroids+probes)
+    assert plan_bcast.count("BroadcastExchange") >= 2
+
+    # disable AUTO broadcast to emulate at-scale statistics (a corpus-sized
+    # query frame would never pass the threshold); the explicit centroid
+    # hint still applies
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_shuffle = SIM.ivf_topk(df, big_q, k=3, broadcast_queries=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # corpus-scale path: only the centroid broadcast remains; the bucket
+    # equi-join is a shuffle join (SortMergeJoin or ShuffledHashJoin)
+    assert plan_shuffle.count("BroadcastExchange") == 1, plan_shuffle
+    assert ("SortMergeJoin" in plan_shuffle) or ("ShuffledHashJoin" in plan_shuffle)
+
+    # and results are identical on a small query set
+    small_q = spark.createDataFrame([(int(i),) for i in ids[:5]], ["vec_id"])
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in SIM.ivf_topk(df, small_q, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in SIM.ivf_topk(df, small_q, k=3, broadcast_queries=False).collect()}
+    assert a == b

@@ -1,5 +1,7 @@
 """Redaction and corpus n-gram operators."""
 
+import pytest
+
 from chronicles_spark.operators import text as TX
 
 
@@ -100,3 +102,30 @@ def test_stratified_sample_drops_unlisted_strata(spark):
     df = spark.createDataFrame([(1, "en"), (2, "xx")], ["doc_id", "lang"])
     got = TX.stratified_sample(df, {"en": 1.0}, "lang").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+# -- dedup_clusters convergence (pointer doubling) ---------------------------
+
+
+def test_dedup_clusters_long_chain_converges_fast(spark):
+    """A 64-node chain has diameter 63; pointer doubling must converge it
+    well inside 10 rounds (plain propagation would need ~63)."""
+    from chronicles_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    got = dedup_clusters(pairs, max_iter=10).collect()
+    assert len(got) == 64
+    assert all(r["cluster_id"] == 0 for r in got)      # one component, min id 0
+    assert sum(r["keep"] for r in got) == 1            # exactly one survivor
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    from chronicles_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=2)
