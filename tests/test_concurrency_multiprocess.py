@@ -1,0 +1,114 @@
+"""Two-OS-PROCESS commit races (the in-process thread suite is
+tests/test_concurrency.py; threads share one tracker instance and its
+lock, so they never exercise cross-process isolation).
+
+Pinned guarantees, matching the reference:
+* sqlite backend — commits from separate processes serialize on the
+  database file lock (SERIALIZABLE, DbVersionTracker.scala:118-124): every
+  commit survives, none torn, total order intact.
+* files backend — documented last-writer-wins
+  (FileBackedVersionTracker.scala:23-25): concurrent head_ref overwrites
+  and ms-resolution commit-filename collisions may drop commits, but the
+  log is never TORN — every surviving file parses, commit ids stay unique,
+  and at least one process's full commit set survives.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from chronicles_spark.core.model import TableName
+from chronicles_spark.trackers import FileBackedVersionTracker, SqliteVersionTracker
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+T = TableName("db", "race")
+N_PER_PROC = 20
+
+_WORKER = """
+import sys
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker, SqliteVersionTracker
+
+backend, path, wid, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+tracker = (SqliteVersionTracker(path) if backend == "sqlite"
+           else FileBackedVersionTracker(path))
+t = TableName("db", "race")
+done = 0
+for i in range(n):
+    meta = TableUpdateMetadata.new("w" + wid, "commit " + wid + "/" + str(i))
+    op = AddPartitionVersion(
+        Partition((("date", "2020-01-" + wid.zfill(2)),)), generate_version()
+    )
+    tracker.commit(t, TableUpdate(meta, (op,)))
+    done += 1
+print("DONE", done)
+"""
+
+
+def _race(backend, path, n_procs=2):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, backend, path, str(i + 1), str(N_PER_PROC)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(n_procs)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        assert f"DONE {N_PER_PROC}" in out
+    return n_procs
+
+
+def test_sqlite_two_process_commits_all_serialize(tmp_path):
+    """Separate OS processes, one sqlite file: the db lock is the
+    serialization point — EVERY commit survives."""
+    path = str(tmp_path / "log.db")
+    tracker = SqliteVersionTracker(path)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    n_procs = _race("sqlite", path)
+
+    state = SqliteVersionTracker(path).table_state(T)
+    assert len(state.updates) == 1 + n_procs * N_PER_PROC  # none lost
+    ids = [u.metadata.commit_id for u in state.updates]
+    assert len(set(ids)) == len(ids)
+    assert all(len(u.operations) == 1 for u in state.updates[1:])  # none torn
+    assert state.current_version in ids
+    live = SqliteVersionTracker(path).current_version(T)
+    assert len(live.partition_versions) == n_procs  # one date per worker
+
+
+def test_files_two_process_commits_last_writer_wins(tmp_path):
+    """Separate OS processes, one log directory: commits may be dropped by
+    head_ref / filename collisions (documented last-writer-wins), but the
+    surviving log is never torn."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    n_procs = _race("files", path)
+
+    state = FileBackedVersionTracker(path).table_state(T)
+    n = len(state.updates)
+    # every collision between the two processes keeps one of the pair:
+    # at least one process's full set survives, at most all commits do
+    assert 1 + N_PER_PROC <= n <= 1 + n_procs * N_PER_PROC
+    ids = [u.metadata.commit_id for u in state.updates]
+    assert len(set(ids)) == len(ids)
+    assert all(len(u.operations) == 1 for u in state.updates[1:])
+    # every surviving commit file is valid JSON with intact metadata
+    d = os.path.join(path, f"_chronicles_table_{T.fully_qualified}")
+    for f in os.listdir(d):
+        if f.startswith("table_update_"):
+            parsed = json.loads(open(os.path.join(d, f)).read())
+            assert parsed["commit_id"] and parsed["operations"]
