@@ -29,7 +29,12 @@ from chronicles_spark.functions.strings import (
 from chronicles_spark.plans import log_queries as LQ
 from chronicles_spark.plans.synthetic_log import LOG_CTE, head_ref_df, ops_log_df
 from chronicles_spark.sources import load_table, register_views
-from chronicles_spark.spark import read_current, versioned_insert_into
+from chronicles_spark.spark import (
+    compact_partitions,
+    read_changes,
+    read_current,
+    versioned_insert_into,
+)
 from chronicles_spark.spark.reader import read_at_commit
 from chronicles_spark.trackers import FileBackedVersionTracker
 from chronicles_spark.operators import (
@@ -159,6 +164,34 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str):
     versioned_insert_into(redo, table, tracker, "q", "overwrite 2024-01-05")
     _VERSIONED_EVENTS_CACHE[sf_dir] = (table, tracker, first_commit)
     return table, tracker, first_commit
+
+
+_COMPACT_CACHE: dict = {}
+
+
+def _compact_fixture(spark: SparkSession, sf_dir: str):
+    """Fragmented versioned events table (multi-file partitions) that has
+    been compacted to one file per partition.  Kept SEPARATE from
+    ``_write_versioned_events`` because the compaction COMMIT would mutate
+    the shared lifecycle fixture's log.  Memoized per sf_dir."""
+    if sf_dir in _COMPACT_CACHE:
+        return _COMPACT_CACHE[sf_dir]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp = tempfile.mkdtemp(prefix="chronicles_qc_")
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    table = TableDefinition(
+        TableName("demo", "events_c"), tmp + "/events", PartitionSchema(("event_date",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="q")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.col("ts").cast("date").cast("string"))
+        .repartition(4)  # fragment every partition into several files
+    )
+    versioned_insert_into(events, table, tracker, "q", "v1 fragmented")
+    compact_partitions(spark, table, tracker, "q", files_per_partition=1)
+    _COMPACT_CACHE[sf_dir] = (table, tracker)
+    return table, tracker
 
 
 _EVENTS_VIEW_COLS = ["event_id", "user_id", "event_type", "value", "event_date"]
@@ -425,6 +458,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: write → read back through the current view
         table, tracker, _ = _write_versioned_events(spark, sf)
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
+
+    def q_compact_roundtrip(spark, sf):
+        # small-file compaction (spark/compact.py): live partitions
+        # rewritten as ONE file each via a fresh committed version; values
+        # must be byte-identical to the plain events oracle
+        table, tracker = _compact_fixture(spark, sf)
+        return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
+
+    def q_read_changes(spark, sf):
+        # incremental CDC read (spark/reader.py): partitions whose live
+        # version changed since the FIRST commit — exactly the overwritten
+        # 2024-01-05 partition of the lifecycle fixture (pure read; the
+        # shared fixture is never mutated)
+        table, tracker, first_commit = _write_versioned_events(spark, sf)
+        return read_changes(spark, table, tracker, first_commit).select(
+            *_EVENTS_VIEW_COLS
+        )
 
     def q_vacuum_dry_run(spark, sf):
         # rows-only (side-effecting lifecycle): the overwritten partition
@@ -946,6 +996,15 @@ GROUP BY event_type
 """,
         "q_current_view": _EVENTS_ORACLE,
         "q_time_travel_read": _EVENTS_ORACLE,
+        # compaction rewrites the file layout, never the values
+        "q_compact_roundtrip": _EVENTS_ORACLE,
+        # the only partition whose version changed after the first commit
+        "q_read_changes": """
+SELECT event_id, user_id, event_type, value,
+       CAST(CAST(ts AS DATE) AS STRING) AS event_date
+FROM events
+WHERE CAST(CAST(ts AS DATE) AS STRING) = '2024-01-05'
+""",
         # q_versioned_write_roundtrip: rows-only by design (side-effecting write)
         "q_version_parse": LBL_CTE
         + f"""

@@ -174,6 +174,7 @@ def main():
         "q_current_view",
         "q_time_travel_read",
         "q_versioned_write_roundtrip",
+        "q_read_changes",
         "q_vacuum_dry_run",
         "q_log_json_read",
         "q_partition_filter",

@@ -1,7 +1,14 @@
 """Spark-facing surface: versioned writes, current-view reads, time travel."""
 
 from .writer import partition_values, versioned_insert_into
-from .reader import read_current, read_version, live_paths
+from .reader import (
+    changed_partitions,
+    live_paths,
+    read_changes,
+    read_current,
+    read_version,
+)
+from .compact import compact_partitions
 from .vacuum import vacuum
 
 __all__ = [
@@ -9,6 +16,9 @@ __all__ = [
     "versioned_insert_into",
     "read_current",
     "read_version",
+    "read_changes",
+    "changed_partitions",
     "live_paths",
+    "compact_partitions",
     "vacuum",
 ]

@@ -1,0 +1,103 @@
+"""Small-file compaction: rewrite live partition data as a NEW version.
+
+The reference leaves compaction to the user (same bucket as version GC,
+README.md:51-52), but a versioned lake makes it trivially safe: read the
+LIVE version of each selected partition, coalesce to a target file count,
+and write the result back through the normal ``versioned_insert_into``
+path.  The rewrite is just another commit — readers see the old files
+until the atomic pointer swap, time travel to pre-compaction commits still
+works (the old version directories are untouched), and ``vacuum`` reclaims
+them later.  This matters most for streaming ingest (the append-mode sink
+rewrites touched partitions every micro-batch, accreting small files) —
+periodic compaction is the standard companion job.
+
+Scale shape: one read of the selected partitions' live data, one
+``repartition`` shuffle sized by the caller's target, one partitionBy
+write, one O(metadata) commit.  Partitions not selected are untouched —
+their pointers don't change, so compacting one hot partition of a
+100k-partition table moves only that partition's bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..core.model import (
+    Partition,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+)
+from ..trackers.base import VersionTracker
+from .reader import read_version
+from .writer import versioned_insert_into
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str,
+    partitions: Optional[Iterable[Partition]] = None,
+    files_per_partition: int = 1,
+    message: str = "compact",
+    metastore=None,
+):
+    """Rewrite the live data of ``partitions`` (default: all) into
+    ``files_per_partition`` files each, as a fresh committed version.
+
+    Returns ``(table_version, changes)`` from the underlying commit.
+    Values are unchanged — only the file layout (and version) moves."""
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    current = tracker.current_version(table.name)
+
+    if isinstance(current, SnapshotTableVersion):
+        if current.version.is_unversioned:
+            # UNVERSIONED = never written, OR adopt-in-place data at the
+            # bare table path; only the latter has bytes to compact
+            from ..trackers.fs import filesystem_for
+
+            fs, root = filesystem_for(table.location)
+            if not fs.exists(root):
+                raise ValueError(f"table {table.name} has no live data to compact")
+        df = read_version(spark, table, current)
+        out = df.repartition(files_per_partition)
+        return versioned_insert_into(
+            out, table, tracker, user_id, message, metastore=metastore
+        )
+
+    assert isinstance(current, PartitionedTableVersion)
+    selected = {
+        p: v
+        for p, v in current.partition_versions.items()
+        if partitions is None or p in set(partitions)
+    }
+    if not selected:
+        raise ValueError("no live partitions match the compaction selection")
+
+    df = read_version(spark, table, PartitionedTableVersion(selected))
+    part_cols = list(table.partition_schema.columns)
+    # partition values are strings at the metadata layer (Hive semantics);
+    # directory-name recovery may have inferred dates/ints — cast back so
+    # the rewritten layout is byte-identical to the original writer's
+    for c in part_cols:
+        df = df.withColumn(c, F.col(c).cast("string"))
+
+    if files_per_partition == 1:
+        # all rows of one Hive partition into one task → one file per dir
+        out = df.repartition(max(len(selected), 1), *[F.col(c) for c in part_cols])
+    else:
+        # deterministic row-hash salt splits each partition into exactly
+        # files_per_partition groups
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+        out = df.repartition(
+            len(selected) * files_per_partition,
+            *[F.col(c) for c in part_cols],
+            salt,
+        )
+    return versioned_insert_into(
+        out, table, tracker, user_id, message, metastore=metastore
+    )

@@ -97,3 +97,60 @@ def read_at_commit(
     state = tracker.table_state(table.name)
     tv = fold.current_version(state.updates, commit_id)
     return read_version(spark, table, tv, keep_version_column)
+
+
+def changed_partitions(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    from_commit: str,
+    to_commit: Optional[str] = None,
+):
+    """Metastore ops describing what changed between two commits: the M12
+    diff (Metastore.scala:56-84) applied to the folds at ``from_commit``
+    and ``to_commit`` (default: head).  Pure metadata."""
+    from ..core import fold
+    from ..core.diff import compute_changes
+
+    state = tracker.table_state(table.name)
+    tv_from = fold.current_version(state.updates, from_commit)
+    tv_to = fold.current_version(state.updates, to_commit or state.current_version)
+    return compute_changes(tv_from, tv_to), tv_to
+
+
+def read_changes(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    from_commit: str,
+    to_commit: Optional[str] = None,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """Incremental (CDC-style) read: rows of exactly the partitions whose
+    live version CHANGED between ``from_commit`` (exclusive baseline) and
+    ``to_commit`` (default head) — added partitions and overwritten
+    partitions, at their ``to`` state.  Removed partitions have no rows to
+    read; enumerate them with :func:`changed_partitions`.
+
+    This is the downstream-consumer primitive at scale: after a commit
+    touches 3 of 100k partitions, an incremental pipeline reads those 3
+    directories, not the table.  Snapshot tables: any version change means
+    the WHOLE table is the change set."""
+    from ..core.diff import AddPartition, UpdatePartitionVersion, UpdateTableVersion
+
+    ops, tv_to = changed_partitions(table, tracker, from_commit, to_commit)
+    if isinstance(tv_to, SnapshotTableVersion):
+        if any(isinstance(op, UpdateTableVersion) for op in ops):
+            return read_version(spark, table, tv_to, keep_version_column)
+        return read_version(spark, table, tv_to, keep_version_column).limit(0)
+
+    touched = {
+        op.partition: op.version
+        for op in ops
+        if isinstance(op, (AddPartition, UpdatePartitionVersion))
+    }
+    if not touched:
+        # empty frame with the table's schema (from the current live state)
+        return read_version(spark, table, tv_to, keep_version_column).limit(0)
+    return read_version(
+        spark, table, PartitionedTableVersion(touched), keep_version_column
+    )

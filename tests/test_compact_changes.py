@@ -1,0 +1,129 @@
+"""Small-file compaction (new version, identical values, fewer files) and
+incremental CDC-style reads (rows of exactly the partitions changed
+between two commits)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+from chronicles_spark.spark import (
+    compact_partitions,
+    read_changes,
+    read_current,
+    versioned_insert_into,
+)
+from chronicles_spark.spark.reader import changed_partitions, read_at_commit
+from chronicles_spark.trackers import InMemoryVersionTracker
+
+
+def _mk(spark, tmp_path, n_files=6):
+    """Two date partitions, each fragmented into several files."""
+    table = TableDefinition(
+        TableName("m", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    rows = [(i, f"u{i % 7}", float(i), f"2020-01-0{1 + i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "u", "v", "d"]).repartition(n_files)
+    versioned_insert_into(df, table, tracker, "t", "v1")
+    return table, tracker, df
+
+
+def _data_files(table, part_dir):
+    root = os.path.join(table.location, part_dir)
+    vdirs = sorted(d for d in os.listdir(root) if d.startswith("_version="))
+    files = {
+        v: [f for f in os.listdir(os.path.join(root, v)) if f.endswith(".parquet")]
+        for v in vdirs
+    }
+    return vdirs, files
+
+
+def test_compact_reduces_files_preserves_values(spark, tmp_path):
+    table, tracker, df = _mk(spark, tmp_path)
+    vdirs, files = _data_files(table, "d=2020-01-01")
+    assert len(vdirs) == 1 and len(files[vdirs[0]]) > 1  # fragmented before
+
+    before = sorted((r["id"], r["u"], r["v"], r["d"])
+                    for r in read_current(spark, table, tracker).collect())
+    first_commit = tracker.table_state(table.name).current_version
+
+    compact_partitions(spark, table, tracker, "t")
+
+    after = sorted((r["id"], r["u"], r["v"], r["d"])
+                   for r in read_current(spark, table, tracker).collect())
+    assert after == before  # values identical
+
+    vdirs, files = _data_files(table, "d=2020-01-01")
+    assert len(vdirs) == 2  # old version untouched, new version added
+    newest = vdirs[-1] if vdirs[-1] > vdirs[0] else vdirs[0]
+    assert len(files[newest]) == 1  # one file per partition now
+
+    # pre-compaction commit still time-travels to the fragmented layout
+    old = read_at_commit(spark, table, tracker, first_commit)
+    assert old.count() == len(before)
+
+
+def test_compact_files_per_partition(spark, tmp_path):
+    table, tracker, _ = _mk(spark, tmp_path)
+    compact_partitions(spark, table, tracker, "t", files_per_partition=2)
+    vdirs, files = _data_files(table, "d=2020-01-01")
+    newest = max(vdirs)
+    assert 1 <= len(files[newest]) <= 2
+
+
+def test_compact_selected_partition_only(spark, tmp_path):
+    from chronicles_spark.core.model import Partition
+
+    table, tracker, _ = _mk(spark, tmp_path)
+    live_before = dict(tracker.current_version(table.name).partition_versions)
+    target = Partition((("d", "2020-01-01"),))
+
+    compact_partitions(spark, table, tracker, "t", partitions=[target])
+
+    live_after = dict(tracker.current_version(table.name).partition_versions)
+    other = Partition((("d", "2020-01-02"),))
+    assert live_after[other] == live_before[other]      # untouched pointer
+    assert live_after[target] != live_before[target]    # fresh version
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    table, tracker, _ = _mk(spark, tmp_path)
+    c1 = tracker.table_state(table.name).current_version
+
+    # overwrite one partition, add a brand-new one
+    redo = spark.createDataFrame(
+        [(999, "nu", 1.5, "2020-01-01")], ["id", "u", "v", "d"]
+    )
+    versioned_insert_into(redo, table, tracker, "t", "redo d1")
+    fresh = spark.createDataFrame(
+        [(1000, "x", 2.5, "2020-01-09")], ["id", "u", "v", "d"]
+    )
+    versioned_insert_into(fresh, table, tracker, "t", "new d9")
+
+    got = read_changes(spark, table, tracker, c1)
+    rows = sorted((r["id"], str(r["d"])) for r in got.collect())
+    assert rows == [(999, "2020-01-01"), (1000, "2020-01-09")]
+
+    ops, _ = changed_partitions(table, tracker, c1)
+    kinds = sorted(type(op).__name__ for op in ops)
+    assert kinds == ["AddPartition", "UpdatePartitionVersion"]
+
+    # from head to head: empty change set, schema intact
+    head = tracker.table_state(table.name).current_version
+    empty = read_changes(spark, table, tracker, head)
+    assert empty.count() == 0
+    assert set(c for c in empty.columns) >= {"id", "u", "v", "d"}
+
+
+def test_compact_empty_selection_raises(spark, tmp_path):
+    from chronicles_spark.core.model import Partition
+
+    table, tracker, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="no live partitions"):
+        compact_partitions(
+            spark, table, tracker, "t",
+            partitions=[Partition((("d", "1999-01-01"),))],
+        )
