@@ -102,6 +102,16 @@ class RemovePartitionAction:
     message: str
 
 
+@dataclass(frozen=True)
+class CheckoutAction:
+    """Extension beyond the reference CLI verbs: metadata-only rollback /
+    roll-forward to an existing commit (V10, VersionedMetastore.scala:71-78
+    — the composition exists in the reference, just not as a CLI verb)."""
+
+    table: TableName
+    commit_id: str
+
+
 # ---------------------------------------------------------------------------
 # console (cli/.../Console.scala — capture-able for tests like StubConsole)
 
@@ -258,6 +268,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_part.add_argument("partition")
     p_part.add_argument("--message", required=True, help="Commit message")
 
+    p_co = sub.add_parser(
+        "checkout", help="Roll table back (or forward) to an existing commit"
+    )
+    p_co.add_argument("table")
+    p_co.add_argument("commit_id")
+
     return parser
 
 
@@ -283,6 +299,8 @@ def parse_action(argv: Sequence[str]):
     if ns.command == "partition":
         act = AddPartitionAction if ns.operation == "add" else RemovePartitionAction
         return ns, act(_table_name(ns.table), ns.partition, ns.message)
+    if ns.command == "checkout":
+        return ns, CheckoutAction(_table_name(ns.table), ns.commit_id)
     raise CliError(f"Unknown command {ns.command!r}")
 
 
@@ -315,6 +333,8 @@ class CliClient:
             self.add_partition(action.table, action.partition_name, user_id, action.message)
         elif isinstance(action, RemovePartitionAction):
             self.remove_partition(action.table, action.partition_name, user_id, action.message)
+        elif isinstance(action, CheckoutAction):
+            self.checkout(action.table, action.commit_id)
         else:
             raise CliError(f"Unknown action {action!r}")
 
@@ -368,6 +388,12 @@ class CliClient:
         # reference prints "Added ..." here by mistake (CliClient.scala:94)
         self.console.println(
             f"Removed partition '{partition_name}' from table '{table.fully_qualified}'"
+        )
+
+    def checkout(self, table: TableName, commit_id: str) -> None:
+        self.delegate.checkout(self._table_def(table), commit_id)
+        self.console.println(
+            f"Checked out commit '{commit_id}' on table '{table.fully_qualified}'"
         )
 
 

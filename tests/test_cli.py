@@ -200,3 +200,42 @@ def test_main_db_config_sqlite(tmp_path, monkeypatch, capsys):
     assert C.main(["tables"]) == 0
     out = capsys.readouterr().out.splitlines()
     assert out == ["Initialised table db.t", "db.t"]
+
+
+def test_checkout_parses():
+    _, action = C.parse_action(["checkout", "db.t", "abc-123"])
+    assert action == C.CheckoutAction(C.TableName.parse("db.t"), "abc-123")
+
+
+def test_checkout_rolls_back_and_forward():
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2019-01-01", "--message", "w1"],
+          client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2019-01-02", "--message", "w2"],
+          client, console, "u")
+
+    # find the commit id that added only the first partition
+    C.run(["log", "db.t"], client, console, "u")
+    lines = [l for l in console.out if "\t" in l]
+    w1_commit = [l.split("\t")[0] for l in lines if l.endswith("w1")][0]
+    head_commit = [l.split("\t")[0] for l in lines if l.endswith("w2")][0]
+
+    code = C.run(["checkout", "db.t", w1_commit], client, console, "u")
+    assert code == 0
+    assert console.out[-1] == f"Checked out commit '{w1_commit}' on table 'db.t'"
+    C.run(["partitions", "db.t"], client, console, "u")
+    assert "date=2019-01-01" in console.out[-1]
+    assert "date=2019-01-02" not in console.out[-1]
+
+    # roll forward to head again
+    C.run(["checkout", "db.t", head_commit], client, console, "u")
+    C.run(["partitions", "db.t"], client, console, "u")
+    assert "date=2019-01-02" in console.out[-1]
+
+
+def test_checkout_unknown_commit_errors():
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    code = C.run(["checkout", "db.t", "no-such-commit"], client, console, "u")
+    assert code == 1
