@@ -658,6 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.with_quality_score(docs).drop("text"))
 
+    def q_repetition_signals(spark, sf):
+        # Gopher-style intra-doc repetition quality signals (text.py)
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        return TX.repetition_signals(docs)
+
     def q_lang_id(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.with_lang_id(docs).drop("text"))
@@ -1089,6 +1094,38 @@ SELECT doc_id, len(t) AS n_tokens,
               + len(list_distinct(t)) / len(t)) / 3, 4) AS quality_score
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
       FROM documents) x
+""",
+        "q_repetition_signals": """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS n, t[i] AS gram
+  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, 2, t[i] || ' ' || t[i+1]
+  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+s AS (
+  SELECT doc_id, n,
+         round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
+         round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac
+  FROM c GROUP BY doc_id, n
+)
+SELECT d.doc_id,
+       coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0) AS top1_frac,
+       coalesce(max(CASE WHEN n = 1 THEN dup_frac END), 0.0) AS dup1_frac,
+       coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top2_frac,
+       coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0) AS dup2_frac,
+       coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top3_frac,
+       coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) AS dup3_frac
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id
 """,
         "q_lang_id": """
 SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,

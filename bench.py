@@ -182,6 +182,7 @@ def main():
         "q_tpch_q3",
         "q_token_count",
         "q_quality_score",
+        "q_repetition_signals",
         "q_lang_id",
         "q_fingerprint",
         "q_dedup_exact",

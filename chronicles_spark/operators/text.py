@@ -171,6 +171,65 @@ def top_ngrams(
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Intra-document repetition signals for quality filtering (the
+    Gopher/MassiveText-style rules, Rae et al. 2021 §A1): for each n in
+    1..max_n, ``top{n}_frac`` = the share of n-gram occurrences taken by
+    the single most frequent n-gram, ``dup{n}_frac`` = the share of
+    occurrences whose n-gram appears more than once.  High values mark
+    boilerplate / template / degenerate-repetition documents; callers
+    threshold (classic cut: top2_frac > 0.2 or dup3_frac > 0.3).
+
+    Plan: ONE tokenize + one explode emits (doc, n, gram) for all n
+    levels in a single pass; two aggregations keyed by doc_id (never by
+    gram alone, so no corpus-wide hot keys); docs too short for an n
+    level get 0.0.  Fractions rounded to 6 decimals for engine parity."""
+    toks = tokens_of(F.col(text_col))
+    struct_t = "array<struct<n:int,gram:string>>"
+
+    def _level(n: int) -> Column:
+        # closure, not a defaulted lambda arg: F.transform treats a 2-arg
+        # lambda as (value, index) and would pass the index as `n`
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.expr(f"cast(array() as {struct_t})"))
+
+    levels = [_level(n) for n in range(1, max_n + 1)]
+    exploded = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*levels))).alias("e")
+    ).select(id_col, F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    sig = counts.groupBy(id_col, "n").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_frac"),
+    )
+    aggs = []
+    for n in range(1, max_n + 1):
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(f"top{n}_frac")
+        )
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_frac"))).alias(f"dup{n}_frac")
+        )
+    out = sig.groupBy(id_col).agg(*aggs)
+    return df.select(id_col).join(out, id_col, "left").na.fill(0.0)
+
+
 def ngrams_of(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a text column (shared by corpus stats and
     contamination checks)."""

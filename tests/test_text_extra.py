@@ -129,3 +129,31 @@ def test_dedup_clusters_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iter=2)
+
+
+# -- repetition signals (Gopher-style quality filters) -----------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    from chronicles_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # 1-grams: a×3,b×1 → top1=3/4, dup1=3/4
+                                  # 2-grams: "a a"×2,"a b" → top2=2/3, dup2=2/3
+                                  # 3-grams: "a a a","a a b" → top3=1/2, dup3=0
+            (2, "x y z"),         # no repetition at any level
+            (3, ""),              # empty doc → all zeros
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert got[1]["top1_frac"] == 0.75 and got[1]["dup1_frac"] == 0.75
+    assert round(got[1]["top2_frac"], 6) == round(2 / 3, 6)
+    assert round(got[1]["dup2_frac"], 6) == round(2 / 3, 6)
+    assert got[1]["top3_frac"] == 0.5 and got[1]["dup3_frac"] == 0.0
+    assert got[2]["top1_frac"] == round(1 / 3, 6) and got[2]["dup1_frac"] == 0.0
+    assert got[3] == {
+        "doc_id": 3, "top1_frac": 0.0, "dup1_frac": 0.0,
+        "top2_frac": 0.0, "dup2_frac": 0.0, "top3_frac": 0.0, "dup3_frac": 0.0,
+    }
