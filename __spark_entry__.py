@@ -663,6 +663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return TX.repetition_signals(docs)
 
+    def q_training_shards(spark, sf):
+        # deterministic shard+position export shuffle (text.py)
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+        return TX.training_shards(docs, n_shards=8, seed="epoch0")
+
     def q_lang_id(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.with_lang_id(docs).drop("text"))
@@ -1126,6 +1131,17 @@ SELECT d.doc_id,
        coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) AS dup3_frac
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 GROUP BY d.doc_id
+""",
+        "q_training_shards": """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('epoch0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(hv % 8 AS INTEGER) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS shard_pos
+FROM h
 """,
         "q_lang_id": """
 SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,

@@ -327,6 +327,42 @@ def with_uniform_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("u", (u.cast("double") / F.lit(float(16**7))))
 
 
+def training_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random shard + position assignment — the
+    export step before writing a training corpus as N shard files with a
+    reproducible global shuffle.  Each row draws ``h = md5(seed|id)``:
+    shard = h mod n_shards, position = rank of h within the shard.  A new
+    ``seed`` (e.g. per epoch) reshuffles the whole corpus reproducibly;
+    no ``rand()``, so results survive re-runs and repartitioning.
+
+    Plan: map-side hash, ONE shuffle keyed by shard for the per-shard
+    rank window.  Pick ``n_shards`` near the intended output file count —
+    at corpus scale that is thousands, so window partitions stay modest."""
+    from pyspark.sql import Window as W
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = W.partitionBy("shard").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict,

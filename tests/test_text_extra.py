@@ -157,3 +157,25 @@ def test_repetition_signals_hand_computed(spark):
         "doc_id": 3, "top1_frac": 0.0, "dup1_frac": 0.0,
         "top2_frac": 0.0, "dup2_frac": 0.0, "top3_frac": 0.0, "dup3_frac": 0.0,
     }
+
+
+def test_training_shards_deterministic_and_complete(spark):
+    from chronicles_spark.operators.text import training_shards
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)], ["doc_id", "x"])
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in training_shards(df, n_shards=4, seed="e0").collect()}
+    # stable under repartitioning
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in training_shards(df.repartition(7), n_shards=4, seed="e0").collect()}
+    assert a == b and len(a) == 100
+    # every shard's positions are 1..len contiguous
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed reshuffles
+    c = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in training_shards(df, n_shards=4, seed="e1").collect()}
+    assert c != a
