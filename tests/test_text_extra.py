@@ -179,3 +179,46 @@ def test_training_shards_deterministic_and_complete(spark):
     c = {r["doc_id"]: (r["shard"], r["shard_pos"])
          for r in training_shards(df, n_shards=4, seed="e1").collect()}
     assert c != a
+
+
+def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
+    """Differential test: min-label propagation + pointer doubling must
+    agree with a plain union-find on random pair sets."""
+    import random
+
+    from chronicles_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for ab in pairs for v in ab}
+        want = {v: find(v) for v in touched}
+        # canonical label = min member of each component
+        comp_min = {}
+        for v, r in want.items():
+            comp_min.setdefault(r, v)
+            comp_min[r] = min(comp_min[r], v)
+        want = {v: comp_min[find(v)] for v in touched}
+
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(df, max_iter=20).collect()}
+        assert got == want, f"trial {trial}"
