@@ -52,11 +52,28 @@ from ..trackers.base import VersionTracker
 _MODES = ("append", "overwrite_partitions", "strict")
 
 
-def _epoch_committed(tracker: VersionTracker, table_name, message: str) -> bool:
-    """True if a commit with this exact message is already in the log —
-    the replay guard that makes append mode batch-level exactly-once."""
-    state = tracker.table_state(table_name)
-    return any(u.metadata.message == message for u in state.updates)
+def _epoch_committed(
+    tracker: VersionTracker, table_name, message_prefix: str, epoch_id: int
+) -> bool:
+    """True if this epoch (or a later one) was already committed — the
+    replay guard that makes append mode batch-level exactly-once.
+
+    Scans the log NEWEST-first and stops at the first commit carrying
+    ``message_prefix``: Structured Streaming epoch ids are monotonic per
+    checkpoint, so the latest stream commit's epoch decides.  Typical cost
+    is a few commits even on a log with millions of entries (interleaved
+    manual commits are skipped over).  Caveat: restarting a stream with a
+    FRESH checkpoint resets epoch ids to 0 — use a new ``message_prefix``
+    for the new checkpoint or earlier epochs would be wrongly skipped."""
+    prefix = f"{message_prefix} epoch "
+    for u in reversed(list(tracker.table_state(table_name).updates)):
+        m = u.metadata.message
+        if m.startswith(prefix):
+            try:
+                return int(m[len(prefix):]) >= epoch_id
+            except ValueError:
+                return False
+    return False
 
 
 def _align(live: DataFrame, batch_df: DataFrame) -> DataFrame:
@@ -86,7 +103,9 @@ def commit_stream_batch(
     if batch_df.isEmpty():
         return
     message = f"{message_prefix} epoch {epoch_id}"
-    if mode == "append" and _epoch_committed(tracker, table.name, message):
+    if mode == "append" and _epoch_committed(
+        tracker, table.name, message_prefix, epoch_id
+    ):
         return  # checkpoint replay of an already-committed epoch
 
     part_cols = table.partition_schema.columns
