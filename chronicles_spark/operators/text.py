@@ -182,52 +182,80 @@ def repetition_signals(
     boilerplate / template / degenerate-repetition documents; callers
     threshold (classic cut: top2_frac > 0.2 or dup3_frac > 0.3).
 
-    Plan: ONE tokenize + one explode emits (doc, n, gram) for all n
-    levels in a single pass; two aggregations keyed by doc_id (never by
-    gram alone, so no corpus-wide hot keys); docs too short for an n
-    level get 0.0.  Fractions rounded to 6 decimals for engine parity."""
+    Plan: ZERO shuffle.  Per doc and per n, the gram array is sorted and
+    a single ``aggregate`` fold counts runs of equal grams (longest run =
+    top count, runs > 1 = duplicate mass) — everything stays inside one
+    narrow whole-stage-codegen projection.  The obvious alternative
+    (explode → groupBy(doc, gram)) shuffles every token occurrence of the
+    corpus; this shuffles nothing.  Docs too short for an n level get
+    0.0.  Fractions rounded to 6 decimals for engine parity."""
     toks = tokens_of(F.col(text_col))
-    struct_t = "array<struct<n:int,gram:string>>"
 
-    def _level(n: int) -> Column:
+    def _grams(n: int) -> Column:
         # closure, not a defaulted lambda arg: F.transform treats a 2-arg
         # lambda as (value, index) and would pass the index as `n`
         return F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(n)]
-                    ).alias("gram"),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
                 ),
             ),
-        ).otherwise(F.expr(f"cast(array() as {struct_t})"))
+        ).otherwise(F.expr("cast(array() as array<string>)"))
 
-    levels = [_level(n) for n in range(1, max_n + 1)]
-    exploded = df.select(
-        F.col(id_col), F.explode(F.flatten(F.array(*levels))).alias("e")
-    ).select(id_col, F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
-    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
-    sig = counts.groupBy(id_col, "n").agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_frac"),
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            / F.sum("c"),
-            6,
-        ).alias("dup_frac"),
+    def _run_stats(grams: Column) -> Column:
+        """One fold over the sorted grams → struct(top_cnt, dup_cnt):
+        longest run of equal grams, and total occurrences in runs > 1."""
+        zero = F.lit(0).cast("long")
+
+        def merge(acc, x):
+            same = x == acc.prev
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc.maxrun)
+                .otherwise(F.greatest(acc.maxrun, acc.run))
+                .alias("maxrun"),
+                F.when(same, acc.dup)
+                .otherwise(acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero))
+                .alias("dup"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                F.greatest(acc.maxrun, acc.run).alias("top_cnt"),
+                (acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero)).alias(
+                    "dup_cnt"
+                ),
+            )
+
+        init = F.struct(
+            F.lit("").alias("prev"), zero.alias("run"),
+            zero.alias("maxrun"), zero.alias("dup"),
+        )
+        return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+    ns = range(1, max_n + 1)
+    staged = df.select(
+        F.col(id_col), *[_grams(n).alias(f"_g{n}") for n in ns]
+    ).select(
+        F.col(id_col),
+        *[F.size(f"_g{n}").alias(f"_t{n}") for n in ns],
+        *[_run_stats(F.col(f"_g{n}")).alias(f"_s{n}") for n in ns],
     )
-    aggs = []
-    for n in range(1, max_n + 1):
-        aggs.append(
-            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(f"top{n}_frac")
+    out_cols = []
+    for n in ns:
+        t, s = F.col(f"_t{n}"), F.col(f"_s{n}")
+        out_cols.append(
+            F.when(t > 0, F.round(s["top_cnt"] / t, 6)).otherwise(F.lit(0.0))
+            .alias(f"top{n}_frac")
         )
-        aggs.append(
-            F.max(F.when(F.col("n") == n, F.col("dup_frac"))).alias(f"dup{n}_frac")
+        out_cols.append(
+            F.when(t > 0, F.round(s["dup_cnt"] / t, 6)).otherwise(F.lit(0.0))
+            .alias(f"dup{n}_frac")
         )
-    out = sig.groupBy(id_col).agg(*aggs)
-    return df.select(id_col).join(out, id_col, "left").na.fill(0.0)
+    return staged.select(F.col(id_col), *out_cols)
 
 
 def ngrams_of(text_col: Column, n: int = 3) -> Column:
