@@ -563,6 +563,8 @@ def dedup_clusters(
     edges) is orders of magnitude smaller than the corpus, and the label
     frame shrinks to distinct endpoint ids — both shuffle-partitioned by
     id, so every round is a co-partitioned join."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = (
         pairs.select(
             F.explode(

@@ -375,6 +375,9 @@ def training_shards(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    reserved = {"h", "shard", "shard_pos"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"reserved column names in input: {sorted(reserved)}")
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),

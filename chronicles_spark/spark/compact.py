@@ -70,21 +70,22 @@ def compact_partitions(
         )
 
     assert isinstance(current, PartitionedTableVersion)
+    # materialize once: a generator argument must not be re-consumed per item
+    wanted = None if partitions is None else set(partitions)
     selected = {
         p: v
         for p, v in current.partition_versions.items()
-        if partitions is None or p in set(partitions)
+        if wanted is None or p in wanted
     }
     if not selected:
         raise ValueError("no live partitions match the compaction selection")
 
-    df = read_version(spark, table, PartitionedTableVersion(selected))
+    # exact directory strings (no partition-type inference): a value like
+    # '01' must not round-trip through int 1 and land under 'd=1'
+    df = read_version(
+        spark, table, PartitionedTableVersion(selected), infer_partition_types=False
+    )
     part_cols = list(table.partition_schema.columns)
-    # partition values are strings at the metadata layer (Hive semantics);
-    # directory-name recovery may have inferred dates/ints — cast back so
-    # the rewritten layout is byte-identical to the original writer's
-    for c in part_cols:
-        df = df.withColumn(c, F.col(c).cast("string"))
 
     if files_per_partition == 1:
         # all rows of one Hive partition into one task → one file per dir
@@ -98,6 +99,9 @@ def compact_partitions(
             *[F.col(c) for c in part_cols],
             salt,
         )
+    # the rewrite's partitions are exactly the selection — hand them over
+    # so the commit never pays an O(table-partitions) directory walk
     return versioned_insert_into(
-        out, table, tracker, user_id, message, metastore=metastore
+        out, table, tracker, user_id, message,
+        metastore=metastore, partitions=list(selected),
     )

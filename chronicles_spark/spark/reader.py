@@ -56,15 +56,32 @@ def read_version(
     table: TableDefinition,
     table_version,
     keep_version_column: bool = False,
+    infer_partition_types: bool = True,
 ) -> DataFrame:
-    """Read a specific resolved state (current or historical)."""
+    """Read a specific resolved state (current or historical).
+
+    ``infer_partition_types=False`` keeps partition columns as the EXACT
+    strings of the directory names (no date/int inference) — required by
+    read-modify-write paths (compaction, streaming append-union) where a
+    value like ``'01'`` must not round-trip through int 1 and land back
+    under a different directory."""
     paths_ = live_paths(table, table_version)
     if not paths_:
         raise ValueError(f"table {table.name} has no live data (empty state)")
     reader = spark.read.format(table.format).option("basePath", table.location)
     for k, v in table.format_options:
         reader = reader.option(k, v)
-    df = reader.load(paths_)
+    if infer_partition_types:
+        df = reader.load(paths_)
+    else:
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            # file listing + partition-schema inference happen inside load()
+            df = reader.load(paths_)
+        finally:
+            spark.conf.set(conf_key, prev)
     if not keep_version_column and VERSION_COLUMN in df.columns:
         df = df.drop(VERSION_COLUMN)
     return df
@@ -107,14 +124,22 @@ def changed_partitions(
 ):
     """Metastore ops describing what changed between two commits: the M12
     diff (Metastore.scala:56-84) applied to the folds at ``from_commit``
-    and ``to_commit`` (default: head).  Pure metadata."""
+    and ``to_commit`` (default: head).  Pure metadata.  Unknown commit ids
+    raise — ``take_through`` would otherwise silently fold the WHOLE log
+    and a CDC consumer would read an empty change set for a typo'd id."""
     from ..core import fold
-    from ..core.diff import compute_changes
 
     state = tracker.table_state(table.name)
+    known = {u.metadata.commit_id for u in state.updates}
+    to_commit = to_commit or state.current_version
+    for label, cid in (("from_commit", from_commit), ("to_commit", to_commit)):
+        if cid not in known:
+            raise ValueError(f"unknown {label} {cid!r} for table {table.name}")
+    from ..core.diff import compute_changes
+
     tv_from = fold.current_version(state.updates, from_commit)
-    tv_to = fold.current_version(state.updates, to_commit or state.current_version)
-    return compute_changes(tv_from, tv_to), tv_to
+    tv_to = fold.current_version(state.updates, to_commit)
+    return compute_changes(tv_from, tv_to), (tv_from, tv_to)
 
 
 def read_changes(
@@ -137,11 +162,25 @@ def read_changes(
     the WHOLE table is the change set."""
     from ..core.diff import AddPartition, UpdatePartitionVersion, UpdateTableVersion
 
-    ops, tv_to = changed_partitions(table, tracker, from_commit, to_commit)
+    ops, (tv_from, tv_to) = changed_partitions(table, tracker, from_commit, to_commit)
+
+    def _empty_like() -> DataFrame:
+        # schema must come from SOME live state; a pure-deletion interval
+        # can leave tv_to empty, so fall back to the from-state's files
+        for tv in (tv_to, tv_from):
+            try:
+                return read_version(spark, table, tv, keep_version_column).limit(0)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"table {table.name} has no live data at either commit to "
+            "derive a schema from"
+        )
+
     if isinstance(tv_to, SnapshotTableVersion):
         if any(isinstance(op, UpdateTableVersion) for op in ops):
             return read_version(spark, table, tv_to, keep_version_column)
-        return read_version(spark, table, tv_to, keep_version_column).limit(0)
+        return _empty_like()
 
     touched = {
         op.partition: op.version
@@ -149,8 +188,7 @@ def read_changes(
         if isinstance(op, (AddPartition, UpdatePartitionVersion))
     }
     if not touched:
-        # empty frame with the table's schema (from the current live state)
-        return read_version(spark, table, tv_to, keep_version_column).limit(0)
+        return _empty_like()
     return read_version(
         spark, table, PartitionedTableVersion(touched), keep_version_column
     )

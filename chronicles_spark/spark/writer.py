@@ -22,12 +22,16 @@ Scale notes (100 TB design):
 - The reference computes ``partitionValues`` as a SECOND full scan of the
   input (distinct-projection job) before the write
   (VersionContext.scala:72-78) — at 100 TB that doubles the read cost.
-  ``versioned_insert_into`` instead recovers the written partitions from
-  ONE driver-side directory walk of the fresh ``_version=<label>`` dirs
-  after the write (``partitions_written``): O(#partitions) metadata
-  listing, zero extra data scans.  ``partition_values`` (W1) remains the
-  faithful scan-based operator for callers that need partition tuples
-  WITHOUT writing.
+  ``versioned_insert_into`` offers three discovery strategies via
+  ``partitions=`` / ``partition_discovery=``: pass the partition list when
+  the caller already knows it (streaming sink — zero cost), ``"listing"``
+  (default) walks the fresh ``_version=<label>`` dirs after the write —
+  O(total table partitions) FS metadata, zero data scans, right for bulk
+  loads that touch most partitions — and ``"scan"`` keeps the reference's
+  pre-write distinct projection — O(input) extra scan but independent of
+  table width, right for small writes into very wide tables.
+  ``partition_values`` (W1) remains the faithful scan-based operator for
+  callers that need partition tuples WITHOUT writing.
 """
 
 from __future__ import annotations
@@ -146,6 +150,8 @@ def versioned_insert_into(
     message: str,
     version: Optional[Version] = None,
     metastore=None,
+    partitions: Optional[List[Partition]] = None,
+    partition_discovery: str = "listing",
 ):
     """Full write flow (VersionContext.scala:51-104 + VersionedMetastore.scala:53-66).
 
@@ -159,7 +165,20 @@ def versioned_insert_into(
 
     Returns ``(table_version, changes)`` — the resolved state after the
     commit and the metastore operations applied.
+
+    Partition discovery (partitioned tables): ``partitions`` short-circuits
+    discovery when the caller already knows the touched partition tuples;
+    ``partition_discovery="listing"`` (default) walks the written
+    ``_version`` directories after the write (no data scan; FS cost is
+    O(total table partitions) — right for bulk loads);
+    ``partition_discovery="scan"`` runs the reference's pre-write distinct
+    projection (one extra scan of the input, independent of table width —
+    right for small writes into very wide tables, e.g. micro-batches).
     """
+    if partition_discovery not in ("listing", "scan"):
+        raise ValueError(
+            f"partition_discovery must be 'listing' or 'scan', got {partition_discovery!r}"
+        )
     # W3 config guard (VersionContext.scala:62-69): without dynamic
     # partition-overwrite semantics, a true overwrite write would clobber
     # sibling partitions. Fail fast like the reference.
@@ -173,18 +192,28 @@ def versioned_insert_into(
     version = version or generate_version()
     prev_state = tracker.current_version(table.name)
 
-    # data first (invisible until commit), then metadata. Partition ops are
-    # planned AFTER the write from the fresh _version directory listing —
-    # one data scan total, vs the reference's extra distinct-projection job
-    # (VersionContext.scala:72-78); a failure between write and commit
-    # leaves only invisible files (docs/concepts.md:71-75), as before.
+    # data first (invisible until commit), then metadata. By default,
+    # partition ops are planned AFTER the write from the fresh _version
+    # directory listing — one data scan total, vs the reference's extra
+    # distinct-projection job (VersionContext.scala:72-78); a failure
+    # between write and commit leaves only invisible files
+    # (docs/concepts.md:71-75), as before.
+    parts: Optional[List[Partition]] = None
+    if not table.is_snapshot:
+        if partitions is not None:
+            parts = list(partitions)
+        elif partition_discovery == "scan":
+            # pre-write discovery: null values rejected before any bytes land
+            parts = partition_values(df, table.partition_schema.columns)
+
     write_versioned(df, table, version)
 
     ops: List[TableOperation]
     if table.is_snapshot:
         ops = [AddTableVersion(version)]
     else:
-        parts = partitions_written(table, version)
+        if parts is None:
+            parts = partitions_written(table, version)
         ops = [AddPartitionVersion(p, version) for p in sorted(parts, key=lambda p: p.path)]
 
     meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))

@@ -28,8 +28,15 @@ choice explicit:
   (e.g. a catch-up ingest where source files are partition-aligned).
   Replay is naturally idempotent (the replayed version supersedes).
 * ``mode="strict"``: like ``overwrite_partitions`` but fails fast with
-  ``ValueError`` if a batch touches a partition that already has a live
-  version — turns the silent-data-loss scenario into an error.
+  ``ValueError`` if a batch touches a partition (or, for snapshot tables,
+  a table version) that is already live — turns the silent-data-loss
+  scenario into an error.
+
+ONE SINK PER (table, message_prefix): the replay guard keys on the latest
+commit carrying ``message_prefix`` and on monotonic epoch ids, so two
+concurrent streams sharing a prefix on one table would mistake each
+other's epochs for replays and silently drop batches.  Give every
+sink/checkpoint its own ``message_prefix``.
 
 At scale: each micro-batch shuffles only its own partitions (plus, in
 append mode, a scan of the touched partitions' live directories).  The
@@ -103,7 +110,10 @@ def commit_stream_batch(
     if batch_df.isEmpty():
         return
     message = f"{message_prefix} epoch {epoch_id}"
-    if mode == "append" and _epoch_committed(
+    # replay guard for append AND strict: a strict stream that crashed
+    # after commit but before the checkpoint advanced would otherwise see
+    # its own partitions live on restart and raise forever
+    if mode in ("append", "strict") and _epoch_committed(
         tracker, table.name, message_prefix, epoch_id
     ):
         return  # checkpoint replay of an already-committed epoch
@@ -116,10 +126,11 @@ def commit_stream_batch(
             batch_df = batch_df.persist()
             try:
                 touched = partition_values(batch_df, part_cols)
+                touched_set = set(touched)
                 overlap = {
                     p: v
                     for p, v in current.partition_versions.items()
-                    if p in set(touched)
+                    if p in touched_set
                 }
                 if overlap and mode == "strict":
                     raise ValueError(
@@ -130,26 +141,44 @@ def commit_stream_batch(
                     )
                 out = batch_df
                 if overlap:
+                    # exact directory strings: no partition-type inference,
+                    # so a value like '01' cannot round-trip through int 1
+                    # and land under a different directory
                     live = read_version(
-                        batch_df.sparkSession, table, PartitionedTableVersion(overlap)
+                        batch_df.sparkSession,
+                        table,
+                        PartitionedTableVersion(overlap),
+                        infer_partition_types=False,
                     )
                     out = batch_df.unionByName(_align(live, batch_df))
+                # the union's partitions == the batch's (overlap ⊆ touched):
+                # hand them over, skipping discovery entirely — a micro-batch
+                # must never pay an O(table-partitions) directory walk
                 versioned_insert_into(
-                    out, table, tracker, user_id, message, metastore=metastore
+                    out, table, tracker, user_id, message,
+                    metastore=metastore, partitions=touched,
                 )
             finally:
                 batch_df.unpersist()
             return
-        if (
-            isinstance(current, SnapshotTableVersion)
-            and mode == "append"
-            and not current.version.is_unversioned
-        ):
-            # snapshot append = cumulative whole-table version
-            live = read_version(batch_df.sparkSession, table, current)
-            out = batch_df.unionByName(_align(live, batch_df))
+        if isinstance(current, SnapshotTableVersion):
+            if mode == "strict" and not current.version.is_unversioned:
+                raise ValueError(
+                    f"micro-batch epoch {epoch_id} would supersede the live "
+                    "snapshot version; strict mode forbids it — use "
+                    "mode='append' (cumulative) or 'overwrite_partitions'"
+                )
+            if mode == "append" and not current.version.is_unversioned:
+                # snapshot append = cumulative whole-table version
+                live = read_version(batch_df.sparkSession, table, current)
+                out = batch_df.unionByName(_align(live, batch_df))
 
-    versioned_insert_into(out, table, tracker, user_id, message, metastore=metastore)
+    # micro-batches are narrow; pre-write distinct scan beats walking the
+    # whole table's partition directories (partition_discovery='listing')
+    versioned_insert_into(
+        out, table, tracker, user_id, message,
+        metastore=metastore, partition_discovery="scan",
+    )
 
 
 def versioned_stream_sink(

@@ -127,3 +127,59 @@ def test_compact_empty_selection_raises(spark, tmp_path):
             spark, table, tracker, "t",
             partitions=[Partition((("d", "1999-01-01"),))],
         )
+
+
+def test_compact_preserves_noncanonical_string_partition_values(spark, tmp_path):
+    """A string partition value like '01' must not round-trip through int
+    inference and land under a different directory (d=1)."""
+    table = TableDefinition(
+        TableName("m", "pad"), str(tmp_path / "pad"), PartitionSchema(("d",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    df = spark.createDataFrame([(1, "01"), (2, "002")], ["id", "d"])
+    versioned_insert_into(df, table, tracker, "t", "v1")
+
+    compact_partitions(spark, table, tracker, "t")
+
+    live = tracker.current_version(table.name).partition_versions
+    assert sorted(p.path for p in live) == ["d=002", "d=01"]  # not d=1/d=2
+    got = sorted(
+        (r["id"], r["d"])
+        for r in read_current(
+            spark, table, tracker
+        ).collect()
+    )
+    # current view must not double-count (old pointer superseded correctly)
+    assert len(got) == 2
+
+
+def test_read_changes_unknown_commit_raises(spark, tmp_path):
+    table, tracker, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown from_commit"):
+        read_changes(spark, table, tracker, "no-such-commit")
+
+
+def test_versioned_insert_scan_discovery_and_explicit_partitions(spark, tmp_path):
+    """All three partition-discovery strategies commit identical ops."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.spark.writer import partition_values
+
+    rows = [(i, f"2020-01-0{1 + i % 3}") for i in range(30)]
+
+    def _go(mode_kwargs, name):
+        t = TableDefinition(
+            TableName("m", name), str(tmp_path / name), PartitionSchema(("d",))
+        )
+        tr = InMemoryVersionTracker()
+        tr.init_table(t.name, is_snapshot=False, user_id="t")
+        df = spark.createDataFrame(rows, ["id", "d"])
+        versioned_insert_into(df, t, tr, "t", "v1", **mode_kwargs)
+        return sorted(p.path for p in tr.current_version(t.name).partition_versions)
+
+    df0 = spark.createDataFrame(rows, ["id", "d"])
+    explicit = partition_values(df0, ("d",))
+    a = _go({}, "listing")
+    b = _go({"partition_discovery": "scan"}, "scan")
+    c = _go({"partitions": explicit}, "explicit")
+    assert a == b == c == ["d=2020-01-01", "d=2020-01-02", "d=2020-01-03"]

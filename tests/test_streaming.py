@@ -272,3 +272,39 @@ def test_stream_dedup_exact(spark, tmp_path, events_batch):
     assert got.select("event_id").distinct().count() == batch_df.count()
     # batch mode gives the same distinct id set
     assert stream_dedup_exact(dup).count() == batch_df.count()
+
+
+def test_commit_stream_batch_strict_replay_is_noop(spark, tmp_path, events_batch):
+    """A strict-mode replay of an already-committed epoch must be skipped,
+    not raise — otherwise a crash between commit and checkpoint write
+    leaves the stream in a permanent restart loop."""
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "strict_replay")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    half = batch_df.limit(30)
+    commit_stream_batch(half, 0, table, tracker, "etl", mode="strict")
+    n = len(list(tracker.table_state(table.name).updates))
+    commit_stream_batch(half, 0, table, tracker, "etl", mode="strict")  # replay
+    assert len(list(tracker.table_state(table.name).updates)) == n
+
+
+def test_commit_stream_batch_strict_snapshot_raises(spark, tmp_path, events_batch):
+    """strict on a snapshot table must refuse to supersede the live
+    version instead of silently keeping only the last batch."""
+    from chronicles_spark.core.model import PartitionSchema as PS
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = TableDefinition(
+        TableName("stream", "snap"), str(tmp_path / "snap"), PS(())
+    )
+    tracker.init_table(table.name, is_snapshot=True, user_id="etl")
+
+    commit_stream_batch(batch_df.limit(10), 0, table, tracker, "etl", mode="strict")
+    with pytest.raises(ValueError, match="snapshot"):
+        commit_stream_batch(batch_df.limit(10), 1, table, tracker, "etl", mode="strict")
