@@ -222,3 +222,37 @@ def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in dedup_clusters(df, max_iter=20).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_repetition_signals_matches_counter_reference(spark):
+    """Differential test: the sorted-run fold must agree with a plain
+    Counter-based reference on random low-entropy token streams."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(25):
+        n_tok = rng.randrange(0, 30)
+        docs.append((i, " ".join(rng.choice("a b c aa bb".split())
+                                 for _ in range(n_tok))))
+
+    def ref(text, n):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        top = max(c.values()) / len(grams)
+        dup = sum(v for v in c.values() if v > 1) / len(grams)
+        return round(top, 6), round(dup, 6)
+
+    from chronicles_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    for i, text in docs:
+        for n in (1, 2, 3):
+            t, d = ref(text, n)
+            assert got[i][f"top{n}_frac"] == t, (i, n, text)
+            assert got[i][f"dup{n}_frac"] == d, (i, n, text)
