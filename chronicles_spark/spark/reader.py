@@ -24,9 +24,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+_PARTITION_INFERENCE_LOCK = threading.Lock()
 
 from ..core import paths as vpaths
 from ..core.model import (
@@ -74,14 +77,21 @@ def read_version(
     if infer_partition_types:
         df = reader.load(paths_)
     else:
+        # the flag is session-global (Spark has no per-read option), so the
+        # set → load → restore must be atomic across THIS process's threads
+        # (e.g. two foreachBatch sinks) or an interleaved restore could
+        # re-enable inference mid-load and resurrect the '01' → int 1
+        # corruption; unrelated concurrent reads may briefly observe
+        # string-typed partition columns — values stay correct
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev = spark.conf.get(conf_key, "true")
-        spark.conf.set(conf_key, "false")
-        try:
-            # file listing + partition-schema inference happen inside load()
-            df = reader.load(paths_)
-        finally:
-            spark.conf.set(conf_key, prev)
+        with _PARTITION_INFERENCE_LOCK:
+            prev = spark.conf.get(conf_key, "true")
+            spark.conf.set(conf_key, "false")
+            try:
+                # listing + partition-schema inference happen inside load()
+                df = reader.load(paths_)
+            finally:
+                spark.conf.set(conf_key, prev)
     if not keep_version_column and VERSION_COLUMN in df.columns:
         df = df.drop(VERSION_COLUMN)
     return df
@@ -116,6 +126,28 @@ def read_at_commit(
     return read_version(spark, table, tv, keep_version_column)
 
 
+def _changed_states(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    from_commit: str,
+    to_commit: Optional[str] = None,
+):
+    """(ops, tv_from, tv_to) — internal triple behind changed_partitions."""
+    from ..core import fold
+    from ..core.diff import compute_changes
+
+    state = tracker.table_state(table.name)
+    known = {u.metadata.commit_id for u in state.updates}
+    to_commit = to_commit or state.current_version
+    for label, cid in (("from_commit", from_commit), ("to_commit", to_commit)):
+        if cid not in known:
+            raise ValueError(f"unknown {label} {cid!r} for table {table.name}")
+
+    tv_from = fold.current_version(state.updates, from_commit)
+    tv_to = fold.current_version(state.updates, to_commit)
+    return compute_changes(tv_from, tv_to), tv_from, tv_to
+
+
 def changed_partitions(
     table: TableDefinition,
     tracker: VersionTracker,
@@ -124,22 +156,12 @@ def changed_partitions(
 ):
     """Metastore ops describing what changed between two commits: the M12
     diff (Metastore.scala:56-84) applied to the folds at ``from_commit``
-    and ``to_commit`` (default: head).  Pure metadata.  Unknown commit ids
-    raise — ``take_through`` would otherwise silently fold the WHOLE log
-    and a CDC consumer would read an empty change set for a typo'd id."""
-    from ..core import fold
-
-    state = tracker.table_state(table.name)
-    known = {u.metadata.commit_id for u in state.updates}
-    to_commit = to_commit or state.current_version
-    for label, cid in (("from_commit", from_commit), ("to_commit", to_commit)):
-        if cid not in known:
-            raise ValueError(f"unknown {label} {cid!r} for table {table.name}")
-    from ..core.diff import compute_changes
-
-    tv_from = fold.current_version(state.updates, from_commit)
-    tv_to = fold.current_version(state.updates, to_commit)
-    return compute_changes(tv_from, tv_to), (tv_from, tv_to)
+    and ``to_commit`` (default: head), returned as ``(ops, to_state)``.
+    Pure metadata.  Unknown commit ids raise — ``take_through`` would
+    otherwise silently fold the WHOLE log and a CDC consumer would read an
+    empty change set for a typo'd id."""
+    ops, _, tv_to = _changed_states(table, tracker, from_commit, to_commit)
+    return ops, tv_to
 
 
 def read_changes(
@@ -160,17 +182,21 @@ def read_changes(
     touches 3 of 100k partitions, an incremental pipeline reads those 3
     directories, not the table.  Snapshot tables: any version change means
     the WHOLE table is the change set."""
+    from pyspark.errors import AnalysisException
+
     from ..core.diff import AddPartition, UpdatePartitionVersion, UpdateTableVersion
 
-    ops, (tv_from, tv_to) = changed_partitions(table, tracker, from_commit, to_commit)
+    ops, tv_from, tv_to = _changed_states(table, tracker, from_commit, to_commit)
 
     def _empty_like() -> DataFrame:
         # schema must come from SOME live state; a pure-deletion interval
-        # can leave tv_to empty, so fall back to the from-state's files
+        # can leave tv_to empty, so fall back to the from-state's files.
+        # AnalysisException covers the snapshot case: a never-written
+        # snapshot folds to one (nonexistent) path rather than zero paths.
         for tv in (tv_to, tv_from):
             try:
                 return read_version(spark, table, tv, keep_version_column).limit(0)
-            except ValueError:
+            except (ValueError, AnalysisException):
                 continue
         raise ValueError(
             f"table {table.name} has no live data at either commit to "

@@ -174,6 +174,11 @@ def versioned_insert_into(
     ``partition_discovery="scan"`` runs the reference's pre-write distinct
     projection (one extra scan of the input, independent of table width —
     right for small writes into very wide tables, e.g. micro-batches).
+    Caveat shared with the reference (VersionContext.scala:72-96): "scan"
+    evaluates ``df`` twice (discovery job + write job) — a nondeterministic
+    partition column (rand()-derived, mutable source) can diverge between
+    the two; persist the input or use "listing", which reads what actually
+    landed on disk.
     """
     if partition_discovery not in ("listing", "scan"):
         raise ValueError(
@@ -202,6 +207,16 @@ def versioned_insert_into(
     if not table.is_snapshot:
         if partitions is not None:
             parts = list(partitions)
+            # same null/empty validation both discovery strategies enforce:
+            # a pointer at 'd=' with data under __HIVE_DEFAULT_PARTITION__
+            # must never reach the commit log
+            for p in parts:
+                for c, v in p.column_values:
+                    if v is None or v == "" or v == "__HIVE_DEFAULT_PARTITION__":
+                        raise ValueError(
+                            f"partition column {c!r} contains null/empty values; "
+                            "versioned writes require concrete partition values"
+                        )
         elif partition_discovery == "scan":
             # pre-write discovery: null values rejected before any bytes land
             parts = partition_values(df, table.partition_schema.columns)

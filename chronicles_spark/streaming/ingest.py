@@ -33,10 +33,11 @@ choice explicit:
   scenario into an error.
 
 ONE SINK PER (table, message_prefix): the replay guard keys on the latest
-commit carrying ``message_prefix`` and on monotonic epoch ids, so two
-concurrent streams sharing a prefix on one table would mistake each
-other's epochs for replays and silently drop batches.  Give every
-sink/checkpoint its own ``message_prefix``.
+commit carrying ``message_prefix`` and on monotonic epoch ids.  An epoch
+EQUAL to the latest committed one is the crash-replay case and is skipped;
+an epoch BEHIND it (two sinks sharing a prefix, or a wiped checkpoint
+reusing epoch ids) raises ``RuntimeError`` rather than silently dropping
+fresh batches.  Give every sink/checkpoint its own ``message_prefix``.
 
 At scale: each micro-batch shuffles only its own partitions (plus, in
 append mode, a scan of the touched partitions' live directories).  The
@@ -59,28 +60,23 @@ from ..trackers.base import VersionTracker
 _MODES = ("append", "overwrite_partitions", "strict")
 
 
-def _epoch_committed(
-    tracker: VersionTracker, table_name, message_prefix: str, epoch_id: int
-) -> bool:
-    """True if this epoch (or a later one) was already committed — the
-    replay guard that makes append mode batch-level exactly-once.
+def _latest_stream_epoch(
+    tracker: VersionTracker, table_name, message_prefix: str
+) -> Optional[int]:
+    """Epoch id of the NEWEST commit carrying ``message_prefix``, or None.
 
-    Scans the log NEWEST-first and stops at the first commit carrying
-    ``message_prefix``: Structured Streaming epoch ids are monotonic per
-    checkpoint, so the latest stream commit's epoch decides.  Typical cost
-    is a few commits even on a log with millions of entries (interleaved
-    manual commits are skipped over).  Caveat: restarting a stream with a
-    FRESH checkpoint resets epoch ids to 0 — use a new ``message_prefix``
-    for the new checkpoint or earlier epochs would be wrongly skipped."""
+    Scans the log newest-first and stops at the first stream commit;
+    typical cost is a few commits even on a log with millions of entries
+    (interleaved manual commits are skipped over)."""
     prefix = f"{message_prefix} epoch "
     for u in reversed(list(tracker.table_state(table_name).updates)):
         m = u.metadata.message
         if m.startswith(prefix):
             try:
-                return int(m[len(prefix):]) >= epoch_id
+                return int(m[len(prefix):])
             except ValueError:
-                return False
-    return False
+                return None
+    return None
 
 
 def _align(live: DataFrame, batch_df: DataFrame) -> DataFrame:
@@ -110,13 +106,26 @@ def commit_stream_batch(
     if batch_df.isEmpty():
         return
     message = f"{message_prefix} epoch {epoch_id}"
-    # replay guard for append AND strict: a strict stream that crashed
-    # after commit but before the checkpoint advanced would otherwise see
-    # its own partitions live on restart and raise forever
-    if mode in ("append", "strict") and _epoch_committed(
-        tracker, table.name, message_prefix, epoch_id
-    ):
-        return  # checkpoint replay of an already-committed epoch
+    # replay guard for append AND strict: a stream that crashed after
+    # commit but before the checkpoint advanced replays its LAST epoch on
+    # restart — skip it (append would double rows; strict would see its own
+    # partitions live and raise forever).  A checkpoint can only replay the
+    # latest in-flight epoch, so a batch whose epoch is STRICTLY below the
+    # latest committed one means the checkpoint was wiped/replaced while
+    # the message_prefix was reused — that would silently skip fresh data;
+    # fail loudly instead.
+    if mode in ("append", "strict"):
+        latest = _latest_stream_epoch(tracker, table.name, message_prefix)
+        if latest is not None:
+            if latest == epoch_id:
+                return  # checkpoint replay of the just-committed epoch
+            if latest > epoch_id:
+                raise RuntimeError(
+                    f"epoch {epoch_id} is behind the latest committed epoch "
+                    f"{latest} for message_prefix {message_prefix!r} — a "
+                    "fresh/wiped checkpoint reuses epoch ids; give this "
+                    "sink a new message_prefix"
+                )
 
     part_cols = table.partition_schema.columns
     out = batch_df

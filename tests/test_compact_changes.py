@@ -183,3 +183,18 @@ def test_versioned_insert_scan_discovery_and_explicit_partitions(spark, tmp_path
     b = _go({"partition_discovery": "scan"}, "scan")
     c = _go({"partitions": explicit}, "explicit")
     assert a == b == c == ["d=2020-01-01", "d=2020-01-02", "d=2020-01-03"]
+
+
+def test_versioned_insert_rejects_null_values_in_explicit_partitions(spark, tmp_path):
+    from chronicles_spark.core.model import Partition
+
+    table = TableDefinition(
+        TableName("m", "nullexp"), str(tmp_path / "nullexp"), PartitionSchema(("d",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    df = spark.createDataFrame([(1, "x")], ["id", "d"])
+    with pytest.raises(ValueError, match="concrete partition values"):
+        versioned_insert_into(
+            df, table, tracker, "t", "v1", partitions=[Partition((("d", ""),))]
+        )

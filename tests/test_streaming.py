@@ -308,3 +308,23 @@ def test_commit_stream_batch_strict_snapshot_raises(spark, tmp_path, events_batc
     commit_stream_batch(batch_df.limit(10), 0, table, tracker, "etl", mode="strict")
     with pytest.raises(ValueError, match="snapshot"):
         commit_stream_batch(batch_df.limit(10), 1, table, tracker, "etl", mode="strict")
+
+
+def test_commit_stream_batch_epoch_regression_raises(spark, tmp_path, events_batch):
+    """An epoch BEHIND the latest committed one means a wiped checkpoint is
+    reusing epoch ids under the same prefix — must raise, not silently
+    skip the fresh batch."""
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "regress")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    commit_stream_batch(batch_df.limit(10), 5, table, tracker, "etl")
+    with pytest.raises(RuntimeError, match="behind the latest"):
+        commit_stream_batch(batch_df.limit(10), 2, table, tracker, "etl")
+    # a NEW prefix works (the documented fix)
+    commit_stream_batch(
+        batch_df.limit(10), 2, table, tracker, "etl", message_prefix="stream2"
+    )
