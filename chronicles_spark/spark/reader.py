@@ -29,8 +29,6 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-_PARTITION_INFERENCE_LOCK = threading.Lock()
-
 from ..core import paths as vpaths
 from ..core.model import (
     PartitionedTableVersion,
@@ -39,6 +37,11 @@ from ..core.model import (
 )
 from ..core.paths import VERSION_COLUMN
 from ..trackers.base import VersionTracker
+
+# serializes the session-global partition-inference conf swap in
+# read_version; process-wide by design (coarser than strictly needed for
+# multi-SparkSession processes, but those are rare and correctness wins)
+_PARTITION_INFERENCE_LOCK = threading.Lock()
 
 
 def live_paths(table: TableDefinition, table_version) -> List[str]:
@@ -191,13 +194,22 @@ def read_changes(
     def _empty_like() -> DataFrame:
         # schema must come from SOME live state; a pure-deletion interval
         # can leave tv_to empty, so fall back to the from-state's files.
-        # AnalysisException covers the snapshot case: a never-written
-        # snapshot folds to one (nonexistent) path rather than zero paths.
+        # AnalysisException is tolerated ONLY for the never-written
+        # snapshot sentinel (it folds to one nonexistent path rather than
+        # zero paths) — a missing path for a state that claims live data
+        # is corruption and must propagate.
         for tv in (tv_to, tv_from):
+            never_written = (
+                isinstance(tv, SnapshotTableVersion) and tv.version.is_unversioned
+            )
             try:
                 return read_version(spark, table, tv, keep_version_column).limit(0)
-            except (ValueError, AnalysisException):
+            except ValueError:
                 continue
+            except AnalysisException:
+                if never_written:
+                    continue
+                raise
         raise ValueError(
             f"table {table.name} has no live data at either commit to "
             "derive a schema from"

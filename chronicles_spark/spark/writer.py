@@ -74,7 +74,10 @@ def partition_values(df: DataFrame, partition_columns: Tuple[str, ...]) -> List[
     # a silently-broken pointer would be worse).
     for r in rows:
         for c in partition_columns:
-            if r[c] is None or r[c] == "":
+            # the literal sentinel string would be written verbatim but read
+            # back by Spark as a NULL partition value — same broken-pointer
+            # hazard as a real null, and rejected by all discovery paths
+            if r[c] is None or r[c] == "" or r[c] == "__HIVE_DEFAULT_PARTITION__":
                 raise ValueError(
                     f"partition column {c!r} contains null/empty values; "
                     "versioned writes require concrete partition values"

@@ -75,7 +75,7 @@ def _latest_stream_epoch(
             try:
                 return int(m[len(prefix):])
             except ValueError:
-                return None
+                continue  # manual commit that merely resembles the prefix
     return None
 
 
