@@ -198,3 +198,35 @@ def test_versioned_insert_rejects_null_values_in_explicit_partitions(spark, tmp_
         versioned_insert_into(
             df, table, tracker, "t", "v1", partitions=[Partition((("d", ""),))]
         )
+
+
+def test_partitions_written_matches_scan_on_special_values(spark, tmp_path):
+    """The listing walk and the distinct scan must recover the SAME
+    partition tuples, including multi-level partitions with values that
+    need Hive path escaping."""
+    from chronicles_spark.spark.writer import partition_values, partitions_written
+
+    values = [
+        ("2024/01:a", "x y"),     # slash, colon, space
+        ("01", "=eq"),            # zero-padded, equals sign
+        ("plain", "café"),        # non-ascii
+        ("a%2Fb", "tab\tchar"),   # pre-escaped-looking, control char
+    ]
+    table = TableDefinition(
+        TableName("m", "esc2"), str(tmp_path / "esc2"),
+        PartitionSchema(("p1", "p2")),
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    rows = [(i, a, b) for i, (a, b) in enumerate(values)]
+    df = spark.createDataFrame(rows, ["id", "p1", "p2"])
+
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.writer import write_versioned
+
+    v = generate_version()
+    write_versioned(df, table, v)
+
+    via_scan = sorted(p.path for p in partition_values(df, ("p1", "p2")))
+    via_walk = sorted(p.path for p in partitions_written(table, v))
+    assert via_walk == via_scan and len(via_walk) == len(values)
