@@ -585,7 +585,7 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -600,20 +600,23 @@ def dedup_clusters(
             ).alias("label"),
         )
         # pointer doubling: jump each label to its label's label — path
-        # lengths halve every round (every label is itself a vertex id)
-        lookup = propagated.select(
-            F.col("id").alias("lid"), F.col("label").alias("llabel")
-        )
-        new_labels = (
-            propagated.join(lookup, propagated.label == lookup.lid, "left")
-            .select(
+        # lengths halve every round (every label is itself a vertex id).
+        # Skipped in round 0, where labels are at most one hop old and the
+        # jump is a no-op: LSH dedup graphs usually converge in 2-3 rounds
+        # and shouldn't pay the extra join; long chains still get O(log d).
+        if it > 0:
+            lookup = propagated.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
+            )
+            propagated = propagated.join(
+                lookup, propagated.label == lookup.lid, "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
