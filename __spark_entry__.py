@@ -668,6 +668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents").select("doc_id", "lang")
         return TX.training_shards(docs, n_shards=8, seed="epoch0")
 
+    def q_corpus_mixture(spark, sf):
+        # per-(source, lang) doc/token accounting for mixture weights
+        docs = load_table(spark, sf, "documents")
+        return _longify(TX.corpus_mixture(docs))
+
     def q_lang_id(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.with_lang_id(docs).drop("text"))
@@ -1131,6 +1136,16 @@ SELECT d.doc_id,
        coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) AS dup3_frac
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 GROUP BY d.doc_id
+""",
+        "q_corpus_mixture": """
+WITH g AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM g), 6) AS token_frac
+FROM g
 """,
         "q_training_shards": """
 WITH h AS (

@@ -355,6 +355,40 @@ def with_uniform_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("u", (u.cast("double") / F.lit(float(16**7))))
 
 
+def corpus_mixture(
+    df: DataFrame,
+    group_cols: tuple = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture accounting: per group (source × language by default),
+    document count, token sum, and each group's fraction of corpus tokens —
+    the numbers a training run needs to set mixture weights (and to verify
+    them after sampling).
+
+    Plan: one narrow map-side token count, ONE aggregation shuffle keyed by
+    the group columns; the total-token denominator is a single-row
+    broadcast-style cross join, never a second corpus pass."""
+    toks = F.size(tokens_of(F.col(text_col)))
+    per_group = (
+        df.select(*group_cols, toks.alias("_n"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+    total = per_group.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_frac"),
+        )
+    )
+
+
 def training_shards(
     df: DataFrame,
     n_shards: int = 8,

@@ -256,3 +256,19 @@ def test_repetition_signals_matches_counter_reference(spark):
             t, d = ref(text, n)
             assert got[i][f"top{n}_frac"] == t, (i, n, text)
             assert got[i][f"dup{n}_frac"] == d, (i, n, text)
+
+
+def test_corpus_mixture_fractions(spark):
+    from chronicles_spark.operators.text import corpus_mixture
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "web", "en"),     # 3 tokens
+            (2, "d e", "web", "en"),       # 2
+            (3, "f g h i j", "books", "de"),  # 5
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["token_frac"])
+           for r in corpus_mixture(df).collect()}
+    assert got == {("web", "en"): (2, 5, 0.5), ("books", "de"): (1, 5, 0.5)}
