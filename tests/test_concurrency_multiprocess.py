@@ -37,8 +37,12 @@ from chronicles_spark.core.version import generate_version
 from chronicles_spark.trackers import FileBackedVersionTracker, SqliteVersionTracker
 
 backend, path, wid, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
-tracker = (SqliteVersionTracker(path) if backend == "sqlite"
-           else FileBackedVersionTracker(path))
+if backend == "sqlite":
+    tracker = SqliteVersionTracker(path)
+elif backend == "files_locked":
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+else:
+    tracker = FileBackedVersionTracker(path)
 t = TableName("db", "race")
 done = 0
 for i in range(n):
@@ -86,6 +90,28 @@ def test_sqlite_two_process_commits_all_serialize(tmp_path):
     assert state.current_version in ids
     live = SqliteVersionTracker(path).current_version(T)
     assert len(live.partition_versions) == n_procs  # one date per worker
+
+
+def test_files_locked_two_process_commits_all_serialize(tmp_path):
+    """use_lock=True: the per-table flock serializes commits across OS
+    processes — EVERY commit survives, filenames never collide."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    n_procs = _race("files_locked", path)
+
+    state = FileBackedVersionTracker(path).table_state(T)
+    assert len(state.updates) == 1 + n_procs * N_PER_PROC  # none lost
+    ids = [u.metadata.commit_id for u in state.updates]
+    assert len(set(ids)) == len(ids)
+    assert all(len(u.operations) == 1 for u in state.updates[1:])
+    assert state.current_version in ids
+
+
+def test_files_lock_requires_local_fs():
+    with pytest.raises(ValueError, match="local filesystem"):
+        FileBackedVersionTracker("memory://b/lock", use_lock=True)
 
 
 def test_files_two_process_commits_last_writer_wins(tmp_path):
