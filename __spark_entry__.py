@@ -143,7 +143,7 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str):
 
     Memoized per ``sf_dir``: the fixture is immutable once built (every
     consumer reads it or dry-runs vacuum), so the lifecycle queries
-    (q_current_view, q_time_travel_read, q_versioned_write_roundtrip,
+    (q_versioned_write_roundtrip, q_time_travel_read, q_read_changes,
     q_vacuum_dry_run, q_log_json_read) time the operator under test, not
     repeated fixture construction."""
     if sf_dir in _VERSIONED_EVENTS_CACHE:
@@ -309,24 +309,6 @@ _COS_SQL = (
 )
 
 
-def _sign_lsh_bucket_sql(n_planes: int, dim: int) -> str:
-    """DuckDB twin of SIM.sign_lsh_buckets: same md5-derived hyperplanes,
-    one concatenated sign-bit key per vector."""
-    from chronicles_spark.operators.similarity import hyperplane_signs
-
-    planes = hyperplane_signs(n_planes, dim)
-
-    def bit(plane: list[float]) -> str:
-        lit = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
-        return (
-            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
-        )
-
-    key = " || ".join(bit(p) for p in planes)
-    return _EMB_V_CTE + f"SELECT vec_id, {key} AS bucket_key FROM v"
-
-
 def _emb_lsh_sql(n_planes: int, bands: int, dim: int, threshold: float) -> str:
     """DuckDB twin of DD.embedding_lsh_dedup: same md5-derived hyperplanes,
     same banded candidate join, same exact-cosine verify."""
@@ -386,16 +368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops_log_df(spark, sf), head_ref_df(spark, sf), "demo.events"
         )
 
-    def q_fold_incremental(spark, sf):
-        # checkpoint the fold mid-log, then fold only the tail; the result
-        # must equal the full fold (same oracle SQL) — the Delta-style
-        # checkpoint path for billion-row logs
-        ops = ops_log_df(spark, sf)
-        ckpt = LQ.fold_state_checkpoint(ops, upto_seq=15, table_name="demo.events")
-        return LQ.current_version_fold_incremental(
-            ops, ckpt, 15, head_ref_df(spark, sf), "demo.events"
-        )
-
     def q_compute_changes(spark, sf):
         ops = ops_log_df(spark, sf)
         cur = LQ.current_version_fold(ops, head_ref_df(spark, sf), "demo.events")
@@ -414,22 +386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return LQ.table_state_group(ops_log_df(spark, sf))
 
     def q_tables_list(spark, sf):
-        return LQ.tables_list(ops_log_df(spark, sf))
-
-    def q_is_snapshot(spark, sf):
+        # V1 + V7 merged (round-4 driver-cap curation): the table registry
+        # with its isSnapshot flag — distinct tables come from the same
+        # init_table ops the flag lives on, so one query value-checks both.
         return LQ.is_snapshot(ops_log_df(spark, sf))
 
     # --- W: write/read surface --------------------------------------------
-
-    def q_partition_values(spark, sf):
-        ev = load_table(spark, sf, "events")
-        return (
-            ev.select(
-                F.col("ts").cast("date").cast("string").alias("event_date"),
-                "event_type",
-            )
-            .distinct()
-        )
 
     def q_partition_filter(spark, sf):
         ev = load_table(spark, sf, "events")
@@ -444,7 +406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    def q_current_view(spark, sf):
+    def q_versioned_write_roundtrip(spark, sf):
+        # W2 + W5 merged (round-4 driver-cap curation): the fixture performs
+        # the versioned writes (v1 all partitions + one overwrite), then the
+        # current view is read back and value-checked against the plain
+        # events oracle — upgrading the old rows-only roundtrip row to a
+        # full hash-checked one (it was previously duplicated as
+        # q_current_view with the identical body).
         table, tracker, _ = _write_versioned_events(spark, sf)
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
@@ -453,11 +421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_at_commit(spark, table, tracker, first_commit).select(
             *_EVENTS_VIEW_COLS
         )
-
-    def q_versioned_write_roundtrip(spark, sf):
-        # rows-only: write → read back through the current view
-        table, tracker, _ = _write_versioned_events(spark, sf)
-        return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
     def q_compact_roundtrip(spark, sf):
         # small-file compaction (spark/compact.py): live partitions
@@ -549,24 +512,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_version_paths(spark, sf):
+        # V13 + M1 merged (round-4 driver-cap curation): one pass over the
+        # synthetic versioned paths value-checks the whole path algebra —
+        # partition extraction (M1's parse-versions-from-locations, formerly
+        # q_parse_versions_from_paths), version-label extraction, and
+        # base-path stripping (V13's pathFor/parseVersion/versionedToBasePath).
         register_views(spark, sf, ("events",))
         df = spark.sql(
             _mk_lbl_paths_sql("s3://warehouse/events/date=") + "SELECT path FROM paths"
         )
         return df.select(
             "path",
-            version_of_path(F.col("path")).alias("version_label"),
-            base_path_of(F.col("path")).alias("base_path"),
-        )
-
-    def q_parse_versions_from_paths(spark, sf):
-        register_views(spark, sf, ("events",))
-        df = spark.sql(
-            _mk_lbl_paths_sql("s3://warehouse/events/date=") + "SELECT path FROM paths"
-        )
-        return df.select(
             partition_of_path(F.col("path"), "date").alias("part"),
             version_of_path(F.col("path")).alias("version_label"),
+            base_path_of(F.col("path")).alias("base_path"),
         )
 
     def q_partition_parse(spark, sf):
@@ -589,6 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_partition_expr_render(spark, sf):
+        # M10 + W1 merged (round-4 driver-cap curation): the inner distinct
+        # projection IS W1's partitionValues (formerly q_partition_values);
+        # the rendered hive expr value-checks M10 on top of it.
         ev = load_table(spark, sf, "events")
         d = ev.select(
             F.col("ts").cast("date").cast("string").alias("event_date"),
@@ -603,22 +565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # --- user-data query surface (Spark's own, over normalized sources) ----
-
-    def q_tpch_q1(spark, sf):
-        li = load_table(spark, sf, "lineitem")
-        dec = lambda c: F.col(c).cast("decimal(18,2)")
-        return (
-            li.where(F.col("l_shipdate") <= "1998-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-                .cast("double")
-                .alias("sum_disc_price"),
-                F.count(F.lit(1)).alias("count_order"),
-            )
-        )
 
     def q_tpch_q3(spark, sf):
         cust = load_table(spark, sf, "customer")
@@ -768,12 +714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return DD.dedup_clusters(pairs)
 
-    def q_dedup_simhash(spark, sf):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return docs.select("doc_id", DD.simhash_expr("text").alias("simhash"))
-
     def q_dedup_simhash_pairs(spark, sf):
-        # rows-only: candidate pairs + exact hamming via banding
+        # banded candidate pairs + exact hamming distance; the band keys and
+        # the hamming check are both derived from simhash_expr, so this one
+        # query value-checks the fingerprint (formerly q_dedup_simhash) and
+        # the banding on top of it (round-4 driver-cap curation)
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(DD.simhash_near_dup_candidates(docs).where(F.col("hamming") <= 6))
 
@@ -791,15 +736,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline: multimodal (binary) columns ---------------
 
-    def q_mm_binary_meta(spark, sf):
-        # opaque payload bytes + typed metadata, pure JVM exprs
-        docs = load_table(spark, sf, "documents")
-        return MM.with_binary_meta(MM.as_binary_assets(docs)).drop("content")
-
     def q_mm_decode_meta(spark, sf):
-        # Arrow-batched mapInPandas decode pass (deterministic fake codec)
+        # merged multimodal row (round-4 driver-cap curation): JVM-side
+        # typed metadata (formerly q_mm_binary_meta) rides through the
+        # Arrow-batched mapInPandas decode pass via the passthrough
+        # channel — one query, zero shuffle, no post-decode join
         docs = load_table(spark, sf, "documents")
-        return _longify(MM.decode_image_meta(MM.as_binary_assets(docs)))
+        assets = MM.with_binary_meta(MM.as_binary_assets(docs))
+        return _longify(
+            MM.decode_image_meta(
+                assets,
+                passthrough=(
+                    "media_type", "byte_len", "content_sha256", "magic_bytes",
+                ),
+            )
+        )
 
     def q_mm_dedup_binary(spark, sf):
         # prefix fingerprint (header-chunk identity) so the testdata's
@@ -810,20 +761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_mm_frame_sample(spark, sf):
         docs = load_table(spark, sf, "documents")
         return _longify(MM.sample_frames(MM.as_binary_assets(docs)))
-
-    def q_topk_per_group(spark, sf):
-        # top-3 events by value per type: the canonical windowed top-k
-        from pyspark.sql import Window as W
-
-        events = load_table(spark, sf, "events")
-        w = W.partitionBy("event_type").orderBy(
-            F.col("value").desc(), F.col("event_id").asc()
-        )
-        return (
-            events.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 3)
-            .select("event_type", "rnk", "event_id", "value")
-        )
 
     def q_running_totals(spark, sf):
         # batch twin of the streaming applyInPandasWithState operator:
@@ -916,14 +853,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SIM.ivf_topk(emb, qids, k=10, n_probe=2).withColumnRenamed("rank", "rnk")
         )
 
-    def q_emb_normalize(spark, sf):
+    def q_emb_transform(spark, sf):
+        # merged embedding-transform row (round-4 driver-cap curation):
+        # L2-normalize (formerly q_emb_normalize) and symmetric int8
+        # quantization (formerly q_emb_quantize) are both map-side
+        # projections over the same column, so one query value-checks both
         emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-        return SIM.normalize_l2(emb).select("vec_id", "embedding_unit")
-
-    def q_emb_quantize(spark, sf):
-        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-        return _longify(
-            SIM.quantize_int8(emb).select("vec_id", "q_codes", "q_scale")
+        return SIM.quantize_int8(SIM.normalize_l2(emb)).select(
+            "vec_id", "embedding_unit", "q_codes", "q_scale"
         )
 
     def q_ann_ivf_kmeans(spark, sf):
@@ -935,11 +872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ivf_topk_kmeans(
             emb, queries, k=10, n_probe=2, n_clusters=8, iters=3
         )
-
-    def q_ann_sign_lsh(spark, sf):
-        # rows-only: LSH bucket keys (the scale-path candidate generator)
-        emb = load_table(spark, sf, "embeddings")
-        return SIM.sign_lsh_buckets(emb, dim=_EMB_DIM, n_planes=16)
 
     for name, fn in list(locals().items()):
         if name.startswith("q_"):
@@ -955,8 +887,6 @@ def oracle_sql() -> dict[str, str]:
     fold_re = "^" + VERSION_LABEL_RE + "$"
     return {
         "q_current_version_fold": LOG_CTE + FOLD_AT_HEAD,
-        # incremental fold == full fold, so the oracle is identical
-        "q_fold_incremental": LOG_CTE + FOLD_AT_HEAD,
         "q_compute_changes": LOG_CTE
         + ", fold_head AS ("
         + FOLD_AT_HEAD
@@ -992,15 +922,11 @@ SELECT commit_id, COUNT(*) AS n_ops,
        string_agg(operation_type, ',' ORDER BY index_in_commit) AS ops_csv
 FROM ops_log GROUP BY commit_id
 """,
-        "q_tables_list": LOG_CTE + "SELECT DISTINCT table_name FROM ops_log",
-        "q_is_snapshot": LOG_CTE
+        # V1 + V7 merged: the table registry with its isSnapshot flag
+        "q_tables_list": LOG_CTE
         + """
 SELECT table_name, is_snapshot_table
 FROM ops_log WHERE operation_type = 'init_table'
-""",
-        "q_partition_values": """
-SELECT DISTINCT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type
-FROM events
 """,
         "q_partition_filter": """
 SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users,
@@ -1009,7 +935,9 @@ FROM events
 WHERE CAST(CAST(ts AS DATE) AS STRING) = '2024-01-05'
 GROUP BY event_type
 """,
-        "q_current_view": _EVENTS_ORACLE,
+        # W2 + W5: versioned writes (fixture) read back through the current
+        # view must be value-identical to the plain events table
+        "q_versioned_write_roundtrip": _EVENTS_ORACLE,
         "q_time_travel_read": _EVENTS_ORACLE,
         # compaction rewrites the file layout, never the values
         "q_compact_roundtrip": _EVENTS_ORACLE,
@@ -1020,7 +948,6 @@ SELECT event_id, user_id, event_type, value,
 FROM events
 WHERE CAST(CAST(ts AS DATE) AS STRING) = '2024-01-05'
 """,
-        # q_versioned_write_roundtrip: rows-only by design (side-effecting write)
         "q_version_parse": LBL_CTE
         + f"""
 SELECT label,
@@ -1029,17 +956,13 @@ SELECT label,
        regexp_extract(label, '{fold_re}', 3) AS uuid_part
 FROM built
 """,
+        # V13 + M1 merged: partition parse, version-label parse, base-path strip
         "q_version_paths": _mk_lbl_paths_sql("s3://warehouse/events/date=")
         + """
 SELECT path,
+       regexp_extract(path, '(date=[^/]+)', 1) AS part,
        regexp_extract(path, '_version=([^/]+)$', 1) AS version_label,
        regexp_replace(path, '/_version=[^/]+$', '') AS base_path
-FROM paths
-""",
-        "q_parse_versions_from_paths": _mk_lbl_paths_sql("s3://warehouse/events/date=")
-        + """
-SELECT regexp_extract(path, '(date=[^/]+)', 1) AS part,
-       regexp_extract(path, '_version=([^/]+)$', 1) AS version_label
 FROM paths
 """,
         "q_partition_parse": """
@@ -1062,16 +985,6 @@ FROM (
   SELECT DISTINCT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type
   FROM events
 ) x
-""",
-        "q_tpch_q1": """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
 """,
         "q_tpch_q3": """
 SELECT o_orderkey,
@@ -1337,9 +1250,6 @@ SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
 FROM inter
 WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
 """,
-        "q_dedup_simhash": "SELECT doc_id, "
-        + DD.simhash_sql("text")
-        + " AS simhash FROM documents",
         "q_dedup_simhash_pairs": "WITH fp AS (SELECT doc_id, "
         + DD.simhash_sql("text")
         + """ AS simhash FROM documents),
@@ -1365,16 +1275,13 @@ WHERE len(list_filter(range(1, 33), i -> substr(sa, CAST(i AS INT), 1)
         "q_dedup_embedding": _emb_lsh_sql(
             _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
         ),
-        "q_mm_binary_meta": """
+        # binary metadata (formerly q_mm_binary_meta) + decode pass, merged
+        "q_mm_decode_meta": """
 SELECT doc_id AS asset_id,
        'application/octet-stream' AS media_type,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS content_sha256,
-       upper(hex(encode(substring(text, 1, 4)))) AS magic_bytes
-FROM documents
-""",
-        "q_mm_decode_meta": """
-SELECT doc_id AS asset_id,
+       upper(hex(encode(substring(text, 1, 4)))) AS magic_bytes,
        16 + octet_length(encode(text)) % 16 AS width,
        16 + (octet_length(encode(text)) // 7) % 16 AS height,
        3 AS n_channels,
@@ -1397,16 +1304,6 @@ FROM (
          unnest(range(0, least(8, octet_length(encode(text)) // 4096 + 1))) AS frame_index
   FROM documents
 ) x
-""",
-        "q_topk_per_group": """
-SELECT event_type, rnk, event_id, value
-FROM (
-  SELECT event_type, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value DESC, event_id ASC) AS rnk
-  FROM events
-) x
-WHERE rnk <= 3
 """,
         "q_running_totals": """
 SELECT user_id, event_id, ts,
@@ -1517,17 +1414,12 @@ r AS (
 )
 SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
-        "q_ann_sign_lsh": _sign_lsh_bucket_sql(16, _EMB_DIM),
-        "q_emb_normalize": _EMB_V_CTE
+        # L2-normalize + int8 quantize, merged (both map-side over v)
+        "q_emb_transform": _EMB_V_CTE
         + """
 SELECT vec_id,
        list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
-         AS embedding_unit
-FROM v
-""",
-        "q_emb_quantize": _EMB_V_CTE
-        + """
-SELECT vec_id,
+         AS embedding_unit,
        list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q_codes,
        round(127.0 / amax, 6) AS q_scale
 FROM (SELECT vec_id, v,

@@ -171,14 +171,12 @@ def main():
     headline = [
         "q_current_version_fold",
         "q_compute_changes",
-        "q_current_view",
-        "q_time_travel_read",
         "q_versioned_write_roundtrip",
+        "q_time_travel_read",
         "q_read_changes",
         "q_vacuum_dry_run",
         "q_log_json_read",
         "q_partition_filter",
-        "q_tpch_q1",
         "q_tpch_q3",
         "q_token_count",
         "q_quality_score",
@@ -188,7 +186,7 @@ def main():
         "q_dedup_exact",
         "q_dedup_minhash_lsh",
         "q_dedup_ngram_jaccard",
-        "q_dedup_simhash",
+        "q_dedup_simhash_pairs",
         "q_dedup_embedding",
         "q_dedup_clusters",
         "q_ann_cosine_topk",
@@ -197,7 +195,6 @@ def main():
         "q_mm_dedup_binary",
         "q_stream_windowed_agg",
         "q_sessionize",
-        "q_fold_incremental",
         "q_asof_join",
         "q_range_join",
         "q_curate_corpus",

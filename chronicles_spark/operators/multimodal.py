@@ -146,7 +146,9 @@ def _fake_decode_meta(lengths: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_image_meta(df: DataFrame) -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode pass over ``(asset_id, content)`` → ``DECODED_META_SCHEMA``.
 
     ``mapInPandas`` streams Arrow batches through Python: no shuffle, the
@@ -154,17 +156,29 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     vectorized pandas ops (never per-row Python). At 100 TB this is the
     canonical shape for any decode/feature-extract stage: executors touch
     only their own input splits and the payload bytes never cross the
-    wire."""
+    wire.
+
+    ``passthrough`` names extra input columns carried through the Arrow
+    batch unchanged (ingest metadata riding along with the decode), so
+    callers never need a post-decode join to reattach them."""
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields["asset_id"]]
+        + [in_fields[c] for c in passthrough]
+        + [f for f in DECODED_META_SCHEMA.fields if f.name != "asset_id"]
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lengths = pdf["content"].map(len)
             out = _fake_decode_meta(lengths)
+            for i, c in enumerate(passthrough):
+                out.insert(i, c, pdf[c].values)
             out.insert(0, "asset_id", pdf["asset_id"].values)
             yield out
 
-    return df.select("asset_id", "content").mapInPandas(
-        decode, schema=DECODED_META_SCHEMA
+    return df.select("asset_id", "content", *passthrough).mapInPandas(
+        decode, schema=out_schema
     )
 
 
