@@ -29,6 +29,21 @@ host-local — on NFS or object stores keep the default and use the sqlite
 tracker for serialized commits.  The commit-file-per-commit design is the
 same shape as a Delta log directory, so the whole log is also readable
 distributed via ``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``.
+
+Fold checkpoints (beyond reference parity; Delta-checkpoint-style):
+every ``checkpoint_interval`` commits the tracker persists the folded
+``(partition → version)`` state of the full log prefix as
+``checkpoint_<seq>.json`` plus a ``_last_checkpoint`` pointer, and
+``current_version`` then reads ONLY the checkpoint and the commits after
+it — O(tail), not O(log), table resolution on a million-commit table.
+The checkpoint is a pure function of log ORDER (never of the head), so it
+stays valid across rollbacks: a head at or after the checkpoint folds as
+checkpoint+tail; a head rolled back BEFORE the checkpoint falls back to
+the full fold (reference cutoff semantics, VersionTracker.scala:37-55,
+including re-surfacing rolled-back commits when a later write re-advances
+the head past them).  A missing or corrupt checkpoint is never an error —
+readers degrade to the full fold; commit files remain the only source of
+truth.
 """
 
 from __future__ import annotations
@@ -38,19 +53,38 @@ import re
 from contextlib import contextmanager
 from typing import List
 
+from ..core import fold
 from ..core.clock import MonotonicClock
-from ..core.model import TableName
-from ..core.ops import TableUpdate, update_from_json, update_to_json
+from ..core.model import (
+    Partition,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableName,
+)
+from ..core.ops import (
+    AddPartitionVersion,
+    AddTableVersion,
+    RemovePartition,
+    TableUpdate,
+    update_from_json,
+    update_to_json,
+)
+from ..core.version import UNVERSIONED, Version
 from .base import TableState, UnknownTableError, VersionTracker
 from .fs import FileSystem, LocalFileSystem, filesystem_for
 
 _TABLE_DIR_RE = re.compile(r"^_chronicles_table_([\w\-]+)\.([\w\-]+)$")
 _UPDATE_FILE_RE = re.compile(r"^table_update_(\d+)\.json$")
+_CHECKPOINT_FILE_RE = re.compile(r"^checkpoint_(\d+)\.json$")
 
 
 class FileBackedVersionTracker(VersionTracker):
     def __init__(
-        self, root: str, fs: FileSystem | None = None, use_lock: bool = False
+        self,
+        root: str,
+        fs: FileSystem | None = None,
+        use_lock: bool = False,
+        checkpoint_interval: int | None = 100,
     ) -> None:
         if fs is None:
             fs, root = filesystem_for(str(root))
@@ -59,6 +93,9 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(self.root)
         self._clock = MonotonicClock()
         self._use_lock = bool(use_lock)
+        if checkpoint_interval is not None and checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1 (or None to disable)")
+        self._checkpoint_interval = checkpoint_interval
         if self._use_lock and not isinstance(self.fs, LocalFileSystem):
             raise ValueError(
                 "use_lock needs a local filesystem path (POSIX flock); "
@@ -137,6 +174,7 @@ class FileBackedVersionTracker(VersionTracker):
                 self.fs.join(d, "head_ref"),
                 json.dumps({"head_ref": update.metadata.commit_id}),
             )
+            self._maybe_checkpoint(d)
 
     def _set_head(self, table: TableName, commit_id: str) -> None:
         d = self._table_dir(table)
@@ -152,3 +190,139 @@ class FileBackedVersionTracker(VersionTracker):
         )
         head = json.loads(self.fs.read_text(self.fs.join(d, "head_ref")))["head_ref"]
         return TableState(head, updates)
+
+    # -- fold checkpoints ----------------------------------------------------
+    # A checkpoint is the fold of the full log prefix up to (and including)
+    # commit-file sequence ``last_seq`` — a pure function of log ORDER, never
+    # of the head pointer, so one checkpoint serves every head at or after it
+    # (the same invariant Delta's _last_checkpoint relies on).
+
+    def _update_seqs(self, d: str) -> list:
+        """(seq, filename) for every commit file, ascending."""
+        return sorted(
+            (int(m.group(1)), n)
+            for n in self.fs.list_dir(d)
+            if (m := _UPDATE_FILE_RE.match(n))
+        )
+
+    def _read_updates(self, d: str, names) -> tuple:
+        return tuple(
+            update_from_json(self.fs.read_text(self.fs.join(d, n))) for n in names
+        )
+
+    def _read_head(self, d: str) -> str:
+        return json.loads(self.fs.read_text(self.fs.join(d, "head_ref")))["head_ref"]
+
+    def _is_snapshot_dir(self, d: str) -> bool:
+        return bool(
+            json.loads(self.fs.read_text(self.fs.join(d, "table-metadata")))[
+                "is_snapshot"
+            ]
+        )
+
+    def _read_checkpoint(self, d: str) -> dict | None:
+        """The checkpoint the ``_last_checkpoint`` pointer names, or None.
+        Any missing/corrupt artifact degrades to None (full fold) — the
+        commit files stay the only source of truth."""
+        ptr = self.fs.join(d, "_last_checkpoint")
+        if not self.fs.exists(ptr):
+            return None
+        try:
+            seq = int(json.loads(self.fs.read_text(ptr))["seq"])
+            ck = json.loads(
+                self.fs.read_text(self.fs.join(d, f"checkpoint_{seq:013d}.json"))
+            )
+            if int(ck["last_seq"]) != seq or "last_commit_id" not in ck:
+                return None
+            return ck
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
+    @staticmethod
+    def _apply_to_state(state: dict, updates) -> None:
+        """Fold tail ops into a mutable {partition_path: version_label} dict
+        (apply_partition_updates semantics, VersionTracker.scala:156-172)."""
+        for u in updates:
+            for op in u.operations:
+                if isinstance(op, AddPartitionVersion):
+                    state[op.partition.path] = op.version.label
+                elif isinstance(op, RemovePartition):
+                    state.pop(op.partition.path, None)
+
+    def _maybe_checkpoint(self, d: str) -> None:
+        """Write a new checkpoint when ``checkpoint_interval`` commits have
+        accumulated since the last one.  Incremental: reads only the tail
+        commits after the previous checkpoint, so checkpointing stays O(1)
+        amortized per commit.  Crash-safe ordering: the checkpoint file is
+        written before the pointer; a crash between the two leaves the old
+        pointer valid."""
+        if not self._checkpoint_interval:
+            return
+        ck = self._read_checkpoint(d)
+        base_seq = int(ck["last_seq"]) if ck else -1
+        tail = [(s, n) for s, n in self._update_seqs(d) if s > base_seq]
+        if len(tail) < self._checkpoint_interval:
+            return
+        updates = self._read_updates(d, [n for _, n in tail])
+        if ck:
+            state = dict(ck["partitions"])
+            snapshot_version = ck.get("snapshot_version")
+        else:
+            state, snapshot_version = {}, None
+        self._apply_to_state(state, updates)
+        for u in updates:
+            for op in u.operations:
+                if isinstance(op, AddTableVersion):
+                    snapshot_version = op.version.label
+        last_seq = tail[-1][0]
+        body = {
+            "last_seq": last_seq,
+            "last_commit_id": updates[-1].metadata.commit_id,
+            "is_snapshot": self._is_snapshot_dir(d),
+            "snapshot_version": snapshot_version,
+            "partitions": sorted(state.items()),
+        }
+        self.fs.write_text(
+            self.fs.join(d, f"checkpoint_{last_seq:013d}.json"), json.dumps(body)
+        )
+        self.fs.write_text(
+            self.fs.join(d, "_last_checkpoint"), json.dumps({"seq": last_seq})
+        )
+
+    def current_version(self, table: TableName):
+        """Checkpointed table resolution: fold = checkpoint + tail commits
+        (> checkpoint seq) instead of the whole log.  Falls back to the
+        base-class full fold when there is no usable checkpoint or the head
+        has been rolled back before it (VersionTracker.scala:37-55 cutoff
+        semantics are preserved exactly in both paths)."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        ck = self._read_checkpoint(d)
+        if ck is None:
+            return super().current_version(table)
+        head = self._read_head(d)
+        tail_names = [n for s, n in self._update_seqs(d) if s > int(ck["last_seq"])]
+        tail = self._read_updates(d, tail_names)
+        if head == ck["last_commit_id"]:
+            upto = ()
+        elif any(u.metadata.commit_id == head for u in tail):
+            upto = fold.take_through(tail, head)
+        else:
+            # head precedes the checkpoint (rollback): the checkpoint's
+            # prefix includes commits past the head, so it cannot be used
+            return super().current_version(table)
+        if ck["is_snapshot"]:
+            label = ck.get("snapshot_version")
+            for u in upto:
+                for op in u.operations:
+                    if isinstance(op, AddTableVersion):
+                        label = op.version.label
+            if label is None:
+                return SnapshotTableVersion(UNVERSIONED)
+            return SnapshotTableVersion(Version(label))
+        state = dict(ck["partitions"])
+        self._apply_to_state(state, upto)
+        return PartitionedTableVersion(
+            {Partition.parse(p): Version(v) for p, v in state.items()}
+        )

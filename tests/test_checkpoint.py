@@ -1,0 +1,235 @@
+"""Fold-checkpoint behaviour of the file-backed tracker.
+
+The checkpoint (``checkpoint_<seq>.json`` + ``_last_checkpoint`` pointer)
+must make ``current_version`` O(tail) — reading only commits AFTER the
+checkpoint seq — while reproducing the reference fold semantics exactly
+(VersionTracker.scala:37-55,156-172), including rollback heads that predate
+the checkpoint and rolled-back commits re-surfacing after a later write.
+Differential style: every fast-path result is compared against the
+checkpoint-free full fold of the same log directory.
+"""
+
+import json
+
+import pytest
+
+from chronicles_spark.core.model import Partition, SnapshotTableVersion, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    AddTableVersion,
+    RemovePartition,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+from chronicles_spark.trackers.fs import FileSystem
+
+T = TableName("db", "events")
+
+
+class CountingFs(FileSystem):
+    """Facade proxy recording every read_text path — lets tests assert
+    WHICH log files a resolution actually touched."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.reads = []
+
+    def exists(self, path):
+        return self.inner.exists(path)
+
+    def mkdirs(self, path):
+        return self.inner.mkdirs(path)
+
+    def read_text(self, path):
+        self.reads.append(path)
+        return self.inner.read_text(path)
+
+    def write_text(self, path, text):
+        return self.inner.write_text(path, text)
+
+    def list_dir(self, path):
+        return self.inner.list_dir(path)
+
+    def is_dir(self, path):
+        return self.inner.is_dir(path)
+
+    def remove_tree(self, path):
+        return self.inner.remove_tree(path)
+
+    def join(self, *parts):
+        return self.inner.join(*parts)
+
+
+def _commit(tracker, *ops, msg="u"):
+    meta = TableUpdateMetadata.new("alice", msg)
+    tracker.commit(T, TableUpdate(meta, tuple(ops)))
+    return meta.commit_id
+
+
+def _add(p, v=None):
+    return AddPartitionVersion(Partition.parse(p), v or generate_version())
+
+
+def _full_fold(root):
+    """Ground truth: a checkpoint-free tracker over the same directory."""
+    return FileBackedVersionTracker(root, checkpoint_interval=None).current_version(T)
+
+
+def _build_log(root, n_commits=25, interval=10):
+    tr = FileBackedVersionTracker(root, checkpoint_interval=interval)
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    commits = []
+    for i in range(n_commits):
+        p = f"date=2024-01-{(i % 7) + 1:02d}"
+        if i % 9 == 8:
+            commits.append(_commit(tr, RemovePartition(Partition.parse(p))))
+        else:
+            commits.append(_commit(tr, _add(p)))
+    return tr, commits
+
+
+def _ckpt_files(tr):
+    d = tr._table_dir(T)
+    return sorted(n for n in tr.fs.list_dir(d) if n.startswith("checkpoint_"))
+
+
+def test_checkpoint_written_every_interval(tmp_path):
+    tr, _ = _build_log(str(tmp_path / "log"), n_commits=25, interval=10)
+    # init + 25 commits = 26 files → checkpoints at 10 and 20 commits seen
+    assert len(_ckpt_files(tr)) == 2
+    d = tr._table_dir(T)
+    ptr = json.loads(tr.fs.read_text(tr.fs.join(d, "_last_checkpoint")))
+    assert f"checkpoint_{ptr['seq']:013d}.json" == _ckpt_files(tr)[-1]
+
+
+def test_fast_path_matches_full_fold(tmp_path):
+    root = str(tmp_path / "log")
+    tr, _ = _build_log(root, n_commits=25, interval=10)
+    assert tr.current_version(T).partition_versions == _full_fold(
+        root
+    ).partition_versions
+
+
+def test_resolution_reads_only_tail(tmp_path):
+    root = str(tmp_path / "log")
+    _build_log(root, n_commits=25, interval=10)
+    # cold tracker instance: no in-process state, everything from disk
+    cold = FileBackedVersionTracker(root, checkpoint_interval=10)
+    cfs = CountingFs(cold.fs)
+    cold.fs = cfs
+    cold.current_version(T)
+    update_reads = [p for p in cfs.reads if "table_update_" in p]
+    ckpt_reads = [p for p in cfs.reads if "checkpoint_" in p]
+    assert len(ckpt_reads) == 1
+    d = cold._table_dir(T)
+    ckpt_seq = json.loads(cold.fs.read_text(cold.fs.join(d, "_last_checkpoint")))[
+        "seq"
+    ]
+    # ONLY commits after the checkpoint seq were read: 26 files total,
+    # checkpoint covers the first 20, tail = 6
+    assert update_reads, "expected some tail reads"
+    for p in update_reads:
+        seq = int(p.rsplit("table_update_", 1)[1].split(".")[0])
+        assert seq > ckpt_seq, f"read a pre-checkpoint commit file: {p}"
+    assert len(update_reads) == 26 - 20
+
+
+def test_rollback_before_checkpoint_falls_back(tmp_path):
+    root = str(tmp_path / "log")
+    tr, commits = _build_log(root, n_commits=25, interval=10)
+    early = commits[3]  # inside the checkpointed prefix
+    tr.set_current_version(T, early)
+    got = tr.current_version(T)
+    want = FileBackedVersionTracker(root, checkpoint_interval=None)
+    want._set_head(T, early)  # same head on the ground-truth instance
+    assert got.partition_versions == want.current_version(T).partition_versions
+
+
+def test_write_after_rollback_resurfaces_commits(tmp_path):
+    # reference semantics: a write after checkout re-advances the head past
+    # the rolled-back commits, so they fold back into view
+    # (DatePartitionedTableSpec.scala:129-151 behaviour)
+    root = str(tmp_path / "log")
+    tr, commits = _build_log(root, n_commits=25, interval=10)
+    tr.set_current_version(T, commits[3])
+    _commit(tr, _add("date=2024-02-01"))
+    assert tr.current_version(T).partition_versions == _full_fold(
+        root
+    ).partition_versions
+
+
+def test_corrupt_pointer_degrades_to_full_fold(tmp_path):
+    root = str(tmp_path / "log")
+    tr, _ = _build_log(root, n_commits=25, interval=10)
+    d = tr._table_dir(T)
+    want = _full_fold(root).partition_versions
+    tr.fs.write_text(tr.fs.join(d, "_last_checkpoint"), "not json{")
+    assert tr.current_version(T).partition_versions == want
+    tr.fs.write_text(tr.fs.join(d, "_last_checkpoint"), json.dumps({"seq": 999}))
+    assert tr.current_version(T).partition_versions == want
+
+
+def test_snapshot_table_checkpoint(tmp_path):
+    root = str(tmp_path / "log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=True, user_id="alice")
+    versions, commits = [], []
+    for _ in range(12):
+        v = generate_version()
+        versions.append(v)
+        commits.append(_commit(tr, AddTableVersion(v)))
+    assert _ckpt_files(tr)
+    got = tr.current_version(T)
+    assert isinstance(got, SnapshotTableVersion)
+    assert got.version == versions[-1]
+    # rollback into the checkpointed prefix
+    tr.set_current_version(T, commits[2])
+    assert tr.current_version(T).version == versions[2]
+
+
+def test_memory_fs_checkpoints(tmp_path):
+    tr = FileBackedVersionTracker(
+        f"memory://ckpt-{tmp_path.name}/log", checkpoint_interval=4
+    )
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    for i in range(9):
+        _commit(tr, _add(f"date=2024-01-{i + 1:02d}"))
+    assert _ckpt_files(tr)
+    assert len(tr.current_version(T).partition_versions) == 9
+
+
+def test_disabled_interval_writes_no_checkpoints(tmp_path):
+    root = str(tmp_path / "log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    for i in range(30):
+        _commit(tr, _add(f"date=2024-01-{i + 1:02d}"))
+    assert _ckpt_files(tr) == []
+
+
+def test_interval_validation(tmp_path):
+    with pytest.raises(ValueError):
+        FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=0)
+
+
+def test_tombstone_across_checkpoint_boundary(tmp_path):
+    # a partition added BEFORE the checkpoint and removed AFTER it must be
+    # absent; re-added after that, present with the fresh version
+    root = str(tmp_path / "log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    p = Partition.parse("date=2024-01-01")
+    _commit(tr, _add("date=2024-01-01"))
+    for i in range(5):  # push a checkpoint past the add
+        _commit(tr, _add(f"date=2024-02-{i + 1:02d}"))
+    assert _ckpt_files(tr)
+    _commit(tr, RemovePartition(p))
+    assert p not in tr.current_version(T).partition_versions
+    fresh = generate_version()
+    _commit(tr, _add("date=2024-01-01", fresh))
+    assert tr.current_version(T).partition_versions[p] == fresh
+    assert tr.current_version(T).partition_versions == _full_fold(
+        root
+    ).partition_versions
