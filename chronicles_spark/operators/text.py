@@ -394,6 +394,7 @@ def training_shards(
     n_shards: int = 8,
     seed: str = "epoch0",
     id_col: str = "doc_id",
+    sub_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random shard + position assignment — the
     export step before writing a training corpus as N shard files with a
@@ -402,14 +403,25 @@ def training_shards(
     ``seed`` (e.g. per epoch) reshuffles the whole corpus reproducibly;
     no ``rand()``, so results survive re-runs and repartitioning.
 
-    Plan: map-side hash, ONE shuffle keyed by shard for the per-shard
-    rank window.  Pick ``n_shards`` near the intended output file count —
-    at corpus scale that is thousands, so window partitions stay modest."""
+    Scale: the per-shard rank is computed as a TWO-PASS distributed rank,
+    never a one-task-per-shard window — each shard is cut into
+    ``sub_buckets`` contiguous ``h``-ranges, rows are ranked within
+    ``(shard, sub_bucket)`` (n_shards × sub_buckets parallel window
+    partitions), and tiny per-bucket row counts (one row per bucket,
+    map-side partial aggregation) turn into broadcast cumulative offsets.
+    ``shard_pos = offset + local rank`` is exactly the single-window
+    result, but an 8-shard export of a trillion rows ranks on thousands of
+    tasks instead of 8.  ``sub_buckets`` defaults to ``max(1, 1024 //
+    n_shards)`` so total rank parallelism stays ~1k regardless of
+    n_shards."""
     from pyspark.sql import Window as W
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    reserved = {"h", "shard", "shard_pos"} & set(df.columns)
+    b = sub_buckets if sub_buckets is not None else max(1, 1024 // n_shards)
+    if b < 1:
+        raise ValueError("sub_buckets must be >= 1")
+    reserved = {"h", "shard", "shard_pos", "_sb", "_sb_offset"} & set(df.columns)
     if reserved:
         raise ValueError(f"reserved column names in input: {sorted(reserved)}")
     h = F.conv(
@@ -419,12 +431,38 @@ def training_shards(
         ),
         16, 10,
     ).cast("long")
-    w = W.partitionBy("shard").orderBy(F.col("h").asc(), F.col(id_col).asc())
-    return (
+    # h is uniform in [0, 2^32); _sb = h div width gives <= b contiguous
+    # h-ranges per shard, so bucket order IS hash order and ranks compose
+    width = max(1, -(-(2**32) // b))  # ceil
+    hashed = (
         df.withColumn("h", h)
         .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
-        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
-        .drop("h")
+        .withColumn("_sb", F.expr(f"CAST(h DIV {width}L AS INT)"))
+    )
+    offsets = (
+        hashed.groupBy("shard", "_sb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_sb_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.partitionBy("shard")
+                    .orderBy(F.col("_sb").asc())
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    w = W.partitionBy("shard", "_sb").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        hashed.join(F.broadcast(offsets), ["shard", "_sb"])
+        .withColumn(
+            "shard_pos",
+            (F.col("_sb_offset") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("h", "_sb", "_sb_offset")
     )
 
 

@@ -272,3 +272,54 @@ def test_corpus_mixture_fractions(spark):
     got = {(r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["token_frac"])
            for r in corpus_mixture(df).collect()}
     assert got == {("web", "en"): (2, 5, 0.5), ("books", "de"): (1, 5, 0.5)}
+
+
+def _expected_shards(ids, n_shards, seed):
+    """Independent reference for training_shards: hashlib md5 + python sort."""
+    import hashlib
+
+    rows = []
+    for i in ids:
+        h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+        rows.append((h % n_shards, h, i))
+    out = {}
+    for shard in set(s for s, _, _ in rows):
+        members = sorted((h, i) for s, h, i in rows if s == shard)
+        for pos, (_, i) in enumerate(members, start=1):
+            out[i] = (shard, pos)
+    return out
+
+
+def test_training_shards_matches_independent_reference(spark):
+    ids = list(range(200))
+    df = spark.createDataFrame([(i, f"d{i}") for i in ids], ["doc_id", "lang"])
+    for n_shards, sub_buckets in [(4, None), (8, 3), (1, 7), (16, 1)]:
+        got = {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in TX.training_shards(
+                df, n_shards=n_shards, seed="ep1", sub_buckets=sub_buckets
+            ).collect()
+        }
+        assert got == _expected_shards(ids, n_shards, "ep1"), (
+            n_shards,
+            sub_buckets,
+        )
+
+
+def test_training_shards_rank_window_is_sub_bucketed(spark):
+    # the 100 TB guard: at small n_shards the per-row rank window must be
+    # partitioned by (shard, sub_bucket), never by shard alone — a shard
+    # must not sort on a single task
+    df = spark.createDataFrame([(i, "x") for i in range(50)], ["doc_id", "lang"])
+    out = TX.training_shards(df, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        assert "_sb" in ln, f"row_number window not sub-bucketed: {ln}"
+
+
+def test_training_shards_reserved_columns(spark):
+    df = spark.createDataFrame([(1, 0)], ["doc_id", "_sb"])
+    with pytest.raises(ValueError):
+        TX.training_shards(df)
