@@ -31,6 +31,7 @@ from chronicles_spark.core.diff import (
     UpdatePartitionVersion,
     UpdateTableVersion,
 )
+from chronicles_spark.glue import FakeGlueClient, GlueMetastore
 from chronicles_spark.spark.metastore import InMemoryMetastore, SparkHiveMetastore
 
 
@@ -56,15 +57,64 @@ def _materialize(table: TableDefinition, *ops) -> None:
             )
 
 
-@pytest.fixture(params=["memory", "hive"])
+@pytest.fixture(params=["memory", "hive", "glue"])
 def rig(request, spark, tmp_path):
     """(metastore, make_snapshot_table, make_partitioned_table) triple.
 
     For Hive, the make_* callables issue the reference's CREATE EXTERNAL
     TABLE DDL (SparkHiveMetastoreSpec.scala:88-110) against the session
-    catalog; tables get unique names so tests are independent.
+    catalog; tables get unique names so tests are independent.  For Glue,
+    the same suite runs against GlueMetastore over the dict-backed
+    boto3-shaped FakeGlueClient (page_size=2 so multi-partition listings
+    exercise the NextToken pagination loop) — the sandbox-testable stand-in
+    for GlueMetastoreIntegrationSpec.scala:26-79.
     """
     suffix = uuid.uuid4().hex[:8]
+
+    if request.param == "glue":
+        client = FakeGlueClient(page_size=2)
+        ms = GlueMetastore(client)
+
+        def make_snapshot():
+            table = TableDefinition(
+                TableName("test", f"users_{suffix}"),
+                str(tmp_path / "users"),
+                PartitionSchema(()),
+            )
+            client.create_table(
+                DatabaseName="test",
+                TableInput={
+                    "Name": table.name.name,
+                    "StorageDescriptor": {
+                        "Location": table.location,
+                        "InputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+                        },
+                    },
+                },
+            )
+            return table
+
+        def make_partitioned():
+            table = TableDefinition(
+                TableName("test", f"clicks_{suffix}"),
+                str(tmp_path / "clicks"),
+                PartitionSchema(("date",)),
+            )
+            client.create_table(
+                DatabaseName="test",
+                TableInput={
+                    "Name": table.name.name,
+                    "StorageDescriptor": {"Location": table.location},
+                    "PartitionKeys": [{"Name": "date", "Type": "string"}],
+                },
+            )
+            return table
+
+        yield ms, make_snapshot, make_partitioned
+        return
 
     if request.param == "memory":
         ms = InMemoryMetastore()
@@ -289,3 +339,147 @@ def test_hive_show_partitions_listing(rig):
     assert {p.path for p in tv.partition_versions} == {
         "date=2019-05-01", "date=2019-05-02",
     }
+
+
+# -- Glue-specific behaviour (M11 + the documented deviations) --------------
+
+
+def test_glue_extract_format_params():
+    """M11 (GlueMetastore.scala:179-188): only serde library and
+    input/output formats survive; location/columns/stats never leak into
+    per-partition descriptors."""
+    from chronicles_spark.glue import extract_format_params
+
+    sd = {
+        "Location": "s3://bucket/t",
+        "Columns": [{"Name": "id", "Type": "string"}],
+        "InputFormat": "in.Format",
+        "OutputFormat": "out.Format",
+        "SerdeInfo": {"SerializationLibrary": "serde.Lib", "Parameters": {"x": "1"}},
+        "NumberOfBuckets": 4,
+    }
+    assert extract_format_params(sd) == {
+        "InputFormat": "in.Format",
+        "OutputFormat": "out.Format",
+        "SerdeInfo": {"SerializationLibrary": "serde.Lib"},
+    }
+    assert extract_format_params({}) == {}
+
+
+def test_glue_partition_locations_are_versioned(tmp_path):
+    """The swap primitive leaves the partition StorageDescriptor at
+    <table>/<partition>/_version=<label> — the reference's addPartition
+    concatenation bug (GlueMetastore.scala:82-87) is deliberately NOT
+    reproduced."""
+    client = FakeGlueClient()
+    ms = GlueMetastore(client)
+    table = TableDefinition(
+        TableName("db", "clicks"), str(tmp_path / "clicks"), PartitionSchema(("date",))
+    )
+    client.create_table(
+        DatabaseName="db",
+        TableInput={
+            "Name": "clicks",
+            "StorageDescriptor": {"Location": table.location},
+            "PartitionKeys": [{"Name": "date", "Type": "string"}],
+        },
+    )
+    v = generate_version()
+    ms.add_partition(table, _part("2019-03-01"), v)
+    loc = client.get_partitions(DatabaseName="db", TableName="clicks")["Partitions"][
+        0
+    ]["StorageDescriptor"]["Location"]
+    assert loc.endswith(f"date=2019-03-01/_version={v.label}")
+    # idempotent re-add (Hive ADD IF NOT EXISTS semantics) keeps v1
+    ms.add_partition(table, _part("2019-03-01"), generate_version())
+    loc2 = client.get_partitions(DatabaseName="db", TableName="clicks")[
+        "Partitions"
+    ][0]["StorageDescriptor"]["Location"]
+    assert loc2 == loc
+
+
+def test_glue_update_table_version_preserves_partition_keys(tmp_path):
+    """Deviation #2: UpdateTable REPLACES the catalog entry in real Glue,
+    so the snapshot swap must carry PartitionKeys/Parameters forward."""
+    client = FakeGlueClient()
+    ms = GlueMetastore(client)
+    table = TableDefinition(
+        TableName("db", "users"), str(tmp_path / "users"), PartitionSchema(())
+    )
+    client.create_table(
+        DatabaseName="db",
+        TableInput={
+            "Name": "users",
+            "StorageDescriptor": {"Location": table.location},
+            "Parameters": {"classification": "parquet"},
+        },
+    )
+    v = generate_version()
+    ms.update_table_version(table, v)
+    after = client.get_table(DatabaseName="db", Name="users")["Table"]
+    assert after["StorageDescriptor"]["Location"].endswith(f"_version={v.label}")
+    assert after["Parameters"] == {"classification": "parquet"}
+    # a second swap strips the previous _version suffix before re-versioning
+    v2 = generate_version()
+    ms.update_table_version(table, v2)
+    loc = client.get_table(DatabaseName="db", Name="users")["Table"][
+        "StorageDescriptor"
+    ]["Location"]
+    assert loc.endswith(f"_version={v2.label}") and v.label not in loc
+
+
+def test_glue_versioned_metastore_commit_and_checkout(tmp_path):
+    """End-to-end V9/V10 over Glue: tracker commit → fold → diff → catalog
+    sync, then rollback — the sandbox twin of
+    GlueMetastoreIntegrationSpec.scala:26-79."""
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    client = FakeGlueClient(page_size=1)
+    ms = GlueMetastore(client)
+    tracker = FileBackedVersionTracker(str(tmp_path / "log"))
+    table = TableDefinition(
+        TableName("db", "clicks"), str(tmp_path / "clicks"), PartitionSchema(("date",))
+    )
+    client.create_table(
+        DatabaseName="db",
+        TableInput={
+            "Name": "clicks",
+            "StorageDescriptor": {"Location": table.location},
+            "PartitionKeys": [{"Name": "date", "Type": "string"}],
+        },
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    vm = VersionedMetastore(tracker, ms)
+
+    v1, v2 = generate_version(), generate_version()
+    vm.commit(
+        table,
+        TableUpdate(
+            TableUpdateMetadata.new("t", "v1"),
+            (
+                AddPartitionVersion(_part("2019-03-01"), v1),
+                AddPartitionVersion(_part("2019-03-02"), v1),
+            ),
+        ),
+    )
+    first = tracker.table_state(table.name).current_version
+    vm.commit(
+        table,
+        TableUpdate(
+            TableUpdateMetadata.new("t", "v2"),
+            (AddPartitionVersion(_part("2019-03-02"), v2),),
+        ),
+    )
+    assert ms.current_version(table) == PartitionedTableVersion(
+        {_part("2019-03-01"): v1, _part("2019-03-02"): v2}
+    )
+    vm.checkout(table, first)  # rollback: catalog pointers move, no data
+    assert ms.current_version(table) == PartitionedTableVersion(
+        {_part("2019-03-01"): v1, _part("2019-03-02"): v1}
+    )
