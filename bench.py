@@ -9,10 +9,23 @@ Covers the BASELINE.md self-baseline plan:
   B4 current-view read + aggregate vs plain parquet aggregate
   B5 metadata fold/diff queries on a synthetic 10k-partition ops log
 plus the pipeline + TPC-H headline queries from __spark_entry__.
+
+Measurement protocol (this box swings 2-4x with external load):
+  * every number is the MIN of $SPARK_GRAFT_BENCH_N runs (default 3) —
+    min-of-n is the standard noise floor estimator on a shared host;
+  * the 1-minute load average is recorded before and after the run so a
+    noisy-box artifact is visible in the output itself;
+  * a "ratios" block reports versioned-vs-plain for B1/B4 — per the
+    project build notes, only ratios are meaningful across rounds here;
+  * "value" is the sum of per-query minima (same contract as before).
+q_versioned_write_roundtrip times the WRITE + current-view read on a fresh
+table each run (the shared fixture that other lifecycle queries read is
+prebuilt outside their timed bodies).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -24,12 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-
-def _timed(fn):
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
 
 
 def main():
@@ -38,6 +46,7 @@ def main():
     import __spark_entry__ as entry
     from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
     from chronicles_spark.plans import log_queries as LQ
+    from chronicles_spark.plans.synthetic_log import head_ref_df, ops_log_df
     from chronicles_spark.sources import load_table
     from chronicles_spark.spark import read_current, versioned_insert_into
     from chronicles_spark.trackers import FileBackedVersionTracker
@@ -60,7 +69,19 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
     tmp = tempfile.mkdtemp(prefix="chronicles_bench_")
+
+    def timed_min(fn, n=N_RUNS, clear=True) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+            if clear:
+                spark.catalog.clearCache()  # no cross-run cache reuse
+            gc.collect()  # drop localCheckpoint refs so ContextCleaner frees them
+        return round(best, 3)
 
     # ---- prep: split the single-file testdata into CPUS files -------------
     # The driver's parquet files are one row group each — unsplittable, so
@@ -87,7 +108,7 @@ def main():
     )
     events.count()  # warm the scan
 
-    results["b1_plain_write"] = _timed(
+    results["b1_plain_write"] = timed_min(
         lambda: events.write.partitionBy("event_date")
         .mode("overwrite")
         .parquet(tmp + "/plain")
@@ -98,13 +119,15 @@ def main():
         TableName("bench", "events"), tmp + "/versioned", PartitionSchema(("event_date",))
     )
     tracker.init_table(table.name, is_snapshot=False, user_id="bench")
-    results["b1_versioned_write"] = _timed(
+    # each run supersedes every partition with a fresh version — the live
+    # view is unchanged, so repeats are idempotent for later sections
+    results["b1_versioned_write"] = timed_min(
         lambda: versioned_insert_into(events, table, tracker, "bench", "v1")
     )
 
     # ---- B2: overwrite one partition --------------------------------------
     one_day = events.where(F.col("event_date") == "2024-01-05")
-    results["b2_overwrite_partition"] = _timed(
+    results["b2_overwrite_partition"] = timed_min(
         lambda: versioned_insert_into(one_day, table, tracker, "bench", "redo")
     )
 
@@ -114,22 +137,23 @@ def main():
     vm = VersionedMetastore(tracker, ms)
     state = tracker.table_state(table.name)
     first_commit = state.updates[1].metadata.commit_id
+    head_commit = tracker.table_state(table.name).current_version
 
     def _rollback_and_log():
         vm.checkout(table, first_commit)
         tracker.updates(table.name)
-        vm.checkout(table, state.updates[-1].metadata.commit_id)
+        vm.checkout(table, head_commit)
 
-    results["b3_rollback_and_log"] = _timed(_rollback_and_log)
+    results["b3_rollback_and_log"] = timed_min(_rollback_and_log)
 
     # ---- B4: current-view read + agg vs plain ------------------------------
-    results["b4_plain_agg"] = _timed(
+    results["b4_plain_agg"] = timed_min(
         lambda: spark.read.parquet(tmp + "/plain")
         .groupBy("event_date")
         .count()
         .collect()
     )
-    results["b4_versioned_agg"] = _timed(
+    results["b4_versioned_agg"] = timed_min(
         lambda: read_current(spark, table, tracker)
         .groupBy("event_date")
         .count()
@@ -151,19 +175,22 @@ def main():
         F.concat(F.lit("p="), (F.col("id") % 3000).cast("string")).alias("part"),
         F.lit(None).cast("boolean").alias("is_snapshot_table"),
     )
-    big_log.cache().count()
+    big_log.persist().count()
 
     def _fold_diff():
         cur = LQ.current_version_fold(big_log.where(F.col("sequence_id") <= 9000))
         tgt = LQ.current_version_fold(big_log)
         LQ.compute_changes_df(cur, tgt).collect()
 
-    results["b5_fold_diff_10k"] = _timed(_fold_diff)
+    # clear=False keeps the pre-pinned source log cached across runs (the
+    # metric is the fold/diff plan, not a 10k-row rebuild); fold results
+    # themselves are never cached, so runs stay independent
+    results["b5_fold_diff_10k"] = timed_min(_fold_diff, clear=False)
     big_log.unpersist()
 
     # ---- headline queries from the driver contract ------------------------
     # Pre-build the shared versioned-events fixture (memoized per sf_dir)
-    # OUTSIDE the timed bodies, so the lifecycle queries below time the
+    # OUTSIDE the timed bodies, so the lifecycle READ queries below time the
     # operator under test (read / fold / vacuum-scan), not fixture writes.
     entry._write_versioned_events(spark, data_dir)
 
@@ -171,7 +198,6 @@ def main():
     headline = [
         "q_current_version_fold",
         "q_compute_changes",
-        "q_versioned_write_roundtrip",
         "q_time_travel_read",
         "q_read_changes",
         "q_vacuum_dry_run",
@@ -202,17 +228,44 @@ def main():
         "q_top_ngrams",
         "q_contamination",
     ]
-    import gc
-
     for name in headline:
         df_fn = qs[name]
-        results[name] = _timed(lambda fn=df_fn: fn(spark, data_dir).collect())
-        spark.catalog.clearCache()  # no cross-query cache reuse in timings
-        gc.collect()  # drop localCheckpoint RDD refs so ContextCleaner frees them
+        results[name] = timed_min(lambda fn=df_fn: fn(spark, data_dir).collect())
+
+    # the honest write roundtrip: fresh table, versioned write of every
+    # partition + one overwrite + current-view read-back, all timed
+    def _fresh_roundtrip():
+        rt_dir = tempfile.mkdtemp(prefix="chronicles_rt_", dir=tmp)
+        rt_tracker = FileBackedVersionTracker(rt_dir + "/_log")
+        rt_table = TableDefinition(
+            TableName("bench", "rt"), rt_dir + "/events", PartitionSchema(("event_date",))
+        )
+        rt_tracker.init_table(rt_table.name, is_snapshot=False, user_id="bench")
+        versioned_insert_into(events, rt_table, rt_tracker, "bench", "v1")
+        versioned_insert_into(one_day, rt_table, rt_tracker, "bench", "redo")
+        read_current(spark, rt_table, rt_tracker).count()
+        shutil.rmtree(rt_dir, ignore_errors=True)
+
+    results["q_versioned_write_roundtrip"] = timed_min(_fresh_roundtrip)
+
+    # incremental (checkpointed) fold — kept here after its queries() entry
+    # was merged into q_current_version_fold, so the plan stays benchmarked
+    def _fold_incremental():
+        ops = ops_log_df(spark, data_dir)
+        ckpt = LQ.fold_state_checkpoint(ops, upto_seq=15, table_name="demo.events")
+        LQ.current_version_fold_incremental(
+            ops, ckpt, 15, head_ref_df(spark, data_dir), "demo.events"
+        ).collect()
+
+    results["q_fold_incremental"] = timed_min(_fold_incremental)
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(results.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def _ratio(a: str, b: str) -> float:
+        return round(results[a] / results[b], 3) if results.get(b) else None
+
     print(
         json.dumps(
             {
@@ -222,6 +275,16 @@ def main():
                 "queries": results,
                 "sf": float(sf),
                 "cpus": int(CPUS),
+                "runs_per_query": N_RUNS,
+                "loadavg_1min": {"start": load_start, "end": os.getloadavg()[0]},
+                "ratios": {
+                    "b1_versioned_over_plain_write": _ratio(
+                        "b1_versioned_write", "b1_plain_write"
+                    ),
+                    "b4_versioned_over_plain_agg": _ratio(
+                        "b4_versioned_agg", "b4_plain_agg"
+                    ),
+                },
             }
         )
     )

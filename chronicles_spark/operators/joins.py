@@ -71,6 +71,20 @@ def write_bucketed(
     )
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort values of this type (maps cannot; arrays and
+    structs are orderable iff their element/field types are)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -92,7 +106,9 @@ def as_of_join(
     mix values from different right rows.  Ties — multiple right rows with
     equal (key, ts) — resolve deterministically to the row with the
     greatest payload struct (Spark struct ordering), which requires the
-    payload fields to be orderable types (no maps).  Cost: a single
+    payload fields to be orderable types — a map-typed payload column
+    raises a clear ValueError up front instead of a plan-time analyzer
+    error.  Cost: a single
     shuffle on ``key`` — no range-explode, no per-row Python, and skew
     behaves like any keyed window (salt the key upstream if one key
     dominates).  Right payload columns must not collide with left columns;
@@ -113,6 +129,17 @@ def as_of_join(
         raise ValueError("right side has no payload columns besides key/ts")
 
     left_rest = [c for c in left.columns if c != key]
+    unorderable = [
+        c for c in payload if not _orderable(right.schema[c].dataType)
+    ]
+    if unorderable:
+        raise ValueError(
+            "as_of_join tie-breaks on the payload struct, which requires "
+            f"orderable payload types; non-orderable columns: {sorted(unorderable)} "
+            "— cast map columns to orderable shapes (e.g. sorted "
+            "map_entries arrays) or attach a surrogate tie-break column "
+            "before joining"
+        )
     payload_type = StructType(
         [StructField(c, right.schema[c].dataType, True) for c in payload]
     )

@@ -125,6 +125,14 @@ def vacuum(
         location_url = table.location
         do_delete = not dry_run
 
+        # Reporting caveat (deletion itself is idempotent and safe): if a
+        # task is retried after deleting part of its slice, the retry
+        # re-probes those prefixes as already-gone and omits them, so the
+        # RETURNED list can under-report what was actually removed.  Exact
+        # accounting would need a probe-only pass first (twice the FS
+        # round-trips) — not worth it for a GC report; treat the return
+        # value as "at least these were reclaimed".
+
         def _probe_and_delete(paths_iter):
             # executor-side: fresh FS client per task, same facade
             from chronicles_spark.trackers.fs import filesystem_for as _ff

@@ -93,8 +93,12 @@ def partitions_written(table: TableDefinition, version: Version) -> List[Partiti
     version are returned, so pre-existing partitions/versions never leak
     in.  Null/empty partition values surface as Hive's
     ``__HIVE_DEFAULT_PARTITION__`` directory and are rejected — the commit
-    log cannot point back at them (the uncommitted files stay invisible;
-    vacuum can reclaim them).
+    log cannot point back at them, so the uncommitted files stay invisible
+    to every reader.  Note they are also unreclaimed: vacuum derives its
+    candidate set from log-recorded (partition, version) pairs, so
+    directories no commit ever referenced must be removed manually (fix
+    the null-producing upstream, then delete the
+    ``__HIVE_DEFAULT_PARTITION__`` tree).
     """
     from ..trackers.fs import filesystem_for
 

@@ -65,9 +65,12 @@ def _latest_stream_epoch(
 ) -> Optional[int]:
     """Epoch id of the NEWEST commit carrying ``message_prefix``, or None.
 
-    Scans the log newest-first and stops at the first stream commit;
-    typical cost is a few commits even on a log with millions of entries
-    (interleaved manual commits are skipped over)."""
+    The in-memory scan is newest-first and stops at the first stream
+    commit, but ``tracker.table_state()`` materializes the WHOLE update
+    log first — so this costs a full log read.  The sink amortizes it:
+    :func:`versioned_stream_sink` passes a per-query ``epoch_cache`` so
+    only the FIRST micro-batch after (re)start pays the scan; later
+    batches read the cached epoch."""
     prefix = f"{message_prefix} epoch "
     for u in reversed(list(tracker.table_state(table_name).updates)):
         m = u.metadata.message
@@ -96,9 +99,15 @@ def commit_stream_batch(
     metastore=None,
     message_prefix: str = "stream",
     mode: str = "append",
+    epoch_cache: Optional[dict] = None,
 ) -> None:
     """Land ONE micro-batch as a versioned commit (the ``foreachBatch``
     body of :func:`versioned_stream_sink`, exposed for direct use/testing).
+
+    ``epoch_cache`` (a mutable dict owned by one streaming query) caches
+    the latest committed epoch between batches so the replay guard's full
+    log read happens once per (re)start, not once per micro-batch.  It
+    must never be shared across sinks with different ``message_prefix``.
 
     See the module docstring for ``mode`` semantics."""
     if mode not in _MODES:
@@ -115,8 +124,14 @@ def commit_stream_batch(
     # the message_prefix was reused — that would silently skip fresh data;
     # fail loudly instead.
     if mode in ("append", "strict"):
-        latest = _latest_stream_epoch(tracker, table.name, message_prefix)
+        latest = (
+            epoch_cache.get("latest_epoch") if epoch_cache is not None else None
+        )
+        if latest is None:
+            latest = _latest_stream_epoch(tracker, table.name, message_prefix)
         if latest is not None:
+            if epoch_cache is not None:
+                epoch_cache["latest_epoch"] = latest
             if latest == epoch_id:
                 return  # checkpoint replay of the just-committed epoch
             if latest > epoch_id:
@@ -167,6 +182,8 @@ def commit_stream_batch(
                     out, table, tracker, user_id, message,
                     metastore=metastore, partitions=touched,
                 )
+                if epoch_cache is not None:
+                    epoch_cache["latest_epoch"] = epoch_id
             finally:
                 batch_df.unpersist()
             return
@@ -188,6 +205,8 @@ def commit_stream_batch(
         out, table, tracker, user_id, message,
         metastore=metastore, partition_discovery="scan",
     )
+    if epoch_cache is not None:
+        epoch_cache["latest_epoch"] = epoch_id
 
 
 def versioned_stream_sink(
@@ -214,6 +233,9 @@ def versioned_stream_sink(
     """
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    # per-query epoch cache: the replay guard's full log read happens only
+    # on the first micro-batch after each (re)start
+    epoch_cache: dict = {}
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         commit_stream_batch(
@@ -225,6 +247,7 @@ def versioned_stream_sink(
             metastore=metastore,
             message_prefix=message_prefix,
             mode=mode,
+            epoch_cache=epoch_cache,
         )
 
     return stream_df.writeStream.foreachBatch(commit_batch).option(

@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from chronicles_spark.operators.joins import bucketed_join, salted_join, write_bucketed
@@ -243,3 +244,19 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer"):
         with _pytest.raises(ValueError, match="inner/left"):
             salted_join(df, df, "key", F.col("id"), how=how)
+
+
+def test_as_of_join_map_payload_raises_upfront(spark):
+    """A map-typed payload column cannot participate in the struct
+    tie-break; the error must be a clear ValueError at call time, not a
+    plan-time analyzer failure."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 5, "a")], ["k", "ts", "v"]).select(
+        "k", "ts", F.create_map(F.lit("x"), F.col("v")).alias("attrs")
+    )
+    with pytest.raises(ValueError, match="orderable"):
+        as_of_join(left, right, "k")

@@ -328,3 +328,42 @@ def test_commit_stream_batch_epoch_regression_raises(spark, tmp_path, events_bat
     commit_stream_batch(
         batch_df.limit(10), 2, table, tracker, "etl", message_prefix="stream2"
     )
+
+
+def test_epoch_cache_scans_log_once(spark, tmp_path, events_batch, monkeypatch):
+    """The replay guard's full log read must happen once per sink
+    (re)start, not once per micro-batch — later batches read the cached
+    epoch and replay/regression semantics are unchanged."""
+    from chronicles_spark.streaming import commit_stream_batch
+    from chronicles_spark.streaming import ingest as ingest_mod
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "epochcache")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    calls = []
+    orig = ingest_mod._latest_stream_epoch
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ingest_mod, "_latest_stream_epoch", counting)
+
+    cache: dict = {}
+    half = batch_df.limit(40)
+    commit_stream_batch(half, 0, table, tracker, "etl", epoch_cache=cache)
+    assert cache["latest_epoch"] == 0
+    n_scans_after_first = len(calls)
+    assert n_scans_after_first >= 1
+
+    commit_stream_batch(half, 1, table, tracker, "etl", epoch_cache=cache)
+    commit_stream_batch(half, 1, table, tracker, "etl", epoch_cache=cache)  # replay
+    assert len(calls) == n_scans_after_first  # no further log scans
+    assert cache["latest_epoch"] == 1
+    assert read_current(spark, table, tracker).count() == 2 * 40
+
+    # a stale epoch against the CACHED latest still fails loudly
+    with pytest.raises(RuntimeError, match="behind the latest"):
+        commit_stream_batch(half, 0, table, tracker, "etl", epoch_cache=cache)
