@@ -234,6 +234,7 @@ _MINHASH_ROWS = 2
 _JACCARD_THRESHOLD = 0.5
 _NGRAM_THRESHOLD = 0.4
 _NGRAM_MAX_SHINGLE_FREQ = 100  # skew guard: shingle in f docs → f² join rows
+_SIMHASH_MAX_BAND_FREQ = 200  # same guard for simhash band pieces
 _COSINE_DEDUP_THRESHOLD = 0.4
 _EMB_DIM = 64
 _EMB_LSH_PLANES = 16
@@ -718,9 +719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded candidate pairs + exact hamming distance; the band keys and
         # the hamming check are both derived from simhash_expr, so this one
         # query value-checks the fingerprint (formerly q_dedup_simhash) and
-        # the banding on top of it (round-4 driver-cap curation)
+        # the banding on top of it (round-4 driver-cap curation), including
+        # the band-piece frequency skew guard mirrored in the oracle
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return _longify(DD.simhash_near_dup_candidates(docs).where(F.col("hamming") <= 6))
+        return _longify(
+            DD.simhash_near_dup_candidates(
+                docs, max_band_freq=_SIMHASH_MAX_BAND_FREQ
+            ).where(F.col("hamming") <= 6)
+        )
 
     def q_dedup_embedding(spark, sf):
         # scale path: banded sign-LSH candidates → exact-cosine verify.
@@ -1252,17 +1258,22 @@ WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_NGRAM_THRESHOLD}
 """,
         "q_dedup_simhash_pairs": "WITH fp AS (SELECT doc_id, "
         + DD.simhash_sql("text")
-        + """ AS simhash FROM documents),
+        + f""" AS simhash FROM documents),
 slices AS (
   SELECT doc_id, simhash, band_id,
          substr(simhash, CAST(band_id * 8 + 1 AS INT), 8) AS piece
   FROM fp, (SELECT unnest(range(0, 4)) AS band_id) b
 ),
+freq_ok AS (
+  SELECT band_id, piece FROM slices
+  GROUP BY band_id, piece HAVING count(*) <= {_SIMHASH_MAX_BAND_FREQ}
+),
+slices_ok AS (SELECT s.* FROM slices s JOIN freq_ok USING (band_id, piece)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM slices a
-  JOIN slices b ON a.band_id = b.band_id AND a.piece = b.piece
+  FROM slices_ok a
+  JOIN slices_ok b ON a.band_id = b.band_id AND a.piece = b.piece
               AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,

@@ -311,12 +311,25 @@ def simhash_sql(text_col: str = "text", bits: int = 32) -> str:
 def simhash_near_dup_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 32, bands: int = 4,
+    max_band_freq: int | None = 200,
     scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup candidates by banding the simhash: hamming(a,b) <= bands-1
     implies at least one of ``bands`` equal slices (pigeonhole).  The
     fingerprint frame is materialized so the fold expression evaluates
-    once per document, not once per band slice."""
+    once per document, not once per band slice.
+
+    ``max_band_freq`` is the skew guard (same role as
+    ``ngram_jaccard_pairs``' ``max_shingle_freq``): a band piece shared by
+    f documents contributes f² join rows, and template-heavy corpora
+    concentrate most documents in a handful of pieces (measured: one piece
+    held 65% of docs → 5M pairs from one bucket).  Pieces hotter than the
+    cap are dropped from candidate generation — the pigeonhole guarantee
+    then holds only among docs whose shared piece is under the cap; run
+    exact/fingerprint dedup first so ultra-dense template families are
+    collapsed before simhash sees them.  ``None`` disables the guard.
+    The piece-frequency table is at most ``bands * 2^(bits/bands)`` rows
+    (1024 here), so the filter is a broadcast join, never a shuffle."""
     width = bits // bands
     fp = materialize(
         df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash")),
@@ -338,6 +351,14 @@ def simhash_near_dup_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band_id", "bk.piece")
+    if max_band_freq is not None:
+        piece_ok = (
+            slices.groupBy("band_id", "piece")
+            .count()
+            .where(F.col("count") <= max_band_freq)
+            .drop("count")
+        )
+        slices = slices.join(F.broadcast(piece_ok), ["band_id", "piece"])
     a, b = slices.alias("a"), slices.alias("b")
     pairs = (
         a.join(
