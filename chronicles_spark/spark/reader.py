@@ -119,14 +119,15 @@ def read_at_commit(
     commit_id: str,
     keep_version_column: bool = False,
 ) -> DataFrame:
-    """Time travel WITHOUT moving the head: fold the log up to ``commit_id``
-    and read that historical state (the read-only cousin of checkout,
-    VersionTracker.scala:37-55)."""
-    from ..core import fold
-
-    state = tracker.table_state(table.name)
-    tv = fold.current_version(state.updates, commit_id)
-    return read_version(spark, table, tv, keep_version_column)
+    """Time travel WITHOUT moving the head: resolve the state at
+    ``commit_id`` and read it (the read-only cousin of checkout,
+    VersionTracker.scala:37-55).  Unknown commit ids raise
+    (UnknownCommitError) — folding past a typo'd id would silently read
+    the head state.  On a checkpointed tracker a commit at or after the
+    checkpoint resolves reading only the log tail."""
+    return read_version(
+        spark, table, tracker.version_at(table.name, commit_id), keep_version_column
+    )
 
 
 def _changed_states(

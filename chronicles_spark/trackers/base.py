@@ -104,6 +104,18 @@ class VersionTracker(abc.ABC):
         state = self.table_state(table)
         return fold.current_version(state.updates, state.current_version)
 
+    def version_at(self, table: TableName, commit_id: str):
+        """Fold ops up to an ARBITRARY existing commit — the read-only
+        time-travel resolution (same cutoff semantics as current_version,
+        without moving the head).  Raises UnknownCommitError for ids not in
+        the log: ``take_through`` past an unknown id would silently fold
+        the WHOLE log, so a typo'd commit must fail, not read head state.
+        Backends with fold checkpoints override this with an O(tail) path."""
+        state = self.table_state(table)
+        if not any(u.metadata.commit_id == commit_id for u in state.updates):
+            raise UnknownCommitError(commit_id)
+        return fold.current_version(state.updates, commit_id)
+
     def updates(self, table: TableName) -> List[TableUpdateMetadata]:
         """Commit history, most recent first (VersionTracker.scala:58-61)."""
         state = self.table_state(table)

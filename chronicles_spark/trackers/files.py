@@ -289,29 +289,23 @@ class FileBackedVersionTracker(VersionTracker):
             self.fs.join(d, "_last_checkpoint"), json.dumps({"seq": last_seq})
         )
 
-    def current_version(self, table: TableName):
-        """Checkpointed table resolution: fold = checkpoint + tail commits
-        (> checkpoint seq) instead of the whole log.  Falls back to the
-        base-class full fold when there is no usable checkpoint or the head
-        has been rolled back before it (VersionTracker.scala:37-55 cutoff
-        semantics are preserved exactly in both paths)."""
-        d = self._table_dir(table)
-        if not self.fs.exists(self.fs.join(d, "table-metadata")):
-            raise UnknownTableError(table)
+    def _fast_resolve(self, d: str, commit_id: str):
+        """Checkpoint + tail fold at ``commit_id``, or None when the fast
+        path does not apply (no usable checkpoint, or the commit precedes
+        the checkpoint — e.g. a rolled-back head or deep time travel)."""
         ck = self._read_checkpoint(d)
         if ck is None:
-            return super().current_version(table)
-        head = self._read_head(d)
+            return None
         tail_names = [n for s, n in self._update_seqs(d) if s > int(ck["last_seq"])]
         tail = self._read_updates(d, tail_names)
-        if head == ck["last_commit_id"]:
+        if commit_id == ck["last_commit_id"]:
             upto = ()
-        elif any(u.metadata.commit_id == head for u in tail):
-            upto = fold.take_through(tail, head)
+        elif any(u.metadata.commit_id == commit_id for u in tail):
+            upto = fold.take_through(tail, commit_id)
         else:
-            # head precedes the checkpoint (rollback): the checkpoint's
-            # prefix includes commits past the head, so it cannot be used
-            return super().current_version(table)
+            # the commit precedes the checkpoint: the checkpoint's prefix
+            # includes commits past it, so it cannot be used
+            return None
         if ck["is_snapshot"]:
             label = ck.get("snapshot_version")
             for u in upto:
@@ -326,3 +320,26 @@ class FileBackedVersionTracker(VersionTracker):
         return PartitionedTableVersion(
             {Partition.parse(p): Version(v) for p, v in state.items()}
         )
+
+    def current_version(self, table: TableName):
+        """Checkpointed table resolution: fold = checkpoint + tail commits
+        (> checkpoint seq) instead of the whole log.  Falls back to the
+        base-class full fold when there is no usable checkpoint or the head
+        has been rolled back before it (VersionTracker.scala:37-55 cutoff
+        semantics are preserved exactly in both paths)."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        tv = self._fast_resolve(d, self._read_head(d))
+        return tv if tv is not None else super().current_version(table)
+
+    def version_at(self, table: TableName, commit_id: str):
+        """Time travel with the same O(tail) fast path as current_version:
+        a commit at or after the checkpoint folds as checkpoint + tail; a
+        commit deeper in history (or unknown — the base class raises
+        UnknownCommitError) takes the full fold."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        tv = self._fast_resolve(d, commit_id)
+        return tv if tv is not None else super().version_at(table, commit_id)

@@ -233,3 +233,53 @@ def test_tombstone_across_checkpoint_boundary(tmp_path):
     assert tr.current_version(T).partition_versions == _full_fold(
         root
     ).partition_versions
+
+
+def test_version_at_fast_path_reads_only_tail(tmp_path):
+    root = str(tmp_path / "log")
+    _, commits = _build_log(root, n_commits=25, interval=10)
+    cold = FileBackedVersionTracker(root, checkpoint_interval=10)
+    cfs = CountingFs(cold.fs)
+    cold.fs = cfs
+    target = commits[-2]  # in the tail (after the seq-20 checkpoint)
+    got = cold.version_at(T, target)
+    ckpt_seq = 20  # init + 25 commits; checkpoints at 10 and 20 files... read pointer
+    d = cold._table_dir(T)
+    import json as _json
+
+    ckpt_seq = _json.loads(cold.fs.read_text(cold.fs.join(d, "_last_checkpoint")))[
+        "seq"
+    ]
+    for p in (p for p in cfs.reads if "table_update_" in p):
+        seq = int(p.rsplit("table_update_", 1)[1].split(".")[0])
+        assert seq > ckpt_seq, f"read a pre-checkpoint commit file: {p}"
+    # differential: equals the checkpoint-free fold at the same commit
+    want = FileBackedVersionTracker(root, checkpoint_interval=None).version_at(
+        T, target
+    )
+    assert got.partition_versions == want.partition_versions
+
+
+def test_version_at_deep_history_falls_back(tmp_path):
+    root = str(tmp_path / "log")
+    _, commits = _build_log(root, n_commits=25, interval=10)
+    tr = FileBackedVersionTracker(root, checkpoint_interval=10)
+    got = tr.version_at(T, commits[2])
+    want = FileBackedVersionTracker(root, checkpoint_interval=None).version_at(
+        T, commits[2]
+    )
+    assert got.partition_versions == want.partition_versions
+
+
+def test_version_at_unknown_commit_raises(tmp_path):
+    from chronicles_spark.trackers import UnknownCommitError
+
+    root = str(tmp_path / "log")
+    tr, _ = _build_log(root, n_commits=25, interval=10)
+    with pytest.raises(UnknownCommitError):
+        tr.version_at(T, "no-such-commit")
+    # and on the checkpoint-free path too
+    with pytest.raises(UnknownCommitError):
+        FileBackedVersionTracker(root, checkpoint_interval=None).version_at(
+            T, "no-such-commit"
+        )
