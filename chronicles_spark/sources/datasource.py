@@ -26,15 +26,22 @@ pushed down at planning time and prune whole directories before any I/O
 Partition columns surface as strings (Hive path semantics, §1.4 of
 SURVEY.md); the reference has no comparable integration point — this is
 the Spark-native equivalent of its Hive-metastore LOCATION pointers.
+
+The same format also registers a STREAMING source
+(:class:`ChroniclesStreamReader`): ``spark.readStream.format("chronicles")``
+tails the commit log and emits each commit range's changed partitions as a
+micro-batch — incremental CDC with Structured Streaming's own offset
+checkpointing for exactly-once progress.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
@@ -47,6 +54,29 @@ class _LiveDir(InputPartition):
         self.path = path
         self.part_values = part_values
         self.fmt = fmt
+
+
+def _iter_live_dir_batches(
+    partition: _LiveDir, schema: StructType
+) -> Iterator["object"]:
+    """Stream one live ``_version=`` directory as Arrow RecordBatches,
+    appending the Hive-style partition values as string columns — the
+    shared executor-side read for the batch and streaming readers."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    data_fields = [
+        f for f in schema.fields
+        if f.name not in {c for c, _ in partition.part_values}
+    ]
+    dataset = ds.dataset(partition.path, format=partition.fmt)
+    for batch in dataset.to_batches(columns=[f.name for f in data_fields]):
+        arrays = list(batch.columns)
+        names = list(batch.schema.names)
+        for col, val in partition.part_values:
+            arrays.append(pa.array([val] * batch.num_rows, type=pa.string()))
+            names.append(col)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
@@ -105,21 +135,7 @@ class ChroniclesReader(DataSourceReader):
         return [_LiveDir(p, tuple(pv), self._fmt) for p, pv in self._dirs]
 
     def read(self, partition: _LiveDir) -> Iterator["object"]:
-        import pyarrow as pa
-        import pyarrow.dataset as ds
-
-        data_fields = [
-            f for f in self._schema.fields
-            if f.name not in {c for c, _ in partition.part_values}
-        ]
-        dataset = ds.dataset(partition.path, format=partition.fmt)
-        for batch in dataset.to_batches(columns=[f.name for f in data_fields]):
-            arrays = list(batch.columns)
-            names = list(batch.schema.names)
-            for col, val in partition.part_values:
-                arrays.append(pa.array([val] * batch.num_rows, type=pa.string()))
-                names.append(col)
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+        return _iter_live_dir_batches(partition, self._schema)
 
 
 class ChroniclesPushdownReader(ChroniclesReader):
@@ -146,6 +162,142 @@ class ChroniclesPushdownReader(ChroniclesReader):
                 ]
             else:
                 yield f
+
+
+class ChroniclesStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("chronicles")`` — incremental CDC over the
+    commit log.
+
+    Offsets are positions in the append-only update log (``{"commits": n}``
+    = the first ``n`` updates consumed), so every micro-batch range is
+    deterministic and replayable: the log prefix below an offset is
+    immutable, and re-planning the same ``(start, end]`` range always
+    yields the same directories.  A batch emits the rows of exactly the
+    partitions whose live version CHANGED across the range — the streaming
+    twin of :func:`chronicles_spark.spark.reader.read_changes` — read at
+    their end-of-range version.  Remove-only commits emit no rows
+    (enumerate tombstones with ``changed_partitions``).
+
+    ``starting`` option: ``earliest`` (default — first batch replays the
+    full current state) or ``latest`` (only commits after stream start).
+
+    Scale/ops notes:
+    - Planning is O(log tail) driver-side metadata; each changed directory
+      becomes one InputPartition read by executors as Arrow batches.
+    - Exactly-once delivery relies on the normal Structured Streaming
+      offset checkpoint; version retention must exceed consumer lag —
+      ``vacuum(keep_last=N)`` can delete a superseded version directory
+      that a lagging/replaying stream still needs (same contract as
+      Delta's ``delete file retention`` vs streaming reads).
+    - The tracker root must be visible to the planning worker (file-based
+      or fsspec URL); process-local ``memory://`` state is not.
+
+    The reference has no streaming surface at all — this is the
+    Spark-native extension point its Hive-pointer design cannot express.
+    """
+
+    def __init__(self, options, schema: StructType):
+        root = options.get("root")
+        table = options.get("table")
+        location = options.get("location")
+        if not (root and table and location):
+            raise ValueError(
+                "chronicles stream source needs options: root, table, location"
+            )
+        self._root = root
+        self._table = table
+        self._location = location
+        self._fmt = options.get("format", "parquet")
+        self._schema = schema
+        starting = str(options.get("starting", "earliest")).lower()
+        if starting not in ("earliest", "latest"):
+            raise ValueError(f"starting must be earliest|latest, got {starting!r}")
+        self._starting = starting
+
+    # -- log access ---------------------------------------------------------
+
+    def _updates(self):
+        from ..core.model import TableName
+        from ..trackers.files import FileBackedVersionTracker
+
+        tracker = FileBackedVersionTracker(self._root)
+        state = tracker.table_state(TableName.parse(self._table))
+        return list(state.updates)
+
+    @staticmethod
+    def _fold_prefix(updates, n: int):
+        """Resolved state after the first ``n`` updates: partition→version
+        map for partitioned tables, latest snapshot Version (or None) for
+        snapshot tables."""
+        from ..core import fold
+        from ..core.ops import AddTableVersion
+
+        prefix = updates[:n]
+        if not prefix:
+            return {}, None
+        if fold.is_snapshot_from_updates(prefix):
+            version = None
+            for u in prefix:
+                for op in u.operations:
+                    if isinstance(op, AddTableVersion):
+                        version = op.version
+            return None, version
+        return fold.apply_partition_updates(prefix).partition_versions, None
+
+    # -- DataSourceStreamReader API ----------------------------------------
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        if self._starting == "latest":
+            return {"commits": len(self._updates())}
+        return {"commits": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"commits": len(self._updates())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from ..core import paths as vpaths
+
+        n0, n1 = int(start["commits"]), int(end["commits"])
+        updates = self._updates()
+        pv0, snap0 = self._fold_prefix(updates, n0)
+        pv1, snap1 = self._fold_prefix(updates, n1)
+
+        out: List[InputPartition] = []
+        if pv1 is None:  # snapshot table at end of range
+            if snap1 is not None and snap1 != snap0:
+                out.append(
+                    _LiveDir(vpaths.path_for(self._location, snap1), (), self._fmt)
+                )
+        else:
+            base = pv0 or {}
+            for partition, version in sorted(
+                pv1.items(), key=lambda kv: kv[0].path
+            ):
+                if base.get(partition) != version:
+                    out.append(
+                        _LiveDir(
+                            vpaths.path_for(
+                                partition.resolve_path(self._location), version
+                            ),
+                            partition.column_values,
+                            self._fmt,
+                        )
+                    )
+        # a remove-only / no-op range still needs one (empty) partition:
+        # Spark requires a non-empty partition list per planned batch
+        if not out:
+            out.append(_LiveDir("", (), self._fmt))
+        return out
+
+    def read(self, partition: _LiveDir) -> Iterator["object"]:
+        if not partition.path:  # empty-range sentinel
+            return iter(())
+        return _iter_live_dir_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        # the commit log is the source of truth; Spark's offset checkpoint
+        # carries stream progress — nothing to release on our side
+        pass
 
 
 class ChroniclesDataSource(DataSource):
@@ -175,3 +327,6 @@ class ChroniclesDataSource(DataSource):
         pushdown = str(self.options.get("pushdown", "false")).lower() == "true"
         cls = ChroniclesPushdownReader if pushdown else ChroniclesReader
         return cls(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
+        return ChroniclesStreamReader(self.options, schema)

@@ -1,0 +1,169 @@
+"""spark.readStream.format("chronicles") — streaming CDC over the commit log.
+
+The reference has no streaming surface; semantics under test are the
+streaming twin of read_changes (reader.py): each micro-batch carries the
+rows of exactly the partitions whose live version changed in its commit
+range, at the end-of-range version.
+"""
+
+import pytest
+
+from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+from chronicles_spark.sources.datasource import ChroniclesDataSource
+from chronicles_spark.spark import versioned_insert_into
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+
+@pytest.fixture()
+def stream_table(spark, tmp_path):
+    root = str(tmp_path / "_log")
+    tracker = FileBackedVersionTracker(root)
+    table = TableDefinition(
+        TableName("demo", "stream"), str(tmp_path / "stream"), PartitionSchema(("date",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    df1 = spark.createDataFrame(
+        [("u1", 3, "2019-01-01"), ("u2", 5, "2019-01-02")], ["user", "n", "date"]
+    )
+    versioned_insert_into(df1, table, tracker, "a", "v1")
+    spark.dataSource.register(ChroniclesDataSource)
+    return table, root, tracker
+
+
+def _read_stream(spark, table, root, **opts):
+    reader = (
+        spark.readStream.format("chronicles")
+        .option("root", root)
+        .option("table", table.name.fully_qualified)
+        .option("location", table.location)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _drain(df, checkpoint, out_dir):
+    """Run the stream to the current log end (availableNow) and block.
+
+    Parquet sink: the only built-in sink that RESUMES from a checkpoint
+    (memory/console don't), which is exactly what the restart tests need."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def _rows(spark, out_dir, *cols):
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(out_dir)
+    except AnalysisException:  # nothing written yet → no files to infer from
+        return set()
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_earliest_replays_full_state_then_only_changes(spark, stream_table, tmp_path):
+    table, root, tracker = stream_table
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    assert _rows(spark, out, "user", "n", "date") == {
+        ("u1", 3, "2019-01-01"),
+        ("u2", 5, "2019-01-02"),
+    }
+
+    # overwrite one partition + add one; restart from the same checkpoint:
+    # only the two changed partitions' rows arrive, not the untouched one
+    df2 = spark.createDataFrame(
+        [("u9", 7, "2019-01-01"), ("u3", 1, "2019-01-03")], ["user", "n", "date"]
+    )
+    versioned_insert_into(df2, table, tracker, "a", "overwrite d1, add d3")
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    assert _rows(spark, out, "user", "n", "date") == {
+        ("u1", 3, "2019-01-01"),
+        ("u2", 5, "2019-01-02"),
+        ("u9", 7, "2019-01-01"),
+        ("u3", 1, "2019-01-03"),
+    }
+
+
+def test_latest_skips_history(spark, stream_table, tmp_path):
+    table, root, tracker = stream_table
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _drain(_read_stream(spark, table, root, starting="latest"), ckpt, out)
+    assert _rows(spark, out, "user") == set()
+
+    df2 = spark.createDataFrame([("u5", 2, "2019-01-02")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "overwrite d2")
+    _drain(_read_stream(spark, table, root, starting="latest"), ckpt, out)
+    assert _rows(spark, out, "user", "n", "date") == {("u5", 2, "2019-01-02")}
+
+
+def test_no_new_commits_yields_no_rows(spark, stream_table, tmp_path):
+    table, root, _ = stream_table
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    n1 = len(_rows(spark, out, "user"))
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    assert len(_rows(spark, out, "user")) == n1 == 2
+
+
+def test_snapshot_table_streams_whole_versions(spark, tmp_path):
+    root = str(tmp_path / "_log")
+    tracker = FileBackedVersionTracker(root)
+    table = TableDefinition(
+        TableName("demo", "snap"), str(tmp_path / "snap"), PartitionSchema(())
+    )
+    tracker.init_table(table.name, is_snapshot=True, user_id="a")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    versioned_insert_into(df1, table, tracker, "a", "v1")
+    spark.dataSource.register(ChroniclesDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    assert _rows(spark, out, "id", "v") == {(1, "a"), (2, "b")}
+
+    # a snapshot overwrite re-emits the WHOLE table at its new version
+    df2 = spark.createDataFrame([(9, "z")], ["id", "v"])
+    versioned_insert_into(df2, table, tracker, "a", "v2")
+    _drain(_read_stream(spark, table, root), ckpt, out)
+    assert _rows(spark, out, "id", "v") == {(1, "a"), (2, "b"), (9, "z")}
+
+
+def test_offset_ranges_are_deterministic(spark, stream_table):
+    """Replaying the same (start, end] range plans the same directories —
+    the exactly-once foundation (log prefixes are immutable)."""
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    table, root, tracker = stream_table
+    opts = {
+        "root": root,
+        "table": table.name.fully_qualified,
+        "location": table.location,
+    }
+    df2 = spark.createDataFrame([("u9", 7, "2019-01-01")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "overwrite d1")
+
+    reader = ChroniclesStreamReader(opts, None)
+    assert reader.initialOffset() == {"commits": 0}
+    end = reader.latestOffset()
+    assert end == {"commits": 3}  # init + v1 + overwrite
+
+    full = [p.path for p in reader.partitions({"commits": 0}, end)]
+    again = [p.path for p in reader.partitions({"commits": 0}, end)]
+    assert full == again and len(full) == 2  # two live partitions
+
+    # the overwrite-only range touches exactly one partition, at its NEW dir
+    tail = reader.partitions({"commits": 2}, end)
+    assert len(tail) == 1
+    assert "date=2019-01-01" in tail[0].path
+    assert tail[0].path in full  # end-of-range version, same as full replay
