@@ -36,7 +36,7 @@ checkpointing for exactly-once progress.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,

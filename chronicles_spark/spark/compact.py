@@ -44,14 +44,25 @@ def compact_partitions(
     files_per_partition: int = 1,
     message: str = "compact",
     metastore=None,
+    concurrency: str = "optimistic",
 ):
     """Rewrite the live data of ``partitions`` (default: all) into
     ``files_per_partition`` files each, as a fresh committed version.
 
     Returns ``(table_version, changes)`` from the underlying commit.
-    Values are unchanged — only the file layout (and version) moves."""
+    Values are unchanged — only the file layout (and version) moves.
+
+    Compaction is a read-modify-write, so it commits OPTIMISTICALLY by
+    default (``concurrency="optimistic"``): if a concurrent writer
+    overwrites one of the selected partitions while the rewrite runs,
+    the commit raises ``CommitConflictError`` instead of silently
+    reverting that partition to its pre-compaction rows; writers on
+    OTHER partitions auto-merge.  Re-run to retry (the stale rewrite's
+    files stay invisible).  Pass ``concurrency="last-writer-wins"`` to
+    restore unchecked commits."""
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
+    base_head = tracker.table_state(table.name).current_version
     current = tracker.current_version(table.name)
 
     if isinstance(current, SnapshotTableVersion):
@@ -66,7 +77,8 @@ def compact_partitions(
         df = read_version(spark, table, current)
         out = df.repartition(files_per_partition)
         return versioned_insert_into(
-            out, table, tracker, user_id, message, metastore=metastore
+            out, table, tracker, user_id, message, metastore=metastore,
+            concurrency=concurrency, base_head=base_head,
         )
 
     assert isinstance(current, PartitionedTableVersion)
@@ -104,4 +116,5 @@ def compact_partitions(
     return versioned_insert_into(
         out, table, tracker, user_id, message,
         metastore=metastore, partitions=list(selected),
+        concurrency=concurrency, base_head=base_head,
     )

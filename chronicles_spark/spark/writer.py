@@ -159,6 +159,8 @@ def versioned_insert_into(
     metastore=None,
     partitions: Optional[List[Partition]] = None,
     partition_discovery: str = "listing",
+    concurrency: str = "last-writer-wins",
+    base_head: Optional[str] = None,
 ):
     """Full write flow (VersionContext.scala:51-104 + VersionedMetastore.scala:53-66).
 
@@ -186,10 +188,28 @@ def versioned_insert_into(
     partition column (rand()-derived, mutable source) can diverge between
     the two; persist the input or use "listing", which reads what actually
     landed on disk.
+
+    ``concurrency``: ``"last-writer-wins"`` (default — the reference's
+    documented stance, FileBackedVersionTracker.scala:23-25),
+    ``"optimistic"`` (commit with ``expected_head`` = the head read before
+    the write; concurrent commits to DISJOINT partitions auto-merge, an
+    overlapping one raises ``CommitConflictError`` — re-run to retry), or
+    ``"strict"`` (any head movement conflicts).  On conflict the written
+    ``_version`` directories stay invisible-but-unreclaimed, exactly like
+    a crash between write and commit.  ``base_head`` pins the expectation
+    to a head the caller read EARLIER — the read-modify-write pattern
+    (read_current → transform → write back) passes the head it read under
+    so any commit since, not just one racing the write itself, is
+    detected; default is the head at entry to this call.
     """
     if partition_discovery not in ("listing", "scan"):
         raise ValueError(
             f"partition_discovery must be 'listing' or 'scan', got {partition_discovery!r}"
+        )
+    if concurrency not in ("last-writer-wins", "optimistic", "strict"):
+        raise ValueError(
+            "concurrency must be 'last-writer-wins', 'optimistic' or "
+            f"'strict', got {concurrency!r}"
         )
     # W3 config guard (VersionContext.scala:62-69): without dynamic
     # partition-overwrite semantics, a true overwrite write would clobber
@@ -202,6 +222,8 @@ def versioned_insert_into(
         )
 
     version = version or generate_version()
+    if base_head is None:
+        base_head = tracker.table_state(table.name).current_version
     prev_state = tracker.current_version(table.name)
 
     # data first (invisible until commit), then metadata. By default,
@@ -239,7 +261,15 @@ def versioned_insert_into(
         ops = [AddPartitionVersion(p, version) for p in sorted(parts, key=lambda p: p.path)]
 
     meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
-    tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    if concurrency == "last-writer-wins":
+        tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    else:
+        tracker.commit(
+            table.name,
+            TableUpdate(meta, tuple(ops)),
+            expected_head=base_head,
+            allow_disjoint=(concurrency == "optimistic"),
+        )
 
     new_state = tracker.current_version(table.name)
     if metastore is not None:

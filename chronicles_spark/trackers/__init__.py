@@ -6,7 +6,13 @@ db/.../DbVersionTracker.scala): in-memory dict, filesystem JSON commit
 files, and sqlite (the serializable option).
 """
 
-from .base import TableState, UnknownCommitError, UnknownTableError, VersionTracker
+from .base import (
+    CommitConflictError,
+    TableState,
+    UnknownCommitError,
+    UnknownTableError,
+    VersionTracker,
+)
 from .memory import InMemoryVersionTracker
 from .files import FileBackedVersionTracker
 from .sqlite import SqliteVersionTracker
@@ -16,6 +22,7 @@ __all__ = [
     "TableState",
     "UnknownTableError",
     "UnknownCommitError",
+    "CommitConflictError",
     "InMemoryVersionTracker",
     "FileBackedVersionTracker",
     "SqliteVersionTracker",

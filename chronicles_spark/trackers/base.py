@@ -10,13 +10,21 @@ ops stream, exactly like the reference's trait default methods (:37-61,:76).
 from __future__ import annotations
 
 import abc
+import contextlib
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Set, Tuple
 
 from ..core import fold
-from ..core.model import TableName
-from ..core.ops import InitTable, TableUpdate, TableUpdateMetadata
+from ..core.model import Partition, TableName
+from ..core.ops import (
+    AddPartitionVersion,
+    AddTableVersion,
+    InitTable,
+    RemovePartition,
+    TableUpdate,
+    TableUpdateMetadata,
+)
 
 
 class UnknownTableError(KeyError):
@@ -29,6 +37,45 @@ class UnknownCommitError(KeyError):
     def __init__(self, commit_id: str):
         super().__init__(f"unknown commit: {commit_id}")
         self.commit_id = commit_id
+
+
+class CommitConflictError(RuntimeError):
+    """An optimistic (``expected_head``) commit lost its race: the head
+    moved since the writer read its base state, and the interim commits
+    are not provably disjoint from this write."""
+
+    def __init__(
+        self,
+        table: TableName,
+        expected_head: str,
+        actual_head: str,
+        overlapping: Sequence[str] = (),
+    ):
+        detail = (
+            f" (overlapping partitions: {', '.join(overlapping)})"
+            if overlapping
+            else ""
+        )
+        super().__init__(
+            f"commit conflict on {table}: head moved "
+            f"{expected_head} -> {actual_head}{detail}"
+        )
+        self.table = table
+        self.expected_head = expected_head
+        self.actual_head = actual_head
+        self.overlapping = tuple(overlapping)
+
+
+def _touched_partitions(update: TableUpdate) -> Tuple[Set[Partition], bool]:
+    """(partitions this commit writes or removes, touches-whole-table?)."""
+    parts: Set[Partition] = set()
+    whole = False
+    for op in update.operations:
+        if isinstance(op, (AddPartitionVersion, RemovePartition)):
+            parts.add(op.partition)
+        elif isinstance(op, AddTableVersion):
+            whole = True
+    return parts, whole
 
 
 @dataclass(frozen=True)
@@ -85,11 +132,80 @@ class VersionTracker(abc.ABC):
         init = TableUpdate(meta, (InitTable(table.fully_qualified, is_snapshot),))
         self._create_table(table, init, is_snapshot)
 
-    def commit(self, table: TableName, update: TableUpdate) -> None:
-        """Append a commit; errors on unknown table (VersionTracker.scala:66)."""
+    def _serialized_commit(self, table: TableName):
+        """Context under which a check-then-append is atomic for this
+        backend.  Default: no serialization (last-writer-wins, the
+        reference's documented stance) — backends override with their
+        native mutual exclusion (RLock, flock)."""
+        return contextlib.nullcontext()
+
+    def commit(
+        self,
+        table: TableName,
+        update: TableUpdate,
+        expected_head: Optional[str] = None,
+        allow_disjoint: bool = True,
+    ) -> None:
+        """Append a commit; errors on unknown table (VersionTracker.scala:66).
+
+        ``expected_head`` turns the append into an OPTIMISTIC commit
+        (beyond reference parity — the reference documents last-writer-wins,
+        FileBackedVersionTracker.scala:23-25; this is the Delta/Iceberg-style
+        alternative).  The caller passes the head commit id it READ its base
+        state at; if the head has moved since:
+
+        - with ``allow_disjoint=True`` (default), the commit still lands
+          when every interim commit touched a DISJOINT set of partitions
+          (pure appends, no rollback, no whole-table snapshot writes) —
+          two writers filling different dates of a 100k-partition table
+          never conflict;
+        - otherwise :class:`CommitConflictError` is raised and the caller
+          re-reads and retries.
+
+        Atomicity of the check-then-append follows the backend's commit
+        serialization: full for sqlite/in-memory within a process and for
+        the files tracker with ``use_lock=True`` across processes; for an
+        unlocked files tracker the check is best-effort (same window its
+        plain commits already have).
+        """
         if not self._table_exists(table):
             raise UnknownTableError(table)
-        self._append_commit(table, update)
+        if expected_head is None:
+            self._append_commit(table, update)
+            return
+        with self._serialized_commit(table):
+            state = self.table_state(table)
+            if state.current_version != expected_head:
+                ids = [u.metadata.commit_id for u in state.updates]
+                if expected_head not in ids:
+                    raise UnknownCommitError(expected_head)
+                # auto-merge is sound only if the head advanced by pure
+                # appends (head == newest log entry): after a rollback the
+                # writer's base state is not a prefix of the current state
+                interim = list(state.updates)[ids.index(expected_head) + 1:]
+                mine, mine_whole = _touched_partitions(update)
+                theirs: Set[Partition] = set()
+                theirs_whole = False
+                for u in interim:
+                    t, w = _touched_partitions(u)
+                    theirs |= t
+                    theirs_whole = theirs_whole or w
+                overlap = mine & theirs
+                mergeable = (
+                    allow_disjoint
+                    and state.current_version == ids[-1]
+                    and not mine_whole
+                    and not theirs_whole
+                    and not overlap
+                )
+                if not mergeable:
+                    raise CommitConflictError(
+                        table,
+                        expected_head,
+                        state.current_version,
+                        sorted(p.path for p in overlap),
+                    )
+            self._append_commit(table, update)
 
     def set_current_version(self, table: TableName, commit_id: str) -> None:
         """Move head to an existing commit — rollback/forward

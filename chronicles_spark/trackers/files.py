@@ -93,6 +93,7 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(self.root)
         self._clock = MonotonicClock()
         self._use_lock = bool(use_lock)
+        self._held_lock_dirs: set = set()
         if checkpoint_interval is not None and checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1 (or None to disable)")
         self._checkpoint_interval = checkpoint_interval
@@ -136,8 +137,11 @@ class FileBackedVersionTracker(VersionTracker):
     @contextmanager
     def _commit_guard(self, d: str):
         """Exclusive per-table-directory flock when ``use_lock`` is on;
-        no-op otherwise (default last-writer-wins)."""
-        if not self._use_lock:
+        no-op otherwise (default last-writer-wins).  Re-entrant within the
+        instance: an optimistic commit holds the guard across its
+        check-then-append, and the nested append must not flock a second
+        fd against itself (flock from two fds of one process deadlocks)."""
+        if not self._use_lock or d in self._held_lock_dirs:
             yield
             return
         import fcntl
@@ -145,10 +149,18 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(d)
         with open(self.fs.join(d, ".commit_lock"), "a+") as f:
             fcntl.flock(f, fcntl.LOCK_EX)
+            self._held_lock_dirs.add(d)
             try:
                 yield
             finally:
+                self._held_lock_dirs.discard(d)
                 fcntl.flock(f, fcntl.LOCK_UN)
+
+    def _serialized_commit(self, table: TableName):
+        """Optimistic check-then-append atomicity: cross-process via flock
+        with ``use_lock=True``; best-effort otherwise (the same window the
+        default last-writer-wins commits already have)."""
+        return self._commit_guard(self._table_dir(table))
 
     def _write_commit_file(self, d: str, update: TableUpdate) -> None:
         ts = self._clock.next_timestamp_ms()

@@ -36,6 +36,11 @@ class InMemoryVersionTracker(VersionTracker):
         with self._lock:
             return table in self._state
 
+    def _serialized_commit(self, table: TableName):
+        # the state RLock makes optimistic check-then-append atomic
+        # (RichRef.modifyEither parity, util/RichRef.scala:17-25)
+        return self._lock
+
     def _create_table(self, table: TableName, init_update: TableUpdate, is_snapshot: bool) -> None:
         with self._lock:
             if table in self._state:

@@ -142,6 +142,13 @@ class SqliteVersionTracker(VersionTracker):
             [_op_row(op, i, m.commit_id) for i, op in enumerate(update.operations)],
         )
 
+    def _serialized_commit(self, table: TableName):
+        # connection RLock: optimistic check-then-append is atomic for every
+        # writer sharing this tracker/connection; cross-process writers on
+        # one sqlite FILE still serialize their individual transactions but
+        # keep the documented best-effort check window
+        return self._lock
+
     def _append_commit(self, table: TableName, update: TableUpdate) -> None:
         with self._lock, self._conn:
             self._insert_update(table, update)

@@ -230,3 +230,39 @@ def test_partitions_written_matches_scan_on_special_values(spark, tmp_path):
     via_scan = sorted(p.path for p in partition_values(df, ("p1", "p2")))
     via_walk = sorted(p.path for p in partitions_written(table, v))
     assert via_walk == via_scan and len(via_walk) == len(values)
+
+
+def test_compact_conflicts_with_concurrent_overwrite(spark, tmp_path, monkeypatch):
+    """A writer overwriting a selected partition WHILE compaction rewrites it
+    must fail the compaction commit — landing the rewrite would silently
+    revert that partition to its pre-compaction rows.  The interleaving is
+    injected by wrapping compact's read_version (called after the base head
+    is captured, before the commit)."""
+    import chronicles_spark.spark.compact as compact_mod
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import CommitConflictError
+
+    table, tracker, df = _mk(spark, tmp_path)
+    real_read_version = compact_mod.read_version
+    hit = {"n": 0}
+
+    def read_and_race(*args, **kwargs):
+        if hit["n"] == 0:
+            hit["n"] += 1
+            # concurrent writer overwrites one of the selected partitions
+            race = spark.createDataFrame(
+                [(999, "raced", 9.9, "2020-01-01")], ["id", "u", "v", "d"]
+            )
+            versioned_insert_into(race, table, tracker, "w2", "racing overwrite")
+        return real_read_version(*args, **kwargs)
+
+    monkeypatch.setattr(compact_mod, "read_version", read_and_race)
+    with pytest.raises(CommitConflictError):
+        compact_partitions(spark, table, tracker, "t")
+
+    # the racing writer's data survived; compaction never became visible
+    live = read_current(spark, table, tracker)
+    assert live.where(F.col("id") == 999).count() == 1
+    # and last-writer-wins mode still allows the (dangerous) unchecked path
+    monkeypatch.setattr(compact_mod, "read_version", real_read_version)
+    compact_partitions(spark, table, tracker, "t", concurrency="last-writer-wins")

@@ -138,3 +138,72 @@ def test_files_two_process_commits_last_writer_wins(tmp_path):
         if f.startswith("table_update_"):
             parsed = json.loads(open(os.path.join(d, f)).read())
             assert parsed["commit_id"] and parsed["operations"]
+
+
+_OCC_WORKER = """
+import sys
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import CommitConflictError, FileBackedVersionTracker
+
+path, wid, expected_head, date = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+tracker = FileBackedVersionTracker(path, use_lock=True)
+t = TableName("db", "race")
+meta = TableUpdateMetadata.new("w" + wid, "occ " + wid)
+op = AddPartitionVersion(Partition((("date", date),)), generate_version())
+try:
+    tracker.commit(t, TableUpdate(meta, (op,)), expected_head=expected_head)
+    print("COMMITTED", meta.commit_id)
+except CommitConflictError:
+    print("CONFLICT")
+"""
+
+
+def _occ_race(path, expected_head, dates):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _OCC_WORKER, path, str(i + 1), expected_head, d],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i, d in enumerate(dates)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+    return [out.split()[0] for out, _ in outs]
+
+
+def test_occ_two_process_same_partition_exactly_one_wins(tmp_path):
+    """Two OS processes race an optimistic commit of the SAME partition from
+    the SAME base head over the flock-mode files tracker: the flock makes the
+    check-then-append atomic, so exactly one lands and the other sees
+    CommitConflictError (Delta/Iceberg-style OCC; the unlocked default stays
+    last-writer-wins as the reference documents)."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+    base = tracker.table_state(T).current_version
+
+    results = sorted(_occ_race(path, base, ["2020-01-01", "2020-01-01"]))
+    assert results == ["COMMITTED", "CONFLICT"]
+    state = FileBackedVersionTracker(path).table_state(T)
+    assert len(state.updates) == 2  # init + the single winner
+
+
+def test_occ_two_process_disjoint_partitions_both_land(tmp_path):
+    """Same race with DISJOINT partitions: partition-level auto-merge lets
+    both optimistic commits land despite the moved head."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+    base = tracker.table_state(T).current_version
+
+    results = _occ_race(path, base, ["2020-01-01", "2020-01-02"])
+    assert results == ["COMMITTED", "COMMITTED"]
+    live = FileBackedVersionTracker(path).current_version(T)
+    assert len(live.partition_versions) == 2

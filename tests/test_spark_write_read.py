@@ -180,3 +180,63 @@ def test_metastore_sync_with_inmemory(spark, tmp_path, tracker):
     tv, changes = vm.checkout(table, head0)  # rollback to empty init
     assert tv == PartitionedTableVersion({})
     assert ms.current_version(table).partition_versions == {}
+
+
+def test_optimistic_write_conflict_and_auto_merge(spark, tmp_path, tracker):
+    """concurrency="optimistic": a concurrent overwrite of the SAME
+    partition conflicts (data stays invisible); a concurrent write of a
+    DIFFERENT partition auto-merges.  Simulates the second writer by
+    committing through a separate tracker instance on the same log."""
+    from chronicles_spark.trackers import CommitConflictError
+
+    table = _pageview_table(tmp_path)
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    versioned_insert_into(
+        _pageviews(spark, [(1, "/a", "2019-01-01")]), table, tracker, "a", "v1"
+    )
+
+    # writer A reads its base state, then writer B lands an overwrite of
+    # 2019-01-01 before A commits — the read-modify-write race
+    base = tracker.table_state(table.name).current_version
+    other = FileBackedVersionTracker(str(tmp_path / "_log"))
+    versioned_insert_into(
+        _pageviews(spark, [(9, "/b", "2019-01-01")]), table, other, "b", "B wins"
+    )
+    with pytest.raises(CommitConflictError):
+        versioned_insert_into(
+            _pageviews(spark, [(2, "/c", "2019-01-01")]),
+            table,
+            tracker,
+            "a",
+            "stale overwrite",
+            concurrency="optimistic",
+            base_head=base,
+        )
+    # the conflicted write never became visible
+    assert {r["id"] for r in read_current(spark, table, tracker).collect()} == {9}
+
+    # disjoint date from the SAME stale base → auto-merge despite the
+    # moved head
+    versioned_insert_into(
+        _pageviews(spark, [(3, "/d", "2019-01-02")]),
+        table,
+        tracker,
+        "a",
+        "disjoint date",
+        concurrency="optimistic",
+        base_head=base,
+    )
+    assert {r["id"] for r in read_current(spark, table, tracker).collect()} == {9, 3}
+    # (strict mode — conflict on ANY head move — is pinned per-backend in
+    # tests/test_trackers.py::test_occ_strict_mode_rejects_any_head_move)
+
+    # an unknown concurrency mode fails before any bytes are written
+    with pytest.raises(ValueError, match="concurrency"):
+        versioned_insert_into(
+            _pageviews(spark, [(5, "/f", "2019-01-04")]),
+            table,
+            tracker,
+            "a",
+            "bad mode",
+            concurrency="pessimistic",
+        )

@@ -155,3 +155,113 @@ def test_json_roundtrip_files(tmp_path):
     assert state.updates[-1].operations[1] == RemovePartition(p)
     assert state.current_version == meta.commit_id
     assert tr2.tables() == [T]
+
+
+# -- optimistic (expected_head) commits -------------------------------------
+# Beyond reference parity (the reference documents last-writer-wins,
+# FileBackedVersionTracker.scala:23-25); Delta/Iceberg-style conflict
+# detection with partition-level auto-merge.
+
+
+def _occ_commit(tracker, *ops, expected_head, allow_disjoint=True, msg="occ"):
+    meta = TableUpdateMetadata.new("alice", msg)
+    tracker.commit(
+        T,
+        TableUpdate(meta, tuple(ops)),
+        expected_head=expected_head,
+        allow_disjoint=allow_disjoint,
+    )
+    return meta.commit_id
+
+
+def test_occ_commit_at_unmoved_head(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    head = tracker.table_state(T).current_version
+    p = Partition.parse("date=2019-01-01")
+    v = generate_version()
+    _occ_commit(tracker, AddPartitionVersion(p, v), expected_head=head)
+    assert tracker.current_version(T) == PartitionedTableVersion({p: v})
+
+
+def test_occ_disjoint_partitions_auto_merge(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    base = tracker.table_state(T).current_version
+    p1, p2 = Partition.parse("date=2019-01-01"), Partition.parse("date=2019-01-02")
+    v1, v2 = generate_version(), generate_version()
+    # writer B lands first; writer A (still holding the old head) touches a
+    # DIFFERENT partition → both commits land
+    _commit(tracker, AddPartitionVersion(p2, v2), msg="writer B")
+    _occ_commit(tracker, AddPartitionVersion(p1, v1), expected_head=base)
+    assert tracker.current_version(T) == PartitionedTableVersion({p1: v1, p2: v2})
+
+
+def test_occ_overlapping_partition_conflicts(tracker):
+    from chronicles_spark.trackers import CommitConflictError
+
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    base = tracker.table_state(T).current_version
+    p = Partition.parse("date=2019-01-01")
+    _commit(tracker, AddPartitionVersion(p, generate_version()), msg="writer B")
+    with pytest.raises(CommitConflictError) as e:
+        _occ_commit(tracker, AddPartitionVersion(p, generate_version()), expected_head=base)
+    assert e.value.overlapping == ("date=2019-01-01",)
+    # a remove also counts as touching the partition
+    with pytest.raises(CommitConflictError):
+        _occ_commit(tracker, RemovePartition(p), expected_head=base)
+
+
+def test_occ_strict_mode_rejects_any_head_move(tracker):
+    from chronicles_spark.trackers import CommitConflictError
+
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    base = tracker.table_state(T).current_version
+    p1, p2 = Partition.parse("date=2019-01-01"), Partition.parse("date=2019-01-02")
+    _commit(tracker, AddPartitionVersion(p2, generate_version()))
+    with pytest.raises(CommitConflictError):
+        _occ_commit(
+            tracker,
+            AddPartitionVersion(p1, generate_version()),
+            expected_head=base,
+            allow_disjoint=False,
+        )
+
+
+def test_occ_snapshot_writes_always_conflict(tracker):
+    from chronicles_spark.trackers import CommitConflictError
+
+    tracker.init_table(T, is_snapshot=True, user_id="alice")
+    base = tracker.table_state(T).current_version
+    _commit(tracker, AddTableVersion(generate_version()), msg="writer B")
+    with pytest.raises(CommitConflictError):
+        _occ_commit(tracker, AddTableVersion(generate_version()), expected_head=base)
+
+
+def test_occ_rollback_disables_auto_merge(tracker):
+    from chronicles_spark.trackers import CommitConflictError
+
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    p1, p2 = Partition.parse("date=2019-01-01"), Partition.parse("date=2019-01-02")
+    first = _commit(tracker, AddPartitionVersion(p1, generate_version()))
+    newest = _commit(tracker, AddPartitionVersion(p2, generate_version()))
+    tracker.set_current_version(T, first)  # rollback AFTER the writer read
+    # the writer read its base at the newest entry; zero interim commits and
+    # all partitions disjoint, but the head was rolled back beneath it → its
+    # base is not the current state; must conflict, not silently resurrect
+    # the rolled-back commits
+    with pytest.raises(CommitConflictError):
+        _occ_commit(
+            tracker,
+            AddPartitionVersion(Partition.parse("date=2019-01-03"), generate_version()),
+            expected_head=newest,
+        )
+
+
+def test_occ_unknown_expected_head(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    _commit(tracker, AddPartitionVersion(Partition.parse("date=2019-01-01"), generate_version()))
+    with pytest.raises(UnknownCommitError):
+        _occ_commit(
+            tracker,
+            AddPartitionVersion(Partition.parse("date=2019-01-02"), generate_version()),
+            expected_head="no-such-commit",
+        )
