@@ -63,6 +63,7 @@ def read_version(
     table_version,
     keep_version_column: bool = False,
     infer_partition_types: bool = True,
+    stats_filter=None,
 ) -> DataFrame:
     """Read a specific resolved state (current or historical).
 
@@ -70,10 +71,28 @@ def read_version(
     strings of the directory names (no date/int inference) — required by
     read-modify-write paths (compaction, streaming append-union) where a
     value like ``'01'`` must not round-trip through int 1 and land back
-    under a different directory."""
+    under a different directory.
+
+    ``stats_filter`` (column → inclusive ``(lo, hi)`` bounds) data-skips:
+    version directories whose recorded footer stats prove no row can
+    match are dropped before Spark plans the scan (see
+    :mod:`chronicles_spark.spark.stats`; directories without sidecars are
+    kept).  It is a PLANNING optimization, not a row filter — apply the
+    real predicate with ``.where`` as usual.  An empty post-prune list
+    returns an empty DataFrame with the correct schema."""
     paths_ = live_paths(table, table_version)
     if not paths_:
         raise ValueError(f"table {table.name} has no live data (empty state)")
+    pruned_all = False
+    if stats_filter:
+        from .stats import prune_paths_by_stats
+
+        kept = prune_paths_by_stats(spark, paths_, stats_filter, table.location)
+        if kept:
+            paths_ = kept
+        else:
+            # keep ONE path for schema, emit zero rows below
+            paths_, pruned_all = paths_[:1], True
     reader = spark.read.format(table.format).option("basePath", table.location)
     for k, v in table.format_options:
         reader = reader.option(k, v)
@@ -97,6 +116,8 @@ def read_version(
                 spark.conf.set(conf_key, prev)
     if not keep_version_column and VERSION_COLUMN in df.columns:
         df = df.drop(VERSION_COLUMN)
+    if pruned_all:
+        df = df.limit(0)
     return df
 
 
@@ -105,10 +126,15 @@ def read_current(
     table: TableDefinition,
     tracker: VersionTracker,
     keep_version_column: bool = False,
+    stats_filter=None,
 ) -> DataFrame:
     """W5, metastore-free: fold the log at head → read live directories."""
     return read_version(
-        spark, table, tracker.current_version(table.name), keep_version_column
+        spark,
+        table,
+        tracker.current_version(table.name),
+        keep_version_column,
+        stats_filter=stats_filter,
     )
 
 

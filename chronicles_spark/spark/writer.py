@@ -161,6 +161,7 @@ def versioned_insert_into(
     partition_discovery: str = "listing",
     concurrency: str = "last-writer-wins",
     base_head: Optional[str] = None,
+    stats_columns=None,
 ):
     """Full write flow (VersionContext.scala:51-104 + VersionedMetastore.scala:53-66).
 
@@ -201,6 +202,12 @@ def versioned_insert_into(
     (read_current → transform → write back) passes the head it read under
     so any commit since, not just one racing the write itself, is
     detected; default is the head at entry to this call.
+
+    ``stats_columns``: ``"*"`` or a list of column names harvests min/max
+    footer statistics for the written directories into per-version
+    sidecars (zero data scan) so later reads can data-skip with
+    ``stats_filter`` — see :mod:`chronicles_spark.spark.stats`.  Default
+    ``None`` records nothing.
     """
     if partition_discovery not in ("listing", "scan"):
         raise ValueError(
@@ -259,6 +266,17 @@ def versioned_insert_into(
         if parts is None:
             parts = partitions_written(table, version)
         ops = [AddPartitionVersion(p, version) for p in sorted(parts, key=lambda p: p.path)]
+
+    if stats_columns is not None:
+        from .stats import write_stats_sidecars
+
+        write_stats_sidecars(
+            df.sparkSession,
+            table,
+            version,
+            None if table.is_snapshot else parts,
+            None if stats_columns == "*" else list(stats_columns),
+        )
 
     meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
     if concurrency == "last-writer-wins":
