@@ -43,8 +43,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -132,36 +136,90 @@ class ChroniclesReader(DataSourceReader):
         )
 
     def partitions(self) -> Sequence[InputPartition]:
+        if not self._dirs:
+            # pushdown can prune EVERY directory; Spark substitutes a bare
+            # InputPartition for an empty list, so plan one explicit
+            # zero-row sentinel instead
+            return [_LiveDir("", (), self._fmt)]
         return [_LiveDir(p, tuple(pv), self._fmt) for p, pv in self._dirs]
 
     def read(self, partition: _LiveDir) -> Iterator["object"]:
+        if not partition.path:  # all-pruned sentinel
+            return iter(())
         return _iter_live_dir_batches(partition, self._schema)
 
 
 class ChroniclesPushdownReader(ChroniclesReader):
-    """Adds partition pruning — surfaced as a separate class because Spark
-    refuses a reader that declares ``pushFilters`` while
-    ``spark.sql.python.filterPushdown.enabled`` is false."""
+    """Adds partition pruning and stats-based data skipping — surfaced as a
+    separate class because Spark refuses a reader that declares
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled`` is
+    false."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema)
+        self._location = options.get("location")
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        """Partition pruning: accept equality and IN filters on partition
-        columns (drop whole directories at planning time); everything else
-        is returned for Spark to evaluate."""
+        """Directory pruning at planning time, two layers:
+
+        1. equality/IN filters on PARTITION columns drop directories by
+           their path values (consumed — Spark need not re-evaluate);
+        2. comparison filters (=, <, <=, >, >=) on DATA columns drop
+           directories whose ``_chronicles_stats.json`` sidecar proves the
+           range empty (``spark/stats.py``; written by
+           ``versioned_insert_into(..., stats_columns=...)``).  These are
+           RETURNED to Spark — stats skipping is conservative planning,
+           the row filter must still run.  Strict bounds are relaxed to
+           inclusive for the overlap test (conservative), and directories
+           without sidecars are never skipped.
+
+        Everything else is returned for Spark to evaluate."""
+        bounds: dict = {}
+
+        def _tighten(col, lo, hi):
+            cur_lo, cur_hi = bounds.get(col, (None, None))
+            if lo is not None:
+                cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+            if hi is not None:
+                cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+            bounds[col] = (cur_lo, cur_hi)
+
         for f in filters:
-            on_part_col = len(f.attribute) == 1 and f.attribute[0] in self._part_cols
+            simple_col = f.attribute[0] if len(f.attribute) == 1 else None
+            on_part_col = simple_col is not None and simple_col in self._part_cols
             if isinstance(f, EqualTo) and on_part_col:
-                col, want = f.attribute[0], str(f.value)
+                want = str(f.value)
                 self._dirs = [
-                    (p, pv) for p, pv in self._dirs if dict(pv).get(col) == want
+                    (p, pv) for p, pv in self._dirs if dict(pv).get(simple_col) == want
                 ]
             elif isinstance(f, In) and on_part_col:
-                col = f.attribute[0]
                 wanted = {str(v) for v in f.value}
                 self._dirs = [
-                    (p, pv) for p, pv in self._dirs if dict(pv).get(col) in wanted
+                    (p, pv) for p, pv in self._dirs if dict(pv).get(simple_col) in wanted
                 ]
+            elif simple_col is not None and not on_part_col and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                if isinstance(f, EqualTo):
+                    _tighten(simple_col, f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    _tighten(simple_col, f.value, None)
+                else:
+                    _tighten(simple_col, None, f.value)
+                yield f  # stats pruning never replaces the row filter
             else:
                 yield f
+
+        if bounds and self._location:
+            from ..spark.stats import dir_passes, load_sidecar
+            from ..trackers.fs import filesystem_for
+
+            fs, _ = filesystem_for(self._location)
+            self._dirs = [
+                (p, pv)
+                for p, pv in self._dirs
+                if dir_passes(load_sidecar(fs, p), bounds)
+            ]
 
 
 class ChroniclesStreamReader(DataSourceStreamReader):

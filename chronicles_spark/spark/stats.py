@@ -178,6 +178,25 @@ def write_stats_sidecars(
     )
 
 
+def load_sidecar(fs, dir_path: str) -> Optional[dict]:
+    """The ``columns`` dict of a directory's stats sidecar, or None when
+    absent/unreadable (→ the directory must be kept)."""
+    try:
+        return json.loads(fs.read_text(fs.join(dir_path, STATS_FILE)))["columns"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def dir_passes(columns_stats: Optional[dict], bounds: Mapping[str, Tuple]) -> bool:
+    """Could a directory with these recorded stats contain a row inside
+    every bound?  Pure and conservative: None/unknown stats → True."""
+    if columns_stats is None:
+        return True
+    return all(
+        _overlaps(columns_stats.get(c, {}), lo, hi) for c, (lo, hi) in bounds.items()
+    )
+
+
 def _overlaps(st: dict, lo, hi) -> bool:
     """Can [st.min, st.max] intersect [lo, hi]?  Unknown → yes (keep)."""
     smin, smax = st.get("min"), st.get("max")
@@ -215,19 +234,7 @@ def prune_paths_by_stats(
         from ..trackers.fs import filesystem_for
 
         fs, _ = filesystem_for(location_url)
-        kept = []
-        for d in dir_paths:
-            sidecar = fs.join(d, STATS_FILE)
-            try:
-                cols = json.loads(fs.read_text(sidecar))["columns"]
-            except (FileNotFoundError, KeyError, ValueError):
-                kept.append(d)  # no/invalid stats → never skip
-                continue
-            if all(
-                _overlaps(cols.get(c, {}), lo, hi) for c, (lo, hi) in flt.items()
-            ):
-                kept.append(d)
-        return kept
+        return [d for d in dir_paths if dir_passes(load_sidecar(fs, d), flt)]
 
     if len(paths) <= DISTRIBUTE_THRESHOLD:
         return _keep(list(paths))

@@ -123,3 +123,44 @@ def test_in_filter_prunes_dirs(spark, versioned_table):
     )
     assert [r["user"] for r in df.collect()] == ["u2"]
     assert df.rdd.getNumPartitions() == 1  # only the matching dir planned
+
+
+def test_stats_pushdown_data_skips_directories(spark, tmp_path):
+    """Comparison filters on DATA columns prune whole directories via the
+    stats sidecars, while the row filter still runs (values stay exact)."""
+    root = str(tmp_path / "_log")
+    tracker = FileBackedVersionTracker(root)
+    table = TableDefinition(
+        TableName("demo", "stats"), str(tmp_path / "stats"), PartitionSchema(("date",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    rows = [
+        (i + 100 * p, f"2019-01-0{p + 1}") for p in range(3) for i in range(100)
+    ]
+    versioned_insert_into(
+        spark.createDataFrame(rows, ["n", "date"]),
+        table, tracker, "a", "v1", stats_columns="*",
+    )
+    spark.dataSource.register(ChroniclesDataSource)
+
+    base = _reader(spark, table, root).option("pushdown", "true")
+    full = base.load()
+    assert full.rdd.getNumPartitions() == 3
+
+    gt = base.load().where(F.col("n") > 150)
+    assert gt.rdd.getNumPartitions() == 2  # dir [0,99] proved empty
+    assert sorted(r["n"] for r in gt.collect()) == list(range(151, 300))
+
+    # equality bound prunes to ONE directory; strict bounds stay conservative
+    eq = base.load().where(F.col("n") == 120)
+    assert eq.rdd.getNumPartitions() == 1
+    assert [r["n"] for r in eq.collect()] == [120]
+
+    # combined with partition pruning: both layers apply
+    both = base.load().where((F.col("date") == "2019-01-03") & (F.col("n") <= 250))
+    assert both.rdd.getNumPartitions() == 1
+    assert sorted(r["n"] for r in both.collect()) == list(range(200, 251))
+
+    # a range no directory can satisfy plans zero rows without error
+    none = base.load().where(F.col("n") > 10_000)
+    assert none.count() == 0
