@@ -112,6 +112,19 @@ class CheckoutAction:
     commit_id: str
 
 
+@dataclass(frozen=True)
+class VacuumAction:
+    """Extension beyond the reference CLI verbs: reclaim superseded version
+    directories (spark/vacuum.py) — dry-run by default, ``--apply`` deletes.
+    Needs ``--location`` because the commit log records partitions and
+    versions, not the table's storage root."""
+
+    table: TableName
+    location: str
+    keep_last: int
+    apply: bool
+
+
 # ---------------------------------------------------------------------------
 # console (cli/.../Console.scala — capture-able for tests like StubConsole)
 
@@ -274,6 +287,19 @@ def build_parser() -> argparse.ArgumentParser:
     p_co.add_argument("table")
     p_co.add_argument("commit_id")
 
+    p_vac = sub.add_parser(
+        "vacuum", help="Reclaim superseded version directories (dry-run by default)"
+    )
+    p_vac.add_argument("table")
+    p_vac.add_argument("--location", required=True, help="Table storage root")
+    p_vac.add_argument(
+        "--keep-last", type=int, default=1,
+        help="Newest N versions kept per partition besides the live one",
+    )
+    p_vac.add_argument(
+        "--apply", action="store_true", help="Actually delete (default: dry-run)"
+    )
+
     return parser
 
 
@@ -301,6 +327,10 @@ def parse_action(argv: Sequence[str]):
         return ns, act(_table_name(ns.table), ns.partition, ns.message)
     if ns.command == "checkout":
         return ns, CheckoutAction(_table_name(ns.table), ns.commit_id)
+    if ns.command == "vacuum":
+        return ns, VacuumAction(
+            _table_name(ns.table), ns.location, ns.keep_last, ns.apply
+        )
     raise CliError(f"Unknown command {ns.command!r}")
 
 
@@ -335,6 +365,8 @@ class CliClient:
             self.remove_partition(action.table, action.partition_name, user_id, action.message)
         elif isinstance(action, CheckoutAction):
             self.checkout(action.table, action.commit_id)
+        elif isinstance(action, VacuumAction):
+            self.vacuum(action)
         else:
             raise CliError(f"Unknown action {action!r}")
 
@@ -394,6 +426,30 @@ class CliClient:
         self.delegate.checkout(self._table_def(table), commit_id)
         self.console.println(
             f"Checked out commit '{commit_id}' on table '{table.fully_qualified}'"
+        )
+
+    def vacuum(self, action: VacuumAction) -> None:
+        from .spark.vacuum import vacuum as run_vacuum
+
+        is_snapshot = self.delegate.tracker.is_snapshot_table(action.table)
+        table = TableDefinition(
+            action.table,
+            location=action.location,
+            partition_schema=PartitionSchema(() if is_snapshot else ("p",)),
+        )
+        doomed = run_vacuum(
+            table,
+            self.delegate.tracker,
+            keep_last=action.keep_last,
+            dry_run=not action.apply,
+        )
+        for path in doomed:
+            self.console.println(path)
+        verb = "Removed" if action.apply else "Would remove"
+        self.console.println(
+            f"{verb} {len(doomed)} superseded version director"
+            f"{'y' if len(doomed) == 1 else 'ies'} "
+            f"(keep_last={action.keep_last})"
         )
 
 

@@ -100,6 +100,7 @@ def commit_stream_batch(
     message_prefix: str = "stream",
     mode: str = "append",
     epoch_cache: Optional[dict] = None,
+    stats_columns=None,
 ) -> None:
     """Land ONE micro-batch as a versioned commit (the ``foreachBatch``
     body of :func:`versioned_stream_sink`, exposed for direct use/testing).
@@ -181,6 +182,7 @@ def commit_stream_batch(
                 versioned_insert_into(
                     out, table, tracker, user_id, message,
                     metastore=metastore, partitions=touched,
+                    stats_columns=stats_columns,
                 )
                 if epoch_cache is not None:
                     epoch_cache["latest_epoch"] = epoch_id
@@ -204,6 +206,7 @@ def commit_stream_batch(
     versioned_insert_into(
         out, table, tracker, user_id, message,
         metastore=metastore, partition_discovery="scan",
+        stats_columns=stats_columns,
     )
     if epoch_cache is not None:
         epoch_cache["latest_epoch"] = epoch_id
@@ -218,6 +221,7 @@ def versioned_stream_sink(
     metastore=None,
     message_prefix: str = "stream",
     mode: str = "append",
+    stats_columns=None,
 ):
     """Configure a ``DataStreamWriter`` that lands every micro-batch as a
     versioned commit.  Caller starts it (and picks the trigger)::
@@ -230,6 +234,8 @@ def versioned_stream_sink(
     (default ``"append"`` accumulates rows per partition across batches;
     ``"overwrite_partitions"`` is per-batch supersession and requires
     whole-partitions-per-batch arrival; ``"strict"`` errors on overlap).
+    ``stats_columns`` forwards to ``versioned_insert_into`` so every
+    micro-batch commit also records data-skipping sidecars (spark/stats.py).
     """
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
@@ -248,6 +254,7 @@ def versioned_stream_sink(
             message_prefix=message_prefix,
             mode=mode,
             epoch_cache=epoch_cache,
+            stats_columns=stats_columns,
         )
 
     return stream_df.writeStream.foreachBatch(commit_batch).option(

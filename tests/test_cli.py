@@ -239,3 +239,59 @@ def test_checkout_unknown_commit_errors():
     C.run(["init", "db.t", "--message", "init"], client, console, "u")
     code = C.run(["checkout", "db.t", "no-such-commit"], client, console, "u")
     assert code == 1
+
+
+# -- vacuum verb (extension; spark/vacuum.py driver path) -------------------
+
+
+def test_vacuum_parses_and_defaults_to_dry_run():
+    _, action = C.parse_action(["vacuum", "db.t", "--location", "/lake/t"])
+    assert action == C.VacuumAction(TableName("db", "t"), "/lake/t", 1, False)
+    _, action = C.parse_action(
+        ["vacuum", "db.t", "--location", "/lake/t", "--keep-last", "3", "--apply"]
+    )
+    assert action == C.VacuumAction(TableName("db", "t"), "/lake/t", 3, True)
+
+
+def test_vacuum_requires_location():
+    with pytest.raises(C.CliError):
+        C.parse_action(["vacuum", "db.t"])
+
+
+def test_vacuum_dry_run_then_apply(tmp_path):
+    """End-to-end over real directories: dry-run lists the superseded dir
+    and deletes nothing; --apply removes it and keeps the live dir."""
+    import os
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+
+    client, console = make_client()
+    t = TableName("db", "ev")
+    client.delegate.tracker.init_table(t, is_snapshot=False, user_id="u")
+    p = Partition.parse("date=2019-01-01")
+    v_old, v_new = generate_version(), generate_version()
+    for v in (v_old, v_new):
+        client.delegate.tracker.commit(
+            t, TableUpdate(TableUpdateMetadata.new("u", "w"), (AddPartitionVersion(p, v),))
+        )
+    loc = tmp_path / "ev"
+    for v in (v_old, v_new):
+        d = loc / "date=2019-01-01" / f"_version={v.label}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+
+    client.vacuum(C.VacuumAction(t, str(loc), 1, False))  # dry run
+    out = console.out[-2:]
+    assert v_old.label in out[0] and "Would remove 1" in out[1]
+    assert os.path.exists(loc / "date=2019-01-01" / f"_version={v_old.label}")
+
+    client.vacuum(C.VacuumAction(t, str(loc), 1, True))  # apply
+    assert "Removed 1" in console.out[-1]
+    assert not os.path.exists(loc / "date=2019-01-01" / f"_version={v_old.label}")
+    assert os.path.exists(loc / "date=2019-01-01" / f"_version={v_new.label}")

@@ -367,3 +367,29 @@ def test_epoch_cache_scans_log_once(spark, tmp_path, events_batch, monkeypatch):
     # a stale epoch against the CACHED latest still fails loudly
     with pytest.raises(RuntimeError, match="behind the latest"):
         commit_stream_batch(half, 0, table, tracker, "etl", epoch_cache=cache)
+
+
+def test_commit_stream_batch_writes_stats_sidecars(spark, tmp_path, events_batch):
+    """stats_columns forwards through the sink path: every version dir the
+    micro-batch created carries a data-skipping sidecar."""
+    import os
+
+    from chronicles_spark.spark.stats import STATS_FILE
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "stats_sink")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+
+    commit_stream_batch(batch_df, 0, table, tracker, "etl", stats_columns="*")
+    vdirs = [
+        os.path.join(table.location, p, v)
+        for p in os.listdir(table.location)
+        if os.path.isdir(os.path.join(table.location, p))
+        for v in os.listdir(os.path.join(table.location, p))
+        if v.startswith("_version=")
+    ]
+    assert vdirs and all(
+        os.path.exists(os.path.join(d, STATS_FILE)) for d in vdirs
+    )
