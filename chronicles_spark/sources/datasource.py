@@ -36,7 +36,7 @@ checkpointing for exactly-once progress.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -271,54 +271,85 @@ class ChroniclesStreamReader(DataSourceStreamReader):
         if starting not in ("earliest", "latest"):
             raise ValueError(f"starting must be earliest|latest, got {starting!r}")
         self._starting = starting
+        # incremental-fold cache: (n commits folded, (partition→version | None,
+        # snapshot Version | None)); n=0 is the empty state for either kind
+        self._fold_cache = (0, ({}, None))
+        self._snapshot_kind: Optional[bool] = None
 
     # -- log access ---------------------------------------------------------
+    # Per-poll cost is O(new commits), never O(log): latestOffset is one
+    # directory LISTING (update_count — no file parses), and partitions()
+    # folds only the commit files in its range on top of the previous
+    # batch's cached folded state.  A restart/replay whose start precedes
+    # the cache falls back to a full refold of the prefix — correctness
+    # never depends on the cache.
 
-    def _updates(self):
-        from ..core.model import TableName
+    def _make_tracker(self):
         from ..trackers.files import FileBackedVersionTracker
 
-        tracker = FileBackedVersionTracker(self._root)
-        state = tracker.table_state(TableName.parse(self._table))
-        return list(state.updates)
+        return FileBackedVersionTracker(self._root)
 
-    @staticmethod
-    def _fold_prefix(updates, n: int):
-        """Resolved state after the first ``n`` updates: partition→version
-        map for partitioned tables, latest snapshot Version (or None) for
-        snapshot tables."""
-        from ..core import fold
-        from ..core.ops import AddTableVersion
+    def _table_name(self):
+        from ..core.model import TableName
 
-        prefix = updates[:n]
-        if not prefix:
-            return {}, None
-        if fold.is_snapshot_from_updates(prefix):
-            version = None
-            for u in prefix:
+        return TableName.parse(self._table)
+
+    def _is_snapshot(self) -> bool:
+        if self._snapshot_kind is None:
+            from ..core import fold
+
+            first = self._make_tracker().updates_slice(self._table_name(), 0, 1)
+            self._snapshot_kind = fold.is_snapshot_from_updates(first)
+        return self._snapshot_kind
+
+    def _fold_onto(self, state, start: int, end: int):
+        """Fold commits [start, end) onto ``state`` = (pv, snap)."""
+        from ..core.ops import AddPartitionVersion, AddTableVersion, RemovePartition
+
+        if start == end:
+            return state
+        updates = self._make_tracker().updates_slice(self._table_name(), start, end)
+        pv, snap = state
+        if self._is_snapshot():
+            for u in updates:
                 for op in u.operations:
                     if isinstance(op, AddTableVersion):
-                        version = op.version
-            return None, version
-        return fold.apply_partition_updates(prefix).partition_versions, None
+                        snap = op.version
+            return None, snap
+        pv = dict(pv or {})
+        for u in updates:
+            for op in u.operations:
+                if isinstance(op, AddPartitionVersion):
+                    pv[op.partition] = op.version
+                elif isinstance(op, RemovePartition):
+                    pv.pop(op.partition, None)
+        return pv, None
+
+    def _state_at(self, n: int):
+        cn, cstate = self._fold_cache
+        if cn <= n:
+            return self._fold_onto(cstate, cn, n)
+        return self._fold_onto(({}, None), 0, n)  # replay before the cache
 
     # -- DataSourceStreamReader API ----------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         if self._starting == "latest":
-            return {"commits": len(self._updates())}
+            return {"commits": self._make_tracker().update_count(self._table_name())}
         return {"commits": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"commits": len(self._updates())}
+        return {"commits": self._make_tracker().update_count(self._table_name())}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from ..core import paths as vpaths
 
         n0, n1 = int(start["commits"]), int(end["commits"])
-        updates = self._updates()
-        pv0, snap0 = self._fold_prefix(updates, n0)
-        pv1, snap1 = self._fold_prefix(updates, n1)
+        pv0, snap0 = self._state_at(n0)
+        pv1, snap1 = self._fold_onto((pv0, snap0), n0, n1)
+        self._fold_cache = (n1, (pv1, snap1))  # the next batch starts at n1
+        if n1 > 0 and self._is_snapshot():
+            pv0 = pv1 = None  # n=0 empty state is kind-agnostic ({}, None)
 
         out: List[InputPartition] = []
         if pv1 is None:  # snapshot table at end of range

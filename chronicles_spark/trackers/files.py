@@ -203,6 +203,32 @@ class FileBackedVersionTracker(VersionTracker):
         head = json.loads(self.fs.read_text(self.fs.join(d, "head_ref")))["head_ref"]
         return TableState(head, updates)
 
+    # -- tail access (streaming source support) -----------------------------
+    # Commit files sort in commit order, so a position in the log maps to a
+    # filename slice: a consumer that already folded the first n commits
+    # needs one directory LISTING to learn the new count and then parses
+    # ONLY the new files — O(new commits) per poll, never O(log).
+
+    def update_count(self, table: TableName) -> int:
+        """Number of commits, from a directory listing alone (no file
+        reads/parses)."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        return sum(1 for n in self.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
+
+    def updates_slice(self, table: TableName, start: int, end: int) -> tuple:
+        """Updates at log positions [start, end) in commit order, parsing
+        only those files."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        names = sorted(n for n in self.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
+        return tuple(
+            update_from_json(self.fs.read_text(self.fs.join(d, n)))
+            for n in names[start:end]
+        )
+
     # -- fold checkpoints ----------------------------------------------------
     # A checkpoint is the fold of the full log prefix up to (and including)
     # commit-file sequence ``last_seq`` — a pure function of log ORDER, never

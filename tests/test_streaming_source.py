@@ -167,3 +167,68 @@ def test_offset_ranges_are_deterministic(spark, stream_table):
     assert len(tail) == 1
     assert "date=2019-01-01" in tail[0].path
     assert tail[0].path in full  # end-of-range version, same as full replay
+
+
+def test_tracker_tail_access_matches_full_state(tmp_path):
+    """update_count / updates_slice (streaming-source support) agree with
+    table_state on both FS variants of the files tracker."""
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.version import generate_version
+
+    for root in (str(tmp_path / "log"), f"memory://tail-{tmp_path.name}/log"):
+        tr = FileBackedVersionTracker(root)
+        t = TableName("db", "tail")
+        tr.init_table(t, is_snapshot=False, user_id="u")
+        for i in range(4):
+            tr.commit(
+                t,
+                TableUpdate(
+                    TableUpdateMetadata.new("u", f"c{i}"),
+                    (AddPartitionVersion(
+                        Partition.parse(f"d=2020-01-0{i + 1}"), generate_version()
+                    ),),
+                ),
+            )
+        full = list(tr.table_state(t).updates)
+        assert tr.update_count(t) == len(full) == 5
+        assert [u.metadata.commit_id for u in tr.updates_slice(t, 1, 3)] == [
+            u.metadata.commit_id for u in full[1:3]
+        ]
+        assert tr.updates_slice(t, 5, 9) == ()
+
+
+def test_stream_planner_parses_only_new_commits(spark, stream_table, monkeypatch):
+    """Steady-state micro-batch planning is O(new commits): after the first
+    range is folded, the next range parses exactly its own commit files."""
+    import chronicles_spark.trackers.files as files_mod
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    table, root, tracker = stream_table
+    reader = ChroniclesStreamReader(
+        {"root": root, "table": table.name.fully_qualified, "location": table.location},
+        None,
+    )
+    n = reader.latestOffset()
+    reader.partitions({"commits": 0}, n)  # warm the fold cache
+
+    df2 = spark.createDataFrame([("u9", 7, "2019-01-01")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "one more commit")
+
+    real_parse = files_mod.update_from_json
+    calls = {"n": 0}
+
+    def counting_parse(s):
+        calls["n"] += 1
+        return real_parse(s)
+
+    monkeypatch.setattr(files_mod, "update_from_json", counting_parse)
+    n2 = reader.latestOffset()          # pure listing — zero parses
+    assert calls["n"] == 0
+    parts = reader.partitions(n, n2)    # folds ONLY the one new commit
+    assert calls["n"] == 1
+    assert len(parts) == 1 and "date=2019-01-01" in parts[0].path
