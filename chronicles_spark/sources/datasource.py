@@ -85,7 +85,7 @@ def _iter_live_dir_batches(
 
 def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
     """(live_dir, ((col, value), ...)) list + file format, from the log."""
-    from ..core import fold, paths as vpaths
+    from ..core import paths as vpaths
     from ..core.model import (
         PartitionedTableVersion,
         SnapshotTableVersion,
@@ -105,8 +105,10 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
     name = TableName.parse(table)
     commit = options.get("commit")
     if commit:
-        state = tracker.table_state(name)
-        tv = fold.current_version(state.updates, commit)
+        # version_at raises UnknownCommitError on a typo'd id (a bare fold
+        # would silently return HEAD) and takes the checkpoint+tail fast
+        # path when the commit is at/after the latest fold checkpoint
+        tv = tracker.version_at(name, commit)
     else:
         tv = tracker.current_version(name)
 
@@ -211,26 +213,60 @@ class ChroniclesPushdownReader(ChroniclesReader):
                 yield f
 
         if bounds and self._location:
-            from ..spark.stats import dir_passes, load_sidecar
+            # pushFilters runs in the planning worker (no SparkSession), so
+            # the executor fan-out stats.py uses on the read_current path is
+            # unavailable here; sidecar probes are tiny I/O-bound GETs, so a
+            # thread pool keeps a 100k-partition table's planning latency at
+            # max(GET) · ceil(n/32) instead of sum(GET)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..spark.stats import DISTRIBUTE_THRESHOLD, dir_passes, load_sidecar
             from ..trackers.fs import filesystem_for
 
             fs, _ = filesystem_for(self._location)
-            self._dirs = [
-                (p, pv)
-                for p, pv in self._dirs
-                if dir_passes(load_sidecar(fs, p), bounds)
-            ]
+            if len(self._dirs) <= DISTRIBUTE_THRESHOLD:
+                keep = [dir_passes(load_sidecar(fs, p), bounds) for p, _ in self._dirs]
+            else:
+                with ThreadPoolExecutor(max_workers=32) as pool:
+                    keep = list(
+                        pool.map(
+                            lambda d: dir_passes(load_sidecar(fs, d[0]), bounds),
+                            self._dirs,
+                        )
+                    )
+            self._dirs = [d for d, k in zip(self._dirs, keep) if k]
 
 
 class ChroniclesStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("chronicles")`` — incremental CDC over the
     commit log.
 
-    Offsets are positions in the append-only update log (``{"commits": n}``
-    = the first ``n`` updates consumed), so every micro-batch range is
-    deterministic and replayable: the log prefix below an offset is
-    immutable, and re-planning the same ``(start, end]`` range always
-    yields the same directories.  A batch emits the rows of exactly the
+    Offsets are positions in the append-only update log —
+    ``{"commits": n, "last_seq": s}`` = the first ``n`` commit files
+    consumed, the newest of which carries filename sequence ``s`` — so
+    every micro-batch range is deterministic and replayable: the log
+    prefix below an offset is immutable, and re-planning the same
+    ``(start, end]`` range always yields the same directories.  Ranges are
+    folded BY SEQUENCE (``start.last_seq < seq <= end.last_seq``), not by
+    list position, and each planning pass re-counts the consumed prefix:
+    if a writer with a lagging clock ever inserted a commit file inside an
+    already-consumed prefix (possible only in the default unlocked
+    multi-writer mode — ``use_lock=True`` and the sqlite tracker make
+    filenames collision-checked/monotonic), the stream FAILS with a clear
+    error instead of silently never delivering that commit.
+
+    Rollbacks: ``checkout``/``set_current_version`` move the head pointer
+    without writing a commit file, so while a head is parked in the past
+    the CDC stream (which follows commit order) diverges from
+    ``read_current``.  The source reads the head pointer each poll and
+    fails with a clear error when it detects a rolled-back head (the
+    Delta-streaming-source precedent for non-append changes); pass
+    ``.option("rollback", "ignore")`` to keep tailing commit order — safe
+    because reference fold semantics re-surface rolled-back commits once
+    the head re-advances, at which point consumer state and live view
+    converge again.
+
+    A batch emits the rows of exactly the
     partitions whose live version CHANGED across the range — the streaming
     twin of :func:`chronicles_spark.spark.reader.read_changes` — read at
     their end-of-range version.  Remove-only commits emit no rows
@@ -271,18 +307,25 @@ class ChroniclesStreamReader(DataSourceStreamReader):
         if starting not in ("earliest", "latest"):
             raise ValueError(f"starting must be earliest|latest, got {starting!r}")
         self._starting = starting
-        # incremental-fold cache: (n commits folded, (partition→version | None,
-        # snapshot Version | None)); n=0 is the empty state for either kind
-        self._fold_cache = (0, ({}, None))
+        rollback = str(options.get("rollback", "error")).lower()
+        if rollback not in ("error", "ignore"):
+            raise ValueError(f"rollback must be error|ignore, got {rollback!r}")
+        self._rollback = rollback
+        # incremental-fold cache: (last seq folded through, (partition→version
+        # | None, snapshot Version | None)); seq=-1 is the empty state
+        self._fold_cache = (-1, ({}, None))
         self._snapshot_kind: Optional[bool] = None
+        self._last_file_id: Tuple[int, Optional[str]] = (-1, None)  # seq → id
 
     # -- log access ---------------------------------------------------------
     # Per-poll cost is O(new commits), never O(log): latestOffset is one
-    # directory LISTING (update_count — no file parses), and partitions()
-    # folds only the commit files in its range on top of the previous
-    # batch's cached folded state.  A restart/replay whose start precedes
-    # the cache falls back to a full refold of the prefix — correctness
-    # never depends on the cache.
+    # directory LISTING (update_seqs — no commit-file parses) plus, with
+    # the default rollback=error, one head_ref read and a single-commit
+    # -file read memoized per tail seq; partitions() folds only the commit
+    # files in its seq range on top of the previous batch's cached folded
+    # state.  A restart/replay whose start precedes the cache falls back
+    # to a full refold of the prefix — correctness never depends on the
+    # cache.
 
     def _make_tracker(self):
         from ..trackers.files import FileBackedVersionTracker
@@ -302,13 +345,16 @@ class ChroniclesStreamReader(DataSourceStreamReader):
             self._snapshot_kind = fold.is_snapshot_from_updates(first)
         return self._snapshot_kind
 
-    def _fold_onto(self, state, start: int, end: int):
-        """Fold commits [start, end) onto ``state`` = (pv, snap)."""
+    def _fold_onto(self, state, start_seq: int, end_seq: int):
+        """Fold commits with ``start_seq < seq <= end_seq`` onto
+        ``state`` = (pv, snap)."""
         from ..core.ops import AddPartitionVersion, AddTableVersion, RemovePartition
 
-        if start == end:
+        if start_seq >= end_seq:
             return state
-        updates = self._make_tracker().updates_slice(self._table_name(), start, end)
+        updates = self._make_tracker().updates_in_seq_range(
+            self._table_name(), start_seq, end_seq
+        )
         pv, snap = state
         if self._is_snapshot():
             for u in updates:
@@ -325,29 +371,91 @@ class ChroniclesStreamReader(DataSourceStreamReader):
                     pv.pop(op.partition, None)
         return pv, None
 
-    def _state_at(self, n: int):
-        cn, cstate = self._fold_cache
-        if cn <= n:
-            return self._fold_onto(cstate, cn, n)
-        return self._fold_onto(({}, None), 0, n)  # replay before the cache
+    def _state_at(self, seq: int):
+        cs, cstate = self._fold_cache
+        if cs <= seq:
+            return self._fold_onto(cstate, cs, seq)
+        return self._fold_onto(({}, None), -1, seq)  # replay before the cache
+
+    def _offset_pos(self, offset: dict, seqs) -> Tuple[int, int]:
+        """(commits, last_seq) from an offset; a legacy offset without
+        ``last_seq`` (pre-seq-range checkpoint) recovers it positionally."""
+        n = int(offset["commits"])
+        if "last_seq" in offset:
+            return n, int(offset["last_seq"])
+        return n, (seqs[n - 1] if 0 < n <= len(seqs) else -1)
+
+    def _check_prefix(self, n: int, last_seq: int, seqs, which: str) -> None:
+        """A consumed prefix must still hold exactly the files it held when
+        its offset was recorded; a mismatch means an unlocked multi-writer
+        inserted a commit inside it (lagging clock) and positional
+        consumption would silently skip a commit — fail loudly instead."""
+        import bisect
+
+        if n == 0:
+            return
+        found = bisect.bisect_right(seqs, last_seq)
+        if found != n:
+            raise RuntimeError(
+                f"commit log prefix changed under the stream: the {which} "
+                f"offset recorded {n} commit file(s) up to seq {last_seq}, "
+                f"but the log now holds {found} there — an unlocked "
+                "multi-writer with a lagging clock inserted a commit into "
+                "an already-consumed range. Use FileBackedVersionTracker("
+                "use_lock=True) or the sqlite tracker for multi-writer "
+                "logs, then restart this stream from a fresh checkpoint."
+            )
+
+    def _check_rollback(self, tracker, name, seqs) -> None:
+        """Fail (by default) while the head is parked behind the log tail —
+        the live view then diverges from commit order; see class docstring."""
+        if self._rollback == "ignore" or not seqs:
+            return
+        last = seqs[-1]
+        cached_seq, last_id = self._last_file_id
+        if cached_seq != last or last_id is None:
+            tail = tracker.updates_in_seq_range(name, last - 1, last)
+            last_id = tail[0].metadata.commit_id if tail else None
+            self._last_file_id = (last, last_id)
+        head = tracker.head_commit_id(name)
+        if last_id is not None and head != last_id:
+            raise RuntimeError(
+                f"table head ({head}) is rolled back behind the newest "
+                f"commit in the log ({last_id}): the live view no longer "
+                "matches commit order, so this CDC stream would diverge "
+                "from read_current. Either restart the stream from a fresh "
+                "checkpoint once the head re-advances, or pass "
+                '.option("rollback", "ignore") to keep tailing commit '
+                "order (consumer state re-converges with the live view "
+                "when a later commit re-advances the head)."
+            )
 
     # -- DataSourceStreamReader API ----------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         if self._starting == "latest":
-            return {"commits": self._make_tracker().update_count(self._table_name())}
-        return {"commits": 0}
+            seqs = self._make_tracker().update_seqs(self._table_name())
+            return {"commits": len(seqs), "last_seq": seqs[-1] if seqs else -1}
+        return {"commits": 0, "last_seq": -1}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"commits": self._make_tracker().update_count(self._table_name())}
+        tracker = self._make_tracker()
+        name = self._table_name()
+        seqs = tracker.update_seqs(name)
+        self._check_rollback(tracker, name, seqs)
+        return {"commits": len(seqs), "last_seq": seqs[-1] if seqs else -1}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from ..core import paths as vpaths
 
-        n0, n1 = int(start["commits"]), int(end["commits"])
-        pv0, snap0 = self._state_at(n0)
-        pv1, snap1 = self._fold_onto((pv0, snap0), n0, n1)
-        self._fold_cache = (n1, (pv1, snap1))  # the next batch starts at n1
+        seqs = self._make_tracker().update_seqs(self._table_name())
+        n0, s0 = self._offset_pos(start, seqs)
+        n1, s1 = self._offset_pos(end, seqs)
+        self._check_prefix(n0, s0, seqs, "start")
+        self._check_prefix(n1, s1, seqs, "end")
+        pv0, snap0 = self._state_at(s0)
+        pv1, snap1 = self._fold_onto((pv0, snap0), s0, s1)
+        self._fold_cache = (s1, (pv1, snap1))  # the next batch starts at s1
         if n1 > 0 and self._is_snapshot():
             pv0 = pv1 = None  # n=0 empty state is kind-agnostic ({}, None)
 

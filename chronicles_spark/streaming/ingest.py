@@ -143,73 +143,83 @@ def commit_stream_batch(
                     "sink a new message_prefix"
                 )
 
-    part_cols = table.partition_schema.columns
-    out = batch_df
-    if mode in ("append", "strict"):
-        current = tracker.current_version(table.name)
-        if isinstance(current, PartitionedTableVersion) and part_cols:
-            batch_df = batch_df.persist()
-            try:
-                touched = partition_values(batch_df, part_cols)
-                touched_set = set(touched)
-                overlap = {
-                    p: v
-                    for p, v in current.partition_versions.items()
-                    if p in touched_set
-                }
-                if overlap and mode == "strict":
+    try:
+        part_cols = table.partition_schema.columns
+        out = batch_df
+        if mode in ("append", "strict"):
+            current = tracker.current_version(table.name)
+            if isinstance(current, PartitionedTableVersion) and part_cols:
+                batch_df = batch_df.persist()
+                try:
+                    touched = partition_values(batch_df, part_cols)
+                    touched_set = set(touched)
+                    overlap = {
+                        p: v
+                        for p, v in current.partition_versions.items()
+                        if p in touched_set
+                    }
+                    if overlap and mode == "strict":
+                        raise ValueError(
+                            f"micro-batch epoch {epoch_id} touches live "
+                            f"partition(s) {sorted(p.path for p in overlap)}; "
+                            "strict mode forbids cross-batch partition "
+                            "supersession — use mode='append'"
+                        )
+                    out = batch_df
+                    if overlap:
+                        # exact directory strings: no partition-type inference,
+                        # so a value like '01' cannot round-trip through int 1
+                        # and land under a different directory
+                        live = read_version(
+                            batch_df.sparkSession,
+                            table,
+                            PartitionedTableVersion(overlap),
+                            infer_partition_types=False,
+                        )
+                        out = batch_df.unionByName(_align(live, batch_df))
+                    # the union's partitions == the batch's (overlap ⊆ touched):
+                    # hand them over, skipping discovery entirely — a micro-batch
+                    # must never pay an O(table-partitions) directory walk
+                    versioned_insert_into(
+                        out, table, tracker, user_id, message,
+                        metastore=metastore, partitions=touched,
+                        stats_columns=stats_columns,
+                    )
+                    if epoch_cache is not None:
+                        epoch_cache["latest_epoch"] = epoch_id
+                finally:
+                    batch_df.unpersist()
+                return
+            if isinstance(current, SnapshotTableVersion):
+                if mode == "strict" and not current.version.is_unversioned:
                     raise ValueError(
-                        f"micro-batch epoch {epoch_id} touches live "
-                        f"partition(s) {sorted(p.path for p in overlap)}; "
-                        "strict mode forbids cross-batch partition "
-                        "supersession — use mode='append'"
+                        f"micro-batch epoch {epoch_id} would supersede the live "
+                        "snapshot version; strict mode forbids it — use "
+                        "mode='append' (cumulative) or 'overwrite_partitions'"
                     )
-                out = batch_df
-                if overlap:
-                    # exact directory strings: no partition-type inference,
-                    # so a value like '01' cannot round-trip through int 1
-                    # and land under a different directory
-                    live = read_version(
-                        batch_df.sparkSession,
-                        table,
-                        PartitionedTableVersion(overlap),
-                        infer_partition_types=False,
-                    )
+                if mode == "append" and not current.version.is_unversioned:
+                    # snapshot append = cumulative whole-table version
+                    live = read_version(batch_df.sparkSession, table, current)
                     out = batch_df.unionByName(_align(live, batch_df))
-                # the union's partitions == the batch's (overlap ⊆ touched):
-                # hand them over, skipping discovery entirely — a micro-batch
-                # must never pay an O(table-partitions) directory walk
-                versioned_insert_into(
-                    out, table, tracker, user_id, message,
-                    metastore=metastore, partitions=touched,
-                    stats_columns=stats_columns,
-                )
-                if epoch_cache is not None:
-                    epoch_cache["latest_epoch"] = epoch_id
-            finally:
-                batch_df.unpersist()
-            return
-        if isinstance(current, SnapshotTableVersion):
-            if mode == "strict" and not current.version.is_unversioned:
-                raise ValueError(
-                    f"micro-batch epoch {epoch_id} would supersede the live "
-                    "snapshot version; strict mode forbids it — use "
-                    "mode='append' (cumulative) or 'overwrite_partitions'"
-                )
-            if mode == "append" and not current.version.is_unversioned:
-                # snapshot append = cumulative whole-table version
-                live = read_version(batch_df.sparkSession, table, current)
-                out = batch_df.unionByName(_align(live, batch_df))
 
-    # micro-batches are narrow; pre-write distinct scan beats walking the
-    # whole table's partition directories (partition_discovery='listing')
-    versioned_insert_into(
-        out, table, tracker, user_id, message,
-        metastore=metastore, partition_discovery="scan",
-        stats_columns=stats_columns,
-    )
-    if epoch_cache is not None:
-        epoch_cache["latest_epoch"] = epoch_id
+        # micro-batches are narrow; pre-write distinct scan beats walking the
+        # whole table's partition directories (partition_discovery='listing')
+        versioned_insert_into(
+            out, table, tracker, user_id, message,
+            metastore=metastore, partition_discovery="scan",
+            stats_columns=stats_columns,
+        )
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = epoch_id
+    except BaseException:
+        # a failure between the tracker commit and the cache update (e.g. a
+        # post-commit metastore sync error) would leave the cached epoch
+        # stale; a replay of this epoch would then pass the guard and
+        # double its rows — drop the cache so the next attempt re-derives
+        # the latest committed epoch from the log itself
+        if epoch_cache is not None:
+            epoch_cache.pop("latest_epoch", None)
+        raise
 
 
 def versioned_stream_sink(

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 from contextlib import contextmanager
 from typing import List
 
@@ -93,7 +94,11 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(self.root)
         self._clock = MonotonicClock()
         self._use_lock = bool(use_lock)
-        self._held_lock_dirs: set = set()
+        # re-entrancy guard must be per-THREAD: flock is per open file
+        # description, so two threads sharing this instance must each take
+        # their own fd and block each other — an instance-shared set would
+        # let a second thread skip the lock a first thread holds
+        self._held_locks = threading.local()
         if checkpoint_interval is not None and checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1 (or None to disable)")
         self._checkpoint_interval = checkpoint_interval
@@ -137,11 +142,16 @@ class FileBackedVersionTracker(VersionTracker):
     @contextmanager
     def _commit_guard(self, d: str):
         """Exclusive per-table-directory flock when ``use_lock`` is on;
-        no-op otherwise (default last-writer-wins).  Re-entrant within the
-        instance: an optimistic commit holds the guard across its
-        check-then-append, and the nested append must not flock a second
-        fd against itself (flock from two fds of one process deadlocks)."""
-        if not self._use_lock or d in self._held_lock_dirs:
+        no-op otherwise (default last-writer-wins).  Re-entrant within one
+        THREAD of the instance: an optimistic commit holds the guard across
+        its check-then-append, and the nested append must not flock a
+        second fd against itself (flock from two fds of one thread
+        deadlocks) — while a DIFFERENT thread must still open its own fd
+        and block, so the held-set is thread-local."""
+        held = getattr(self._held_locks, "dirs", None)
+        if held is None:
+            held = self._held_locks.dirs = set()
+        if not self._use_lock or d in held:
             yield
             return
         import fcntl
@@ -149,11 +159,11 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(d)
         with open(self.fs.join(d, ".commit_lock"), "a+") as f:
             fcntl.flock(f, fcntl.LOCK_EX)
-            self._held_lock_dirs.add(d)
+            held.add(d)
             try:
                 yield
             finally:
-                self._held_lock_dirs.discard(d)
+                held.discard(d)
                 fcntl.flock(f, fcntl.LOCK_UN)
 
     def _serialized_commit(self, table: TableName):
@@ -227,6 +237,37 @@ class FileBackedVersionTracker(VersionTracker):
         return tuple(
             update_from_json(self.fs.read_text(self.fs.join(d, n)))
             for n in names[start:end]
+        )
+
+    def head_commit_id(self, table: TableName) -> str:
+        """The current head commit id — one small-file read, no log scan."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        return self._read_head(d)
+
+    def update_seqs(self, table: TableName) -> List[int]:
+        """Commit-file sequence numbers (the filename timestamps),
+        ascending — one directory listing, no file reads.  Unlike bare
+        positions, sequence numbers are STABLE identifiers: a late writer
+        whose clock lags cannot shift them, which is what lets the
+        streaming source detect an insert inside an already-consumed
+        prefix instead of silently skipping a commit."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        return [s for s, _ in self._update_seqs(d)]
+
+    def updates_in_seq_range(self, table: TableName, lo: int, hi: int) -> tuple:
+        """Updates whose filename sequence ``s`` satisfies ``lo < s <= hi``,
+        in commit order, parsing only those files."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        return tuple(
+            update_from_json(self.fs.read_text(self.fs.join(d, n)))
+            for s, n in self._update_seqs(d)
+            if lo < s <= hi
         )
 
     # -- fold checkpoints ----------------------------------------------------

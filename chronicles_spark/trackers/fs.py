@@ -60,7 +60,27 @@ class LocalFileSystem(FileSystem):
         return Path(path).read_text()
 
     def write_text(self, path: str, text: str) -> None:
-        Path(path).write_text(text)
+        # atomic publish: head_ref is rewritten in place on every commit and
+        # commit files become visible to `list_dir` the moment they exist, so
+        # a plain truncate-then-write lets a concurrent reader (another
+        # thread/process folding the log) observe an empty or partial JSON
+        # file.  Write-to-temp + os.replace makes the content appear all at
+        # once (POSIX rename atomicity).
+        import os
+        import tempfile
+
+        p = Path(path)
+        fd, tmp = tempfile.mkstemp(prefix=f".{p.name}.", dir=str(p.parent))
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
 
     def list_dir(self, path: str) -> List[str]:
         p = Path(path)

@@ -71,3 +71,79 @@ def test_concurrent_commits_none_lost(backend, tmp_path):
     assert state.current_version in commit_ids
     live = tracker.current_version(T)
     assert len(live.partition_versions) == N_THREADS  # one date per thread
+
+
+def test_flock_guard_blocks_other_threads(tmp_path):
+    """The flock re-entrancy memo must be per-THREAD: a second thread
+    sharing one use_lock tracker has to open its own fd and BLOCK while the
+    first holds the lock (an instance-shared memo would let it skip the
+    lock and interleave an optimistic check-then-append)."""
+    tracker = FileBackedVersionTracker(str(tmp_path / "log"), use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+    d = tracker._table_dir(T)
+
+    a_holds, release_a, b_entered = (
+        threading.Event(), threading.Event(), threading.Event(),
+    )
+
+    def hold():
+        with tracker._commit_guard(d):
+            a_holds.set()
+            release_a.wait(30)
+
+    def contend():
+        with tracker._commit_guard(d):
+            b_entered.set()
+
+    ta = threading.Thread(target=hold)
+    ta.start()
+    assert a_holds.wait(10)
+    tb = threading.Thread(target=contend)
+    tb.start()
+    try:
+        # B must still be blocked on the flock while A holds it
+        assert not b_entered.wait(1.0)
+    finally:
+        release_a.set()
+    assert b_entered.wait(10)  # ... and proceed once A releases
+    ta.join(10)
+    tb.join(10)
+
+
+def test_optimistic_commits_serialized_across_threads(tmp_path):
+    """Same-partition OCC race on one shared use_lock tracker: every commit
+    either lands or raises CommitConflictError; retries drain, nothing is
+    lost, and the final log holds every attempt exactly once."""
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "log"), use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+    n_threads, per_thread = 4, 10
+    errors = []
+
+    def work(tid):
+        try:
+            for i in range(per_thread):
+                while True:
+                    head = tracker.table_state(T).current_version
+                    meta = TableUpdateMetadata.new(f"w{tid}", f"occ {tid}/{i}")
+                    op = AddPartitionVersion(
+                        Partition((("date", "2020-01-01"),)), generate_version()
+                    )
+                    try:
+                        tracker.commit(T, TableUpdate(meta, (op,)), expected_head=head)
+                        break
+                    except CommitConflictError:
+                        continue  # somebody else won; re-read and retry
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    msgs = [u.metadata.message for u in tracker.table_state(T).updates]
+    assert len(msgs) == 1 + n_threads * per_thread  # init + every attempt
+    assert len(set(msgs)) == len(msgs)  # exactly once each

@@ -164,3 +164,16 @@ def test_stats_pushdown_data_skips_directories(spark, tmp_path):
     # a range no directory can satisfy plans zero rows without error
     none = base.load().where(F.col("n") > 10_000)
     assert none.count() == 0
+
+
+def test_unknown_commit_id_raises_not_silent_head(spark, versioned_table):
+    """A typo'd commit id must surface as an error — a bare log fold would
+    silently return the HEAD state instead (version_at's UnknownCommitError
+    contract, shared with read_at_commit)."""
+    from pyspark.errors import AnalysisException
+
+    table, root, _ = versioned_table
+    with pytest.raises(AnalysisException, match="no-such-commit"):
+        # schema resolution already folds the log → fails at load(), before
+        # any scan is planned
+        _reader(spark, table, root).option("commit", "no-such-commit").load()

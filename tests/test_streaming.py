@@ -393,3 +393,44 @@ def test_commit_stream_batch_writes_stats_sidecars(spark, tmp_path, events_batch
     assert vdirs and all(
         os.path.exists(os.path.join(d, STATS_FILE)) for d in vdirs
     )
+
+
+def test_epoch_cache_dropped_on_post_commit_failure(spark, tmp_path, events_batch):
+    """A failure AFTER the tracker commit (e.g. metastore sync) must not
+    leave a stale cached epoch: the replay of that epoch would pass the
+    guard and double its rows.  The cache is invalidated on any failure so
+    the retry re-derives the latest committed epoch from the log."""
+    from chronicles_spark.streaming import commit_stream_batch
+
+    batch_df, _ = events_batch
+    tracker = InMemoryVersionTracker()
+    table = _make_table(tmp_path, "postfail")
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+    cache: dict = {}
+
+    half = batch_df.limit(40)
+    commit_stream_batch(half, 0, table, tracker, "etl", epoch_cache=cache)
+    n_rows = read_current(spark, table, tracker).count()
+
+    class FailsAfterCommit:
+        """Metastore stub whose sync raises — versioned_insert_into calls it
+        after the tracker commit has already landed."""
+
+        def current_version(self, *a, **k):
+            raise RuntimeError("metastore down")
+
+        def update(self, *a, **k):
+            raise RuntimeError("metastore down")
+
+    with pytest.raises(RuntimeError):
+        commit_stream_batch(
+            half, 1, table, tracker, "etl",
+            metastore=FailsAfterCommit(), epoch_cache=cache,
+        )
+    assert "latest_epoch" not in cache  # stale epoch-0 entry dropped
+    committed = read_current(spark, table, tracker).count()
+
+    # Spark replays epoch 1 (no metastore this time): the guard re-scans the
+    # log, sees epoch 1 committed, and skips — rows must not double
+    commit_stream_batch(half, 1, table, tracker, "etl", epoch_cache=cache)
+    assert read_current(spark, table, tracker).count() == committed == 2 * n_rows

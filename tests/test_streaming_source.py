@@ -154,15 +154,17 @@ def test_offset_ranges_are_deterministic(spark, stream_table):
     versioned_insert_into(df2, table, tracker, "a", "overwrite d1")
 
     reader = ChroniclesStreamReader(opts, None)
-    assert reader.initialOffset() == {"commits": 0}
+    assert reader.initialOffset() == {"commits": 0, "last_seq": -1}
     end = reader.latestOffset()
-    assert end == {"commits": 3}  # init + v1 + overwrite
+    assert end["commits"] == 3  # init + v1 + overwrite
 
-    full = [p.path for p in reader.partitions({"commits": 0}, end)]
-    again = [p.path for p in reader.partitions({"commits": 0}, end)]
+    start = {"commits": 0, "last_seq": -1}
+    full = [p.path for p in reader.partitions(start, end)]
+    again = [p.path for p in reader.partitions(start, end)]
     assert full == again and len(full) == 2  # two live partitions
 
-    # the overwrite-only range touches exactly one partition, at its NEW dir
+    # the overwrite-only range touches exactly one partition, at its NEW
+    # dir — a LEGACY offset (no last_seq) is recovered positionally
     tail = reader.partitions({"commits": 2}, end)
     assert len(tail) == 1
     assert "date=2019-01-01" in tail[0].path
@@ -204,7 +206,9 @@ def test_tracker_tail_access_matches_full_state(tmp_path):
 
 def test_stream_planner_parses_only_new_commits(spark, stream_table, monkeypatch):
     """Steady-state micro-batch planning is O(new commits): after the first
-    range is folded, the next range parses exactly its own commit files."""
+    range is folded, a poll costs one listing plus the rollback guard's
+    single tail-file parse (memoized per tail seq), and the range fold
+    parses exactly its own commit files."""
     import chronicles_spark.trackers.files as files_mod
     from chronicles_spark.sources.datasource import ChroniclesStreamReader
 
@@ -214,7 +218,7 @@ def test_stream_planner_parses_only_new_commits(spark, stream_table, monkeypatch
         None,
     )
     n = reader.latestOffset()
-    reader.partitions({"commits": 0}, n)  # warm the fold cache
+    reader.partitions({"commits": 0, "last_seq": -1}, n)  # warm the fold cache
 
     df2 = spark.createDataFrame([("u9", 7, "2019-01-01")], ["user", "n", "date"])
     versioned_insert_into(df2, table, tracker, "a", "one more commit")
@@ -227,8 +231,77 @@ def test_stream_planner_parses_only_new_commits(spark, stream_table, monkeypatch
         return real_parse(s)
 
     monkeypatch.setattr(files_mod, "update_from_json", counting_parse)
-    n2 = reader.latestOffset()          # pure listing — zero parses
-    assert calls["n"] == 0
-    parts = reader.partitions(n, n2)    # folds ONLY the one new commit
+    n2 = reader.latestOffset()  # listing + ONE parse (rollback guard, new tail)
     assert calls["n"] == 1
+    assert reader.latestOffset() == n2  # same tail: guard memoized, no parse
+    assert calls["n"] == 1
+    parts = reader.partitions(n, n2)    # folds ONLY the one new commit
+    assert calls["n"] == 2
     assert len(parts) == 1 and "date=2019-01-01" in parts[0].path
+
+
+def test_inserted_commit_in_consumed_prefix_fails_loudly(spark, stream_table):
+    """Unlocked multi-writer hazard: a writer with a lagging clock drops a
+    commit file INSIDE an already-consumed prefix.  Positional consumption
+    would silently never deliver it; the seq-range planner must detect the
+    changed prefix and fail with guidance instead."""
+    import os
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+        update_to_json,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    table, root, tracker = stream_table
+    reader = ChroniclesStreamReader(
+        {"root": root, "table": table.name.fully_qualified, "location": table.location},
+        None,
+    )
+    end = reader.latestOffset()
+    reader.partitions({"commits": 0, "last_seq": -1}, end)  # consume prefix
+
+    # rogue writer: valid commit file whose seq sorts before the consumed tail
+    rogue = TableUpdate(
+        TableUpdateMetadata.new("lagging-writer", "late insert"),
+        (AddPartitionVersion(Partition.parse("date=2019-01-09"), generate_version()),),
+    )
+    tdir = os.path.join(root, f"_chronicles_table_{table.name.fully_qualified}")
+    with open(os.path.join(tdir, "table_update_0000000000001.json"), "w") as f:
+        f.write(update_to_json(rogue))
+
+    end2 = reader.latestOffset()
+    assert end2["commits"] == end["commits"] + 1
+    with pytest.raises(RuntimeError, match="prefix changed under the stream"):
+        reader.partitions(end, end2)
+
+
+def test_rollback_fails_stream_by_default_and_ignore_opts_out(spark, stream_table):
+    """checkout/set_current_version move the head without a commit file; the
+    live view then diverges from commit order.  Default: the stream fails
+    loudly (Delta non-append-change precedent); rollback=ignore keeps
+    tailing commit order and works again once the head re-advances."""
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    table, root, tracker = stream_table
+    opts = {"root": root, "table": table.name.fully_qualified, "location": table.location}
+
+    reader = ChroniclesStreamReader(opts, None)
+    reader.latestOffset()  # healthy head: no error
+
+    first_commit = tracker.table_state(table.name).updates[0].metadata.commit_id
+    tracker.set_current_version(table.name, first_commit)
+    with pytest.raises(RuntimeError, match="rolled back behind"):
+        reader.latestOffset()
+
+    ignoring = ChroniclesStreamReader({**opts, "rollback": "ignore"}, None)
+    assert ignoring.latestOffset()["commits"] == 2
+
+    # a new commit re-advances the head past the log tail: healthy again
+    df2 = spark.createDataFrame([("u7", 9, "2019-01-05")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "head re-advances")
+    assert reader.latestOffset()["commits"] == 3
