@@ -9,7 +9,9 @@ syntax::
 
     spark.dataSource.register(ChroniclesDataSource)
     df = (spark.read.format("chronicles")
-          .option("root", "/lake/_log")         # commit-log root (any FS URL)
+          .option("root", "/lake/_log")         # commit-log root: any FS URL,
+                                                # or a sqlite log via
+                                                # "sqlite:///lake/log.db"
           .option("table", "db.events")
           .option("location", "/lake/events")   # table storage location
           .option("commit", "<commit-id>")      # optional time travel
@@ -91,7 +93,7 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
         SnapshotTableVersion,
         TableName,
     )
-    from ..trackers.files import FileBackedVersionTracker
+    from ..trackers import tracker_for_url
 
     root = options.get("root")
     table = options.get("table")
@@ -101,7 +103,7 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
             "chronicles data source needs options: root, table, location"
         )
     fmt = options.get("format", "parquet")
-    tracker = FileBackedVersionTracker(root)
+    tracker = tracker_for_url(root)
     name = TableName.parse(table)
     commit = options.get("commit")
     if commit:
@@ -283,8 +285,10 @@ class ChroniclesStreamReader(DataSourceStreamReader):
       ``vacuum(keep_last=N)`` can delete a superseded version directory
       that a lagging/replaying stream still needs (same contract as
       Delta's ``delete file retention`` vs streaming reads).
-    - The tracker root must be visible to the planning worker (file-based
-      or fsspec URL); process-local ``memory://`` state is not.
+    - The tracker root must be visible to the planning worker (file-based,
+      fsspec URL, or a ``sqlite://``/``*.db`` log — sequence ids there are
+      transaction-serialized, so the prefix hazard below cannot occur);
+      process-local ``memory://`` state is not.
 
     The reference has no streaming surface at all — this is the
     Spark-native extension point its Hive-pointer design cannot express.
@@ -328,9 +332,9 @@ class ChroniclesStreamReader(DataSourceStreamReader):
     # cache.
 
     def _make_tracker(self):
-        from ..trackers.files import FileBackedVersionTracker
+        from ..trackers import tracker_for_url
 
-        return FileBackedVersionTracker(self._root)
+        return tracker_for_url(self._root)
 
     def _table_name(self):
         from ..core.model import TableName

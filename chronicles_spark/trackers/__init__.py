@@ -17,7 +17,31 @@ from .memory import InMemoryVersionTracker
 from .files import FileBackedVersionTracker
 from .sqlite import SqliteVersionTracker
 
+
+def tracker_for_url(root: str) -> VersionTracker:
+    """Commit-log root URL/path → tracker.
+
+    * ``sqlite://<path>`` (path taken verbatim after the scheme) or a bare
+      path ending in ``.db`` / ``.sqlite`` / ``.sqlite3`` →
+      :class:`SqliteVersionTracker`
+    * anything else (directory path, ``memory://``, fsspec URL) →
+      :class:`FileBackedVersionTracker`
+
+    This is the single string-configurable entry point used by surfaces
+    that can only carry a string (the ``chronicles`` data source's ``root``
+    option, CLI config), so both batch and streaming reads work against
+    either log backend.
+    """
+    root = str(root)
+    if root.startswith("sqlite://"):
+        return SqliteVersionTracker(root[len("sqlite://"):] or ":memory:")
+    if root.rsplit("/", 1)[-1].endswith((".db", ".sqlite", ".sqlite3")):
+        return SqliteVersionTracker(root)
+    return FileBackedVersionTracker(root)
+
+
 __all__ = [
+    "tracker_for_url",
     "VersionTracker",
     "TableState",
     "UnknownTableError",

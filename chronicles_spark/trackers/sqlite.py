@@ -164,33 +164,24 @@ class SqliteVersionTracker(VersionTracker):
                 (commit_id, table.fully_qualified),
             )
 
-    def table_state(self, table: TableName) -> TableState:
-        name = table.fully_qualified
-        with self._lock:
-            if not self._table_exists(table):
-                raise UnknownTableError(table)
-            head = self._conn.execute(
-                "SELECT current_version FROM chronicles_version_refs_v1 WHERE table_name = ?",
-                (name,),
-            ).fetchone()[0]
-            # S5 join shape (DbVersionTracker.scala:239-256) with the ops side
-            # LEFT-joined so zero-operation commits (e.g. versioned insert of
-            # an empty DataFrame) survive as empty-ops updates, matching the
-            # memory/files backends.
-            rows = self._conn.execute(
-                """
-                SELECT u.commit_id, u.update_time, u.user_id, u.message,
-                       o.index_in_commit, o.operation_type, o.version, o.partition,
-                       o.is_snapshot_table
-                FROM chronicle_tables_v1 t
-                JOIN chronicle_table_updates_v1 u ON u.table_name = t.table_name
-                LEFT JOIN chronicle_table_operations_v1 o ON o.commit_id = u.commit_id
-                WHERE t.table_name = ?
-                ORDER BY u.sequence_id ASC, o.index_in_commit ASC
-                """,
-                (name,),
-            ).fetchall()
-        # reassemble commits from adjacent joined rows (DbVersionTracker.scala:67-84)
+    # S5 join shape (DbVersionTracker.scala:239-256) with the ops side
+    # LEFT-joined so zero-operation commits (e.g. versioned insert of an
+    # empty DataFrame) survive as empty-ops updates, matching the
+    # memory/files backends.
+    _UPDATES_SQL = """
+        SELECT u.commit_id, u.update_time, u.user_id, u.message,
+               o.index_in_commit, o.operation_type, o.version, o.partition,
+               o.is_snapshot_table
+        FROM chronicle_tables_v1 t
+        JOIN chronicle_table_updates_v1 u ON u.table_name = t.table_name
+        LEFT JOIN chronicle_table_operations_v1 o ON o.commit_id = u.commit_id
+        WHERE t.table_name = ? {extra}
+        ORDER BY u.sequence_id ASC, o.index_in_commit ASC
+        """
+
+    @staticmethod
+    def _assemble(rows, name: str) -> tuple:
+        """Commits from adjacent joined rows (DbVersionTracker.scala:67-84)."""
         updates: List[TableUpdate] = []
         cur_id = None
         cur_meta = None
@@ -208,4 +199,79 @@ class SqliteVersionTracker(VersionTracker):
                 cur_ops.append(_row_op(op_t, ver, part, snap, name))
         if cur_meta is not None:
             updates.append(TableUpdate(cur_meta, tuple(cur_ops)))
-        return TableState(head, tuple(updates))
+        return tuple(updates)
+
+    def table_state(self, table: TableName) -> TableState:
+        name = table.fully_qualified
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            head = self._conn.execute(
+                "SELECT current_version FROM chronicles_version_refs_v1 WHERE table_name = ?",
+                (name,),
+            ).fetchone()[0]
+            rows = self._conn.execute(
+                self._UPDATES_SQL.format(extra=""), (name,)
+            ).fetchall()
+        return TableState(head, self._assemble(rows, name))
+
+    # -- tail access (streaming-source support; files.py:206-210 contract) --
+    # ``sequence_id`` is AUTOINCREMENT: per-table sequences are strictly
+    # monotonic and never reused, and inserts are transaction-serialized, so
+    # — unlike the unlocked files tracker — a commit can never appear inside
+    # an already-consumed prefix here.
+
+    def head_commit_id(self, table: TableName) -> str:
+        """The current head commit id — one indexed point read, no log scan."""
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            return self._conn.execute(
+                "SELECT current_version FROM chronicles_version_refs_v1 "
+                "WHERE table_name = ?",
+                (table.fully_qualified,),
+            ).fetchone()[0]
+
+    def update_seqs(self, table: TableName) -> List[int]:
+        """Commit sequence ids, ascending — an indexed id scan, no op rows."""
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            rows = self._conn.execute(
+                "SELECT sequence_id FROM chronicle_table_updates_v1 "
+                "WHERE table_name = ? ORDER BY sequence_id ASC",
+                (table.fully_qualified,),
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def update_count(self, table: TableName) -> int:
+        """Number of commits — one COUNT(*), no rows materialized."""
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            return self._conn.execute(
+                "SELECT COUNT(*) FROM chronicle_table_updates_v1 WHERE table_name = ?",
+                (table.fully_qualified,),
+            ).fetchone()[0]
+
+    def updates_slice(self, table: TableName, start: int, end: int) -> tuple:
+        """Updates at log positions [start, end) in commit order."""
+        seqs = self.update_seqs(table)[start:end]
+        if not seqs:
+            return ()
+        return self.updates_in_seq_range(table, seqs[0] - 1, seqs[-1])
+
+    def updates_in_seq_range(self, table: TableName, lo: int, hi: int) -> tuple:
+        """Updates with ``lo < sequence_id <= hi``, in commit order — reads
+        only those commits' rows."""
+        name = table.fully_qualified
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            rows = self._conn.execute(
+                self._UPDATES_SQL.format(
+                    extra="AND u.sequence_id > ? AND u.sequence_id <= ?"
+                ),
+                (name, lo, hi),
+            ).fetchall()
+        return self._assemble(rows, name)

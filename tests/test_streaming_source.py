@@ -305,3 +305,94 @@ def test_rollback_fails_stream_by_default_and_ignore_opts_out(spark, stream_tabl
     df2 = spark.createDataFrame([("u7", 9, "2019-01-05")], ["user", "n", "date"])
     versioned_insert_into(df2, table, tracker, "a", "head re-advances")
     assert reader.latestOffset()["commits"] == 3
+
+
+def test_sqlite_root_streams_and_batch_reads(spark, tmp_path):
+    """A sqlite commit log works as the data source root for BOTH batch and
+    streaming reads (`root` ending in .db / sqlite:// scheme): the
+    serializable backend users pair with OCC also gets the CDC surface."""
+    from chronicles_spark.trackers import SqliteVersionTracker, tracker_for_url
+
+    db = str(tmp_path / "log.db")
+    tracker = SqliteVersionTracker(db)
+    assert isinstance(tracker_for_url(db), SqliteVersionTracker)
+    assert isinstance(tracker_for_url(f"sqlite://{db}"), SqliteVersionTracker)
+    table = TableDefinition(
+        TableName("demo", "sq"), str(tmp_path / "sq"), PartitionSchema(("date",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    df1 = spark.createDataFrame(
+        [("u1", 3, "2019-01-01"), ("u2", 5, "2019-01-02")], ["user", "n", "date"]
+    )
+    versioned_insert_into(df1, table, tracker, "a", "v1")
+    spark.dataSource.register(ChroniclesDataSource)
+
+    batch = (
+        spark.read.format("chronicles")
+        .option("root", db)
+        .option("table", table.name.fully_qualified)
+        .option("location", table.location)
+        .load()
+    )
+    assert {r["user"] for r in batch.collect()} == {"u1", "u2"}
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain(_read_stream(spark, table, db), ckpt, out)
+    assert _rows(spark, out, "user", "n", "date") == {
+        ("u1", 3, "2019-01-01"),
+        ("u2", 5, "2019-01-02"),
+    }
+
+    # incremental: one overwritten partition → only its rows in the next drain
+    df2 = spark.createDataFrame([("u9", 7, "2019-01-01")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "overwrite d1")
+    _drain(_read_stream(spark, table, db), ckpt, out)
+    assert _rows(spark, out, "user", "n", "date") == {
+        ("u1", 3, "2019-01-01"),
+        ("u2", 5, "2019-01-02"),
+        ("u9", 7, "2019-01-01"),
+    }
+
+
+def test_sqlite_tail_access_matches_full_state(tmp_path):
+    """update_count / updates_slice / update_seqs / updates_in_seq_range on
+    the sqlite tracker agree with table_state (files.py contract parity)."""
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    tr = SqliteVersionTracker(str(tmp_path / "log.db"))
+    t = TableName("db", "tail")
+    tr.init_table(t, is_snapshot=False, user_id="u")
+    # a second table interleaved → per-table sequence_ids have gaps
+    t2 = TableName("db", "other")
+    tr.init_table(t2, is_snapshot=False, user_id="u")
+    for i in range(4):
+        for name in (t, t2):
+            tr.commit(
+                name,
+                TableUpdate(
+                    TableUpdateMetadata.new("u", f"{name.name}-c{i}"),
+                    (AddPartitionVersion(
+                        Partition.parse(f"d=2020-01-0{i + 1}"), generate_version()
+                    ),),
+                ),
+            )
+    full = list(tr.table_state(t).updates)
+    assert tr.update_count(t) == len(full) == 5
+    assert [u.metadata.commit_id for u in tr.updates_slice(t, 1, 3)] == [
+        u.metadata.commit_id for u in full[1:3]
+    ]
+    assert tr.updates_slice(t, 5, 9) == ()
+    seqs = tr.update_seqs(t)
+    assert len(seqs) == 5 and seqs == sorted(seqs)
+    ranged = tr.updates_in_seq_range(t, seqs[1], seqs[3])
+    assert [u.metadata.commit_id for u in ranged] == [
+        u.metadata.commit_id for u in full[2:4]
+    ]
+    assert tr.head_commit_id(t) == full[-1].metadata.commit_id
