@@ -123,6 +123,8 @@ class VacuumAction:
     location: str
     keep_last: int
     apply: bool
+    sweep_orphans: bool = False
+    orphan_min_age_days: float = 7.0
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +301,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_vac.add_argument(
         "--apply", action="store_true", help="Actually delete (default: dry-run)"
     )
+    p_vac.add_argument(
+        "--sweep-orphans", action="store_true",
+        help="Also reclaim version directories no commit ever recorded "
+        "(crashed-write debris), once older than --orphan-min-age-days",
+    )
+    p_vac.add_argument(
+        "--orphan-min-age-days", type=float, default=7.0,
+        help="Minimum age before an unrecorded version directory is "
+        "considered abandoned rather than in-flight (default 7)",
+    )
 
     return parser
 
@@ -329,7 +341,8 @@ def parse_action(argv: Sequence[str]):
         return ns, CheckoutAction(_table_name(ns.table), ns.commit_id)
     if ns.command == "vacuum":
         return ns, VacuumAction(
-            _table_name(ns.table), ns.location, ns.keep_last, ns.apply
+            _table_name(ns.table), ns.location, ns.keep_last, ns.apply,
+            ns.sweep_orphans, ns.orphan_min_age_days,
         )
     raise CliError(f"Unknown command {ns.command!r}")
 
@@ -437,11 +450,15 @@ class CliClient:
             location=action.location,
             partition_schema=PartitionSchema(() if is_snapshot else ("p",)),
         )
+        from datetime import timedelta
+
         doomed = run_vacuum(
             table,
             self.delegate.tracker,
             keep_last=action.keep_last,
             dry_run=not action.apply,
+            sweep_orphans=action.sweep_orphans,
+            orphan_min_age=timedelta(days=action.orphan_min_age_days),
         )
         for path in doomed:
             self.console.println(path)

@@ -24,7 +24,8 @@ make identical decisions from the same log metadata.
 
 from __future__ import annotations
 
-from typing import List
+from datetime import datetime, timedelta, timezone
+from typing import List, Optional
 
 from ..core import paths as vpaths
 from ..core.model import (
@@ -33,8 +34,11 @@ from ..core.model import (
     TableDefinition,
 )
 from ..core.ops import AddPartitionVersion, AddTableVersion
+from ..core.version import is_valid_label
 from ..trackers.base import VersionTracker
 from ..trackers.fs import filesystem_for
+
+_VERSION_DIR_PREFIX = vpaths.VERSION_COLUMN + "="
 
 
 def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
@@ -51,6 +55,47 @@ def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
     return out
 
 
+def _label_timestamp(label: str) -> Optional[datetime]:
+    """UTC timestamp embedded in a version label, or None when the label is
+    not a canonical version (never treat unintelligible dirs as versions)."""
+    if not is_valid_label(label) or not label:
+        return None
+    return datetime.strptime(label[:15], "%Y%m%d-%H%M%S")
+
+
+def _orphan_version_dirs(
+    fs, base: str, depth: int, known_paths: set, cutoff: datetime
+) -> List[str]:
+    """``_version=`` directories on storage that the log never recorded and
+    whose embedded timestamp is older than ``cutoff``.
+
+    Version dirs live exactly ``depth`` partition levels under ``base``;
+    partition levels are ``k=v`` directories.  Anything not matching that
+    shape — stray files, unparseable labels, bare adopt-in-place data — is
+    left alone.  The age guard exists because a missing log entry cannot
+    distinguish "crashed write" from "write still in flight between its
+    data write and its commit"; a cutoff far above any real write duration
+    (default 7 days) makes the sweep safe."""
+    out: List[str] = []
+
+    def walk(d: str, lvl: int) -> None:
+        for name in fs.list_dir(d):
+            p = fs.join(d, name)
+            if lvl == depth:
+                if not name.startswith(_VERSION_DIR_PREFIX):
+                    continue
+                if p in known_paths:
+                    continue
+                ts = _label_timestamp(name[len(_VERSION_DIR_PREFIX):])
+                if ts is not None and ts < cutoff:
+                    out.append(p)
+            elif "=" in name and not name.startswith(_VERSION_DIR_PREFIX) and fs.is_dir(p):
+                walk(p, lvl + 1)
+
+    walk(base, 0)
+    return out
+
+
 def vacuum(
     table: TableDefinition,
     tracker: VersionTracker,
@@ -58,13 +103,25 @@ def vacuum(
     dry_run: bool = False,
     distributed: bool = False,
     spark=None,
+    sweep_orphans: bool = False,
+    orphan_min_age: timedelta = timedelta(days=7),
 ) -> List[str]:
     """Delete superseded version directories; returns the removed (or, in
     dry-run, doomed) paths.
 
     ``distributed=True`` issues the existence probes and deletes from
     executors (pass ``spark``); the doomed set is identical to the driver
-    path — only WHERE the FS calls run changes."""
+    path — only WHERE the FS calls run changes.
+
+    ``sweep_orphans=True`` additionally reclaims version directories the
+    log never recorded — the debris of writes that crashed between their
+    data write and their commit, which the log-driven candidate set cannot
+    see.  This is the one vacuum mode that LISTS storage (O(partitions)
+    listings, fanned out to executors under ``distributed=True``) instead
+    of working from log metadata alone; only directories older than
+    ``orphan_min_age`` (default 7 days, Delta's retention default) are
+    eligible, so an in-flight write's not-yet-committed directory is never
+    swept."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if distributed and spark is None:
@@ -117,6 +174,68 @@ def vacuum(
                 # whole table (nested _version dirs included) with it
                 continue
             candidates.append(vpaths.path_for(base, v))
+    if sweep_orphans:
+        # every (partition, version) the log has EVER recorded is known —
+        # a dir outside this set was written by a commit that never landed
+        known_paths: set = set()
+        for key, versions in by_part.items():
+            partition = part_objs[key]
+            base = (
+                partition.resolve_path(location)
+                if partition is not None
+                else location
+            )
+            for v in versions:
+                if not v.is_unversioned:
+                    known_paths.add(vpaths.path_for(base, v))
+        # partition depth from the log itself when possible (a CLI caller's
+        # TableDefinition may carry a placeholder schema); schema fallback
+        # only for a log with no partition writes yet
+        depth = len(table.partition_schema.columns)
+        for p in part_objs.values():
+            if p is not None:
+                depth = len(p.column_values)
+                break
+        cutoff = (
+            datetime.now(timezone.utc).replace(tzinfo=None) - orphan_min_age
+        )
+        if distributed and depth >= 1:
+            # one listing per partition dir: fan the subtree walks out
+            first = [
+                n
+                for n in fs.list_dir(location)
+                if "=" in n
+                and not n.startswith(_VERSION_DIR_PREFIX)
+                and fs.is_dir(fs.join(location, n))
+            ]
+            bases = [fs.join(location, n) for n in first]
+            orphans: List[str] = []
+            if bases:
+                location_url_o = table.location
+
+                def _walk_subtrees(bs):
+                    from chronicles_spark.spark.vacuum import (
+                        _orphan_version_dirs as _walk,
+                    )
+                    from chronicles_spark.trackers.fs import filesystem_for as _ff
+
+                    efs, _ = _ff(location_url_o)
+                    out: List[str] = []
+                    for b in bs:
+                        out.extend(_walk(efs, b, depth - 1, known_paths, cutoff))
+                    return out
+
+                sc = spark.sparkContext
+                n_slices = max(1, min(len(bases), sc.defaultParallelism))
+                orphans = (
+                    sc.parallelize(bases, n_slices)
+                    .mapPartitions(lambda it: _walk_subtrees(list(it)))
+                    .collect()
+                )
+        else:
+            orphans = _orphan_version_dirs(fs, location, depth, known_paths, cutoff)
+        candidates.extend(orphans)
+
     candidates = sorted(set(candidates))
     if not candidates:
         return []

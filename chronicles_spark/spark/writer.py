@@ -94,11 +94,10 @@ def partitions_written(table: TableDefinition, version: Version) -> List[Partiti
     in.  Null/empty partition values surface as Hive's
     ``__HIVE_DEFAULT_PARTITION__`` directory and are rejected — the commit
     log cannot point back at them, so the uncommitted files stay invisible
-    to every reader.  Note they are also unreclaimed: vacuum derives its
-    candidate set from log-recorded (partition, version) pairs, so
-    directories no commit ever referenced must be removed manually (fix
-    the null-producing upstream, then delete the
-    ``__HIVE_DEFAULT_PARTITION__`` tree).
+    to every reader.  The default vacuum cannot reclaim them either (its
+    candidate set comes from log-recorded (partition, version) pairs);
+    ``vacuum(..., sweep_orphans=True)`` sweeps such never-committed
+    version directories once they are older than ``orphan_min_age``.
     """
     from ..trackers.fs import filesystem_for
 

@@ -295,3 +295,51 @@ def test_vacuum_dry_run_then_apply(tmp_path):
     assert "Removed 1" in console.out[-1]
     assert not os.path.exists(loc / "date=2019-01-01" / f"_version={v_old.label}")
     assert os.path.exists(loc / "date=2019-01-01" / f"_version={v_new.label}")
+
+
+def test_vacuum_sweep_orphans_flag(tmp_path):
+    """--sweep-orphans parses and reclaims an aged, never-committed version
+    directory the default verb leaves behind; depth comes from the log's
+    real partitions, not the CLI's placeholder schema."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+
+    _, action = C.parse_action(
+        ["vacuum", "db.t", "--location", "/lake/t", "--sweep-orphans",
+         "--orphan-min-age-days", "2"]
+    )
+    assert action.sweep_orphans and action.orphan_min_age_days == 2.0
+
+    client, console = make_client()
+    t = TableName("db", "mp")
+    client.delegate.tracker.init_table(t, is_snapshot=False, user_id="u")
+    # TWO partition columns — the placeholder schema ("p",) would walk at
+    # the wrong depth if vacuum didn't re-derive it from the log
+    p = Partition.parse("date=2019-01-01/region=eu")
+    v_live = generate_version()
+    client.delegate.tracker.commit(
+        t, TableUpdate(TableUpdateMetadata.new("u", "w"), (AddPartitionVersion(p, v_live),))
+    )
+    loc = tmp_path / "mp"
+    live = loc / "date=2019-01-01" / "region=eu" / f"_version={v_live.label}"
+    live.mkdir(parents=True)
+    (live / "part-0.parquet").write_bytes(b"x")
+    v_orph = generate_version(datetime.now(timezone.utc) - timedelta(days=9))
+    orphan = loc / "date=2019-01-01" / "region=us" / f"_version={v_orph.label}"
+    orphan.mkdir(parents=True)
+
+    client.vacuum(C.VacuumAction(t, str(loc), 1, False))  # default: blind
+    assert "Would remove 0" in console.out[-1]
+
+    client.vacuum(C.VacuumAction(t, str(loc), 1, True, sweep_orphans=True))
+    assert "Removed 1" in console.out[-1]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live)

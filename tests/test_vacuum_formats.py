@@ -227,3 +227,97 @@ def test_vacuum_never_deletes_unversioned_adopted_data(spark, tmp_path):
     # the superseded REAL version is gone; the bare partition dir survives
     assert len(removed) == 1 and "_version=" in removed[0]
     assert os.path.isdir(os.path.join(table.location, "date=2019-01-01"))
+
+
+def _plant_orphan(table, part, age_days):
+    """A version directory no commit ever recorded (crashed-write debris),
+    with its label timestamp backdated by ``age_days``."""
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.version import generate_version
+
+    v = generate_version(datetime.now(timezone.utc) - timedelta(days=age_days))
+    d = os.path.join(table.location, f"date={part}", f"_version={v.label}")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-00000.parquet"), "w") as f:
+        f.write("debris")
+    return d
+
+
+def test_vacuum_sweep_orphans_age_guarded(spark, versioned_3x):
+    """sweep_orphans reclaims never-committed version dirs older than the
+    age cutoff, leaves younger ones (possible in-flight writes), and never
+    touches log-recorded or live directories."""
+    table, tracker = versioned_3x
+    old_orphan = _plant_orphan(table, "2019-01-01", age_days=10)
+    fresh_orphan = _plant_orphan(table, "2019-01-02", age_days=0)
+    # stray non-version entries must be ignored by the walk
+    os.makedirs(os.path.join(table.location, "date=2019-01-01", "_tmp_junk"))
+    with open(os.path.join(table.location, "notes.txt"), "w") as f:
+        f.write("not a partition")
+
+    # default vacuum is blind to orphans
+    removed = vacuum(table, tracker, keep_last=3)
+    assert removed == []
+
+    doomed = vacuum(table, tracker, keep_last=3, sweep_orphans=True, dry_run=True)
+    assert doomed == [old_orphan]
+    assert os.path.isdir(old_orphan)  # dry run deletes nothing
+
+    removed = vacuum(table, tracker, keep_last=3, sweep_orphans=True)
+    assert removed == [old_orphan]
+    assert not os.path.exists(old_orphan)
+    assert os.path.isdir(fresh_orphan)  # younger than orphan_min_age: kept
+    assert len(_version_dirs(table, "2019-01-01")) == 3  # committed: kept
+
+    cur = read_current(spark, table, tracker)
+    assert {r["user"] for r in cur.collect()} == {"u2", "x"}
+
+
+def test_vacuum_sweep_orphans_distributed_matches_driver(spark, versioned_3x):
+    """The executor-side subtree walk finds the same orphan set as the
+    driver walk, and composes with the normal superseded-version sweep."""
+    table, tracker = versioned_3x
+    old_orphan = _plant_orphan(table, "2019-01-02", age_days=8)
+
+    driver_doomed = vacuum(
+        table, tracker, keep_last=1, sweep_orphans=True, dry_run=True
+    )
+    dist_doomed = vacuum(
+        table, tracker, keep_last=1, sweep_orphans=True, dry_run=True,
+        distributed=True, spark=spark,
+    )
+    assert driver_doomed == dist_doomed
+    assert old_orphan in dist_doomed
+    assert len(dist_doomed) == 3  # 2 superseded d1 versions + the orphan
+
+    removed = vacuum(
+        table, tracker, keep_last=1, sweep_orphans=True,
+        distributed=True, spark=spark,
+    )
+    assert sorted(removed) == dist_doomed
+    assert not os.path.exists(old_orphan)
+    cur = read_current(spark, table, tracker)
+    assert {r["user"] for r in cur.collect()} == {"u2", "x"}
+
+
+def test_vacuum_sweep_orphans_snapshot_table(spark, tmp_path):
+    """depth=0: orphan whole-table version dirs directly under the location."""
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.version import generate_version
+
+    table = TableDefinition(
+        TableName("db", "snap_orph"), str(tmp_path / "snap_orph"), PartitionSchema(())
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=True, user_id="a")
+    versioned_insert_into(_rows(spark, [("a", "p", "d")]), table, tracker, "a", "v1")
+
+    v = generate_version(datetime.now(timezone.utc) - timedelta(days=9))
+    orphan = os.path.join(table.location, f"_version={v.label}")
+    os.makedirs(orphan)
+
+    removed = vacuum(table, tracker, sweep_orphans=True)
+    assert removed == [orphan]
+    assert {r["user"] for r in read_current(spark, table, tracker).collect()} == {"a"}
