@@ -113,6 +113,20 @@ class CheckoutAction:
 
 
 @dataclass(frozen=True)
+class TagAction:
+    """Extension beyond the reference CLI verbs: git-tag-style data-version
+    pinning (trackers/base.py set_tag).  ``name=None`` lists tags;
+    ``delete=True`` drops one; otherwise pins ``name`` at ``--commit`` (or
+    the current head).  Vacuum keeps every tagged state's directories."""
+
+    table: TableName
+    name: Optional[str] = None
+    commit_id: Optional[str] = None
+    delete: bool = False
+    force: bool = False
+
+
+@dataclass(frozen=True)
 class VacuumAction:
     """Extension beyond the reference CLI verbs: reclaim superseded version
     directories (spark/vacuum.py) — dry-run by default, ``--apply`` deletes.
@@ -289,6 +303,19 @@ def build_parser() -> argparse.ArgumentParser:
     p_co.add_argument("table")
     p_co.add_argument("commit_id")
 
+    p_tag = sub.add_parser(
+        "tag", help="List tags, or pin/delete a named tag (data-version pinning)"
+    )
+    p_tag.add_argument("table")
+    p_tag.add_argument("name", nargs="?", help="Tag name (omit to list tags)")
+    p_tag.add_argument(
+        "--commit", help="Commit id to pin (default: the current head)"
+    )
+    p_tag.add_argument("--delete", action="store_true", help="Drop the tag")
+    p_tag.add_argument(
+        "--force", action="store_true", help="Move an existing tag (tags are immutable by default)"
+    )
+
     p_vac = sub.add_parser(
         "vacuum", help="Reclaim superseded version directories (dry-run by default)"
     )
@@ -339,6 +366,14 @@ def parse_action(argv: Sequence[str]):
         return ns, act(_table_name(ns.table), ns.partition, ns.message)
     if ns.command == "checkout":
         return ns, CheckoutAction(_table_name(ns.table), ns.commit_id)
+    if ns.command == "tag":
+        if ns.delete and not ns.name:
+            raise CliError("tag --delete needs a tag name")
+        if ns.commit and not ns.name:
+            raise CliError("tag --commit needs a tag name")
+        return ns, TagAction(
+            _table_name(ns.table), ns.name, ns.commit, ns.delete, ns.force
+        )
     if ns.command == "vacuum":
         return ns, VacuumAction(
             _table_name(ns.table), ns.location, ns.keep_last, ns.apply,
@@ -378,6 +413,8 @@ class CliClient:
             self.remove_partition(action.table, action.partition_name, user_id, action.message)
         elif isinstance(action, CheckoutAction):
             self.checkout(action.table, action.commit_id)
+        elif isinstance(action, TagAction):
+            self.tag(action)
         elif isinstance(action, VacuumAction):
             self.vacuum(action)
         else:
@@ -441,6 +478,26 @@ class CliClient:
             f"Checked out commit '{commit_id}' on table '{table.fully_qualified}'"
         )
 
+    def tag(self, action: TagAction) -> None:
+        tracker = self.delegate.tracker
+        if action.name is None:
+            for name, cid in sorted(tracker.tags(action.table).items()):
+                self.console.println(f"{name} {cid}")
+            return
+        if action.delete:
+            tracker.delete_tag(action.table, action.name)
+            self.console.println(
+                f"Deleted tag '{action.name}' on table '{action.table.fully_qualified}'"
+            )
+            return
+        cid = tracker.set_tag(
+            action.table, action.name, action.commit_id, force=action.force
+        )
+        self.console.println(
+            f"Tagged commit '{cid}' as '{action.name}' on table "
+            f"'{action.table.fully_qualified}'"
+        )
+
     def vacuum(self, action: VacuumAction) -> None:
         from .spark.vacuum import vacuum as run_vacuum
 
@@ -479,8 +536,11 @@ def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) 
     except CliError as e:
         console.errorln(str(e))
         return 1
-    except KeyError as e:  # UnknownTableError / UnknownCommitError etc.
+    except KeyError as e:  # UnknownTableError / UnknownCommitError / UnknownTagError
         console.errorln(str(e.args[0]) if e.args else str(e))
+        return 1
+    except ValueError as e:  # e.g. re-tagging without --force, bad tag name
+        console.errorln(str(e))
         return 1
 
 

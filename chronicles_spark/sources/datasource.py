@@ -15,6 +15,7 @@ syntax::
           .option("table", "db.events")
           .option("location", "/lake/events")   # table storage location
           .option("commit", "<commit-id>")      # optional time travel
+          .option("tag", "corpus-v1")           # …or by pinned tag
           .option("pushdown", "true")           # partition-filter pruning
           .load())
 
@@ -106,6 +107,11 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
     tracker = tracker_for_url(root)
     name = TableName.parse(table)
     commit = options.get("commit")
+    tag = options.get("tag")
+    if commit and tag:
+        raise ValueError("pass either commit or tag, not both")
+    if tag:
+        commit = tracker.tag_commit(name, tag)  # raises UnknownTagError
     if commit:
         # version_at raises UnknownCommitError on a typo'd id (a bare fold
         # would silently return HEAD) and takes the checkpoint+tail fast

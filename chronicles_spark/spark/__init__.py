@@ -4,6 +4,8 @@ from .writer import partition_values, versioned_insert_into
 from .reader import (
     changed_partitions,
     live_paths,
+    read_at_commit,
+    read_at_tag,
     read_changes,
     read_current,
     read_version,
@@ -16,6 +18,8 @@ __all__ = [
     "versioned_insert_into",
     "read_current",
     "read_version",
+    "read_at_commit",
+    "read_at_tag",
     "read_changes",
     "changed_partitions",
     "live_paths",

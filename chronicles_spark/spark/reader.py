@@ -156,6 +156,23 @@ def read_at_commit(
     )
 
 
+def read_at_tag(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    tag: str,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """Read the exact state a tag pins (``tracker.set_tag``) — the
+    data-version-pinning read: vacuum keeps every tagged state's
+    directories, so this read stays reproducible for the life of the tag.
+    Unknown tags raise UnknownTagError."""
+    return read_at_commit(
+        spark, table, tracker, tracker.tag_commit(table.name, tag),
+        keep_version_column,
+    )
+
+
 def _changed_states(
     table: TableDefinition,
     tracker: VersionTracker,

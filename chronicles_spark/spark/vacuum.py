@@ -132,13 +132,22 @@ def vacuum(
             "cannot see it — use the driver path (distributed=False)"
         )
 
-    live = tracker.current_version(table.name)
     keep: set[tuple[str, str]] = set()
-    if isinstance(live, SnapshotTableVersion):
-        keep.add(("", live.version.label))
-    elif isinstance(live, PartitionedTableVersion):
-        for partition, version in live.partition_versions.items():
-            keep.add((partition.path, version.label))
+
+    def _keep_state(tv) -> None:
+        if isinstance(tv, SnapshotTableVersion):
+            keep.add(("", tv.version.label))
+        elif isinstance(tv, PartitionedTableVersion):
+            for partition, version in tv.partition_versions.items():
+                keep.add((partition.path, version.label))
+
+    _keep_state(tracker.current_version(table.name))
+    # every TAGGED state is pinned too: a tag promises its read stays
+    # reproducible, so all directories its fold references are kept until
+    # the tag is deleted (checkpoint-backed trackers resolve each tag
+    # O(tail), not O(log))
+    for _tag, tagged_commit in sorted(tracker.tags(table.name).items()):
+        _keep_state(tracker.version_at(table.name, tagged_commit))
 
     by_part: dict[object, list] = {}
     part_objs: dict[object, object] = {}

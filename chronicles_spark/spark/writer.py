@@ -220,7 +220,12 @@ def versioned_insert_into(
     # W3 config guard (VersionContext.scala:62-69): without dynamic
     # partition-overwrite semantics, a true overwrite write would clobber
     # sibling partitions. Fail fast like the reference.
-    mode = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode", "")
+    # NB: the fallback must be a VALID value for this conf — Spark 4
+    # validates the passed default on unset keys, so "" would raise
+    # INVALID_CONF_VALUE on a vanilla session instead of our guard below
+    mode = df.sparkSession.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     if (mode or "").lower() != "dynamic":
         raise RuntimeError(
             "The Spark configuration must have spark.sql.sources."

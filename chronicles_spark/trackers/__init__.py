@@ -11,6 +11,7 @@ from .base import (
     TableState,
     UnknownCommitError,
     UnknownTableError,
+    UnknownTagError,
     VersionTracker,
 )
 from .memory import InMemoryVersionTracker
@@ -46,6 +47,7 @@ __all__ = [
     "TableState",
     "UnknownTableError",
     "UnknownCommitError",
+    "UnknownTagError",
     "CommitConflictError",
     "InMemoryVersionTracker",
     "FileBackedVersionTracker",

@@ -11,9 +11,10 @@ from __future__ import annotations
 
 import abc
 import contextlib
+import re
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from ..core import fold
 from ..core.model import Partition, TableName
@@ -37,6 +38,17 @@ class UnknownCommitError(KeyError):
     def __init__(self, commit_id: str):
         super().__init__(f"unknown commit: {commit_id}")
         self.commit_id = commit_id
+
+
+class UnknownTagError(KeyError):
+    def __init__(self, name: str):
+        super().__init__(f"unknown tag: {name}")
+        self.name = name
+
+
+# tag names must be safe as a filesystem path fragment (files backend) and
+# unambiguous in CLI output; same spirit as git's refname rules
+TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,99}$")
 
 
 class CommitConflictError(RuntimeError):
@@ -109,6 +121,18 @@ class VersionTracker(abc.ABC):
 
     @abc.abstractmethod
     def _table_exists(self, table: TableName) -> bool: ...
+
+    @abc.abstractmethod
+    def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
+        """Store/overwrite a named tag pointer."""
+
+    @abc.abstractmethod
+    def _read_tags(self, table: TableName) -> Dict[str, str]:
+        """All tag pointers for a table: name → commit id."""
+
+    @abc.abstractmethod
+    def _delete_tag(self, table: TableName, name: str) -> None:
+        """Remove a stored tag pointer (caller validated existence)."""
 
     @abc.abstractmethod
     def _create_table(self, table: TableName, init_update: TableUpdate, is_snapshot: bool) -> None:
@@ -214,6 +238,63 @@ class VersionTracker(abc.ABC):
         if not any(u.metadata.commit_id == commit_id for u in state.updates):
             raise UnknownCommitError(commit_id)
         self._set_head(table, commit_id)
+
+    # -- tags (beyond reference parity: git-tag-style data-version pinning) --
+    # A tag is an IMMUTABLE named pointer to a commit — "the exact corpus
+    # state training run X consumed".  Tags never move the head and never
+    # affect folds; their one side effect is on vacuum, which keeps every
+    # tagged state's live directories so a pinned read can never break.
+
+    def set_tag(
+        self,
+        table: TableName,
+        name: str,
+        commit_id: Optional[str] = None,
+        force: bool = False,
+    ) -> str:
+        """Pin ``name`` to ``commit_id`` (default: the current head).
+        Returns the pinned commit id.  Re-tagging an existing name raises
+        unless ``force=True`` (git tag semantics); unknown commits raise
+        ``UnknownCommitError``."""
+        if not TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters/digits/._- "
+                "(max 100 chars, must start alphanumeric)"
+            )
+        state = self.table_state(table)  # raises UnknownTableError
+        if commit_id is None:
+            commit_id = state.current_version
+        elif not any(u.metadata.commit_id == commit_id for u in state.updates):
+            raise UnknownCommitError(commit_id)
+        if not force and name in self._read_tags(table):
+            raise ValueError(
+                f"tag {name!r} already exists on {table}; tags are "
+                "immutable — pass force=True to move it"
+            )
+        self._write_tag(table, name, commit_id)
+        return commit_id
+
+    def tags(self, table: TableName) -> Dict[str, str]:
+        """All tags: name → commit id.  Raises UnknownTableError."""
+        if not self._table_exists(table):
+            raise UnknownTableError(table)
+        return dict(self._read_tags(table))
+
+    def tag_commit(self, table: TableName, name: str) -> str:
+        """The commit id a tag pins.  Raises UnknownTagError."""
+        tags = self.tags(table)
+        if name not in tags:
+            raise UnknownTagError(name)
+        return tags[name]
+
+    def delete_tag(self, table: TableName, name: str) -> None:
+        """Drop a tag (its versions become vacuum-eligible again)."""
+        self.tag_commit(table, name)  # raises if missing
+        self._delete_tag(table, name)
+
+    def version_at_tag(self, table: TableName, name: str):
+        """Resolved table state at a tag — ``version_at`` sugar."""
+        return self.version_at(table, self.tag_commit(table, name))
 
     def current_version(self, table: TableName):
         """Fold ops up to head (VersionTracker.scala:37-55)."""

@@ -239,6 +239,31 @@ class FileBackedVersionTracker(VersionTracker):
             for n in names[start:end]
         )
 
+    # -- tags: one tiny `tag_<name>` JSON file per tag in the table dir
+    # (names are pre-validated to the filesystem-safe TAG_NAME_RE charset)
+
+    def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
+        d = self._table_dir(table)
+        self.fs.write_text(
+            self.fs.join(d, f"tag_{name}"), json.dumps({"commit_id": commit_id})
+        )
+
+    def _read_tags(self, table: TableName) -> dict:
+        d = self._table_dir(table)
+        out = {}
+        for n in self.fs.list_dir(d):
+            if n.startswith("tag_"):
+                try:
+                    out[n[len("tag_"):]] = json.loads(
+                        self.fs.read_text(self.fs.join(d, n))
+                    )["commit_id"]
+                except (FileNotFoundError, KeyError, ValueError):
+                    continue  # torn/foreign file is not a tag
+        return out
+
+    def _delete_tag(self, table: TableName, name: str) -> None:
+        self.fs.remove_file(self.fs.join(self._table_dir(table), f"tag_{name}"))
+
     def head_commit_id(self, table: TableName) -> str:
         """The current head commit id — one small-file read, no log scan."""
         d = self._table_dir(table)

@@ -45,6 +45,10 @@ class FileSystem(abc.ABC):
     def remove_tree(self, path: str) -> None:
         """Recursively delete a directory (no-op if absent)."""
 
+    @abc.abstractmethod
+    def remove_file(self, path: str) -> None:
+        """Delete a single file (no-op if absent)."""
+
     def join(self, *parts: str) -> str:
         return posixpath.join(*parts)
 
@@ -95,6 +99,9 @@ class LocalFileSystem(FileSystem):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+
+    def remove_file(self, path: str) -> None:
+        Path(path).unlink(missing_ok=True)
 
     def join(self, *parts: str) -> str:
         return str(Path(parts[0]).joinpath(*parts[1:]))
@@ -165,6 +172,10 @@ class MemoryFileSystem(FileSystem):
                 if known == p or known.startswith(p + "/"):
                     self._d.discard(known)
 
+    def remove_file(self, path: str) -> None:
+        with MemoryFileSystem._lock:
+            self._files.pop(self._norm(path), None)
+
 
 class FsspecFileSystem(FileSystem):
     """Adapter over an fsspec filesystem (s3://, gs://, hdfs://, ...).
@@ -199,6 +210,10 @@ class FsspecFileSystem(FileSystem):
     def remove_tree(self, path: str) -> None:
         if self._fs.exists(path):
             self._fs.rm(path, recursive=True)
+
+    def remove_file(self, path: str) -> None:
+        if self._fs.exists(path):
+            self._fs.rm(path)
 
 
 def filesystem_for(url: str) -> Tuple[FileSystem, str]:

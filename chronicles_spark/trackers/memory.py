@@ -20,6 +20,8 @@ class InMemoryVersionTracker(VersionTracker):
         self._lock = threading.RLock()
         # table → (head commit id, [updates asc])
         self._state: Dict[TableName, Tuple[str, List[TableUpdate]]] = {}
+        # table → {tag name → commit id}
+        self._tags: Dict[TableName, Dict[str, str]] = {}
 
     def tables(self) -> List[TableName]:
         with self._lock:
@@ -57,3 +59,15 @@ class InMemoryVersionTracker(VersionTracker):
         with self._lock:
             _, updates = self._state[table]
             self._state[table] = (commit_id, updates)
+
+    def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
+        with self._lock:
+            self._tags.setdefault(table, {})[name] = commit_id
+
+    def _read_tags(self, table: TableName) -> Dict[str, str]:
+        with self._lock:
+            return dict(self._tags.get(table, {}))
+
+    def _delete_tag(self, table: TableName, name: str) -> None:
+        with self._lock:
+            self._tags.get(table, {}).pop(name, None)

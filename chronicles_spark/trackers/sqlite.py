@@ -67,6 +67,12 @@ CREATE TABLE IF NOT EXISTS chronicles_version_refs_v1 (
   table_name TEXT PRIMARY KEY REFERENCES chronicle_tables_v1(table_name),
   current_version TEXT NOT NULL REFERENCES chronicle_table_updates_v1(commit_id)
 );
+CREATE TABLE IF NOT EXISTS chronicles_tags_v1 (
+  table_name TEXT NOT NULL REFERENCES chronicle_tables_v1(table_name),
+  tag_name TEXT NOT NULL,
+  commit_id TEXT NOT NULL REFERENCES chronicle_table_updates_v1(commit_id),
+  PRIMARY KEY (table_name, tag_name)
+);
 """
 
 
@@ -162,6 +168,29 @@ class SqliteVersionTracker(VersionTracker):
             self._conn.execute(
                 "UPDATE chronicles_version_refs_v1 SET current_version = ? WHERE table_name = ?",
                 (commit_id, table.fully_qualified),
+            )
+
+    def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "INSERT INTO chronicles_tags_v1 VALUES (?, ?, ?) "
+                "ON CONFLICT(table_name, tag_name) DO UPDATE SET commit_id = excluded.commit_id",
+                (table.fully_qualified, name, commit_id),
+            )
+
+    def _read_tags(self, table: TableName) -> dict:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT tag_name, commit_id FROM chronicles_tags_v1 WHERE table_name = ?",
+                (table.fully_qualified,),
+            ).fetchall()
+        return dict(rows)
+
+    def _delete_tag(self, table: TableName, name: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "DELETE FROM chronicles_tags_v1 WHERE table_name = ? AND tag_name = ?",
+                (table.fully_qualified, name),
             )
 
     # S5 join shape (DbVersionTracker.scala:239-256) with the ops side

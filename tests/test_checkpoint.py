@@ -58,6 +58,9 @@ class CountingFs(FileSystem):
     def remove_tree(self, path):
         return self.inner.remove_tree(path)
 
+    def remove_file(self, path):
+        return self.inner.remove_file(path)
+
     def join(self, *parts):
         return self.inner.join(*parts)
 

@@ -343,3 +343,28 @@ def test_vacuum_sweep_orphans_flag(tmp_path):
     assert "Removed 1" in console.out[-1]
     assert not os.path.exists(orphan)
     assert os.path.exists(live)
+
+
+def test_tag_verb_pin_list_delete():
+    """tag verb: pin at head or --commit, list, immutability, --force,
+    --delete; errors surface as exit-1 console messages."""
+    client, console = make_client()
+    t = TableName("db", "tg")
+    client.delegate.tracker.init_table(t, is_snapshot=True, user_id="u")
+    head = client.delegate.tracker.table_state(t).current_version
+
+    assert C.run(["tag", "db.tg", "v1"], client, console, "u") == 0
+    assert f"Tagged commit '{head}' as 'v1'" in console.out[-1]
+    assert C.run(["tag", "db.tg"], client, console, "u") == 0
+    assert console.out[-1] == f"v1 {head}"
+
+    # immutable without --force; --force moves it; --delete drops it
+    assert C.run(["tag", "db.tg", "v1"], client, console, "u") == 1
+    assert "immutable" in console.err[-1]
+    assert C.run(
+        ["tag", "db.tg", "v1", "--commit", head, "--force"], client, console, "u"
+    ) == 0
+    assert C.run(["tag", "db.tg", "v1", "--delete"], client, console, "u") == 0
+    assert C.run(["tag", "db.tg", "v1", "--delete"], client, console, "u") == 1
+    assert "unknown tag" in console.err[-1]
+    assert C.run(["tag", "db.tg", "--delete"], client, console, "u") == 1  # needs name

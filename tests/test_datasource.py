@@ -177,3 +177,23 @@ def test_unknown_commit_id_raises_not_silent_head(spark, versioned_table):
         # schema resolution already folds the log → fails at load(), before
         # any scan is planned
         _reader(spark, table, root).option("commit", "no-such-commit").load()
+
+
+def test_tag_option_reads_pinned_state(spark, versioned_table):
+    """.option("tag", name) resolves through the tracker's tag pointer;
+    unknown tags and commit+tag together are errors."""
+    from chronicles_spark.trackers import FileBackedVersionTracker
+
+    table, root, first_commit = versioned_table
+    FileBackedVersionTracker(root).set_tag(table.name, "v1", first_commit)
+
+    df = _reader(spark, table, root).option("tag", "v1").load()
+    assert {r["user"] for r in df.collect()} == {"u1", "u2"}
+
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="unknown tag"):
+        _reader(spark, table, root).option("tag", "nope").load()
+    with pytest.raises(AnalysisException, match="not both"):
+        (_reader(spark, table, root)
+         .option("tag", "v1").option("commit", first_commit).load())

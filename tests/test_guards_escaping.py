@@ -182,3 +182,25 @@ def test_sqlite_zero_op_commit_survives_and_is_checkoutable():
     t.set_current_version(name, first)
     t.set_current_version(name, empty.metadata.commit_id)
     assert t.table_state(name).current_version == empty.metadata.commit_id
+
+
+def test_versioned_insert_guard_on_unset_overwrite_mode(spark, tmp_path):
+    """A vanilla session (conf never set) must hit OUR fail-fast guard, not
+    Spark 4's INVALID_CONF_VALUE from validating an invalid fallback."""
+    from chronicles_spark.spark import versioned_insert_into
+    from chronicles_spark.trackers import InMemoryVersionTracker
+
+    df = spark.range(3).selectExpr("id", "cast(id % 2 as string) as p")
+    table = TableDefinition(
+        TableName("t", "guard2"), str(tmp_path / "t2"), PartitionSchema(("p",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    try:
+        with pytest.raises(RuntimeError, match="partitionOverwriteMode"):
+            versioned_insert_into(df, table, tracker, "t", "m")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

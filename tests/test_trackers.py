@@ -265,3 +265,65 @@ def test_occ_unknown_expected_head(tracker):
             AddPartitionVersion(Partition.parse("date=2019-01-02"), generate_version()),
             expected_head="no-such-commit",
         )
+
+
+# -- tags (extension: git-tag-style data-version pinning) --------------------
+
+
+def test_tags_roundtrip_all_backends(tracker):
+    """set/list/resolve/delete across every backend, with head-default,
+    explicit-commit, immutability, and validation semantics."""
+    from chronicles_spark.trackers import UnknownTagError
+
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+    p = Partition((("date", "2020-01-01"),))
+    c1 = _commit(tracker, AddPartitionVersion(p, generate_version()))
+    c2 = _commit(tracker, AddPartitionVersion(p, generate_version()))
+
+    assert tracker.tags(T) == {}
+    assert tracker.set_tag(T, "corpus-v1", c1) == c1
+    assert tracker.set_tag(T, "latest") == c2  # default: current head
+    assert tracker.tags(T) == {"corpus-v1": c1, "latest": c2}
+    assert tracker.tag_commit(T, "corpus-v1") == c1
+
+    # the tag resolves the PINNED state even after more commits
+    c3 = _commit(tracker, AddPartitionVersion(p, generate_version()))
+    tv_tag = tracker.version_at_tag(T, "corpus-v1")
+    tv_c1 = tracker.version_at(T, c1)
+    assert tv_tag == tv_c1 != tracker.current_version(T)
+
+    # immutability: re-pinning raises unless forced
+    with pytest.raises(ValueError, match="immutable"):
+        tracker.set_tag(T, "corpus-v1", c2)
+    assert tracker.set_tag(T, "corpus-v1", c3, force=True) == c3
+
+    # validation: unknown commit / bad name / unknown tag / unknown table
+    with pytest.raises(UnknownCommitError):
+        tracker.set_tag(T, "bad", "no-such-commit")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        tracker.set_tag(T, "has/slash")
+    with pytest.raises(UnknownTagError):
+        tracker.tag_commit(T, "nope")
+    with pytest.raises(UnknownTableError):
+        tracker.tags(TableName("db", "ghost"))
+
+    tracker.delete_tag(T, "latest")
+    assert set(tracker.tags(T)) == {"corpus-v1"}
+    with pytest.raises(UnknownTagError):
+        tracker.delete_tag(T, "latest")
+
+
+def test_tags_survive_reload(tmp_path):
+    """Durable backends re-read tags from storage with a fresh instance."""
+    for make in (
+        lambda: FileBackedVersionTracker(str(tmp_path / "log")),
+        lambda: SqliteVersionTracker(str(tmp_path / "log.db")),
+    ):
+        tr = make()
+        tr.init_table(T, is_snapshot=False, user_id="a")
+        c1 = _commit(tr, AddPartitionVersion(
+            Partition((("date", "2020-01-01"),)), generate_version()
+        ))
+        tr.set_tag(T, "pin", c1)
+        again = make()
+        assert again.tags(T) == {"pin": c1}

@@ -321,3 +321,27 @@ def test_vacuum_sweep_orphans_snapshot_table(spark, tmp_path):
     removed = vacuum(table, tracker, sweep_orphans=True)
     assert removed == [orphan]
     assert {r["user"] for r in read_current(spark, table, tracker).collect()} == {"a"}
+
+
+def test_vacuum_keeps_tagged_versions(spark, versioned_3x):
+    """A tagged state's directories are pinned: vacuum skips them for the
+    life of the tag, and reclaims them after delete_tag."""
+    from chronicles_spark.spark import read_at_tag
+
+    table, tracker = versioned_3x
+    # tag the FIRST write of d1 (superseded twice since)
+    first_commit = list(tracker.table_state(table.name).updates)[1].metadata.commit_id
+    tracker.set_tag(table.name, "corpus-v1", first_commit)
+
+    removed = vacuum(table, tracker, keep_last=1)
+    # of the two superseded d1 versions only the UNtagged middle one goes
+    assert len(removed) == 1
+    assert len(_version_dirs(table, "2019-01-01")) == 2
+
+    pinned = read_at_tag(spark, table, tracker, "corpus-v1")
+    assert {r["user"] for r in pinned.collect()} == {"u0"}
+
+    tracker.delete_tag(table.name, "corpus-v1")
+    removed = vacuum(table, tracker, keep_last=1)
+    assert len(removed) == 1  # the previously pinned version is now GC-able
+    assert len(_version_dirs(table, "2019-01-01")) == 1
