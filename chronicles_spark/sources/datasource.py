@@ -16,6 +16,7 @@ syntax::
           .option("location", "/lake/events")   # table storage location
           .option("commit", "<commit-id>")      # optional time travel
           .option("tag", "corpus-v1")           # …or by pinned tag
+          .option("timestamp", "2024-01-01T00:00:00")  # …or as-of wall clock
           .option("pushdown", "true")           # partition-filter pruning
           .load())
 
@@ -108,10 +109,13 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
     name = TableName.parse(table)
     commit = options.get("commit")
     tag = options.get("tag")
-    if commit and tag:
-        raise ValueError("pass either commit or tag, not both")
+    timestamp = options.get("timestamp")
+    if sum(1 for o in (commit, tag, timestamp) if o) > 1:
+        raise ValueError("pass at most one of commit, tag, timestamp")
     if tag:
         commit = tracker.tag_commit(name, tag)  # raises UnknownTagError
+    elif timestamp:
+        commit = tracker.commit_at_timestamp(name, timestamp)
     if commit:
         # version_at raises UnknownCommitError on a typo'd id (a bare fold
         # would silently return HEAD) and takes the checkpoint+tail fast

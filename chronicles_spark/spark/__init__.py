@@ -6,11 +6,13 @@ from .reader import (
     live_paths,
     read_at_commit,
     read_at_tag,
+    read_at_timestamp,
     read_changes,
     read_current,
     read_version,
 )
 from .compact import compact_partitions
+from .manifest import generate_manifest
 from .vacuum import vacuum
 
 __all__ = [
@@ -20,9 +22,11 @@ __all__ = [
     "read_version",
     "read_at_commit",
     "read_at_tag",
+    "read_at_timestamp",
     "read_changes",
     "changed_partitions",
     "live_paths",
     "compact_partitions",
+    "generate_manifest",
     "vacuum",
 ]

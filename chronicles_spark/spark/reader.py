@@ -156,6 +156,22 @@ def read_at_commit(
     )
 
 
+def read_at_timestamp(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    ts,
+    keep_version_column: bool = False,
+) -> DataFrame:
+    """Delta-style timestamp time travel: read the state as of the newest
+    commit at or before ``ts`` (datetime, naive = UTC, or ISO-8601 string).
+    Raises UnknownCommitError when the table has no commit that early."""
+    return read_at_commit(
+        spark, table, tracker, tracker.commit_at_timestamp(table.name, ts),
+        keep_version_column,
+    )
+
+
 def read_at_tag(
     spark: SparkSession,
     table: TableDefinition,

@@ -301,6 +301,36 @@ class VersionTracker(abc.ABC):
         state = self.table_state(table)
         return fold.current_version(state.updates, state.current_version)
 
+    def commit_at_timestamp(self, table: TableName, ts) -> str:
+        """The NEWEST commit (in log order) whose metadata timestamp is
+        ≤ ``ts`` — Delta-style timestamp time travel resolution.  ``ts``
+        may be a datetime (naive = UTC) or an ISO-8601 string.  Raises
+        ``UnknownCommitError`` when the table has no commit that early.
+
+        Commit timestamps come from writer clocks; the log ORDER stays
+        authoritative — on (rare) non-monotonic timestamps the latest
+        log-ordered qualifying commit wins, so resolution is deterministic.
+        """
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best: Optional[str] = None
+        for u in self.table_state(table).updates:
+            uts = u.metadata.timestamp
+            if uts.tzinfo is None:
+                uts = uts.replace(tzinfo=timezone.utc)
+            if uts <= ts:
+                best = u.metadata.commit_id
+        if best is None:
+            raise UnknownCommitError(f"no commit at or before {ts.isoformat()}")
+        return best
+
+    def version_at_timestamp(self, table: TableName, ts):
+        """Resolved table state as of a wall-clock time — ``version_at``
+        at :meth:`commit_at_timestamp`'s resolution."""
+        return self.version_at(table, self.commit_at_timestamp(table, ts))
+
     def version_at(self, table: TableName, commit_id: str):
         """Fold ops up to an ARBITRARY existing commit — the read-only
         time-travel resolution (same cutoff semantics as current_version,

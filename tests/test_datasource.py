@@ -194,6 +194,30 @@ def test_tag_option_reads_pinned_state(spark, versioned_table):
 
     with pytest.raises(AnalysisException, match="unknown tag"):
         _reader(spark, table, root).option("tag", "nope").load()
-    with pytest.raises(AnalysisException, match="not both"):
+    with pytest.raises(AnalysisException, match="at most one"):
         (_reader(spark, table, root)
          .option("tag", "v1").option("commit", first_commit).load())
+
+
+def test_timestamp_option_reads_as_of_state(spark, versioned_table):
+    """.option("timestamp", iso) resolves the newest commit at-or-before the
+    given wall-clock time; combining selectors is an error."""
+    from pyspark.errors import AnalysisException
+
+    table, root, first_commit = versioned_table
+    tr = FileBackedVersionTracker(root)
+    updates = list(tr.table_state(table.name).updates)
+    ts_first = next(
+        u.metadata.timestamp for u in updates
+        if u.metadata.commit_id == first_commit
+    )
+
+    df = _reader(spark, table, root).option("timestamp", ts_first.isoformat()).load()
+    assert {r["user"] for r in df.collect()} == {"u1", "u2"}  # pre-overwrite
+
+    with pytest.raises(AnalysisException, match="no commit at or before"):
+        _reader(spark, table, root).option("timestamp", "1999-01-01T00:00:00").load()
+    with pytest.raises(AnalysisException, match="at most one"):
+        (_reader(spark, table, root)
+         .option("timestamp", ts_first.isoformat())
+         .option("commit", first_commit).load())

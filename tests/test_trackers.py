@@ -327,3 +327,31 @@ def test_tags_survive_reload(tmp_path):
         tr.set_tag(T, "pin", c1)
         again = make()
         assert again.tags(T) == {"pin": c1}
+
+
+def test_commit_at_timestamp_resolution(tracker):
+    """Timestamp time travel: newest commit at-or-before ts; naive = UTC;
+    ISO strings accepted; too-early timestamps raise."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    tracker.init_table(T, is_snapshot=False, user_id="a", timestamp=t0)
+    p = Partition((("date", "2020-01-01"),))
+    ids = []
+    for i in range(3):
+        meta = TableUpdateMetadata.new("a", f"c{i}", t0 + timedelta(hours=i + 1))
+        tracker.commit(T, TableUpdate(meta, (AddPartitionVersion(p, generate_version()),)))
+        ids.append(meta.commit_id)
+
+    mid = t0 + timedelta(hours=2)
+    assert tracker.commit_at_timestamp(T, mid) == ids[1]        # exact hit
+    assert tracker.commit_at_timestamp(T, mid + timedelta(minutes=30)) == ids[1]
+    assert tracker.commit_at_timestamp(T, "2024-01-01T03:30:00") == ids[2]
+    assert tracker.commit_at_timestamp(
+        T, datetime(2024, 1, 2)  # naive → UTC
+    ) == ids[2]
+    assert (
+        tracker.version_at_timestamp(T, mid) == tracker.version_at(T, ids[1])
+    )
+    with pytest.raises(UnknownCommitError):
+        tracker.commit_at_timestamp(T, t0 - timedelta(seconds=1))
