@@ -45,12 +45,24 @@ def compact_partitions(
     message: str = "compact",
     metastore=None,
     concurrency: str = "optimistic",
+    sort_by: Optional[Iterable[str]] = None,
+    stats_columns=None,
 ):
     """Rewrite the live data of ``partitions`` (default: all) into
     ``files_per_partition`` files each, as a fresh committed version.
 
     Returns ``(table_version, changes)`` from the underlying commit.
     Values are unchanged — only the file layout (and version) moves.
+
+    ``sort_by`` CLUSTERS each rewritten file on the given data columns
+    (``sortWithinPartitions`` — no extra shuffle beyond the compaction's
+    own).  That tightens parquet ROW-GROUP min-max ranges, so any engine's
+    row-group predicate pushdown on those columns skips instead of
+    scanning — the OPTIMIZE-style layout pass.  (Directory-level sidecar
+    skipping is unaffected: its min-max spans the whole version directory
+    regardless of row order.)  ``stats_columns`` forwards to the write's
+    sidecar harvest so the compacted version keeps its data-skipping
+    sidecars.
 
     Compaction is a read-modify-write, so it commits OPTIMISTICALLY by
     default (``concurrency="optimistic"``): if a concurrent writer
@@ -76,9 +88,12 @@ def compact_partitions(
                 raise ValueError(f"table {table.name} has no live data to compact")
         df = read_version(spark, table, current)
         out = df.repartition(files_per_partition)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
         return versioned_insert_into(
             out, table, tracker, user_id, message, metastore=metastore,
             concurrency=concurrency, base_head=base_head,
+            stats_columns=stats_columns,
         )
 
     assert isinstance(current, PartitionedTableVersion)
@@ -111,10 +126,18 @@ def compact_partitions(
             *[F.col(c) for c in part_cols],
             salt,
         )
+    if sort_by:
+        # prefix with the partition columns: the dynamic-partition write
+        # REQUIRES rows ordered by them and would otherwise inject its own
+        # (unstable) sort, destroying the clustering; with the partition
+        # cols leading, the write's required ordering is already satisfied
+        # and our sort_by order reaches the files intact
+        out = out.sortWithinPartitions(*part_cols, *sort_by)
     # the rewrite's partitions are exactly the selection — hand them over
     # so the commit never pays an O(table-partitions) directory walk
     return versioned_insert_into(
         out, table, tracker, user_id, message,
         metastore=metastore, partitions=list(selected),
         concurrency=concurrency, base_head=base_head,
+        stats_columns=stats_columns,
     )

@@ -266,3 +266,55 @@ def test_compact_conflicts_with_concurrent_overwrite(spark, tmp_path, monkeypatc
     # and last-writer-wins mode still allows the (dangerous) unchecked path
     monkeypatch.setattr(compact_mod, "read_version", real_read_version)
     compact_partitions(spark, table, tracker, "t", concurrency="last-writer-wins")
+
+
+def test_compact_sort_by_clusters_row_groups(spark, tmp_path):
+    """sort_by rewrites each partition's file with rows clustered on the
+    given column (tight row-group min-max for engine-side skipping), values
+    unchanged, and stats_columns re-harvests sidecars for the new version."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.spark import (
+        compact_partitions,
+        read_current,
+        versioned_insert_into,
+    )
+    from chronicles_spark.spark.reader import live_paths
+    from chronicles_spark.trackers import InMemoryVersionTracker
+
+    table = TableDefinition(
+        TableName("db", "sorted"), str(tmp_path / "sorted"), PartitionSchema(("date",))
+    )
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), "2019-01-01") for _ in range(500)]
+    df = spark.createDataFrame(rows, ["n", "date"]).repartition(8)
+    versioned_insert_into(df, table, tracker, "a", "v1")
+
+    compact_partitions(
+        spark, table, tracker, "a", files_per_partition=1,
+        sort_by=["n"], stats_columns="*",
+    )
+
+    [live_dir] = live_paths(table, tracker.current_version(table.name))
+    files = [
+        os.path.join(live_dir, f)
+        for f in os.listdir(live_dir)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1  # compacted to one file
+    col = pq.read_table(files[0], columns=["n"])["n"].to_pylist()
+    assert col == sorted(col)  # clustered
+    assert sorted(col) == sorted(n for n, _ in rows)  # values unchanged
+
+    sidecar = json.load(open(os.path.join(live_dir, "_chronicles_stats.json")))
+    assert sidecar["columns"]["n"]["min"] == min(col)
+    assert sidecar["columns"]["n"]["max"] == max(col)
+    assert read_current(spark, table, tracker).count() == 500
