@@ -35,7 +35,11 @@ from chronicles_spark.spark import (
     read_current,
     versioned_insert_into,
 )
-from chronicles_spark.spark.reader import read_at_commit
+from chronicles_spark.spark.reader import (
+    read_at_commit,
+    read_at_tag,
+    read_at_timestamp,
+)
 from chronicles_spark.trackers import FileBackedVersionTracker
 from chronicles_spark.operators import (
     dedup as DD,
@@ -418,17 +422,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
     def q_time_travel_read(spark, sf):
+        # time travel via BOTH resolutions sharing one oracle: the commit id
+        # path (read_at_commit ≙ version_at) and the as-of-timestamp path
+        # (commit_at_timestamp must resolve the first commit's own
+        # timestamp back to that commit; the read then goes through the
+        # identical fold+read machinery)
         table, tracker, first_commit = _write_versioned_events(spark, sf)
-        return read_at_commit(spark, table, tracker, first_commit).select(
+        ts = next(
+            u.metadata.timestamp
+            for u in tracker.table_state(table.name).updates
+            if u.metadata.commit_id == first_commit
+        )
+        resolved = tracker.commit_at_timestamp(table.name, ts)
+        if resolved != first_commit:  # pragma: no cover - correctness gate
+            raise AssertionError(
+                f"timestamp resolution {resolved} != commit-id path {first_commit}"
+            )
+        return read_at_timestamp(spark, table, tracker, ts).select(
             *_EVENTS_VIEW_COLS
         )
 
     def q_compact_roundtrip(spark, sf):
         # small-file compaction (spark/compact.py): live partitions
         # rewritten as ONE file each via a fresh committed version; values
-        # must be byte-identical to the plain events oracle
+        # must be byte-identical to the plain events oracle.  The read goes
+        # through TAG resolution (read_at_tag ≙ tag_commit + version_at):
+        # the post-compaction head is pinned and read back by name, so the
+        # data-version-pinning path shares this oracle.
         table, tracker = _compact_fixture(spark, sf)
-        return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
+        try:
+            tracker.set_tag(table.name, "post-compact")
+        except ValueError:
+            pass  # memoized fixture: tag already pinned at this head
+        return read_at_tag(spark, table, tracker, "post-compact").select(
+            *_EVENTS_VIEW_COLS
+        )
 
     def q_read_changes(spark, sf):
         # incremental CDC read (spark/reader.py): partitions whose live

@@ -19,11 +19,15 @@ itself.
 
 Semantics:
 
-* **Full regeneration per call** (Delta's model): the previous manifest
-  tree is replaced, so stale partitions disappear and every manifest
-  reflects exactly one consistent fold of the log.  Writers call it after
-  commits (or schedule it); a manifest is always a point-in-time snapshot,
-  not transactionally tied to the log.
+* **Full regeneration per call** (Delta's model): every call re-derives
+  the whole tree from one consistent fold of the log — but WITHOUT a
+  visibility gap: live partitions' manifests are overwritten in place
+  (atomic per file), and only the manifests of partitions that are no
+  longer live are deleted, afterwards.  An external engine planning a
+  query mid-regeneration always finds a complete manifest for every
+  still-live partition (old or new content, never absent).  Writers call
+  it after commits (or schedule it); a manifest is a point-in-time
+  snapshot, not transactionally tied to the log.
 * Only DATA files are listed (dotfiles, ``_SUCCESS``-style markers, and
   the ``_chronicles_stats.json`` sidecar are excluded).
 * Scale shape: one listing + one small write per live partition; above
@@ -61,6 +65,24 @@ def _data_files(fs, version_dir: str) -> List[str]:
         if not fs.is_dir(p):
             out.append(p)
     return sorted(out)
+
+
+def _existing_manifest_rels(fs, manifest_root: str) -> set:
+    """Relative subpaths ("" = table root) that currently hold a manifest
+    file — the prune set for partitions that stopped being live."""
+    rels: set = set()
+
+    def walk(d: str, rel: str) -> None:
+        for name in fs.list_dir(d):
+            p = fs.join(d, name)
+            if name == MANIFEST_FILE and not fs.is_dir(p):
+                rels.add(rel)
+            elif fs.is_dir(p):
+                walk(p, f"{rel}/{name}" if rel else name)
+
+    if fs.exists(manifest_root):
+        walk(manifest_root, "")
+    return rels
 
 
 def generate_manifest(
@@ -101,9 +123,8 @@ def generate_manifest(
                 (escaped_rel, vpaths.path_for(partition.resolve_path(location), version))
             )
 
-    # full regeneration: replace the old tree so stale partitions vanish
-    fs.remove_tree(manifest_root)
-    if not jobs:
+    if not jobs:  # nothing live: the whole tree is stale
+        fs.remove_tree(manifest_root)
         return []
 
     location_url = table.location
@@ -123,12 +144,26 @@ def generate_manifest(
             written.append(target)
         return written
 
+    # remember what exists BEFORE writing so stale manifests (partitions no
+    # longer live) can be pruned after — never delete before the new tree
+    # is complete, or external queries would hit a manifest-less window
+    stale = _existing_manifest_rels(fs, manifest_root)
+    stale.difference_update(rel or "" for rel, _ in jobs)
+
     if not distributed or len(jobs) <= DISTRIBUTE_THRESHOLD:
-        return sorted(_write(jobs))
-    sc = spark.sparkContext
-    n_slices = max(1, min(len(jobs), sc.defaultParallelism))
-    return sorted(
-        sc.parallelize(jobs, n_slices)
-        .mapPartitions(lambda it: _write(list(it)))
-        .collect()
-    )
+        written = sorted(_write(jobs))
+    else:
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(jobs), sc.defaultParallelism))
+        written = sorted(
+            sc.parallelize(jobs, n_slices)
+            .mapPartitions(lambda it: _write(list(it)))
+            .collect()
+        )
+
+    for rel in stale:
+        if rel:
+            fs.remove_tree(fs.join(manifest_root, rel))
+        else:
+            fs.remove_file(fs.join(manifest_root, MANIFEST_FILE))
+    return written

@@ -67,7 +67,7 @@ def _orphan_version_dirs(
     fs, base: str, depth: int, known_paths: set, cutoff: datetime
 ) -> List[str]:
     """``_version=`` directories on storage that the log never recorded and
-    whose embedded timestamp is older than ``cutoff``.
+    that are provably older than ``cutoff``.
 
     Version dirs live exactly ``depth`` partition levels under ``base``;
     partition levels are ``k=v`` directories.  Anything not matching that
@@ -75,7 +75,13 @@ def _orphan_version_dirs(
     left alone.  The age guard exists because a missing log entry cannot
     distinguish "crashed write" from "write still in flight between its
     data write and its commit"; a cutoff far above any real write duration
-    (default 7 days) makes the sweep safe."""
+    (default 7 days) makes the sweep safe.  Age is judged by BOTH the
+    label-embedded timestamp AND (where the backend tracks it) the
+    directory's storage mtime — so a writer with a badly skewed clock, or
+    a caller injecting a historical ``version=`` label, cannot have its
+    in-flight directory swept: the freshly written files keep the mtime
+    young."""
+    cutoff_epoch = cutoff.replace(tzinfo=timezone.utc).timestamp()
     out: List[str] = []
 
     def walk(d: str, lvl: int) -> None:
@@ -84,11 +90,15 @@ def _orphan_version_dirs(
             if lvl == depth:
                 if not name.startswith(_VERSION_DIR_PREFIX):
                     continue
-                if p in known_paths:
-                    continue
+                if p in known_paths or not fs.is_dir(p):
+                    continue  # recorded, or a stray FILE masquerading
                 ts = _label_timestamp(name[len(_VERSION_DIR_PREFIX):])
-                if ts is not None and ts < cutoff:
-                    out.append(p)
+                if ts is None or ts >= cutoff:
+                    continue
+                mt = fs.mtime(p)
+                if mt is not None and mt >= cutoff_epoch:
+                    continue  # storage says it's younger than the label
+                out.append(p)
             elif "=" in name and not name.startswith(_VERSION_DIR_PREFIX) and fs.is_dir(p):
                 walk(p, lvl + 1)
 
@@ -164,8 +174,12 @@ def vacuum(
     # same way a local one does
     fs, location = filesystem_for(table.location)
 
-    # candidate list from log metadata only — no FS calls yet
+    # ONE pass over the log metadata builds both the superseded-candidate
+    # list and (for the orphan sweep) the every-recorded-version-dir set —
+    # a single place resolves (partition, version) → path, so the GC
+    # decision and the orphan-protection set can never diverge
     candidates: List[str] = []
+    known_paths: set = set()
     for key, versions in by_part.items():
         partition = part_objs[key]
         # resolve_path applies the same Hive-style escaping the writer uses
@@ -175,28 +189,16 @@ def vacuum(
             else location
         )
         for v in versions:
-            if (key, v.label) in keep:
-                continue
             if v.is_unversioned:
                 # the adopt-in-place sentinel maps to the BARE partition/table
                 # path (VersionPaths.scala:19-20) — deleting it would take the
                 # whole table (nested _version dirs included) with it
                 continue
-            candidates.append(vpaths.path_for(base, v))
+            p = vpaths.path_for(base, v)
+            known_paths.add(p)
+            if (key, v.label) not in keep:
+                candidates.append(p)
     if sweep_orphans:
-        # every (partition, version) the log has EVER recorded is known —
-        # a dir outside this set was written by a commit that never landed
-        known_paths: set = set()
-        for key, versions in by_part.items():
-            partition = part_objs[key]
-            base = (
-                partition.resolve_path(location)
-                if partition is not None
-                else location
-            )
-            for v in versions:
-                if not v.is_unversioned:
-                    known_paths.add(vpaths.path_for(base, v))
         # partition depth from the log itself when possible (a CLI caller's
         # TableDefinition may carry a placeholder schema); schema fallback
         # only for a log with no partition writes yet
@@ -243,6 +245,18 @@ def vacuum(
                 )
         else:
             orphans = _orphan_version_dirs(fs, location, depth, known_paths, cutoff)
+        if orphans:
+            # re-read the log AFTER the walk: a commit that landed while
+            # the sweep listed storage legitimizes its directory — drop it
+            # from the doomed set rather than deleting a just-committed dir
+            fresh_known = {
+                vpaths.path_for(
+                    p.resolve_path(location) if p is not None else location, v
+                )
+                for p, v in _versions_ever_written(tracker, table)
+                if not v.is_unversioned
+            }
+            orphans = [p for p in orphans if p not in fresh_known]
         candidates.extend(orphans)
 
     candidates = sorted(set(candidates))

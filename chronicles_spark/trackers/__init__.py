@@ -36,7 +36,12 @@ def tracker_for_url(root: str) -> VersionTracker:
     root = str(root)
     if root.startswith("sqlite://"):
         return SqliteVersionTracker(root[len("sqlite://"):] or ":memory:")
-    if root.rsplit("/", 1)[-1].endswith((".db", ".sqlite", ".sqlite3")):
+    # the suffix sniff applies ONLY to scheme-less local paths: a
+    # memory://…/log.db or s3://…/x.db root is a FILE-backed log on that
+    # store, and sqlite3.connect cannot open URLs anyway
+    if "://" not in root and root.rsplit("/", 1)[-1].endswith(
+        (".db", ".sqlite", ".sqlite3")
+    ):
         return SqliteVersionTracker(root)
     return FileBackedVersionTracker(root)
 

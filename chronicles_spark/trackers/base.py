@@ -35,8 +35,8 @@ class UnknownTableError(KeyError):
 
 
 class UnknownCommitError(KeyError):
-    def __init__(self, commit_id: str):
-        super().__init__(f"unknown commit: {commit_id}")
+    def __init__(self, commit_id: Optional[str], message: Optional[str] = None):
+        super().__init__(message or f"unknown commit: {commit_id}")
         self.commit_id = commit_id
 
 
@@ -261,17 +261,22 @@ class VersionTracker(abc.ABC):
                 f"invalid tag name {name!r}: use letters/digits/._- "
                 "(max 100 chars, must start alphanumeric)"
             )
-        state = self.table_state(table)  # raises UnknownTableError
-        if commit_id is None:
-            commit_id = state.current_version
-        elif not any(u.metadata.commit_id == commit_id for u in state.updates):
-            raise UnknownCommitError(commit_id)
-        if not force and name in self._read_tags(table):
-            raise ValueError(
-                f"tag {name!r} already exists on {table}; tags are "
-                "immutable — pass force=True to move it"
-            )
-        self._write_tag(table, name, commit_id)
+        # the exists-check-then-write is bracketed by the backend's commit
+        # serialization (flock / RLock / sqlite txn lock) so two racing
+        # set_tag calls cannot both pass the immutability check — same
+        # atomicity story (and same unlocked-files caveat) as commits
+        with self._serialized_commit(table):
+            state = self.table_state(table)  # raises UnknownTableError
+            if commit_id is None:
+                commit_id = state.current_version
+            elif not any(u.metadata.commit_id == commit_id for u in state.updates):
+                raise UnknownCommitError(commit_id)
+            if not force and name in self._read_tags(table):
+                raise ValueError(
+                    f"tag {name!r} already exists on {table}; tags are "
+                    "immutable — pass force=True to move it"
+                )
+            self._write_tag(table, name, commit_id)
         return commit_id
 
     def tags(self, table: TableName) -> Dict[str, str]:
@@ -323,7 +328,9 @@ class VersionTracker(abc.ABC):
             if uts <= ts:
                 best = u.metadata.commit_id
         if best is None:
-            raise UnknownCommitError(f"no commit at or before {ts.isoformat()}")
+            raise UnknownCommitError(
+                None, f"no commit at or before {ts.isoformat()}"
+            )
         return best
 
     def version_at_timestamp(self, table: TableName, ts):

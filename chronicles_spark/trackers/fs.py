@@ -49,6 +49,12 @@ class FileSystem(abc.ABC):
     def remove_file(self, path: str) -> None:
         """Delete a single file (no-op if absent)."""
 
+    def mtime(self, path: str) -> "float | None":
+        """Last-modified epoch seconds, or None when the backend does not
+        track it (non-abstract default so wrappers/stubs keep working) —
+        callers must treat None conservatively."""
+        return None
+
     def join(self, *parts: str) -> str:
         return posixpath.join(*parts)
 
@@ -102,6 +108,12 @@ class LocalFileSystem(FileSystem):
 
     def remove_file(self, path: str) -> None:
         Path(path).unlink(missing_ok=True)
+
+    def mtime(self, path: str) -> "float | None":
+        try:
+            return Path(path).stat().st_mtime
+        except OSError:
+            return None
 
     def join(self, *parts: str) -> str:
         return str(Path(parts[0]).joinpath(*parts[1:]))
@@ -214,6 +226,18 @@ class FsspecFileSystem(FileSystem):
     def remove_file(self, path: str) -> None:
         if self._fs.exists(path):
             self._fs.rm(path)
+
+    def mtime(self, path: str) -> "float | None":
+        try:
+            info = self._fs.info(path)
+        except (FileNotFoundError, OSError):
+            return None
+        ts = info.get("mtime") or info.get("LastModified")
+        if ts is None:
+            return None
+        if hasattr(ts, "timestamp"):
+            return ts.timestamp()
+        return float(ts)
 
 
 def filesystem_for(url: str) -> Tuple[FileSystem, str]:

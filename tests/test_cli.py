@@ -335,6 +335,10 @@ def test_vacuum_sweep_orphans_flag(tmp_path):
     v_orph = generate_version(datetime.now(timezone.utc) - timedelta(days=9))
     orphan = loc / "date=2019-01-01" / "region=us" / f"_version={v_orph.label}"
     orphan.mkdir(parents=True)
+    import time
+
+    old = time.time() - 9 * 86400
+    os.utime(orphan, (old, old))  # the sweep checks storage mtime too
 
     client.vacuum(C.VacuumAction(t, str(loc), 1, False))  # default: blind
     assert "Would remove 0" in console.out[-1]

@@ -317,6 +317,9 @@ def test_sqlite_root_streams_and_batch_reads(spark, tmp_path):
     tracker = SqliteVersionTracker(db)
     assert isinstance(tracker_for_url(db), SqliteVersionTracker)
     assert isinstance(tracker_for_url(f"sqlite://{db}"), SqliteVersionTracker)
+    # the suffix sniff must NOT fire through a scheme: memory://…/log.db is
+    # a file-backed log on the in-memory store, not a sqlite file
+    assert isinstance(tracker_for_url("memory://b/log.db"), FileBackedVersionTracker)
     table = TableDefinition(
         TableName("demo", "sq"), str(tmp_path / "sq"), PartitionSchema(("date",))
     )

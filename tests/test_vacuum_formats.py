@@ -231,7 +231,9 @@ def test_vacuum_never_deletes_unversioned_adopted_data(spark, tmp_path):
 
 def _plant_orphan(table, part, age_days):
     """A version directory no commit ever recorded (crashed-write debris),
-    with its label timestamp backdated by ``age_days``."""
+    with BOTH its label timestamp and its storage mtime backdated by
+    ``age_days`` (the sweep requires both to exceed the age cutoff)."""
+    import time
     from datetime import datetime, timedelta, timezone
 
     from chronicles_spark.core.version import generate_version
@@ -241,6 +243,8 @@ def _plant_orphan(table, part, age_days):
     os.makedirs(d)
     with open(os.path.join(d, "part-00000.parquet"), "w") as f:
         f.write("debris")
+    old = time.time() - age_days * 86400
+    os.utime(d, (old, old))
     return d
 
 
@@ -317,6 +321,10 @@ def test_vacuum_sweep_orphans_snapshot_table(spark, tmp_path):
     v = generate_version(datetime.now(timezone.utc) - timedelta(days=9))
     orphan = os.path.join(table.location, f"_version={v.label}")
     os.makedirs(orphan)
+    import time
+
+    old = time.time() - 9 * 86400
+    os.utime(orphan, (old, old))  # the sweep checks storage mtime too
 
     removed = vacuum(table, tracker, sweep_orphans=True)
     assert removed == [orphan]
@@ -345,3 +353,44 @@ def test_vacuum_keeps_tagged_versions(spark, versioned_3x):
     removed = vacuum(table, tracker, keep_last=1)
     assert len(removed) == 1  # the previously pinned version is now GC-able
     assert len(_version_dirs(table, "2019-01-01")) == 1
+
+
+def test_vacuum_sweep_keeps_old_label_fresh_mtime(spark, versioned_3x):
+    """A directory whose LABEL is backdated but whose files were written
+    just now (skewed writer clock, or an injected historical ``version=``)
+    is potentially an in-flight write — the mtime cross-check must keep it
+    even though the label alone clears the age cutoff."""
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.version import generate_version
+
+    table, tracker = versioned_3x
+    v = generate_version(datetime.now(timezone.utc) - timedelta(days=30))
+    d = os.path.join(table.location, "date=2019-01-01", f"_version={v.label}")
+    os.makedirs(d)  # storage mtime = NOW
+
+    doomed = vacuum(table, tracker, keep_last=3, sweep_orphans=True, dry_run=True)
+    assert doomed == []
+    assert os.path.isdir(d)
+
+
+def test_vacuum_sweep_ignores_stray_version_named_file(spark, versioned_3x):
+    """A plain FILE named _version=<old-label> must never become a
+    candidate (remove_tree can't delete it; it would be re-reported as
+    'removed' forever)."""
+    import time
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.version import generate_version
+
+    table, tracker = versioned_3x
+    v = generate_version(datetime.now(timezone.utc) - timedelta(days=30))
+    f = os.path.join(table.location, "date=2019-01-01", f"_version={v.label}")
+    with open(f, "w") as fh:
+        fh.write("not a directory")
+    old = time.time() - 30 * 86400
+    os.utime(f, (old, old))
+
+    doomed = vacuum(table, tracker, keep_last=3, sweep_orphans=True, dry_run=True)
+    assert doomed == []
+    assert os.path.isfile(f)
