@@ -11,7 +11,7 @@ from .reader import (
     read_current,
     read_version,
 )
-from .compact import compact_partitions
+from .compact import compact_partitions, zorder_column
 from .manifest import generate_manifest
 from .vacuum import vacuum
 
@@ -27,6 +27,7 @@ __all__ = [
     "changed_partitions",
     "live_paths",
     "compact_partitions",
+    "zorder_column",
     "generate_manifest",
     "vacuum",
 ]

@@ -20,9 +20,9 @@ their pointers don't change, so compacting one hot partition of a
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable, List, Optional
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.model import (
     Partition,
@@ -33,6 +33,75 @@ from ..core.model import (
 from ..trackers.base import VersionTracker
 from .reader import read_version
 from .writer import versioned_insert_into
+
+
+def zorder_column(
+    df: DataFrame,
+    columns: List[str],
+    bits_per_column: Optional[int] = None,
+    boundaries: Optional[dict] = None,
+) -> "F.Column":
+    """Z-value (Morton code) expression over ``columns`` — the multi-column
+    interleaved clustering key behind OPTIMIZE ZORDER.
+
+    Each column is mapped to a quantile-based bucket id (boundaries from
+    one sample-based ``approxQuantile`` pass — driver-side metadata, the
+    only non-lazy step) and the buckets' bits are interleaved, so rows
+    close in z-value are close in EVERY z-ordered dimension.  Quantile
+    (not uniform) bucketing makes the code robust to skewed value
+    distributions.  The returned expression is pure JVM column arithmetic
+    (whole-stage codegen; no Python on data).
+
+    Columns must be numeric (or castable to double; uncastable values land
+    in bucket 0 with the nulls).  ``bits_per_column`` defaults to
+    ``min(6, 63 // len(columns))`` — 64 buckets per column, enough for
+    row-group-level locality while keeping the bucket expression (one
+    comparison per boundary) small enough for whole-stage codegen."""
+    if not columns:
+        raise ValueError("zorder needs at least one column")
+    bits = bits_per_column or min(6, 63 // len(columns))
+    if bits < 1 or bits * len(columns) > 63:
+        raise ValueError(
+            f"{len(columns)} columns × {bits} bits exceeds a 64-bit z-value"
+        )
+    n_buckets = 1 << bits
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        # one sampled pass over the data for ALL columns' boundaries
+        numeric = df.select(
+            *[F.col(c).cast("double").alias(c) for c in columns]
+        )
+        boundaries = dict(zip(columns, numeric.approxQuantile(columns, qs, 0.01)))
+    # ``boundaries`` (column → ascending cut points, ≤ 2^bits - 1 of them)
+    # is injectable for deterministic tests and for callers that already
+    # know their value distribution
+
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(columns):
+        col = F.col(c).cast("double")
+        bucket = F.lit(0)
+        for b in boundaries[c]:
+            bucket = bucket + F.when(col > F.lit(float(b)), 1).otherwise(0)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")  # nulls → bucket 0
+        for i in range(bits):
+            # bit i of this column's bucket → interleaved position i*k + j
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * len(columns) + j,
+            )
+    return z
+
+
+def _clustering(df, part_cols, sort_by, zorder_by):
+    """(df [+ a ``_chronicles_zval`` column], in-file ordering columns).
+    The zval column is computed here and dropped by the caller AFTER the
+    sort, so it never reaches the written files."""
+    if zorder_by:
+        df = df.withColumn("_chronicles_zval", zorder_column(df, list(zorder_by)))
+        return df, (*part_cols, "_chronicles_zval")
+    if sort_by:
+        return df, (*part_cols, *sort_by)
+    return df, ()
 
 
 def compact_partitions(
@@ -46,6 +115,7 @@ def compact_partitions(
     metastore=None,
     concurrency: str = "optimistic",
     sort_by: Optional[Iterable[str]] = None,
+    zorder_by: Optional[Iterable[str]] = None,
     stats_columns=None,
 ):
     """Rewrite the live data of ``partitions`` (default: all) into
@@ -58,8 +128,13 @@ def compact_partitions(
     (``sortWithinPartitions`` — no extra shuffle beyond the compaction's
     own).  That tightens parquet ROW-GROUP min-max ranges, so any engine's
     row-group predicate pushdown on those columns skips instead of
-    scanning — the OPTIMIZE-style layout pass.  (Directory-level sidecar
-    skipping is unaffected: its min-max spans the whole version directory
+    scanning — the OPTIMIZE-style layout pass.  ``zorder_by`` is the
+    multi-column variant (OPTIMIZE ZORDER): rows are ordered by a
+    quantile-bucketed Morton code (:func:`zorder_column`), giving locality
+    in EVERY listed dimension at once — the right choice when queries
+    filter on several columns; ``sort_by`` beats it when one column
+    dominates.  Mutually exclusive.  (Directory-level sidecar skipping is
+    unaffected by either: its min-max spans the whole version directory
     regardless of row order.)  ``stats_columns`` forwards to the write's
     sidecar harvest so the compacted version keeps its data-skipping
     sidecars.
@@ -74,6 +149,8 @@ def compact_partitions(
     restore unchecked commits."""
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
+    if sort_by and zorder_by:
+        raise ValueError("pass either sort_by or zorder_by, not both")
     base_head = tracker.table_state(table.name).current_version
     current = tracker.current_version(table.name)
 
@@ -88,8 +165,9 @@ def compact_partitions(
                 raise ValueError(f"table {table.name} has no live data to compact")
         df = read_version(spark, table, current)
         out = df.repartition(files_per_partition)
-        if sort_by:
-            out = out.sortWithinPartitions(*sort_by)
+        out, order_cols = _clustering(out, (), sort_by, zorder_by)
+        if order_cols:
+            out = out.sortWithinPartitions(*order_cols).drop("_chronicles_zval")
         return versioned_insert_into(
             out, table, tracker, user_id, message, metastore=metastore,
             concurrency=concurrency, base_head=base_head,
@@ -126,13 +204,14 @@ def compact_partitions(
             *[F.col(c) for c in part_cols],
             salt,
         )
-    if sort_by:
+    out, order_cols = _clustering(out, tuple(part_cols), sort_by, zorder_by)
+    if order_cols:
         # prefix with the partition columns: the dynamic-partition write
         # REQUIRES rows ordered by them and would otherwise inject its own
         # (unstable) sort, destroying the clustering; with the partition
         # cols leading, the write's required ordering is already satisfied
-        # and our sort_by order reaches the files intact
-        out = out.sortWithinPartitions(*part_cols, *sort_by)
+        # and our clustering order reaches the files intact
+        out = out.sortWithinPartitions(*order_cols).drop("_chronicles_zval")
     # the rewrite's partitions are exactly the selection — hand them over
     # so the commit never pays an O(table-partitions) directory walk
     return versioned_insert_into(
