@@ -127,6 +127,17 @@ class TagAction:
 
 
 @dataclass(frozen=True)
+class ManifestAction:
+    """Extension beyond the reference CLI verbs: symlink-format manifest
+    export (spark/manifest.py) for external engines.  ``incremental=True``
+    rewrites only partitions changed since the last export."""
+
+    table: TableName
+    location: str
+    incremental: bool = False
+
+
+@dataclass(frozen=True)
 class VacuumAction:
     """Extension beyond the reference CLI verbs: reclaim superseded version
     directories (spark/vacuum.py) — dry-run by default, ``--apply`` deletes.
@@ -316,6 +327,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--force", action="store_true", help="Move an existing tag (tags are immutable by default)"
     )
 
+    p_man = sub.add_parser(
+        "manifest", help="Export symlink-format manifests for external engines"
+    )
+    p_man.add_argument("table")
+    p_man.add_argument("--location", required=True, help="Table storage root")
+    p_man.add_argument(
+        "--incremental", action="store_true",
+        help="Rewrite only partitions changed since the last export",
+    )
+
     p_vac = sub.add_parser(
         "vacuum", help="Reclaim superseded version directories (dry-run by default)"
     )
@@ -374,6 +395,8 @@ def parse_action(argv: Sequence[str]):
         return ns, TagAction(
             _table_name(ns.table), ns.name, ns.commit, ns.delete, ns.force
         )
+    if ns.command == "manifest":
+        return ns, ManifestAction(_table_name(ns.table), ns.location, ns.incremental)
     if ns.command == "vacuum":
         return ns, VacuumAction(
             _table_name(ns.table), ns.location, ns.keep_last, ns.apply,
@@ -415,6 +438,8 @@ class CliClient:
             self.checkout(action.table, action.commit_id)
         elif isinstance(action, TagAction):
             self.tag(action)
+        elif isinstance(action, ManifestAction):
+            self.manifest(action)
         elif isinstance(action, VacuumAction):
             self.vacuum(action)
         else:
@@ -496,6 +521,25 @@ class CliClient:
         self.console.println(
             f"Tagged commit '{cid}' as '{action.name}' on table "
             f"'{action.table.fully_qualified}'"
+        )
+
+    def manifest(self, action: ManifestAction) -> None:
+        from .spark.manifest import generate_manifest
+
+        is_snapshot = self.delegate.tracker.is_snapshot_table(action.table)
+        table = TableDefinition(
+            action.table,
+            location=action.location,
+            partition_schema=PartitionSchema(() if is_snapshot else ("p",)),
+        )
+        written = generate_manifest(
+            table, self.delegate.tracker, incremental=action.incremental
+        )
+        for path in written:
+            self.console.println(path)
+        self.console.println(
+            f"Wrote {len(written)} manifest file{'s' if len(written) != 1 else ''}"
+            f"{' (incremental)' if action.incremental else ''}"
         )
 
     def vacuum(self, action: VacuumAction) -> None:

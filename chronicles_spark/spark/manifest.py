@@ -52,6 +52,7 @@ from .stats import DISTRIBUTE_THRESHOLD, STATS_FILE
 
 MANIFEST_DIR = "_chronicles_manifest"
 MANIFEST_FILE = "manifest"
+POINTER_FILE = "_last_manifest"
 
 
 def _data_files(fs, version_dir: str) -> List[str]:
@@ -65,6 +66,27 @@ def _data_files(fs, version_dir: str) -> List[str]:
         if not fs.is_dir(p):
             out.append(p)
     return sorted(out)
+
+
+def _read_pointer(fs, manifest_root: str) -> Optional[str]:
+    """Commit id the manifest tree currently reflects, or None."""
+    import json
+
+    try:
+        return json.loads(
+            fs.read_text(fs.join(manifest_root, POINTER_FILE))
+        )["commit_id"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _write_pointer(fs, manifest_root: str, commit_id: str) -> None:
+    import json
+
+    fs.mkdirs(manifest_root)
+    fs.write_text(
+        fs.join(manifest_root, POINTER_FILE), json.dumps({"commit_id": commit_id})
+    )
 
 
 def _existing_manifest_rels(fs, manifest_root: str) -> set:
@@ -85,15 +107,35 @@ def _existing_manifest_rels(fs, manifest_root: str) -> set:
     return rels
 
 
+def _rel_and_dir(location: str, partition, version) -> Tuple[str, str]:
+    """(manifest subpath, live version dir) for one partition — the
+    manifest subtree mirrors the on-disk (Hive-escaped) directory names,
+    not the raw log values."""
+    return (
+        partition.resolve_path("")[1:],
+        vpaths.path_for(partition.resolve_path(location), version),
+    )
+
+
 def generate_manifest(
     table: TableDefinition,
     tracker: VersionTracker,
     distributed: bool = False,
     spark=None,
+    incremental: bool = False,
 ) -> List[str]:
     """(Re)write the manifest tree for the table's CURRENT state; returns
     the manifest file paths written.  ``distributed=True`` fans the
-    per-partition listing+write out to executors (pass ``spark``)."""
+    per-partition listing+write out to executors (pass ``spark``).
+
+    ``incremental=True`` makes repeated runs **O(changed partitions)**: a
+    ``_last_manifest`` pointer records the commit the tree reflects, and
+    the next run diffs pointer → head (the M12 metadata diff) to rewrite
+    only added/overwritten partitions' manifests and delete removed ones —
+    the steady-state mode for a scheduled export on a 100k-partition
+    table.  Falls back to a full rebuild when no valid pointer exists.
+    Crash-safe: the pointer is written only after the manifests, so an
+    interrupted run re-covers its window on the next call."""
     if distributed and spark is None:
         raise ValueError("distributed manifest export needs spark=...")
     if distributed and table.location.startswith("memory://"):
@@ -104,28 +146,57 @@ def generate_manifest(
 
     fs, location = filesystem_for(table.location)
     manifest_root = fs.join(location, MANIFEST_DIR)
+    head = tracker.table_state(table.name).current_version
 
-    live = tracker.current_version(table.name)
-    # (relative manifest subpath | None, live version dir)
+    stale_rels: Optional[set] = None  # None = derive by walking (full mode)
     jobs: List[Tuple[Optional[str], str]] = []
-    if isinstance(live, SnapshotTableVersion):
-        if not live.version.is_unversioned or fs.exists(location):
-            jobs.append((None, vpaths.path_for(location, live.version)))
-    else:
-        assert isinstance(live, PartitionedTableVersion)
-        for partition, version in sorted(
-            live.partition_versions.items(), key=lambda kv: kv[0].path
-        ):
-            # the manifest subtree mirrors the on-disk (Hive-escaped)
-            # partition directory names, not the raw log values
-            escaped_rel = partition.resolve_path("")[1:]
-            jobs.append(
-                (escaped_rel, vpaths.path_for(partition.resolve_path(location), version))
+    if incremental:
+        base_commit = _read_pointer(fs, manifest_root)
+        delta = None
+        if base_commit is not None and base_commit != head:
+            from ..core.diff import (
+                AddPartition,
+                RemovePartitionOp,
+                UpdatePartitionVersion,
+                UpdateTableVersion,
             )
+            from .reader import changed_partitions
 
-    if not jobs:  # nothing live: the whole tree is stale
-        fs.remove_tree(manifest_root)
-        return []
+            try:
+                delta, _ = changed_partitions(table, tracker, base_commit, head)
+            except ValueError:
+                delta = None  # pointer from another life: full rebuild
+        if base_commit == head:
+            return []  # tree already reflects the head
+        if delta is not None:
+            stale_rels = set()
+            for op in delta:
+                if isinstance(op, (AddPartition, UpdatePartitionVersion)):
+                    jobs.append(_rel_and_dir(location, op.partition, op.version))
+                elif isinstance(op, RemovePartitionOp):
+                    stale_rels.add(op.partition.resolve_path("")[1:])
+                elif isinstance(op, UpdateTableVersion):
+                    jobs.append((None, vpaths.path_for(location, op.version)))
+            if not jobs and not stale_rels:
+                _write_pointer(fs, manifest_root, head)
+                return []
+
+    if stale_rels is None:  # full rebuild
+        live = tracker.current_version(table.name)
+        if isinstance(live, SnapshotTableVersion):
+            if not live.version.is_unversioned or fs.exists(location):
+                jobs = [(None, vpaths.path_for(location, live.version))]
+        else:
+            assert isinstance(live, PartitionedTableVersion)
+            jobs = [
+                _rel_and_dir(location, partition, version)
+                for partition, version in sorted(
+                    live.partition_versions.items(), key=lambda kv: kv[0].path
+                )
+            ]
+        if not jobs:  # nothing live: the whole tree is stale
+            fs.remove_tree(manifest_root)
+            return []
 
     location_url = table.location
 
@@ -144,11 +215,13 @@ def generate_manifest(
             written.append(target)
         return written
 
-    # remember what exists BEFORE writing so stale manifests (partitions no
-    # longer live) can be pruned after — never delete before the new tree
-    # is complete, or external queries would hit a manifest-less window
-    stale = _existing_manifest_rels(fs, manifest_root)
-    stale.difference_update(rel or "" for rel, _ in jobs)
+    # the prune set: in incremental mode exactly the diff's removed
+    # partitions; in full mode whatever exists on storage beyond the live
+    # set.  Never delete before the new manifests are written, or external
+    # queries would hit a manifest-less window.
+    if stale_rels is None:
+        stale_rels = _existing_manifest_rels(fs, manifest_root)
+        stale_rels.difference_update(rel or "" for rel, _ in jobs)
 
     if not distributed or len(jobs) <= DISTRIBUTE_THRESHOLD:
         written = sorted(_write(jobs))
@@ -161,9 +234,10 @@ def generate_manifest(
             .collect()
         )
 
-    for rel in stale:
+    for rel in stale_rels:
         if rel:
             fs.remove_tree(fs.join(manifest_root, rel))
         else:
             fs.remove_file(fs.join(manifest_root, MANIFEST_FILE))
+    _write_pointer(fs, manifest_root, head)
     return written
