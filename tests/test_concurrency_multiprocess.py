@@ -207,3 +207,47 @@ def test_occ_two_process_disjoint_partitions_both_land(tmp_path):
     assert results == ["COMMITTED", "COMMITTED"]
     live = FileBackedVersionTracker(path).current_version(T)
     assert len(live.partition_versions) == 2
+
+
+_TAG_WORKER = """
+import sys
+from chronicles_spark.core.model import TableName
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+tracker = FileBackedVersionTracker(path, use_lock=True)
+t = TableName("db", "race")
+wins = 0
+for i in range(n):
+    try:
+        tracker.set_tag(t, "pin-" + str(i))
+        wins += 1
+    except ValueError:
+        pass  # the other process won this tag
+print("WINS", wins)
+"""
+
+
+def test_set_tag_exactly_one_winner_across_processes(tmp_path):
+    """Two OS processes race set_tag on the SAME tag names over a flock-mode
+    files tracker: the exists-check-then-write is bracketed by the commit
+    flock, so every tag name gets exactly one winner — the loser sees the
+    immutability ValueError, never a silent overwrite."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    n_tags = 25
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TAG_WORKER, path, str(w), str(n_tags)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        for w in range(2)
+    ]
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    wins = [int(o.strip().split()[-1]) for o in outs]
+    assert sum(wins) == n_tags, f"wins {wins}: every tag exactly once"
+    assert len(tracker.tags(T)) == n_tags
