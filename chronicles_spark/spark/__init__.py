@@ -13,6 +13,7 @@ from .reader import (
 )
 from .compact import compact_partitions, zorder_column
 from .manifest import generate_manifest
+from .schema_guard import SchemaDriftError, schema_history, stored_schema
 from .vacuum import vacuum
 
 __all__ = [
@@ -30,4 +31,7 @@ __all__ = [
     "zorder_column",
     "generate_manifest",
     "vacuum",
+    "SchemaDriftError",
+    "stored_schema",
+    "schema_history",
 ]

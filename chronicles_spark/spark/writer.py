@@ -161,6 +161,7 @@ def versioned_insert_into(
     concurrency: str = "last-writer-wins",
     base_head: Optional[str] = None,
     stats_columns=None,
+    schema_mode: str = "off",
 ):
     """Full write flow (VersionContext.scala:51-104 + VersionedMetastore.scala:53-66).
 
@@ -207,6 +208,13 @@ def versioned_insert_into(
     sidecars (zero data scan) so later reads can data-skip with
     ``stats_filter`` — see :mod:`chronicles_spark.spark.stats`.  Default
     ``None`` records nothing.
+
+    ``schema_mode``: ``"off"`` (reference behavior — no enforcement),
+    ``"additive"`` (new columns allowed; drops/type changes raise
+    :class:`~chronicles_spark.spark.schema_guard.SchemaDriftError` before
+    any bytes land), or ``"strict"`` (any schema change raises) — see
+    :mod:`chronicles_spark.spark.schema_guard`.  The recorded schema is
+    only advanced AFTER the commit succeeds.
     """
     if partition_discovery not in ("listing", "scan"):
         raise ValueError(
@@ -231,6 +239,14 @@ def versioned_insert_into(
             "The Spark configuration must have spark.sql.sources."
             "partitionOverwriteMode set to 'dynamic'"
         )
+
+    # schema guard runs BEFORE any bytes are written, so a drifting input
+    # never even leaves invisible files behind
+    record_after_commit = False
+    if schema_mode != "off":
+        from .schema_guard import check_schema
+
+        record_after_commit = check_schema(table, df.schema, schema_mode)
 
     version = version or generate_version()
     if base_head is None:
@@ -292,6 +308,11 @@ def versioned_insert_into(
             expected_head=base_head,
             allow_disjoint=(concurrency == "optimistic"),
         )
+
+    if record_after_commit:
+        from .schema_guard import record_schema
+
+        record_schema(table, df.schema, version.label)
 
     new_state = tracker.current_version(table.name)
     if metastore is not None:
