@@ -127,6 +127,25 @@ class TagAction:
 
 
 @dataclass(frozen=True)
+class RestoreAction:
+    """Extension beyond the reference CLI verbs: partition-level restore
+    (spark/restore.py) — one NEW commit re-points the named partitions at
+    the versions they had as of ``--commit`` / ``--tag`` / ``--timestamp``,
+    leaving all other partitions and the history untouched (git-revert
+    scoped to paths, vs ``checkout``'s whole-table rewind).  With
+    ``--location`` the target version directories are probed first so a
+    restore never points at vacuumed data."""
+
+    table: TableName
+    partition_names: tuple
+    message: str
+    commit_id: Optional[str] = None
+    tag: Optional[str] = None
+    timestamp: Optional[str] = None
+    location: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class ManifestAction:
     """Extension beyond the reference CLI verbs: symlink-format manifest
     export (spark/manifest.py) for external engines.  ``incremental=True``
@@ -327,6 +346,25 @@ def build_parser() -> argparse.ArgumentParser:
         "--force", action="store_true", help="Move an existing tag (tags are immutable by default)"
     )
 
+    p_res = sub.add_parser(
+        "restore",
+        help="Re-point chosen partitions at an older commit/tag/timestamp "
+        "via one new commit (partial rollback; history preserved)",
+    )
+    p_res.add_argument("table")
+    p_res.add_argument(
+        "partitions", nargs="+", help="Partition path(s), e.g. date=2024-01-05"
+    )
+    p_res.add_argument("--message", required=True, help="Commit message")
+    p_res.add_argument("--commit", help="Restore point: commit id")
+    p_res.add_argument("--tag", help="Restore point: tag name")
+    p_res.add_argument("--timestamp", help="Restore point: ISO-8601 timestamp")
+    p_res.add_argument(
+        "--location",
+        help="Table storage root; when given, target version directories "
+        "are probed before committing (refuse to point at vacuumed data)",
+    )
+
     p_man = sub.add_parser(
         "manifest", help="Export symlink-format manifests for external engines"
     )
@@ -395,6 +433,16 @@ def parse_action(argv: Sequence[str]):
         return ns, TagAction(
             _table_name(ns.table), ns.name, ns.commit, ns.delete, ns.force
         )
+    if ns.command == "restore":
+        selectors = [s for s in (ns.commit, ns.tag, ns.timestamp) if s]
+        if len(selectors) != 1:
+            raise CliError(
+                "restore needs exactly one of --commit / --tag / --timestamp"
+            )
+        return ns, RestoreAction(
+            _table_name(ns.table), tuple(ns.partitions), ns.message,
+            ns.commit, ns.tag, ns.timestamp, ns.location,
+        )
     if ns.command == "manifest":
         return ns, ManifestAction(_table_name(ns.table), ns.location, ns.incremental)
     if ns.command == "vacuum":
@@ -438,6 +486,8 @@ class CliClient:
             self.checkout(action.table, action.commit_id)
         elif isinstance(action, TagAction):
             self.tag(action)
+        elif isinstance(action, RestoreAction):
+            self.restore(action, user_id)
         elif isinstance(action, ManifestAction):
             self.manifest(action)
         elif isinstance(action, VacuumAction):
@@ -521,6 +571,40 @@ class CliClient:
         self.console.println(
             f"Tagged commit '{cid}' as '{action.name}' on table "
             f"'{action.table.fully_qualified}'"
+        )
+
+    def restore(self, action: RestoreAction, user_id: str) -> None:
+        from .core.model import Partition
+        from .spark.restore import restore_partitions
+
+        parts = [Partition.parse(p) for p in action.partition_names]
+        # partition columns come from the parsed partitions themselves; the
+        # placeholder _table_def schema is only right for the snapshot bit
+        is_snapshot = self.delegate.tracker.is_snapshot_table(action.table)
+        table = TableDefinition(
+            action.table,
+            location=action.location or "",
+            partition_schema=PartitionSchema(
+                () if is_snapshot else tuple(c for c, _ in parts[0].column_values)
+            ),
+        )
+        new_state, _changes = restore_partitions(
+            table,
+            self.delegate.tracker,
+            parts,
+            user_id,
+            action.message,
+            at_commit=action.commit_id,
+            at_tag=action.tag,
+            at_timestamp=action.timestamp,
+            metastore=None,
+            verify_exists=action.location is not None,
+        )
+        point = action.commit_id or action.tag or action.timestamp
+        self.console.println(
+            f"Restored {len(parts)} partition{'s' if len(parts) != 1 else ''} "
+            f"of '{action.table.fully_qualified}' to their state as of "
+            f"'{point}'"
         )
 
     def manifest(self, action: ManifestAction) -> None:

@@ -13,6 +13,7 @@ from .reader import (
 )
 from .compact import compact_partitions, zorder_column
 from .manifest import generate_manifest
+from .restore import restore_partitions
 from .schema_guard import SchemaDriftError, schema_history, stored_schema
 from .vacuum import vacuum
 
@@ -34,4 +35,5 @@ __all__ = [
     "SchemaDriftError",
     "stored_schema",
     "schema_history",
+    "restore_partitions",
 ]
