@@ -1,0 +1,266 @@
+"""Branches: isolated staging lines for Write-Audit-Publish workflows.
+
+The reference is "git for data" with ONE line of history per table
+(docs/concepts.md:88; VersionTracker.scala:112-135 — a single ordered log
++ head pointer).  This module adds git-style BRANCHES on top of the
+existing tracker surface, enabling the lakehouse Write-Audit-Publish
+(WAP) pattern: write new data to a staging branch, audit it with the
+quality/dedup operators, then publish by merging into the main table —
+readers of the main table never see unaudited data.
+
+Design (works on every tracker backend unchanged):
+
+* A branch IS a tracked table named ``<name>__branch_<branch>`` in the
+  same schema — all existing machinery (commits, folds, tags, time
+  travel, checkpoints, optimistic concurrency) applies verbatim.
+* Branch creation commits ONE synthetic "branch base" commit capturing
+  the resolved state at the branch point — O(#live partitions) metadata,
+  NOT O(log); at a million-commit log that is the difference between a
+  snapshot and a full history copy.  (Consequence: time travel WITHIN a
+  branch only reaches back to its creation; the source table keeps the
+  deep history.)  The base commit is pinned by a ``branch_point`` tag,
+  which doubles as vacuum protection for the base state.
+* Branch writes go to the SAME storage location under fresh ``_version=``
+  directories — invisible to main-table readers until merged (the same
+  invisible-until-commit property the write path already has,
+  docs/concepts.md:71-75).
+* ``merge_branch`` computes the partitions changed on the branch since
+  the base, checks main has not changed those same partitions (partition-
+  level three-way merge), and lands them as ONE commit on main using the
+  optimistic-commit path — concurrent main writers to other partitions
+  are safe; a concurrent change to a merged partition raises.
+* No data ever moves or copies: create, merge, and delete are all pure
+  metadata, like checkout (docs/concepts.md:80-82).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from typing import Dict, List, Optional, Tuple
+
+from .core.diff import compute_changes
+from .core.model import (
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+    TableName,
+)
+from .core.ops import (
+    AddPartitionVersion,
+    AddTableVersion,
+    RemovePartition,
+    TableOperation,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from .trackers.base import VersionTracker
+
+BRANCH_INFIX = "__branch_"
+BRANCH_POINT_TAG = "branch-point"
+_BRANCH_NAME_RE = re.compile(r"^[a-z][a-z0-9_]*$")
+
+
+class BranchError(ValueError):
+    """Invalid branch operation (bad name, exists/missing, nested branch)."""
+
+
+class MergeConflictError(RuntimeError):
+    """Main changed partitions the branch also changed since the base."""
+
+    def __init__(self, table: TableName, branch: str, partitions: List[str]):
+        self.partitions = list(partitions)
+        super().__init__(
+            f"cannot merge branch {branch!r} into {table}: partitions "
+            f"changed on both sides since the branch point: "
+            + ", ".join(partitions)
+        )
+
+
+def branch_table_name(table: TableName, branch: str) -> TableName:
+    """The tracker-level name a branch is stored under."""
+    _validate_branch_name(branch)
+    if BRANCH_INFIX in table.name:
+        raise BranchError(f"cannot branch a branch ({table.fully_qualified})")
+    return TableName(table.schema, f"{table.name}{BRANCH_INFIX}{branch}")
+
+
+def parse_branch(table: TableName) -> Optional[Tuple[TableName, str]]:
+    """(source table, branch name) if ``table`` is a branch, else None."""
+    if BRANCH_INFIX not in table.name:
+        return None
+    base, _, branch = table.name.rpartition(BRANCH_INFIX)
+    return TableName(table.schema, base), branch
+
+
+def branches(tracker: VersionTracker, table: TableName) -> Dict[str, TableName]:
+    """branch name → tracker table name, for every branch of ``table``."""
+    out: Dict[str, TableName] = {}
+    for t in tracker.tables():
+        parsed = parse_branch(t)
+        if parsed and parsed[0] == table:
+            out[parsed[1]] = t
+    return out
+
+
+def _validate_branch_name(branch: str) -> None:
+    if not _BRANCH_NAME_RE.match(branch) or BRANCH_INFIX in branch:
+        raise BranchError(
+            f"invalid branch name {branch!r} (want [a-z][a-z0-9_]*)"
+        )
+
+
+def _state_ops(tv) -> List[TableOperation]:
+    if isinstance(tv, SnapshotTableVersion):
+        return [] if tv.version.is_unversioned else [AddTableVersion(tv.version)]
+    assert isinstance(tv, PartitionedTableVersion)
+    return [
+        AddPartitionVersion(p, v)
+        for p, v in sorted(tv.partition_versions.items(), key=lambda kv: kv[0].path)
+    ]
+
+
+def create_branch(
+    tracker: VersionTracker,
+    table: TableName,
+    branch: str,
+    user_id: str,
+    at_commit: Optional[str] = None,
+) -> TableName:
+    """Create ``branch`` from ``table``'s state at ``at_commit`` (default:
+    the current head).  Returns the branch's tracker table name.
+
+    Pure metadata: one init commit + one base-state commit of
+    O(#live partitions) ops.  Raises BranchError if the branch exists.
+    """
+    btn = branch_table_name(table, branch)
+    if btn in tracker.tables():
+        raise BranchError(f"branch {branch!r} of {table} already exists")
+    is_snapshot = tracker.is_snapshot_table(table)
+    base_state = (
+        tracker.current_version(table)
+        if at_commit is None
+        else tracker.version_at(table, at_commit)
+    )
+    now = datetime.now(timezone.utc)
+    tracker.init_table(
+        btn, is_snapshot, user_id,
+        f"branch {branch!r} of {table.fully_qualified}", now,
+    )
+    ops = _state_ops(base_state)
+    if ops:
+        meta = TableUpdateMetadata.new(
+            user_id, f"branch base from {table.fully_qualified}", now
+        )
+        tracker.commit(btn, TableUpdate(meta, tuple(ops)))
+        base_commit = meta.commit_id
+    else:
+        # branched from an empty table: the init commit is the base
+        base_commit = tracker.table_state(btn).current_version
+    tracker.set_tag(btn, BRANCH_POINT_TAG, base_commit)
+    return btn
+
+
+def branch_table_def(table: TableDefinition, branch: str) -> TableDefinition:
+    """TableDefinition for reading/writing a branch: same location, same
+    partitioning — only the tracked name differs."""
+    return TableDefinition(
+        branch_table_name(table.name, branch),
+        table.location,
+        table.partition_schema,
+        table.format,
+        table.format_options,
+    )
+
+
+def delete_branch(
+    tracker: VersionTracker, table: TableName, branch: str
+) -> None:
+    """Drop a branch's log (and thereby its vacuum protection).  Data
+    directories only the branch referenced become vacuum-eligible
+    orphans; the source table is untouched."""
+    btn = branch_table_name(table, branch)
+    if btn not in tracker.tables():
+        raise BranchError(f"no branch {branch!r} of {table}")
+    tracker.drop_table(btn)
+
+
+def merge_branch(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    branch: str,
+    user_id: str,
+    message: str,
+    metastore=None,
+    drop_branch: bool = False,
+) -> Tuple[object, list]:
+    """Publish a branch: land its changes-since-base on main as ONE commit.
+
+    Partition-level three-way merge: a partition changed (or removed) on
+    the branch merges iff main still has the base's version for it;
+    otherwise :class:`MergeConflictError` lists the contested partitions.
+    Snapshot tables merge the branch's head version the same way.  The
+    commit uses the optimistic path (``expected_head``), so a main commit
+    racing the merge to a DISJOINT partition set is safe and an
+    overlapping one conflicts instead of being silently overwritten.
+
+    Returns ``(new main state, metastore changes)``.  ``drop_branch=True``
+    deletes the branch after a successful merge (a no-change merge also
+    drops it — the WAP "publish" is complete either way).
+    """
+    btn = branch_table_name(table.name, branch)
+    if btn not in tracker.tables():
+        raise BranchError(f"no branch {branch!r} of {table.name}")
+
+    base_commit = tracker.tag_commit(btn, BRANCH_POINT_TAG)
+    base = tracker.version_at(btn, base_commit)
+    br = tracker.current_version(btn)
+    main_head = tracker.table_state(table.name).current_version
+    main = tracker.current_version(table.name)
+
+    ops: List[TableOperation] = []
+    conflicts: List[str] = []
+    if isinstance(br, SnapshotTableVersion):
+        if br.version != base.version:
+            if main.version != base.version:
+                conflicts.append("<table version>")
+            else:
+                ops.append(AddTableVersion(br.version))
+    else:
+        base_pv = base.partition_versions
+        br_pv = br.partition_versions
+        main_pv = main.partition_versions
+        for p in sorted(set(base_pv) | set(br_pv), key=lambda p: p.path):
+            b0, b1 = base_pv.get(p), br_pv.get(p)
+            if b0 == b1:
+                continue  # untouched on the branch
+            if main_pv.get(p) != b0:
+                conflicts.append(p.path)
+            elif b1 is None:
+                ops.append(RemovePartition(p))
+            else:
+                ops.append(AddPartitionVersion(p, b1))
+    if conflicts:
+        raise MergeConflictError(table.name, branch, conflicts)
+
+    if ops:
+        meta = TableUpdateMetadata.new(
+            user_id, message, datetime.now(timezone.utc)
+        )
+        tracker.commit(
+            table.name,
+            TableUpdate(meta, tuple(ops)),
+            expected_head=main_head,
+            allow_disjoint=True,
+        )
+
+    new_state = tracker.current_version(table.name)
+    if metastore is not None and ops:
+        actual = metastore.current_version(table)
+        changes = compute_changes(actual, new_state)
+        metastore.update(table, changes)
+    else:
+        changes = []
+    if drop_branch:
+        tracker.drop_table(btn)
+    return new_state, changes

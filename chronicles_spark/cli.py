@@ -127,6 +127,31 @@ class TagAction:
 
 
 @dataclass(frozen=True)
+class BranchAction:
+    """Extension beyond the reference CLI verbs: git-style branches
+    (chronicles_spark/branching.py) for Write-Audit-Publish staging.
+    ``name=None`` lists branches; ``delete=True`` drops one; otherwise
+    creates ``name`` at ``--commit`` (or the current head)."""
+
+    table: TableName
+    name: Optional[str] = None
+    commit_id: Optional[str] = None
+    delete: bool = False
+
+
+@dataclass(frozen=True)
+class MergeAction:
+    """Extension beyond the reference CLI verbs: publish a branch into its
+    source table as one commit (partition-level three-way merge; conflicts
+    error out).  ``drop_branch`` deletes the branch after the merge."""
+
+    table: TableName
+    branch: str
+    message: str
+    drop_branch: bool = False
+
+
+@dataclass(frozen=True)
 class RestoreAction:
     """Extension beyond the reference CLI verbs: partition-level restore
     (spark/restore.py) — one NEW commit re-points the named partitions at
@@ -346,6 +371,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--force", action="store_true", help="Move an existing tag (tags are immutable by default)"
     )
 
+    p_br = sub.add_parser(
+        "branch",
+        help="List branches, or create/delete a staging branch "
+        "(Write-Audit-Publish)",
+    )
+    p_br.add_argument("table")
+    p_br.add_argument("name", nargs="?", help="Branch name (omit to list)")
+    p_br.add_argument(
+        "--commit", help="Branch point commit id (default: the current head)"
+    )
+    p_br.add_argument("--delete", action="store_true", help="Drop the branch")
+
+    p_mg = sub.add_parser(
+        "merge", help="Publish a branch into its source table as one commit"
+    )
+    p_mg.add_argument("table")
+    p_mg.add_argument("branch")
+    p_mg.add_argument("--message", required=True, help="Commit message")
+    p_mg.add_argument(
+        "--drop-branch", action="store_true",
+        help="Delete the branch after a successful merge",
+    )
+
     p_res = sub.add_parser(
         "restore",
         help="Re-point chosen partitions at an older commit/tag/timestamp "
@@ -433,6 +481,18 @@ def parse_action(argv: Sequence[str]):
         return ns, TagAction(
             _table_name(ns.table), ns.name, ns.commit, ns.delete, ns.force
         )
+    if ns.command == "branch":
+        if ns.delete and not ns.name:
+            raise CliError("branch --delete needs a branch name")
+        if ns.commit and not ns.name:
+            raise CliError("branch --commit needs a branch name")
+        return ns, BranchAction(
+            _table_name(ns.table), ns.name, ns.commit, ns.delete
+        )
+    if ns.command == "merge":
+        return ns, MergeAction(
+            _table_name(ns.table), ns.branch, ns.message, ns.drop_branch
+        )
     if ns.command == "restore":
         selectors = [s for s in (ns.commit, ns.tag, ns.timestamp) if s]
         if len(selectors) != 1:
@@ -488,6 +548,10 @@ class CliClient:
             self.tag(action)
         elif isinstance(action, RestoreAction):
             self.restore(action, user_id)
+        elif isinstance(action, BranchAction):
+            self.branch(action, user_id)
+        elif isinstance(action, MergeAction):
+            self.merge(action, user_id)
         elif isinstance(action, ManifestAction):
             self.manifest(action)
         elif isinstance(action, VacuumAction):
@@ -571,6 +635,49 @@ class CliClient:
         self.console.println(
             f"Tagged commit '{cid}' as '{action.name}' on table "
             f"'{action.table.fully_qualified}'"
+        )
+
+    def branch(self, action: BranchAction, user_id: str) -> None:
+        from . import branching as B
+
+        tracker = self.delegate.tracker
+        if action.name is None:
+            for name, btn in sorted(B.branches(tracker, action.table).items()):
+                head = tracker.table_state(btn).current_version
+                self.console.println(f"{name} {head}")
+            return
+        if action.delete:
+            B.delete_branch(tracker, action.table, action.name)
+            self.console.println(
+                f"Deleted branch '{action.name}' of "
+                f"'{action.table.fully_qualified}'"
+            )
+            return
+        B.create_branch(
+            tracker, action.table, action.name, user_id, action.commit_id
+        )
+        point = action.commit_id or "the current head"
+        self.console.println(
+            f"Created branch '{action.name}' of "
+            f"'{action.table.fully_qualified}' at {point}"
+        )
+
+    def merge(self, action: MergeAction, user_id: str) -> None:
+        from . import branching as B
+
+        B.merge_branch(
+            self._table_def(action.table),
+            self.delegate.tracker,
+            action.branch,
+            user_id,
+            action.message,
+            metastore=None,
+            drop_branch=action.drop_branch,
+        )
+        self.console.println(
+            f"Merged branch '{action.branch}' into "
+            f"'{action.table.fully_qualified}'"
+            f"{' and deleted it' if action.drop_branch else ''}"
         )
 
     def restore(self, action: RestoreAction, user_id: str) -> None:

@@ -42,16 +42,26 @@ _VERSION_DIR_PREFIX = vpaths.VERSION_COLUMN + "="
 
 
 def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
-    """(partition | None, version) for every Add op in the full log, in
-    commit order (oldest first)."""
-    state = tracker.table_state(table.name)
+    """(partition | None, version) for every Add op across the table's log
+    AND every branch's log (branches write to the same storage location,
+    so GC decisions must see their versions too), deduplicated, in commit
+    order (oldest first, main log first)."""
+    from ..branching import branches
+
     out: list[tuple[object, object]] = []
-    for update in state.updates:
-        for op in update.operations:
-            if isinstance(op, AddPartitionVersion):
-                out.append((op.partition, op.version))
-            elif isinstance(op, AddTableVersion):
-                out.append((None, op.version))
+    seen: set = set()
+    for name in (table.name, *branches(tracker, table.name).values()):
+        for update in tracker.table_state(name).updates:
+            for op in update.operations:
+                if isinstance(op, AddPartitionVersion):
+                    item = (op.partition, op.version)
+                elif isinstance(op, AddTableVersion):
+                    item = (None, op.version)
+                else:
+                    continue
+                if item not in seen:
+                    seen.add(item)
+                    out.append(item)
     return out
 
 
@@ -132,6 +142,15 @@ def vacuum(
     ``orphan_min_age`` (default 7 days, Delta's retention default) are
     eligible, so an in-flight write's not-yet-committed directory is never
     swept."""
+    from ..branching import parse_branch
+
+    if parse_branch(table.name) is not None:
+        # a branch shares its source's storage; GC'ing from the branch's
+        # log alone would treat main-only versions as unreferenced
+        raise ValueError(
+            f"{table.name} is a branch; vacuum its source table (branch "
+            "versions are protected automatically)"
+        )
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if distributed and spark is None:
@@ -151,13 +170,19 @@ def vacuum(
             for partition, version in tv.partition_versions.items():
                 keep.add((partition.path, version.label))
 
-    _keep_state(tracker.current_version(table.name))
-    # every TAGGED state is pinned too: a tag promises its read stays
-    # reproducible, so all directories its fold references are kept until
-    # the tag is deleted (checkpoint-backed trackers resolve each tag
-    # O(tail), not O(log))
-    for _tag, tagged_commit in sorted(tracker.tags(table.name).items()):
-        _keep_state(tracker.version_at(table.name, tagged_commit))
+    from ..branching import branches
+
+    # every line of history over this storage location: the table itself
+    # plus all its branches — a branch's live state and tagged states are
+    # as protected as main's (its branch-point tag pins the base state)
+    for line in (table.name, *branches(tracker, table.name).values()):
+        _keep_state(tracker.current_version(line))
+        # every TAGGED state is pinned too: a tag promises its read stays
+        # reproducible, so all directories its fold references are kept
+        # until the tag is deleted (checkpoint-backed trackers resolve
+        # each tag O(tail), not O(log))
+        for _tag, tagged_commit in sorted(tracker.tags(line).items()):
+            _keep_state(tracker.version_at(line, tagged_commit))
 
     by_part: dict[object, list] = {}
     part_objs: dict[object, object] = {}
@@ -166,7 +191,10 @@ def vacuum(
         by_part.setdefault(key, []).append(version)
         part_objs[key] = partition
     for key, versions in by_part.items():
-        for v in versions[-keep_last:]:
+        # merged main+branch lists are not globally log-ordered; version
+        # labels embed the generation timestamp, so newest-N by label is
+        # the chronological window
+        for v in sorted(versions, key=lambda v: v.label)[-keep_last:]:
             keep.add((key, v.label))
 
     # deletion goes through the FS facade, so a table whose data lives on

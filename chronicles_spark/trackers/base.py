@@ -135,6 +135,10 @@ class VersionTracker(abc.ABC):
         """Remove a stored tag pointer (caller validated existence)."""
 
     @abc.abstractmethod
+    def _drop_table(self, table: TableName) -> None:
+        """Remove the table's log, head pointer, and tags from the store."""
+
+    @abc.abstractmethod
     def _create_table(self, table: TableName, init_update: TableUpdate, is_snapshot: bool) -> None:
         """Create tracking state with the initial commit."""
 
@@ -162,6 +166,19 @@ class VersionTracker(abc.ABC):
         reference's documented stance) — backends override with their
         native mutual exclusion (RLock, flock)."""
         return contextlib.nullcontext()
+
+    def drop_table(self, table: TableName) -> None:
+        """Stop tracking ``table``: remove its log, head pointer, and tags.
+
+        Beyond reference parity (the reference has no deletion surface) —
+        needed so branches (:mod:`chronicles_spark.branching`) can be
+        discarded after merge.  DATA DIRECTORIES ARE NOT TOUCHED: version
+        directories only this log referenced become unreferenced storage,
+        reclaimable by ``vacuum(..., sweep_orphans=True)``.  Raises
+        ``UnknownTableError``."""
+        if not self._table_exists(table):
+            raise UnknownTableError(table)
+        self._drop_table(table)
 
     def commit(
         self,

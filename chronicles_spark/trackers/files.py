@@ -139,6 +139,12 @@ class FileBackedVersionTracker(VersionTracker):
             json.dumps({"head_ref": init_update.metadata.commit_id}),
         )
 
+    def _drop_table(self, table: TableName) -> None:
+        # remove the metadata marker FIRST so a racing reader that lists
+        # mid-delete sees a not-a-table dir, not a half-table
+        self.fs.remove_file(self.fs.join(self._table_dir(table), "table-metadata"))
+        self.fs.remove_tree(self._table_dir(table))
+
     @contextmanager
     def _commit_guard(self, d: str):
         """Exclusive per-table-directory flock when ``use_lock`` is on;

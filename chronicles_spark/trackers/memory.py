@@ -49,6 +49,11 @@ class InMemoryVersionTracker(VersionTracker):
                 return
             self._state[table] = (init_update.metadata.commit_id, [init_update])
 
+    def _drop_table(self, table: TableName) -> None:
+        with self._lock:
+            del self._state[table]
+            self._tags.pop(table, None)
+
     def _append_commit(self, table: TableName, update: TableUpdate) -> None:
         with self._lock:
             _, updates = self._state[table]

@@ -136,6 +136,27 @@ class SqliteVersionTracker(VersionTracker):
                 (table.fully_qualified, m.commit_id),
             )
 
+    def _drop_table(self, table: TableName) -> None:
+        fq = table.fully_qualified
+        with self._lock, self._conn:  # one txn, FK-safe order
+            self._conn.execute(
+                "DELETE FROM chronicles_version_refs_v1 WHERE table_name = ?", (fq,)
+            )
+            self._conn.execute(
+                "DELETE FROM chronicles_tags_v1 WHERE table_name = ?", (fq,)
+            )
+            self._conn.execute(
+                "DELETE FROM chronicle_table_operations_v1 WHERE commit_id IN "
+                "(SELECT commit_id FROM chronicle_table_updates_v1 WHERE table_name = ?)",
+                (fq,),
+            )
+            self._conn.execute(
+                "DELETE FROM chronicle_table_updates_v1 WHERE table_name = ?", (fq,)
+            )
+            self._conn.execute(
+                "DELETE FROM chronicle_tables_v1 WHERE table_name = ?", (fq,)
+            )
+
     def _insert_update(self, table: TableName, update: TableUpdate) -> None:
         m = update.metadata
         self._conn.execute(

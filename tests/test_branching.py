@@ -1,0 +1,337 @@
+"""Branches + Write-Audit-Publish merge (chronicles_spark/branching.py),
+run against every tracker backend (the shared behaviour-suite pattern,
+VersionTrackerSpec.scala:26-495), plus drop_table, vacuum protection of
+branch-referenced versions, and one end-to-end WAP flow on Spark.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from chronicles_spark import branching as B
+from chronicles_spark.core.model import (
+    Partition,
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import (
+    FileBackedVersionTracker,
+    InMemoryVersionTracker,
+    SqliteVersionTracker,
+    UnknownTableError,
+)
+
+T = TableName("db", "events")
+P1 = Partition.of(("date", "2024-01-01"))
+P2 = Partition.of(("date", "2024-01-02"))
+
+
+@pytest.fixture(params=["memory", "files", "sqlite"])
+def tracker(request, tmp_path):
+    if request.param == "memory":
+        return InMemoryVersionTracker()
+    if request.param == "files":
+        return FileBackedVersionTracker(str(tmp_path / "log"))
+    return SqliteVersionTracker(str(tmp_path / "log.db"))
+
+
+def _commit(tracker, name, *ops, msg="update"):
+    meta = TableUpdateMetadata.new("alice", msg)
+    tracker.commit(name, TableUpdate(meta, tuple(ops)))
+    return meta.commit_id
+
+
+def _init(tracker):
+    tracker.init_table(T, is_snapshot=False, user_id="alice")
+
+
+# -- drop_table (new tracker primitive) ------------------------------------
+
+
+def test_drop_table(tracker):
+    _init(tracker)
+    v = generate_version()
+    c = _commit(tracker, T, AddPartitionVersion(P1, v))
+    tracker.set_tag(T, "pin", c)
+    tracker.drop_table(T)
+    assert tracker.tables() == []
+    with pytest.raises(UnknownTableError):
+        tracker.table_state(T)
+    with pytest.raises(UnknownTableError):
+        tracker.drop_table(T)
+    # re-init starts a FRESH log (no resurrecting old commits or tags)
+    _init(tracker)
+    assert len(tracker.table_state(T).updates) == 1
+    assert tracker.tags(T) == {}
+
+
+# -- branch lifecycle -------------------------------------------------------
+
+
+def test_create_branch_snapshots_state(tracker):
+    _init(tracker)
+    v1 = generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    btn = B.create_branch(tracker, T, "staging", "alice")
+    assert btn == TableName("db", "events__branch_staging")
+    assert B.branches(tracker, T) == {"staging": btn}
+    # branch resolves to the same state as main at the branch point
+    assert tracker.current_version(btn).partition_versions == {P1: v1}
+    # the branch point is pinned as a tag on the branch
+    assert B.BRANCH_POINT_TAG in tracker.tags(btn)
+
+
+def test_branch_name_validation(tracker):
+    _init(tracker)
+    for bad in ("Staging", "1x", "a-b", "x__branch_y", ""):
+        with pytest.raises(B.BranchError):
+            B.create_branch(tracker, T, bad, "alice")
+    btn = B.create_branch(tracker, T, "ok", "alice")
+    with pytest.raises(B.BranchError, match="already exists"):
+        B.create_branch(tracker, T, "ok", "alice")
+    with pytest.raises(B.BranchError, match="branch a branch"):
+        B.create_branch(tracker, btn, "nested", "alice")
+
+
+def test_branch_writes_isolated_from_main(tracker):
+    _init(tracker)
+    v1, v2 = generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    btn = B.create_branch(tracker, T, "staging", "alice")
+    _commit(tracker, btn, AddPartitionVersion(P2, v2))
+    assert P2 not in tracker.current_version(T).partition_versions
+    assert tracker.current_version(btn).partition_versions[P2] == v2
+
+
+def test_merge_publishes_changes(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "staging", "alice")
+    btn = B.branch_table_name(T, "staging")
+    _commit(tracker, btn, AddPartitionVersion(P2, v2))  # new partition
+    _commit(tracker, btn, AddPartitionVersion(P1, v3))  # overwrite existing
+
+    state, _ = B.merge_branch(table, tracker, "staging", "alice", "publish")
+    assert state.partition_versions == {P1: v3, P2: v2}
+    # one merge commit on main
+    assert len(tracker.updates(T)) == 3  # init + w1 + merge
+
+
+def test_merge_disjoint_main_write_is_safe(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "staging", "alice")
+    btn = B.branch_table_name(T, "staging")
+    _commit(tracker, btn, AddPartitionVersion(P2, v2))
+    # main writes a DIFFERENT partition meanwhile
+    p3 = Partition.of(("date", "2024-01-03"))
+    _commit(tracker, T, AddPartitionVersion(p3, v3))
+
+    state, _ = B.merge_branch(table, tracker, "staging", "alice", "publish")
+    assert state.partition_versions == {P1: v1, P2: v2, p3: v3}
+
+
+def test_merge_conflict_on_same_partition(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "staging", "alice")
+    btn = B.branch_table_name(T, "staging")
+    _commit(tracker, btn, AddPartitionVersion(P1, v2))
+    _commit(tracker, T, AddPartitionVersion(P1, v3))  # main changed it too
+
+    with pytest.raises(B.MergeConflictError, match="date=2024-01-01"):
+        B.merge_branch(table, tracker, "staging", "alice", "publish")
+    # main untouched by the failed merge
+    assert tracker.current_version(T).partition_versions == {P1: v3}
+
+
+def test_merge_carries_branch_removals(tracker):
+    _init(tracker)
+    v1 = generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "staging", "alice")
+    btn = B.branch_table_name(T, "staging")
+    from chronicles_spark.core.ops import RemovePartition
+
+    _commit(tracker, btn, RemovePartition(P1))
+    state, _ = B.merge_branch(table, tracker, "staging", "alice", "drop p1")
+    assert state.partition_versions == {}
+
+
+def test_merge_noop_and_drop_branch(tracker):
+    _init(tracker)
+    v1 = generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "idle", "alice")
+    n_before = len(tracker.updates(T))
+    state, changes = B.merge_branch(
+        table, tracker, "idle", "alice", "noop", drop_branch=True
+    )
+    assert state.partition_versions == {P1: v1}
+    assert len(tracker.updates(T)) == n_before  # no empty merge commit
+    assert B.branches(tracker, T) == {}  # dropped
+
+
+def test_branch_from_historical_commit(tracker):
+    _init(tracker)
+    v1, v2 = generate_version(), generate_version()
+    c1 = _commit(tracker, T, AddPartitionVersion(P1, v1))
+    _commit(tracker, T, AddPartitionVersion(P1, v2))
+    btn = B.create_branch(tracker, T, "old", "alice", at_commit=c1)
+    assert tracker.current_version(btn).partition_versions == {P1: v1}
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    # an UNCHANGED branch merges as a no-op even though main moved on
+    # (three-way: nothing changed relative to the base)
+    state, _ = B.merge_branch(table, tracker, "old", "alice", "noop")
+    assert state.partition_versions == {P1: v2}
+    # but a branch change to a partition main ALSO changed since the base
+    # conflicts
+    v3 = generate_version()
+    _commit(tracker, btn, AddPartitionVersion(P1, v3))
+    with pytest.raises(B.MergeConflictError):
+        B.merge_branch(table, tracker, "old", "alice", "clash")
+
+
+def test_snapshot_table_branch_merge(tracker):
+    snap = TableName("db", "snap")
+    tracker.init_table(snap, is_snapshot=True, user_id="alice")
+    v1, v2 = generate_version(), generate_version()
+    from chronicles_spark.core.ops import AddTableVersion
+
+    meta = TableUpdateMetadata.new("alice", "w1")
+    tracker.commit(snap, TableUpdate(meta, (AddTableVersion(v1),)))
+    table = TableDefinition(snap, "loc", PartitionSchema(()))
+    B.create_branch(tracker, snap, "staging", "alice")
+    btn = B.branch_table_name(snap, "staging")
+    meta2 = TableUpdateMetadata.new("alice", "w2")
+    tracker.commit(btn, TableUpdate(meta2, (AddTableVersion(v2),)))
+    state, _ = B.merge_branch(table, tracker, "staging", "alice", "publish")
+    assert state.version == v2
+
+
+# -- vacuum protection ------------------------------------------------------
+
+
+def test_vacuum_protects_branch_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_current, vacuum, versioned_insert_into
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_into(df, table, tracker, "u", "w1")
+
+    B.create_branch(tracker, table.name, "staging", "u")
+    bdef = B.branch_table_def(table, "staging")
+    # branch-only write: these _version dirs exist ONLY in the branch log
+    versioned_insert_into(
+        df.withColumn("id", F.col("id") + 100), bdef, tracker, "u", "bw1"
+    )
+    # supersede on main twice so old main versions become candidates
+    versioned_insert_into(df, table, tracker, "u", "w2")
+    versioned_insert_into(df, table, tracker, "u", "w3")
+
+    doomed = vacuum(table, tracker, keep_last=1, dry_run=True)
+    branch_live = tracker.current_version(bdef.name).partition_versions
+    for p, v in branch_live.items():
+        live_dir = f"_version={v.label}"
+        assert not any(live_dir in d for d in doomed), (
+            "vacuum must keep branch-live versions"
+        )
+    # vacuum refuses to run against the branch name itself
+    with pytest.raises(ValueError, match="branch"):
+        vacuum(bdef, tracker, keep_last=1, dry_run=True)
+    # after the branch is deleted, its branch-ONLY dirs become orphans
+    # (unknown to any log) — reclaimable only by the age-guarded sweep,
+    # never silently doomed by the log-driven candidate set
+    vacuum(table, tracker, keep_last=1, dry_run=False)
+    B.delete_branch(tracker, table.name, "staging")
+    doomed2 = vacuum(table, tracker, keep_last=1, dry_run=True)
+    for p, v in branch_live.items():
+        live_dir = f"_version={v.label}"
+        assert not any(live_dir in d for d in doomed2)
+
+
+def test_cli_branch_and_merge_verbs():
+    import chronicles_spark.cli as C
+    from tests.test_cli import make_client
+
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2024-01-01", "--message", "w1"],
+          client, console, "u")
+    assert C.run(["branch", "db.t", "staging"], client, console, "u") == 0
+    assert "Created branch 'staging'" in console.out[-1]
+    C.run(["branch", "db.t"], client, console, "u")
+    assert console.out[-1].startswith("staging ")
+    # stage a write on the branch via the partition verb, then publish
+    C.run(["partition", "add", "db.t__branch_staging", "date=2024-01-02",
+           "--message", "bw"], client, console, "u")
+    code = C.run(["merge", "db.t", "staging", "--message", "publish",
+                  "--drop-branch"], client, console, "u")
+    assert code == 0
+    assert "Merged branch 'staging'" in console.out[-1]
+    C.run(["partitions", "db.t"], client, console, "u")
+    assert "date=2024-01-02" in console.out[-1]
+    C.run(["branch", "db.t"], client, console, "u")  # empty listing
+    code = C.run(["branch", "db.t", "nope", "--delete"], client, console, "u")
+    assert code == 1  # unknown branch surfaces as CLI error
+
+
+def test_wap_end_to_end(spark, tmp_path):
+    """The Write-Audit-Publish flow: write to branch, audit, publish."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_current, versioned_insert_into
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "docs"), str(tmp_path / "docs"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    good = spark.range(6).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_into(good, table, tracker, "u", "seed")
+
+    # WRITE: land a new batch on a staging branch
+    B.create_branch(tracker, table.name, "wap", "u")
+    bdef = B.branch_table_def(table, "wap")
+    batch = spark.range(100, 106).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_into(batch, bdef, tracker, "u", "stage batch")
+
+    # main readers still see only the seed
+    assert read_current(spark, table, tracker).count() == 6
+    # AUDIT: the staged view is readable for quality checks
+    staged = read_current(spark, bdef, tracker)
+    assert staged.count() == 6  # branch overwrote both partitions
+    assert staged.where(F.col("id") >= 100).count() == 6
+
+    # PUBLISH
+    B.merge_branch(table, tracker, "wap", "u", "publish batch", drop_branch=True)
+    final = read_current(spark, table, tracker)
+    assert final.count() == 6
+    assert final.where(F.col("id") >= 100).count() == 6
