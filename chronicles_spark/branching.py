@@ -221,7 +221,7 @@ def merge_branch(
     ops: List[TableOperation] = []
     conflicts: List[str] = []
     if isinstance(br, SnapshotTableVersion):
-        if br.version != base.version:
+        if br.version != base.version and main.version != br.version:
             if main.version != base.version:
                 conflicts.append("<table version>")
             else:
@@ -234,7 +234,10 @@ def merge_branch(
             b0, b1 = base_pv.get(p), br_pv.get(p)
             if b0 == b1:
                 continue  # untouched on the branch
-            if main_pv.get(p) != b0:
+            m = main_pv.get(p)
+            if m == b1:
+                continue  # both sides made the IDENTICAL change — clean
+            if m != b0:
                 conflicts.append(p.path)
             elif b1 is None:
                 ops.append(RemovePartition(p))
@@ -243,6 +246,7 @@ def merge_branch(
     if conflicts:
         raise MergeConflictError(table.name, branch, conflicts)
 
+    bdef = branch_table_def(table, branch)
     if ops:
         meta = TableUpdateMetadata.new(
             user_id, message, datetime.now(timezone.utc)
@@ -253,6 +257,12 @@ def merge_branch(
             expected_head=main_head,
             allow_disjoint=True,
         )
+        # publish the branch's recorded schema too (no-op unless the
+        # branch ran schema-guarded writes that evolved it)
+        if table.location:
+            from .spark.schema_guard import promote_schema
+
+            promote_schema(table, bdef, meta.commit_id)
 
     new_state = tracker.current_version(table.name)
     if metastore is not None and ops:
@@ -263,4 +273,8 @@ def merge_branch(
         changes = []
     if drop_branch:
         tracker.drop_table(btn)
+        if table.location:
+            from .spark.schema_guard import drop_branch_schema
+
+            drop_branch_schema(bdef)
     return new_state, changes

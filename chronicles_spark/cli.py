@@ -47,7 +47,9 @@ from .core.model import (
 from .core.ops import AddPartitionVersion, RemovePartition, TableUpdate, TableUpdateMetadata
 from .core.version import UNVERSIONED, generate_version
 from .spark.metastore import Metastore
+from .branching import MergeConflictError
 from .trackers import (
+    CommitConflictError,
     FileBackedVersionTracker,
     InMemoryVersionTracker,
     SqliteVersionTracker,
@@ -775,6 +777,14 @@ def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) 
         console.errorln(str(e.args[0]) if e.args else str(e))
         return 1
     except ValueError as e:  # e.g. re-tagging without --force, bad tag name
+        console.errorln(str(e))
+        return 1
+    except (CommitConflictError, MergeConflictError) as e:
+        # expected WAP/restore failure paths: a conflicting merge or a
+        # racing commit is a user-visible outcome, not a crash
+        console.errorln(str(e))
+        return 1
+    except FileNotFoundError as e:  # restore target vacuumed
         console.errorln(str(e))
         return 1
 

@@ -85,6 +85,7 @@ def restore_partitions(
     then = tracker.version_at(table.name, at_commit)
     then_versions = then.partition_versions
 
+    head = tracker.table_state(table.name).current_version
     current = tracker.current_version(table.name).partition_versions
 
     ops: List[TableOperation] = []
@@ -117,7 +118,14 @@ def restore_partitions(
         return tracker.current_version(table.name), []
 
     meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
-    tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    # optimistic append pinned to the head the restore plan was computed
+    # against: a concurrent commit to DISJOINT partitions merges safely, a
+    # racing write to a restored partition raises instead of being
+    # silently re-pointed backwards
+    tracker.commit(
+        table.name, TableUpdate(meta, tuple(ops)),
+        expected_head=head, allow_disjoint=True,
+    )
 
     new_state = tracker.current_version(table.name)
     if metastore is not None:

@@ -57,8 +57,18 @@ class SchemaDriftError(ValueError):
 
 
 def _schema_path(table: TableDefinition) -> Tuple[object, str]:
+    """Sidecar path — keyed by BRANCH for branch tables, so a guarded
+    branch write can never advance main's recorded schema before the
+    branch is audited and merged (branch isolation extends to schema
+    state)."""
+    from ..branching import parse_branch
+
     fs, root = filesystem_for(table.location)
-    return fs, fs.join(root, SCHEMA_FILE)
+    parsed = parse_branch(table.name)
+    if parsed is None:
+        return fs, fs.join(root, SCHEMA_FILE)
+    stem, ext = SCHEMA_FILE.rsplit(".", 1)
+    return fs, fs.join(root, f"{stem}__branch_{parsed[1]}.{ext}")
 
 
 def _normalized_fields(schema: T.StructType) -> dict:
@@ -94,6 +104,18 @@ def schema_history(table: TableDefinition) -> List[dict]:
 def _load(table: TableDefinition) -> Optional[dict]:
     fs, path = _schema_path(table)
     if not fs.exists(path):
+        # a branch with no sidecar of its own INHERITS the source table's
+        # recorded schema — the first guarded branch write is checked
+        # against what main enforces, not against a blank slate
+        from ..branching import parse_branch
+
+        parsed = parse_branch(table.name)
+        if parsed is not None:
+            main_path = fs.join(
+                filesystem_for(table.location)[1], SCHEMA_FILE
+            )
+            if fs.exists(main_path):
+                return json.loads(fs.read_text(main_path))
         return None
     return json.loads(fs.read_text(path))
 
@@ -134,12 +156,47 @@ def check_schema(table: TableDefinition, df_schema: T.StructType, mode: str) -> 
     return bool(added)
 
 
+def promote_schema(
+    main_table: TableDefinition, branch_table: TableDefinition, label: str
+) -> bool:
+    """Adopt a branch's recorded schema as main's on publish (merge).
+
+    Returns True when main's sidecar was advanced; no-op when the branch
+    never recorded one or both already agree."""
+    fs, branch_path = _schema_path(branch_table)
+    if not fs.exists(branch_path):
+        return False
+    bdoc = json.loads(fs.read_text(branch_path))
+    mdoc = _load(main_table)
+    if mdoc is not None and mdoc["current"] == bdoc["current"]:
+        return False
+    record_schema(
+        main_table, T.StructType.fromJson(bdoc["current"]), label
+    )
+    return True
+
+
+def drop_branch_schema(branch_table: TableDefinition) -> None:
+    """Remove a branch's sidecar (branch deleted or published)."""
+    fs, path = _schema_path(branch_table)
+    if fs.exists(path):
+        fs.remove_file(path)
+
+
 def record_schema(
     table: TableDefinition, df_schema: T.StructType, version_label: str
 ) -> None:
     """Persist ``df_schema`` as the current schema, appending to the audit
     trail.  Call AFTER the commit succeeds so a failed write never
-    advances the recorded schema."""
+    advances the recorded schema.
+
+    Concurrency: this is a read-modify-write of one small JSON file and
+    follows the tracker's documented stance — last-writer-wins by default.
+    Two concurrent ADDITIVE writers that each pass the guard can race the
+    sidecar update; the loser's column reappears in the record on its next
+    write (data files are unaffected — the guard gates writes, the record
+    is advisory state).  Serialized-commit backends (files+flock, sqlite)
+    serialize the whole write path around it."""
     fields = [f for f in df_schema.fields if f.name != VERSION_COLUMN]
     clean = T.StructType(fields).jsonValue()
     doc = _load(table) or {"current": None, "history": []}

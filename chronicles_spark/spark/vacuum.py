@@ -41,27 +41,38 @@ from ..trackers.fs import filesystem_for
 _VERSION_DIR_PREFIX = vpaths.VERSION_COLUMN + "="
 
 
-def _versions_ever_written(tracker: VersionTracker, table: TableDefinition):
+def _line_versions(tracker: VersionTracker, name):
+    """(partition | None, version) for every Add op in ONE log, in commit
+    order (oldest first)."""
+    out: list[tuple[object, object]] = []
+    for update in tracker.table_state(name).updates:
+        for op in update.operations:
+            if isinstance(op, AddPartitionVersion):
+                out.append((op.partition, op.version))
+            elif isinstance(op, AddTableVersion):
+                out.append((None, op.version))
+    return out
+
+
+def _versions_ever_written(
+    tracker: VersionTracker, table: TableDefinition, lines=None
+):
     """(partition | None, version) for every Add op across the table's log
     AND every branch's log (branches write to the same storage location,
     so GC decisions must see their versions too), deduplicated, in commit
-    order (oldest first, main log first)."""
-    from ..branching import branches
+    order (oldest first, main log first).  ``lines`` short-circuits the
+    branch enumeration when the caller already resolved it."""
+    if lines is None:
+        from ..branching import branches
 
+        lines = [table.name, *branches(tracker, table.name).values()]
     out: list[tuple[object, object]] = []
     seen: set = set()
-    for name in (table.name, *branches(tracker, table.name).values()):
-        for update in tracker.table_state(name).updates:
-            for op in update.operations:
-                if isinstance(op, AddPartitionVersion):
-                    item = (op.partition, op.version)
-                elif isinstance(op, AddTableVersion):
-                    item = (None, op.version)
-                else:
-                    continue
-                if item not in seen:
-                    seen.add(item)
-                    out.append(item)
+    for name in lines:
+        for item in _line_versions(tracker, name):
+            if item not in seen:
+                seen.add(item)
+                out.append(item)
     return out
 
 
@@ -175,7 +186,8 @@ def vacuum(
     # every line of history over this storage location: the table itself
     # plus all its branches — a branch's live state and tagged states are
     # as protected as main's (its branch-point tag pins the base state)
-    for line in (table.name, *branches(tracker, table.name).values()):
+    lines = [table.name, *branches(tracker, table.name).values()]
+    for line in lines:
         _keep_state(tracker.current_version(line))
         # every TAGGED state is pinned too: a tag promises its read stays
         # reproducible, so all directories its fold references are kept
@@ -183,19 +195,24 @@ def vacuum(
         # each tag O(tail), not O(log))
         for _tag, tagged_commit in sorted(tracker.tags(line).items()):
             _keep_state(tracker.version_at(line, tagged_commit))
+        # the keep_last time-travel window is PER LINE: each log keeps its
+        # own newest N versions per partition, so branch churn can never
+        # evict main's recent history from main's window (and vice versa)
+        line_by_part: dict[object, list] = {}
+        for partition, version in _line_versions(tracker, line):
+            line_by_part.setdefault(
+                partition.path if partition is not None else "", []
+            ).append(version)
+        for key, versions in line_by_part.items():
+            for v in versions[-keep_last:]:
+                keep.add((key, v.label))
 
     by_part: dict[object, list] = {}
     part_objs: dict[object, object] = {}
-    for partition, version in _versions_ever_written(tracker, table):
+    for partition, version in _versions_ever_written(tracker, table, lines):
         key = partition.path if partition is not None else ""
         by_part.setdefault(key, []).append(version)
         part_objs[key] = partition
-    for key, versions in by_part.items():
-        # merged main+branch lists are not globally log-ordered; version
-        # labels embed the generation timestamp, so newest-N by label is
-        # the chronological window
-        for v in sorted(versions, key=lambda v: v.label)[-keep_last:]:
-            keep.add((key, v.label))
 
     # deletion goes through the FS facade, so a table whose data lives on
     # an object store (s3://, memory://, any fsspec scheme) vacuums the

@@ -172,6 +172,41 @@ def test_merge_carries_branch_removals(tracker):
     assert state.partition_versions == {}
 
 
+def test_merge_identical_change_both_sides_is_clean(tracker):
+    _init(tracker)
+    v1, v2 = generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "loc", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "staging", "alice")
+    btn = B.branch_table_name(T, "staging")
+    from chronicles_spark.core.ops import RemovePartition
+
+    # both sides remove P1, branch also adds P2
+    _commit(tracker, btn, RemovePartition(P1), AddPartitionVersion(P2, v2))
+    _commit(tracker, T, RemovePartition(P1))
+    state, _ = B.merge_branch(table, tracker, "staging", "alice", "publish")
+    assert state.partition_versions == {P2: v2}
+
+
+def test_cli_merge_conflict_is_an_error_not_a_crash():
+    import chronicles_spark.cli as C
+    from tests.test_cli import make_client
+
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2024-01-01", "--message", "w1"],
+          client, console, "u")
+    C.run(["branch", "db.t", "staging"], client, console, "u")
+    C.run(["partition", "add", "db.t__branch_staging", "date=2024-01-01",
+           "--message", "bw"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2024-01-01", "--message", "mw"],
+          client, console, "u")
+    code = C.run(["merge", "db.t", "staging", "--message", "pub"],
+                 client, console, "u")
+    assert code == 1
+    assert any("cannot merge" in line for line in console.err)
+
+
 def test_merge_noop_and_drop_branch(tracker):
     _init(tracker)
     v1 = generate_version()
@@ -271,6 +306,90 @@ def test_vacuum_protects_branch_versions(spark, tmp_path):
     for p, v in branch_live.items():
         live_dir = f"_version={v.label}"
         assert not any(live_dir in d for d in doomed2)
+
+
+def test_vacuum_keep_last_window_is_per_line(spark, tmp_path):
+    """Branch churn must not evict main's recent history from main's
+    keep_last window (review finding, round 4)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import vacuum, versioned_insert_into
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(2).select(F.col("id"), F.lit("0").alias("d"))
+    versioned_insert_into(df, table, tracker, "u", "w1")
+    versioned_insert_into(df, table, tracker, "u", "w2")
+    main_versions = {
+        v.label
+        for _p, v in __import__(
+            "chronicles_spark.spark.vacuum", fromlist=["_line_versions"]
+        )._line_versions(tracker, table.name)
+    }
+    # branch writes the same partition twice (newer labels than main's)
+    B.create_branch(tracker, table.name, "busy", "u")
+    bdef = B.branch_table_def(table, "busy")
+    versioned_insert_into(df, bdef, tracker, "u", "bw1")
+    versioned_insert_into(df, bdef, tracker, "u", "bw2")
+
+    doomed = vacuum(table, tracker, keep_last=2, dry_run=True)
+    for label in main_versions:
+        assert not any(label in d for d in doomed), (
+            "main's newest-2 window must survive branch churn"
+        )
+
+
+def test_schema_guard_isolated_per_branch(spark, tmp_path):
+    """A guarded branch write must not advance main's recorded schema;
+    merge promotes it; the branch inherits main's schema for checks
+    (review finding, round 4)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import (
+        SchemaDriftError,
+        read_current,
+        stored_schema,
+        versioned_insert_into,
+    )
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(2).select(F.col("id"), F.lit("0").alias("d"))
+    versioned_insert_into(df, table, tracker, "u", "w1", schema_mode="additive")
+    main_cols = {f.name for f in stored_schema(table).fields}
+
+    B.create_branch(tracker, table.name, "staging", "u")
+    bdef = B.branch_table_def(table, "staging")
+    # inherited check: a type change vs MAIN's schema is rejected on the
+    # branch even though the branch never recorded anything itself
+    with pytest.raises(SchemaDriftError):
+        versioned_insert_into(
+            df.withColumn("id", F.col("id").cast("string")),
+            bdef, tracker, "u", "bad", schema_mode="additive",
+        )
+    # additive evolution on the branch: recorded on the BRANCH sidecar only
+    versioned_insert_into(
+        df.withColumn("y", F.lit(1)), bdef, tracker, "u", "evolve",
+        schema_mode="additive",
+    )
+    assert {f.name for f in stored_schema(table).fields} == main_cols
+    assert "y" in {f.name for f in stored_schema(bdef).fields}
+
+    # publish: merge promotes the branch's schema to main
+    B.merge_branch(table, tracker, "staging", "u", "publish", drop_branch=True)
+    assert "y" in {f.name for f in stored_schema(table).fields}
+    # and a guarded main write with the merged shape passes
+    versioned_insert_into(
+        df.withColumn("y", F.lit(2)), table, tracker, "u", "w2",
+        schema_mode="strict",
+    )
+    assert read_current(spark, table, tracker).count() == 2
 
 
 def test_cli_branch_and_merge_verbs():
