@@ -17,6 +17,7 @@ syntax::
           .option("commit", "<commit-id>")      # optional time travel
           .option("tag", "corpus-v1")           # …or by pinned tag
           .option("timestamp", "2024-01-01T00:00:00")  # …or as-of wall clock
+          .option("branch", "staging")          # read a WAP staging branch
           .option("pushdown", "true")           # partition-filter pruning
           .load())
 
@@ -107,6 +108,14 @@ def _resolve_live_dirs(options) -> tuple[list[tuple[str, tuple]], str]:
     fmt = options.get("format", "parquet")
     tracker = tracker_for_url(root)
     name = TableName.parse(table)
+    branch = options.get("branch")
+    if branch:
+        # audit reads in the Write-Audit-Publish flow: resolve against the
+        # branch's log (same storage location; only the line of history
+        # differs).  Composes with commit/tag/timestamp WITHIN the branch.
+        from ..branching import branch_table_name
+
+        name = branch_table_name(name, branch)
     commit = options.get("commit")
     tag = options.get("tag")
     timestamp = options.get("timestamp")

@@ -418,6 +418,56 @@ def test_cli_branch_and_merge_verbs():
     assert code == 1  # unknown branch surfaces as CLI error
 
 
+def test_streaming_wap_sink_into_branch(spark, tmp_path):
+    """Streaming ingest composes with branches: the micro-batch sink lands
+    commits on a STAGING branch, main readers see nothing until merge —
+    WAP for continuous ingest, zero new plumbing."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_current, versioned_insert_into
+    from chronicles_spark.streaming.ingest import versioned_stream_sink
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("stream", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="etl")
+    seed = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_into(seed, table, tracker, "etl", "seed")
+
+    B.create_branch(tracker, table.name, "ingest", "etl")
+    bdef = B.branch_table_def(table, "ingest")
+    src = str(tmp_path / "src")
+    batch = spark.range(100, 108).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        versioned_stream_sink(
+            stream, bdef, tracker, "etl", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # staged rows invisible on main, visible on the branch
+    assert read_current(spark, table, tracker).count() == 4
+    staged = read_current(spark, bdef, tracker)
+    assert staged.where(F.col("id") >= 100).count() == 8
+
+    B.merge_branch(table, tracker, "ingest", "etl", "publish", drop_branch=True)
+    final = read_current(spark, table, tracker)
+    assert final.where(F.col("id") >= 100).count() == 8
+
+
 def test_wap_end_to_end(spark, tmp_path):
     """The Write-Audit-Publish flow: write to branch, audit, publish."""
     from pyspark.sql import functions as F

@@ -221,3 +221,29 @@ def test_timestamp_option_reads_as_of_state(spark, versioned_table):
         (_reader(spark, table, root)
          .option("timestamp", ts_first.isoformat())
          .option("commit", first_commit).load())
+
+
+def test_branch_option_reads_staged_state(spark, versioned_table):
+    """.option("branch", ...) resolves against the branch's log — the
+    audit-read surface of the Write-Audit-Publish flow."""
+    from chronicles_spark import branching as B
+    from chronicles_spark.trackers import FileBackedVersionTracker
+
+    table, root, _ = versioned_table
+    tracker = FileBackedVersionTracker(root)
+    B.create_branch(tracker, table.name, "staging", "a")
+    bdef = B.branch_table_def(table, "staging")
+    staged = spark.createDataFrame([("s1", 9, "2019-01-03")], ["user", "n", "date"])
+    versioned_insert_into(staged, bdef, tracker, "a", "stage")
+
+    got = _reader(spark, table, root).option("branch", "staging").load()
+    assert {r["user"] for r in got.collect()} == {"u9", "u2", "s1"}
+    # main reader unchanged
+    main = _reader(spark, table, root).load()
+    assert {r["user"] for r in main.collect()} == {"u9", "u2"}
+    # unknown branch surfaces as an error
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        _reader(spark, table, root).option("branch", "nope").load().collect()
