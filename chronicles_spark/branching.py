@@ -193,6 +193,7 @@ def merge_branch(
     message: str,
     metastore=None,
     drop_branch: bool = False,
+    on_conflict: str = "error",
 ) -> Tuple[object, list]:
     """Publish a branch: land its changes-since-base on main as ONE commit.
 
@@ -207,7 +208,18 @@ def merge_branch(
     Returns ``(new main state, metastore changes)``.  ``drop_branch=True``
     deletes the branch after a successful merge (a no-change merge also
     drops it — the WAP "publish" is complete either way).
+
+    ``on_conflict``: ``"error"`` (default) raises MergeConflictError;
+    ``"theirs"`` publishes the branch's version for contested partitions
+    anyway (forced publish — the audited branch is authoritative);
+    ``"ours"`` keeps main's version for contested partitions and merges
+    the rest.  Prefer :func:`rebase_branch` + re-audit when the contested
+    data matters.
     """
+    if on_conflict not in ("error", "theirs", "ours"):
+        raise ValueError(
+            f"on_conflict must be 'error', 'theirs' or 'ours', got {on_conflict!r}"
+        )
     btn = branch_table_name(table.name, branch)
     if btn not in tracker.tables():
         raise BranchError(f"no branch {branch!r} of {table.name}")
@@ -220,10 +232,22 @@ def merge_branch(
 
     ops: List[TableOperation] = []
     conflicts: List[str] = []
+
+    def _take_branch_side(p, b1) -> None:
+        if b1 is None:
+            if p is not None:
+                ops.append(RemovePartition(p))
+        elif p is None:
+            ops.append(AddTableVersion(b1))
+        else:
+            ops.append(AddPartitionVersion(p, b1))
+
     if isinstance(br, SnapshotTableVersion):
         if br.version != base.version and main.version != br.version:
             if main.version != base.version:
                 conflicts.append("<table version>")
+                if on_conflict == "theirs":
+                    _take_branch_side(None, br.version)
             else:
                 ops.append(AddTableVersion(br.version))
     else:
@@ -239,11 +263,13 @@ def merge_branch(
                 continue  # both sides made the IDENTICAL change — clean
             if m != b0:
                 conflicts.append(p.path)
+                if on_conflict == "theirs":
+                    _take_branch_side(p, b1)
             elif b1 is None:
                 ops.append(RemovePartition(p))
             else:
                 ops.append(AddPartitionVersion(p, b1))
-    if conflicts:
+    if conflicts and on_conflict == "error":
         raise MergeConflictError(table.name, branch, conflicts)
 
     bdef = branch_table_def(table, branch)
@@ -278,3 +304,98 @@ def merge_branch(
 
             drop_branch_schema(bdef)
     return new_state, changes
+
+
+def rebase_branch(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    branch: str,
+    user_id: str,
+    on_conflict: str = "error",
+) -> Tuple[object, List[str]]:
+    """Re-base a branch onto main's CURRENT state (git rebase for
+    partitions), so a branch whose merge conflicts can pick up main's
+    progress, be re-audited, and then merge clean.
+
+    Two commits land on the BRANCH (main is never touched):
+
+    1. a new base-state commit transforming the branch's view to exactly
+       main's current state — the ``branch-point`` tag is force-moved here;
+    2. a replay commit re-applying the branch's changes-since-old-base on
+       top of it.
+
+    A partition changed on BOTH sides since the old base conflicts:
+    ``on_conflict="error"`` raises before anything is committed;
+    ``"theirs"`` keeps the branch's version in the replay; ``"ours"``
+    drops the branch's change (main's version stands).  Returns
+    ``(new branch state, conflicted partition paths)``.
+    """
+    if on_conflict not in ("error", "theirs", "ours"):
+        raise ValueError(
+            f"on_conflict must be 'error', 'theirs' or 'ours', got {on_conflict!r}"
+        )
+    btn = branch_table_name(table.name, branch)
+    if btn not in tracker.tables():
+        raise BranchError(f"no branch {branch!r} of {table.name}")
+    if tracker.is_snapshot_table(table.name):
+        raise BranchError(
+            "rebase is for partitioned tables; re-create the branch for a "
+            "snapshot table (its whole state is one version pointer)"
+        )
+
+    base = tracker.version_at(
+        btn, tracker.tag_commit(btn, BRANCH_POINT_TAG)
+    ).partition_versions
+    br = tracker.current_version(btn).partition_versions
+    main = tracker.current_version(table.name).partition_versions
+
+    # branch's own changes since the old base, minus conflicts per policy
+    replay: List[TableOperation] = []
+    conflicts: List[str] = []
+    for p in sorted(set(base) | set(br), key=lambda p: p.path):
+        b0, b1 = base.get(p), br.get(p)
+        if b0 == b1:
+            continue
+        m = main.get(p)
+        if m == b1:
+            continue  # main already carries the branch's change
+        if m != b0:
+            conflicts.append(p.path)
+            if on_conflict != "theirs":
+                continue  # 'ours': main's version stands
+        if b1 is None:
+            if p in main:
+                replay.append(RemovePartition(p))
+        else:
+            replay.append(AddPartitionVersion(p, b1))
+    if conflicts and on_conflict == "error":
+        raise MergeConflictError(table.name, branch, conflicts)
+
+    # commit 1: branch view := main's current state
+    sync_ops: List[TableOperation] = []
+    for p in sorted(set(br) | set(main), key=lambda p: p.path):
+        if main.get(p) is None:
+            sync_ops.append(RemovePartition(p))
+        elif br.get(p) != main[p]:
+            sync_ops.append(AddPartitionVersion(p, main[p]))
+    meta1 = TableUpdateMetadata.new(
+        user_id, f"rebase base onto {table.name.fully_qualified}",
+        datetime.now(timezone.utc),
+    )
+    if sync_ops:
+        tracker.commit(btn, TableUpdate(meta1, tuple(sync_ops)))
+        tracker.set_tag(btn, BRANCH_POINT_TAG, meta1.commit_id, force=True)
+    else:
+        # branch view already equals main: just move the base marker
+        tracker.set_tag(
+            btn, BRANCH_POINT_TAG,
+            tracker.table_state(btn).current_version, force=True,
+        )
+
+    # commit 2: replay the branch's changes on the fresh base
+    if replay:
+        meta2 = TableUpdateMetadata.new(
+            user_id, "rebase replay", datetime.now(timezone.utc)
+        )
+        tracker.commit(btn, TableUpdate(meta2, tuple(replay)))
+    return tracker.current_version(btn), conflicts

@@ -145,12 +145,25 @@ class BranchAction:
 class MergeAction:
     """Extension beyond the reference CLI verbs: publish a branch into its
     source table as one commit (partition-level three-way merge; conflicts
-    error out).  ``drop_branch`` deletes the branch after the merge."""
+    error out unless ``on_conflict`` overrides).  ``drop_branch`` deletes
+    the branch after the merge."""
 
     table: TableName
     branch: str
     message: str
     drop_branch: bool = False
+    on_conflict: str = "error"
+
+
+@dataclass(frozen=True)
+class RebaseAction:
+    """Extension beyond the reference CLI verbs: re-base a branch onto its
+    source table's current state so a conflicted branch can be re-audited
+    and merged clean."""
+
+    table: TableName
+    branch: str
+    on_conflict: str = "error"
 
 
 @dataclass(frozen=True)
@@ -395,6 +408,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--drop-branch", action="store_true",
         help="Delete the branch after a successful merge",
     )
+    p_mg.add_argument(
+        "--on-conflict", choices=["error", "theirs", "ours"], default="error",
+        help="Contested partitions: error (default), theirs (branch wins), "
+        "ours (main wins)",
+    )
+
+    p_rb = sub.add_parser(
+        "rebase", help="Re-base a branch onto its source table's current state"
+    )
+    p_rb.add_argument("table")
+    p_rb.add_argument("branch")
+    p_rb.add_argument(
+        "--on-conflict", choices=["error", "theirs", "ours"], default="error",
+        help="Partitions changed on both sides: error (default), theirs "
+        "(keep the branch change), ours (main's version stands)",
+    )
 
     p_res = sub.add_parser(
         "restore",
@@ -493,8 +522,11 @@ def parse_action(argv: Sequence[str]):
         )
     if ns.command == "merge":
         return ns, MergeAction(
-            _table_name(ns.table), ns.branch, ns.message, ns.drop_branch
+            _table_name(ns.table), ns.branch, ns.message, ns.drop_branch,
+            ns.on_conflict,
         )
+    if ns.command == "rebase":
+        return ns, RebaseAction(_table_name(ns.table), ns.branch, ns.on_conflict)
     if ns.command == "restore":
         selectors = [s for s in (ns.commit, ns.tag, ns.timestamp) if s]
         if len(selectors) != 1:
@@ -554,6 +586,8 @@ class CliClient:
             self.branch(action, user_id)
         elif isinstance(action, MergeAction):
             self.merge(action, user_id)
+        elif isinstance(action, RebaseAction):
+            self.rebase(action, user_id)
         elif isinstance(action, ManifestAction):
             self.manifest(action)
         elif isinstance(action, VacuumAction):
@@ -675,11 +709,34 @@ class CliClient:
             action.message,
             metastore=None,
             drop_branch=action.drop_branch,
+            on_conflict=action.on_conflict,
         )
         self.console.println(
             f"Merged branch '{action.branch}' into "
             f"'{action.table.fully_qualified}'"
             f"{' and deleted it' if action.drop_branch else ''}"
+        )
+
+    def rebase(self, action: RebaseAction, user_id: str) -> None:
+        from . import branching as B
+
+        _state, conflicts = B.rebase_branch(
+            self._table_def(action.table),
+            self.delegate.tracker,
+            action.branch,
+            user_id,
+            on_conflict=action.on_conflict,
+        )
+        note = (
+            f" ({len(conflicts)} contested partition"
+            f"{'s' if len(conflicts) != 1 else ''} resolved: "
+            f"{action.on_conflict})"
+            if conflicts
+            else ""
+        )
+        self.console.println(
+            f"Rebased branch '{action.branch}' onto "
+            f"'{action.table.fully_qualified}'{note}"
         )
 
     def restore(self, action: RestoreAction, user_id: str) -> None:

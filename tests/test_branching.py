@@ -259,6 +259,102 @@ def test_snapshot_table_branch_merge(tracker):
     assert state.version == v2
 
 
+def test_merge_on_conflict_strategies(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "s1", "alice")
+    btn = B.branch_table_name(T, "s1")
+    _commit(tracker, btn, AddPartitionVersion(P1, v2), AddPartitionVersion(P2, v2))
+    _commit(tracker, T, AddPartitionVersion(P1, v3))  # contested: P1
+
+    with pytest.raises(ValueError, match="on_conflict"):
+        B.merge_branch(table, tracker, "s1", "alice", "m", on_conflict="mine")
+    # 'ours': keep main's P1, merge clean P2
+    state, _ = B.merge_branch(
+        table, tracker, "s1", "alice", "keep main", on_conflict="ours"
+    )
+    assert state.partition_versions[P1] == v3
+    assert state.partition_versions[P2] == v2
+    # 'theirs': branch overrides the contested partition
+    B.create_branch(tracker, T, "s2", "alice")
+    btn2 = B.branch_table_name(T, "s2")
+    v4, v5 = generate_version(), generate_version()
+    _commit(tracker, btn2, AddPartitionVersion(P1, v4))
+    _commit(tracker, T, AddPartitionVersion(P1, v5))
+    state, _ = B.merge_branch(
+        table, tracker, "s2", "alice", "force publish", on_conflict="theirs"
+    )
+    assert state.partition_versions[P1] == v4
+
+
+def test_rebase_branch(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "s", "alice")
+    btn = B.branch_table_name(T, "s")
+    _commit(tracker, btn, AddPartitionVersion(P2, v2))  # branch adds P2
+    p3 = Partition.of(("date", "2024-01-03"))
+    _commit(tracker, T, AddPartitionVersion(p3, v3))  # main adds P3
+
+    # no conflicts: rebase folds main's progress under the branch change
+    state, conflicts = B.rebase_branch(table, tracker, "s", "alice")
+    assert conflicts == []
+    assert state.partition_versions == {P1: v1, P2: v2, p3: v3}
+    # and the merge is now clean even though main moved since creation
+    state, _ = B.merge_branch(table, tracker, "s", "alice", "publish")
+    assert state.partition_versions == {P1: v1, P2: v2, p3: v3}
+
+
+def test_rebase_branch_conflict_policies(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "s", "alice")
+    btn = B.branch_table_name(T, "s")
+    _commit(tracker, btn, AddPartitionVersion(P1, v2))  # branch changes P1
+    _commit(tracker, T, AddPartitionVersion(P1, v3))  # main changes P1 too
+
+    with pytest.raises(B.MergeConflictError):
+        B.rebase_branch(table, tracker, "s", "alice")
+    # nothing landed on the branch from the failed rebase
+    assert tracker.current_version(btn).partition_versions == {P1: v2}
+
+    state, conflicts = B.rebase_branch(
+        table, tracker, "s", "alice", on_conflict="ours"
+    )
+    assert conflicts == ["date=2024-01-01"]
+    assert state.partition_versions == {P1: v3}  # main's version stands
+    # branch now merges as a no-op
+    state, _ = B.merge_branch(table, tracker, "s", "alice", "noop")
+    assert state.partition_versions == {P1: v3}
+
+
+def test_rebase_branch_theirs_keeps_branch_change(tracker):
+    _init(tracker)
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "", PartitionSchema(("date",)))
+    B.create_branch(tracker, T, "s", "alice")
+    btn = B.branch_table_name(T, "s")
+    _commit(tracker, btn, AddPartitionVersion(P1, v2))
+    _commit(tracker, T, AddPartitionVersion(P1, v3))
+
+    state, conflicts = B.rebase_branch(
+        table, tracker, "s", "alice", on_conflict="theirs"
+    )
+    assert conflicts == ["date=2024-01-01"]
+    assert state.partition_versions == {P1: v2}  # branch change survives
+    # after rebase the branch-point equals main, so merge sees P1 as a
+    # clean branch change and publishes it
+    state, _ = B.merge_branch(table, tracker, "s", "alice", "publish")
+    assert state.partition_versions == {P1: v2}
+
+
 # -- vacuum protection ------------------------------------------------------
 
 
@@ -416,6 +512,29 @@ def test_cli_branch_and_merge_verbs():
     C.run(["branch", "db.t"], client, console, "u")  # empty listing
     code = C.run(["branch", "db.t", "nope", "--delete"], client, console, "u")
     assert code == 1  # unknown branch surfaces as CLI error
+
+
+def test_cli_rebase_and_on_conflict():
+    import chronicles_spark.cli as C
+    from tests.test_cli import make_client
+
+    client, console = make_client()
+    C.run(["init", "db.t", "--message", "init"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2024-01-01", "--message", "w1"],
+          client, console, "u")
+    C.run(["branch", "db.t", "s"], client, console, "u")
+    C.run(["partition", "add", "db.t__branch_s", "date=2024-01-01",
+           "--message", "bw"], client, console, "u")
+    C.run(["partition", "add", "db.t", "date=2024-01-01", "--message", "mw"],
+          client, console, "u")
+    # conflicted rebase errors cleanly...
+    assert C.run(["rebase", "db.t", "s"], client, console, "u") == 1
+    # ...and resolves with a policy, after which merge is clean
+    assert C.run(["rebase", "db.t", "s", "--on-conflict", "theirs"],
+                 client, console, "u") == 0
+    assert "resolved: theirs" in console.out[-1]
+    assert C.run(["merge", "db.t", "s", "--message", "pub", "--drop-branch"],
+                 client, console, "u") == 0
 
 
 def test_streaming_wap_sink_into_branch(spark, tmp_path):
