@@ -17,7 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+from chronicles_spark.core.model import (
+    Partition,
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
 from chronicles_spark.functions.strings import (
     VERSION_LABEL_RE,
     base_path_of,
@@ -168,6 +173,69 @@ def _write_versioned_events(spark: SparkSession, sf_dir: str):
     versioned_insert_into(redo, table, tracker, "q", "overwrite 2024-01-05")
     _VERSIONED_EVENTS_CACHE[sf_dir] = (table, tracker, first_commit)
     return table, tracker, first_commit
+
+
+_WAP_GATE_CACHE: dict = {}
+
+
+def _wap_restore_gate(spark: SparkSession, sf_dir: str) -> None:
+    """Correctness gate for the round-4 lifecycle extensions, asserted on a
+    tiny dedicated table (never the shared fixture): schema-guarded
+    writes (spark/schema_guard.py), branch create → staged write → WAP
+    merge (branching.py), and partition restore (spark/restore.py).
+    Raises on any divergence; memoized per sf_dir so the shared-fixture
+    queries keep timing only their own operator."""
+    if sf_dir in _WAP_GATE_CACHE:
+        return
+    from chronicles_spark import branching as B
+    from chronicles_spark.spark import restore_partitions
+    from chronicles_spark.spark.schema_guard import SchemaDriftError
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp = tempfile.mkdtemp(prefix="chronicles_wap_")
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    table = TableDefinition(
+        TableName("demo", "wap"), tmp + "/wap", PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="q")
+    seed = spark.range(8).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_into(seed, table, tracker, "q", "seed", schema_mode="additive")
+    good_head = tracker.table_state(table.name).current_version
+
+    # schema guard: a type change must be rejected BEFORE any bytes land
+    try:
+        versioned_insert_into(
+            seed.withColumn("id", F.col("id").cast("string")),
+            table, tracker, "q", "drift", schema_mode="additive",
+        )
+        raise AssertionError("schema guard accepted a type change")
+    except SchemaDriftError:
+        pass
+
+    # WAP: stage an overwrite of d=1 on a branch; main must not see it
+    B.create_branch(tracker, table.name, "stage", "q", location=table.location)
+    bdef = B.branch_table_def(table, "stage")
+    staged = spark.range(100, 104).select(F.col("id"), F.lit("1").alias("d"))
+    versioned_insert_into(staged, bdef, tracker, "q", "staged")
+    if read_current(spark, table, tracker).where(F.col("id") >= 100).count():
+        raise AssertionError("staged branch write leaked into main")
+    B.merge_branch(table, tracker, "stage", "q", "publish", drop_branch=True)
+    merged = read_current(spark, table, tracker)
+    if merged.where(F.col("id") >= 100).count() != 4 or merged.count() != 8:
+        raise AssertionError("WAP merge did not publish the staged partition")
+
+    # restore: re-point d=1 at its pre-merge state; view returns to seed
+    restore_partitions(
+        table, tracker,
+        [Partition.of(("d", "1"))],
+        "q", "undo publish", at_commit=good_head,
+    )
+    back = read_current(spark, table, tracker)
+    if back.count() != 8 or back.where(F.col("id") >= 100).count() != 0:
+        raise AssertionError("partition restore did not recover the seed state")
+    _WAP_GATE_CACHE[sf_dir] = True
 
 
 _COMPACT_CACHE: dict = {}
@@ -418,6 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events oracle — upgrading the old rows-only roundtrip row to a
         # full hash-checked one (it was previously duplicated as
         # q_current_view with the identical body).
+        #
+        # The row ALSO gates the round-4 lifecycle extensions (schema
+        # guard, branch WAP merge, partition restore) via an internal
+        # assert on a tiny side table — same correctness-gate pattern as
+        # q_time_travel_read — so a regression in any of them turns this
+        # driver row red while the returned values stay byte-identical.
+        _wap_restore_gate(spark, sf)
         table, tracker, _ = _write_versioned_events(spark, sf)
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 

@@ -42,6 +42,7 @@ from typing import Dict, List, Optional, Tuple
 from .core.diff import compute_changes
 from .core.model import (
     PartitionedTableVersion,
+    PartitionSchema,
     SnapshotTableVersion,
     TableDefinition,
     TableName,
@@ -126,16 +127,26 @@ def create_branch(
     branch: str,
     user_id: str,
     at_commit: Optional[str] = None,
+    location: Optional[str] = None,
 ) -> TableName:
     """Create ``branch`` from ``table``'s state at ``at_commit`` (default:
     the current head).  Returns the branch's tracker table name.
 
     Pure metadata: one init commit + one base-state commit of
     O(#live partitions) ops.  Raises BranchError if the branch exists.
+    ``location`` (the table's storage root, when the caller has it) clears
+    any schema sidecar a previously-deleted branch of the same name left
+    behind, so guarded writes start from main's recorded schema.
     """
     btn = branch_table_name(table, branch)
     if btn in tracker.tables():
         raise BranchError(f"branch {branch!r} of {table} already exists")
+    if location:
+        from .spark.schema_guard import drop_branch_schema
+
+        drop_branch_schema(
+            TableDefinition(btn, location, PartitionSchema(("p",)))
+        )
     is_snapshot = tracker.is_snapshot_table(table)
     base_state = (
         tracker.current_version(table)
@@ -174,15 +185,27 @@ def branch_table_def(table: TableDefinition, branch: str) -> TableDefinition:
 
 
 def delete_branch(
-    tracker: VersionTracker, table: TableName, branch: str
+    tracker: VersionTracker,
+    table: TableName,
+    branch: str,
+    location: Optional[str] = None,
 ) -> None:
     """Drop a branch's log (and thereby its vacuum protection).  Data
     directories only the branch referenced become vacuum-eligible
-    orphans; the source table is untouched."""
+    orphans; the source table is untouched.  Pass ``location`` (the
+    table's storage root) to also remove the branch's schema sidecar so a
+    future branch of the same name cannot inherit a dead branch's
+    schema."""
     btn = branch_table_name(table, branch)
     if btn not in tracker.tables():
         raise BranchError(f"no branch {branch!r} of {table}")
     tracker.drop_table(btn)
+    if location:
+        from .spark.schema_guard import drop_branch_schema
+
+        drop_branch_schema(
+            TableDefinition(btn, location, PartitionSchema(("p",)))
+        )
 
 
 def merge_branch(

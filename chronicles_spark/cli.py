@@ -139,6 +139,7 @@ class BranchAction:
     name: Optional[str] = None
     commit_id: Optional[str] = None
     delete: bool = False
+    location: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -153,6 +154,7 @@ class MergeAction:
     message: str
     drop_branch: bool = False
     on_conflict: str = "error"
+    location: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -397,6 +399,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--commit", help="Branch point commit id (default: the current head)"
     )
     p_br.add_argument("--delete", action="store_true", help="Drop the branch")
+    p_br.add_argument(
+        "--location",
+        help="Table storage root; when given, schema-guard sidecars for "
+        "the branch are cleaned up on create/delete",
+    )
 
     p_mg = sub.add_parser(
         "merge", help="Publish a branch into its source table as one commit"
@@ -412,6 +419,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--on-conflict", choices=["error", "theirs", "ours"], default="error",
         help="Contested partitions: error (default), theirs (branch wins), "
         "ours (main wins)",
+    )
+    p_mg.add_argument(
+        "--location",
+        help="Table storage root; when given, the branch's schema-guard "
+        "sidecar is promoted to main on merge and cleaned up on "
+        "--drop-branch",
     )
 
     p_rb = sub.add_parser(
@@ -518,12 +531,12 @@ def parse_action(argv: Sequence[str]):
         if ns.commit and not ns.name:
             raise CliError("branch --commit needs a branch name")
         return ns, BranchAction(
-            _table_name(ns.table), ns.name, ns.commit, ns.delete
+            _table_name(ns.table), ns.name, ns.commit, ns.delete, ns.location
         )
     if ns.command == "merge":
         return ns, MergeAction(
             _table_name(ns.table), ns.branch, ns.message, ns.drop_branch,
-            ns.on_conflict,
+            ns.on_conflict, ns.location,
         )
     if ns.command == "rebase":
         return ns, RebaseAction(_table_name(ns.table), ns.branch, ns.on_conflict)
@@ -683,14 +696,17 @@ class CliClient:
                 self.console.println(f"{name} {head}")
             return
         if action.delete:
-            B.delete_branch(tracker, action.table, action.name)
+            B.delete_branch(
+                tracker, action.table, action.name, location=action.location
+            )
             self.console.println(
                 f"Deleted branch '{action.name}' of "
                 f"'{action.table.fully_qualified}'"
             )
             return
         B.create_branch(
-            tracker, action.table, action.name, user_id, action.commit_id
+            tracker, action.table, action.name, user_id, action.commit_id,
+            location=action.location,
         )
         point = action.commit_id or "the current head"
         self.console.println(
@@ -701,8 +717,13 @@ class CliClient:
     def merge(self, action: MergeAction, user_id: str) -> None:
         from . import branching as B
 
+        tdef = self._table_def(action.table)
+        if action.location:
+            tdef = TableDefinition(
+                tdef.name, action.location, tdef.partition_schema
+            )
         B.merge_branch(
-            self._table_def(action.table),
+            tdef,
             self.delegate.tracker,
             action.branch,
             user_id,

@@ -279,13 +279,16 @@ class ChroniclesStreamReader(DataSourceStreamReader):
     Rollbacks: ``checkout``/``set_current_version`` move the head pointer
     without writing a commit file, so while a head is parked in the past
     the CDC stream (which follows commit order) diverges from
-    ``read_current``.  The source reads the head pointer each poll and
-    fails with a clear error when it detects a rolled-back head (the
-    Delta-streaming-source precedent for non-append changes); pass
-    ``.option("rollback", "ignore")`` to keep tailing commit order — safe
-    because reference fold semantics re-surface rolled-back commits once
-    the head re-advances, at which point consumer state and live view
-    converge again.
+    ``read_current``.  The source serves only commits AT OR BELOW the head
+    pointer each poll (an append caught between its commit-file write and
+    its head_ref update is just "not visible yet", never misread as a
+    rollback) and fails with a clear error when the head parks below an
+    offset this stream already served (the Delta-streaming-source
+    precedent for non-append changes); pass ``.option("rollback",
+    "ignore")`` to keep tailing raw commit order — safe because reference
+    fold semantics re-surface rolled-back commits once the head
+    re-advances, at which point consumer state and live view converge
+    again.
 
     A batch emits the rows of exactly the
     partitions whose live version CHANGED across the range — the streaming
@@ -339,6 +342,7 @@ class ChroniclesStreamReader(DataSourceStreamReader):
         self._fold_cache = (-1, ({}, None))
         self._snapshot_kind: Optional[bool] = None
         self._last_file_id: Tuple[int, Optional[str]] = (-1, None)  # seq → id
+        self._served_commits = 0  # high-water mark of offsets handed to Spark
 
     # -- log access ---------------------------------------------------------
     # Per-poll cost is O(new commits), never O(log): latestOffset is one
@@ -429,44 +433,70 @@ class ChroniclesStreamReader(DataSourceStreamReader):
                 "logs, then restart this stream from a fresh checkpoint."
             )
 
-    def _check_rollback(self, tracker, name, seqs) -> None:
-        """Fail (by default) while the head is parked behind the log tail —
-        the live view then diverges from commit order; see class docstring."""
-        if self._rollback == "ignore" or not seqs:
-            return
-        last = seqs[-1]
-        cached_seq, last_id = self._last_file_id
-        if cached_seq != last or last_id is None:
-            tail = tracker.updates_in_seq_range(name, last - 1, last)
-            last_id = tail[0].metadata.commit_id if tail else None
-            self._last_file_id = (last, last_id)
+    def _visible_commits(self, tracker, name, seqs) -> int:
+        """Leading commits VISIBLE through the head pointer.
+
+        The files tracker appends the commit file BEFORE advancing
+        head_ref, so a poll can land in that window and see a newer file
+        than the head acknowledges.  That is an append in progress, not a
+        rollback: the batch is simply capped at the head and the new
+        commit is served once the head advances.  A head parked BELOW an
+        offset this stream already served is the genuine rollback case,
+        handled in :meth:`latestOffset`.  ``rollback="ignore"`` keeps the
+        old tail-the-file-order behavior (serve everything)."""
+        if not seqs:
+            return 0
+        if self._rollback == "ignore":
+            return len(seqs)
         head = tracker.head_commit_id(name)
-        if last_id is not None and head != last_id:
-            raise RuntimeError(
-                f"table head ({head}) is rolled back behind the newest "
-                f"commit in the log ({last_id}): the live view no longer "
-                "matches commit order, so this CDC stream would diverge "
-                "from read_current. Either restart the stream from a fresh "
-                "checkpoint once the head re-advances, or pass "
-                '.option("rollback", "ignore") to keep tailing commit '
-                "order (consumer state re-converges with the live view "
-                "when a later commit re-advances the head)."
-            )
+        i = len(seqs) - 1
+        while i >= 0:
+            seq = seqs[i]
+            cached_seq, cached_id = self._last_file_id
+            if cached_seq == seq and cached_id is not None:
+                cid = cached_id
+            else:
+                tail = tracker.updates_in_seq_range(name, seq - 1, seq)
+                cid = tail[0].metadata.commit_id if tail else None
+                if i == len(seqs) - 1:
+                    self._last_file_id = (seq, cid)
+            if cid == head:
+                return i + 1
+            i -= 1
+        raise RuntimeError(
+            f"table head ({head}) does not match any commit in the log — "
+            "the log root is corrupted or points at a different table"
+        )
 
     # -- DataSourceStreamReader API ----------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         if self._starting == "latest":
-            seqs = self._make_tracker().update_seqs(self._table_name())
-            return {"commits": len(seqs), "last_seq": seqs[-1] if seqs else -1}
+            tracker = self._make_tracker()
+            name = self._table_name()
+            seqs = tracker.update_seqs(name)
+            n = self._visible_commits(tracker, name, seqs)
+            return {"commits": n, "last_seq": seqs[n - 1] if n else -1}
         return {"commits": 0, "last_seq": -1}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
         tracker = self._make_tracker()
         name = self._table_name()
         seqs = tracker.update_seqs(name)
-        self._check_rollback(tracker, name, seqs)
-        return {"commits": len(seqs), "last_seq": seqs[-1] if seqs else -1}
+        n = self._visible_commits(tracker, name, seqs)
+        if n < self._served_commits:
+            raise RuntimeError(
+                f"table head is rolled back behind offsets this stream "
+                f"already served ({n} visible commits < {self._served_commits} "
+                "served): the live view no longer matches commit order, so "
+                "this CDC stream would diverge from read_current. Either "
+                "restart the stream from a fresh checkpoint once the head "
+                're-advances, or pass .option("rollback", "ignore") to keep '
+                "tailing commit order (consumer state re-converges with the "
+                "live view when a later commit re-advances the head)."
+            )
+        self._served_commits = n
+        return {"commits": n, "last_seq": seqs[n - 1] if n else -1}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from ..core import paths as vpaths
@@ -476,6 +506,9 @@ class ChroniclesStreamReader(DataSourceStreamReader):
         n1, s1 = self._offset_pos(end, seqs)
         self._check_prefix(n0, s0, seqs, "start")
         self._check_prefix(n1, s1, seqs, "end")
+        # checkpoint-replayed batches raise the high-water mark too, so a
+        # rollback that happened across a restart is still detected
+        self._served_commits = max(self._served_commits, n1)
         pv0, snap0 = self._state_at(s0)
         pv1, snap1 = self._fold_onto((pv0, snap0), s0, s1)
         self._fold_cache = (s1, (pv1, snap1))  # the next batch starts at s1

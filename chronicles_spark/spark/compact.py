@@ -95,8 +95,16 @@ def zorder_column(
 def _clustering(df, part_cols, sort_by, zorder_by):
     """(df [+ a ``_chronicles_zval`` column], in-file ordering columns).
     The zval column is computed here and dropped by the caller AFTER the
-    sort, so it never reaches the written files."""
+    sort, so it never reaches the written files.  A user column of that
+    reserved name is rejected up front — ``withColumn`` would silently
+    overwrite its values and the post-sort drop would destroy it,
+    violating compaction's values-unchanged contract."""
     if zorder_by:
+        if "_chronicles_zval" in df.columns:
+            raise ValueError(
+                "input carries a column named '_chronicles_zval', which "
+                "zorder compaction reserves for its sort key — rename it"
+            )
         df = df.withColumn("_chronicles_zval", zorder_column(df, list(zorder_by)))
         return df, (*part_cols, "_chronicles_zval")
     if sort_by:
@@ -167,7 +175,9 @@ def compact_partitions(
         out = df.repartition(files_per_partition)
         out, order_cols = _clustering(out, (), sort_by, zorder_by)
         if order_cols:
-            out = out.sortWithinPartitions(*order_cols).drop("_chronicles_zval")
+            out = out.sortWithinPartitions(*order_cols)
+            if zorder_by:  # drop only the column WE added
+                out = out.drop("_chronicles_zval")
         return versioned_insert_into(
             out, table, tracker, user_id, message, metastore=metastore,
             concurrency=concurrency, base_head=base_head,
@@ -211,7 +221,9 @@ def compact_partitions(
         # (unstable) sort, destroying the clustering; with the partition
         # cols leading, the write's required ordering is already satisfied
         # and our clustering order reaches the files intact
-        out = out.sortWithinPartitions(*order_cols).drop("_chronicles_zval")
+        out = out.sortWithinPartitions(*order_cols)
+        if zorder_by:  # drop only the column WE added
+            out = out.drop("_chronicles_zval")
     # the rewrite's partitions are exactly the selection — hand them over
     # so the commit never pays an O(table-partitions) directory walk
     return versioned_insert_into(

@@ -97,11 +97,13 @@ def _orphan_version_dirs(
     distinguish "crashed write" from "write still in flight between its
     data write and its commit"; a cutoff far above any real write duration
     (default 7 days) makes the sweep safe.  Age is judged by BOTH the
-    label-embedded timestamp AND (where the backend tracks it) the
-    directory's storage mtime — so a writer with a badly skewed clock, or
-    a caller injecting a historical ``version=`` label, cannot have its
-    in-flight directory swept: the freshly written files keep the mtime
-    young."""
+    label-embedded timestamp AND storage mtime — the directory's own, or
+    (on object stores, whose synthesized directory prefixes carry no
+    LastModified) the newest child file's — so a writer with a badly
+    skewed clock, or a caller injecting a historical ``version=`` label,
+    cannot have its in-flight directory swept: the freshly written files
+    keep the mtime young.  With NO mtime evidence at all the directory is
+    skipped — an old-looking label alone never dooms anything."""
     cutoff_epoch = cutoff.replace(tzinfo=timezone.utc).timestamp()
     out: List[str] = []
 
@@ -117,7 +119,26 @@ def _orphan_version_dirs(
                 if ts is None or ts >= cutoff:
                     continue
                 mt = fs.mtime(p)
-                if mt is not None and mt >= cutoff_epoch:
+                if mt is None:
+                    # backends without directory mtimes (object stores,
+                    # memory://): fall back to the newest CHILD file's
+                    # mtime — the data files a writer just landed are the
+                    # real evidence of an in-flight write
+                    child_mts = [
+                        m
+                        for m in (
+                            fs.mtime(fs.join(p, c)) for c in fs.list_dir(p)
+                        )
+                        if m is not None
+                    ]
+                    mt = max(child_mts) if child_mts else None
+                if mt is None:
+                    # no age evidence at all: an old-looking label alone
+                    # must never doom a directory a writer may still be
+                    # filling (versioned_insert_into accepts caller-
+                    # supplied historical labels) — skip, stay safe
+                    continue
+                if mt >= cutoff_epoch:
                     continue  # storage says it's younger than the label
                 out.append(p)
             elif "=" in name and not name.startswith(_VERSION_DIR_PREFIX) and fs.is_dir(p):
@@ -187,6 +208,9 @@ def vacuum(
     # plus all its branches — a branch's live state and tagged states are
     # as protected as main's (its branch-point tag pins the base state)
     lines = [table.name, *branches(tracker, table.name).values()]
+    by_part: dict[object, list] = {}
+    part_objs: dict[object, object] = {}
+    seen_pv: set = set()
     for line in lines:
         _keep_state(tracker.current_version(line))
         # every TAGGED state is pinned too: a tag promises its read stays
@@ -195,24 +219,22 @@ def vacuum(
         # each tag O(tail), not O(log))
         for _tag, tagged_commit in sorted(tracker.tags(line).items()):
             _keep_state(tracker.version_at(line, tagged_commit))
-        # the keep_last time-travel window is PER LINE: each log keeps its
-        # own newest N versions per partition, so branch churn can never
-        # evict main's recent history from main's window (and vice versa)
+        # ONE full-log read per line feeds both the keep window and the
+        # candidate set below.  The keep_last time-travel window is PER
+        # LINE: each log keeps its own newest N versions per partition, so
+        # branch churn can never evict main's recent history from main's
+        # window (and vice versa)
         line_by_part: dict[object, list] = {}
         for partition, version in _line_versions(tracker, line):
-            line_by_part.setdefault(
-                partition.path if partition is not None else "", []
-            ).append(version)
+            key = partition.path if partition is not None else ""
+            line_by_part.setdefault(key, []).append(version)
+            if (key, version) not in seen_pv:
+                seen_pv.add((key, version))
+                by_part.setdefault(key, []).append(version)
+                part_objs[key] = partition
         for key, versions in line_by_part.items():
             for v in versions[-keep_last:]:
                 keep.add((key, v.label))
-
-    by_part: dict[object, list] = {}
-    part_objs: dict[object, object] = {}
-    for partition, version in _versions_ever_written(tracker, table, lines):
-        key = partition.path if partition is not None else ""
-        by_part.setdefault(key, []).append(version)
-        part_objs[key] = partition
 
     # deletion goes through the FS facade, so a table whose data lives on
     # an object store (s3://, memory://, any fsspec scheme) vacuums the

@@ -14,6 +14,7 @@ from __future__ import annotations
 import abc
 import posixpath
 import threading
+import time
 from pathlib import Path
 from typing import Dict, List, Tuple
 
@@ -126,6 +127,7 @@ class MemoryFileSystem(FileSystem):
 
     _buckets: Dict[str, Dict[str, str]] = {}
     _dirs: Dict[str, set] = {}
+    _mtimes: Dict[str, Dict[str, float]] = {}
     # RLock: write_text calls mkdirs while holding the lock
     _lock = threading.RLock()
 
@@ -133,6 +135,7 @@ class MemoryFileSystem(FileSystem):
         with MemoryFileSystem._lock:
             self._files = MemoryFileSystem._buckets.setdefault(bucket, {})
             self._d = MemoryFileSystem._dirs.setdefault(bucket, set())
+            self._mt = MemoryFileSystem._mtimes.setdefault(bucket, {})
 
     @staticmethod
     def _norm(path: str) -> str:
@@ -162,6 +165,12 @@ class MemoryFileSystem(FileSystem):
             if parent:
                 self.mkdirs(parent)
             self._files[p] = text
+            self._mt[p] = time.time()
+
+    def mtime(self, path: str) -> "float | None":
+        # files only (matching object stores: directory prefixes have no
+        # LastModified) — exercises callers' newest-child fallback paths
+        return self._mt.get(self._norm(path))
 
     def list_dir(self, path: str) -> List[str]:
         p = self._norm(path)
@@ -180,13 +189,16 @@ class MemoryFileSystem(FileSystem):
             for known in list(self._files):
                 if known == p or known.startswith(p + "/"):
                     del self._files[known]
+                    self._mt.pop(known, None)
             for known in list(self._d):
                 if known == p or known.startswith(p + "/"):
                     self._d.discard(known)
 
     def remove_file(self, path: str) -> None:
         with MemoryFileSystem._lock:
-            self._files.pop(self._norm(path), None)
+            p = self._norm(path)
+            self._files.pop(p, None)
+            self._mt.pop(p, None)
 
 
 class FsspecFileSystem(FileSystem):

@@ -623,3 +623,34 @@ def test_wap_end_to_end(spark, tmp_path):
     final = read_current(spark, table, tracker)
     assert final.count() == 6
     assert final.where(F.col("id") >= 100).count() == 6
+
+
+def test_stale_branch_sidecar_cleared_on_delete_and_create(spark, tmp_path):
+    """delete_branch(location=...) and create_branch(location=...) clear
+    the branch's schema sidecar so a recreated branch inherits MAIN's
+    schema, not a dead branch's (round-4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import stored_schema, versioned_insert_into
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(2).select(F.col("id"), F.lit("0").alias("d"))
+    versioned_insert_into(df, table, tracker, "u", "w1", schema_mode="additive")
+
+    B.create_branch(tracker, table.name, "s", "u", location=table.location)
+    bdef = B.branch_table_def(table, "s")
+    versioned_insert_into(
+        df.withColumn("y", F.lit(1)), bdef, tracker, "u", "evolve",
+        schema_mode="additive",
+    )
+    assert "y" in {f.name for f in stored_schema(bdef).fields}
+    # abandon the branch WITH location: sidecar goes too
+    B.delete_branch(tracker, table.name, "s", location=table.location)
+
+    B.create_branch(tracker, table.name, "s", "u", location=table.location)
+    # the recreated branch inherits main's schema (no stale 'y')
+    assert "y" not in {f.name for f in stored_schema(bdef).fields}

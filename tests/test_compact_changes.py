@@ -423,3 +423,35 @@ def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
     ]
     avg = sum(adj) / len(adj)
     assert avg < 50, f"adjacent-row distance {avg:.1f} — not z-clustered"
+
+
+def test_compact_preserves_user_zval_column(spark, tmp_path):
+    """A user column named _chronicles_zval must survive sort_by compaction
+    untouched, and zorder compaction must refuse rather than silently
+    overwrite it (round-4 review finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.spark import compact_partitions, read_current, versioned_insert_into
+    from chronicles_spark.trackers import FileBackedVersionTracker
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "z"), str(tmp_path / "z"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(6).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("_chronicles_zval"),
+        (F.col("id") % 2).cast("string").alias("d"),
+    )
+    versioned_insert_into(df, table, tracker, "u", "seed")
+
+    compact_partitions(spark, table, tracker, "u", sort_by=["id"])
+    got = read_current(spark, table, tracker)
+    assert "_chronicles_zval" in got.columns
+    assert sorted(r["_chronicles_zval"] for r in got.collect()) == [0, 10, 20, 30, 40, 50]
+
+    with pytest.raises(ValueError, match="_chronicles_zval"):
+        compact_partitions(spark, table, tracker, "u", zorder_by=["id"])

@@ -399,3 +399,36 @@ def test_sqlite_tail_access_matches_full_state(tmp_path):
         u.metadata.commit_id for u in full[2:4]
     ]
     assert tr.head_commit_id(t) == full[-1].metadata.commit_id
+
+
+def test_inflight_commit_is_capped_not_misread_as_rollback(spark, stream_table):
+    """The files tracker writes the commit file BEFORE advancing head_ref;
+    a poll landing in that window must cap the batch at the head, not kill
+    the stream (round-4 review finding)."""
+    import json
+
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    table, root, tracker = stream_table
+    opts = {"root": root, "table": table.name.fully_qualified,
+            "location": table.location}
+    reader = ChroniclesStreamReader(opts, None)
+    n_before = reader.latestOffset()["commits"]
+
+    # land a second commit, then rewind head_ref to simulate the window
+    # between commit-file write and head update
+    prev_head = tracker.table_state(table.name).current_version
+    df2 = spark.createDataFrame([("u7", 9, "2019-01-05")], ["user", "n", "date"])
+    versioned_insert_into(df2, table, tracker, "a", "in flight")
+    d = tracker._table_dir(table.name)
+    head_path = tracker.fs.join(d, "head_ref")
+    new_head = json.loads(tracker.fs.read_text(head_path))["head_ref"]
+    tracker.fs.write_text(head_path, json.dumps({"head_ref": prev_head}))
+
+    # mid-window poll: capped at the visible prefix, no error
+    off = reader.latestOffset()
+    assert off["commits"] == n_before
+
+    # head advances: the commit becomes visible on the next poll
+    tracker.fs.write_text(head_path, json.dumps({"head_ref": new_head}))
+    assert reader.latestOffset()["commits"] == n_before + 1

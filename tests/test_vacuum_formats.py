@@ -394,3 +394,42 @@ def test_vacuum_sweep_ignores_stray_version_named_file(spark, versioned_3x):
     doomed = vacuum(table, tracker, keep_last=3, sweep_orphans=True, dry_run=True)
     assert doomed == []
     assert os.path.isfile(f)
+
+
+def test_sweep_requires_mtime_evidence(tmp_path):
+    """On backends whose directory prefixes carry no mtime (object stores,
+    memory://), age falls back to the newest CHILD file's mtime, and with
+    NO mtime evidence at all the sweep must SKIP the directory — an
+    old-looking label alone (versioned_insert_into accepts caller-supplied
+    historical labels) never dooms an in-flight write (round-4 review
+    finding)."""
+    from datetime import datetime, timedelta, timezone
+
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.vacuum import _orphan_version_dirs
+    from chronicles_spark.trackers.fs import MemoryFileSystem, filesystem_for
+
+    fs, root = filesystem_for(f"memory://sweep-{tmp_path.name}/tbl")
+    old_v = generate_version(datetime.now(timezone.utc) - timedelta(days=30))
+    cutoff = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(days=7)
+
+    # old label, FRESH child file (just-written data): must be skipped
+    inflight = fs.join(root, "date=2024-01-01", f"_version={old_v.label}")
+    fs.mkdirs(inflight)
+    fs.write_text(fs.join(inflight, "part-00000.parquet"), "fresh bytes")
+    assert _orphan_version_dirs(fs, root, 1, set(), cutoff) == []
+
+    # old label, no files, no mtime evidence anywhere: still skipped
+    empty = fs.join(root, "date=2024-01-02", f"_version={old_v.label}")
+    fs.mkdirs(empty)
+    assert _orphan_version_dirs(fs, root, 1, set(), cutoff) == []
+
+    # old label AND old child mtime: provably abandoned -> swept
+    doomed_dir = fs.join(root, "date=2024-01-03", f"_version={old_v.label}")
+    fs.mkdirs(doomed_dir)
+    fs.write_text(fs.join(doomed_dir, "part-00000.parquet"), "debris")
+    bucket = f"sweep-{tmp_path.name}"
+    MemoryFileSystem._mtimes[bucket][
+        MemoryFileSystem._norm(fs.join(doomed_dir, "part-00000.parquet"))
+    ] -= 30 * 86400
+    assert _orphan_version_dirs(fs, root, 1, set(), cutoff) == [doomed_dir]
