@@ -1,6 +1,6 @@
 """Spark-facing surface: versioned writes, current-view reads, time travel."""
 
-from .writer import partition_values, versioned_insert_into
+from .writer import partition_values, versioned_insert_group, versioned_insert_into
 from .reader import (
     changed_partitions,
     live_paths,
@@ -20,6 +20,7 @@ from .vacuum import vacuum
 __all__ = [
     "partition_values",
     "versioned_insert_into",
+    "versioned_insert_group",
     "read_current",
     "read_version",
     "read_at_commit",

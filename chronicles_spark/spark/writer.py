@@ -148,6 +148,76 @@ def write_versioned(
     writer.save(table.location)
 
 
+def versioned_insert_group(
+    writes,
+    tracker: VersionTracker,
+    user_id: str,
+    message: str,
+    metastore=None,
+):
+    """Write SEVERAL tables and flip their live views together — the
+    cross-table transaction for pipelines whose outputs must stay
+    mutually consistent (``documents`` + ``embeddings`` refreshed from
+    the same batch).  Beyond reference parity.
+
+    ``writes`` is a list of ``(df, table)`` pairs.  All data lands first
+    under fresh invisible ``_version=`` directories (a crash here leaves
+    every live view untouched, docs/concepts.md:71-75); then ONE
+    ``tracker.commit_group`` publishes all the commits with the backend's
+    native atomicity — all-or-nothing on sqlite, one lock on in-memory,
+    ordered per-table appends on files.  Partition discovery uses the
+    written-directory listing (zero extra scans).  Returns
+    ``{table_name: table_version}`` for the new states; with
+    ``metastore``, each table is then synced by diff (the ALTERs
+    themselves are per-statement, as in the reference)."""
+    from ..core.ops import TableUpdate as _TU
+
+    if not writes:
+        raise ValueError("versioned_insert_group needs at least one (df, table)")
+    names = [t.name for _df, t in writes]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate table in group write")
+    mode = writes[0][0].sparkSession.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    if (mode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+    for _df, table in writes:
+        tracker.table_state(table.name)  # unknown table fails BEFORE any write
+
+    group: dict = {}
+    prev_states = {}
+    meta_ts = datetime.now(timezone.utc)
+    for df, table in writes:
+        prev_states[table.name] = tracker.current_version(table.name)
+        version = generate_version()
+        write_versioned(df, table, version)
+        if table.is_snapshot:
+            ops: List[TableOperation] = [AddTableVersion(version)]
+        else:
+            parts = partitions_written(table, version)
+            ops = [
+                AddPartitionVersion(p, version)
+                for p in sorted(parts, key=lambda p: p.path)
+            ]
+        meta = TableUpdateMetadata.new(user_id, message, meta_ts)
+        group[table.name] = _TU(meta, tuple(ops))
+
+    tracker.commit_group(group)
+
+    out = {}
+    for _df, table in writes:
+        new_state = tracker.current_version(table.name)
+        out[table.name] = new_state
+        if metastore is not None:
+            actual = metastore.current_version(table)
+            metastore.update(table, compute_changes(actual, new_state))
+    return out
+
+
 def versioned_insert_into(
     df: DataFrame,
     table: TableDefinition,

@@ -248,6 +248,32 @@ class VersionTracker(abc.ABC):
                     )
             self._append_commit(table, update)
 
+    def commit_group(self, updates: "Dict[TableName, TableUpdate]") -> None:
+        """Append one commit to EACH table as a group — the cross-table
+        transaction for pipelines whose tables must stay mutually
+        consistent (e.g. ``documents`` + ``embeddings`` refreshed
+        together).  Beyond reference parity (the reference commits one
+        table at a time).
+
+        Atomicity is the backend's native best:
+
+        * sqlite — ONE SERIALIZABLE transaction: readers see all of the
+          group's commits or none (overridden there);
+        * in-memory — all appends under the single state lock;
+        * files — per-table appends under each table's commit guard, in
+          sorted table order (deterministic, deadlock-free with
+          ``use_lock=True``); a crash mid-group leaves a prefix of the
+          group committed — the same exposure its single-table commits
+          already have, one table at a time.
+
+        All tables are validated up front so an unknown table fails the
+        whole group before anything lands."""
+        for table in updates:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+        for table in sorted(updates, key=lambda t: t.fully_qualified):
+            self._append_commit(table, updates[table])
+
     def set_current_version(self, table: TableName, commit_id: str) -> None:
         """Move head to an existing commit — rollback/forward
         (VersionTracker.scala:71)."""

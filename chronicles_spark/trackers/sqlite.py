@@ -191,6 +191,29 @@ class SqliteVersionTracker(VersionTracker):
                 (commit_id, table.fully_qualified),
             )
 
+    def commit_group(self, updates) -> None:
+        """Cross-table group commit as ONE SERIALIZABLE transaction —
+        every table's log row, op rows, and head pointer land atomically;
+        a failure (or crash) rolls the whole group back (S8 isolation
+        stance, DbVersionTracker.scala:118-124, extended across tables)."""
+        from .base import UnknownTableError
+
+        with self._lock, self._conn:
+            for table in sorted(updates, key=lambda t: t.fully_qualified):
+                row = self._conn.execute(
+                    "SELECT 1 FROM chronicle_tables_v1 WHERE table_name = ?",
+                    (table.fully_qualified,),
+                ).fetchone()
+                if row is None:
+                    raise UnknownTableError(table)
+                update = updates[table]
+                self._insert_update(table, update)
+                self._conn.execute(
+                    "UPDATE chronicles_version_refs_v1 SET current_version = ? "
+                    "WHERE table_name = ?",
+                    (update.metadata.commit_id, table.fully_qualified),
+                )
+
     def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
         with self._lock, self._conn:
             self._conn.execute(

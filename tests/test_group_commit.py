@@ -1,0 +1,136 @@
+"""Cross-table group commits (tracker.commit_group +
+versioned_insert_group) — the multi-table transaction surface, run
+against every tracker backend per the shared behaviour-suite pattern.
+"""
+
+import pytest
+
+from chronicles_spark.core.model import (
+    Partition,
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import (
+    FileBackedVersionTracker,
+    InMemoryVersionTracker,
+    SqliteVersionTracker,
+    UnknownTableError,
+)
+
+TA = TableName("db", "docs")
+TB = TableName("db", "embs")
+P1 = Partition.of(("d", "1"))
+
+
+@pytest.fixture(params=["memory", "files", "sqlite"])
+def tracker(request, tmp_path):
+    if request.param == "memory":
+        return InMemoryVersionTracker()
+    if request.param == "files":
+        return FileBackedVersionTracker(str(tmp_path / "log"))
+    return SqliteVersionTracker(str(tmp_path / "log.db"))
+
+
+def _group(msg="group"):
+    v1, v2 = generate_version(), generate_version()
+    return {
+        TA: TableUpdate(
+            TableUpdateMetadata.new("u", msg), (AddPartitionVersion(P1, v1),)
+        ),
+        TB: TableUpdate(
+            TableUpdateMetadata.new("u", msg), (AddPartitionVersion(P1, v2),)
+        ),
+    }, v1, v2
+
+
+def test_commit_group_lands_on_all_tables(tracker):
+    tracker.init_table(TA, is_snapshot=False, user_id="u")
+    tracker.init_table(TB, is_snapshot=False, user_id="u")
+    group, v1, v2 = _group()
+    tracker.commit_group(group)
+    assert tracker.current_version(TA).partition_versions == {P1: v1}
+    assert tracker.current_version(TB).partition_versions == {P1: v2}
+    # head pointers advanced to the group's commits
+    assert (
+        tracker.table_state(TA).current_version
+        == group[TA].metadata.commit_id
+    )
+
+
+def test_commit_group_unknown_table_fails_whole_group(tracker):
+    tracker.init_table(TA, is_snapshot=False, user_id="u")
+    group, _v1, _v2 = _group()  # TB never initialised
+    before = len(tracker.updates(TA))
+    with pytest.raises(UnknownTableError):
+        tracker.commit_group(group)
+    # nothing landed anywhere — validation precedes any append
+    assert len(tracker.updates(TA)) == before
+
+
+def test_sqlite_group_is_atomic_on_midway_failure(tmp_path):
+    """sqlite: a failure inside the group txn rolls back EVERY table's
+    append — readers can never observe half a group."""
+    tracker = SqliteVersionTracker(str(tmp_path / "log.db"))
+    tracker.init_table(TA, is_snapshot=False, user_id="u")
+    tracker.init_table(TB, is_snapshot=False, user_id="u")
+    good, _v1, _v2 = _group()
+    # second table's update reuses the FIRST's commit id → UNIQUE violation
+    # fires after TA's rows are already inserted in the txn
+    bad = {
+        TA: good[TA],
+        TB: TableUpdate(good[TA].metadata, good[TB].operations),
+    }
+    import sqlite3
+
+    before_a = len(tracker.updates(TA))
+    with pytest.raises(sqlite3.IntegrityError):
+        tracker.commit_group(bad)
+    assert len(tracker.updates(TA)) == before_a  # TA's insert rolled back
+    assert tracker.current_version(TA).partition_versions == {}
+
+
+def test_versioned_insert_group_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_current, versioned_insert_group
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    docs = TableDefinition(
+        TableName("db", "docs"), str(tmp_path / "docs"), PartitionSchema(("d",))
+    )
+    embs = TableDefinition(
+        TableName("db", "embs"), str(tmp_path / "embs"), PartitionSchema(())
+    )
+    tracker.init_table(docs.name, is_snapshot=False, user_id="u")
+    tracker.init_table(embs.name, is_snapshot=True, user_id="u")
+    ddf = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    edf = spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    states = versioned_insert_group(
+        [(ddf, docs), (edf, embs)], tracker, "u", "batch 7"
+    )
+    assert set(states) == {docs.name, embs.name}
+    assert read_current(spark, docs, tracker).count() == 4
+    assert read_current(spark, embs, tracker).count() == 4
+    # both tables carry the SAME commit message = one logical batch
+    assert tracker.updates(docs.name)[0].message == "batch 7"
+    assert tracker.updates(embs.name)[0].message == "batch 7"
+
+    # unknown table fails the whole group before any bytes are written
+    ghost = TableDefinition(
+        TableName("db", "ghost"), str(tmp_path / "ghost"), PartitionSchema(("d",))
+    )
+    with pytest.raises(UnknownTableError):
+        versioned_insert_group([(ddf, docs), (ddf, ghost)], tracker, "u", "x")
+    import os
+
+    assert not os.path.exists(ghost.location)
