@@ -78,6 +78,18 @@ class CommitConflictError(RuntimeError):
         self.overlapping = tuple(overlapping)
 
 
+def apply_ops_to_path_state(state: dict, updates) -> None:
+    """Fold ops into a mutable ``{partition_path: version_label}`` dict
+    (apply_partition_updates semantics, VersionTracker.scala:156-172) —
+    the shared kernel of the fold-checkpoint fast paths (files + sqlite)."""
+    for u in updates:
+        for op in u.operations:
+            if isinstance(op, AddPartitionVersion):
+                state[op.partition.path] = op.version.label
+            elif isinstance(op, RemovePartition):
+                state.pop(op.partition.path, None)
+
+
 def _touched_partitions(update: TableUpdate) -> Tuple[Set[Partition], bool]:
     """(partitions this commit writes or removes, touches-whole-table?)."""
     parts: Set[Partition] = set()

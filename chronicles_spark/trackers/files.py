@@ -71,7 +71,7 @@ from ..core.ops import (
     update_to_json,
 )
 from ..core.version import UNVERSIONED, Version
-from .base import TableState, UnknownTableError, VersionTracker
+from .base import TableState, UnknownTableError, VersionTracker, apply_ops_to_path_state
 from .fs import FileSystem, LocalFileSystem, filesystem_for
 
 _TABLE_DIR_RE = re.compile(r"^_chronicles_table_([\w\-]+)\.([\w\-]+)$")
@@ -348,16 +348,8 @@ class FileBackedVersionTracker(VersionTracker):
         except (FileNotFoundError, KeyError, ValueError):
             return None
 
-    @staticmethod
-    def _apply_to_state(state: dict, updates) -> None:
-        """Fold tail ops into a mutable {partition_path: version_label} dict
-        (apply_partition_updates semantics, VersionTracker.scala:156-172)."""
-        for u in updates:
-            for op in u.operations:
-                if isinstance(op, AddPartitionVersion):
-                    state[op.partition.path] = op.version.label
-                elif isinstance(op, RemovePartition):
-                    state.pop(op.partition.path, None)
+    # shared with the sqlite checkpoint fast path
+    _apply_to_state = staticmethod(apply_ops_to_path_state)
 
     def _maybe_checkpoint(self, d: str) -> None:
         """Write a new checkpoint when ``checkpoint_interval`` commits have
@@ -402,7 +394,12 @@ class FileBackedVersionTracker(VersionTracker):
     def _fast_resolve(self, d: str, commit_id: str):
         """Checkpoint + tail fold at ``commit_id``, or None when the fast
         path does not apply (no usable checkpoint, or the commit precedes
-        the checkpoint — e.g. a rolled-back head or deep time travel)."""
+        the checkpoint — e.g. a rolled-back head or deep time travel).
+        ``checkpoint_interval=None`` disables the READ side too, so a
+        None-interval tracker is a true full-fold ground truth even over a
+        directory that already carries checkpoints."""
+        if not self._checkpoint_interval:
+            return None
         ck = self._read_checkpoint(d)
         if ck is None:
             return None

@@ -15,6 +15,7 @@ commit runs in one transaction.
 
 from __future__ import annotations
 
+import json
 import sqlite3
 import threading
 from datetime import datetime
@@ -31,7 +32,12 @@ from ..core.ops import (
     TableUpdateMetadata,
 )
 from ..core.version import Version
-from .base import TableState, UnknownTableError, VersionTracker
+from .base import (
+    TableState,
+    UnknownTableError,
+    VersionTracker,
+    apply_ops_to_path_state,
+)
 
 # db string tags (DbVersionTracker.scala:288-292)
 _TAG = {
@@ -73,6 +79,14 @@ CREATE TABLE IF NOT EXISTS chronicles_tags_v1 (
   commit_id TEXT NOT NULL REFERENCES chronicle_table_updates_v1(commit_id),
   PRIMARY KEY (table_name, tag_name)
 );
+CREATE TABLE IF NOT EXISTS chronicles_checkpoints_v1 (
+  table_name TEXT PRIMARY KEY REFERENCES chronicle_tables_v1(table_name),
+  last_seq INTEGER NOT NULL,
+  last_commit_id TEXT NOT NULL,
+  is_snapshot INTEGER NOT NULL,
+  snapshot_version TEXT,
+  partitions TEXT NOT NULL
+);
 """
 
 
@@ -102,7 +116,18 @@ def _row_op(operation_type, version, partition, is_snapshot, table_name) -> Tabl
 
 
 class SqliteVersionTracker(VersionTracker):
-    def __init__(self, path: str = ":memory:") -> None:
+    def __init__(
+        self, path: str = ":memory:", checkpoint_interval: int | None = 100
+    ) -> None:
+        """``checkpoint_interval``: every N commits, the folded state is
+        persisted into ``chronicles_checkpoints_v1`` INSIDE the commit
+        transaction, and ``current_version``/``version_at`` then read only
+        the checkpoint row plus the commits after it — O(tail) table
+        resolution on million-commit logs, same contract as the files
+        tracker's Delta-style checkpoints.  ``None`` disables."""
+        if checkpoint_interval is not None and checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1 (or None to disable)")
+        self._checkpoint_interval = checkpoint_interval
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._lock = threading.RLock()
         with self._lock, self._conn:
@@ -139,6 +164,9 @@ class SqliteVersionTracker(VersionTracker):
     def _drop_table(self, table: TableName) -> None:
         fq = table.fully_qualified
         with self._lock, self._conn:  # one txn, FK-safe order
+            self._conn.execute(
+                "DELETE FROM chronicles_checkpoints_v1 WHERE table_name = ?", (fq,)
+            )
             self._conn.execute(
                 "DELETE FROM chronicles_version_refs_v1 WHERE table_name = ?", (fq,)
             )
@@ -183,6 +211,7 @@ class SqliteVersionTracker(VersionTracker):
                 "UPDATE chronicles_version_refs_v1 SET current_version = ? WHERE table_name = ?",
                 (update.metadata.commit_id, table.fully_qualified),
             )
+            self._maybe_checkpoint_locked(table)
 
     def _set_head(self, table: TableName, commit_id: str) -> None:
         with self._lock, self._conn:
@@ -213,6 +242,7 @@ class SqliteVersionTracker(VersionTracker):
                     "WHERE table_name = ?",
                     (update.metadata.commit_id, table.fully_qualified),
                 )
+                self._maybe_checkpoint_locked(table)
 
     def _write_tag(self, table: TableName, name: str, commit_id: str) -> None:
         with self._lock, self._conn:
@@ -333,6 +363,114 @@ class SqliteVersionTracker(VersionTracker):
         if not seqs:
             return ()
         return self.updates_in_seq_range(table, seqs[0] - 1, seqs[-1])
+
+    # -- fold checkpoints (same contract as files.py:304-308: a checkpoint
+    # is the fold of the full log prefix up to sequence ``last_seq``, a
+    # pure function of log ORDER — one checkpoint serves every head at or
+    # after it, and rollbacks before it fall back to the full fold) ------
+
+    def _read_checkpoint_row(self, name: str):
+        return self._conn.execute(
+            "SELECT last_seq, last_commit_id, is_snapshot, snapshot_version, "
+            "partitions FROM chronicles_checkpoints_v1 WHERE table_name = ?",
+            (name,),
+        ).fetchone()
+
+    def _maybe_checkpoint_locked(self, table: TableName) -> None:
+        """Refresh the checkpoint row when ``checkpoint_interval`` commits
+        accumulated past it.  Runs INSIDE the commit transaction (caller
+        holds lock + txn), so the checkpoint can never be observed ahead
+        of or torn from the log it summarizes; incremental — reads only
+        the tail rows since the previous checkpoint."""
+        if not self._checkpoint_interval:
+            return
+        name = table.fully_qualified
+        row = self._read_checkpoint_row(name)
+        base_seq = row[0] if row else -1
+        n_tail = self._conn.execute(
+            "SELECT count(*) FROM chronicle_table_updates_v1 "
+            "WHERE table_name = ? AND sequence_id > ?",
+            (name, base_seq),
+        ).fetchone()[0]
+        if n_tail < self._checkpoint_interval:
+            return
+        rows = self._conn.execute(
+            self._UPDATES_SQL.format(extra="AND u.sequence_id > ?"),
+            (name, base_seq),
+        ).fetchall()
+        tail = self._assemble(rows, name)
+        state = dict(json.loads(row[4])) if row else {}
+        snapshot_version = row[3] if row else None
+        apply_ops_to_path_state(state, tail)
+        is_snapshot = bool(row[2]) if row else False
+        for u in tail:
+            for op in u.operations:
+                if isinstance(op, AddTableVersion):
+                    snapshot_version = op.version.label
+                elif isinstance(op, InitTable) and row is None:
+                    is_snapshot = op.is_snapshot
+        last_seq, last_id = self._conn.execute(
+            "SELECT sequence_id, commit_id FROM chronicle_table_updates_v1 "
+            "WHERE table_name = ? ORDER BY sequence_id DESC LIMIT 1",
+            (name,),
+        ).fetchone()
+        self._conn.execute(
+            "INSERT OR REPLACE INTO chronicles_checkpoints_v1 VALUES (?,?,?,?,?,?)",
+            (
+                name, last_seq, last_id, 1 if is_snapshot else 0,
+                snapshot_version, json.dumps(sorted(state.items())),
+            ),
+        )
+
+    def _fast_resolve(self, table: TableName, commit_id: str):
+        """Checkpoint + tail fold at ``commit_id``, or None when the fast
+        path does not apply (no checkpoint, or the commit precedes it)."""
+        from ..core import fold
+        from ..core.model import PartitionedTableVersion, SnapshotTableVersion
+        from ..core.version import UNVERSIONED
+
+        if not self._checkpoint_interval:
+            return None  # None disables the read side too (full-fold truth)
+        with self._lock:
+            if not self._table_exists(table):
+                raise UnknownTableError(table)
+            row = self._read_checkpoint_row(table.fully_qualified)
+        if row is None:
+            return None
+        last_seq, last_id, is_snap, snap_v, parts_json = row
+        tail = self.updates_in_seq_range(
+            table, last_seq, 9_223_372_036_854_775_807
+        )
+        if commit_id == last_id:
+            upto = ()
+        elif any(u.metadata.commit_id == commit_id for u in tail):
+            upto = fold.take_through(tail, commit_id)
+        else:
+            return None  # precedes the checkpoint: full fold
+        if is_snap:
+            label = snap_v
+            for u in upto:
+                for op in u.operations:
+                    if isinstance(op, AddTableVersion):
+                        label = op.version.label
+            return SnapshotTableVersion(
+                UNVERSIONED if label is None else Version(label)
+            )
+        state = dict(json.loads(parts_json))
+        apply_ops_to_path_state(state, upto)
+        return PartitionedTableVersion(
+            {Partition.parse(p): Version(v) for p, v in state.items()}
+        )
+
+    def current_version(self, table: TableName):
+        """O(tail) resolution via the checkpoint row (falls back to the
+        base-class full fold; cutoff semantics identical in both paths)."""
+        tv = self._fast_resolve(table, self.head_commit_id(table))
+        return tv if tv is not None else super().current_version(table)
+
+    def version_at(self, table: TableName, commit_id: str):
+        tv = self._fast_resolve(table, commit_id)
+        return tv if tv is not None else super().version_at(table, commit_id)
 
     def updates_in_seq_range(self, table: TableName, lo: int, hi: int) -> tuple:
         """Updates with ``lo < sequence_id <= hi``, in commit order — reads

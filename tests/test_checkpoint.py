@@ -279,10 +279,85 @@ def test_version_at_unknown_commit_raises(tmp_path):
 
     root = str(tmp_path / "log")
     tr, _ = _build_log(root, n_commits=25, interval=10)
-    with pytest.raises(UnknownCommitError):
+    from chronicles_spark.trackers import UnknownCommitError as _UCE
+
+    with pytest.raises(_UCE):
         tr.version_at(T, "no-such-commit")
     # and on the checkpoint-free path too
     with pytest.raises(UnknownCommitError):
         FileBackedVersionTracker(root, checkpoint_interval=None).version_at(
             T, "no-such-commit"
         )
+
+
+# -- sqlite checkpoints (same contract as the files tracker's) --------------
+
+
+def _sqlite_log(path, n_commits=25, interval=10):
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    tr = SqliteVersionTracker(path, checkpoint_interval=interval)
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    commits = []
+    for i in range(n_commits):
+        p = f"date=2024-01-{(i % 7) + 1:02d}"
+        if i % 9 == 8:
+            commits.append(_commit(tr, RemovePartition(Partition.parse(p))))
+        else:
+            commits.append(_commit(tr, _add(p)))
+    return tr, commits
+
+
+def test_sqlite_checkpoint_fast_path_matches_full_fold(tmp_path):
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    path = str(tmp_path / "log.db")
+    tr, commits = _sqlite_log(path, n_commits=25, interval=10)
+    # checkpoint row exists and summarizes a prefix
+    row = tr._read_checkpoint_row(T.fully_qualified)
+    assert row is not None and row[0] >= 10
+    # fast path == checkpoint-free ground truth over the same db
+    want = SqliteVersionTracker(path, checkpoint_interval=None).current_version(T)
+    assert tr.current_version(T) == want
+    # cold instance takes the fast path too
+    cold = SqliteVersionTracker(path, checkpoint_interval=10)
+    assert cold.current_version(T) == want
+
+
+def test_sqlite_version_at_and_rollback_fall_back(tmp_path):
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    path = str(tmp_path / "log.db")
+    tr, commits = _sqlite_log(path, n_commits=25, interval=10)
+    truth = SqliteVersionTracker(path, checkpoint_interval=None)
+    # time travel to every commit agrees with the full fold (deep commits
+    # exercise the precedes-checkpoint fallback, late ones the fast path)
+    for cid in commits[::4]:
+        assert tr.version_at(T, cid) == truth.version_at(T, cid)
+    # head rolled back BEFORE the checkpoint still resolves correctly
+    tr.set_current_version(T, commits[2])
+    assert tr.current_version(T) == truth.version_at(T, commits[2])
+    from chronicles_spark.trackers import UnknownCommitError as _UCE
+
+    with pytest.raises(_UCE):
+        tr.version_at(T, "no-such-commit")
+
+
+def test_sqlite_snapshot_checkpoint_and_group_commit(tmp_path):
+    from chronicles_spark.core.ops import AddTableVersion
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    path = str(tmp_path / "log.db")
+    tr = SqliteVersionTracker(path, checkpoint_interval=5)
+    snap = TableName("db", "snap")
+    tr.init_table(snap, is_snapshot=True, user_id="alice")
+    versions = []
+    for i in range(12):
+        v = generate_version()
+        versions.append(v)
+        meta = TableUpdateMetadata.new("alice", f"s{i}")
+        tr.commit(snap, TableUpdate(meta, (AddTableVersion(v),)))
+    assert tr._read_checkpoint_row(snap.fully_qualified) is not None
+    assert tr.current_version(snap).version == versions[-1]
+    truth = SqliteVersionTracker(path, checkpoint_interval=None)
+    assert tr.current_version(snap) == truth.current_version(snap)
