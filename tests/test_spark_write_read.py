@@ -240,3 +240,36 @@ def test_optimistic_write_conflict_and_auto_merge(spark, tmp_path, tracker):
             "bad mode",
             concurrency="pessimistic",
         )
+
+
+def test_partitions_written_distributed_parity(spark, tmp_path):
+    """The executor-fanned listing discovery returns exactly the driver
+    walk's partition set (threshold forced low to trigger the fan-out),
+    and rejects __HIVE_DEFAULT_PARTITION__ the same way."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.writer import partitions_written, write_versioned
+
+    table = TableDefinition(
+        TableName("db", "many"), str(tmp_path / "many"),
+        PartitionSchema(("a", "b")),
+    )
+    df = spark.range(40).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+    )
+    v = generate_version()
+    write_versioned(df, table, v)
+    # plant an older version dir that must NOT leak into this version's set
+    stale = tmp_path / "many" / "a=0" / "b=9" / "_version=xx"
+    stale.mkdir(parents=True)
+
+    driver = sorted(p.path for p in partitions_written(table, v))
+    dist = sorted(
+        p.path
+        for p in partitions_written(table, v, spark=spark, distribute_threshold=2)
+    )
+    assert dist == driver and len(driver) == 24  # 8 a-values x 3 b-values
