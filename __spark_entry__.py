@@ -235,6 +235,22 @@ def _wap_restore_gate(spark: SparkSession, sf_dir: str) -> None:
     back = read_current(spark, table, tracker)
     if back.count() != 8 or back.where(F.col("id") >= 100).count() != 0:
         raise AssertionError("partition restore did not recover the seed state")
+
+    # cross-table group commit (spark/writer.py versioned_insert_group):
+    # two tables flip together under one group publish
+    from chronicles_spark.spark import versioned_insert_group
+
+    t2 = TableDefinition(
+        TableName("demo", "wap2"), tmp + "/wap2", PartitionSchema(("d",))
+    )
+    tracker.init_table(t2.name, is_snapshot=False, user_id="q")
+    states = versioned_insert_group(
+        [(seed, table), (seed, t2)], tracker, "q", "group batch"
+    )
+    if set(states) != {table.name, t2.name} or read_current(
+        spark, t2, tracker
+    ).count() != 8:
+        raise AssertionError("group commit did not publish both tables")
     _WAP_GATE_CACHE[sf_dir] = True
 
 

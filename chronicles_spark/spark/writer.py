@@ -150,12 +150,20 @@ def partitions_written(
     if spark is not None and len(part_cols) >= 1 and not table.location.startswith(
         "memory://"
     ):
-        first = [
-            n
-            for n in fs.list_dir(root)
-            if n.startswith(part_cols[0] + "=") and fs.is_dir(fs.join(root, n))
-        ]
+        # prefix-only filter, like the serial walk — no per-entry is_dir
+        # round-trips on the driver (the whole point of fanning out);
+        # executors is_dir-check their own slice
+        first = [n for n in fs.list_dir(root) if n.startswith(part_cols[0] + "=")]
         if len(first) >= distribute_threshold:
+            # the null-sentinel contract (ValueError on the DRIVER) holds
+            # for the first level here; deeper levels re-raise below
+            col0 = part_cols[0]
+            for name in first:
+                if unescape_path_name(name[len(col0) + 1:]) == "__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        f"partition column {col0!r} contains null/empty values; "
+                        "versioned writes require concrete partition values"
+                    )
             location_url = table.location
 
             def _walk_subtrees(names):
@@ -167,16 +175,13 @@ def partitions_written(
                 out = []
                 col = part_cols[0]
                 for name in names:
+                    p = efs.join(eroot, name)
+                    if not efs.is_dir(p):
+                        continue  # stray file named like a partition
                     value = unescape_path_name(name[len(col) + 1:])
-                    if value == "__HIVE_DEFAULT_PARTITION__":
-                        raise ValueError(
-                            f"partition column {col!r} contains null/empty "
-                            "values; versioned writes require concrete "
-                            "partition values"
-                        )
                     out.extend(
                         _wp(
-                            efs, efs.join(eroot, name), part_cols,
+                            efs, p, part_cols,
                             f"{_VC}={version.label}", ((col, value),),
                         )
                     )
@@ -184,11 +189,19 @@ def partitions_written(
 
             sc = spark.sparkContext
             n_slices = max(1, min(len(first), sc.defaultParallelism))
-            return (
-                sc.parallelize(first, n_slices)
-                .mapPartitions(lambda it: _walk_subtrees(list(it)))
-                .collect()
-            )
+            try:
+                return (
+                    sc.parallelize(first, n_slices)
+                    .mapPartitions(lambda it: _walk_subtrees(list(it)))
+                    .collect()
+                )
+            except Exception as e:  # keep the documented ValueError contract
+                if "contains null/empty values" in str(e):
+                    raise ValueError(
+                        "partition columns contain null/empty values; "
+                        "versioned writes require concrete partition values"
+                    ) from e
+                raise
 
     return _walk_partitions(fs, root, part_cols, version_dir, ())
 
@@ -234,8 +247,6 @@ def versioned_insert_group(
     ``{table_name: table_version}`` for the new states; with
     ``metastore``, each table is then synced by diff (the ALTERs
     themselves are per-statement, as in the reference)."""
-    from ..core.ops import TableUpdate as _TU
-
     if not writes:
         raise ValueError("versioned_insert_group needs at least one (df, table)")
     names = [t.name for _df, t in writes]
@@ -249,14 +260,16 @@ def versioned_insert_group(
             "The Spark configuration must have spark.sql.sources."
             "partitionOverwriteMode set to 'dynamic'"
         )
-    for _df, table in writes:
-        tracker.table_state(table.name)  # unknown table fails BEFORE any write
+    tracked = set(tracker.tables())  # ONE registry read, not a per-table
+    for _df, table in writes:  # full-log materialization
+        if table.name not in tracked:
+            from ..trackers.base import UnknownTableError
+
+            raise UnknownTableError(table.name)
 
     group: dict = {}
-    prev_states = {}
     meta_ts = datetime.now(timezone.utc)
     for df, table in writes:
-        prev_states[table.name] = tracker.current_version(table.name)
         version = generate_version()
         write_versioned(df, table, version)
         if table.is_snapshot:
@@ -268,7 +281,7 @@ def versioned_insert_group(
                 for p in sorted(parts, key=lambda p: p.path)
             ]
         meta = TableUpdateMetadata.new(user_id, message, meta_ts)
-        group[table.name] = _TU(meta, tuple(ops))
+        group[table.name] = TableUpdate(meta, tuple(ops))
 
     tracker.commit_group(group)
 

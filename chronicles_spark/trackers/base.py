@@ -279,12 +279,22 @@ class VersionTracker(abc.ABC):
           already have, one table at a time.
 
         All tables are validated up front so an unknown table fails the
-        whole group before anything lands."""
+        whole group before anything lands, and every table's commit
+        serialization is HELD ACROSS the whole loop (acquired in sorted
+        table order — deadlock-free), so backends with real locks
+        (in-memory RLock, files+flock) never expose or interleave a
+        half-appended group."""
+        import contextlib as _ctx
+
         for table in updates:
             if not self._table_exists(table):
                 raise UnknownTableError(table)
-        for table in sorted(updates, key=lambda t: t.fully_qualified):
-            self._append_commit(table, updates[table])
+        ordered = sorted(updates, key=lambda t: t.fully_qualified)
+        with _ctx.ExitStack() as stack:
+            for table in ordered:
+                stack.enter_context(self._serialized_commit(table))
+            for table in ordered:
+                self._append_commit(table, updates[table])
 
     def set_current_version(self, table: TableName, commit_id: str) -> None:
         """Move head to an existing commit — rollback/forward

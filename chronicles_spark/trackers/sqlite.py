@@ -225,8 +225,6 @@ class SqliteVersionTracker(VersionTracker):
         every table's log row, op rows, and head pointer land atomically;
         a failure (or crash) rolls the whole group back (S8 isolation
         stance, DbVersionTracker.scala:118-124, extended across tables)."""
-        from .base import UnknownTableError
-
         with self._lock, self._conn:
             for table in sorted(updates, key=lambda t: t.fully_qualified):
                 row = self._conn.execute(

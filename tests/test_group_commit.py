@@ -134,3 +134,42 @@ def test_versioned_insert_group_end_to_end(spark, tmp_path):
     import os
 
     assert not os.path.exists(ghost.location)
+
+
+def test_inmemory_group_commit_is_atomic_under_threads():
+    """Concurrent readers never observe one table of a group advanced
+    without the other; concurrent groups never interleave (the per-table
+    serialization is held across the whole loop, round-4 review finding)."""
+    import threading
+
+    tracker = InMemoryVersionTracker()
+    tracker.init_table(TA, is_snapshot=False, user_id="u")
+    tracker.init_table(TB, is_snapshot=False, user_id="u")
+
+    N = 50
+    torn = []
+    stop = threading.Event()
+
+    def writer():
+        for i in range(N):
+            group, _v1, _v2 = _group(msg=f"g{i}")
+            tracker.commit_group(group)
+        stop.set()
+
+    def reader():
+        while not stop.is_set():
+            # under the writer's held lock, both heads must name the SAME
+            # group (messages match) or both be pre-group
+            ma = tracker.updates(TA)[0].message
+            mb = tracker.updates(TB)[0].message
+            if ma != mb:
+                torn.append((ma, mb))
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert torn == [], f"observed torn groups: {torn[:3]}"
