@@ -654,3 +654,26 @@ def test_stale_branch_sidecar_cleared_on_delete_and_create(spark, tmp_path):
     B.create_branch(tracker, table.name, "s", "u", location=table.location)
     # the recreated branch inherits main's schema (no stale 'y')
     assert "y" not in {f.name for f in stored_schema(bdef).fields}
+
+
+def test_merge_syncs_metastore(tracker):
+    """merge_branch's metastore path: the publish lands the branch's
+    pointers in the catalog via the incremental diff."""
+    from chronicles_spark.spark.metastore import InMemoryMetastore
+
+    _init(tracker)
+    v1, v2 = generate_version(), generate_version()
+    _commit(tracker, T, AddPartitionVersion(P1, v1))
+    table = TableDefinition(T, "", PartitionSchema(("date",)))
+    ms = InMemoryMetastore()
+    ms.create_table(table)
+    ms.add_partition(table, P1, v1)  # catalog in sync with main
+
+    B.create_branch(tracker, T, "s", "alice")
+    btn = B.branch_table_name(T, "s")
+    _commit(tracker, btn, AddPartitionVersion(P2, v2))
+    state, changes = B.merge_branch(
+        table, tracker, "s", "alice", "publish", metastore=ms
+    )
+    assert ms.current_version(table) == state
+    assert changes  # the diff issued at least the AddPartition for P2

@@ -173,3 +173,34 @@ def test_inmemory_group_commit_is_atomic_under_threads():
     for t in threads:
         t.join(60)
     assert torn == [], f"observed torn groups: {torn[:3]}"
+
+
+def test_group_write_syncs_metastore(spark, tmp_path):
+    """versioned_insert_group's metastore path: after the group publish,
+    each table's catalog pointers match the new live state."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import versioned_insert_group
+    from chronicles_spark.spark.metastore import InMemoryMetastore
+
+    tracker = InMemoryVersionTracker()
+    ms = InMemoryMetastore()
+    docs = TableDefinition(
+        TableName("db", "docs"), str(tmp_path / "docs"), PartitionSchema(("d",))
+    )
+    embs = TableDefinition(
+        TableName("db", "embs"), str(tmp_path / "embs"), PartitionSchema(())
+    )
+    for t in (docs, embs):
+        tracker.init_table(t.name, is_snapshot=t.is_snapshot, user_id="u")
+        ms.create_table(t)
+    ddf = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    edf = spark.range(3).select(F.col("id"))
+
+    states = versioned_insert_group(
+        [(ddf, docs), (edf, embs)], tracker, "u", "sync", metastore=ms
+    )
+    assert ms.current_version(docs) == states[docs.name]
+    assert ms.current_version(embs) == states[embs.name]
