@@ -1,0 +1,111 @@
+"""Plan-shape audit: print each headline query's physical plan summary —
+Exchange (shuffle) count, WholeStageCodegen spans, Python evals, pushed
+filters — so plan regressions are visible as a diff, not a bench delta.
+
+Usage:
+    python scripts/explain_audit.py [q_name ...]       # default: headline set
+    python scripts/explain_audit.py --full q_tpch_q3   # full formatted plan
+
+Heuristics flagged (printed with '!!'):
+  * BatchEvalPython / ArrowEvalPython outside the multimodal decode ops
+    (Python on a hot path);
+  * CartesianProduct anywhere;
+  * a scan with no PushedFilters on a query that filters.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_AUDIT", "/root/testdata/sf0.01")
+
+HEADLINE = [
+    "q_current_version_fold", "q_compute_changes", "q_partition_filter",
+    "q_tpch_q1", "q_tpch_q3", "q_token_count", "q_repetition_signals",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_pairs", "q_dedup_embedding", "q_dedup_clusters",
+    "q_ann_cosine_topk", "q_ann_ivf", "q_mm_decode_meta",
+    "q_asof_join", "q_range_join", "q_sessionize", "q_curate_corpus",
+    "q_pack_sequences", "q_training_shards", "q_stratified_sample",
+]
+
+# Python appears legitimately only where Python IS the payload
+PYTHON_OK = {"q_mm_decode_meta", "q_mm_frame_sample"}
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(name: str, plan: str) -> str:
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    n_codegen = len(
+        set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        | set(re.findall(r"codegen id : (\d+)", plan))
+    )
+    n_python = len(re.findall(r"(?:Batch|Arrow)EvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+    n_cartesian = len(re.findall(r"CartesianProduct", plan))
+    n_bcast = len(re.findall(r"BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop", plan))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    flags = []
+    if n_python and name not in PYTHON_OK:
+        flags.append(f"!! {n_python} Python eval(s)")
+    if n_cartesian:
+        flags.append(f"!! {n_cartesian} CartesianProduct")
+    return (
+        f"{name:28s} exchanges={n_exchange:2d} codegen_spans={n_codegen:2d} "
+        f"broadcast={n_bcast:2d} python={n_python} pushed_filter_scans={pushed}"
+        + ("  " + " ".join(flags) if flags else "")
+    )
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("chronicles-explain-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    names = args or [n for n in HEADLINE if n in qs]
+    bad = 0
+    for name in names:
+        try:
+            plan = _plan_text(qs[name](spark, SF_DIR))
+        except Exception as e:  # plan-time failure is itself a finding
+            print(f"{name:28s} PLAN FAILED: {type(e).__name__}: {str(e)[:120]}")
+            bad += 1
+            continue
+        line = summarize(name, plan)
+        print(line)
+        if "!!" in line:
+            bad += 1
+        if full:
+            print(plan)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
