@@ -152,8 +152,27 @@ def partitions_written(
     ):
         # prefix-only filter, like the serial walk — no per-entry is_dir
         # round-trips on the driver (the whole point of fanning out);
-        # executors is_dir-check their own slice
+        # executors is_dir-check their own slice.  This ONE root listing
+        # is reused by the sub-threshold serial path below, so the common
+        # narrow-table write never lists the root twice.
         first = [n for n in fs.list_dir(root) if n.startswith(part_cols[0] + "=")]
+        if len(first) < distribute_threshold:
+            col0 = part_cols[0]
+            out: List[Partition] = []
+            for name in first:
+                value = unescape_path_name(name[len(col0) + 1:])
+                if value == "__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        f"partition column {col0!r} contains null/empty values; "
+                        "versioned writes require concrete partition values"
+                    )
+                out.extend(
+                    _walk_partitions(
+                        fs, fs.join(root, name), part_cols, version_dir,
+                        ((col0, value),),
+                    )
+                )
+            return out
         if len(first) >= distribute_threshold:
             # the null-sentinel contract (ValueError on the DRIVER) holds
             # for the first level here; deeper levels re-raise below

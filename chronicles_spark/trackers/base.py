@@ -286,13 +286,16 @@ class VersionTracker(abc.ABC):
         half-appended group."""
         import contextlib as _ctx
 
-        for table in updates:
-            if not self._table_exists(table):
-                raise UnknownTableError(table)
         ordered = sorted(updates, key=lambda t: t.fully_qualified)
         with _ctx.ExitStack() as stack:
             for table in ordered:
                 stack.enter_context(self._serialized_commit(table))
+            # validation runs UNDER the held serialization so a concurrent
+            # drop_table cannot slip between the check and the appends and
+            # leave a half-committed group
+            for table in ordered:
+                if not self._table_exists(table):
+                    raise UnknownTableError(table)
             for table in ordered:
                 self._append_commit(table, updates[table])
 

@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_AUDIT", "/root/testdata/sf0.01")
 
 HEADLINE = [
     "q_current_version_fold", "q_compute_changes", "q_partition_filter",
-    "q_tpch_q1", "q_tpch_q3", "q_token_count", "q_repetition_signals",
+    "q_tpch_q3", "q_token_count", "q_repetition_signals",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
     "q_dedup_simhash_pairs", "q_dedup_embedding", "q_dedup_clusters",
     "q_ann_cosine_topk", "q_ann_ivf", "q_mm_decode_meta",
@@ -37,6 +37,11 @@ HEADLINE = [
 
 # Python appears legitimately only where Python IS the payload
 PYTHON_OK = {"q_mm_decode_meta", "q_mm_frame_sample"}
+
+# queries whose scans MUST show pushed filters (a selective predicate on a
+# parquet source); pushed_filter_scans == 0 here means pushdown broke
+EXPECT_PUSHDOWN = {"q_partition_filter", "q_tpch_q3", "q_ann_cosine_topk",
+                   "q_ann_ivf", "q_asof_join", "q_range_join"}
 
 
 def _plan_text(df) -> str:
@@ -61,6 +66,8 @@ def summarize(name: str, plan: str) -> str:
         flags.append(f"!! {n_python} Python eval(s)")
     if n_cartesian:
         flags.append(f"!! {n_cartesian} CartesianProduct")
+    if name in EXPECT_PUSHDOWN and pushed == 0:
+        flags.append("!! filter pushdown lost")
     return (
         f"{name:28s} exchanges={n_exchange:2d} codegen_spans={n_codegen:2d} "
         f"broadcast={n_bcast:2d} python={n_python} pushed_filter_scans={pushed}"

@@ -156,13 +156,19 @@ def test_inmemory_group_commit_is_atomic_under_threads():
             tracker.commit_group(group)
         stop.set()
 
+    def _idx(m):
+        return int(m[1:]) if m.startswith("g") else -1
+
     def reader():
         while not stop.is_set():
-            # under the writer's held lock, both heads must name the SAME
-            # group (messages match) or both be pre-group
+            # TA ("db.docs") appends FIRST in sorted group order, so a torn
+            # group is observable only as TA ahead of TB.  The two reads
+            # are separate lock acquisitions, so TB may legitimately be
+            # AHEAD of TA (a full group landed between the reads) — only
+            # the torn direction is a failure.
             ma = tracker.updates(TA)[0].message
             mb = tracker.updates(TB)[0].message
-            if ma != mb:
+            if _idx(ma) > _idx(mb):
                 torn.append((ma, mb))
 
     threads = [threading.Thread(target=writer)] + [
