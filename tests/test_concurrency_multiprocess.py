@@ -310,3 +310,62 @@ def test_sqlite_two_process_group_commits_never_tear(tmp_path):
     msgs_a = {u.message for u in ups_a if u.message.startswith("g ")}
     msgs_b = {u.message for u in ups_b if u.message.startswith("g ")}
     assert msgs_a == msgs_b and len(msgs_a) == 2 * N_PER_PROC
+
+
+_FILES_GROUP_WORKER = """
+import sys
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+tracker = FileBackedVersionTracker(path, use_lock=True)
+ta, tb = TableName("db", "docs"), TableName("db", "embs")
+for i in range(n):
+    group = {}
+    for t in (ta, tb):
+        meta = TableUpdateMetadata.new("w" + wid, "g " + wid + "/" + str(i))
+        group[t] = TableUpdate(
+            meta, (AddPartitionVersion(Partition((("d", wid),)), generate_version()),)
+        )
+    tracker.commit_group(group)
+print("DONE", n)
+"""
+
+
+def test_files_flock_two_process_group_commits_never_tear(tmp_path):
+    """Two OS processes firing commit_group at a flocked files log: the
+    locks held across the whole group (acquired in sorted table order)
+    serialize groups cross-process — both tables end with every group,
+    same message sets, no torn group."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_lock=True)
+    ta, tb = TableName("db", "docs"), TableName("db", "embs")
+    tracker.init_table(ta, is_snapshot=False, user_id="u")
+    tracker.init_table(tb, is_snapshot=False, user_id="u")
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FILES_GROUP_WORKER, path, str(i + 1),
+             str(N_PER_PROC)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        assert f"DONE {N_PER_PROC}" in out
+
+    fresh = FileBackedVersionTracker(path, use_lock=True)
+    ups_a = fresh.updates(ta)
+    ups_b = fresh.updates(tb)
+    assert len(ups_a) == len(ups_b) == 1 + 2 * N_PER_PROC
+    msgs_a = {u.message for u in ups_a if u.message.startswith("g ")}
+    msgs_b = {u.message for u in ups_b if u.message.startswith("g ")}
+    assert msgs_a == msgs_b and len(msgs_a) == 2 * N_PER_PROC
