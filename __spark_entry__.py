@@ -982,10 +982,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged embedding-transform row (round-4 driver-cap curation):
         # L2-normalize (formerly q_emb_normalize) and symmetric int8
         # quantization (formerly q_emb_quantize) are both map-side
-        # projections over the same column, so one query value-checks both
+        # projections over the same column, so one query value-checks both.
+        #
+        # Round 5: the array columns are serialized to canonical CSV
+        # strings ("%.6f" per element) — the driver's pandas canonicalizer
+        # cannot sort rows containing top-level array values (r4's one red
+        # row), and scripts/check_oracle.py now lints against them.  The
+        # underlying operators still return real array<double>/array<int>
+        # columns; only this driver-facing row flattens.
         emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-        return SIM.quantize_int8(SIM.normalize_l2(emb)).select(
-            "vec_id", "embedding_unit", "q_codes", "q_scale"
+        out = SIM.quantize_int8(SIM.normalize_l2(emb))
+        return out.select(
+            "vec_id",
+            F.concat_ws(
+                ",",
+                F.transform("embedding_unit", lambda x: F.format_string("%.6f", x)),
+            ).alias("embedding_unit_csv"),
+            F.concat_ws(",", F.col("q_codes").cast("array<string>")).alias(
+                "q_codes_csv"
+            ),
+            "q_scale",
         )
 
     def q_ann_ivf_kmeans(spark, sf):
@@ -1544,13 +1560,18 @@ r AS (
 )
 SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
-        # L2-normalize + int8 quantize, merged (both map-side over v)
+        # L2-normalize + int8 quantize, merged (both map-side over v);
+        # arrays rendered as canonical "%.6f" CSV so the driver's pandas
+        # canonicalizer (which cannot sort array cells) can hash the row
         "q_emb_transform": _EMB_V_CTE
         + """
 SELECT vec_id,
-       list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
-         AS embedding_unit,
-       list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q_codes,
+       array_to_string(list_transform(v,
+         x -> printf('%.6f', round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))), ',')
+         AS embedding_unit_csv,
+       array_to_string(list_transform(v,
+         x -> CAST(CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT) AS VARCHAR)), ',')
+         AS q_codes_csv,
        round(127.0 / amax, 6) AS q_scale
 FROM (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) AS amax

@@ -46,6 +46,23 @@ def _norm_cell(v):
     return v
 
 
+def complex_top_level_cols(schema) -> list:
+    """Driver-compatibility lint: column names whose top-level type is
+    Array/Map/Struct.  The driver's pandas canonicalizer sorts rows by
+    value and throws ``unhashable type: 'list'`` on such columns (round-4
+    `q_emb_transform` incident), so any hash-checked ``queries()`` entry
+    returning one is a guaranteed red driver row even when values are
+    correct.  Rows-only entries (no oracle) are exempt — the driver never
+    value-compares them."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -93,6 +110,17 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
+            if name in oracles:
+                bad = complex_top_level_cols(sdf.schema)
+                if bad:
+                    print(
+                        f"{name}: DRIVER-SHAPE LINT FAIL — top-level "
+                        f"array/map/struct columns {bad} break the driver's "
+                        f"pandas canonicalizer; serialize them (to_json / "
+                        f"concat_ws) on both sides"
+                    )
+                    n_fail += 1
+                    continue
             s_cols = list(sdf.columns)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
