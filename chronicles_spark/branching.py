@@ -18,7 +18,7 @@ Design (works on every tracker backend unchanged):
   NOT O(log); at a million-commit log that is the difference between a
   snapshot and a full history copy.  (Consequence: time travel WITHIN a
   branch only reaches back to its creation; the source table keeps the
-  deep history.)  The base commit is pinned by a ``branch_point`` tag,
+  deep history.)  The base commit is pinned by a ``branch-point`` tag,
   which doubles as vacuum protection for the base state.
 * Branch writes go to the SAME storage location under fresh ``_version=``
   directories — invisible to main-table readers until merged (the same
