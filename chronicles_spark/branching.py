@@ -141,18 +141,22 @@ def create_branch(
     btn = branch_table_name(table, branch)
     if btn in tracker.tables():
         raise BranchError(f"branch {branch!r} of {table} already exists")
-    if location:
-        from .spark.schema_guard import drop_branch_schema
-
-        drop_branch_schema(
-            TableDefinition(btn, location, PartitionSchema(("p",)))
-        )
+    # resolve (and thereby validate) the base state BEFORE any cleanup:
+    # an UnknownCommitError/UnknownTableError must leave no side effects —
+    # in particular a dead prior branch's schema sidecar must survive a
+    # failed create attempt
     is_snapshot = tracker.is_snapshot_table(table)
     base_state = (
         tracker.current_version(table)
         if at_commit is None
         else tracker.version_at(table, at_commit)
     )
+    if location:
+        from .spark.schema_guard import drop_branch_schema
+
+        drop_branch_schema(
+            TableDefinition(btn, location, PartitionSchema(("p",)))
+        )
     now = datetime.now(timezone.utc)
     tracker.init_table(
         btn, is_snapshot, user_id,
@@ -306,12 +310,18 @@ def merge_branch(
             expected_head=main_head,
             allow_disjoint=True,
         )
-        # publish the branch's recorded schema too (no-op unless the
-        # branch ran schema-guarded writes that evolved it)
-        if table.location:
-            from .spark.schema_guard import promote_schema
+    # publish the branch's recorded schema even when NO data ops landed
+    # (all contested partitions resolved 'ours', or the branch's changes
+    # already on main): guarded branch writes can evolve the schema
+    # independently of partition state, and drop_branch below deletes the
+    # branch sidecar — promoting only under `ops` would silently lose
+    # that evolution on a no-op merge
+    if table.location:
+        from .spark.schema_guard import promote_schema
 
-            promote_schema(table, bdef, meta.commit_id)
+        promote_schema(
+            table, bdef, meta.commit_id if ops else main_head
+        )
 
     new_state = tracker.current_version(table.name)
     if metastore is not None and ops:

@@ -220,6 +220,27 @@ def partitions_written(
                         "partition columns contain null/empty values; "
                         "versioned writes require concrete partition values"
                     ) from e
+                # versioned_insert_into always passes `spark`, so on a
+                # cluster whose executors lack the chronicles_spark
+                # package this fan-out would fail AFTER the data job
+                # already landed.  An executor-side import failure is a
+                # deployment shape, not an error: degrade to the serial
+                # driver walk (correct, just slower) instead of stranding
+                # the written files uncommitted.
+                msg = str(e)
+                if "chronicles_spark" in msg and (
+                    "ModuleNotFoundError" in msg or "ImportError" in msg
+                ):
+                    out = []
+                    for name in first:
+                        value = unescape_path_name(name[len(col0) + 1:])
+                        out.extend(
+                            _walk_partitions(
+                                fs, fs.join(root, name), part_cols,
+                                version_dir, ((col0, value),),
+                            )
+                        )
+                    return out
                 raise
 
     return _walk_partitions(fs, root, part_cols, version_dir, ())

@@ -677,3 +677,82 @@ def test_merge_syncs_metastore(tracker):
     )
     assert ms.current_version(table) == state
     assert changes  # the diff issued at least the AddPartition for P2
+
+
+def test_noop_merge_still_promotes_branch_schema(spark, tmp_path):
+    """A merge that lands ZERO data ops (every contested partition resolved
+    'ours') with drop_branch=True must still promote the branch's recorded
+    schema before deleting the branch sidecar — otherwise schema evolution
+    from guarded branch writes is silently lost (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import stored_schema, versioned_insert_into
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(2).select(F.col("id"), F.lit("0").alias("d"))
+    versioned_insert_into(df, table, tracker, "u", "w1", schema_mode="additive")
+
+    B.create_branch(tracker, table.name, "evolve", "u", location=table.location)
+    bdef = B.branch_table_def(table, "evolve")
+    # additive evolution recorded on the BRANCH sidecar
+    versioned_insert_into(
+        df.withColumn("y", F.lit(1)), bdef, tracker, "u", "bw",
+        schema_mode="additive",
+    )
+    # main overwrites the same partition → the branch change is contested
+    versioned_insert_into(df, table, tracker, "u", "w2", schema_mode="additive")
+
+    state, changes = B.merge_branch(
+        table, tracker, "evolve", "u", "noop publish",
+        drop_branch=True, on_conflict="ours",
+    )
+    assert changes == []  # no data ops landed
+    assert "y" in {f.name for f in stored_schema(table).fields}, (
+        "no-op merge dropped the branch's schema evolution"
+    )
+
+
+def test_failed_create_branch_keeps_prior_sidecar(spark, tmp_path):
+    """create_branch validating a bogus at_commit must raise WITHOUT side
+    effects: a dead prior branch's schema sidecar survives the failed
+    attempt (round-4 advice: validation before cleanup)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import stored_schema, versioned_insert_into
+    from chronicles_spark.trackers.base import UnknownCommitError
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("db", "ev"), str(tmp_path / "ev"), PartitionSchema(("d",))
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="u")
+    df = spark.range(2).select(F.col("id"), F.lit("0").alias("d"))
+    versioned_insert_into(df, table, tracker, "u", "w1", schema_mode="additive")
+
+    # first life of the branch records a sidecar, then dies WITHOUT
+    # location (sidecar left behind — the shape create_branch cleans up)
+    B.create_branch(tracker, table.name, "stage", "u", location=table.location)
+    bdef = B.branch_table_def(table, "stage")
+    versioned_insert_into(
+        df.withColumn("y", F.lit(1)), bdef, tracker, "u", "bw",
+        schema_mode="additive",
+    )
+    B.delete_branch(tracker, table.name, "stage")
+    assert "y" in {f.name for f in stored_schema(bdef).fields}
+
+    with pytest.raises(UnknownCommitError):
+        B.create_branch(
+            tracker, table.name, "stage", "u",
+            at_commit="no-such-commit", location=table.location,
+        )
+    assert "y" in {f.name for f in stored_schema(bdef).fields}, (
+        "failed create_branch deleted the prior sidecar"
+    )
+    # a successful create still clears it (branch falls back to
+    # inheriting MAIN's recorded schema, which never saw y)
+    B.create_branch(tracker, table.name, "stage", "u", location=table.location)
+    assert "y" not in {f.name for f in stored_schema(bdef).fields}

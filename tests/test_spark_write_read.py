@@ -273,3 +273,52 @@ def test_partitions_written_distributed_parity(spark, tmp_path):
         for p in partitions_written(table, v, spark=spark, distribute_threshold=2)
     )
     assert dist == driver and len(driver) == 24  # 8 a-values x 3 b-values
+
+
+def test_partitions_written_falls_back_when_executors_lack_package(
+    spark, tmp_path, monkeypatch
+):
+    """On a cluster whose executors don't have chronicles_spark installed,
+    the fan-out job dies with an executor-side ModuleNotFoundError AFTER
+    the data already landed.  partitions_written must degrade to the
+    serial driver walk instead of stranding the write uncommitted
+    (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.writer import partitions_written, write_versioned
+
+    table = TableDefinition(
+        TableName("db", "fanout"), str(tmp_path / "fanout"),
+        PartitionSchema(("a",)),
+    )
+    df = spark.range(12).select(
+        F.col("id"), (F.col("id") % 6).cast("string").alias("a")
+    )
+    v = generate_version()
+    write_versioned(df, table, v)
+    serial = sorted(p.path for p in partitions_written(table, v))
+
+    def _boom(*a, **k):
+        raise Exception(
+            "Job aborted due to stage failure: ... "
+            "ModuleNotFoundError: No module named 'chronicles_spark'"
+        )
+
+    monkeypatch.setattr(spark.sparkContext, "parallelize", _boom)
+    got = sorted(
+        p.path
+        for p in partitions_written(table, v, spark=spark, distribute_threshold=2)
+    )
+    assert got == serial and len(got) == 6
+
+    # any OTHER executor failure still surfaces
+    def _other(*a, **k):
+        raise Exception("Job aborted: executor OOM")
+
+    monkeypatch.setattr(spark.sparkContext, "parallelize", _other)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="OOM"):
+        partitions_written(table, v, spark=spark, distribute_threshold=2)
