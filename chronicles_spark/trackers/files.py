@@ -18,17 +18,30 @@ to the data on the object store.
 
 Like the reference (FileBackedVersionTracker.scala:23-25) this backend is
 last-writer-wins on head_ref by DEFAULT — weaker concurrency guarantees
-than the sqlite tracker, documented and accepted.  ``use_lock=True``
-upgrades local-filesystem logs to serialized multi-writer commits: an
-exclusive POSIX ``flock`` per table directory brackets each commit (file
-write + head_ref advance), and commit filenames are collision-checked
-against the directory under the lock, so concurrent writers from separate
-OS processes lose nothing (raced in
-``tests/test_concurrency_multiprocess.py``).  POSIX advisory locks are
-host-local — on NFS or object stores keep the default and use the sqlite
-tracker for serialized commits.  The commit-file-per-commit design is the
-same shape as a Delta log directory, so the whole log is also readable
-distributed via ``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``.
+than the sqlite tracker, documented and accepted.  Two opt-in upgrades:
+
+* ``use_lock=True`` — serialized multi-writer commits on a HOST-LOCAL
+  filesystem: an exclusive POSIX ``flock`` per table directory brackets
+  each commit (file write + head_ref advance), and commit filenames are
+  collision-checked against the directory under the lock, so concurrent
+  writers from separate OS processes lose nothing (raced in
+  ``tests/test_concurrency_multiprocess.py``).  POSIX advisory locks are
+  host-local — do not use on NFS or object stores.
+* ``use_cas=True`` — lock-free multi-writer commit safety for OBJECT
+  STORES (and anywhere without shared flock): each commit file is
+  published with an atomic create-if-absent (S3 ``If-None-Match: *``,
+  GCS generation preconditions, POSIX ``link(2)`` locally); a name
+  collision means another writer claimed that sequence slot, and the
+  loser retries one higher — no commit file is ever overwritten (the
+  silent-loss hazard of two same-millisecond writers in the default
+  mode).  The head_ref advance is monotonic on commit sequence and
+  best-effort (see ``_advance_head``); requires a filesystem whose
+  ``supports_put_if_absent()`` is True.  Full design + per-backend
+  guarantee matrix: docs/scale.md "Multi-writer commit safety".
+
+The commit-file-per-commit design is the same shape as a Delta log
+directory, so the whole log is also readable distributed via
+``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``.
 
 Fold checkpoints (beyond reference parity; Delta-checkpoint-style):
 every ``checkpoint_interval`` commits the tracker persists the folded
@@ -86,6 +99,7 @@ class FileBackedVersionTracker(VersionTracker):
         fs: FileSystem | None = None,
         use_lock: bool = False,
         checkpoint_interval: int | None = 100,
+        use_cas: bool = False,
     ) -> None:
         if fs is None:
             fs, root = filesystem_for(str(root))
@@ -94,6 +108,19 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.mkdirs(self.root)
         self._clock = MonotonicClock()
         self._use_lock = bool(use_lock)
+        self._use_cas = bool(use_cas)
+        if self._use_cas and self._use_lock:
+            raise ValueError(
+                "use_cas and use_lock are alternative commit protocols — "
+                "pick one (flock for host-local logs, CAS for object stores)"
+            )
+        if self._use_cas and not fs.supports_put_if_absent():
+            raise ValueError(
+                "use_cas needs an atomic create-if-absent filesystem "
+                "(local disk, memory://, or an fsspec backend constructed "
+                "with conditional_put=True over S3 If-None-Match / GCS "
+                "generation preconditions)"
+            )
         # re-entrancy guard must be per-THREAD: flock is per open file
         # description, so two threads sharing this instance must each take
         # their own fd and block each other — an instance-shared set would
@@ -133,11 +160,8 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.write_text(
             self.fs.join(d, "table-metadata"), json.dumps({"is_snapshot": is_snapshot})
         )
-        self._write_commit_file(d, init_update)
-        self.fs.write_text(
-            self.fs.join(d, "head_ref"),
-            json.dumps({"head_ref": init_update.metadata.commit_id}),
-        )
+        seq = self._write_commit_file(d, init_update)
+        self._advance_head(d, init_update.metadata.commit_id, seq)
 
     def _drop_table(self, table: TableName) -> None:
         # remove the metadata marker FIRST so a racing reader that lists
@@ -178,11 +202,12 @@ class FileBackedVersionTracker(VersionTracker):
         default last-writer-wins commits already have)."""
         return self._commit_guard(self._table_dir(table))
 
-    def _write_commit_file(self, d: str, update: TableUpdate) -> None:
+    def _write_commit_file(self, d: str, update: TableUpdate) -> int:
         ts = self._clock.next_timestamp_ms()
-        if self._use_lock:
+        if self._use_lock or self._use_cas:
             # the per-process monotonic clock cannot see OTHER processes'
-            # filenames; under the lock a directory check is race-free
+            # filenames; under flock a directory check is race-free, and
+            # in CAS mode it just seeds the first create attempt
             existing = [
                 int(m.group(1))
                 for n in self.fs.list_dir(d)
@@ -190,19 +215,56 @@ class FileBackedVersionTracker(VersionTracker):
             ]
             if existing:
                 ts = max(ts, max(existing) + 1)
+        payload = update_to_json(update)
+        if self._use_cas:
+            # rename-if-absent commit protocol (Delta-log style): claim
+            # the next free sequence number with an ATOMIC conditional
+            # put; a racer claiming the same name loses the create and
+            # retries one higher — no commit file is ever overwritten
+            for _ in range(4096):
+                if self.fs.write_text_if_absent(
+                    self.fs.join(d, f"table_update_{ts:013d}.json"), payload
+                ):
+                    return ts
+                ts += 1
+            raise RuntimeError(
+                "CAS commit could not claim a filename after 4096 attempts "
+                "(pathological contention or a misbehaving filesystem)"
+            )
         self.fs.write_text(
-            self.fs.join(d, f"table_update_{ts:013d}.json"), update_to_json(update)
+            self.fs.join(d, f"table_update_{ts:013d}.json"), payload
         )
+        return ts
 
     def _append_commit(self, table: TableName, update: TableUpdate) -> None:
         d = self._table_dir(table)
         with self._commit_guard(d):
-            self._write_commit_file(d, update)
-            self.fs.write_text(
-                self.fs.join(d, "head_ref"),
-                json.dumps({"head_ref": update.metadata.commit_id}),
-            )
+            seq = self._write_commit_file(d, update)
+            self._advance_head(d, update.metadata.commit_id, seq)
             self._maybe_checkpoint(d)
+
+    def _advance_head(self, d: str, commit_id: str, seq: int) -> None:
+        """Point head_ref at a just-landed commit.  In CAS mode the
+        advance is MONOTONIC on the commit sequence: if a concurrent
+        writer already moved the head past ``seq``, skip — the fold
+        through the newer head includes this commit anyway, and writing
+        an older head would be indistinguishable from a rollback.  (The
+        remaining read-check-write window can briefly park the head one
+        commit back; readers already treat newer files ahead of the head
+        as in-flight, and the next advance converges.  S3 If-Match /
+        ETag CAS closes the window fully where available — docs/scale.md
+        "Multi-writer commit safety".)"""
+        head_path = self.fs.join(d, "head_ref")
+        doc: dict = {"head_ref": commit_id}
+        if self._use_cas:
+            try:
+                cur = json.loads(self.fs.read_text(head_path))
+            except (FileNotFoundError, ValueError, KeyError):
+                cur = {}
+            if int(cur.get("seq", -1)) >= seq:
+                return
+            doc["seq"] = seq
+        self.fs.write_text(head_path, json.dumps(doc))
 
     def _set_head(self, table: TableName, commit_id: str) -> None:
         d = self._table_dir(table)

@@ -56,6 +56,26 @@ class FileSystem(abc.ABC):
         callers must treat None conservatively."""
         return None
 
+    # -- conditional put (atomic create-if-absent) --------------------------
+    # The primitive behind multi-writer commit safety without a lock
+    # service: S3 PutObject with `If-None-Match: *`, GCS preconditions
+    # (ifGenerationMatch=0), Azure If-None-Match, HDFS create-no-overwrite,
+    # POSIX link(2).  Backends that can't guarantee atomicity keep the
+    # False default and the tracker refuses CAS mode up front.
+
+    def supports_put_if_absent(self) -> bool:
+        """True iff :meth:`write_text_if_absent` is ATOMIC on this backend
+        (two racers → exactly one winner, full content visible at once)."""
+        return False
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        """Create ``path`` with ``text`` only if it does not already exist.
+        Returns True when THIS call created it, False when it existed.
+        Only meaningful where :meth:`supports_put_if_absent` is True."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no atomic create-if-absent"
+        )
+
     def join(self, *parts: str) -> str:
         return posixpath.join(*parts)
 
@@ -116,6 +136,33 @@ class LocalFileSystem(FileSystem):
         except OSError:
             return None
 
+    def supports_put_if_absent(self) -> bool:
+        return True
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        # write the full content to a temp file, then hard-link it to the
+        # target: link(2) fails with EEXIST when the target exists, giving
+        # an ATOMIC create-if-absent whose content appears all at once
+        # (O_EXCL alone would expose a partially-written file to readers)
+        import os
+        import tempfile
+
+        p = Path(path)
+        fd, tmp = tempfile.mkstemp(prefix=f".{p.name}.", dir=str(p.parent))
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
     def join(self, *parts: str) -> str:
         return str(Path(parts[0]).joinpath(*parts[1:]))
 
@@ -167,6 +214,17 @@ class MemoryFileSystem(FileSystem):
             self._files[p] = text
             self._mt[p] = time.time()
 
+    def supports_put_if_absent(self) -> bool:
+        return True
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            if p in self._files:
+                return False
+            self.write_text(path, text)
+            return True
+
     def mtime(self, path: str) -> "float | None":
         # files only (matching object stores: directory prefixes have no
         # LastModified) — exercises callers' newest-child fallback paths
@@ -204,10 +262,31 @@ class MemoryFileSystem(FileSystem):
 class FsspecFileSystem(FileSystem):
     """Adapter over an fsspec filesystem (s3://, gs://, hdfs://, ...).
     Only constructed when fsspec is importable — clusters that talk to
-    object stores have it; this container does not, and that's fine."""
+    object stores have it; this container does not, and that's fine.
 
-    def __init__(self, fs) -> None:
+    ``conditional_put=True`` declares that mode-"x" opens on this backend
+    are genuinely atomic server-side (S3 `If-None-Match: *` on current
+    s3fs/boto3, GCS ``ifGenerationMatch=0``, Azure `If-None-Match`) —
+    fsspec itself cannot promise this for every backend, so the caller
+    who knows the deployment opts in explicitly.  Left False, CAS commit
+    mode refuses the filesystem up front rather than racing unsafely."""
+
+    def __init__(self, fs, conditional_put: bool = False) -> None:
         self._fs = fs
+        self._conditional_put = bool(conditional_put)
+
+    def supports_put_if_absent(self) -> bool:
+        return self._conditional_put
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        if not self._conditional_put:
+            return super().write_text_if_absent(path, text)  # raises
+        try:
+            with self._fs.open(path, "x") as f:
+                f.write(text)
+            return True
+        except FileExistsError:
+            return False
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(path)

@@ -1,0 +1,168 @@
+"""CAS (conditional-put) commit mode of the files tracker.
+
+Object stores have no flock; `use_cas=True` serializes the commit LOG
+through the store's own atomic create-if-absent (S3 If-None-Match / GCS
+generation preconditions; link(2) locally). docs/scale.md "Multi-writer
+commit safety" is the design; these tests pin:
+
+* no commit file is ever overwritten, even when writers collide on a name
+  (the silent-loss hazard of the default last-writer-wins mode),
+* the head_ref advance is monotonic on commit sequence,
+* the mode refuses filesystems without the capability up front,
+* a two-thread race over one table loses nothing.
+"""
+
+import json
+import threading
+
+import pytest
+
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+from chronicles_spark.trackers.fs import FileSystem, MemoryFileSystem
+
+T = TableName("db", "cas")
+
+
+def _commit(tracker, day, msg="w"):
+    v = generate_version()
+    meta = TableUpdateMetadata.new("u", msg)
+    tracker.commit(
+        T,
+        TableUpdate(meta, (AddPartitionVersion(Partition.of(("d", day)), v),)),
+    )
+    return meta.commit_id
+
+
+class RacingFS(MemoryFileSystem):
+    """Injects a competitor: before the caller's first N conditional puts
+    of a commit file, a phantom writer claims the same name — forcing the
+    caller down the collision-retry path."""
+
+    def __init__(self, bucket, steal_first_n=1):
+        super().__init__(bucket)
+        self.steals_left = steal_first_n
+        self.stolen = []
+
+    def write_text_if_absent(self, path, text):
+        if "table_update_" in path and self.steals_left > 0:
+            self.steals_left -= 1
+            # the phantom writer's commit claims the name first (a VALID
+            # log entry — readers parse every commit file)
+            from chronicles_spark.core.ops import update_to_json
+
+            phantom = TableUpdate(
+                TableUpdateMetadata.new("phantom", "stolen slot"),
+                (
+                    AddPartitionVersion(
+                        Partition.of(("d", "phantom")), generate_version()
+                    ),
+                ),
+            )
+            super().write_text_if_absent(path, update_to_json(phantom))
+            self.stolen.append(path)
+        return super().write_text_if_absent(path, text)
+
+
+class NoCasFS(MemoryFileSystem):
+    def supports_put_if_absent(self):
+        return False
+
+
+def test_refuses_fs_without_capability(tmp_path):
+    with pytest.raises(ValueError, match="atomic create-if-absent"):
+        FileBackedVersionTracker("root", fs=NoCasFS("nocas"), use_cas=True)
+
+
+def test_cas_and_lock_are_exclusive(tmp_path):
+    with pytest.raises(ValueError, match="alternative commit protocols"):
+        FileBackedVersionTracker(str(tmp_path), use_cas=True, use_lock=True)
+
+
+def test_collision_retries_next_slot_and_loses_nothing():
+    fs = RacingFS("race1", steal_first_n=2)
+    tr = FileBackedVersionTracker("root", fs=fs, use_cas=True)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    c1 = _commit(tr, "2024-01-01")
+    assert len(fs.stolen) == 2  # init + first commit were both contested
+    # both the phantom's files and ours exist — nothing overwritten
+    d = tr._table_dir(T)
+    names = [n for n in fs.list_dir(d) if n.startswith("table_update_")]
+    payloads = [fs.read_text(fs.join(d, n)) for n in names]
+    assert sum('"phantom"' in p for p in payloads) == 2
+    assert sum(c1 in p for p in payloads) == 1
+    # our commits remain resolvable (head still points at OUR commit —
+    # the phantoms never advanced it, like a writer that died mid-commit)
+    assert tr.table_state(T).current_version == c1
+
+
+def test_local_disk_supports_cas(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), use_cas=True)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    _commit(tr, "2024-01-01")
+    c2 = _commit(tr, "2024-01-02")
+    assert tr.table_state(T).current_version == c2
+    tv = tr.current_version(T)
+    assert len(tv.partition_versions) == 2
+    # head_ref carries the monotonic seq in CAS mode
+    d = tr._table_dir(T)
+    head = json.loads(tr.fs.read_text(tr.fs.join(d, "head_ref")))
+    assert head["head_ref"] == c2 and "seq" in head
+
+
+def test_head_advance_is_monotonic():
+    fs = MemoryFileSystem("mono")
+    tr = FileBackedVersionTracker("root", fs=fs, use_cas=True)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    c1 = _commit(tr, "2024-01-01")
+    d = tr._table_dir(T)
+    head = json.loads(fs.read_text(fs.join(d, "head_ref")))
+    # a straggler trying to re-point the head at an OLDER seq is skipped
+    tr._advance_head(d, "stale-commit", head["seq"] - 1)
+    head2 = json.loads(fs.read_text(fs.join(d, "head_ref")))
+    assert head2["head_ref"] == c1 and head2["seq"] == head["seq"]
+    # while a newer seq still advances
+    tr._advance_head(d, "newer-commit", head["seq"] + 1)
+    assert json.loads(fs.read_text(fs.join(d, "head_ref")))["head_ref"] == (
+        "newer-commit"
+    )
+
+
+def test_two_thread_race_loses_no_commits(tmp_path):
+    """Two writer instances (separate tracker objects, shared directory,
+    NO flock) race 15 commits each through the CAS protocol: every commit
+    file must survive and the final fold must contain every partition."""
+    root = str(tmp_path / "log")
+    trs = [FileBackedVersionTracker(root, use_cas=True) for _ in range(2)]
+    trs[0].init_table(T, is_snapshot=False, user_id="u")
+    errs = []
+
+    def work(i):
+        try:
+            for k in range(15):
+                _commit(trs[i], f"2024-{i:02d}-{k:02d}", msg=f"w{i}.{k}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    reader = FileBackedVersionTracker(root, use_cas=True)
+    assert len(reader.table_state(T).updates) == 1 + 30  # init + every commit
+    # the documented head-advance window can park the head ONE commit
+    # behind the newest file until the next advance; a single quiescent
+    # commit must converge it and surface every raced partition
+    final = _commit(reader, "9999-12-31", msg="converge")
+    state = reader.table_state(T)
+    assert state.current_version == final
+    assert state.updates[-1].metadata.commit_id == final
+    assert len(reader.current_version(T).partition_versions) == 31

@@ -41,6 +41,8 @@ if backend == "sqlite":
     tracker = SqliteVersionTracker(path)
 elif backend == "files_locked":
     tracker = FileBackedVersionTracker(path, use_lock=True)
+elif backend == "files_cas":
+    tracker = FileBackedVersionTracker(path, use_cas=True)
 else:
     tracker = FileBackedVersionTracker(path)
 t = TableName("db", "race")
@@ -107,6 +109,30 @@ def test_files_locked_two_process_commits_all_serialize(tmp_path):
     assert len(set(ids)) == len(ids)
     assert all(len(u.operations) == 1 for u in state.updates[1:])
     assert state.current_version in ids
+
+
+def test_files_cas_two_process_commits_all_survive(tmp_path):
+    """use_cas=True: commit files are claimed with link(2)-based atomic
+    create-if-absent — NO flock, yet every commit from both OS processes
+    survives (the default mode may drop colliding same-ms commits; CAS
+    mode's contract is no commit file is ever overwritten).  The head may
+    trail the newest file by the documented advance window; one quiescent
+    commit converges it."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_cas=True)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    n_procs = _race("files_cas", path)
+
+    reader = FileBackedVersionTracker(path, use_cas=True)
+    state = reader.table_state(T)
+    assert len(state.updates) == 1 + n_procs * N_PER_PROC  # none lost
+    ids = [u.metadata.commit_id for u in state.updates]
+    assert len(set(ids)) == len(ids)
+    assert all(len(u.operations) == 1 for u in state.updates[1:])  # none torn
+    assert state.current_version in ids
+    live = reader.current_version(T)
+    assert len(live.partition_versions) == n_procs  # one date per worker
 
 
 def test_files_lock_requires_local_fs():
