@@ -227,6 +227,25 @@ def main():
         "q_redact_pii",
         "q_top_ngrams",
         "q_contamination",
+        # round 5: every non-lifecycle queries() entry is timed, so a plan
+        # regression in ANY family shows up in the per-round ratios
+        "q_running_totals",
+        "q_corpus_mixture",
+        "q_stratified_sample",
+        "q_pack_sequences",
+        "q_training_shards",
+        "q_mm_frame_sample",
+        "q_emb_transform",
+        "q_ann_ivf_kmeans",
+        "q_compact_roundtrip",  # fixture memoized: times the tag-pinned read
+        "q_snapshot_version_fold",
+        "q_updates_log",
+        "q_table_state_group",
+        "q_tables_list",
+        "q_version_parse",
+        "q_version_paths",
+        "q_partition_parse",
+        "q_partition_expr_render",
     ]
     for name in headline:
         df_fn = qs[name]
