@@ -248,23 +248,40 @@ class FileBackedVersionTracker(VersionTracker):
         advance is MONOTONIC on the commit sequence: if a concurrent
         writer already moved the head past ``seq``, skip — the fold
         through the newer head includes this commit anyway, and writing
-        an older head would be indistinguishable from a rollback.  (The
-        remaining read-check-write window can briefly park the head one
-        commit back; readers already treat newer files ahead of the head
-        as in-flight, and the next advance converges.  S3 If-Match /
-        ETag CAS closes the window fully where available — docs/scale.md
-        "Multi-writer commit safety".)"""
+        an older head would be indistinguishable from a rollback.
+
+        Where the filesystem has a compare-and-swap (``write_text_if_
+        match``: S3 If-Match on ETag, GCS generation preconditions, the
+        local/memory implementations), the monotonic advance is FULLY
+        atomic — a lost swap re-reads and re-decides, so the head can
+        never move backwards.  Without it, the read-check-write window
+        can briefly park the head one commit back; readers already treat
+        newer files ahead of the head as in-flight, and the next advance
+        converges (docs/scale.md "Multi-writer commit safety")."""
         head_path = self.fs.join(d, "head_ref")
-        doc: dict = {"head_ref": commit_id}
-        if self._use_cas:
-            try:
-                cur = json.loads(self.fs.read_text(head_path))
-            except (FileNotFoundError, ValueError, KeyError):
-                cur = {}
-            if int(cur.get("seq", -1)) >= seq:
-                return
-            doc["seq"] = seq
-        self.fs.write_text(head_path, json.dumps(doc))
+        if not self._use_cas:
+            self.fs.write_text(head_path, json.dumps({"head_ref": commit_id}))
+            return
+        doc = json.dumps({"head_ref": commit_id, "seq": seq})
+        if self.fs.supports_put_if_match():
+            for _ in range(64):
+                try:
+                    cur_text, token = self.fs.read_text_and_token(head_path)
+                    cur_seq = int(json.loads(cur_text).get("seq", -1))
+                except (FileNotFoundError, ValueError, KeyError):
+                    cur_seq, token = -1, None
+                if cur_seq >= seq:
+                    return
+                if self.fs.write_text_if_match(head_path, doc, token):
+                    return
+            # pathological churn: fall through to the best-effort path
+        try:
+            cur = json.loads(self.fs.read_text(head_path))
+        except (FileNotFoundError, ValueError, KeyError):
+            cur = {}
+        if int(cur.get("seq", -1)) >= seq:
+            return
+        self.fs.write_text(head_path, doc)
 
     def _set_head(self, table: TableName, commit_id: str) -> None:
         d = self._table_dir(table)
@@ -446,12 +463,24 @@ class FileBackedVersionTracker(VersionTracker):
             "snapshot_version": snapshot_version,
             "partitions": sorted(state.items()),
         }
-        self.fs.write_text(
-            self.fs.join(d, f"checkpoint_{last_seq:013d}.json"), json.dumps(body)
-        )
-        self.fs.write_text(
-            self.fs.join(d, "_last_checkpoint"), json.dumps({"seq": last_seq})
-        )
+        ck_path = self.fs.join(d, f"checkpoint_{last_seq:013d}.json")
+        ptr_path = self.fs.join(d, "_last_checkpoint")
+        ptr_doc = json.dumps({"seq": last_seq})
+        if self._use_cas:
+            # checkpoints are pure functions of log order: two racers at
+            # the same seq produce identical bytes, so losing the
+            # conditional create is a free no-op; the pointer advance is
+            # monotonic so a straggler can never point it backwards
+            self.fs.write_text_if_absent(ck_path, json.dumps(body))
+            try:
+                cur_seq = int(json.loads(self.fs.read_text(ptr_path))["seq"])
+            except (FileNotFoundError, ValueError, KeyError):
+                cur_seq = -1
+            if cur_seq < last_seq:
+                self.fs.write_text(ptr_path, ptr_doc)
+            return
+        self.fs.write_text(ck_path, json.dumps(body))
+        self.fs.write_text(ptr_path, ptr_doc)
 
     def _fast_resolve(self, d: str, commit_id: str):
         """Checkpoint + tail fold at ``commit_id``, or None when the fast

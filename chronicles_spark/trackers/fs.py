@@ -76,6 +76,33 @@ class FileSystem(abc.ABC):
             f"{type(self).__name__} has no atomic create-if-absent"
         )
 
+    # -- conditional replace (compare-and-swap on an opaque token) ----------
+    # The second object-store primitive: S3 PutObject + `If-Match: <etag>`,
+    # GCS ifGenerationMatch=<generation>, Azure If-Match.  Closes the
+    # head-pointer advance window that create-if-absent alone cannot
+    # (head_ref is REPLACED on every commit, not created).
+
+    def supports_put_if_match(self) -> bool:
+        """True iff :meth:`write_text_if_match` is an ATOMIC compare-and-
+        swap against the token from :meth:`read_text_and_token`."""
+        return False
+
+    def read_text_and_token(self, path: str) -> "tuple[str, object]":
+        """(content, opaque CAS token) — the token identifies the exact
+        object version read (ETag / generation / content hash)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no token reads"
+        )
+
+    def write_text_if_match(self, path: str, text: str, token) -> bool:
+        """Replace ``path`` with ``text`` only if it still carries
+        ``token``.  ``token=None`` means "only if absent".  Returns True
+        when THIS call performed the swap, False when the object moved
+        (re-read and retry)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no atomic compare-and-swap"
+        )
+
     def join(self, *parts: str) -> str:
         return posixpath.join(*parts)
 
@@ -138,6 +165,44 @@ class LocalFileSystem(FileSystem):
 
     def supports_put_if_absent(self) -> bool:
         return True
+
+    def supports_put_if_match(self) -> bool:
+        return True
+
+    def read_text_and_token(self, path: str) -> "tuple[str, object]":
+        import hashlib
+
+        text = Path(path).read_text()
+        return text, hashlib.sha256(text.encode()).hexdigest()
+
+    def write_text_if_match(self, path: str, text: str, token) -> bool:
+        # POSIX has no native content-CAS; a per-path sidecar flock
+        # brackets the compare + os.replace.  Honest for LocalFileSystem:
+        # the whole filesystem is host-local, so host-local exclusion is
+        # exactly the coherence domain (object stores do this server-side
+        # via ETag If-Match instead).
+        import fcntl
+        import hashlib
+
+        lock_path = path + ".caslock"
+        with open(lock_path, "a+") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                p = Path(path)
+                if token is None:
+                    if p.exists():
+                        return False
+                else:
+                    try:
+                        cur = p.read_text()
+                    except FileNotFoundError:
+                        return False
+                    if hashlib.sha256(cur.encode()).hexdigest() != token:
+                        return False
+                self.write_text(path, text)  # atomic replace (tmp+rename)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def write_text_if_absent(self, path: str, text: str) -> bool:
         # write the full content to a temp file, then hard-link it to the
@@ -213,6 +278,8 @@ class MemoryFileSystem(FileSystem):
                 self.mkdirs(parent)
             self._files[p] = text
             self._mt[p] = time.time()
+            gens = self._gen_map()
+            gens[p] = gens.get(p, 0) + 1  # EVERY write is a new generation
 
     def supports_put_if_absent(self) -> bool:
         return True
@@ -223,6 +290,40 @@ class MemoryFileSystem(FileSystem):
             if p in self._files:
                 return False
             self.write_text(path, text)
+            return True
+
+    # token CAS: the per-path "generation" is the write count (the same
+    # model as GCS object generations)
+    _gens: Dict[str, Dict[str, int]] = {}
+
+    def _gen_map(self) -> Dict[str, int]:
+        # keyed by bucket via the shared class registries
+        for bucket, files in MemoryFileSystem._buckets.items():
+            if files is self._files:
+                return MemoryFileSystem._gens.setdefault(bucket, {})
+        return MemoryFileSystem._gens.setdefault("?", {})
+
+    def supports_put_if_match(self) -> bool:
+        return True
+
+    def read_text_and_token(self, path: str) -> "tuple[str, object]":
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            if p not in self._files:
+                raise FileNotFoundError(path)
+            return self._files[p], self._gen_map().get(p, 0)
+
+    def write_text_if_match(self, path: str, text: str, token) -> bool:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            gens = self._gen_map()
+            if token is None:
+                if p in self._files:
+                    return False
+            else:
+                if p not in self._files or gens.get(p, 0) != token:
+                    return False
+            self.write_text(path, text)  # bumps the generation
             return True
 
     def mtime(self, path: str) -> "float | None":
