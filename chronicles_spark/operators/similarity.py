@@ -168,6 +168,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd k-means over the embedding column.
 
@@ -181,35 +182,69 @@ def kmeans_fit(
     mean update is a (cluster, dim_pos) partial-aggregated shuffle of
     k·dim cells, and only the k·dim centroid matrix ever reaches the
     driver (same metadata-scale driver state as the reference's W1
-    partition collect).  The corpus is scanned once per iteration, never
-    cached driver-side."""
-    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    seed_rows = v.orderBy(F.col(id_col).asc()).limit(k).collect()
-    centroids = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+    partition collect).
 
-    for _ in range(iters):
-        assigned = _assign_nearest(v, centroids)
-        cell = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in cell:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        # a cluster that lost every member keeps its previous centroid
-        # (standard Lloyd behavior; dropping it would renumber buckets)
-        centroids = [
-            (
-                cid,
-                [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
-                if cid in by_cluster
-                else prev,
+    ``train_fraction`` is the 100 TB knob: centroid QUALITY needs only a
+    sample (the standard IVF practice — FAISS trains on ~39·k to 256·k
+    vectors, not the corpus), so pass e.g. ``10_000_000 / corpus_rows``
+    to fit on a deterministic md5-uniform sample.  The training set is
+    persisted on executors across iterations (and unpersisted after), so
+    the full corpus is scanned ONCE for sampling instead of once per
+    iteration; the full corpus is only ever scanned again by the caller's
+    single bucket assignment."""
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if train_fraction is not None:
+        if not (0.0 < train_fraction <= 1.0):
+            raise ValueError("train_fraction must be in (0, 1]")
+        # deterministic uniform draw (operators/text.py with_uniform_hash
+        # pattern): map-side filter, stable under re-runs/repartitioning
+        u = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+        ).cast("double") / F.lit(float(16**7))
+        v = v.where(u < F.lit(train_fraction))
+    v = v.persist()
+    try:
+        seed_rows = v.orderBy(F.col(id_col).asc()).limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"k-means needs >= {k} training vectors, got {len(seed_rows)}"
+                + (" — raise train_fraction" if train_fraction else "")
             )
-            for cid, prev in centroids
-        ]
+        centroids = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+
+        for _ in range(iters):
+            centroids = _lloyd_step(v, centroids)
+    finally:
+        v.unpersist()
     return centroids
+
+
+def _lloyd_step(
+    v: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd iteration: assign to broadcast centroid literals, mean
+    per (cluster, dim_pos), collect the k·dim matrix."""
+    assigned = _assign_nearest(v, centroids)
+    cell = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in cell:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    # a cluster that lost every member keeps its previous centroid
+    # (standard Lloyd behavior; dropping it would renumber buckets)
+    return [
+        (
+            cid,
+            [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
+            if cid in by_cluster
+            else prev,
+        )
+        for cid, prev in centroids
+    ]
 
 
 def _assign_nearest(
@@ -247,14 +282,19 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF search over LEARNED k-means buckets (vs ``ivf_topk``'s
     label-derived buckets): fit centroids, assign every vector once, then
     the same probe-and-verify two-stage search.  At 100 TB the assignment
-    is written as a bucket/partition column so probes prune at the scan.
+    is written as a bucket/partition column so probes prune at the scan,
+    and ``train_fraction`` fits the centroids on a deterministic sample
+    instead of the full corpus (see :func:`kmeans_fit`).
     ``broadcast_queries=False`` = corpus-scale query sets (see
     :func:`ivf_topk`)."""
-    centroids = kmeans_fit(df, n_clusters, iters, id_col, vec_col)
+    centroids = kmeans_fit(
+        df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
+    )
     v = _assign_nearest(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
     ).select(id_col, F.col("cluster").alias("bucket"), "v")

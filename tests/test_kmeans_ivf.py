@@ -193,3 +193,45 @@ def test_ivf_topk_large_query_set_not_broadcast(spark, emb):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"]
          for r in SIM.ivf_topk(df, small_q, k=3, broadcast_queries=False).collect()}
     assert a == b
+
+
+def test_kmeans_train_fraction_matches_numpy_on_same_sample(spark, emb):
+    """train_fraction fits centroids on the deterministic md5-uniform
+    sample — differential: numpy k-means over the SAME sample (recomputed
+    independently from the hash rule) must agree exactly."""
+    import hashlib
+
+    df, ids, vecs = emb
+    k, iters, frac = 4, 3, 0.5
+
+    def u(vid) -> float:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:7], 16) / float(16**7)
+
+    mask = np.array([u(i) < frac for i in ids])
+    assert k <= mask.sum() < len(ids)  # a real, non-trivial subset
+    got = SIM.kmeans_fit(df, k=k, iters=iters, train_fraction=frac)
+    expected, _ = _numpy_kmeans(ids[mask], vecs[mask], k, iters)
+    np.testing.assert_allclose(np.array([c for _, c in got]), expected, atol=1e-9)
+
+
+def test_kmeans_train_fraction_validation(spark, emb):
+    df, _, _ = emb
+    with pytest.raises(ValueError, match="train_fraction"):
+        SIM.kmeans_fit(df, k=4, train_fraction=0.0)
+    with pytest.raises(ValueError, match="training vectors"):
+        SIM.kmeans_fit(df, k=4, iters=1, train_fraction=1e-9)
+
+
+def test_ivf_kmeans_with_train_fraction_still_searches_full_corpus(spark, emb):
+    """Sampled training only affects centroid QUALITY: the bucket
+    assignment and search still cover every corpus vector, so results
+    remain a valid top-k over the full corpus."""
+    df, ids, vecs = emb
+    queries = df.selectExpr("vec_id").where("vec_id < 3")
+    res = SIM.ivf_topk_kmeans(
+        df, queries, k=5, n_probe=4, n_clusters=4, iters=2, train_fraction=0.5
+    ).collect()
+    assert {r["query_id"] for r in res} == {0, 1, 2}
+    all_ids = set(ids.tolist())
+    for r in res:
+        assert r["neighbor_id"] in all_ids and r["neighbor_id"] != r["query_id"]
