@@ -406,3 +406,257 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ).alias("q_codes"),
         F.round(scale, 6).alias("q_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the standard 100 TB embedding-compression path
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011; the FAISS `IVFPQ` storage format).  Split the D-dim vector into m
+# subspaces, k-means each subspace to k_sub centroids, store one byte-ish
+# code per subspace: D floats → m small ints (e.g. 64×4B → 8×1B = 32×).
+# Search uses Asymmetric Distance Computation: the query stays exact; per
+# (sub, code) distances come from a tiny lookup table.
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Learn PQ codebooks: ``m`` subspaces × ``k_sub`` centroids each.
+
+    Returns ``codebooks[sub][code] -> centroid subvector`` (a
+    metadata-scale m·k_sub·(D/m) = k_sub·D float matrix, same driver
+    footprint class as the W1 partition collect).
+
+    Scale shape: ONE job per Lloyd iteration for ALL subspaces — rows are
+    exploded once to (id, sub, subvec) and every subspace's assignment +
+    mean update rides the same shuffle, so the cost is independent of
+    ``m``.  ``train_fraction`` samples the training set exactly like
+    :func:`kmeans_fit` (the full corpus is only scanned by the caller's
+    single :func:`pq_encode` pass).  Deterministic: init = subvectors of
+    the ``k_sub`` lowest-id training vectors; ties to the lowest code."""
+    if m < 1 or k_sub < 2:
+        raise ValueError("need m >= 1 subspaces and k_sub >= 2 centroids")
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if train_fraction is not None:
+        if not (0.0 < train_fraction <= 1.0):
+            raise ValueError("train_fraction must be in (0, 1]")
+        u = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+        ).cast("double") / F.lit(float(16**7))
+        v = v.where(u < F.lit(train_fraction))
+
+    dim_row = v.select(F.size("v").alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("no training vectors (raise train_fraction?)")
+    dim = dim_row[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    sub_d = dim // m
+
+    # one exploded training relation: (id, sub, sv), persisted across iters
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice("v", s * sub_d + 1, sub_d).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    t = (
+        v.select(id_col, F.inline(subs))
+        .persist()
+    )
+    try:
+        seed_rows = (
+            t.orderBy(F.col(id_col).asc(), F.col("sub").asc())
+            .limit(m * k_sub)
+            .collect()
+        )
+        by_sub: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+        for r in seed_rows:
+            if len(by_sub[r["sub"]]) < k_sub:
+                by_sub[r["sub"]].append(list(r["sv"]))
+        if any(len(c) < k_sub for c in by_sub.values()):
+            raise ValueError(
+                f"PQ needs >= {k_sub} training vectors, got fewer"
+                + (" — raise train_fraction" if train_fraction else "")
+            )
+        codebooks = [by_sub[s] for s in range(m)]
+
+        for _ in range(iters):
+            assigned = t.withColumn("code", _pq_assign_expr(codebooks))
+            cell = (
+                assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.avg("x").alias("mv"))
+                .collect()
+            )
+            means: dict[tuple[int, int], dict[int, float]] = {}
+            for r in cell:
+                means.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mv"]
+            codebooks = [
+                [
+                    [means[(s, c)][p] for p in sorted(means[(s, c)])]
+                    if (s, c) in means
+                    else codebooks[s][c]  # empty cluster keeps its centroid
+                    for c in range(k_sub)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        t.unpersist()
+    return codebooks
+
+
+def _pq_assign_expr(codebooks: list[list[list[float]]]) -> Column:
+    """code = argmin squared-L2 of `sv` against this row's `sub` codebook
+    (broadcast literals; ties to the lowest code).  Pure JVM exprs."""
+
+    def sqd(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("sv"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def best_for(cb: list[list[float]]) -> Column:
+        return F.array_min(
+            F.array(*[
+                F.struct(sqd(c).alias("d"), F.lit(i).alias("code"))
+                for i, c in enumerate(cb)
+            ])
+        )["code"]
+
+    expr = best_for(codebooks[-1])
+    for s in range(len(codebooks) - 2, -1, -1):
+        expr = F.when(F.col("sub") == s, best_for(codebooks[s])).otherwise(expr)
+    return expr
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes array<int> of length m): one map-side pass, no
+    shuffle — the 32× storage-compression write for the corpus."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+
+    def code_for(s: int) -> Column:
+        def sqd(c: list[float]) -> Column:
+            lit = F.array(*[F.lit(x) for x in c])
+            sv = F.slice(as_double(F.col(vec_col)), s * sub_d + 1, sub_d)
+            return F.aggregate(
+                F.zip_with(sv, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return F.array_min(
+            F.array(*[
+                F.struct(sqd(c).alias("d"), F.lit(i).alias("code"))
+                for i, c in enumerate(codebooks[s])
+            ])
+        )["code"]
+
+    return df.select(
+        F.col(id_col), F.array(*[code_for(s) for s in range(m)]).alias("pq_codes")
+    )
+
+
+def pq_decode(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Reconstruct the PQ approximation (id, v_approx): concatenate each
+    sub-code's centroid.  Map-side; the reranking/verification read."""
+    m = len(codebooks)
+    parts = []
+    for s in range(m):
+        cb = F.array(*[
+            F.array(*[F.lit(x) for x in c]) for c in codebooks[s]
+        ])
+        parts.append(F.element_at(cb, F.col(codes_col)[s] + 1))
+    return codes_df.select(
+        F.col(id_col), F.concat(*parts).alias("v_approx")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: exact queries against the
+    PQ-compressed corpus.
+
+    Per query the (sub, code) → squared-distance LOOKUP TABLE has m·k_sub
+    entries; it is built as a broadcast crossJoin of the query set with
+    the m·k_sub-row codebook relation (metadata × Q — tiny), then the
+    corpus codes join it per subspace and sum m terms per (query, id):
+    O(N·m) JVM work per query instead of O(N·D) — with m ≪ D this is the
+    PQ speedup, before any IVF pruning shrinks N.  Returns
+    (query_id, rank, neighbor_id, adc_dist) with ranks 1..k by ascending
+    approximate squared L2 (id tie-break)."""
+    m = len(codebooks)
+    spark = codes_df.sparkSession
+    cb_rows = [
+        (s, c, list(vec))
+        for s, cb in enumerate(codebooks)
+        for c, vec in enumerate(cb)
+    ]
+    cb_df = spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>"
+    )
+    sub_d = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("qv")
+    )
+    # distance table: Q × m × k_sub rows
+    dtab = (
+        q.crossJoin(F.broadcast(cb_df))
+        .select(
+            query_id_col,
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("qv", F.col("sub") * sub_d + 1, sub_d),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    exploded = codes_df.select(
+        F.col(id_col), F.posexplode("pq_codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "adc_dist")
+    )

@@ -1,0 +1,171 @@
+"""Product quantization (operators/similarity.py pq_*) vs an independent
+numpy reference implementing the identical algorithm — same deterministic
+init (subvectors of the k_sub lowest-id vectors), same argmin-with-lowest-
+code tie-break, same mean update, same ADC rounding — float tolerance only
+for summation-order differences.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from chronicles_spark.operators import similarity as SIM
+from chronicles_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+M, K_SUB, ITERS = 4, 4, 2
+
+
+def _numpy_pq_fit(ids, vecs, m, k_sub, iters):
+    d = vecs.shape[1]
+    sub_d = d // m
+    order = np.argsort(ids)
+    books = []
+    for s in range(m):
+        sv = vecs[:, s * sub_d:(s + 1) * sub_d].astype(np.float64)
+        cents = sv[order[:k_sub]].copy()
+        for _ in range(iters):
+            dist = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)  # argmin ties -> lowest code
+            for c in range(k_sub):
+                members = sv[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def _numpy_pq_encode(vecs, books):
+    m = len(books)
+    sub_d = books[0].shape[1]
+    codes = np.zeros((len(vecs), m), dtype=int)
+    for s in range(m):
+        sv = vecs[:, s * sub_d:(s + 1) * sub_d]
+        dist = ((sv[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = dist.argmin(axis=1)
+    return codes
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF_DIR, "embeddings")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return df, ids, vecs
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, emb):
+    df, ids, vecs = emb
+    books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=ITERS)
+    ref = _numpy_pq_fit(ids, vecs, M, K_SUB, ITERS)
+    return df, ids, vecs, books, ref
+
+
+def test_pq_fit_matches_numpy(fitted):
+    _, _, _, books, ref = fitted
+    assert len(books) == M and all(len(cb) == K_SUB for cb in books)
+    for s in range(M):
+        np.testing.assert_allclose(np.array(books[s]), ref[s], atol=1e-9)
+
+
+def test_pq_encode_matches_numpy(fitted):
+    df, ids, vecs, books, ref = fitted
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in SIM.pq_encode(df, books).collect()
+    }
+    expected = _numpy_pq_encode(vecs, ref)
+    assert got == {int(i): list(map(int, c)) for i, c in zip(ids, expected)}
+
+
+def test_pq_decode_reconstructs_codebook_concat(fitted):
+    df, ids, vecs, books, _ = fitted
+    codes = SIM.pq_encode(df, books)
+    dec = {r["vec_id"]: np.array(r["v_approx"]) for r in
+           SIM.pq_decode(codes, books).collect()}
+    codes_np = _numpy_pq_encode(vecs, [np.array(b) for b in books])
+    sub_d = vecs.shape[1] // M
+    # reconstruction = concat of selected centroids, and it must be a
+    # strictly better approximation than the global mean (sanity on the
+    # 32x-compression claim)
+    gmean = vecs.mean(axis=0)
+    err_pq, err_mean = 0.0, 0.0
+    for i, vid in enumerate(ids):
+        expected = np.concatenate(
+            [np.array(books[s][codes_np[i, s]]) for s in range(M)]
+        )
+        np.testing.assert_allclose(dec[int(vid)], expected, atol=1e-9)
+        err_pq += ((vecs[i] - expected) ** 2).sum()
+        err_mean += ((vecs[i] - gmean) ** 2).sum()
+    assert err_pq < err_mean
+    assert len(dec[int(ids[0])]) == M * sub_d
+
+
+def test_pq_adc_topk_matches_numpy(spark, fitted):
+    df, ids, vecs, books, ref = fitted
+    codes = SIM.pq_encode(df, books)
+    q_ids = [0, 1, 2]
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    got = SIM.pq_adc_topk(codes, queries, books, k=5).collect()
+
+    codes_np = _numpy_pq_encode(vecs, ref)
+    sub_d = vecs.shape[1] // M
+    expected = {}
+    for qid in q_ids:
+        qv = vecs[ids == qid][0]
+        # the (sub, code) lookup table, then sum per corpus vector
+        dtab = np.zeros((M, K_SUB))
+        for s in range(M):
+            qsub = qv[s * sub_d:(s + 1) * sub_d]
+            dtab[s] = ((ref[s] - qsub[None, :]) ** 2).sum(axis=1)
+        adc = np.array([
+            round(sum(dtab[s, codes_np[i, s]] for s in range(M)), 6)
+            for i in range(len(ids))
+        ])
+        order = sorted(zip(adc, ids.tolist()))  # ascending dist, id tiebreak
+        expected[qid] = [(r + 1, vid, d) for r, (d, vid) in enumerate(order[:5])]
+
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_dist"])
+        )
+    for qid in q_ids:
+        g = sorted(got_by_q[qid])
+        e = expected[qid]
+        assert [(a, b) for a, b, _ in g] == [(a, b) for a, b, _ in e]
+        np.testing.assert_allclose(
+            [d for _, _, d in g], [d for _, _, d in e], atol=1e-6
+        )
+
+
+def test_pq_fit_validation(spark, emb):
+    df, _, _ = emb
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_fit(df, m=7)
+    with pytest.raises(ValueError, match="m >= 1"):
+        SIM.pq_fit(df, m=0)
+    with pytest.raises(ValueError, match="train_fraction"):
+        SIM.pq_fit(df, m=4, train_fraction=2.0)
+
+
+def test_pq_fit_train_fraction_matches_numpy_on_sample(spark, emb):
+    import hashlib
+
+    df, ids, vecs = emb
+    frac = 0.5
+
+    def u(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:7], 16) / float(16**7)
+
+    mask = np.array([u(i) < frac for i in ids])
+    books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=ITERS, train_fraction=frac)
+    ref = _numpy_pq_fit(ids[mask], vecs[mask], M, K_SUB, ITERS)
+    for s in range(M):
+        np.testing.assert_allclose(np.array(books[s]), ref[s], atol=1e-9)
