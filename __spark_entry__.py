@@ -280,6 +280,76 @@ def _wap_restore_gate(spark: SparkSession, sf_dir: str) -> None:
     _WAP_GATE_CACHE[sf_dir] = True
 
 
+_PQ_GATE_CACHE: dict = {}
+
+
+def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
+    """Correctness gate for the product-quantization family (riding the
+    rows-only q_ann_ivf_kmeans row — same learned-codebook family):
+    deterministic invariants that any regression in fit/encode/decode/ADC
+    breaks.  Exact-value differentials vs numpy are in tests/test_pq.py;
+    this keeps the family driver-visible.  Memoized per sf_dir."""
+    if sf_dir in _PQ_GATE_CACHE:
+        return
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, k_sub = 4, 4
+    books = SIM.pq_fit(emb, m=m, k_sub=k_sub, iters=2, train_fraction=0.5)
+    if len(books) != m or any(len(cb) != k_sub for cb in books):
+        raise AssertionError("pq_fit returned a malformed codebook")
+    codes = SIM.pq_encode(emb, books)
+    bad = codes.where(
+        (F.size("pq_codes") != m)
+        | F.exists("pq_codes", lambda c: (c < 0) | (c >= k_sub))
+    ).count()
+    if bad:
+        raise AssertionError(f"pq_encode produced {bad} out-of-range code rows")
+    # reconstruction must beat the global-mean baseline (the compression
+    # claim), computed with the same fold arithmetic on both sides
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    joined = v.join(SIM.pq_decode(codes, books), "vec_id")
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dim = len(books[0][0]) * m
+    gmean = [
+        r["mv"] for r in (
+            v.select(F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos").agg(F.avg("x").alias("mv")).orderBy("pos").collect()
+        )
+    ]
+    if len(gmean) != dim:
+        raise AssertionError("dimension mismatch in PQ gate")
+    gl = F.array(*[F.lit(x) for x in gmean])
+    errs = joined.agg(
+        F.sum(sq(F.col("v"), F.col("v_approx"))).alias("e_pq"),
+        F.sum(sq(F.col("v"), gl)).alias("e_mean"),
+    ).collect()[0]
+    if not errs["e_pq"] < errs["e_mean"]:
+        raise AssertionError(
+            f"PQ reconstruction ({errs['e_pq']}) no better than the "
+            f"global-mean baseline ({errs['e_mean']})"
+        )
+    # ADC: k ranked rows per query, ranks contiguous, distances ascending
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    adc = SIM.pq_adc_topk(codes, queries, books, k=3).collect()
+    per_q: dict = {}
+    for r in adc:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for qid, rows in per_q.items():
+        rows.sort()
+        if [r for r, _ in rows] != [1, 2, 3]:
+            raise AssertionError(f"ADC ranks not contiguous for query {qid}")
+        ds = [d for _, d in rows]
+        if ds != sorted(ds):
+            raise AssertionError(f"ADC distances not ascending for query {qid}")
+    if set(per_q) != {0, 1, 2}:
+        raise AssertionError("ADC missing a query")
+    _PQ_GATE_CACHE[sf_dir] = True
+
+
 _COMPACT_CACHE: dict = {}
 
 
@@ -1046,7 +1116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_ivf_kmeans(spark, sf):
         # rows-only (iterative algorithm — no SQL oracle; pytest verifies
         # against an independent numpy reference): IVF over LEARNED
-        # k-means buckets, the production centroid path
+        # k-means buckets, the production centroid path.
+        #
+        # Round-5 curation: this row also GATES the product-quantization
+        # family (pq_fit/pq_encode/pq_decode/pq_adc_topk — same
+        # learned-codebook family, same no-SQL-oracle reason; numpy
+        # differentials live in tests/test_pq.py).  A PQ regression turns
+        # this row red while the returned IVF values stay unchanged —
+        # the q_versioned_write_roundtrip gate pattern.
+        _pq_gate(spark, sf)
         emb = load_table(spark, sf, "embeddings")
         queries = emb.selectExpr("vec_id").where("vec_id < 5")
         return SIM.ivf_topk_kmeans(

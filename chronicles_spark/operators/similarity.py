@@ -187,22 +187,16 @@ def kmeans_fit(
     ``train_fraction`` is the 100 TB knob: centroid QUALITY needs only a
     sample (the standard IVF practice — FAISS trains on ~39·k to 256·k
     vectors, not the corpus), so pass e.g. ``10_000_000 / corpus_rows``
-    to fit on a deterministic md5-uniform sample.  The training set is
-    persisted on executors across iterations (and unpersisted after), so
-    the full corpus is scanned ONCE for sampling instead of once per
-    iteration; the full corpus is only ever scanned again by the caller's
-    single bucket assignment."""
+    to fit on a deterministic md5-uniform sample.  The SAMPLED training
+    set is persisted on executors across iterations (and unpersisted
+    after), so the full corpus is scanned ONCE for sampling instead of
+    once per iteration.  Without ``train_fraction`` nothing is persisted
+    — caching a corpus-scale relation would spill the whole corpus to
+    executor disk, so the default keeps the bounded-memory
+    scan-per-iteration shape."""
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if train_fraction is not None:
-        if not (0.0 < train_fraction <= 1.0):
-            raise ValueError("train_fraction must be in (0, 1]")
-        # deterministic uniform draw (operators/text.py with_uniform_hash
-        # pattern): map-side filter, stable under re-runs/repartitioning
-        u = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
-        ).cast("double") / F.lit(float(16**7))
-        v = v.where(u < F.lit(train_fraction))
-    v = v.persist()
+        v = _sample_uniform(v, id_col, train_fraction).persist()
     try:
         seed_rows = v.orderBy(F.col(id_col).asc()).limit(k).collect()
         if len(seed_rows) < k:
@@ -215,8 +209,24 @@ def kmeans_fit(
         for _ in range(iters):
             centroids = _lloyd_step(v, centroids)
     finally:
-        v.unpersist()
+        if train_fraction is not None:
+            v.unpersist()
     return centroids
+
+
+def _sample_uniform(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic md5-uniform row sample — the same cross-engine-stable
+    draw as :func:`..text.with_uniform_hash` (reused, not re-derived, so
+    the hash rule lives in one place).  Map-side filter, no shuffle."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("train_fraction must be in (0, 1]")
+    from .text import with_uniform_hash
+
+    return (
+        with_uniform_hash(df, id_col)
+        .where(F.col("u") < F.lit(fraction))
+        .drop("u")
+    )
 
 
 def _lloyd_step(
@@ -251,25 +261,12 @@ def _assign_nearest(
     v: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """(id, v) → + cluster: argmin squared-L2 against broadcast centroid
-    literals, ties to the lowest centroid id.  Pure map-side JVM exprs."""
-
-    def sqdist(c: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(sqdist(c).alias("d"), F.lit(cid).alias("cid"))
-                for cid, c in centroids
-            ]
-        )
+    literals, ties to the lowest centroid id.  Pure map-side JVM exprs
+    (centroid ids are list positions, so the shared ``_argmin_code``
+    position-argmin IS the id-argmin)."""
+    return v.withColumn(
+        "cluster", _argmin_code(F.col("v"), [c for _, c in centroids])
     )
-    return v.withColumn("cluster", best["cid"])
 
 
 def ivf_topk_kmeans(
@@ -444,12 +441,7 @@ def pq_fit(
         raise ValueError("need m >= 1 subspaces and k_sub >= 2 centroids")
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if train_fraction is not None:
-        if not (0.0 < train_fraction <= 1.0):
-            raise ValueError("train_fraction must be in (0, 1]")
-        u = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
-        ).cast("double") / F.lit(float(16**7))
-        v = v.where(u < F.lit(train_fraction))
+        v = _sample_uniform(v, id_col, train_fraction)
 
     dim_row = v.select(F.size("v").alias("d")).limit(1).collect()
     if not dim_row:
@@ -467,10 +459,11 @@ def pq_fit(
         )
         for s in range(m)
     ])
-    t = (
-        v.select(id_col, F.inline(subs))
-        .persist()
-    )
+    # persist only a SAMPLED training set; the exploded full corpus is m×
+    # the input and would spill corpus-scale bytes to executor disk
+    t = v.select(id_col, F.inline(subs))
+    if train_fraction is not None:
+        t = t.persist()
     try:
         seed_rows = (
             t.orderBy(F.col(id_col).asc(), F.col("sub").asc())
@@ -509,33 +502,42 @@ def pq_fit(
                 for s in range(m)
             ]
     finally:
-        t.unpersist()
+        if train_fraction is not None:
+            t.unpersist()
     return codebooks
+
+
+def _sqdist_to_lit(sv: Column, c: list[float]) -> Column:
+    """Squared L2 of a subvector column against one literal centroid."""
+    lit = F.array(*[F.lit(x) for x in c])
+    return F.aggregate(
+        F.zip_with(sv, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(sv: Column, codebook: list[list[float]]) -> Column:
+    """argmin squared-L2 of ``sv`` against the codebook literals, ties to
+    the lowest code — THE deterministic assignment rule (shared by fit,
+    encode, and the plain k-means `_assign_nearest`, so the tie-break
+    contract the numpy differential tests pin lives in one place)."""
+    return F.array_min(
+        F.array(*[
+            F.struct(_sqdist_to_lit(sv, c).alias("d"), F.lit(i).alias("code"))
+            for i, c in enumerate(codebook)
+        ])
+    )["code"]
 
 
 def _pq_assign_expr(codebooks: list[list[list[float]]]) -> Column:
     """code = argmin squared-L2 of `sv` against this row's `sub` codebook
     (broadcast literals; ties to the lowest code).  Pure JVM exprs."""
-
-    def sqd(c: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("sv"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def best_for(cb: list[list[float]]) -> Column:
-        return F.array_min(
-            F.array(*[
-                F.struct(sqd(c).alias("d"), F.lit(i).alias("code"))
-                for i, c in enumerate(cb)
-            ])
-        )["code"]
-
-    expr = best_for(codebooks[-1])
+    expr = _argmin_code(F.col("sv"), codebooks[-1])
     for s in range(len(codebooks) - 2, -1, -1):
-        expr = F.when(F.col("sub") == s, best_for(codebooks[s])).otherwise(expr)
+        expr = F.when(
+            F.col("sub") == s, _argmin_code(F.col("sv"), codebooks[s])
+        ).otherwise(expr)
     return expr
 
 
@@ -549,26 +551,15 @@ def pq_encode(
     shuffle — the 32× storage-compression write for the corpus."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
-
-    def code_for(s: int) -> Column:
-        def sqd(c: list[float]) -> Column:
-            lit = F.array(*[F.lit(x) for x in c])
-            sv = F.slice(as_double(F.col(vec_col)), s * sub_d + 1, sub_d)
-            return F.aggregate(
-                F.zip_with(sv, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        return F.array_min(
-            F.array(*[
-                F.struct(sqd(c).alias("d"), F.lit(i).alias("code"))
-                for i, c in enumerate(codebooks[s])
-            ])
-        )["code"]
-
     return df.select(
-        F.col(id_col), F.array(*[code_for(s) for s in range(m)]).alias("pq_codes")
+        F.col(id_col),
+        F.array(*[
+            _argmin_code(
+                F.slice(as_double(F.col(vec_col)), s * sub_d + 1, sub_d),
+                codebooks[s],
+            )
+            for s in range(m)
+        ]).alias("pq_codes"),
     )
 
 

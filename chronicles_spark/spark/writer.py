@@ -156,15 +156,17 @@ def partitions_written(
         # is reused by the sub-threshold serial path below, so the common
         # narrow-table write never lists the root twice.
         first = [n for n in fs.list_dir(root) if n.startswith(part_cols[0] + "=")]
-        if len(first) < distribute_threshold:
-            col0 = part_cols[0]
+        col0 = part_cols[0]
+
+        def _serial_first_level_walk() -> List[Partition]:
             out: List[Partition] = []
             for name in first:
                 value = unescape_path_name(name[len(col0) + 1:])
                 if value == "__HIVE_DEFAULT_PARTITION__":
                     raise ValueError(
-                        f"partition column {col0!r} contains null/empty values; "
-                        "versioned writes require concrete partition values"
+                        f"partition column {col0!r} contains null/empty "
+                        "values; versioned writes require concrete "
+                        "partition values"
                     )
                 out.extend(
                     _walk_partitions(
@@ -173,10 +175,12 @@ def partitions_written(
                     )
                 )
             return out
+
+        if len(first) < distribute_threshold:
+            return _serial_first_level_walk()
         if len(first) >= distribute_threshold:
             # the null-sentinel contract (ValueError on the DRIVER) holds
             # for the first level here; deeper levels re-raise below
-            col0 = part_cols[0]
             for name in first:
                 if unescape_path_name(name[len(col0) + 1:]) == "__HIVE_DEFAULT_PARTITION__":
                     raise ValueError(
@@ -231,16 +235,18 @@ def partitions_written(
                 if "chronicles_spark" in msg and (
                     "ModuleNotFoundError" in msg or "ImportError" in msg
                 ):
-                    out = []
-                    for name in first:
-                        value = unescape_path_name(name[len(col0) + 1:])
-                        out.extend(
-                            _walk_partitions(
-                                fs, fs.join(root, name), part_cols,
-                                version_dir, ((col0, value),),
-                            )
-                        )
-                    return out
+                    import warnings
+
+                    warnings.warn(
+                        "partition discovery fan-out failed because "
+                        "executors cannot import chronicles_spark; "
+                        "falling back to the serial driver walk — "
+                        "install the package on executors to restore "
+                        "distributed discovery",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    return _serial_first_level_walk()
                 raise
 
     return _walk_partitions(fs, root, part_cols, version_dir, ())

@@ -469,9 +469,24 @@ class FileBackedVersionTracker(VersionTracker):
         if self._use_cas:
             # checkpoints are pure functions of log order: two racers at
             # the same seq produce identical bytes, so losing the
-            # conditional create is a free no-op; the pointer advance is
-            # monotonic so a straggler can never point it backwards
+            # conditional create is a free no-op.  The pointer advance is
+            # monotonic — atomic via token CAS where the store has it
+            # (a straggler CANNOT point it backwards); plain read-check-
+            # write otherwise, where a lost race costs at most a longer
+            # tail fold until the next checkpoint, never correctness
             self.fs.write_text_if_absent(ck_path, json.dumps(body))
+            if self.fs.supports_put_if_match():
+                for _ in range(16):
+                    try:
+                        cur_text, token = self.fs.read_text_and_token(ptr_path)
+                        cur_seq = int(json.loads(cur_text)["seq"])
+                    except (FileNotFoundError, ValueError, KeyError):
+                        cur_seq, token = -1, None
+                    if cur_seq >= last_seq or self.fs.write_text_if_match(
+                        ptr_path, ptr_doc, token
+                    ):
+                        return
+                return  # pathological churn: skip, next checkpoint converges
             try:
                 cur_seq = int(json.loads(self.fs.read_text(ptr_path))["seq"])
             except (FileNotFoundError, ValueError, KeyError):

@@ -184,7 +184,11 @@ class LocalFileSystem(FileSystem):
         import fcntl
         import hashlib
 
-        lock_path = path + ".caslock"
+        # dot-prefixed like flock mode's .commit_lock, so directory
+        # listings/prefix matchers over the log dir never see it; left in
+        # place for the table's lifetime (same precedent)
+        p0 = Path(path)
+        lock_path = str(p0.with_name(f".{p0.name}.caslock"))
         with open(lock_path, "a+") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
@@ -388,6 +392,15 @@ class FsspecFileSystem(FileSystem):
             return True
         except FileExistsError:
             return False
+        except Exception:
+            # object-store precondition failures (HTTP 412) surface at
+            # close() time as backend-specific errors (ClientError/OSError
+            # on s3fs, depending on version), not FileExistsError.  If the
+            # object now exists, someone else won the race — that's a lost
+            # CAS, not an error; anything else propagates.
+            if self._fs.exists(path):
+                return False
+            raise
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(path)

@@ -55,7 +55,7 @@ def test_all_hash_checked_queries_are_scalar_shaped(spark):
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    sf = "/root/testdata/sf0.001"
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
     # lifecycle entries build temp versioned tables; skip for speed
     lifecycle = {
         "q_versioned_write_roundtrip",
