@@ -248,6 +248,11 @@ class Config:
     type: str  # "mem-config" | "files-config" | "db-config"
     root: Optional[str] = None  # files-config
     db_name: Optional[str] = None  # db-config (sqlite file path)
+    # files-config multi-writer protocol (beyond reference): "lock" =
+    # host-local flock serialization, "cas" = object-store conditional-put
+    # commits (docs/scale.md "Multi-writer commit safety"); None = the
+    # reference's last-writer-wins default
+    commit_mode: Optional[str] = None
 
 
 def parse_config(text: str) -> Config:
@@ -267,7 +272,13 @@ def parse_config(text: str) -> Config:
     if ctype == "files-config":
         if not values.get("root"):
             raise CliError("Invalid configuration: files-config requires 'root'")
-        return Config(type=ctype, root=values["root"])
+        mode = values.get("commit-mode")
+        if mode not in (None, "", "lock", "cas"):
+            raise CliError(
+                f"Invalid configuration: commit-mode must be 'lock' or 'cas', "
+                f"got '{mode}'"
+            )
+        return Config(type=ctype, root=values["root"], commit_mode=mode or None)
     if ctype == "db-config":
         db_type = values.get("db-type", "sqlite")
         if db_type not in ("sqlite", "h2"):  # h2 name accepted, backed by sqlite
@@ -296,7 +307,11 @@ def tracker_from_config(config: Config) -> VersionTracker:
     if config.type == "mem-config":
         return InMemoryVersionTracker()
     if config.type == "files-config":
-        return FileBackedVersionTracker(config.root)
+        return FileBackedVersionTracker(
+            config.root,
+            use_lock=config.commit_mode == "lock",
+            use_cas=config.commit_mode == "cas",
+        )
     if config.type == "db-config":
         return SqliteVersionTracker(config.db_name)
     raise CliError(f"Invalid configuration: unknown type '{config.type}'")

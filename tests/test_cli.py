@@ -372,3 +372,32 @@ def test_tag_verb_pin_list_delete():
     assert C.run(["tag", "db.tg", "v1", "--delete"], client, console, "u") == 1
     assert "unknown tag" in console.err[-1]
     assert C.run(["tag", "db.tg", "--delete"], client, console, "u") == 1  # needs name
+
+
+def test_parse_config_commit_mode(tmp_path):
+    import chronicles_spark.cli as C
+
+    cfg = C.parse_config("type: files-config\nroot: /tmp/log\ncommit-mode: cas")
+    assert cfg.commit_mode == "cas"
+    cfg = C.parse_config("type: files-config\nroot: /tmp/log\ncommit-mode: lock")
+    assert cfg.commit_mode == "lock"
+    assert C.parse_config("type: files-config\nroot: /x").commit_mode is None
+    with __import__("pytest").raises(C.CliError, match="commit-mode"):
+        C.parse_config("type: files-config\nroot: /x\ncommit-mode: wat")
+
+
+def test_tracker_from_config_commit_modes(tmp_path):
+    import chronicles_spark.cli as C
+
+    tr = C.tracker_from_config(
+        C.Config(type="files-config", root=str(tmp_path / "a"), commit_mode="cas")
+    )
+    assert tr._use_cas and not tr._use_lock
+    tr = C.tracker_from_config(
+        C.Config(type="files-config", root=str(tmp_path / "b"), commit_mode="lock")
+    )
+    assert tr._use_lock and not tr._use_cas
+    tr = C.tracker_from_config(
+        C.Config(type="files-config", root=str(tmp_path / "c"))
+    )
+    assert not tr._use_lock and not tr._use_cas
