@@ -33,12 +33,15 @@ P1 = Partition.of(("date", "2024-01-01"))
 P2 = Partition.of(("date", "2024-01-02"))
 
 
-@pytest.fixture(params=["memory", "files", "sqlite"])
+@pytest.fixture(params=["memory", "files", "files-cas", "sqlite"])
 def tracker(request, tmp_path):
     if request.param == "memory":
         return InMemoryVersionTracker()
     if request.param == "files":
         return FileBackedVersionTracker(str(tmp_path / "log"))
+    if request.param == "files-cas":
+        # branch/merge/rebase algebra over the conditional-put protocol
+        return FileBackedVersionTracker(str(tmp_path / "log"), use_cas=True)
     return SqliteVersionTracker(str(tmp_path / "log.db"))
 
 

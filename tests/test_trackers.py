@@ -27,7 +27,7 @@ from chronicles_spark.trackers import (
 T = TableName("db", "events")
 
 
-@pytest.fixture(params=["memory", "files", "files-memfs", "sqlite"])
+@pytest.fixture(params=["memory", "files", "files-memfs", "files-cas", "sqlite"])
 def tracker(request, tmp_path):
     if request.param == "memory":
         return InMemoryVersionTracker()
@@ -37,6 +37,10 @@ def tracker(request, tmp_path):
         # same tracker through the FS facade on a memory:// URL — proves the
         # commit log is storage-agnostic (PureFileSystem.scala:13-52 parity)
         return FileBackedVersionTracker(f"memory://t-{tmp_path.name}/log")
+    if request.param == "files-cas":
+        # the conditional-put commit protocol must preserve every tracker
+        # behaviour (it only changes HOW files/pointers are published)
+        return FileBackedVersionTracker(str(tmp_path / "log"), use_cas=True)
     return SqliteVersionTracker(str(tmp_path / "log.db"))
 
 
