@@ -243,3 +243,63 @@ def test_checkpoint_pointer_monotonic_in_cas_mode():
     truth = FileBackedVersionTracker("root", fs=MemoryFileSystem("tok3"),
                                      checkpoint_interval=None)
     assert tr.current_version(T) == truth.current_version(T)
+
+
+def test_fsspec_wrapper_maps_backend_precondition_errors():
+    """s3fs/gcsfs surface HTTP 412 precondition failures as backend-specific
+    exceptions at close() time, not FileExistsError — the wrapper must
+    treat them as a lost CAS race when the object now exists, and
+    propagate anything else."""
+    import io
+
+    from chronicles_spark.trackers.fs import FsspecFileSystem
+
+    class Backend412Error(Exception):
+        pass
+
+    class FakeFsspec:
+        def __init__(self):
+            self.objects = {}
+            self.fail_with_412 = set()
+
+        def exists(self, path):
+            return path in self.objects
+
+        def open(self, path, mode="r"):
+            fs = self
+
+            class _W(io.StringIO):
+                def __exit__(self, *a):
+                    if path in fs.fail_with_412:
+                        fs.objects[path] = "<winner>"  # the racer's object
+                        raise Backend412Error("412 PreconditionFailed")
+                    if "x" in mode and path in fs.objects:
+                        raise FileExistsError(path)
+                    fs.objects[path] = self.getvalue()
+                    return False
+
+            return _W()
+
+    fake = FakeFsspec()
+    fs = FsspecFileSystem(fake, conditional_put=True)
+    assert fs.supports_put_if_absent()
+    # clean create
+    assert fs.write_text_if_absent("b/one", "v") is True
+    # plain FileExistsError → lost race
+    assert fs.write_text_if_absent("b/one", "v2") is False
+    # backend-specific 412 where the object now exists → lost race
+    fake.fail_with_412.add("b/two")
+    assert fs.write_text_if_absent("b/two", "v") is False
+    # backend error with NO object present → real failure, propagates
+    class FakeBroken(FakeFsspec):
+        def open(self, path, mode="r"):
+            raise Backend412Error("network down")
+
+    fs2 = FsspecFileSystem(FakeBroken(), conditional_put=True)
+    with pytest.raises(Backend412Error, match="network down"):
+        fs2.write_text_if_absent("b/three", "v")
+    # without the opt-in, the capability is refused up front
+    fs3 = FsspecFileSystem(FakeFsspec())
+    assert not fs3.supports_put_if_absent()
+    with pytest.raises(NotImplementedError):
+        fs3.write_text_if_absent("b/x", "v")
