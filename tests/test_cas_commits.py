@@ -303,3 +303,52 @@ def test_fsspec_wrapper_maps_backend_precondition_errors():
     assert not fs3.supports_put_if_absent()
     with pytest.raises(NotImplementedError):
         fs3.write_text_if_absent("b/x", "v")
+
+
+def test_checkpoint_covering_inflight_commit_degrades_to_full_fold():
+    """CAS scenario: writer B's commit FILE has landed but B has not yet
+    advanced the head (in-flight) when writer A checkpoints — the
+    checkpoint's prefix then includes a commit ahead of the head.
+    Resolution at the current head must fall back to the full fold and
+    agree with a ground-truth tracker, not resolve through a checkpoint
+    that is 'from the future'."""
+    from chronicles_spark.core.ops import update_to_json
+
+    fs = MemoryFileSystem("inflight")
+    tr = FileBackedVersionTracker("root", fs=fs, use_cas=True, checkpoint_interval=2)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    c1 = _commit(tr, "2024-01-01")
+    d = tr._table_dir(T)
+
+    # writer B: commit file lands (next seq slot) but head is NOT advanced
+    seqs = sorted(
+        int(n[len("table_update_"):-len(".json")])
+        for n in fs.list_dir(d) if n.startswith("table_update_")
+    )
+    inflight = TableUpdate(
+        TableUpdateMetadata.new("B", "in-flight"),
+        (AddPartitionVersion(Partition.of(("d", "9999-01-01")), generate_version()),),
+    )
+    assert fs.write_text_if_absent(
+        fs.join(d, f"table_update_{seqs[-1] + 1:013d}.json"),
+        update_to_json(inflight),
+    )
+
+    # writer A checkpoints NOW: the fold prefix includes B's in-flight file
+    tr._maybe_checkpoint(d)
+    assert any(n.startswith("checkpoint_") for n in fs.list_dir(d))
+
+    # resolution at the CURRENT head must not see B's partition
+    truth = FileBackedVersionTracker(
+        "root", fs=MemoryFileSystem("inflight"), checkpoint_interval=None
+    )
+    got = tr.current_version(T)
+    assert got == truth.current_version(T)
+    assert Partition.of(("d", "9999-01-01")) not in got.partition_versions
+    assert tr.table_state(T).current_version == c1
+
+    # once B's head advance arrives, the commit becomes visible everywhere
+    tr._advance_head(d, inflight.metadata.commit_id, seqs[-1] + 1)
+    got2 = tr.current_version(T)
+    assert Partition.of(("d", "9999-01-01")) in got2.partition_versions
+    assert got2 == truth.current_version(T)
