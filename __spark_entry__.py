@@ -347,6 +347,19 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
             raise AssertionError(f"ADC distances not ascending for query {qid}")
     if set(per_q) != {0, 1, 2}:
         raise AssertionError("ADC missing a query")
+
+    # semantic dedup (same learned-centroid family; numpy differential in
+    # tests/test_semantic_dedup.py) — invariant sweep: pairs exist on this
+    # fixture, are ordered, and carry in-range cosines
+    pairs = DD.semantic_dedup(
+        emb, dim=_EMB_DIM, n_clusters=6, iters=2, threshold=0.35,
+        max_cluster_size=10**9,
+    ).collect()
+    if not pairs:
+        raise AssertionError("semantic_dedup found no pairs on the fixture")
+    for r in pairs:
+        if not (r["id_a"] < r["id_b"] and 0.35 <= r["cosine"] <= 1.0):
+            raise AssertionError(f"semantic_dedup bad pair {r}")
     _PQ_GATE_CACHE[sf_dir] = True
 
 

@@ -658,3 +658,93 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("keep"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    train_fraction: float | None = None,
+    max_cluster_size: int = 10_000,
+    sub_planes: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with learned k-means, then find
+    exact-cosine duplicate PAIRS only within each cluster — the k-means
+    pre-partition replaces LSH banding as the candidate generator, which
+    is the standard curation recipe when embeddings are already trained
+    for semantic similarity.  Returns ``(id_a, id_b, cosine)`` pairs with
+    ``id_a < id_b`` and ``cosine >= threshold`` — the same edge shape as
+    :func:`embedding_lsh_dedup`, so :func:`dedup_clusters` resolves
+    survivors identically.
+
+    Scale shape: one k-means fit (optionally on a ``train_fraction``
+    sample — see :func:`..similarity.kmeans_fit`), ONE assignment pass,
+    one within-bucket self-equi-join.  The join is O(c²) per cluster, so
+    clusters larger than ``max_cluster_size`` are sub-bucketed by
+    ``sub_planes`` deterministic sign-LSH bits (the skew guard, same
+    policy family as ``max_band_freq``/``max_shingle_freq``): near-dups
+    that straddle a sub-bucket boundary inside an oversized cluster are
+    the documented recall trade-off — raise ``n_clusters`` to shrink
+    clusters instead of raising the cutoff."""
+    from .similarity import (
+        _assign_nearest,
+        as_double,
+        cosine as cos_fn,
+        hyperplane_signs,
+        kmeans_fit,
+    )
+
+    if threshold < -1.0 or threshold > 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    centroids = kmeans_fit(
+        df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
+    )
+    v = _assign_nearest(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
+    )
+
+    # skew guard: oversized clusters get sign-LSH sub-buckets
+    sizes = v.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_size"))
+    v = v.join(F.broadcast(sizes), "cluster")
+    planes = hyperplane_signs(sub_planes, dim)
+
+    def bit(plane: list[float]) -> Column:
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sub_key = F.when(
+        F.col("c_size") > max_cluster_size,
+        F.concat(*[bit(p) for p in planes]),
+    ).otherwise(F.lit(""))
+    keyed = v.select(
+        F.col(id_col),
+        F.concat(F.col("cluster").cast("string"), F.lit("|"), sub_key).alias(
+            "bucket_key"
+        ),
+        "v",
+    )
+    keyed = lineage_barrier(keyed, name="semdedup_keyed")
+
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("bucket_key"), F.col("v").alias("va")
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("bucket_key"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, ["bucket_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
