@@ -29,12 +29,15 @@ TB = TableName("db", "embs")
 P1 = Partition.of(("d", "1"))
 
 
-@pytest.fixture(params=["memory", "files", "sqlite"])
+@pytest.fixture(params=["memory", "files", "files-cas", "sqlite"])
 def tracker(request, tmp_path):
     if request.param == "memory":
         return InMemoryVersionTracker()
     if request.param == "files":
         return FileBackedVersionTracker(str(tmp_path / "log"))
+    if request.param == "files-cas":
+        # cross-table group commits over the conditional-put protocol
+        return FileBackedVersionTracker(str(tmp_path / "log"), use_cas=True)
     return SqliteVersionTracker(str(tmp_path / "log.db"))
 
 
