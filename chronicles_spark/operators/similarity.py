@@ -257,15 +257,62 @@ def _lloyd_step(
     ]
 
 
+# above this many literal doubles in one assignment expression, switch
+# from inlined centroid literals to a broadcast-joined centroid relation:
+# huge literal trees slow analysis and fall out of codegen, while k·dim
+# centroid ROWS broadcast fine at any k an IVF index realistically uses
+_ASSIGN_LITERAL_CEILING = 16_384
+
+
 def _assign_nearest(
     v: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """(id, v) → + cluster: argmin squared-L2 against broadcast centroid
-    literals, ties to the lowest centroid id.  Pure map-side JVM exprs
-    (centroid ids are list positions, so the shared ``_argmin_code``
-    position-argmin IS the id-argmin)."""
-    return v.withColumn(
-        "cluster", _argmin_code(F.col("v"), [c for _, c in centroids])
+    """(id, v) → + cluster: argmin squared-L2 against the centroids, ties
+    to the lowest centroid id (centroid ids are list positions, so the
+    shared ``_argmin_code`` position-argmin IS the id-argmin).
+
+    Two physically different, semantically identical paths: small k·dim
+    inlines the centroids as literals (one map-side expression, zero
+    joins); past ``_ASSIGN_LITERAL_CEILING`` doubles the whole centroid
+    MATRIX rides a single broadcast row (crossJoin with a 1-row relation
+    — no literal tree, no shuffle) and the argmin is a higher-order
+    ``array_min(transform(...))`` over it, still pure map-side — the
+    shape that works at the k=65536 coarse quantizers a 100 TB IVF uses
+    (equality of the two paths is pinned in tests/test_kmeans_ivf.py)."""
+    k = len(centroids)
+    dim = len(centroids[0][1]) if k else 0
+    if k * dim <= _ASSIGN_LITERAL_CEILING:
+        return v.withColumn(
+            "cluster", _argmin_code(F.col("v"), [c for _, c in centroids])
+        )
+    spark = v.sparkSession
+    matrix = spark.createDataFrame(
+        [([ (cid, list(c)) for cid, c in centroids ],)],
+        "cents array<struct<cid int, cv array<double>>>",
+    )
+    # min(struct) orders by (d, cid): lowest distance, then lowest id —
+    # the exact literal-path tie-break
+    return (
+        v.crossJoin(F.broadcast(matrix))
+        .withColumn(
+            "cluster",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"), c["cv"], lambda x, y: (x - y) * (x - y)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"],
+        )
+        .drop("cents")
     )
 
 
@@ -591,18 +638,25 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Asymmetric Distance Computation top-k: exact queries against the
     PQ-compressed corpus.
 
     Per query the (sub, code) → squared-distance LOOKUP TABLE has m·k_sub
-    entries; it is built as a broadcast crossJoin of the query set with
-    the m·k_sub-row codebook relation (metadata × Q — tiny), then the
-    corpus codes join it per subspace and sum m terms per (query, id):
-    O(N·m) JVM work per query instead of O(N·D) — with m ≪ D this is the
-    PQ speedup, before any IVF pruning shrinks N.  Returns
-    (query_id, rank, neighbor_id, adc_dist) with ranks 1..k by ascending
-    approximate squared L2 (id tie-break)."""
+    entries; it is built as a crossJoin of the query set with the
+    m·k_sub-row codebook relation, then the corpus codes join it per
+    subspace and sum m terms per (query, id): O(N·m) JVM work per query
+    instead of O(N·D) — with m ≪ D this is the PQ speedup, before any IVF
+    pruning shrinks N.  Returns (query_id, rank, neighbor_id, adc_dist)
+    with ranks 1..k by ascending approximate squared L2 (id tie-break).
+
+    ``broadcast_queries=True`` (interactive workloads) broadcasts the
+    Q·m·k_sub distance table to every executor — right while it fits a
+    broadcast (e.g. 1k queries × 8 × 256 = 2M rows).  Set False for
+    corpus-scale query sets: the table stays distributed and the per-sub
+    join becomes a shuffle equi-join on (sub, code), co-partitioning the
+    exploded corpus codes with the table instead of replicating it."""
     m = len(codebooks)
     spark = codes_df.sparkSession
     cb_rows = [
@@ -638,8 +692,9 @@ def pq_adc_topk(
     exploded = codes_df.select(
         F.col(id_col), F.posexplode("pq_codes").alias("sub", "code")
     )
+    dtab_side = F.broadcast(dtab) if broadcast_queries else dtab
     scored = (
-        exploded.join(F.broadcast(dtab), ["sub", "code"])
+        exploded.join(dtab_side, ["sub", "code"])
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
     )

@@ -235,3 +235,44 @@ def test_ivf_kmeans_with_train_fraction_still_searches_full_corpus(spark, emb):
     all_ids = set(ids.tolist())
     for r in res:
         assert r["neighbor_id"] in all_ids and r["neighbor_id"] != r["query_id"]
+
+
+def test_assign_nearest_broadcast_matrix_path_matches_literal_path(
+    spark, emb, monkeypatch
+):
+    """Past the literal ceiling the assignment switches to a broadcast
+    centroid-matrix crossJoin + higher-order argmin — the two paths must
+    agree exactly, tie-breaks included."""
+    from pyspark.sql import functions as F
+
+    df, ids, vecs = emb
+    centroids = SIM.kmeans_fit(df, k=4, iters=2)
+    v = df.select("vec_id", SIM.as_double(F.col("embedding")).alias("v"))
+    lit_path = {r["vec_id"]: r["cluster"]
+                for r in SIM._assign_nearest(v, centroids).collect()}
+    monkeypatch.setattr(SIM, "_ASSIGN_LITERAL_CEILING", 1)
+    mat_path = {r["vec_id"]: r["cluster"]
+                for r in SIM._assign_nearest(v, centroids).collect()}
+    assert mat_path == lit_path
+    # and the matrix path is shuffle-free (pure map-side + broadcast)
+    plan = SIM._assign_nearest(v, centroids)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pq_adc_distributed_dtab_matches_broadcast(spark, emb):
+    df, ids, vecs = emb
+    books = SIM.pq_fit(df, m=4, k_sub=4, iters=1)
+    codes = SIM.pq_encode(df, books)
+    queries = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    a = sorted(
+        map(tuple, SIM.pq_adc_topk(codes, queries, books, k=5).collect())
+    )
+    b = sorted(
+        map(tuple, SIM.pq_adc_topk(
+            codes, queries, books, k=5, broadcast_queries=False
+        ).collect())
+    )
+    assert a == b
