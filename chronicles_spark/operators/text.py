@@ -487,3 +487,46 @@ def stratified_sample(
         .where(F.col("_frac").isNotNull() & (F.col("u") < F.col("_frac")))
         .drop("u", "_frac")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 0,
+) -> DataFrame:
+    """Intra-document repetition CLEANUP (the removal counterpart to
+    :func:`repetition_signals`): drop every repeat of an already-seen
+    line/paragraph within one document, keeping first occurrences in
+    order — the classic boilerplate/navigation/footer scrub of web-corpus
+    pipelines (RefinedWeb-style line dedup), applied per document so
+    cross-document content is untouched.
+
+    ``sep`` picks the span unit ("\\n" lines, "\\n\\n" paragraphs); spans
+    are compared exactly after trimming trailing carriage returns, and
+    spans shorter than ``min_len`` characters are always kept (blank
+    separators and stubs carry no repetition signal worth deleting).
+
+    Plan: ZERO shuffle — split, one ``filter`` with a positional
+    contains-before-me test via higher-order functions, re-join.  Adds
+    ``text_clean`` plus ``n_spans``/``n_spans_kept`` so callers can
+    threshold on how much was removed (a doc losing most of its spans is
+    itself a repetition-quality signal)."""
+    spans = F.split(F.col(text_col), F.lit(sep))
+    # Spark rtrim() strips only spaces — carriage returns need the regex
+    trimmed = F.transform(spans, lambda s: F.regexp_replace(s, "\\r+$", ""))
+    # keep span i iff it is short, or no EARLIER index holds the same text:
+    # array_position returns the FIRST match, so "first occurrence" is
+    # exactly array_position(trimmed, s) == i+1
+    kept = F.filter(
+        trimmed,
+        lambda s, i: (F.length(s) < min_len)
+        | (F.array_position(trimmed, s) == i + F.lit(1)),
+    )
+    return df.withColumn("_spans", trimmed).select(
+        "*",
+        F.concat_ws(sep, kept).alias("text_clean"),
+        F.size("_spans").cast("long").alias("n_spans"),
+        F.size(kept).cast("long").alias("n_spans_kept"),
+    ).drop("_spans")

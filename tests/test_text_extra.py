@@ -323,3 +323,66 @@ def test_training_shards_reserved_columns(spark):
     df = spark.createDataFrame([(1, 0)], ["doc_id", "_sb"])
     with pytest.raises(ValueError):
         TX.training_shards(df)
+
+
+def test_remove_repeated_spans_matches_python_reference(spark, sf_dir):
+    """Differential vs a direct Python implementation of the same rule
+    (first occurrence kept, trailing-\\r-trimmed comparison, min_len
+    exemption) over the real documents fixture plus crafted repeats."""
+    from chronicles_spark.operators.text import remove_repeated_spans
+    from chronicles_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    crafted = spark.createDataFrame(
+        [
+            (100001, "a\nb\na\nb\nc"),
+            (100002, "x\r\nx\nx"),        # \r-trimmed repeats collapse
+            (100003, "one\n\ntwo\n\none"),
+            (100004, ""),
+            (100005, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(crafted)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_spans_kept"])
+        for r in remove_repeated_spans(df, min_len=1).collect()
+    }
+
+    def ref(text):
+        spans = [s.rstrip("\r") for s in text.split("\n")]
+        seen, kept = set(), []
+        for s in spans:
+            if len(s) < 1:
+                kept.append(s)
+                continue
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        return "\n".join(kept), len(spans), len(kept)
+
+    for r in df.collect():
+        assert got[r["doc_id"]] == ref(r["text"]), r["doc_id"]
+
+
+def test_remove_repeated_spans_paragraph_mode(spark):
+    from chronicles_spark.operators.text import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two\n\npara one\n\npara three")],
+        "doc_id long, text string",
+    )
+    r = remove_repeated_spans(df, sep="\n\n").collect()[0]
+    assert r["text_clean"] == "para one\n\npara two\n\npara three"
+    assert (r["n_spans"], r["n_spans_kept"]) == (4, 3)
+
+
+def test_remove_repeated_spans_plan_is_map_side(spark, sf_dir):
+    from chronicles_spark.operators.text import remove_repeated_spans
+    from chronicles_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = remove_repeated_spans(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
