@@ -172,7 +172,11 @@ def top_ngrams(
 
 
 def repetition_signals(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+    keep_input_cols: bool = False,
 ) -> DataFrame:
     """Intra-document repetition signals for quality filtering (the
     Gopher/MassiveText-style rules, Rae et al. 2021 §A1): for each n in
@@ -237,10 +241,14 @@ def repetition_signals(
         return F.aggregate(F.array_sort(grams), init, merge, finish)
 
     ns = range(1, max_n + 1)
+    # keep_input_cols=True carries every input column through (so callers
+    # like gopher_quality_filter chain map-side instead of self-joining
+    # the signals back on id — a shuffle for nothing)
+    base = list(df.columns) if keep_input_cols else [id_col]
     staged = df.select(
-        F.col(id_col), *[_grams(n).alias(f"_g{n}") for n in ns]
+        *[F.col(c) for c in base], *[_grams(n).alias(f"_g{n}") for n in ns]
     ).select(
-        F.col(id_col),
+        *[F.col(c) for c in base],
         *[F.size(f"_g{n}").alias(f"_t{n}") for n in ns],
         *[_run_stats(F.col(f"_g{n}")).alias(f"_s{n}") for n in ns],
     )
@@ -255,7 +263,7 @@ def repetition_signals(
             F.when(t > 0, F.round(s["dup_cnt"] / t, 6)).otherwise(F.lit(0.0))
             .alias(f"dup{n}_frac")
         )
-    return staged.select(F.col(id_col), *out_cols)
+    return staged.select(*[F.col(c) for c in base], *out_cols)
 
 
 def ngrams_of(text_col: Column, n: int = 3) -> Column:
@@ -530,3 +538,68 @@ def remove_repeated_spans(
         F.size("_spans").cast("long").alias("n_spans"),
         F.size(kept).cast("long").alias("n_spans_kept"),
     ).drop("_spans")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_top2_frac: float = 0.20,
+    max_dup3_frac: float = 0.30,
+) -> DataFrame:
+    """The Gopher/MassiveText quality-rule battery (Rae et al. 2021 §A1.1)
+    as one composable keep/drop projection: token-count window, mean word
+    length window, hash/ellipsis symbol ratio, minimum English stopword
+    hits, and the :func:`repetition_signals` top-2-gram / dup-3-gram
+    cuts.  Adds one boolean per rule plus ``gopher_keep`` (AND of all),
+    so pipelines can both filter and audit WHICH rule fired — dropping a
+    third of the corpus with no per-rule attribution is undebuggable at
+    100 TB.  Thresholds default to the published values; every component
+    reuses an already-oracle-checked operator (token counts, repetition
+    signals), so this adds rule wiring, not new arithmetic.  Map-side
+    only (the repetition fold is zero-shuffle)."""
+    toks = tokens_of(F.col(text_col))
+    n = F.size(toks)
+    mean_wlen = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ) / n,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[#…]|\.\.\.", "")
+    )
+    symbol_ratio = F.when(
+        F.length(F.col(text_col)) > 0,
+        n_symbols / F.length(F.col(text_col)),
+    ).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+
+    rep = repetition_signals(
+        df, id_col=id_col, text_col=text_col, keep_input_cols=True
+    )
+    out = rep.select(
+        "*",
+        (n >= min_tokens).alias("pass_min_tokens"),
+        (n <= max_tokens).alias("pass_max_tokens"),
+        mean_wlen.between(min_mean_word_len, max_mean_word_len).alias(
+            "pass_word_len"
+        ),
+        (symbol_ratio <= max_symbol_ratio).alias("pass_symbol_ratio"),
+        (stop_hits >= min_stopword_hits).alias("pass_stopwords"),
+        (F.col("top2_frac") <= max_top2_frac).alias("pass_top2"),
+        (F.col("dup3_frac") <= max_dup3_frac).alias("pass_dup3"),
+    )
+    rule_cols = [c for c in out.columns if c.startswith("pass_")]
+    keep = rule_cols[0]
+    expr = F.col(keep)
+    for c in rule_cols[1:]:
+        expr = expr & F.col(c)
+    return out.withColumn("gopher_keep", expr)
