@@ -834,9 +834,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(TX.with_quality_score(docs).drop("text"))
 
     def q_repetition_signals(spark, sf):
-        # Gopher-style intra-doc repetition quality signals (text.py)
+        # Gopher-style intra-doc repetition quality signals (text.py).
+        #
+        # Round-5 curation (merge-don't-add, per CLAUDE.md): the row now
+        # ALSO value-checks the two new members of the same quality
+        # family — gopher_quality_filter (per-rule booleans + keep) and
+        # remove_repeated_spans (md5 of the cleaned text + span counts) —
+        # chained map-side on the same scan, every column hash-compared
+        # against the DuckDB oracle.
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return TX.repetition_signals(docs)
+        out = TX.remove_repeated_spans(TX.gopher_quality_filter(docs))
+        frac_cols = [f"{p}{n}_frac" for n in (1, 2, 3) for p in ("top", "dup")]
+        return _longify(
+            out.select(
+                "doc_id",
+                *frac_cols,
+                *TX._GOPHER_RULE_COLS,
+                "gopher_keep",
+                F.md5("text_clean").alias("clean_md5"),
+                "n_spans",
+                "n_spans_kept",
+            )
+        )
 
     def q_training_shards(spark, sf):
         # deterministic shard+position export shuffle (text.py)
@@ -1310,16 +1329,63 @@ s AS (
          round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
          round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac
   FROM c GROUP BY doc_id, n
+),
+fr AS (
+  SELECT d.doc_id,
+         coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0) AS top1_frac,
+         coalesce(max(CASE WHEN n = 1 THEN dup_frac END), 0.0) AS dup1_frac,
+         coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top2_frac,
+         coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0) AS dup2_frac,
+         coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top3_frac,
+         coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) AS dup3_frac
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+  GROUP BY d.doc_id
+),
+rules AS (
+  SELECT tok.doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(t) > 0
+              THEN CAST(len(regexp_extract_all(d.text, '[#…]|[.][.][.]', 0)) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS sym_ratio,
+         len(list_filter(list_distinct(t),
+             x -> list_contains(['the','a','of','and','to','in','is','on'], x)))
+           AS distinct_stops
+  FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+),
+spansrc AS (
+  SELECT doc_id,
+         list_transform(string_split(text, chr(10)),
+                        s -> regexp_replace(s, '\r+$', '')) AS spans
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, spans,
+         list_filter(spans, (s, i) -> len(s) < 1 OR list_position(spans, s) = i)
+           AS kept
+  FROM spansrc
 )
-SELECT d.doc_id,
-       coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0) AS top1_frac,
-       coalesce(max(CASE WHEN n = 1 THEN dup_frac END), 0.0) AS dup1_frac,
-       coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top2_frac,
-       coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0) AS dup2_frac,
-       coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top3_frac,
-       coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) AS dup3_frac
-FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-GROUP BY d.doc_id
+SELECT fr.doc_id,
+       fr.top1_frac, fr.dup1_frac, fr.top2_frac, fr.dup2_frac,
+       fr.top3_frac, fr.dup3_frac,
+       (r.n_tok >= 50) AS pass_min_tokens,
+       (r.n_tok <= 100000) AS pass_max_tokens,
+       (r.mean_wlen BETWEEN 3.0 AND 10.0) AS pass_word_len,
+       (r.sym_ratio <= 0.1) AS pass_symbol_ratio,
+       (r.distinct_stops >= 2) AS pass_stopwords,
+       (fr.top2_frac <= 0.20) AS pass_top2,
+       (fr.dup3_frac <= 0.30) AS pass_dup3,
+       ((r.n_tok >= 50) AND (r.n_tok <= 100000)
+        AND (r.mean_wlen BETWEEN 3.0 AND 10.0)
+        AND (r.sym_ratio <= 0.1) AND (r.distinct_stops >= 2)
+        AND (fr.top2_frac <= 0.20) AND (fr.dup3_frac <= 0.30)) AS gopher_keep,
+       md5(array_to_string(c.kept, chr(10))) AS clean_md5,
+       CAST(len(c.spans) AS BIGINT) AS n_spans,
+       CAST(len(c.kept) AS BIGINT) AS n_spans_kept
+FROM fr JOIN rules r ON fr.doc_id = r.doc_id
+        JOIN cleaned c ON fr.doc_id = c.doc_id
 """,
         "q_corpus_mixture": """
 WITH g AS (

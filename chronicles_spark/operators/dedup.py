@@ -705,13 +705,19 @@ def semantic_dedup(
     centroids = kmeans_fit(
         df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
     )
-    v = _assign_nearest(
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
+    vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # barrier the ASSIGNMENT as (id, cluster) — two narrow columns, the
+    # shape lineage_barrier is for — so the k-means argmin runs over the
+    # corpus exactly once; everything downstream re-joins vectors from
+    # the source (the sibling embedding_lsh_dedup makes the same split:
+    # keys checkpointed, vectors re-joined, never the embeddings)
+    assigned = lineage_barrier(
+        _assign_nearest(vd, centroids).select(F.col(id_col), "cluster"),
+        name="semdedup_assign",
     )
 
     # skew guard: oversized clusters get sign-LSH sub-buckets
-    sizes = v.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_size"))
-    v = v.join(F.broadcast(sizes), "cluster")
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_size"))
     planes = hyperplane_signs(sub_planes, dim)
 
     def bit(plane: list[float]) -> Column:
@@ -727,19 +733,21 @@ def semantic_dedup(
         F.col("c_size") > max_cluster_size,
         F.concat(*[bit(p) for p in planes]),
     ).otherwise(F.lit(""))
-    keyed = v.select(
-        F.col(id_col),
-        F.concat(F.col("cluster").cast("string"), F.lit("|"), sub_key).alias(
-            "bucket_key"
+    keyed = lineage_barrier(
+        assigned.join(F.broadcast(sizes), "cluster")
+        .join(vd, id_col)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("cluster").cast("string"), F.lit("|"), sub_key
+            ).alias("bucket_key"),
         ),
-        "v",
+        name="semdedup_keys",
     )
-    keyed = lineage_barrier(keyed, name="semdedup_keyed")
-
-    a = keyed.select(
+    a = keyed.join(vd, id_col).select(
         F.col(id_col).alias("id_a"), F.col("bucket_key"), F.col("v").alias("va")
     )
-    b = keyed.select(
+    b = keyed.join(vd, id_col).select(
         F.col(id_col).alias("id_b"), F.col("bucket_key"), F.col("v").alias("vb")
     )
     return (

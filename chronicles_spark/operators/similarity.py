@@ -655,8 +655,13 @@ def pq_adc_topk(
     Q·m·k_sub distance table to every executor — right while it fits a
     broadcast (e.g. 1k queries × 8 × 256 = 2M rows).  Set False for
     corpus-scale query sets: the table stays distributed and the per-sub
-    join becomes a shuffle equi-join on (sub, code), co-partitioning the
-    exploded corpus codes with the table instead of replicating it."""
+    join becomes a shuffle equi-join.  Because (sub, code) alone has only
+    m·k_sub distinct values (a parallelism ceiling, with every query's
+    row in every key group), the distributed path SALTS the key: corpus
+    rows take ``salt = hash(id) % salt_buckets`` and the distance table
+    is replicated ``salt_buckets`` ways, so the shuffle fans out to
+    m·k_sub·salt_buckets balanced groups — replicate-the-small-side
+    salting, the table side being the small one by construction."""
     m = len(codebooks)
     spark = codes_df.sparkSession
     cb_rows = [
@@ -692,11 +697,24 @@ def pq_adc_topk(
     exploded = codes_df.select(
         F.col(id_col), F.posexplode("pq_codes").alias("sub", "code")
     )
-    dtab_side = F.broadcast(dtab) if broadcast_queries else dtab
-    scored = (
-        exploded.join(dtab_side, ["sub", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    if broadcast_queries:
+        joined = exploded.join(F.broadcast(dtab), ["sub", "code"])
+    else:
+        salt_buckets = 64
+        salted = exploded.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        dtab_rep = dtab.withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")
+                )
+            ),
+        )
+        joined = salted.join(dtab_rep, ["sub", "code", "salt"])
+    scored = joined.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("d"), 6).alias("adc_dist")
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()

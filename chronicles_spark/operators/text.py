@@ -245,6 +245,16 @@ def repetition_signals(
     # like gopher_quality_filter chain map-side instead of self-joining
     # the signals back on id — a shuffle for nothing)
     base = list(df.columns) if keep_input_cols else [id_col]
+    if keep_input_cols:
+        out_names = {f"top{n}_frac" for n in ns} | {f"dup{n}_frac" for n in ns}
+        tmp_names = {f"_{p}{n}" for n in ns for p in "gts"}
+        clash = [c for c in base if c in out_names | tmp_names]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with repetition_signals "
+                "outputs — rename or drop them first (e.g. a corpus "
+                "re-audited after an earlier signals pass)"
+            )
     staged = df.select(
         *[F.col(c) for c in base], *[_grams(n).alias(f"_g{n}") for n in ns]
     ).select(
@@ -502,7 +512,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
-    min_len: int = 0,
+    min_len: int = 1,
 ) -> DataFrame:
     """Intra-document repetition CLEANUP (the removal counterpart to
     :func:`repetition_signals`): drop every repeat of an already-seen
@@ -511,17 +521,21 @@ def remove_repeated_spans(
     pipelines (RefinedWeb-style line dedup), applied per document so
     cross-document content is untouched.
 
-    ``sep`` picks the span unit ("\\n" lines, "\\n\\n" paragraphs); spans
-    are compared exactly after trimming trailing carriage returns, and
-    spans shorter than ``min_len`` characters are always kept (blank
-    separators and stubs carry no repetition signal worth deleting).
+    ``sep`` is a LITERAL separator ("\\n" lines, "\\n\\n" paragraphs —
+    regex metacharacters are quoted before the split, so e.g. "." means a
+    dot); spans are compared exactly after trimming trailing carriage
+    returns, and spans shorter than ``min_len`` characters are always
+    kept — at the default ``min_len=1`` that exempts EMPTY spans, so
+    repeated blank separators (paragraph structure) survive.
 
     Plan: ZERO shuffle — split, one ``filter`` with a positional
     contains-before-me test via higher-order functions, re-join.  Adds
     ``text_clean`` plus ``n_spans``/``n_spans_kept`` so callers can
     threshold on how much was removed (a doc losing most of its spans is
     itself a repetition-quality signal)."""
-    spans = F.split(F.col(text_col), F.lit(sep))
+    # \Q...\E quotes the separator so F.split (which takes a REGEX) treats
+    # it as the same literal concat_ws re-joins with
+    spans = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
     # Spark rtrim() strips only spaces — carriage returns need the regex
     trimmed = F.transform(spans, lambda s: F.regexp_replace(s, "\\r+$", ""))
     # keep span i iff it is short, or no EARLIER index holds the same text:
@@ -540,6 +554,12 @@ def remove_repeated_spans(
     ).drop("_spans")
 
 
+_GOPHER_RULE_COLS = (
+    "pass_min_tokens", "pass_max_tokens", "pass_word_len",
+    "pass_symbol_ratio", "pass_stopwords", "pass_top2", "pass_dup3",
+)
+
+
 def gopher_quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -555,15 +575,23 @@ def gopher_quality_filter(
 ) -> DataFrame:
     """The Gopher/MassiveText quality-rule battery (Rae et al. 2021 §A1.1)
     as one composable keep/drop projection: token-count window, mean word
-    length window, hash/ellipsis symbol ratio, minimum English stopword
-    hits, and the :func:`repetition_signals` top-2-gram / dup-3-gram
-    cuts.  Adds one boolean per rule plus ``gopher_keep`` (AND of all),
-    so pipelines can both filter and audit WHICH rule fired — dropping a
+    length window, hash/ellipsis **symbol-to-word** ratio, minimum count
+    of **distinct** English stop words (both as the paper defines them),
+    and the :func:`repetition_signals` top-2-gram / dup-3-gram cuts.
+    Adds one boolean per rule plus ``gopher_keep`` (AND of all), so
+    pipelines can both filter and audit WHICH rule fired — dropping a
     third of the corpus with no per-rule attribution is undebuggable at
     100 TB.  Thresholds default to the published values; every component
     reuses an already-oracle-checked operator (token counts, repetition
     signals), so this adds rule wiring, not new arithmetic.  Map-side
     only (the repetition fold is zero-shuffle)."""
+    reserved = _GOPHER_RULE_COLS + ("gopher_keep",)
+    clash = [c for c in df.columns if c in reserved or c.startswith(("_g", "_t", "_s"))]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with gopher_quality_filter / "
+            "repetition_signals outputs — rename or drop them first"
+        )
     toks = tokens_of(F.col(text_col))
     n = F.size(toks)
     mean_wlen = F.when(
@@ -573,14 +601,17 @@ def gopher_quality_filter(
             F.lit(0.0), lambda acc, x: acc + x,
         ) / n,
     ).otherwise(F.lit(0.0))
-    n_symbols = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[#…]|\.\.\.", "")
+    # symbol-to-WORD ratio per the paper: '#' or '...' occurrences / words
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[#…]|[.][.][.]"), 0)
     )
-    symbol_ratio = F.when(
-        F.length(F.col(text_col)) > 0,
-        n_symbols / F.length(F.col(text_col)),
-    ).otherwise(F.lit(0.0))
-    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    symbol_ratio = F.when(n > 0, n_symbols / n).otherwise(F.lit(0.0))
+    # >= min_stopword_hits DISTINCT stop words per the paper
+    distinct_stops = F.size(
+        F.filter(
+            F.array_distinct(toks), lambda t: t.isin(*LANG_STOPWORDS["en"])
+        )
+    )
 
     rep = repetition_signals(
         df, id_col=id_col, text_col=text_col, keep_input_cols=True
@@ -593,13 +624,13 @@ def gopher_quality_filter(
             "pass_word_len"
         ),
         (symbol_ratio <= max_symbol_ratio).alias("pass_symbol_ratio"),
-        (stop_hits >= min_stopword_hits).alias("pass_stopwords"),
+        (distinct_stops >= min_stopword_hits).alias("pass_stopwords"),
         (F.col("top2_frac") <= max_top2_frac).alias("pass_top2"),
         (F.col("dup3_frac") <= max_dup3_frac).alias("pass_dup3"),
     )
-    rule_cols = [c for c in out.columns if c.startswith("pass_")]
-    keep = rule_cols[0]
-    expr = F.col(keep)
-    for c in rule_cols[1:]:
+    # the rule list is static — a dynamic prefix scan would silently AND
+    # in any caller column that happens to start with "pass_"
+    expr = F.col(_GOPHER_RULE_COLS[0])
+    for c in _GOPHER_RULE_COLS[1:]:
         expr = expr & F.col(c)
     return out.withColumn("gopher_keep", expr)

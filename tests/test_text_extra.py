@@ -453,17 +453,17 @@ def test_gopher_quality_filter_matches_python_reference(spark, sf_dir):
         toks = re.findall(TOKEN_RE, text.lower())
         n = len(toks)
         mean_wlen = sum(len(t) for t in toks) / n if n else 0.0
+        # paper semantics: '#'/'...' OCCURRENCES per WORD
         n_sym = len(re.findall(r"[#…]|\.\.\.", text))
-        sym_chars = sum(len(m) for m in re.findall(r"[#…]|\.\.\.", text))
-        sym_ratio = sym_chars / len(text) if text else 0.0
-        stop_hits = sum(1 for t in toks if t in stop)
+        sym_ratio = n_sym / n if n else 0.0
+        distinct_stops = len(set(toks) & stop)
         top2, dup3 = rep[r["doc_id"]]
         g = got[r["doc_id"]]
         assert g["pass_min_tokens"] == (n >= 50)
         assert g["pass_max_tokens"] == (n <= 100_000)
         assert g["pass_word_len"] == (3.0 <= mean_wlen <= 10.0)
         assert g["pass_symbol_ratio"] == (sym_ratio <= 0.1)
-        assert g["pass_stopwords"] == (stop_hits >= 2)
+        assert g["pass_stopwords"] == (distinct_stops >= 2)
         assert g["pass_top2"] == (top2 <= 0.20)
         assert g["pass_dup3"] == (dup3 <= 0.30)
         assert g["gopher_keep"] == all(
@@ -482,3 +482,41 @@ def test_gopher_quality_filter_plan_is_shuffle_free(spark, sf_dir):
     plan = gopher_quality_filter(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_remove_repeated_spans_literal_separator(spark):
+    """sep is a literal, not a regex — '.' must split on dots only."""
+    from chronicles_spark.operators.text import remove_repeated_spans
+
+    df = spark.createDataFrame([(1, "x.y.x.z")], "doc_id long, text string")
+    r = remove_repeated_spans(df, sep=".").collect()[0]
+    assert r["text_clean"] == "x.y.z"
+    assert (r["n_spans"], r["n_spans_kept"]) == (4, 3)
+
+
+def test_remove_repeated_spans_default_keeps_blank_structure(spark):
+    """The default min_len=1 exempts empty spans: repeated paragraph
+    breaks survive (review finding — min_len=0 collapsed structure)."""
+    from chronicles_spark.operators.text import remove_repeated_spans
+
+    df = spark.createDataFrame([(1, "a\n\nb\n\nc")], "doc_id long, text string")
+    r = remove_repeated_spans(df).collect()[0]
+    assert r["text_clean"] == "a\n\nb\n\nc"
+
+
+def test_signal_and_rule_column_collisions_raise(spark):
+    from chronicles_spark.operators.text import (
+        gopher_quality_filter,
+        repetition_signals,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="collide"):
+        repetition_signals(
+            df.withColumn("top2_frac", F.lit(0.0)), keep_input_cols=True
+        )
+    with pytest.raises(ValueError, match="collide"):
+        gopher_quality_filter(df.withColumn("gopher_keep", F.lit(True)))
+    with pytest.raises(ValueError, match="collide"):
+        gopher_quality_filter(df.withColumn("pass_top2", F.lit(True)))
