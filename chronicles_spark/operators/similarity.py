@@ -528,8 +528,24 @@ def pq_fit(
             )
         codebooks = [by_sub[s] for s in range(m)]
 
+        use_matrix = k_sub * dim > _ASSIGN_LITERAL_CEILING
         for _ in range(iters):
-            assigned = t.withColumn("code", _pq_assign_expr(codebooks))
+            if use_matrix:
+                assigned = (
+                    t.crossJoin(
+                        F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
+                    )
+                    .withColumn(
+                        "code",
+                        _argmin_code_from_matrix(
+                            F.col("sv"),
+                            F.element_at("cbs", F.col("sub") + F.lit(1)),
+                        ),
+                    )
+                    .drop("cbs")
+                )
+            else:
+                assigned = t.withColumn("code", _pq_assign_expr(codebooks))
             cell = (
                 assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
                 .groupBy("sub", "code", "pos")
@@ -579,13 +595,46 @@ def _argmin_code(sv: Column, codebook: list[list[float]]) -> Column:
 
 def _pq_assign_expr(codebooks: list[list[list[float]]]) -> Column:
     """code = argmin squared-L2 of `sv` against this row's `sub` codebook
-    (broadcast literals; ties to the lowest code).  Pure JVM exprs."""
+    (broadcast literals; ties to the lowest code).  Pure JVM exprs.
+    Literal-tree path — callers switch to the matrix shape past
+    ``_ASSIGN_LITERAL_CEILING`` (see :func:`_codebook_matrix_df`)."""
     expr = _argmin_code(F.col("sv"), codebooks[-1])
     for s in range(len(codebooks) - 2, -1, -1):
         expr = F.when(
             F.col("sub") == s, _argmin_code(F.col("sv"), codebooks[s])
         ).otherwise(expr)
     return expr
+
+
+def _codebook_matrix_df(spark, codebooks: list[list[list[float]]]):
+    """The whole PQ codebook as ONE broadcast row (`cbs[sub][code] →
+    centroid`) — the large-k_sub·dim shape where inlining every centroid
+    as expression literals (k_sub·D doubles, e.g. 196k at k_sub=256,
+    D=768) would slow analysis and fall out of codegen.  Same design as
+    the k-means matrix path in :func:`_assign_nearest`."""
+    return spark.createDataFrame(
+        [([[list(c) for c in cb] for cb in codebooks],)],
+        "cbs array<array<array<double>>>",
+    )
+
+
+def _argmin_code_from_matrix(sv: Column, cb_entries: Column) -> Column:
+    """argmin squared-L2 of ``sv`` against a codebook COLUMN
+    (array<array<double>>), ties to the lowest code — the matrix twin of
+    :func:`_argmin_code` (F.transform's 2-arg lambda index IS the code)."""
+    return F.array_min(
+        F.transform(
+            cb_entries,
+            lambda cv, c: F.struct(
+                F.aggregate(
+                    F.zip_with(sv, cv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c.alias("code"),
+            ),
+        )
+    )["code"]
 
 
 def pq_encode(
@@ -595,14 +644,35 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, pq_codes array<int> of length m): one map-side pass, no
-    shuffle — the 32× storage-compression write for the corpus."""
+    shuffle — the 32× storage-compression write for the corpus.  Past
+    ``_ASSIGN_LITERAL_CEILING`` literal doubles (k_sub·D total) the
+    codebook rides one broadcast row instead of the expression tree —
+    still map-side, zero shuffle."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
+    v = as_double(F.col(vec_col))
+    # total literal doubles across the m argmin expressions = k_sub · D
+    if len(codebooks[0]) * sub_d * m > _ASSIGN_LITERAL_CEILING:
+        return (
+            df.crossJoin(
+                F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
+            )
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: _argmin_code_from_matrix(
+                        F.slice(v, s * F.lit(sub_d) + F.lit(1), F.lit(sub_d)),
+                        F.element_at("cbs", s + F.lit(1)),
+                    ),
+                ).alias("pq_codes"),
+            )
+        )
     return df.select(
         F.col(id_col),
         F.array(*[
             _argmin_code(
-                F.slice(as_double(F.col(vec_col)), s * sub_d + 1, sub_d),
+                F.slice(v, s * sub_d + 1, sub_d),
                 codebooks[s],
             )
             for s in range(m)
@@ -639,6 +709,7 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     broadcast_queries: bool = True,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Asymmetric Distance Computation top-k: exact queries against the
     PQ-compressed corpus.
@@ -653,15 +724,20 @@ def pq_adc_topk(
 
     ``broadcast_queries=True`` (interactive workloads) broadcasts the
     Q·m·k_sub distance table to every executor — right while it fits a
-    broadcast (e.g. 1k queries × 8 × 256 = 2M rows).  Set False for
-    corpus-scale query sets: the table stays distributed and the per-sub
-    join becomes a shuffle equi-join.  Because (sub, code) alone has only
-    m·k_sub distinct values (a parallelism ceiling, with every query's
-    row in every key group), the distributed path SALTS the key: corpus
-    rows take ``salt = hash(id) % salt_buckets`` and the distance table
-    is replicated ``salt_buckets`` ways, so the shuffle fans out to
-    m·k_sub·salt_buckets balanced groups — replicate-the-small-side
-    salting, the table side being the small one by construction."""
+    broadcast (e.g. 1k queries × 8 × 256 = 2M rows).  Set False for the
+    MID-SIZE regime: a query set too large to broadcast but still small
+    against the corpus.  The table then stays distributed; because
+    (sub, code) alone has only m·k_sub distinct values (a parallelism
+    ceiling, with every query's rows in every key group), the corpus side
+    takes ``salt = hash(id) % salt_buckets`` and the table is replicated
+    ``salt_buckets`` ways, fanning the shuffle out to
+    m·k_sub·salt_buckets balanced groups.  Replicating the table costs
+    salt_buckets·Q·m·k_sub shuffled rows, so this path is the right
+    trade only while Q ≪ N/(salt_buckets·k_sub) — beyond that ADC against
+    the whole corpus is inherently O(N·Q) work no matter the plan, and
+    the scale answer is pruning N FIRST (assign queries to IVF buckets
+    via :func:`ivf_topk_kmeans`-style probing and run ADC per bucket),
+    not a bigger join."""
     m = len(codebooks)
     spark = codes_df.sparkSession
     cb_rows = [
@@ -700,7 +776,6 @@ def pq_adc_topk(
     if broadcast_queries:
         joined = exploded.join(F.broadcast(dtab), ["sub", "code"])
     else:
-        salt_buckets = 64
         salted = exploded.withColumn(
             "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
         )

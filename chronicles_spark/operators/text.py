@@ -528,24 +528,59 @@ def remove_repeated_spans(
     kept — at the default ``min_len=1`` that exempts EMPTY spans, so
     repeated blank separators (paragraph structure) survive.
 
-    Plan: ZERO shuffle — split, one ``filter`` with a positional
-    contains-before-me test via higher-order functions, re-join.  Adds
+    Plan: ZERO shuffle, and O(L log L) per document — (span, index)
+    pairs are array_sorted so first-occurrence marking is one
+    previous-element comparison per sorted position, then the kept
+    indices are re-sorted to restore document order (the naive
+    array_position-per-span test is O(L²): a 100k-line boilerplate page —
+    exactly this scrub's target input — would do ~10¹⁰ string compares in
+    one row and stall the whole stage as a straggler).  Adds
     ``text_clean`` plus ``n_spans``/``n_spans_kept`` so callers can
     threshold on how much was removed (a doc losing most of its spans is
     itself a repetition-quality signal)."""
+    reserved = ("text_clean", "n_spans", "n_spans_kept")
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with remove_repeated_spans "
+            "outputs — rename or drop them first (e.g. a corpus already "
+            "scrubbed once)"
+        )
     # \Q...\E quotes the separator so F.split (which takes a REGEX) treats
-    # it as the same literal concat_ws re-joins with
-    spans = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
+    # it as the same literal concat_ws re-joins with; an embedded \E would
+    # end the quote early, so it is re-escaped the way Pattern.quote does
+    pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    spans = F.split(F.col(text_col), F.lit(pattern))
     # Spark rtrim() strips only spaces — carriage returns need the regex
     trimmed = F.transform(spans, lambda s: F.regexp_replace(s, "\\r+$", ""))
-    # keep span i iff it is short, or no EARLIER index holds the same text:
-    # array_position returns the FIRST match, so "first occurrence" is
-    # exactly array_position(trimmed, s) == i+1
-    kept = F.filter(
-        trimmed,
-        lambda s, i: (F.length(s) < min_len)
-        | (F.array_position(trimmed, s) == i + F.lit(1)),
+    pairs = F.transform(
+        trimmed, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
     )
+    sorted_ = F.array_sort(pairs)  # orders by (span text, original index)
+    # a sorted element is a FIRST occurrence iff it differs from its
+    # predecessor (F.get is 0-based and NULL-safe at -1, unlike the
+    # ANSI-erroring element_at(…, 0))
+    kept_idx = F.array_sort(
+        F.transform(
+            F.filter(
+                F.transform(
+                    sorted_,
+                    lambda x, j: F.struct(
+                        x["i"].alias("i"),
+                        (
+                            (F.length(x["s"]) < min_len)
+                            | F.when(j == 0, F.lit(True)).otherwise(
+                                x["s"] != F.get(sorted_, j - 1)["s"]
+                            )
+                        ).alias("keep"),
+                    ),
+                ),
+                lambda y: y["keep"],
+            ),
+            lambda y: y["i"],
+        )
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(trimmed, i + 1))
     return df.withColumn("_spans", trimmed).select(
         "*",
         F.concat_ws(sep, kept).alias("text_clean"),
@@ -585,12 +620,15 @@ def gopher_quality_filter(
     reuses an already-oracle-checked operator (token counts, repetition
     signals), so this adds rule wiring, not new arithmetic.  Map-side
     only (the repetition fold is zero-shuffle)."""
+    # only the EXACT output names clash (the inner repetition_signals call
+    # guards its own outputs and _g1.._s3 temps; a prefix test would
+    # spuriously reject benign metadata columns like _source or _score)
     reserved = _GOPHER_RULE_COLS + ("gopher_keep",)
-    clash = [c for c in df.columns if c in reserved or c.startswith(("_g", "_t", "_s"))]
+    clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
-            f"input columns {clash} collide with gopher_quality_filter / "
-            "repetition_signals outputs — rename or drop them first"
+            f"input columns {clash} collide with gopher_quality_filter "
+            "outputs — rename or drop them first"
         )
     toks = tokens_of(F.col(text_col))
     n = F.size(toks)

@@ -169,3 +169,26 @@ def test_pq_fit_train_fraction_matches_numpy_on_sample(spark, emb):
     ref = _numpy_pq_fit(ids[mask], vecs[mask], M, K_SUB, ITERS)
     for s in range(M):
         np.testing.assert_allclose(np.array(books[s]), ref[s], atol=1e-9)
+
+
+def test_pq_matrix_paths_match_literal_paths(spark, emb, monkeypatch):
+    """Past the literal ceiling, pq_fit's assignment and pq_encode switch
+    to the broadcast codebook-matrix shape — both must agree exactly with
+    the literal-expression paths (same argmin, same tie-breaks)."""
+    df, ids, vecs = emb
+    lit_books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=ITERS)
+    lit_codes = {r["vec_id"]: list(r["pq_codes"])
+                 for r in SIM.pq_encode(df, lit_books).collect()}
+    monkeypatch.setattr(SIM, "_ASSIGN_LITERAL_CEILING", 1)
+    mat_books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=ITERS)
+    for s in range(M):
+        np.testing.assert_allclose(
+            np.array(mat_books[s]), np.array(lit_books[s]), atol=1e-12
+        )
+    mat_codes = {r["vec_id"]: list(r["pq_codes"])
+                 for r in SIM.pq_encode(df, lit_books).collect()}
+    assert mat_codes == lit_codes
+    # and the matrix encode stays shuffle-free (broadcast + map only)
+    plan = SIM.pq_encode(df, lit_books)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan

@@ -520,3 +520,19 @@ def test_signal_and_rule_column_collisions_raise(spark):
         gopher_quality_filter(df.withColumn("gopher_keep", F.lit(True)))
     with pytest.raises(ValueError, match="collide"):
         gopher_quality_filter(df.withColumn("pass_top2", F.lit(True)))
+
+
+def test_remove_repeated_spans_guard_and_escaped_E(spark):
+    from chronicles_spark.operators.text import remove_repeated_spans
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="collide"):
+        remove_repeated_spans(df.withColumn("text_clean", F.lit("t")))
+    # a separator containing \E must not end the regex quote early
+    df2 = spark.createDataFrame(
+        [(1, "a\\Eb\\Ea\\Ec")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(df2, sep="\\E").collect()[0]
+    assert r["text_clean"] == "a\\Eb\\Ec"
+    assert (r["n_spans"], r["n_spans_kept"]) == (4, 3)
