@@ -799,3 +799,117 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "adc_dist")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF + PQ composed search — the FAISS ``IVFPQ`` shape and the
+    production path for corpus-scale query sets that plain
+    :func:`pq_adc_topk` cannot serve (its docstring's "prune N first"):
+
+    1. coarse quantizer: k-means buckets over the corpus (sampled
+       training via ``train_fraction``), ONE assignment pass;
+    2. PQ-compress every vector (one map-side encode);
+    3. each query probes its ``n_probe`` nearest coarse buckets and runs
+       asymmetric-distance scoring ONLY against those buckets' codes —
+       the join key is (bucket, sub, code), so the shuffle carries the
+       probed slice of the corpus instead of all of it, and key
+       cardinality n_clusters·m·k_sub keeps parallelism without salting.
+
+    Returns (query_id, rank, neighbor_id, adc_dist), ranks 1..k by
+    ascending approximate squared L2 with id tie-break.  Exact
+    re-ranking of the k survivors against original vectors is one
+    ordinary join away and deliberately not folded in (the caller may
+    re-rank a larger shortlist).  Recall bound: a true neighbor whose
+    bucket is not probed is missed — the IVF trade, tuned via
+    (n_clusters, n_probe)."""
+    centroids = kmeans_fit(
+        df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
+    )
+    codebooks = pq_fit(
+        df, m, k_sub, iters, id_col, vec_col, train_fraction=train_fraction
+    )
+    vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    corpus = (
+        _assign_nearest(vd, centroids)
+        .select(F.col(id_col), F.col("cluster").alias("bucket"))
+        .join(pq_encode(df, codebooks, id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            "bucket",
+            F.posexplode("pq_codes").alias("sub", "code"),
+        )
+    )
+
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("qv")
+    )
+    # probe selection: same argmin machinery, top n_probe buckets
+    cents_df = q.sparkSession.createDataFrame(
+        [(cid, list(c)) for cid, c in centroids], "bucket int, cv array<double>"
+    )
+    qc = q.crossJoin(F.broadcast(cents_df)).select(
+        query_id_col, "qv", "bucket",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("cd"),
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.col("cd").asc(), F.col("bucket").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_probe)
+        .select(query_id_col, "qv", "bucket")
+    )
+
+    # per-(query, probed bucket) distance table: Q·n_probe·m·k_sub rows
+    sub_d = len(codebooks[0][0])
+    cb_df = q.sparkSession.createDataFrame(
+        [
+            (s, c, list(vec))
+            for s, cb in enumerate(codebooks)
+            for c, vec in enumerate(cb)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    dtab = probes.crossJoin(F.broadcast(cb_df)).select(
+        query_id_col, "bucket", "sub", "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice("qv", F.col("sub") * sub_d + 1, sub_d),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    scored = (
+        corpus.join(dtab, ["bucket", "sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        # a row survives only if ALL m subspaces matched (they always do —
+        # every (sub, code) exists in dtab for a probed bucket), and the
+        # query must not pair with itself
+        .where(F.col(id_col) != F.col(query_id_col))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "adc_dist")
+    )

@@ -192,3 +192,52 @@ def test_pq_matrix_paths_match_literal_paths(spark, emb, monkeypatch):
     plan = SIM.pq_encode(df, lit_books)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivfpq_matches_numpy_reference(spark, emb):
+    """Composed IVF+PQ search vs numpy: coarse k-means buckets (already
+    differential-tested), probe selection by squared L2 with bucket-id
+    tie-break, ADC only inside probed buckets, self excluded."""
+    df, ids, vecs = emb
+    n_clusters, n_probe, k = 4, 2, 5
+    got = SIM.ivfpq_topk(
+        df,
+        df.where(df.vec_id < 3).select(
+            df.vec_id.alias("query_id"), df.embedding.alias("qv")
+        ),
+        k=k, n_clusters=n_clusters, n_probe=n_probe,
+        m=M, k_sub=K_SUB, iters=ITERS,
+    ).collect()
+
+    # numpy reference
+    centroids = SIM.kmeans_fit(df, k=n_clusters, iters=ITERS)
+    books = _numpy_pq_fit(ids, vecs, M, K_SUB, ITERS)
+    cents = np.array([c for _, c in centroids])
+    d2c = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    bucket = d2c.argmin(axis=1)
+    codes = _numpy_pq_encode(vecs, books)
+    sub_d = vecs.shape[1] // M
+
+    expected = {}
+    for qid in (0, 1, 2):
+        qv = vecs[ids == qid][0]
+        qd = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        probed = sorted(range(n_clusters), key=lambda b: (qd[b], b))[:n_probe]
+        dtab = np.zeros((M, K_SUB))
+        for s in range(M):
+            qsub = qv[s * sub_d:(s + 1) * sub_d]
+            dtab[s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
+        cand = []
+        for i, vid in enumerate(ids):
+            if vid == qid or bucket[i] not in probed:
+                continue
+            adc = round(sum(dtab[s, codes[i, s]] for s in range(M)), 6)
+            cand.append((adc, int(vid)))
+        cand.sort()
+        expected[qid] = [(r + 1, vid) for r, (_, vid) in enumerate(cand[:k])]
+
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        assert sorted(got_by_q[qid]) == expected[qid], qid
