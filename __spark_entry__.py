@@ -348,6 +348,30 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
     if set(per_q) != {0, 1, 2}:
         raise AssertionError("ADC missing a query")
 
+    # composed IVF+PQ search: with EVERY bucket probed it must equal the
+    # flat ADC ranking computed from an identically-parameterized
+    # independent fit (pq_fit is deterministic, so the codebooks agree) —
+    # a regression in either the coarse quantizer wiring or the probed
+    # join breaks the equality
+    queries2 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    flat = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in SIM.pq_adc_topk(codes, queries2, books, k=3).collect()
+    }
+    composed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in SIM.ivfpq_topk(
+            emb, queries2, k=3, n_clusters=4, n_probe=4, m=m, k_sub=k_sub,
+            iters=2, train_fraction=0.5,
+        ).collect()
+    }
+    if composed != flat:
+        raise AssertionError(
+            "ivfpq_topk with all buckets probed diverged from flat ADC"
+        )
+
     # semantic dedup (same learned-centroid family; numpy differential in
     # tests/test_semantic_dedup.py) — invariant sweep: pairs exist on this
     # fixture, are ordered, and carry in-range cosines

@@ -642,15 +642,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """(id, pq_codes array<int> of length m): one map-side pass, no
     shuffle — the 32× storage-compression write for the corpus.  Past
     ``_ASSIGN_LITERAL_CEILING`` literal doubles (k_sub·D total) the
     codebook rides one broadcast row instead of the expression tree —
-    still map-side, zero shuffle."""
+    still map-side, zero shuffle.  ``keep_cols=True`` keeps every input
+    column alongside ``pq_codes`` (so a caller that also carries e.g. an
+    IVF bucket never needs a corpus-scale self-join to recombine)."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
     v = as_double(F.col(vec_col))
+    base = [F.col(c) for c in df.columns] if keep_cols else [F.col(id_col)]
     # total literal doubles across the m argmin expressions = k_sub · D
     if len(codebooks[0]) * sub_d * m > _ASSIGN_LITERAL_CEILING:
         return (
@@ -658,7 +662,7 @@ def pq_encode(
                 F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
             )
             .select(
-                F.col(id_col),
+                *base,
                 F.transform(
                     F.sequence(F.lit(0), F.lit(m - 1)),
                     lambda s: _argmin_code_from_matrix(
@@ -669,7 +673,7 @@ def pq_encode(
             )
         )
     return df.select(
-        F.col(id_col),
+        *base,
         F.array(*[
             _argmin_code(
                 F.slice(v, s * sub_d + 1, sub_d),
@@ -842,16 +846,18 @@ def ivfpq_topk(
     codebooks = pq_fit(
         df, m, k_sub, iters, id_col, vec_col, train_fraction=train_fraction
     )
+    # bucket AND codes in ONE map-side pass over a single corpus scan —
+    # bucketing then joining a separate encode would shuffle the whole
+    # corpus through a self-join before any probing happens
     vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    corpus = (
-        _assign_nearest(vd, centroids)
-        .select(F.col(id_col), F.col("cluster").alias("bucket"))
-        .join(pq_encode(df, codebooks, id_col, vec_col), id_col)
-        .select(
-            F.col(id_col),
-            "bucket",
-            F.posexplode("pq_codes").alias("sub", "code"),
-        )
+    corpus = pq_encode(
+        _assign_nearest(vd, centroids).withColumnRenamed("cluster", "bucket"),
+        codebooks,
+        id_col=id_col,
+        vec_col="v",
+        keep_cols=True,
+    ).select(
+        F.col(id_col), "bucket", F.posexplode("pq_codes").alias("sub", "code")
     )
 
     q = queries.select(
@@ -896,14 +902,15 @@ def ivfpq_topk(
             F.lit(0.0), lambda acc, x: acc + x,
         ).alias("d"),
     )
+    # no self-exclusion: queries are an INDEPENDENT relation whose id
+    # space is unrelated to the corpus (same contract as pq_adc_topk) —
+    # filtering vec_id == query_id would silently drop unrelated
+    # neighbors, and a caller searching the corpus against itself can
+    # exclude the trivial match afterwards
     scored = (
         corpus.join(dtab, ["bucket", "sub", "code"])
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
-        # a row survives only if ALL m subspaces matched (they always do —
-        # every (sub, code) exists in dtab for a probed bucket), and the
-        # query must not pair with itself
-        .where(F.col(id_col) != F.col(query_id_col))
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()

@@ -538,13 +538,13 @@ def remove_repeated_spans(
     ``text_clean`` plus ``n_spans``/``n_spans_kept`` so callers can
     threshold on how much was removed (a doc losing most of its spans is
     itself a repetition-quality signal)."""
-    reserved = ("text_clean", "n_spans", "n_spans_kept")
+    reserved = ("text_clean", "n_spans", "n_spans_kept", "_spans", "_sorted")
     clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
             f"input columns {clash} collide with remove_repeated_spans "
-            "outputs — rename or drop them first (e.g. a corpus already "
-            "scrubbed once)"
+            "outputs/temporaries — rename or drop them first (e.g. a "
+            "corpus already scrubbed once)"
         )
     # \Q...\E quotes the separator so F.split (which takes a REGEX) treats
     # it as the same literal concat_ws re-joins with; an embedded \E would
@@ -553,10 +553,23 @@ def remove_repeated_spans(
     spans = F.split(F.col(text_col), F.lit(pattern))
     # Spark rtrim() strips only spaces — carriage returns need the regex
     trimmed = F.transform(spans, lambda s: F.regexp_replace(s, "\\r+$", ""))
-    pairs = F.transform(
-        trimmed, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    # STAGE the trimmed and sorted arrays as real columns before any
+    # lambda references them: a captured expression inside a higher-order
+    # lambda is re-evaluated per element (HOFs are outside codegen and
+    # subexpression elimination does not reach lambda bodies), which
+    # would re-split/re-sort the document once per span — O(L² log L).
+    # Column references bind as O(1) attribute reads instead (the
+    # repetition_signals _g{n}/_s{n} staging pattern).
+    staged = df.withColumn("_spans", trimmed).withColumn(
+        "_sorted",
+        F.array_sort(  # orders by (span text, original index)
+            F.transform(
+                F.col("_spans"),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            )
+        ),
     )
-    sorted_ = F.array_sort(pairs)  # orders by (span text, original index)
+    srt = F.col("_sorted")
     # a sorted element is a FIRST occurrence iff it differs from its
     # predecessor (F.get is 0-based and NULL-safe at -1, unlike the
     # ANSI-erroring element_at(…, 0))
@@ -564,13 +577,13 @@ def remove_repeated_spans(
         F.transform(
             F.filter(
                 F.transform(
-                    sorted_,
+                    srt,
                     lambda x, j: F.struct(
                         x["i"].alias("i"),
                         (
                             (F.length(x["s"]) < min_len)
                             | F.when(j == 0, F.lit(True)).otherwise(
-                                x["s"] != F.get(sorted_, j - 1)["s"]
+                                x["s"] != F.get(srt, j - 1)["s"]
                             )
                         ).alias("keep"),
                     ),
@@ -580,13 +593,13 @@ def remove_repeated_spans(
             lambda y: y["i"],
         )
     )
-    kept = F.transform(kept_idx, lambda i: F.element_at(trimmed, i + 1))
-    return df.withColumn("_spans", trimmed).select(
+    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("_spans"), i + 1))
+    return staged.select(
         "*",
         F.concat_ws(sep, kept).alias("text_clean"),
         F.size("_spans").cast("long").alias("n_spans"),
         F.size(kept).cast("long").alias("n_spans_kept"),
-    ).drop("_spans")
+    ).drop("_spans", "_sorted")
 
 
 _GOPHER_RULE_COLS = (

@@ -197,7 +197,10 @@ def test_pq_matrix_paths_match_literal_paths(spark, emb, monkeypatch):
 def test_ivfpq_matches_numpy_reference(spark, emb):
     """Composed IVF+PQ search vs numpy: coarse k-means buckets (already
     differential-tested), probe selection by squared L2 with bucket-id
-    tie-break, ADC only inside probed buckets, self excluded."""
+    tie-break, ADC only inside probed buckets.  No self-exclusion — the
+    query relation's id space is independent of the corpus (same contract
+    as pq_adc_topk), so a corpus-drawn query may rank its own quantized
+    self first."""
     df, ids, vecs = emb
     n_clusters, n_probe, k = 4, 2, 5
     got = SIM.ivfpq_topk(
@@ -229,7 +232,7 @@ def test_ivfpq_matches_numpy_reference(spark, emb):
             dtab[s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
         cand = []
         for i, vid in enumerate(ids):
-            if vid == qid or bucket[i] not in probed:
+            if bucket[i] not in probed:
                 continue
             adc = round(sum(dtab[s, codes[i, s]] for s in range(M)), 6)
             cand.append((adc, int(vid)))
