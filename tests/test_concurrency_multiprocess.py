@@ -43,6 +43,8 @@ elif backend == "files_locked":
     tracker = FileBackedVersionTracker(path, use_lock=True)
 elif backend == "files_cas":
     tracker = FileBackedVersionTracker(path, use_cas=True)
+elif backend == "files_cas_ckpt":
+    tracker = FileBackedVersionTracker(path, use_cas=True, checkpoint_interval=3)
 else:
     tracker = FileBackedVersionTracker(path)
 t = TableName("db", "race")
@@ -133,6 +135,37 @@ def test_files_cas_two_process_commits_all_survive(tmp_path):
     assert state.current_version in ids
     live = reader.current_version(T)
     assert len(live.partition_versions) == n_procs  # one date per worker
+
+
+def test_files_cas_with_checkpoints_two_process_race(tmp_path):
+    """CAS commits + fold checkpoints + two OS processes at once: both
+    writers checkpoint concurrently (interval=3 over 40+ commits), and the
+    final checkpointed resolution must equal a full-fold ground truth —
+    pinning that racing checkpoint files/pointers can cost only tail
+    length, never correctness."""
+    path = str(tmp_path / "log")
+    tracker = FileBackedVersionTracker(path, use_cas=True, checkpoint_interval=3)
+    tracker.init_table(T, is_snapshot=False, user_id="init")
+
+    n_procs = _race("files_cas_ckpt", path)
+
+    reader = FileBackedVersionTracker(path, use_cas=True, checkpoint_interval=3)
+    state = reader.table_state(T)
+    assert len(state.updates) == 1 + n_procs * N_PER_PROC  # none lost
+    # checkpoints were actually written during the race
+    d = os.path.join(path, f"_chronicles_table_{T.fully_qualified}")
+    cks = [f for f in os.listdir(d) if f.startswith("checkpoint_")]
+    assert cks, "no checkpoint written during the race"
+    # checkpointed resolution == full-fold ground truth
+    truth = FileBackedVersionTracker(path, checkpoint_interval=None)
+    assert reader.current_version(T) == truth.current_version(T)
+    # and the _last_checkpoint pointer names a real, parseable artifact
+    import json as _json
+    ptr = _json.loads(open(os.path.join(d, "_last_checkpoint")).read())
+    ck = _json.loads(
+        open(os.path.join(d, f"checkpoint_{ptr['seq']:013d}.json")).read()
+    )
+    assert int(ck["last_seq"]) == int(ptr["seq"])
 
 
 def test_files_lock_requires_local_fs():
