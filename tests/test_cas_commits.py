@@ -352,3 +352,39 @@ def test_checkpoint_covering_inflight_commit_degrades_to_full_fold():
     got2 = tr.current_version(T)
     assert Partition.of(("d", "9999-01-01")) in got2.partition_versions
     assert got2 == truth.current_version(T)
+
+
+def test_local_fs_token_cas_thread_race(tmp_path):
+    """Many threads CAS the same local file concurrently: every successful
+    swap must have observed the then-current content (no lost updates),
+    so a counter incremented via read-token → write-if-match reaches
+    exactly the number of successful swaps."""
+    import threading
+
+    from chronicles_spark.trackers.fs import LocalFileSystem
+
+    fs = LocalFileSystem()
+    p = str(tmp_path / "counter")
+    fs.write_text(p, "0")
+    n_threads, per_thread = 8, 25
+    wins = []
+
+    def work():
+        w = 0
+        for _ in range(per_thread):
+            for _ in range(200):  # retry loop per increment
+                text, tok = fs.read_text_and_token(p)
+                if fs.write_text_if_match(p, str(int(text) + 1), tok):
+                    w += 1
+                    break
+            else:  # pragma: no cover
+                raise AssertionError("CAS starved")
+        wins.append(w)
+
+    ts = [threading.Thread(target=work) for _ in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sum(wins) == n_threads * per_thread
+    assert fs.read_text(p) == str(n_threads * per_thread)
