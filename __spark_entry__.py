@@ -348,11 +348,12 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
     if set(per_q) != {0, 1, 2}:
         raise AssertionError("ADC missing a query")
 
-    # composed IVF+PQ search: with EVERY bucket probed it must equal the
-    # flat ADC ranking computed from an identically-parameterized
-    # independent fit (pq_fit is deterministic, so the codebooks agree) —
-    # a regression in either the coarse quantizer wiring or the probed
-    # join breaks the equality
+    # composed IVF+PQ search: with EVERY bucket probed and the SAME
+    # fitted codebooks injected it must return the flat ADC ranking —
+    # neighbors compared exactly, distances with a 1e-6 tolerance
+    # (the two paths sum the m per-subspace terms under different
+    # join/partitioning shapes, so last-ulp summation-order noise is
+    # expected; exact float equality here would be a flake)
     queries2 = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -364,13 +365,18 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
         for r in SIM.ivfpq_topk(
             emb, queries2, k=3, n_clusters=4, n_probe=4, m=m, k_sub=k_sub,
-            iters=2, train_fraction=0.5,
+            iters=2, train_fraction=0.5, codebooks=books,
         ).collect()
     }
-    if composed != flat:
-        raise AssertionError(
-            "ivfpq_topk with all buckets probed diverged from flat ADC"
-        )
+    if set(composed) != set(flat):
+        raise AssertionError("ivfpq_topk rank keys diverged from flat ADC")
+    for key, (nb, dist) in composed.items():
+        fnb, fdist = flat[key]
+        if nb != fnb or abs(dist - fdist) > 1e-6:
+            raise AssertionError(
+                f"ivfpq_topk with all buckets probed diverged from flat "
+                f"ADC at {key}: ({nb}, {dist}) vs ({fnb}, {fdist})"
+            )
 
     # semantic dedup (same learned-centroid family; numpy differential in
     # tests/test_semantic_dedup.py) — invariant sweep: pairs exist on this

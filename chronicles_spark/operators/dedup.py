@@ -705,6 +705,15 @@ def semantic_dedup(
     centroids = kmeans_fit(
         df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
     )
+    actual_dim = len(centroids[0][1])
+    if dim != actual_dim:
+        # a wrong dim would NULL-poison the sub-bucket dot products
+        # (zip_with pads the shorter array), silently disabling the skew
+        # guard — fail loudly instead
+        raise ValueError(
+            f"dim={dim} does not match the embedding dimension "
+            f"{actual_dim} observed in {vec_col!r}"
+        )
     vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     # barrier the ASSIGNMENT as (id, cluster) — two narrow columns, the
     # shape lineage_barrier is for — so the k-means argmin runs over the

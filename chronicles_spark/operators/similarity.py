@@ -199,7 +199,10 @@ def kmeans_fit(
         v = _sample_uniform(v, id_col, train_fraction).persist()
     try:
         seed_rows = v.orderBy(F.col(id_col).asc()).limit(k).collect()
-        if len(seed_rows) < k:
+        if not seed_rows or (train_fraction is not None and len(seed_rows) < k):
+            # an undersized SAMPLE is a caller error (raise the fraction);
+            # an undersized corpus without sampling keeps the pre-round-5
+            # contract and simply fits fewer centroids
             raise ValueError(
                 f"k-means needs >= {k} training vectors, got {len(seed_rows)}"
                 + (" — raise train_fraction" if train_fraction else "")
@@ -819,10 +822,15 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF + PQ composed search — the FAISS ``IVFPQ`` shape and the
     production path for corpus-scale query sets that plain
-    :func:`pq_adc_topk` cannot serve (its docstring's "prune N first"):
+    :func:`pq_adc_topk` cannot serve (its docstring's "prune N first").
+    Pass prefitted ``centroids``/``codebooks`` to reuse an existing index
+    (repeat query batches must not refit — and MUST not, for results to
+    be comparable across batches); omitted ones are fit here:
 
     1. coarse quantizer: k-means buckets over the corpus (sampled
        training via ``train_fraction``), ONE assignment pass;
@@ -840,12 +848,14 @@ def ivfpq_topk(
     re-rank a larger shortlist).  Recall bound: a true neighbor whose
     bucket is not probed is missed — the IVF trade, tuned via
     (n_clusters, n_probe)."""
-    centroids = kmeans_fit(
-        df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
-    )
-    codebooks = pq_fit(
-        df, m, k_sub, iters, id_col, vec_col, train_fraction=train_fraction
-    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
+        )
+    if codebooks is None:
+        codebooks = pq_fit(
+            df, m, k_sub, iters, id_col, vec_col, train_fraction=train_fraction
+        )
     # bucket AND codes in ONE map-side pass over a single corpus scan —
     # bucketing then joining a separate encode would shuffle the whole
     # corpus through a self-join before any probing happens

@@ -427,6 +427,24 @@ class FileBackedVersionTracker(VersionTracker):
         except (FileNotFoundError, KeyError, ValueError):
             return None
 
+    @staticmethod
+    def _checkpoint_covers_prefix(ck: dict, all_seqs) -> bool:
+        """Gap-fill guard: a checkpoint is usable ONLY if every commit
+        file now present at seq <= last_seq was folded into it.  Without
+        this, a CAS writer whose (per-process) clock ran behind a racer's
+        can claim a still-free sequence slot BELOW an already-cut
+        checkpoint, and that committed update would silently never reach
+        any checkpointed reader.  ``n_folded`` (the prefix file count at
+        cut time) makes the omission detectable from the directory
+        listing readers already have; a mismatch — or a pre-upgrade
+        checkpoint without the field — degrades to the full fold, which
+        is always correct."""
+        n = ck.get("n_folded")
+        if n is None:
+            return False
+        last = int(ck["last_seq"])
+        return sum(1 for s in all_seqs if s <= last) == int(n)
+
     # shared with the sqlite checkpoint fast path
     _apply_to_state = staticmethod(apply_ops_to_path_state)
 
@@ -439,9 +457,14 @@ class FileBackedVersionTracker(VersionTracker):
         pointer valid."""
         if not self._checkpoint_interval:
             return
+        all_seqs = self._update_seqs(d)
         ck = self._read_checkpoint(d)
+        if ck is not None and not self._checkpoint_covers_prefix(
+            ck, [s for s, _ in all_seqs]
+        ):
+            ck = None  # gap-filled prefix: rebuild from the full log
         base_seq = int(ck["last_seq"]) if ck else -1
-        tail = [(s, n) for s, n in self._update_seqs(d) if s > base_seq]
+        tail = [(s, n) for s, n in all_seqs if s > base_seq]
         if len(tail) < self._checkpoint_interval:
             return
         updates = self._read_updates(d, [n for _, n in tail])
@@ -458,6 +481,7 @@ class FileBackedVersionTracker(VersionTracker):
         last_seq = tail[-1][0]
         body = {
             "last_seq": last_seq,
+            "n_folded": sum(1 for s, _ in all_seqs if s <= last_seq),
             "last_commit_id": updates[-1].metadata.commit_id,
             "is_snapshot": self._is_snapshot_dir(d),
             "snapshot_version": snapshot_version,
@@ -509,7 +533,10 @@ class FileBackedVersionTracker(VersionTracker):
         ck = self._read_checkpoint(d)
         if ck is None:
             return None
-        tail_names = [n for s, n in self._update_seqs(d) if s > int(ck["last_seq"])]
+        all_seqs = self._update_seqs(d)
+        if not self._checkpoint_covers_prefix(ck, [s for s, _ in all_seqs]):
+            return None  # gap-filled prefix: only the full fold is correct
+        tail_names = [n for s, n in all_seqs if s > int(ck["last_seq"])]
         tail = self._read_updates(d, tail_names)
         if commit_id == ck["last_commit_id"]:
             upto = ()

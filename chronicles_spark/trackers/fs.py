@@ -396,10 +396,18 @@ class FsspecFileSystem(FileSystem):
             # object-store precondition failures (HTTP 412) surface at
             # close() time as backend-specific errors (ClientError/OSError
             # on s3fs, depending on version), not FileExistsError.  If the
-            # object now exists, someone else won the race — that's a lost
-            # CAS, not an error; anything else propagates.
+            # object now exists, read it back to disambiguate: OUR bytes
+            # mean the put actually succeeded server-side and only the
+            # client response was lost (returning False there would make
+            # the commit retry loop publish the same commit twice at two
+            # sequence slots); anything else is a lost race.  An object
+            # that doesn't exist means a real failure — propagate.
             if self._fs.exists(path):
-                return False
+                try:
+                    with self._fs.open(path, "r") as f:
+                        return f.read() == text
+                except Exception:
+                    return False  # unreadable → treat as lost, retry next
             raise
 
     def exists(self, path: str) -> bool:

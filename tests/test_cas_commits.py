@@ -287,9 +287,30 @@ def test_fsspec_wrapper_maps_backend_precondition_errors():
     assert fs.write_text_if_absent("b/one", "v") is True
     # plain FileExistsError → lost race
     assert fs.write_text_if_absent("b/one", "v2") is False
-    # backend-specific 412 where the object now exists → lost race
+    # backend-specific 412 where ANOTHER writer's object landed → lost race
     fake.fail_with_412.add("b/two")
     assert fs.write_text_if_absent("b/two", "v") is False
+    # client error after OUR OWN put succeeded server-side (read-back
+    # matches our bytes) → the write counts, no duplicate commit retry
+    class FakeOwnPutLostAck(FakeFsspec):
+        def open(self, path, mode="r"):
+            import io as _io
+            fsel = self
+            if "x" in mode:
+                class _W(_io.StringIO):
+                    def __exit__(self, *a):
+                        fsel.objects[path] = self.getvalue()  # landed
+                        raise Backend412Error("response lost")
+                return _W()
+            class _R(_io.StringIO):
+                def __init__(self):
+                    super().__init__(fsel.objects[path])
+                def __exit__(self, *a):
+                    return False
+            return _R()
+
+    fs_own = FsspecFileSystem(FakeOwnPutLostAck(), conditional_put=True)
+    assert fs_own.write_text_if_absent("b/own", "mine") is True
     # backend error with NO object present → real failure, propagates
     class FakeBroken(FakeFsspec):
         def open(self, path, mode="r"):
@@ -388,3 +409,59 @@ def test_local_fs_token_cas_thread_race(tmp_path):
         t.join()
     assert sum(wins) == n_threads * per_thread
     assert fs.read_text(p) == str(n_threads * per_thread)
+
+
+def test_gap_filled_commit_below_checkpoint_degrades_to_full_fold():
+    """Two CAS writers with skewed per-process clocks: writer A's commit
+    lands at a sequence BELOW a checkpoint writer B already cut (A's slot
+    was still free at cut time).  Every checkpointed reader must detect
+    the gap-fill (n_folded prefix count) and fall back to the full fold —
+    without the guard, A's committed partition would silently never
+    appear through the fast path."""
+    from chronicles_spark.core.ops import update_to_json
+
+    fs = MemoryFileSystem("gapfill")
+    tr = FileBackedVersionTracker("root", fs=fs, use_cas=True, checkpoint_interval=2)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    # writer B: enough commits to cut a checkpoint
+    for k in range(4):
+        _commit(tr, f"2024-01-{k:02d}")
+    d = tr._table_dir(T)
+    ck_names = [n for n in fs.list_dir(d) if n.startswith("checkpoint_")]
+    assert ck_names, "precondition: a checkpoint exists"
+    last_ck_seq = max(int(n[len("checkpoint_"):-len(".json")]) for n in ck_names)
+
+    # writer A (slow clock): claims a still-free slot BELOW the checkpoint
+    seqs = sorted(
+        int(n[len("table_update_"):-len(".json")])
+        for n in fs.list_dir(d) if n.startswith("table_update_")
+    )
+    gap_seq = seqs[0] - 5  # definitely below the checkpoint and free
+    assert gap_seq < last_ck_seq
+    gap = TableUpdate(
+        TableUpdateMetadata.new("A", "slow-clock gap fill"),
+        (AddPartitionVersion(Partition.of(("d", "gap")), generate_version()),),
+    )
+    assert fs.write_text_if_absent(
+        fs.join(d, f"table_update_{gap_seq:013d}.json"), update_to_json(gap)
+    )
+    # A's head advance: head seq is larger → monotonic skip (as designed)
+    tr._advance_head(d, gap.metadata.commit_id, gap_seq)
+
+    truth = FileBackedVersionTracker(
+        "root", fs=MemoryFileSystem("gapfill"), checkpoint_interval=None
+    )
+    got = tr.current_version(T)
+    assert got == truth.current_version(T), (
+        "checkpointed resolution diverged from the full fold after a "
+        "gap-filled commit"
+    )
+    assert Partition.of(("d", "gap")) in got.partition_versions
+
+    # the NEXT checkpoint rebuild folds the gap back in and the fast path
+    # becomes usable again
+    for k in range(3):
+        _commit(tr, f"2024-02-{k:02d}")
+    got2 = tr.current_version(T)
+    assert got2 == truth.current_version(T)
+    assert Partition.of(("d", "gap")) in got2.partition_versions

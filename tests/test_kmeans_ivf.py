@@ -276,3 +276,21 @@ def test_pq_adc_distributed_dtab_matches_broadcast(spark, emb):
         ).collect())
     )
     assert a == b
+
+
+def test_kmeans_small_corpus_fits_fewer_centroids(spark):
+    """Pre-round-5 contract: a corpus smaller than k (no sampling) fits
+    one centroid per vector instead of raising; only an undersized
+    SAMPLE raises."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(0.0)).alias("embedding"),
+    )
+    got = SIM.kmeans_fit(df, k=8, iters=1)
+    assert len(got) == 3  # one per vector
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="training vectors"):
+        SIM.kmeans_fit(df, k=8, iters=1, train_fraction=0.4)

@@ -244,3 +244,21 @@ def test_ivfpq_matches_numpy_reference(spark, emb):
         got_by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
     for qid in (0, 1, 2):
         assert sorted(got_by_q[qid]) == expected[qid], qid
+
+
+def test_ivfpq_accepts_prefitted_artifacts(spark, emb):
+    """Injected centroids/codebooks skip the internal fits — repeat query
+    batches reuse one index and stay mutually comparable."""
+    df, ids, vecs = emb
+    cents = SIM.kmeans_fit(df, k=4, iters=1)
+    books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=1)
+    q = df.where(df.vec_id < 2).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    a = sorted(map(tuple, SIM.ivfpq_topk(
+        df, q, k=3, n_probe=4, centroids=cents, codebooks=books
+    ).collect()))
+    b = sorted(map(tuple, SIM.ivfpq_topk(
+        df, q, k=3, n_probe=4, centroids=cents, codebooks=books
+    ).collect()))
+    assert a == b and len(a) == 6  # same index → identical batches

@@ -96,3 +96,9 @@ def test_semantic_dedup_threshold_validation(spark, emb):
     df, _, _ = emb
     with pytest.raises(ValueError, match="cosine"):
         DD.semantic_dedup(df, dim=DIM, threshold=1.5)
+
+
+def test_semantic_dedup_rejects_wrong_dim(spark, emb):
+    df, _, _ = emb
+    with pytest.raises(ValueError, match="does not match the embedding"):
+        DD.semantic_dedup(df, dim=DIM + 1, n_clusters=4, iters=1)
