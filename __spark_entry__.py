@@ -1161,8 +1161,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row), and scripts/check_oracle.py now lints against them.  The
         # underlying operators still return real array<double>/array<int>
         # columns; only this driver-facing row flattens.
+        #
+        # The row ALSO value-checks pq_encode against the SQL oracle using
+        # a DETERMINISTIC iters=0 codebook (= subvector slices of the
+        # k_sub lowest-id vectors — pure selection, no learning), so the
+        # PQ argmin/slicing machinery is hash-compared end-to-end; the
+        # LEARNED-codebook members stay under the q_ann_ivf_kmeans gate
+        # (iterative fits have no SQL oracle).
         emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-        out = SIM.quantize_int8(SIM.normalize_l2(emb))
+        books0 = SIM.pq_fit(emb, m=4, k_sub=4, iters=0)
+        out = SIM.pq_encode(
+            SIM.quantize_int8(SIM.normalize_l2(emb)), books0, keep_cols=True
+        )
         return out.select(
             "vec_id",
             F.concat_ws(
@@ -1173,6 +1183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "q_codes_csv"
             ),
             "q_scale",
+            F.concat_ws(",", F.col("pq_codes").cast("array<string>")).alias(
+                "pq_codes_csv"
+            ),
         )
 
     def q_ann_ivf_kmeans(spark, sf):
@@ -1789,21 +1802,50 @@ r AS (
 )
 SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
 """,
-        # L2-normalize + int8 quantize, merged (both map-side over v);
-        # arrays rendered as canonical "%.6f" CSV so the driver's pandas
-        # canonicalizer (which cannot sort array cells) can hash the row
+        # L2-normalize + int8 quantize + PQ encode (deterministic iters=0
+        # codebook = subvector slices of the 4 lowest-id vectors), all
+        # map-side over v; arrays rendered as canonical CSV so the
+        # driver's pandas canonicalizer (which cannot sort array cells)
+        # can hash the row
         "q_emb_transform": _EMB_V_CTE
         + """
-SELECT vec_id,
-       array_to_string(list_transform(v,
-         x -> printf('%.6f', round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))), ',')
+, seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+  FROM v ORDER BY vec_id ASC LIMIT 4
+),
+cb AS (
+  SELECT s.sub, seeds.code, seeds.v[s.sub * 16 + 1 : s.sub * 16 + 16] AS cv
+  FROM seeds CROSS JOIN (SELECT unnest(range(4)) AS sub) s
+),
+scored AS (
+  SELECT v.vec_id, c.sub, c.code,
+         list_sum(list_transform(range(1, 17),
+           i -> (v.v[c.sub * 16 + i] - c.cv[i]) * (v.v[c.sub * 16 + i] - c.cv[i])))
+           AS d
+  FROM v CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d ASC, code ASC) AS rk
+  FROM scored
+),
+enc AS (
+  SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub ASC) AS pq_codes_csv
+  FROM best WHERE rk = 1 GROUP BY vec_id
+)
+SELECT s.vec_id,
+       array_to_string(list_transform(s.v,
+         x -> printf('%.6f', round(x / sqrt(list_sum(list_transform(s.v, y -> y * y))), 6))), ',')
          AS embedding_unit_csv,
-       array_to_string(list_transform(v,
+       array_to_string(list_transform(s.v,
          x -> CAST(CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT) AS VARCHAR)), ',')
          AS q_codes_csv,
-       round(127.0 / amax, 6) AS q_scale
+       round(127.0 / amax, 6) AS q_scale,
+       enc.pq_codes_csv
 FROM (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) AS amax
-      FROM v) s
+      FROM v) s JOIN enc ON s.vec_id = enc.vec_id
 """,
     }
