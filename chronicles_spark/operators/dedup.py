@@ -702,18 +702,19 @@ def semantic_dedup(
 
     if threshold < -1.0 or threshold > 1.0:
         raise ValueError("threshold must be a cosine in [-1, 1]")
+    # validate dim BEFORE the distributed fit (milliseconds vs wasting
+    # the whole k-means job): a wrong dim would NULL-poison the
+    # sub-bucket dot products (zip_with pads the shorter array),
+    # silently disabling the skew guard
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if dim_row and dim_row[0]["d"] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the embedding dimension "
+            f"{dim_row[0]['d']} observed in {vec_col!r}"
+        )
     centroids = kmeans_fit(
         df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
     )
-    actual_dim = len(centroids[0][1])
-    if dim != actual_dim:
-        # a wrong dim would NULL-poison the sub-bucket dot products
-        # (zip_with pads the shorter array), silently disabling the skew
-        # guard — fail loudly instead
-        raise ValueError(
-            f"dim={dim} does not match the embedding dimension "
-            f"{actual_dim} observed in {vec_col!r}"
-        )
     vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     # barrier the ASSIGNMENT as (id, cluster) — two narrow columns, the
     # shape lineage_barrier is for — so the k-means argmin runs over the

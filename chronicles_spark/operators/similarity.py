@@ -848,6 +848,29 @@ def ivfpq_topk(
     re-rank a larger shortlist).  Recall bound: a true neighbor whose
     bucket is not probed is missed — the IVF trade, tuned via
     (n_clusters, n_probe)."""
+    if centroids is not None or codebooks is not None:
+        # injected artifacts: validate dimensions up front — a mismatch
+        # would NULL-poison every zip_with distance silently (the
+        # semantic_dedup dim lesson); note the fit parameters
+        # (n_clusters/m/k_sub/iters/train_fraction) are ignored for
+        # whichever artifact is injected
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        corpus_dim = dim_row[0]["d"] if dim_row else None
+        if corpus_dim is not None:
+            if centroids is not None and len(centroids[0][1]) != corpus_dim:
+                raise ValueError(
+                    f"injected centroids have dim {len(centroids[0][1])}, "
+                    f"corpus {vec_col!r} has dim {corpus_dim}"
+                )
+            if codebooks is not None:
+                cb_dim = len(codebooks) * len(codebooks[0][0])
+                if cb_dim != corpus_dim:
+                    raise ValueError(
+                        f"injected codebooks cover dim {cb_dim} "
+                        f"({len(codebooks)} subspaces × "
+                        f"{len(codebooks[0][0])}), corpus {vec_col!r} has "
+                        f"dim {corpus_dim}"
+                    )
     if centroids is None:
         centroids = kmeans_fit(
             df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction

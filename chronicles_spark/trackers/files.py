@@ -457,8 +457,12 @@ class FileBackedVersionTracker(VersionTracker):
         pointer valid."""
         if not self._checkpoint_interval:
             return
-        all_seqs = self._update_seqs(d)
+        # read the checkpoint BEFORE listing: the listing is then at least
+        # as fresh as the checkpoint, so a checkpoint cut concurrently by
+        # another writer can never spuriously fail the covers-prefix guard
+        # (a stale listing would under-count its prefix)
         ck = self._read_checkpoint(d)
+        all_seqs = self._update_seqs(d)
         if ck is not None and not self._checkpoint_covers_prefix(
             ck, [s for s, _ in all_seqs]
         ):
@@ -491,14 +495,32 @@ class FileBackedVersionTracker(VersionTracker):
         ptr_path = self.fs.join(d, "_last_checkpoint")
         ptr_doc = json.dumps({"seq": last_seq})
         if self._use_cas:
-            # checkpoints are pure functions of log order: two racers at
-            # the same seq produce identical bytes, so losing the
-            # conditional create is a free no-op.  The pointer advance is
-            # monotonic — atomic via token CAS where the store has it
-            # (a straggler CANNOT point it backwards); plain read-check-
-            # write otherwise, where a lost race costs at most a longer
-            # tail fold until the next checkpoint, never correctness
-            self.fs.write_text_if_absent(ck_path, json.dumps(body))
+            # two racers checkpointing the same COMPLETE prefix produce
+            # identical bytes, so losing the conditional create is
+            # normally a free no-op — EXCEPT after a gap-fill rebuild,
+            # where the existing same-seq file is known-stale (its
+            # n_folded misses the late commit) and would keep every
+            # reader on the full fold forever.  Detect that case and
+            # overwrite: checkpoints are derived artifacts (readers
+            # verify n_folded and degrade safely mid-swap), never the
+            # source of truth.  The pointer advance stays monotonic —
+            # atomic via token CAS where the store has it.
+            body_json = json.dumps(body)
+            if not self.fs.write_text_if_absent(ck_path, body_json):
+                # overwrite only when OURS folds strictly more of the
+                # prefix (higher n_folded) — never clobber a racer's more
+                # complete rebuild; an unreadable/unparseable existing
+                # file is replaced (readers already treat it as corrupt)
+                try:
+                    existing_n = int(
+                        json.loads(self.fs.read_text(ck_path)).get(
+                            "n_folded", -1
+                        )
+                    )
+                except (FileNotFoundError, OSError, ValueError, KeyError):
+                    existing_n = -1
+                if existing_n < int(body["n_folded"]):
+                    self.fs.write_text(ck_path, body_json)
             if self.fs.supports_put_if_match():
                 for _ in range(16):
                     try:

@@ -392,7 +392,7 @@ class FsspecFileSystem(FileSystem):
             return True
         except FileExistsError:
             return False
-        except Exception:
+        except Exception as put_err:
             # object-store precondition failures (HTTP 412) surface at
             # close() time as backend-specific errors (ClientError/OSError
             # on s3fs, depending on version), not FileExistsError.  If the
@@ -400,14 +400,21 @@ class FsspecFileSystem(FileSystem):
             # mean the put actually succeeded server-side and only the
             # client response was lost (returning False there would make
             # the commit retry loop publish the same commit twice at two
-            # sequence slots); anything else is a lost race.  An object
-            # that doesn't exist means a real failure — propagate.
+            # sequence slots); different bytes are a lost race.  If the
+            # disambiguating read ALSO fails, the outcome is genuinely
+            # indeterminate — surface the original error rather than
+            # silently choosing retry (which risks the duplicate) or
+            # success (which risks claiming another writer's slot).
             if self._fs.exists(path):
                 try:
                     with self._fs.open(path, "r") as f:
-                        return f.read() == text
-                except Exception:
-                    return False  # unreadable → treat as lost, retry next
+                        cur = f.read()
+                except Exception as read_err:
+                    # indeterminate: surface the ORIGINAL put error (with
+                    # the read failure chained) — caller decides, we never
+                    # guess between duplicate-retry and slot-stealing
+                    raise put_err from read_err
+                return cur == text
             raise
 
     def exists(self, path: str) -> bool:

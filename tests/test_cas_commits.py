@@ -267,6 +267,15 @@ def test_fsspec_wrapper_maps_backend_precondition_errors():
 
         def open(self, path, mode="r"):
             fs = self
+            if "r" in mode and "x" not in mode:  # read-back path
+                class _R(io.StringIO):
+                    def __init__(self):
+                        super().__init__(fs.objects[path])
+
+                    def __exit__(self, *a):
+                        return False
+
+                return _R()
 
             class _W(io.StringIO):
                 def __exit__(self, *a):
@@ -465,3 +474,36 @@ def test_gap_filled_commit_below_checkpoint_degrades_to_full_fold():
     got2 = tr.current_version(T)
     assert got2 == truth.current_version(T)
     assert Partition.of(("d", "gap")) in got2.partition_versions
+
+
+def test_fsspec_indeterminate_readback_surfaces_original_error():
+    """Put fails ambiguously AND the disambiguating read fails: the
+    original put error must propagate (never a silent duplicate-retry or
+    slot-steal guess)."""
+    import io
+
+    from chronicles_spark.trackers.fs import FsspecFileSystem
+
+    class PutErr(Exception):
+        pass
+
+    class ReadErr(Exception):
+        pass
+
+    class FakeIndeterminate:
+        def exists(self, path):
+            return True  # object present, provenance unknown
+
+        def open(self, path, mode="r"):
+            if "r" in mode and "x" not in mode:
+                raise ReadErr("throttled")
+
+            class _W(io.StringIO):
+                def __exit__(self, *a):
+                    raise PutErr("response lost")
+
+            return _W()
+
+    fs = FsspecFileSystem(FakeIndeterminate(), conditional_put=True)
+    with pytest.raises(PutErr, match="response lost"):
+        fs.write_text_if_absent("b/x", "v")

@@ -262,3 +262,16 @@ def test_ivfpq_accepts_prefitted_artifacts(spark, emb):
         df, q, k=3, n_probe=4, centroids=cents, codebooks=books
     ).collect()))
     assert a == b and len(a) == 6  # same index → identical batches
+
+
+def test_ivfpq_rejects_mismatched_injected_artifacts(spark, emb):
+    df, _, _ = emb
+    q = df.where(df.vec_id < 2).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    bad_cents = [(0, [0.0] * 32), (1, [1.0] * 32)]
+    with pytest.raises(ValueError, match="injected centroids"):
+        SIM.ivfpq_topk(df, q, centroids=bad_cents)
+    bad_books = [[[0.0] * 8] * 2] * 4  # 4 subspaces x 8 dims = 32 != 64
+    with pytest.raises(ValueError, match="injected codebooks"):
+        SIM.ivfpq_topk(df, q, codebooks=bad_books)
