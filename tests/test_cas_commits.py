@@ -507,3 +507,50 @@ def test_fsspec_indeterminate_readback_surfaces_original_error():
     fs = FsspecFileSystem(FakeIndeterminate(), conditional_put=True)
     with pytest.raises(PutErr, match="response lost"):
         fs.write_text_if_absent("b/x", "v")
+
+
+def test_gap_fill_self_heal_replaces_stale_same_seq_checkpoint():
+    """After a gap-fill, a rebuild that lands on the SAME last_seq must
+    replace the stale checkpoint file (strictly higher n_folded), so the
+    fast path recovers without waiting for an unrelated future commit."""
+    import json as _json
+
+    from chronicles_spark.core.ops import update_to_json
+
+    fs = MemoryFileSystem("gapheal")
+    # interval=1: the newest checkpoint sits at the NEWEST commit file's
+    # sequence, so the post-gap rebuild targets the SAME name (the heal
+    # branch; a rebuild at a higher seq is the ordinary new-file path)
+    tr = FileBackedVersionTracker("root", fs=fs, use_cas=True, checkpoint_interval=1)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for k in range(4):
+        _commit(tr, f"2024-01-{k:02d}")
+    d = tr._table_dir(T)
+    ptr = _json.loads(fs.read_text(fs.join(d, "_last_checkpoint")))
+    ck_path = fs.join(d, f"checkpoint_{ptr['seq']:013d}.json")
+    n_before = _json.loads(fs.read_text(ck_path))["n_folded"]
+
+    # gap-fill below the checkpoint
+    seqs = sorted(
+        int(n[len("table_update_"):-len(".json")])
+        for n in fs.list_dir(d) if n.startswith("table_update_")
+    )
+    gap = TableUpdate(
+        TableUpdateMetadata.new("A", "gap"),
+        (AddPartitionVersion(Partition.of(("d", "healme")), generate_version()),),
+    )
+    assert fs.write_text_if_absent(
+        fs.join(d, f"table_update_{seqs[0] - 3:013d}.json"), update_to_json(gap)
+    )
+
+    # a direct checkpoint attempt rebuilds at the SAME last_seq and heals
+    tr._maybe_checkpoint(d)
+    healed = _json.loads(fs.read_text(ck_path))
+    assert healed["n_folded"] == n_before + 1
+    # the fast path is usable again immediately (no new commits needed)
+    assert tr._fast_resolve(d, tr._read_head(d)) is not None
+    truth = FileBackedVersionTracker(
+        "root", fs=MemoryFileSystem("gapheal"), checkpoint_interval=None
+    )
+    assert tr.current_version(T) == truth.current_version(T)
+    assert Partition.of(("d", "healme")) in tr.current_version(T).partition_versions
