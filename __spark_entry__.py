@@ -1409,6 +1409,38 @@ cleaned AS (
          list_filter(spans, (s, i) -> len(s) < 1 OR list_position(spans, s) = i)
            AS kept
   FROM spansrc
+),
+linesrc AS (
+  SELECT doc_id,
+         list_filter(spans, s -> len(s) > 0) AS lines
+  FROM spansrc
+),
+linerules AS (
+  SELECT l.doc_id,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, s -> substr(ltrim(s), 1, 1) IN ('-', '*', '•'))) / len(lines)
+         ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, s -> ends_with(rtrim(s), '...') OR ends_with(rtrim(s), '…'))) / len(lines)
+         ELSE 0.0 END AS ellipsis_frac,
+    CASE WHEN len(w.words) > 0 AND w.words[1] <> ''
+         THEN len(list_filter(w.words, x -> regexp_matches(x, '[A-Za-z]'))) / len(w.words)
+         ELSE 0.0 END AS alpha_frac
+  FROM linesrc l JOIN (
+    SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+    FROM documents
+  ) w ON l.doc_id = w.doc_id
+),
+linestats AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 0.0)
+           AS dup_line_frac
+  FROM (
+    SELECT doc_id, l, count(*) AS c
+    FROM (SELECT doc_id, unnest(lines) AS l FROM linesrc) x
+    GROUP BY doc_id, l
+  ) g
+  GROUP BY doc_id
 )
 SELECT fr.doc_id,
        fr.top1_frac, fr.dup1_frac, fr.top2_frac, fr.dup2_frac,
@@ -1420,15 +1452,24 @@ SELECT fr.doc_id,
        (r.distinct_stops >= 2) AS pass_stopwords,
        (fr.top2_frac <= 0.20) AS pass_top2,
        (fr.dup3_frac <= 0.30) AS pass_dup3,
+       (lr.bullet_frac <= 0.90) AS pass_bullet_lines,
+       (lr.ellipsis_frac <= 0.30) AS pass_ellipsis_lines,
+       (lr.alpha_frac >= 0.80) AS pass_alpha_words,
+       (coalesce(ls.dup_line_frac, 0.0) <= 0.30) AS pass_dup_lines,
        ((r.n_tok >= 50) AND (r.n_tok <= 100000)
         AND (r.mean_wlen BETWEEN 3.0 AND 10.0)
         AND (r.sym_ratio <= 0.1) AND (r.distinct_stops >= 2)
-        AND (fr.top2_frac <= 0.20) AND (fr.dup3_frac <= 0.30)) AS gopher_keep,
+        AND (fr.top2_frac <= 0.20) AND (fr.dup3_frac <= 0.30)
+        AND (lr.bullet_frac <= 0.90) AND (lr.ellipsis_frac <= 0.30)
+        AND (lr.alpha_frac >= 0.80)
+        AND (coalesce(ls.dup_line_frac, 0.0) <= 0.30)) AS gopher_keep,
        md5(array_to_string(c.kept, chr(10))) AS clean_md5,
        CAST(len(c.spans) AS BIGINT) AS n_spans,
        CAST(len(c.kept) AS BIGINT) AS n_spans_kept
 FROM fr JOIN rules r ON fr.doc_id = r.doc_id
         JOIN cleaned c ON fr.doc_id = c.doc_id
+        JOIN linerules lr ON fr.doc_id = lr.doc_id
+        LEFT JOIN linestats ls ON fr.doc_id = ls.doc_id
 """,
         "q_corpus_mixture": """
 WITH g AS (

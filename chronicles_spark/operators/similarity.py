@@ -285,9 +285,17 @@ def _assign_nearest(
     k = len(centroids)
     dim = len(centroids[0][1]) if k else 0
     if k * dim <= _ASSIGN_LITERAL_CEILING:
-        return v.withColumn(
-            "cluster", _argmin_code(F.col("v"), [c for _, c in centroids])
-        )
+        # _argmin_code argmins by list POSITION; the matrix path below uses
+        # the stored cid.  kmeans_fit always produces cid == position, but
+        # ivfpq_topk accepts caller-injected centroid lists, where a
+        # reordered/filtered list would silently mis-bucket (and disagree
+        # with probe selection, which uses real cids) — so translate the
+        # position argmin through the cid list whenever they differ.
+        pos = _argmin_code(F.col("v"), [c for _, c in centroids])
+        cids = [cid for cid, _ in centroids]
+        if cids != list(range(k)):
+            pos = F.element_at(F.array(*[F.lit(c) for c in cids]), pos + 1)
+        return v.withColumn("cluster", pos)
     spark = v.sparkSession
     matrix = spark.createDataFrame(
         [([ (cid, list(c)) for cid, c in centroids ],)],
@@ -660,20 +668,42 @@ def pq_encode(
     base = [F.col(c) for c in df.columns] if keep_cols else [F.col(id_col)]
     # total literal doubles across the m argmin expressions = k_sub · D
     if len(codebooks[0]) * sub_d * m > _ASSIGN_LITERAL_CEILING:
-        return (
-            df.crossJoin(
+        # STAGE the cast vector and its m subvector slices as real columns
+        # before any lambda references them: an expression captured inside
+        # a higher-order-function lambda is re-evaluated once per element
+        # (HOFs sit outside codegen; subexpression elimination doesn't
+        # reach lambda bodies), so slicing `v` inside the per-codebook
+        # argmin would redo the O(D) cast+slice ~m·k_sub times per row —
+        # at exactly the large-k_sub·D sizes this path exists for.  Staged
+        # columns bind as O(1) attribute reads (the remove_repeated_spans
+        # / _assign_nearest "v" staging pattern).
+        clash = [c for c in df.columns if c in ("_pq_v", "_pq_subs", "cbs")]
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with pq_encode temporaries "
+                "— rename or drop them first"
+            )
+        staged = (
+            df.withColumn("_pq_v", v)
+            .withColumn(
+                "_pq_subs",
+                F.array(*[
+                    F.slice("_pq_v", s * sub_d + 1, sub_d) for s in range(m)
+                ]),
+            )
+            .crossJoin(
                 F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
             )
-            .select(
-                *base,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: _argmin_code_from_matrix(
-                        F.slice(v, s * F.lit(sub_d) + F.lit(1), F.lit(sub_d)),
-                        F.element_at("cbs", s + F.lit(1)),
-                    ),
-                ).alias("pq_codes"),
-            )
+        )
+        return staged.select(
+            *base,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _argmin_code_from_matrix(
+                    F.element_at("_pq_subs", s + F.lit(1)),
+                    F.element_at("cbs", s + F.lit(1)),
+                ),
+            ).alias("pq_codes"),
         )
     return df.select(
         *base,
@@ -808,6 +838,63 @@ def pq_adc_topk(
     )
 
 
+def validate_ann_artifacts(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "list[tuple[int, list[float]]] | None",
+    codebooks: "list[list[list[float]]] | None",
+) -> None:
+    """Up-front validation of caller-injected ANN artifacts — a dimension
+    mismatch would NULL-poison every zip_with distance silently (the
+    semantic_dedup dim lesson).  Empty artifact lists are rejected
+    explicitly (they'd otherwise surface as IndexError here or as an
+    always-empty search later).  When the corpus is EMPTY its dim can't be
+    probed; the artifacts are then cross-validated against each other and
+    a warning is emitted instead of silently skipping — a mismatch would
+    otherwise slip through to a later non-empty run.  Callers injecting
+    artifacts should note the fit parameters (n_clusters/m/k_sub/iters/
+    train_fraction) are ignored for whichever artifact is injected."""
+    if centroids is not None and not centroids:
+        raise ValueError("injected centroids list is empty")
+    if codebooks is not None and (
+        not codebooks or any(not cb or not cb[0] for cb in codebooks)
+    ):
+        raise ValueError("injected codebooks are empty or have an empty subspace")
+    cb_dim = (
+        len(codebooks) * len(codebooks[0][0]) if codebooks is not None else None
+    )
+    cent_dim = len(centroids[0][1]) if centroids is not None else None
+    if cent_dim is not None and cb_dim is not None and cent_dim != cb_dim:
+        raise ValueError(
+            f"injected centroids (dim {cent_dim}) and codebooks (dim "
+            f"{cb_dim}) disagree with each other"
+        )
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    corpus_dim = dim_row[0]["d"] if dim_row else None
+    if corpus_dim is None:
+        import warnings
+
+        warnings.warn(
+            f"corpus {vec_col!r} is empty — injected ANN artifact "
+            "dimensions cannot be validated against it",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return
+    if cent_dim is not None and cent_dim != corpus_dim:
+        raise ValueError(
+            f"injected centroids have dim {cent_dim}, "
+            f"corpus {vec_col!r} has dim {corpus_dim}"
+        )
+    if cb_dim is not None and cb_dim != corpus_dim:
+        raise ValueError(
+            f"injected codebooks cover dim {cb_dim} "
+            f"({len(codebooks)} subspaces × "
+            f"{len(codebooks[0][0])}), corpus {vec_col!r} has "
+            f"dim {corpus_dim}"
+        )
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -849,28 +936,7 @@ def ivfpq_topk(
     bucket is not probed is missed — the IVF trade, tuned via
     (n_clusters, n_probe)."""
     if centroids is not None or codebooks is not None:
-        # injected artifacts: validate dimensions up front — a mismatch
-        # would NULL-poison every zip_with distance silently (the
-        # semantic_dedup dim lesson); note the fit parameters
-        # (n_clusters/m/k_sub/iters/train_fraction) are ignored for
-        # whichever artifact is injected
-        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        corpus_dim = dim_row[0]["d"] if dim_row else None
-        if corpus_dim is not None:
-            if centroids is not None and len(centroids[0][1]) != corpus_dim:
-                raise ValueError(
-                    f"injected centroids have dim {len(centroids[0][1])}, "
-                    f"corpus {vec_col!r} has dim {corpus_dim}"
-                )
-            if codebooks is not None:
-                cb_dim = len(codebooks) * len(codebooks[0][0])
-                if cb_dim != corpus_dim:
-                    raise ValueError(
-                        f"injected codebooks cover dim {cb_dim} "
-                        f"({len(codebooks)} subspaces × "
-                        f"{len(codebooks[0][0])}), corpus {vec_col!r} has "
-                        f"dim {corpus_dim}"
-                    )
+        validate_ann_artifacts(df, vec_col, centroids, codebooks)
     if centroids is None:
         centroids = kmeans_fit(
             df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction

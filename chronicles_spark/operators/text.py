@@ -171,6 +171,44 @@ def top_ngrams(
     )
 
 
+def _sorted_run_stats(grams: Column) -> Column:
+    """One fold over the sorted elements → struct(top_cnt, dup_cnt):
+    longest run of equal values, and total occurrences in runs > 1.
+    ZERO shuffle — the zero-shuffle alternative to explode+groupBy for
+    per-row duplicate statistics (shared by :func:`repetition_signals`'s
+    n-gram fractions and :func:`gopher_quality_filter`'s duplicate-line
+    rule).  The ``''`` init sentinel is safe because every caller feeds
+    non-empty strings (tokens / filtered non-empty lines)."""
+    zero = F.lit(0).cast("long")
+
+    def merge(acc, x):
+        same = x == acc.prev
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc.maxrun)
+            .otherwise(F.greatest(acc.maxrun, acc.run))
+            .alias("maxrun"),
+            F.when(same, acc.dup)
+            .otherwise(acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero))
+            .alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc.maxrun, acc.run).alias("top_cnt"),
+            (acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero)).alias(
+                "dup_cnt"
+            ),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("maxrun"), zero.alias("dup"),
+    )
+    return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -208,38 +246,7 @@ def repetition_signals(
             ),
         ).otherwise(F.expr("cast(array() as array<string>)"))
 
-    def _run_stats(grams: Column) -> Column:
-        """One fold over the sorted grams → struct(top_cnt, dup_cnt):
-        longest run of equal grams, and total occurrences in runs > 1."""
-        zero = F.lit(0).cast("long")
-
-        def merge(acc, x):
-            same = x == acc.prev
-            return F.struct(
-                x.alias("prev"),
-                F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-                F.when(same, acc.maxrun)
-                .otherwise(F.greatest(acc.maxrun, acc.run))
-                .alias("maxrun"),
-                F.when(same, acc.dup)
-                .otherwise(acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero))
-                .alias("dup"),
-            )
-
-        def finish(acc):
-            return F.struct(
-                F.greatest(acc.maxrun, acc.run).alias("top_cnt"),
-                (acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero)).alias(
-                    "dup_cnt"
-                ),
-            )
-
-        init = F.struct(
-            F.lit("").alias("prev"), zero.alias("run"),
-            zero.alias("maxrun"), zero.alias("dup"),
-        )
-        return F.aggregate(F.array_sort(grams), init, merge, finish)
-
+    _run_stats = _sorted_run_stats
     ns = range(1, max_n + 1)
     # keep_input_cols=True carries every input column through (so callers
     # like gopher_quality_filter chain map-side instead of self-joining
@@ -594,18 +601,28 @@ def remove_repeated_spans(
         )
     )
     kept = F.transform(kept_idx, lambda i: F.element_at(F.col("_spans"), i + 1))
+    # NULL text short-circuits to NULL outputs: concat_ws SKIPS a null
+    # array (yielding '' — a phantom empty document), while SQL engines
+    # propagate NULL through split/filter/join — so without the guard a
+    # NULL-text row diverges from any SQL oracle (NULL clean_md5 vs
+    # md5('')) and silently "cleans" missing text into empty text.
+    not_null = F.col(text_col).isNotNull()
     return staged.select(
         "*",
-        F.concat_ws(sep, kept).alias("text_clean"),
-        F.size("_spans").cast("long").alias("n_spans"),
-        F.size(kept).cast("long").alias("n_spans_kept"),
+        F.when(not_null, F.concat_ws(sep, kept)).alias("text_clean"),
+        F.when(not_null, F.size("_spans").cast("long")).alias("n_spans"),
+        F.when(not_null, F.size(kept).cast("long")).alias("n_spans_kept"),
     ).drop("_spans", "_sorted")
 
 
 _GOPHER_RULE_COLS = (
     "pass_min_tokens", "pass_max_tokens", "pass_word_len",
     "pass_symbol_ratio", "pass_stopwords", "pass_top2", "pass_dup3",
+    "pass_bullet_lines", "pass_ellipsis_lines", "pass_alpha_words",
+    "pass_dup_lines",
 )
+
+_BULLET_CHARS = ("-", "*", "•")
 
 
 def gopher_quality_filter(
@@ -620,28 +637,42 @@ def gopher_quality_filter(
     min_stopword_hits: int = 2,
     max_top2_frac: float = 0.20,
     max_dup3_frac: float = 0.30,
+    max_bullet_frac: float = 0.90,
+    max_ellipsis_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    max_dup_line_frac: float = 0.30,
 ) -> DataFrame:
     """The Gopher/MassiveText quality-rule battery (Rae et al. 2021 §A1.1)
     as one composable keep/drop projection: token-count window, mean word
     length window, hash/ellipsis **symbol-to-word** ratio, minimum count
     of **distinct** English stop words (both as the paper defines them),
-    and the :func:`repetition_signals` top-2-gram / dup-3-gram cuts.
-    Adds one boolean per rule plus ``gopher_keep`` (AND of all), so
-    pipelines can both filter and audit WHICH rule fired — dropping a
-    third of the corpus with no per-rule attribution is undebuggable at
-    100 TB.  Thresholds default to the published values; every component
-    reuses an already-oracle-checked operator (token counts, repetition
-    signals), so this adds rule wiring, not new arithmetic.  Map-side
-    only (the repetition fold is zero-shuffle)."""
+    the :func:`repetition_signals` top-2-gram / dup-3-gram cuts, and the
+    four line-level rules — bullet-line fraction (≤90% of lines starting
+    with a bullet), ellipsis-line fraction (≤30% ending with an
+    ellipsis), minimum fraction of words containing an alphabetic
+    character (≥80%), and duplicate-LINE fraction (≤30% of line
+    occurrences in repeated lines — distinct from the n-gram ``dup3``
+    cut).  Line rules are computed over the NON-EMPTY lines of the
+    document (split on newline, trailing carriage returns stripped) so
+    blank paragraph separators neither dilute the bullet/ellipsis
+    denominators nor count as "duplicate content"; word rules split on
+    runs of spaces.  Adds one boolean per rule plus ``gopher_keep`` (AND
+    of all), so pipelines can both filter and audit WHICH rule fired —
+    dropping a third of the corpus with no per-rule attribution is
+    undebuggable at 100 TB.  Thresholds default to the published values;
+    every component reuses an already-oracle-checked operator (token
+    counts, repetition signals, the sorted-run fold), so this adds rule
+    wiring, not new arithmetic.  Map-side only (the repetition and
+    dup-line folds are zero-shuffle)."""
     # only the EXACT output names clash (the inner repetition_signals call
     # guards its own outputs and _g1.._s3 temps; a prefix test would
     # spuriously reject benign metadata columns like _source or _score)
-    reserved = _GOPHER_RULE_COLS + ("gopher_keep",)
+    reserved = _GOPHER_RULE_COLS + ("gopher_keep", "_lines", "_words")
     clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
             f"input columns {clash} collide with gopher_quality_filter "
-            "outputs — rename or drop them first"
+            "outputs/temporaries — rename or drop them first"
         )
     toks = tokens_of(F.col(text_col))
     n = F.size(toks)
@@ -664,8 +695,56 @@ def gopher_quality_filter(
         )
     )
 
-    rep = repetition_signals(
-        df, id_col=id_col, text_col=text_col, keep_input_cols=True
+    # line-level rules: STAGE the non-empty-lines array as a real column
+    # before any lambda references it (the lambda-capture re-evaluation
+    # trap — see remove_repeated_spans); trailing \r stripped so CRLF and
+    # LF corpora score identically.  Both Spark ltrim/rtrim and their SQL
+    # twins strip exactly spaces, keeping line rules engine-portable.
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda s: F.regexp_replace(s, "\\r+$", ""),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(F.col("_lines"))
+    n_bullet = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda s: F.substring(F.ltrim(s), 1, 1).isin(*_BULLET_CHARS),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda s: F.rtrim(s).endswith("...") | F.rtrim(s).endswith("…"),
+        )
+    )
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    dup_line_stats = _sorted_run_stats(F.col("_lines"))
+    dup_line_frac = F.when(
+        n_lines > 0, dup_line_stats["dup_cnt"] / n_lines
+    ).otherwise(F.lit(0.0))
+    # word rule: whitespace words (runs of spaces), per the paper's "words"
+    words = F.split(F.trim(F.col(text_col)), " +")
+    n_words = F.size(F.col("_words"))
+    n_alpha_words = F.size(
+        F.filter(F.col("_words"), lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_frac = F.when(
+        (n_words > 0) & (F.element_at(F.col("_words"), 1) != ""),
+        n_alpha_words / n_words,
+    ).otherwise(F.lit(0.0))
+
+    rep = (
+        repetition_signals(
+            df, id_col=id_col, text_col=text_col, keep_input_cols=True
+        )
+        .withColumn("_lines", lines)
+        .withColumn("_words", words)
     )
     out = rep.select(
         "*",
@@ -678,7 +757,11 @@ def gopher_quality_filter(
         (distinct_stops >= min_stopword_hits).alias("pass_stopwords"),
         (F.col("top2_frac") <= max_top2_frac).alias("pass_top2"),
         (F.col("dup3_frac") <= max_dup3_frac).alias("pass_dup3"),
-    )
+        (bullet_frac <= max_bullet_frac).alias("pass_bullet_lines"),
+        (ellipsis_frac <= max_ellipsis_frac).alias("pass_ellipsis_lines"),
+        (alpha_frac >= min_alpha_word_frac).alias("pass_alpha_words"),
+        (dup_line_frac <= max_dup_line_frac).alias("pass_dup_lines"),
+    ).drop("_lines", "_words")
     # the rule list is static — a dynamic prefix scan would silently AND
     # in any caller column that happens to start with "pass_"
     expr = F.col(_GOPHER_RULE_COLS[0])

@@ -275,3 +275,69 @@ def test_ivfpq_rejects_mismatched_injected_artifacts(spark, emb):
     bad_books = [[[0.0] * 8] * 2] * 4  # 4 subspaces x 8 dims = 32 != 64
     with pytest.raises(ValueError, match="injected codebooks"):
         SIM.ivfpq_topk(df, q, codebooks=bad_books)
+
+
+def test_artifact_validation_rejects_empty_and_warns_on_empty_corpus(
+    spark, emb
+):
+    """Round-6 advice fix: empty injected artifact lists raise ValueError
+    (previously IndexError), mutually-inconsistent artifacts raise even
+    when the corpus is empty, and an empty corpus emits a warning instead
+    of silently skipping validation."""
+    import warnings
+
+    df, _, _ = emb
+    q = df.where(df.vec_id < 2).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    with pytest.raises(ValueError, match="centroids list is empty"):
+        SIM.ivfpq_topk(df, q, centroids=[])
+    with pytest.raises(ValueError, match="codebooks are empty"):
+        SIM.ivfpq_topk(df, q, codebooks=[])
+    with pytest.raises(ValueError, match="codebooks are empty"):
+        SIM.ivfpq_topk(df, q, codebooks=[[], []])
+    empty = df.limit(0)
+    # inconsistent pair: caught by cross-validation even with no corpus
+    with pytest.raises(ValueError, match="disagree with each other"):
+        SIM.validate_ann_artifacts(
+            empty, "embedding",
+            [(0, [0.0] * 32)], [[[0.0] * 16] * 2] * 4,
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SIM.validate_ann_artifacts(
+            empty, "embedding", [(0, [0.0] * 32)], None
+        )
+    assert any("cannot be validated" in str(x.message) for x in w)
+
+
+def test_ivfpq_reordered_injected_centroids_bucket_correctly(spark, emb):
+    """Round-6 advice fix: the literal assignment path must honour the
+    STORED centroid ids (ivfpq_topk accepts caller lists where cid !=
+    list position) — a reordered list must give identical search results
+    to the sorted list."""
+    df, _, _ = emb
+    cents = SIM.kmeans_fit(df, k=4, iters=1)
+    books = SIM.pq_fit(df, m=M, k_sub=K_SUB, iters=1)
+    q = df.where(df.vec_id < 2).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    shuffled = [cents[2], cents[0], cents[3], cents[1]]
+    a = sorted(map(tuple, SIM.ivfpq_topk(
+        df, q, k=3, n_probe=2, centroids=cents, codebooks=books
+    ).collect()))
+    b = sorted(map(tuple, SIM.ivfpq_topk(
+        df, q, k=3, n_probe=2, centroids=shuffled, codebooks=books
+    ).collect()))
+    assert a == b
+    # and _assign_nearest itself maps to the real cids, both paths
+    v = df.select("vec_id", SIM.as_double(df.embedding).alias("v"))
+    lit_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in SIM._assign_nearest(v, shuffled).collect()
+    }
+    sorted_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in SIM._assign_nearest(v, cents).collect()
+    }
+    assert lit_assign == sorted_assign

@@ -458,6 +458,34 @@ def test_gopher_quality_filter_matches_python_reference(spark, sf_dir):
         sym_ratio = n_sym / n if n else 0.0
         distinct_stops = len(set(toks) & stop)
         top2, dup3 = rep[r["doc_id"]]
+        # line-level rules (round 6): non-empty lines, trailing \r stripped
+        lines = [
+            re.sub(r"\r+$", "", s) for s in text.split("\n")
+        ]
+        lines = [s for s in lines if s]
+        nl = len(lines)
+        bullet = (
+            sum(1 for s in lines if s.lstrip(" ")[:1] in ("-", "*", "•")) / nl
+            if nl else 0.0
+        )
+        ellipsis = (
+            sum(
+                1 for s in lines
+                if s.rstrip(" ").endswith("...") or s.rstrip(" ").endswith("…")
+            ) / nl
+            if nl else 0.0
+        )
+        from collections import Counter
+
+        linec = Counter(lines)
+        dup_lines = (
+            sum(c for c in linec.values() if c > 1) / nl if nl else 0.0
+        )
+        words = re.split(" +", text.strip(" ")) if text.strip(" ") else [""]
+        alpha = (
+            sum(1 for w in words if re.search("[A-Za-z]", w)) / len(words)
+            if words and words[0] != "" else 0.0
+        )
         g = got[r["doc_id"]]
         assert g["pass_min_tokens"] == (n >= 50)
         assert g["pass_max_tokens"] == (n <= 100_000)
@@ -466,6 +494,10 @@ def test_gopher_quality_filter_matches_python_reference(spark, sf_dir):
         assert g["pass_stopwords"] == (distinct_stops >= 2)
         assert g["pass_top2"] == (top2 <= 0.20)
         assert g["pass_dup3"] == (dup3 <= 0.30)
+        assert g["pass_bullet_lines"] == (bullet <= 0.90)
+        assert g["pass_ellipsis_lines"] == (ellipsis <= 0.30)
+        assert g["pass_alpha_words"] == (alpha >= 0.80)
+        assert g["pass_dup_lines"] == (dup_lines <= 0.30)
         assert g["gopher_keep"] == all(
             g[c] for c in g if c.startswith("pass_")
         )
@@ -482,6 +514,49 @@ def test_gopher_quality_filter_plan_is_shuffle_free(spark, sf_dir):
     plan = gopher_quality_filter(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_gopher_line_rules_crafted(spark):
+    """The four round-6 rules on hand-built documents where each rule is
+    the ONLY one that fires the interesting way."""
+    from chronicles_spark.operators.text import gopher_quality_filter
+
+    base = "the cat sat of and to in is on mat " * 10  # passes token rules
+    rows = [
+        (1, base),  # clean: all four new rules pass
+        (2, base + "\n" + "\n".join(f"- item {i}" for i in range(100))),
+        (3, base + "\n" + "\n".join(f"teaser {i}..." for i in range(100))),
+        (4, "the of and to 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 "
+            "17 18 19 20 21 22 23 24 25 26 27 28 29 30 31 32 33 34 35 36 "
+            "37 38 39 40 41 42 43 44 45 46"),  # mostly numeric words
+        (5, base + "\n" + "same line\n" * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_filter(df).collect()}
+    assert got[1]["pass_bullet_lines"] and got[1]["pass_ellipsis_lines"]
+    assert got[1]["pass_alpha_words"] and got[1]["pass_dup_lines"]
+    assert not got[2]["pass_bullet_lines"]
+    assert not got[3]["pass_ellipsis_lines"]
+    assert not got[4]["pass_alpha_words"]
+    assert not got[5]["pass_dup_lines"]
+    # a failing line rule vetoes the keep
+    for d in (2, 3, 4, 5):
+        assert not got[d]["gopher_keep"]
+
+
+def test_remove_repeated_spans_null_text(spark):
+    """NULL text yields NULL outputs (not a phantom '' document) — the
+    SQL-oracle NULL-propagation contract (round-6 advice fix)."""
+    from chronicles_spark.operators.text import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\na\nb")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in remove_repeated_spans(df).collect()}
+    assert got[1]["text_clean"] is None
+    assert got[1]["n_spans"] is None and got[1]["n_spans_kept"] is None
+    assert got[2]["text_clean"] == "a\nb"
+    assert (got[2]["n_spans"], got[2]["n_spans_kept"]) == (3, 2)
 
 
 def test_remove_repeated_spans_literal_separator(spark):
