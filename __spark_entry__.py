@@ -378,6 +378,33 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
                 f"ADC at {key}: ({nb}, {dist}) vs ({fnb}, {fdist})"
             )
 
+    # exact re-rank (rerank_topk — the IVFPQ+refine recipe's refine step):
+    # over a shortlist covering the WHOLE corpus (ADC k >= corpus size)
+    # the re-ranked cosine top-k, minus the trivial self-match, must equal
+    # brute_topk's exact answer — any approximation leaking through the
+    # re-rank (or a broken tie-break) diverges here
+    n_corpus = emb.count()
+    shortlist = SIM.pq_adc_topk(codes, queries2, books, k=n_corpus)
+    rr = SIM.rerank_topk(
+        shortlist.where(F.col("neighbor_id") != F.col("query_id")),
+        emb, queries2, k=3, metric="cosine",
+    )
+    got_rr = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in rr.collect()
+    }
+    want_rr = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in SIM.brute_topk(
+            emb, emb.select("vec_id").where(F.col("vec_id") < 3), k=3
+        ).collect()
+    }
+    if got_rr != want_rr:
+        raise AssertionError(
+            f"rerank_topk over a full shortlist diverged from brute_topk: "
+            f"{got_rr} vs {want_rr}"
+        )
+
     # semantic dedup (same learned-centroid family; numpy differential in
     # tests/test_semantic_dedup.py) — invariant sweep: pairs exist on this
     # fixture, are ordered, and carry in-range cosines

@@ -838,6 +838,78 @@ def pq_adc_topk(
     )
 
 
+def rerank_topk(
+    shortlist: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    neighbor_col: str = "neighbor_id",
+    broadcast_shortlist: bool = True,
+) -> DataFrame:
+    """Exact re-ranking of an approximate shortlist — the refine step of
+    the standard FAISS IVFPQ+refine recipe: run :func:`ivfpq_topk` /
+    :func:`pq_adc_topk` with ``k = shortlist_k > k`` (the recall knob),
+    then re-score ONLY those candidates against their original
+    full-precision vectors and keep the exact top ``k``.
+
+    ``shortlist`` needs (``query_id_col``, ``neighbor_col``) — extra
+    columns (rank, adc_dist) are ignored.  ``metric``: ``"cosine"``
+    (descending, column ``cosine`` — :func:`brute_topk`'s contract) or
+    ``"l2"`` (ascending squared L2, column ``l2_dist``).  Ties break on
+    ascending neighbor id; scores round to 6 decimals (engine parity).
+
+    Scale shape: the shortlist is Q·shortlist_k (id, id) pairs —
+    metadata-scale next to the corpus — so with the default
+    ``broadcast_shortlist=True`` it broadcasts into the corpus scan and
+    candidate vectors are pulled in ONE map-side pass (no corpus
+    shuffle); the candidate relation (Q·shortlist_k rows with vectors)
+    then equi-joins the query vectors on ``query_id``.  Set
+    ``broadcast_shortlist=False`` for corpus-scale query sets: both the
+    candidate pull and the query join become shuffle equi-joins keyed on
+    ids — never a cartesian, never a full-corpus score."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    pairs = shortlist.select(
+        F.col(query_id_col), F.col(neighbor_col)
+    ).distinct()
+    v = df.select(
+        F.col(id_col).alias(neighbor_col), as_double(F.col(vec_col)).alias("v")
+    )
+    pair_side = F.broadcast(pairs) if broadcast_shortlist else pairs
+    cand = v.join(pair_side, neighbor_col)
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("qv")
+    )
+    q_side = F.broadcast(q) if broadcast_shortlist else q
+    joined = cand.join(q_side, query_id_col)
+    if metric == "cosine":
+        score = cosine(F.col("qv"), F.col("v")).alias("cosine")
+        order = [F.col("cosine").desc(), F.col(neighbor_col).asc()]
+    else:
+        score = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l2_dist")
+        order = [F.col("l2_dist").asc(), F.col(neighbor_col).asc()]
+    scored = joined.select(query_id_col, neighbor_col, score)
+    w = W.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", neighbor_col, scored.columns[-1])
+    )
+
+
 def validate_ann_artifacts(
     df: DataFrame,
     vec_col: str,

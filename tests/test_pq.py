@@ -277,6 +277,46 @@ def test_ivfpq_rejects_mismatched_injected_artifacts(spark, emb):
         SIM.ivfpq_topk(df, q, codebooks=bad_books)
 
 
+def test_rerank_topk_matches_numpy(spark, fitted):
+    """Exact re-rank over an ADC shortlist vs numpy recomputing the same
+    metric over the same candidate pairs, both metrics, id tie-break."""
+    df, ids, vecs, books, _ = fitted
+    codes = SIM.pq_encode(df, books)
+    q = df.where(df.vec_id < 3).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qv")
+    )
+    short = SIM.pq_adc_topk(codes, q, books, k=10)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in short.collect()]
+    by_id = {int(i): vecs[n] for n, i in enumerate(ids)}
+
+    for metric, col, sign in (("cosine", "cosine", -1), ("l2", "l2_dist", 1)):
+        got = SIM.rerank_topk(short, df, q, k=4, metric=metric).collect()
+        ref = {}
+        for qid in (0, 1, 2):
+            cands = [n for (qq, n) in pairs if qq == qid]
+            scored = []
+            for n in cands:
+                a, b = by_id[qid], by_id[n]
+                if metric == "cosine":
+                    s = round(
+                        float(a @ b)
+                        / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b))),
+                        6,
+                    )
+                else:
+                    s = round(float(((a - b) ** 2).sum()), 6)
+                scored.append((sign * s, n, s))
+            scored.sort()
+            ref[qid] = [(i + 1, n, s) for i, (_, n, s) in enumerate(scored[:4])]
+        for r in got:
+            rank_ref = ref[r["query_id"]][r["rank"] - 1]
+            assert (r["neighbor_id"], ) == (rank_ref[1], )
+            assert abs(r[col] - rank_ref[2]) < 1e-9
+        assert len(got) == sum(len(v) for v in ref.values())
+    with pytest.raises(ValueError, match="metric"):
+        SIM.rerank_topk(short, df, q, metric="dot")
+
+
 def test_artifact_validation_rejects_empty_and_warns_on_empty_corpus(
     spark, emb
 ):
