@@ -996,9 +996,21 @@ def ivfpq_topk(
     2. PQ-compress every vector (one map-side encode);
     3. each query probes its ``n_probe`` nearest coarse buckets and runs
        asymmetric-distance scoring ONLY against those buckets' codes —
-       the join key is (bucket, sub, code), so the shuffle carries the
-       probed slice of the corpus instead of all of it, and key
-       cardinality n_clusters·m·k_sub keeps parallelism without salting.
+       the join key is (bucket, sub, code) with cardinality
+       n_clusters·m·k_sub, keeping parallelism without salting.
+
+    Shuffle caveat: the "only probed codes move" property holds WHILE the
+    Q·n_probe·m·k_sub distance table fits a broadcast (AQE auto-broadcast
+    under ``spark.sql.autoBroadcastJoinThreshold``) — the corpus side is
+    then filtered map-side by the broadcast hash join.  With a
+    corpus-scale query set the equi-join shuffles the FULL exploded
+    corpus (m× amplified), probed or not, because this in-memory variant
+    re-encodes from raw embeddings and has no physical layout to prune
+    against.  The corpus-scale shape is the MATERIALIZED index:
+    :func:`chronicles_spark.operators.ann_index.build_ann_index` writes
+    (id, pq_codes) partitioned by bucket as a versioned table, and
+    :func:`~chronicles_spark.operators.ann_index.ivfpq_topk_indexed`
+    prunes probes at the SCAN — unprobed buckets are never read at all.
 
     Returns (query_id, rank, neighbor_id, adc_dist), ranks 1..k by
     ascending approximate squared L2 with id tie-break.  Exact
@@ -1030,11 +1042,24 @@ def ivfpq_topk(
     ).select(
         F.col(id_col), "bucket", F.posexplode("pq_codes").alias("sub", "code")
     )
+    probes = select_probes(queries, centroids, n_probe, query_id_col, query_vec_col)
+    return adc_over_probes(corpus, probes, codebooks, k, id_col, query_id_col)
 
+
+def select_probes(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """(query_id, qv, bucket) — each query's ``n_probe`` nearest coarse
+    buckets by squared L2, ties to the lowest bucket id.  The centroid
+    side is always a tiny k·dim broadcast; the window partitions by query,
+    so probe selection parallelizes with the query set."""
     q = queries.select(
         F.col(query_id_col), as_double(F.col(query_vec_col)).alias("qv")
     )
-    # probe selection: same argmin machinery, top n_probe buckets
     cents_df = q.sparkSession.createDataFrame(
         [(cid, list(c)) for cid, c in centroids], "bucket int, cv array<double>"
     )
@@ -1046,15 +1071,35 @@ def ivfpq_topk(
         ).alias("cd"),
     )
     wq = W.partitionBy(query_id_col).orderBy(F.col("cd").asc(), F.col("bucket").asc())
-    probes = (
+    return (
         qc.withColumn("crank", F.row_number().over(wq))
         .where(F.col("crank") <= n_probe)
         .select(query_id_col, "qv", "bucket")
     )
 
-    # per-(query, probed bucket) distance table: Q·n_probe·m·k_sub rows
+
+def adc_over_probes(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance scoring of a probed corpus slice: ``corpus`` is
+    the exploded (id, bucket, sub, code) relation, ``probes`` is
+    :func:`select_probes`'s output.  The per-(query, probed bucket)
+    distance table has Q·n_probe·m·k_sub rows and joins the corpus on
+    (bucket, sub, code) — key cardinality n_clusters·m·k_sub keeps
+    parallelism without salting.
+
+    No self-exclusion: queries are an INDEPENDENT relation whose id space
+    is unrelated to the corpus (same contract as :func:`pq_adc_topk`) —
+    filtering ``vec_id == query_id`` would silently drop unrelated
+    neighbors, and a caller searching the corpus against itself can
+    exclude the trivial match afterwards."""
     sub_d = len(codebooks[0][0])
-    cb_df = q.sparkSession.createDataFrame(
+    cb_df = probes.sparkSession.createDataFrame(
         [
             (s, c, list(vec))
             for s, cb in enumerate(codebooks)
@@ -1073,11 +1118,6 @@ def ivfpq_topk(
             F.lit(0.0), lambda acc, x: acc + x,
         ).alias("d"),
     )
-    # no self-exclusion: queries are an INDEPENDENT relation whose id
-    # space is unrelated to the corpus (same contract as pq_adc_topk) —
-    # filtering vec_id == query_id would silently drop unrelated
-    # neighbors, and a caller searching the corpus against itself can
-    # exclude the trivial match afterwards
     scored = (
         corpus.join(dtab, ["bucket", "sub", "code"])
         .groupBy(query_id_col, id_col)
