@@ -127,12 +127,22 @@ def test_versioned_stream_sink_append_cross_batch_partitions(
     assert got == want
 
 
-def test_commit_stream_batch_replay_is_noop(spark, tmp_path, events_batch):
-    """Replaying an epoch (checkpoint recovery) must not double rows."""
+@pytest.mark.parametrize("backend", ["memory", "files_cas"])
+def test_commit_stream_batch_replay_is_noop(spark, tmp_path, events_batch, backend):
+    """Replaying an epoch (checkpoint recovery) must not double rows —
+    pinned on the in-memory tracker AND the CAS-mode files tracker
+    (round 6: the epoch-replay guard reads the log the CAS commit
+    protocol wrote, including through a cut fold checkpoint)."""
     from chronicles_spark.streaming import commit_stream_batch
+    from chronicles_spark.trackers import FileBackedVersionTracker
 
     batch_df, _ = events_batch
-    tracker = InMemoryVersionTracker()
+    if backend == "memory":
+        tracker = InMemoryVersionTracker()
+    else:
+        tracker = FileBackedVersionTracker(
+            str(tmp_path / "_log"), use_cas=True, checkpoint_interval=2
+        )
     table = _make_table(tmp_path, "replay")
     tracker.init_table(table.name, is_snapshot=False, user_id="etl")
 

@@ -14,10 +14,19 @@ from chronicles_spark.spark import versioned_insert_into
 from chronicles_spark.trackers import FileBackedVersionTracker
 
 
-@pytest.fixture()
-def stream_table(spark, tmp_path):
+@pytest.fixture(params=[False, True], ids=["plain", "cas"])
+def stream_table(spark, tmp_path, request):
+    """Round 6: the whole suite runs over BOTH commit protocols — the CAS
+    conditional-put mode's in-flight visibility window (commit file lands
+    before the monotonic head advance) and gap-fill slots interact with
+    the source's head-capped offsets, exactly the corner a race would
+    bite, so every offset/replay/rollback behavior is pinned under CAS
+    too (checkpoint_interval=2 keeps checkpoint cuts ON the raced path)."""
     root = str(tmp_path / "_log")
-    tracker = FileBackedVersionTracker(root)
+    tracker = FileBackedVersionTracker(
+        root, use_cas=request.param,
+        checkpoint_interval=2 if request.param else 100,
+    )
     table = TableDefinition(
         TableName("demo", "stream"), str(tmp_path / "stream"), PartitionSchema(("date",))
     )
@@ -432,3 +441,115 @@ def test_inflight_commit_is_capped_not_misread_as_rollback(spark, stream_table):
     # head advances: the commit becomes visible on the next poll
     tracker.fs.write_text(head_path, json.dumps({"head_ref": new_head}))
     assert reader.latestOffset()["commits"] == n_before + 1
+
+
+_CAS_WRITER = """
+import sys
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+root, n = sys.argv[1], int(sys.argv[2])
+tracker = FileBackedVersionTracker(root, use_cas=True, checkpoint_interval=3)
+t = TableName("demo", "stream")
+for i in range(n):
+    tracker.commit(
+        t,
+        TableUpdate(
+            TableUpdateMetadata.new("casw", "race " + str(i)),
+            (AddPartitionVersion(
+                Partition((("date", "2020-02-" + str(i % 5 + 1).zfill(2)),)),
+                generate_version(),
+            ),),
+        ),
+    )
+print("DONE", n)
+"""
+
+
+def test_cas_writer_racing_stream_never_exposes_inflight_or_gap(tmp_path):
+    """Round-6 directive: a CAS-mode writer commits (with checkpoint cuts
+    every 3 commits) from ANOTHER OS PROCESS while this process polls the
+    stream source.  Invariants under race:
+
+    * every poll succeeds (no spurious rollback error — an in-flight
+      commit whose head advance hasn't landed is capped, not fatal);
+    * offsets are monotonic in both commit count and last_seq;
+    * every consecutive (start, end] range PLANS cleanly — no 'prefix
+      changed' (CAS claims sequence slots at-or-above the listed max, so
+      a racer can never land below a consumed offset);
+    * the consumed ranges together cover every partition the writer
+      touched, and the final fold equals a full-fold ground truth."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "_log")
+    tracker = FileBackedVersionTracker(root, use_cas=True, checkpoint_interval=3)
+    table = TableDefinition(
+        TableName("demo", "stream"), str(tmp_path / "stream"),
+        PartitionSchema(("date",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="a")
+
+    reader = ChroniclesStreamReader(
+        {"root": root, "table": table.name.fully_qualified,
+         "location": table.location},
+        None,
+    )
+    n_commits = 30
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CAS_WRITER, root, str(n_commits)],
+        env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    prev = reader.initialOffset()
+    seen_dirs = set()
+    polls = 0
+    try:
+        while proc.poll() is None or polls == 0:
+            off = reader.latestOffset()  # must never raise mid-race
+            assert off["commits"] >= prev["commits"], (prev, off)
+            assert off["last_seq"] >= prev["last_seq"], (prev, off)
+            if off != prev:
+                parts = reader.partitions(prev, off)  # no 'prefix changed'
+                seen_dirs.update(p.path for p in parts)
+                prev = off
+            polls += 1
+            time.sleep(0.02)
+    finally:
+        out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err[-2000:]
+    assert f"DONE {n_commits}" in out
+
+    # drain the tail after the writer exits
+    off = reader.latestOffset()
+    if off != prev:
+        seen_dirs.update(p.path for p in reader.partitions(prev, off))
+        prev = off
+    assert prev["commits"] == 1 + n_commits  # init + writer commits
+    assert polls > 1  # the loop really raced the writer
+
+    # coverage: every partition the writer touched appeared in some range
+    # (drop the zero-row sentinel a no-change range plans as path="")
+    assert {
+        f"date=2020-02-{i:02d}" for i in range(1, 6)
+    } == {d.split("/")[-2] for d in seen_dirs if d}
+
+    # final fold agrees with a checkpoint-free ground truth (the raced
+    # checkpoint cuts never corrupted resolution)
+    truth = FileBackedVersionTracker(root, checkpoint_interval=None)
+    fast = FileBackedVersionTracker(root, checkpoint_interval=3)
+    assert fast.current_version(table.name) == truth.current_version(table.name)
+    # and a checkpoint artifact was actually cut during the race
+    tdir = fast._table_dir(table.name)
+    assert any(
+        n.startswith("checkpoint_") for n in fast.fs.list_dir(tdir)
+    )
