@@ -1,0 +1,96 @@
+"""Env-gated REAL-object-store CAS smoke test (round-6 directive #8).
+
+The CAS commit protocol's conditional-put semantics are raced exhaustively
+over local/memory backends and a fake-412 fsspec double in
+tests/test_cas_commits.py — but the claim that a REAL S3/GCS deployment
+honours them can only be checked against a real bucket, which this
+container cannot reach (no network, no fsspec).  Following the
+reference's Glue integration-test pattern (aws-glue/src/it/.../
+GlueMetastoreIntegrationSpec.scala:26-79: skip unless the env opts in),
+this suite runs only when BOTH are present:
+
+    CHRONICLES_OBJECT_STORE_URL=s3://bucket/prefix   (or gs://...)
+    fsspec + the scheme's driver (s3fs / gcsfs) importable
+
+and the store supports conditional puts (S3 `If-None-Match`, GCS
+generation preconditions).  Everything it exercises is the production
+CAS path: conditional-put probe, full tracker round-trip (init → commits
+→ checkpoint cut → reload-from-cold agreement → time travel), loser-put
+semantics.  Cleanup removes only what the test created.
+"""
+
+import os
+import uuid
+
+import pytest
+
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+
+OBJECT_STORE_URL = os.environ.get("CHRONICLES_OBJECT_STORE_URL")
+
+pytestmark = pytest.mark.skipif(
+    not OBJECT_STORE_URL,
+    reason="set CHRONICLES_OBJECT_STORE_URL=s3://bucket/prefix (and install "
+    "fsspec + the scheme driver) to run the real-object-store CAS smoke",
+)
+
+
+@pytest.fixture()
+def store():
+    fsspec = pytest.importorskip("fsspec")
+    from chronicles_spark.trackers.fs import FsspecFileSystem
+
+    scheme = OBJECT_STORE_URL.split("://", 1)[0]
+    fs = FsspecFileSystem(fsspec.filesystem(scheme), conditional_put=True)
+    base = OBJECT_STORE_URL.rstrip("/") + f"/chronicles_cas_smoke_{uuid.uuid4().hex}"
+    yield fs, base
+    fs.remove_tree(base)
+
+
+def test_conditional_put_is_exclusive(store):
+    fs, base = store
+    p = fs.join(base, "probe.json")
+    assert fs.write_text_if_absent(p, "winner") is True
+    assert fs.write_text_if_absent(p, "loser") is False
+    assert fs.read_text(p) == "winner"  # loser never overwrote
+
+
+def test_cas_tracker_roundtrip_on_object_store(store):
+    from chronicles_spark.trackers import FileBackedVersionTracker
+
+    fs, base = store
+    root = base + "/_log"
+    tracker = FileBackedVersionTracker(
+        root, fs=fs, use_cas=True, checkpoint_interval=2
+    )
+    t = TableName("smoke", "cas")
+    tracker.init_table(t, is_snapshot=False, user_id="smoke")
+    commits = []
+    for i in range(5):
+        u = TableUpdate(
+            TableUpdateMetadata.new("smoke", f"c{i}"),
+            (AddPartitionVersion(
+                Partition.parse(f"d=2024-01-0{i + 1}"), generate_version()
+            ),),
+        )
+        tracker.commit(t, u)
+        commits.append(u.metadata.commit_id)
+
+    # checkpoint artifacts were cut on the real store
+    tdir = tracker._table_dir(t)
+    assert any(n.startswith("checkpoint_") for n in fs.list_dir(tdir))
+
+    # a COLD second instance agrees with the writer, with and without
+    # the checkpoint fast path, including time travel
+    warm = tracker.current_version(t)
+    cold = FileBackedVersionTracker(root, fs=fs, use_cas=True)
+    truth = FileBackedVersionTracker(root, fs=fs, checkpoint_interval=None)
+    assert cold.current_version(t) == warm == truth.current_version(t)
+    assert cold.version_at(t, commits[1]) == truth.version_at(t, commits[1])
+    assert len(warm.partition_versions) == 5
