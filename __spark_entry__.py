@@ -464,6 +464,33 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
     ):
         raise AssertionError("scan pruning audit: probed set not a strict subset")
 
+    # incremental extend (upsert, round 6): re-submit id 0 carrying id 7's
+    # embedding — the moved-upsert invariants: total count stable, no
+    # stale twin of the moved id anywhere, and its codes now equal the
+    # donor's (tests/test_ann_index.py pins the full bucket/Remove
+    # semantics; this keeps the operator driver-visible)
+    donor_vec = emb.where(F.col("vec_id") == 7).select(
+        "embedding"
+    ).collect()[0]["embedding"]
+    moved = spark.createDataFrame(
+        [(0, list(donor_vec))], "vec_id long, embedding array<float>"
+    )
+    n_idx = read_current(spark, atable, atracker).count()
+    AX.extend_ann_index(moved, atable, atracker)
+    after_ext = read_current(spark, atable, atracker)
+    if after_ext.count() != n_idx:
+        raise AssertionError("extend_ann_index upsert changed the row count")
+    pair = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in after_ext.where(F.col("vec_id").isin(0, 7)).collect()
+    }
+    if len(
+        after_ext.where(F.col("vec_id") == 0).collect()
+    ) != 1 or pair[0] != pair[7]:
+        raise AssertionError(
+            "extend_ann_index upsert left a stale or mis-encoded row"
+        )
+
     # semantic dedup (same learned-centroid family; numpy differential in
     # tests/test_semantic_dedup.py) — invariant sweep: pairs exist on this
     # fixture, are ordered, and carry in-range cosines

@@ -183,28 +183,218 @@ def build_ann_index(
 def load_ann_artifacts(
     table: TableDefinition, table_version
 ) -> AnnArtifacts:
-    """Artifacts pinned by a resolved index state.  Requires every live
-    partition at ONE version label (the atomic-full-rebuild contract this
-    module's builder maintains); a mixed-version state means the table
-    was written outside :func:`build_ann_index` — pass its artifacts to
-    :func:`ivfpq_topk_indexed` explicitly instead."""
+    """Artifacts pinned by a resolved index state.
+
+    A full rebuild leaves every live partition at one version label; an
+    :func:`extend_ann_index` upsert leaves TOUCHED buckets at a newer
+    label than untouched ones.  Both are valid index states as long as
+    every live label's sidecar carries the SAME quantizer (extend writes
+    its sidecar with the artifacts it encoded under, so this holds by
+    construction).  The loader therefore reads each distinct label's
+    sidecar and requires the artifact payloads to AGREE — disagreement
+    means the table mixes data encoded under different quantizers (a
+    write outside this module, or a partial-rollback interleaving) and
+    no single artifact set can score it: pass ``artifacts=`` explicitly
+    after deciding which geometry is right, or rebuild.  Returns the
+    artifacts stamped with the NEWEST live label."""
     if not isinstance(table_version, PartitionedTableVersion):
         raise ValueError("ANN index tables are partitioned by bucket")
-    labels = {v.label for v in table_version.partition_versions.values()}
+    labels = sorted({v.label for v in table_version.partition_versions.values()})
     if not labels:
         raise ValueError(f"table {table.name} has no live index data")
-    if len(labels) != 1:
+    loaded: list[AnnArtifacts] = []
+    for label in labels:
+        fs, apath = _artifact_path(table, label)
+        if not fs.exists(apath):
+            raise ValueError(
+                f"no artifact sidecar for live index version {label} at "
+                f"{apath}"
+            )
+        loaded.append(AnnArtifacts.from_json(fs.read_text(apath)))
+    first = loaded[0]
+    for other in loaded[1:]:
+        if (
+            other.centroids != first.centroids
+            or other.codebooks != first.codebooks
+        ):
+            raise ValueError(
+                f"table {table.name} has live partitions encoded under "
+                f"DIFFERENT quantizers (labels {labels}) — pass artifacts= "
+                "explicitly or rebuild the index"
+            )
+    return AnnArtifacts(
+        centroids=first.centroids,
+        codebooks=first.codebooks,
+        version_label=labels[-1],
+    )
+
+
+def extend_ann_index(
+    df_new: DataFrame,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "ann",
+    message: str = "extend ann index",
+    artifacts: "AnnArtifacts | None" = None,
+    mode: str = "upsert",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metastore=None,
+):
+    """Incremental write into a materialized ANN index: encode ONLY the
+    new/changed vectors under the index's EXISTING quantizer and publish
+    fresh versions for exactly the touched buckets.  Returns
+    ``(table_version, AnnArtifacts)`` — artifacts unchanged, re-stamped
+    under the new version label so :func:`load_ann_artifacts`'s
+    sidecar-per-label agreement contract keeps holding.
+
+    ``mode="upsert"`` (default): rows whose id already exists anywhere in
+    the index are REPLACED.  Old rows are located with one column-pruned
+    scan of the whole index (only (id, bucket) — a PQ index is ~1/100
+    the corpus bytes and the scan reads two int columns of it) filtered
+    map-side against the broadcast new-id set, so a replacement whose
+    new embedding lands in a DIFFERENT coarse bucket still removes the
+    stale row from its old bucket, and a bucket emptied by such a move
+    is removed from the live view in the same commit (RemovePartition —
+    without it the old version directory would stay live and resurrect
+    the moved row).  ``mode="append"``: the caller asserts every id is
+    new; the locate scan is skipped entirely and cost is O(new data +
+    touched buckets' current data) with no index-wide read.
+
+    Scale shape: one map-side encode pass over the NEW data; a driver
+    collect of the touched bucket ids (≤ n_clusters ints); a
+    read-modify-write of ONLY the touched buckets (the streaming sink's
+    append pattern — partition values read as exact strings, never
+    type-inferred); ONE commit carrying adds and removals atomically.
+    When a batch spreads uniformly over ALL buckets the rewrite
+    approaches a full rebuild — the honest LSM-style trade; the right
+    cadence is batched extends punctuated by a periodic
+    :func:`build_ann_index` refresh (which also re-fits drifted
+    centroids).  Untouched buckets keep their version; vacuum reclaims
+    superseded touched-bucket versions as usual."""
+    if tuple(table.partition_schema.columns) != (BUCKET_COL,):
         raise ValueError(
-            f"table {table.name} has live partitions at {len(labels)} "
-            "different versions — not an atomically-built ANN index; pass "
-            "artifacts= explicitly"
+            f"ANN index table must be partitioned by ({BUCKET_COL!r},), "
+            f"got {table.partition_schema.columns}"
         )
-    fs, apath = _artifact_path(table, labels.pop())
-    if not fs.exists(apath):
-        raise ValueError(
-            f"no artifact sidecar for the live index version at {apath}"
+    if mode not in ("upsert", "append"):
+        raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
+    spark = df_new.sparkSession
+    state = tracker.current_version(table.name)
+    if artifacts is None:
+        artifacts = load_ann_artifacts(table, state)
+    centroids = artifacts.centroid_list
+    codebooks = artifacts.codebook_list
+    SIM.validate_ann_artifacts(df_new, vec_col, centroids, codebooks)
+
+    vd = df_new.select(F.col(id_col), SIM.as_double(F.col(vec_col)).alias("v"))
+    encoded_new = SIM.pq_encode(
+        SIM._assign_nearest(vd, centroids).withColumnRenamed("cluster", BUCKET_COL),
+        codebooks,
+        id_col=id_col,
+        vec_col="v",
+        keep_cols=True,
+    ).select(
+        F.col(id_col),
+        F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
+        "pq_codes",
+    )
+    new_buckets = sorted(
+        r[BUCKET_COL]
+        for r in encoded_new.select(BUCKET_COL).distinct().collect()
+    )
+    if not new_buckets:
+        raise ValueError("extend_ann_index got an empty batch")
+
+    from ..spark.reader import read_version
+
+    touched = set(new_buckets)
+    new_ids = encoded_new.select(id_col).distinct()
+    if mode == "upsert" and state.partition_versions:
+        # locate old rows of re-submitted ids ANYWHERE in the index: a
+        # column-pruned (id, bucket) scan filtered map-side against the
+        # broadcast new-id set — the moved-bucket correctness pass
+        old_locs = (
+            read_version(spark, table, state, infer_partition_types=False)
+            .select(F.col(id_col), F.col(BUCKET_COL))
+            .join(F.broadcast(new_ids), id_col, "left_semi")
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
         )
-    return AnnArtifacts.from_json(fs.read_text(apath))
+        touched |= {r[BUCKET_COL] for r in old_locs}
+    touched_sorted = sorted(touched)
+
+    sub_state = restrict_to_buckets(state, touched_sorted)
+    out = encoded_new
+    if sub_state.partition_versions:
+        # current rows of exactly the touched buckets, partition values as
+        # exact strings (read-modify-write contract); in upsert mode
+        # same-id rows are superseded via a broadcast anti-join
+        live = read_version(
+            spark, table, sub_state, infer_partition_types=False
+        ).select(F.col(id_col), F.col(BUCKET_COL), F.col("pq_codes"))
+        if mode == "upsert":
+            live = live.join(F.broadcast(new_ids), id_col, "left_anti")
+        out = encoded_new.unionByName(live)
+
+    # sidecar BEFORE the data commit (build's crash-ordering contract)
+    version = generate_version()
+    stamped = AnnArtifacts(
+        centroids=artifacts.centroids,
+        codebooks=artifacts.codebooks,
+        version_label=version.label,
+    )
+    fs, apath = _artifact_path(table, version.label)
+    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))
+    fs.write_text(apath, stamped.to_json())
+
+    # the commit must carry Add ops for written buckets AND Remove ops
+    # for touched buckets emptied by a moved upsert, atomically — so the
+    # write+ops are assembled here instead of versioned_insert_into
+    # (same guard, same discovery, same op ordering)
+    from datetime import datetime, timezone
+
+    from ..core.ops import (
+        AddPartitionVersion,
+        RemovePartition,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from ..spark.writer import partitions_written, write_versioned
+
+    pmode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if (pmode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+    write_versioned(out, table, version)
+    written = partitions_written(table, version, spark=spark)
+    written_buckets = {dict(p.column_values)[BUCKET_COL] for p in written}
+    ops = [
+        AddPartitionVersion(p, version)
+        for p in sorted(written, key=lambda p: p.path)
+    ]
+    from ..core.model import Partition
+
+    had_live = {
+        dict(p.column_values)[BUCKET_COL]
+        for p in sub_state.partition_versions
+    }
+    for b in touched_sorted:
+        if b in had_live and b not in written_buckets:
+            ops.append(RemovePartition(Partition.of((BUCKET_COL, b))))
+    meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
+    tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    new_state = tracker.current_version(table.name)
+    if metastore is not None:
+        from ..core.diff import compute_changes
+
+        metastore.update(
+            table, compute_changes(metastore.current_version(table), new_state)
+        )
+    return new_state, stamped
 
 
 def restrict_to_buckets(table_version, buckets) -> PartitionedTableVersion:

@@ -164,7 +164,7 @@ def test_guards(spark, built, tmp_path):
     assert len(pv) >= 2
     k0 = next(iter(pv))
     mixed = PartitionedTableVersion({**pv, k0: generate_version()})
-    with pytest.raises(ValueError, match="different versions"):
+    with pytest.raises(ValueError, match="no artifact sidecar"):
         AX.load_ann_artifacts(table, mixed)
     with pytest.raises(ValueError, match="no live index data"):
         AX.load_ann_artifacts(table, PartitionedTableVersion({}))
@@ -174,3 +174,162 @@ def test_guards(spark, built, tmp_path):
         spark, table, tracker, q, k=2, n_probe=2, artifacts=artifacts
     )
     assert res.count() == 6
+
+
+def test_extend_upserts_new_vectors_and_matches_full_build(spark, tmp_path):
+    """Build on half the corpus, extend with the other half: the indexed
+    search over the extended index must equal the in-memory ivfpq over
+    the FULL corpus under the same artifacts."""
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annx"), str(tmp_path / "annx"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.where(F.col("vec_id") < 25)
+    rest = emb.where(F.col("vec_id") >= 25)
+    # fit artifacts on the FULL corpus so both halves share the geometry
+    cents = SIM.kmeans_fit(emb, N_CLUSTERS, ITERS)
+    books = SIM.pq_fit(emb, m=M, k_sub=K_SUB, iters=ITERS)
+    _, arts = AX.build_ann_index(
+        first, table, tracker, centroids=cents, codebooks=books
+    )
+    state2, arts2 = AX.extend_ann_index(rest, table, tracker)
+    assert arts2.centroids == arts.centroids
+    assert arts2.codebooks == arts.codebooks
+    # mixed labels now live — auto artifact resolution must still work
+    resolved = AX.load_ann_artifacts(table, state2)
+    assert resolved.centroids == arts.centroids
+
+    q = _queries(emb)
+    got = sorted(map(tuple, AX.ivfpq_topk_indexed(
+        spark, table, tracker, q, k=3, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        emb, q, k=3, n_probe=2, centroids=cents, codebooks=books
+    ).collect()))
+    assert got == want and got
+
+
+def test_extend_replaces_same_id_and_keeps_untouched_buckets(spark, tmp_path):
+    from chronicles_spark.spark import read_current
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annu"), str(tmp_path / "annu"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    state1, arts = AX.build_ann_index(
+        emb, table, tracker, n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB,
+        iters=ITERS,
+    )
+    n_before = read_current(spark, table, tracker).count()
+
+    # re-submit ONE existing id with a different embedding (another row's
+    # vector): upsert — total count unchanged, codes now that vector's,
+    # and the STALE row is removed from its OLD bucket even though the
+    # new embedding assigns to a different bucket (the moved-upsert case)
+    before = read_current(spark, table, tracker)
+    old_bucket = str(
+        before.where(F.col("vec_id") == 0).collect()[0]["bucket"]
+    )
+    donor = emb.where(F.col("vec_id") == 7).select("embedding").collect()[0]
+    changed = spark.createDataFrame(
+        [(0, list(donor["embedding"]))], "vec_id long, embedding array<float>"
+    )
+    state2, _ = AX.extend_ann_index(changed, table, tracker)
+    after = read_current(spark, table, tracker)
+    assert after.count() == n_before
+    assert after.where(F.col("vec_id") == 0).count() == 1  # no stale twin
+    codes = {
+        r["vec_id"]: (r["bucket"], list(r["pq_codes"]))
+        for r in after.where(F.col("vec_id").isin(0, 7)).collect()
+    }
+    assert codes[0] == codes[7]  # id 0 now carries id 7's encoding
+
+    # exactly the new bucket + the old bucket were republished; every
+    # other bucket keeps its original version
+    new_bucket = str(codes[0][0])
+    assert new_bucket != old_bucket  # the fixture really exercises a move
+    for p, v in state2.partition_versions.items():
+        b = dict(p.column_values)["bucket"]
+        if b in (new_bucket, old_bucket):
+            assert v.label != arts.version_label
+        else:
+            assert v.label == arts.version_label
+
+    # disagreeing sidecar (different quantizer) must refuse auto-load
+    import json as _json
+
+    bad_label = [
+        v.label for v in state2.partition_versions.values()
+        if v.label != arts.version_label
+    ][0]
+    fs, apath = AX._artifact_path(table, bad_label)
+    doc = _json.loads(fs.read_text(apath))
+    doc["centroids"][0][1][0] += 1.0
+    fs.write_text(apath, _json.dumps(doc))
+    with pytest.raises(ValueError, match="DIFFERENT quantizers"):
+        AX.load_ann_artifacts(table, state2)
+
+    with pytest.raises(ValueError, match="empty batch"):
+        AX.extend_ann_index(emb.limit(0), table, tracker, artifacts=arts)
+
+
+def test_extend_removes_emptied_bucket_from_live_view(spark, tmp_path):
+    """A moved upsert can empty its old bucket; the commit must carry a
+    RemovePartition for it, or the bucket's OLD version directory would
+    stay live and resurrect the moved row."""
+    from chronicles_spark.spark import read_current
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "anne"), str(tmp_path / "anne"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    # controlled geometry: 2 coarse buckets far apart, dim 4, m=2
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [10.0, 10.0, 10.0, 10.0])]
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [10.0, 10.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 0.0, 0.0]),   # bucket 0
+            (2, [0.0, 0.2, 0.0, 0.0]),   # bucket 0
+            (3, [10.0, 10.0, 10.0, 9.9]) # bucket 1 — its ONLY member
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    state1, arts = AX.build_ann_index(
+        corpus, table, tracker, centroids=cents, codebooks=books
+    )
+    assert len(state1.partition_versions) == 2
+
+    # move vector 3 near the origin: bucket 1 empties
+    moved = spark.createDataFrame(
+        [(3, [0.0, 0.0, 0.3, 0.0])], "vec_id long, embedding array<float>"
+    )
+    state2, _ = AX.extend_ann_index(moved, table, tracker)
+    live_buckets = {
+        dict(p.column_values)["bucket"] for p in state2.partition_versions
+    }
+    assert live_buckets == {"0"}  # bucket 1 removed from the live view
+    rows = {
+        r["vec_id"]: r["bucket"]
+        for r in read_current(spark, table, tracker).collect()
+    }
+    assert rows == {1: 0, 2: 0, 3: 0}  # no resurrected stale row
+
+    # append mode skips the locate scan — duplicate contract is caller's
+    dup = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0, 0.4])], "vec_id long, embedding array<float>"
+    )
+    AX.extend_ann_index(dup, table, tracker, mode="append")
+    assert read_current(spark, table, tracker).count() == 4
+    with pytest.raises(ValueError, match="mode"):
+        AX.extend_ann_index(dup, table, tracker, mode="merge")
