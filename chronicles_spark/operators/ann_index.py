@@ -397,6 +397,51 @@ def extend_ann_index(
     return new_state, stamped
 
 
+def search_ann_index(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    shortlist_k: int = 100,
+    n_probe: int = 2,
+    metric: str = "cosine",
+    artifacts: "AnnArtifacts | None" = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVFPQ+refine recipe in one call: scan-pruned approximate
+    search over the materialized index (``shortlist_k`` candidates per
+    query — the recall knob), then exact re-ranking of the shortlist
+    against ``vectors`` (the original full-precision embedding table)
+    down to the final ``k``.  Returns
+    :func:`~chronicles_spark.operators.similarity.rerank_topk`'s shape:
+    (query_id, rank, neighbor_id, cosine|l2_dist).
+
+    The corpus-scale cost profile composes from its parts: the index
+    read touches only probed buckets; the exact pass touches only
+    Q·shortlist_k original vectors (broadcast shortlist into one
+    map-side pass over ``vectors``)."""
+    if shortlist_k < k:
+        raise ValueError(
+            f"shortlist_k ({shortlist_k}) must be >= k ({k}) — it is the "
+            "recall knob over the final exact top-k"
+        )
+    shortlist = ivfpq_topk_indexed(
+        spark, table, tracker, queries, k=shortlist_k, n_probe=n_probe,
+        artifacts=artifacts, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, id_col=id_col,
+    )
+    return SIM.rerank_topk(
+        shortlist, vectors, queries, k=k, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+
+
 def restrict_to_buckets(table_version, buckets) -> PartitionedTableVersion:
     """The sub-state holding ONLY the given buckets' live partitions —
     the partition-pruning step: feeding this to the versioned reader

@@ -333,3 +333,86 @@ def test_extend_removes_emptied_bucket_from_live_view(spark, tmp_path):
     assert read_current(spark, table, tracker).count() == 4
     with pytest.raises(ValueError, match="mode"):
         AX.extend_ann_index(dup, table, tracker, mode="merge")
+
+
+def test_random_extend_sequence_equals_fresh_build(spark, tmp_path):
+    """Seeded fuzz differential: after a random sequence of extends
+    (fresh ids, re-submitted ids with changed embeddings), the index
+    CONTENT equals a from-scratch build of the final corpus under the
+    same artifacts — the upsert algebra converges to set semantics."""
+    import random
+
+    from chronicles_spark.spark import read_current
+
+    rng = random.Random(42)
+    dim = 8
+    cents = [(i, [float(10 * i)] * dim) for i in range(3)]
+    books = [[[float(5 * c)] * 4 for c in range(3)] for _ in range(2)]
+
+    def vec():
+        base = rng.choice([0.0, 10.0, 20.0])
+        return [base + rng.uniform(-2, 2) for _ in range(dim)]
+
+    corpus = {i: vec() for i in range(12)}
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annf"), str(tmp_path / "annf"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(d.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    AX.build_ann_index(df_of(corpus), table, tracker,
+                       centroids=cents, codebooks=books)
+    next_id = 12
+    for _ in range(4):
+        batch = {}
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.5 and corpus:
+                i = rng.choice(sorted(corpus))  # re-submit, new embedding
+            else:
+                i, next_id = next_id, next_id + 1
+            batch[i] = vec()
+        corpus.update(batch)
+        AX.extend_ann_index(df_of(batch), table, tracker)
+
+    got = {
+        (r["vec_id"], r["bucket"], tuple(r["pq_codes"]))
+        for r in read_current(spark, table, tracker).collect()
+    }
+    # reference: a fresh build of the FINAL corpus, same artifacts
+    t2 = FileBackedVersionTracker(str(tmp_path / "_log2"))
+    table2 = TableDefinition(
+        TableName("demo", "annf2"), str(tmp_path / "annf2"),
+        PartitionSchema(("bucket",)),
+    )
+    t2.init_table(table2.name, is_snapshot=False, user_id="t")
+    AX.build_ann_index(df_of(corpus), table2, t2,
+                       centroids=cents, codebooks=books)
+    want = {
+        (r["vec_id"], r["bucket"], tuple(r["pq_codes"]))
+        for r in read_current(spark, table2, t2).collect()
+    }
+    assert got == want and len(got) == len(corpus)
+
+
+def test_search_ann_index_composes_index_and_refine(spark, built):
+    """One-call recipe: scan-pruned shortlist + exact re-rank must equal
+    running the two stages by hand."""
+    emb, table, tracker, state, artifacts = built
+    q = _queries(emb)
+    got = sorted(map(tuple, AX.search_ann_index(
+        spark, table, tracker, q, emb, k=3, shortlist_k=8, n_probe=2,
+    ).collect()))
+    short = AX.ivfpq_topk_indexed(spark, table, tracker, q, k=8, n_probe=2)
+    want = sorted(map(tuple, SIM.rerank_topk(
+        short, emb, q, k=3, metric="cosine"
+    ).collect()))
+    assert got == want and len(got) == 9
+    with pytest.raises(ValueError, match="shortlist_k"):
+        AX.search_ann_index(spark, table, tracker, q, emb, k=9, shortlist_k=3)
