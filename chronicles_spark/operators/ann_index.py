@@ -397,6 +397,73 @@ def extend_ann_index(
     return new_state, stamped
 
 
+def vacuum_ann_artifacts(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    dry_run: bool = False,
+    orphan_min_age=None,
+) -> list:
+    """Reclaim artifact sidecars whose index version's DATA is gone —
+    the companion sweep to :func:`~chronicles_spark.spark.vacuum.vacuum`
+    (which reclaims the version directories but knows nothing about this
+    module's sidecars).  Returns the removed (dry-run: doomed) paths.
+
+    A sidecar is doomed when every version directory the commit log
+    recorded for its label has already been deleted — pure storage
+    truth, so this can never outrun vacuum's retention policy (tags,
+    keep_last windows, branch pins all resolve to data directories that
+    still exist).  A sidecar whose label the log never recorded at all
+    (a build that crashed between sidecar write and commit) is doomed
+    only once older than ``orphan_min_age`` (default 7 days — vacuum's
+    orphan retention), and kept when the backend cannot report an mtime.
+    Cost: one root listing + O(#doomed-candidate labels × their
+    partition count) existence probes — metadata-scale."""
+    from datetime import timedelta
+    import time as _time
+
+    from ..core import paths as vpaths
+    from ..core.ops import AddPartitionVersion
+
+    if orphan_min_age is None:
+        orphan_min_age = timedelta(days=7)
+    fs, root = filesystem_for(table.location)
+    sidecars = [
+        n
+        for n in fs.list_dir(root)
+        if n.startswith(ARTIFACT_PREFIX) and n.endswith(".json")
+    ]
+    labels = {n[len(ARTIFACT_PREFIX):-len(".json")] for n in sidecars}
+    dirs_by_label: dict = {}
+    for u in tracker.table_state(table.name).updates:
+        for op in u.operations:
+            if (
+                isinstance(op, AddPartitionVersion)
+                and op.version.label in labels
+            ):
+                dirs_by_label.setdefault(op.version.label, set()).add(
+                    vpaths.path_for(
+                        op.partition.resolve_path(root), op.version
+                    )
+                )
+    doomed = []
+    now = _time.time()
+    for n in sorted(sidecars):
+        label = n[len(ARTIFACT_PREFIX):-len(".json")]
+        path = fs.join(root, n)
+        dirs = dirs_by_label.get(label, set())
+        if dirs:
+            if not any(fs.is_dir(d) for d in dirs):
+                doomed.append(path)
+            continue
+        mt = fs.mtime(path)
+        if mt is not None and now - mt > orphan_min_age.total_seconds():
+            doomed.append(path)
+    if not dry_run:
+        for p in doomed:
+            fs.remove_file(p)
+    return doomed
+
+
 def search_ann_index(
     spark: SparkSession,
     table: TableDefinition,

@@ -416,3 +416,63 @@ def test_search_ann_index_composes_index_and_refine(spark, built):
     assert got == want and len(got) == 9
     with pytest.raises(ValueError, match="shortlist_k"):
         AX.search_ann_index(spark, table, tracker, q, emb, k=9, shortlist_k=3)
+
+
+def test_vacuum_ann_artifacts_follows_data_vacuum(spark, tmp_path):
+    """Sidecar GC mirrors storage truth: live/retained labels keep their
+    sidecars; a label whose data vacuum reclaimed loses its sidecar; a
+    commit-less orphan sidecar waits out the age guard."""
+    from datetime import timedelta
+
+    from chronicles_spark.spark import vacuum
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annv"), str(tmp_path / "annv"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, a1 = AX.build_ann_index(
+        emb, table, tracker, n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB, iters=1
+    )
+    _, a2 = AX.build_ann_index(
+        emb, table, tracker, n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB, iters=2,
+        message="rebuild",
+    )
+    fs, p1 = AX._artifact_path(table, a1.version_label)
+    _, p2 = AX._artifact_path(table, a2.version_label)
+
+    # before any data vacuum: both labels' data exist → nothing doomed
+    assert AX.vacuum_ann_artifacts(table, tracker, dry_run=True) == []
+
+    # vacuum the superseded build's data, then the sweep reclaims exactly
+    # its sidecar (dry run first — no deletion)
+    removed = vacuum(table, tracker, keep_last=1)
+    assert removed  # the superseded version's dirs really went away
+    doomed = AX.vacuum_ann_artifacts(table, tracker, dry_run=True)
+    assert doomed == [p1] and fs.exists(p1)
+    assert AX.vacuum_ann_artifacts(table, tracker) == [p1]
+    assert not fs.exists(p1) and fs.exists(p2)
+    # the live index still resolves its artifacts
+    assert AX.load_ann_artifacts(
+        table, tracker.current_version(table.name)
+    ) == a2
+
+    # crashed-build orphan: sidecar without any commit — age-guarded
+    fs.write_text(
+        fs.join(*p1.rsplit("/", 1)[:1]) + "/"
+        + AX.ARTIFACT_PREFIX + "20200101-000000.000000000-"
+        + "0" * 8 + "-0000-0000-0000-" + "0" * 12 + ".json",
+        a1.to_json(),
+    )
+    assert AX.vacuum_ann_artifacts(
+        table, tracker, dry_run=True, orphan_min_age=timedelta(days=7)
+    ) == []  # too young (mtime is now)
+    aged = AX.vacuum_ann_artifacts(
+        table, tracker, orphan_min_age=timedelta(seconds=-1)
+    )
+    assert len(aged) == 1 and aged[0].endswith(
+        "-000000000000.json"
+    )  # exactly the crashed-build orphan; the live sidecar survives
+    assert fs.exists(p2)
