@@ -139,7 +139,10 @@ def build_ann_index(
             f"ANN index table must be partitioned by ({BUCKET_COL!r},), "
             f"got {table.partition_schema.columns}"
         )
-    SIM.validate_ann_artifacts(df, vec_col, centroids, codebooks)
+    if centroids is not None or codebooks is not None:
+        # only injected artifacts need the dim probe; the fit-here path
+        # derives dims from the data and raises its own clearer errors
+        SIM.validate_ann_artifacts(df, vec_col, centroids, codebooks)
     if centroids is None:
         centroids = SIM.kmeans_fit(
             df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
@@ -237,6 +240,7 @@ def extend_ann_index(
     message: str = "extend ann index",
     artifacts: "AnnArtifacts | None" = None,
     mode: str = "upsert",
+    concurrency: str = "optimistic",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metastore=None,
@@ -261,6 +265,17 @@ def extend_ann_index(
     new; the locate scan is skipped entirely and cost is O(new data +
     touched buckets' current data) with no index-wide read.
 
+    ``concurrency``: an extend is a read-modify-write, so the DEFAULT is
+    ``"optimistic"`` — the commit pins the head read at entry
+    (``expected_head``) and two concurrent extends touching the SAME
+    bucket conflict (``CommitConflictError``; re-run to retry on the new
+    base) instead of silently dropping each other's rows, while extends
+    to disjoint buckets auto-merge.  ``"strict"`` conflicts on any head
+    movement; ``"last-writer-wins"`` restores the plain-write default
+    for single-writer pipelines.  (This is a stronger default than
+    ``versioned_insert_into``'s because a plain write only ADDS data —
+    an RMW that loses the race rewrites a bucket from a stale base.)
+
     Scale shape: one map-side encode pass over the NEW data; a driver
     collect of the touched bucket ids (≤ n_clusters ints); a
     read-modify-write of ONLY the touched buckets (the streaming sink's
@@ -279,7 +294,13 @@ def extend_ann_index(
         )
     if mode not in ("upsert", "append"):
         raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
+    if concurrency not in ("last-writer-wins", "optimistic", "strict"):
+        raise ValueError(
+            "concurrency must be 'last-writer-wins', 'optimistic' or "
+            f"'strict', got {concurrency!r}"
+        )
     spark = df_new.sparkSession
+    base_head = tracker.table_state(table.name).current_version
     state = tracker.current_version(table.name)
     if artifacts is None:
         artifacts = load_ann_artifacts(table, state)
@@ -288,6 +309,10 @@ def extend_ann_index(
     SIM.validate_ann_artifacts(df_new, vec_col, centroids, codebooks)
 
     vd = df_new.select(F.col(id_col), SIM.as_double(F.col(vec_col)).alias("v"))
+    # persist the (bounded — one batch, never the index) encoded batch:
+    # it is consumed up to four times below (bucket collect, duplicate
+    # check, locate semi-join, RMW union+write) and re-running an
+    # expensive upstream lineage per consumer would dominate the extend
     encoded_new = SIM.pq_encode(
         SIM._assign_nearest(vd, centroids).withColumnRenamed("cluster", BUCKET_COL),
         codebooks,
@@ -298,7 +323,30 @@ def extend_ann_index(
         F.col(id_col),
         F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
         "pq_codes",
-    )
+    ).persist()
+    try:
+        return _extend_publish(
+            spark, table, tracker, state, base_head, encoded_new, artifacts,
+            mode, concurrency, user_id, message, id_col, metastore,
+        )
+    finally:
+        encoded_new.unpersist()
+
+
+def _extend_publish(
+    spark, table, tracker, state, base_head, encoded_new, artifacts,
+    mode, concurrency, user_id, message, id_col, metastore,
+):
+    counts = encoded_new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    if counts["n"] != counts["nd"]:
+        raise ValueError(
+            f"df_new contains duplicate {id_col} values "
+            f"({counts['n']} rows, {counts['nd']} distinct ids) — an upsert "
+            "needs one row per id; deduplicate the batch first"
+        )
     new_buckets = sorted(
         r[BUCKET_COL]
         for r in encoded_new.select(BUCKET_COL).distinct().collect()
@@ -386,7 +434,19 @@ def extend_ann_index(
         if b in had_live and b not in written_buckets:
             ops.append(RemovePartition(Partition.of((BUCKET_COL, b))))
     meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
-    tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    if concurrency == "last-writer-wins":
+        tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
+    else:
+        # conflict detection pins the head read BEFORE the RMW (a racer's
+        # commit since then could have changed the very bucket contents
+        # this write derived from); written _version dirs stay invisible
+        # on conflict, exactly like a crash between write and commit
+        tracker.commit(
+            table.name,
+            TableUpdate(meta, tuple(ops)),
+            expected_head=base_head,
+            allow_disjoint=(concurrency == "optimistic"),
+        )
     new_state = tracker.current_version(table.name)
     if metastore is not None:
         from ..core.diff import compute_changes
@@ -412,18 +472,30 @@ def vacuum_ann_artifacts(
     recorded for its label has already been deleted — pure storage
     truth, so this can never outrun vacuum's retention policy (tags,
     keep_last windows, branch pins all resolve to data directories that
-    still exist).  A sidecar whose label the log never recorded at all
-    (a build that crashed between sidecar write and commit) is doomed
-    only once older than ``orphan_min_age`` (default 7 days — vacuum's
-    orphan retention), and kept when the backend cannot report an mtime.
-    Cost: one root listing + O(#doomed-candidate labels × their
-    partition count) existence probes — metadata-scale."""
+    still exist).  Like :func:`~chronicles_spark.spark.vacuum.vacuum`,
+    the sweep enumerates EVERY line of history over this storage
+    location (the table plus all its branches) when mapping labels to
+    directories — a label committed only on a branch must never be
+    misread as a commit-less orphan — and refuses to run against a
+    branch name (a branch shares its source's storage).  A sidecar whose
+    label NO line's log recorded (a build that crashed between sidecar
+    write and commit) is doomed only once older than ``orphan_min_age``
+    (default 7 days — vacuum's orphan retention), and kept when the
+    backend cannot report an mtime.  Cost: one root listing +
+    O(#doomed-candidate labels × their partition count) existence
+    probes — metadata-scale."""
     from datetime import timedelta
     import time as _time
 
+    from ..branching import branches, parse_branch
     from ..core import paths as vpaths
     from ..core.ops import AddPartitionVersion
 
+    if parse_branch(table.name) is not None:
+        raise ValueError(
+            f"{table.name} is a branch; sweep its source table's sidecars "
+            "(branch-committed labels are protected automatically)"
+        )
     if orphan_min_age is None:
         orphan_min_age = timedelta(days=7)
     fs, root = filesystem_for(table.location)
@@ -434,17 +506,19 @@ def vacuum_ann_artifacts(
     ]
     labels = {n[len(ARTIFACT_PREFIX):-len(".json")] for n in sidecars}
     dirs_by_label: dict = {}
-    for u in tracker.table_state(table.name).updates:
-        for op in u.operations:
-            if (
-                isinstance(op, AddPartitionVersion)
-                and op.version.label in labels
-            ):
-                dirs_by_label.setdefault(op.version.label, set()).add(
-                    vpaths.path_for(
-                        op.partition.resolve_path(root), op.version
+    lines = [table.name, *branches(tracker, table.name).values()]
+    for line in lines:
+        for u in tracker.table_state(line).updates:
+            for op in u.operations:
+                if (
+                    isinstance(op, AddPartitionVersion)
+                    and op.version.label in labels
+                ):
+                    dirs_by_label.setdefault(op.version.label, set()).add(
+                        vpaths.path_for(
+                            op.partition.resolve_path(root), op.version
+                        )
                     )
-                )
     doomed = []
     now = _time.time()
     for n in sorted(sidecars):
@@ -588,22 +662,29 @@ def ivfpq_topk_indexed(
     probed = sorted(
         r[BUCKET_COL] for r in probes.select(BUCKET_COL).distinct().collect()
     )
-    if not probed:
-        # no queries → empty result with the right schema
-        return spark.createDataFrame(
-            [],
-            f"{query_id_col} long, rank int, neighbor_id long, adc_dist double",
-        )
 
     from ..spark.reader import read_version
 
     sub_state = restrict_to_buckets(state, probed)
     if not sub_state.partition_versions:
-        raise ValueError(
-            f"probed buckets {probed} have no live partitions in "
-            f"{table.name} — index artifacts and data have diverged"
+        # Legitimate states, both yielding an EMPTY result (the in-memory
+        # ivfpq_topk contract): no queries at all, or every probed bucket
+        # is a memberless k-means cluster (kmeans_fit keeps empty
+        # clusters' centroids; the build writes no partition for them).
+        # The schema must match the non-empty path exactly — derive it by
+        # running the normal pipeline over a zero-row slice of ANY live
+        # partition instead of hardcoding column types.
+        live = list(
+            state.partition_versions.items()
+            if isinstance(state, PartitionedTableVersion)
+            else []
         )
-    codes = read_version(spark, table, sub_state)
+        if not live:
+            raise ValueError(f"table {table.name} has no live index data")
+        sub_state = PartitionedTableVersion(dict(live[:1]))
+        codes = read_version(spark, table, sub_state).limit(0)
+    else:
+        codes = read_version(spark, table, sub_state)
     corpus = codes.select(
         F.col(id_col),
         F.col(BUCKET_COL).cast("int").alias(BUCKET_COL),

@@ -476,3 +476,147 @@ def test_vacuum_ann_artifacts_follows_data_vacuum(spark, tmp_path):
         "-000000000000.json"
     )  # exactly the crashed-build orphan; the live sidecar survives
     assert fs.exists(p2)
+
+
+def test_extend_optimistic_conflict_on_racing_commit(spark, tmp_path, monkeypatch):
+    """An extend is a read-modify-write: a racer committing to one of ITS
+    buckets between write and commit must raise CommitConflictError
+    (default optimistic), while a racer on a DISJOINT bucket auto-merges
+    and last-writer-wins opts back out entirely."""
+    import chronicles_spark.spark.writer as writer_mod
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        RemovePartition, TableUpdate, TableUpdateMetadata,
+    )
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annc"), str(tmp_path / "annc"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    cents = [(0, [0.0] * 4), (1, [10.0] * 4)]
+    books = [[[0.0, 0.0], [10.0, 10.0]]] * 2
+    seed = spark.createDataFrame(
+        [(1, [0.1, 0.0, 0.0, 0.0]), (2, [10.0, 10.0, 10.0, 9.9])],
+        "vec_id long, embedding array<float>",
+    )
+    _, arts0 = AX.build_ann_index(
+        seed, table, tracker, centroids=cents, codebooks=books
+    )
+
+    orig = writer_mod.write_versioned
+    racer_bucket = {"value": "0"}
+
+    def racing_write(df, table_, version_):
+        orig(df, table_, version_)
+        # metadata-only racer (a RemovePartition needs no data directory)
+        tracker.commit(
+            table.name,
+            TableUpdate(
+                TableUpdateMetadata.new("racer", "concurrent"),
+                (RemovePartition(
+                    Partition.of(("bucket", racer_bucket["value"])),
+                ),),
+            ),
+        )
+
+    batch = spark.createDataFrame(
+        [(3, [0.0, 0.2, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )  # lands in bucket 0
+    # the synthetic racer writes no sidecar, so artifacts are passed
+    # explicitly throughout (a real racing extend writes its own)
+    monkeypatch.setattr(writer_mod, "write_versioned", racing_write)
+    with pytest.raises(CommitConflictError):
+        AX.extend_ann_index(batch, table, tracker, artifacts=arts0)
+
+    # disjoint racer (bucket 1): optimistic extend auto-merges
+    racer_bucket["value"] = "1"
+    AX.extend_ann_index(batch, table, tracker, artifacts=arts0)
+    # overlapping racer again, but last-writer-wins opts out of detection
+    racer_bucket["value"] = "0"
+    AX.extend_ann_index(
+        batch, table, tracker, artifacts=arts0,
+        concurrency="last-writer-wins",
+    )
+    monkeypatch.setattr(writer_mod, "write_versioned", orig)
+
+    with pytest.raises(ValueError, match="concurrency"):
+        AX.extend_ann_index(
+            batch, table, tracker, artifacts=arts0, concurrency="pessimistic"
+        )
+    # duplicate ids in one batch: replace semantics would be ambiguous
+    dup = spark.createDataFrame(
+        [(9, [0.1, 0.0, 0.0, 0.0]), (9, [0.0, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        AX.extend_ann_index(dup, table, tracker, artifacts=arts0)
+
+
+def test_probe_of_empty_cluster_returns_empty_like_in_memory(spark, tmp_path):
+    """A memberless k-means cluster has no partition; probing it must
+    yield the in-memory contract (zero rows, same schema), not an error."""
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annz"), str(tmp_path / "annz"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    cents = [(0, [0.0] * 4), (1, [100.0] * 4)]  # bucket 1 stays memberless
+    books = [[[0.0, 0.0], [10.0, 10.0]]] * 2
+    corpus = spark.createDataFrame(
+        [(1, [0.1, 0.0, 0.0, 0.0]), (2, [0.0, 0.2, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    AX.build_ann_index(corpus, table, tracker, centroids=cents, codebooks=books)
+    q = spark.createDataFrame(
+        [(7, [99.0, 100.0, 100.0, 100.0])], "query_id long, qv array<float>"
+    )
+    res = AX.ivfpq_topk_indexed(spark, table, tracker, q, k=3, n_probe=1)
+    assert res.count() == 0
+    mem = SIM.ivfpq_topk(
+        corpus, q, k=3, n_probe=1, centroids=cents, codebooks=books
+    )
+    assert mem.count() == 0
+    # schema matches the non-empty path (derived, not hardcoded)
+    nonempty = AX.ivfpq_topk_indexed(
+        spark, table, tracker, q, k=3, n_probe=2
+    )
+    assert res.schema == nonempty.schema
+    # and a no-queries batch takes the same derived-schema path
+    empty_q = q.limit(0)
+    assert AX.ivfpq_topk_indexed(
+        spark, table, tracker, empty_q, k=3, n_probe=1
+    ).schema == nonempty.schema
+
+
+def test_vacuum_artifacts_protects_branch_committed_labels(spark, tmp_path):
+    from datetime import timedelta
+
+    from chronicles_spark import branching as B
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annb"), str(tmp_path / "annb"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    AX.build_ann_index(
+        emb, table, tracker, n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB, iters=1
+    )
+    B.create_branch(tracker, table.name, "stage", "t", location=table.location)
+    bdef = B.branch_table_def(table, "stage")
+    _, barts = AX.build_ann_index(
+        emb, bdef, tracker, n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB, iters=2,
+        message="branch rebuild",
+    )
+    # the branch-committed label must NOT be treated as an aged orphan
+    doomed = AX.vacuum_ann_artifacts(
+        table, tracker, dry_run=True, orphan_min_age=timedelta(seconds=-1)
+    )
+    assert all(barts.version_label not in p for p in doomed)
+    with pytest.raises(ValueError, match="is a branch"):
+        AX.vacuum_ann_artifacts(bdef, tracker)
