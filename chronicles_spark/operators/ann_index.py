@@ -93,6 +93,24 @@ def _artifact_path(table: TableDefinition, label: str):
     return fs, fs.join(root, ARTIFACT_PREFIX + label + ".json")
 
 
+def _write_artifact_sidecar(
+    table: TableDefinition, version_label: str, centroids, codebooks
+) -> AnnArtifacts:
+    """Stamp + persist the artifact sidecar for a version BEFORE its data
+    commit — a crash leaves an orphan sidecar (reclaimable via
+    :func:`vacuum_ann_artifacts`'s age guard), never a committed index
+    whose artifacts are missing."""
+    stamped = AnnArtifacts(
+        centroids=tuple((cid, tuple(c)) for cid, c in centroids),
+        codebooks=tuple(tuple(tuple(x) for x in cb) for cb in codebooks),
+        version_label=version_label,
+    )
+    fs, apath = _artifact_path(table, version_label)
+    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
+    fs.write_text(apath, stamped.to_json())
+    return stamped
+
+
 def build_ann_index(
     df: DataFrame,
     table: TableDefinition,
@@ -168,14 +186,9 @@ def build_ann_index(
     from ..spark.writer import versioned_insert_into
 
     version = generate_version()
-    artifacts = AnnArtifacts(
-        centroids=tuple((cid, tuple(c)) for cid, c in centroids),
-        codebooks=tuple(tuple(tuple(c) for c in cb) for cb in codebooks),
-        version_label=version.label,
+    artifacts = _write_artifact_sidecar(
+        table, version.label, centroids, codebooks
     )
-    fs, apath = _artifact_path(table, version.label)
-    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no table dir yet
-    fs.write_text(apath, artifacts.to_json())
     state, _ = versioned_insert_into(
         encoded, table, tracker, user_id, message,
         version=version, metastore=metastore,
@@ -388,14 +401,9 @@ def _extend_publish(
 
     # sidecar BEFORE the data commit (build's crash-ordering contract)
     version = generate_version()
-    stamped = AnnArtifacts(
-        centroids=artifacts.centroids,
-        codebooks=artifacts.codebooks,
-        version_label=version.label,
+    stamped = _write_artifact_sidecar(
+        table, version.label, artifacts.centroids, artifacts.codebooks
     )
-    fs, apath = _artifact_path(table, version.label)
-    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))
-    fs.write_text(apath, stamped.to_json())
 
     # the commit must carry Add ops for written buckets AND Remove ops
     # for touched buckets emptied by a moved upsert, atomically — so the
