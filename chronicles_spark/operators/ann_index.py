@@ -465,6 +465,110 @@ def _extend_publish(
     return new_state, stamped
 
 
+def commit_ann_stream_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "ann",
+    artifacts: "AnnArtifacts | None" = None,
+    message_prefix: str = "ann-stream",
+    mode: str = "upsert",
+    epoch_cache: "dict | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metastore=None,
+) -> None:
+    """Land ONE embedding micro-batch as an index extend (the
+    ``foreachBatch`` body of :func:`ann_stream_sink`, exposed for direct
+    use/testing).  Same epoch-replay contract as the streaming ingest
+    sink (:mod:`chronicles_spark.streaming.ingest`): an epoch EQUAL to
+    the latest committed one is a crash-replay and is skipped; an epoch
+    BEHIND it (wiped checkpoint reusing ids under the same
+    ``message_prefix``) raises.  ``epoch_cache`` amortizes the guard's
+    log read to once per (re)start.  A concurrent index writer surfaces
+    as :class:`~chronicles_spark.trackers.base.CommitConflictError`
+    (extend's optimistic default) and fails the stream loudly — two
+    writers maintaining one index is a deployment error, not a race to
+    arbitrate silently."""
+    from ..streaming.ingest import _latest_stream_epoch
+
+    if batch_df.isEmpty():
+        return
+    message = f"{message_prefix} epoch {epoch_id}"
+    latest = epoch_cache.get("latest_epoch") if epoch_cache is not None else None
+    if latest is None:
+        latest = _latest_stream_epoch(tracker, table.name, message_prefix)
+    if latest is not None:
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = latest
+        if latest == epoch_id:
+            return  # checkpoint replay of the just-committed epoch
+        if latest > epoch_id:
+            raise RuntimeError(
+                f"epoch {epoch_id} is behind the latest committed epoch "
+                f"{latest} for message_prefix {message_prefix!r} — a "
+                "fresh/wiped checkpoint reuses epoch ids; give this sink "
+                "a new message_prefix"
+            )
+    try:
+        extend_ann_index(
+            batch_df, table, tracker, user_id, message,
+            artifacts=artifacts, mode=mode,
+            id_col=id_col, vec_col=vec_col, metastore=metastore,
+        )
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = epoch_id
+    except BaseException:
+        # same stale-cache hazard as the ingest sink: re-derive from the
+        # log on the next attempt rather than trusting a cached epoch
+        if epoch_cache is not None:
+            epoch_cache.pop("latest_epoch", None)
+        raise
+
+
+def ann_stream_sink(
+    stream_df: DataFrame,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str,
+    checkpoint_dir: str,
+    artifacts: "AnnArtifacts | None" = None,
+    message_prefix: str = "ann-stream",
+    mode: str = "upsert",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metastore=None,
+):
+    """Streaming maintenance of a materialized ANN index: every embedding
+    micro-batch becomes one :func:`extend_ann_index` commit — the
+    versioned-ingest sink's shape, composed with the index family.
+    Caller starts it (and picks the trigger)::
+
+        q = ann_stream_sink(emb_stream, index, tracker, "ml",
+                            "/ckpt/index").trigger(availableNow=True).start()
+
+    Pass ``artifacts=`` (the build's output) to skip the per-batch
+    sidecar resolution; with the default every batch re-resolves from
+    the live state, which also picks up an out-of-band full rebuild
+    mid-stream (the next batch encodes under the NEW quantizer).
+    Replayed epochs are skipped (batch-level exactly-once, keyed on
+    ``message_prefix`` like the ingest sink — one sink per prefix)."""
+    epoch_cache: dict = {}
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_ann_stream_batch(
+            batch_df, epoch_id, table, tracker, user_id,
+            artifacts=artifacts, message_prefix=message_prefix, mode=mode,
+            epoch_cache=epoch_cache, id_col=id_col, vec_col=vec_col,
+            metastore=metastore,
+        )
+
+    return stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def vacuum_ann_artifacts(
     table: TableDefinition,
     tracker: VersionTracker,

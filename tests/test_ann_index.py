@@ -620,3 +620,101 @@ def test_vacuum_artifacts_protects_branch_committed_labels(spark, tmp_path):
     assert all(barts.version_label not in p for p in doomed)
     with pytest.raises(ValueError, match="is a branch"):
         AX.vacuum_ann_artifacts(bdef, tracker)
+
+
+def test_ann_stream_sink_maintains_index(spark, tmp_path):
+    """A real embedding stream (file source, several micro-batches) keeps
+    the index current: after the drain, the indexed search equals the
+    in-memory search over the full corpus under the same artifacts."""
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "anns"), str(tmp_path / "anns"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_fit(emb, N_CLUSTERS, 1)
+    books = SIM.pq_fit(emb, m=M, k_sub=K_SUB, iters=1)
+    seed = emb.where(F.col("vec_id") < 10)
+    _, arts = AX.build_ann_index(
+        seed, table, tracker, centroids=cents, codebooks=books
+    )
+
+    src = str(tmp_path / "emb_src")
+    emb.where(F.col("vec_id") >= 10).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = AX.ann_stream_sink(
+        stream, table, tracker, "t", str(tmp_path / "ckpt"), artifacts=arts
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+    if q.exception() is not None:
+        raise q.exception()
+
+    # >= 2 extend commits landed (one per non-empty micro-batch)
+    msgs = [
+        u.metadata.message
+        for u in tracker.table_state(table.name).updates
+        if u.metadata.message.startswith("ann-stream epoch ")
+    ]
+    assert len(msgs) >= 2
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = sorted(map(tuple, AX.ivfpq_topk_indexed(
+        spark, table, tracker, queries, k=3, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        emb, queries, k=3, n_probe=2, centroids=cents, codebooks=books
+    ).collect()))
+    assert got == want and got
+
+
+def test_ann_stream_epoch_replay_and_regression_guard(spark, tmp_path):
+    from chronicles_spark.spark import read_current
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annr"), str(tmp_path / "annr"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    _, arts = AX.build_ann_index(
+        emb.where(F.col("vec_id") < 10), table, tracker,
+        n_clusters=N_CLUSTERS, m=M, k_sub=K_SUB, iters=1,
+    )
+    batch = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    cache: dict = {}
+    AX.commit_ann_stream_batch(
+        batch, 0, table, tracker, artifacts=arts, epoch_cache=cache
+    )
+    n1 = read_current(spark, table, tracker).count()
+    n_commits = len(list(tracker.table_state(table.name).updates))
+    # replay of the same epoch: skipped entirely (no new commit)
+    AX.commit_ann_stream_batch(
+        batch, 0, table, tracker, artifacts=arts, epoch_cache=cache
+    )
+    assert len(list(tracker.table_state(table.name).updates)) == n_commits
+    assert read_current(spark, table, tracker).count() == n1
+    # replay detection also works from a COLD cache (log-derived)
+    AX.commit_ann_stream_batch(
+        batch, 0, table, tracker, artifacts=arts, epoch_cache={}
+    )
+    assert len(list(tracker.table_state(table.name).updates)) == n_commits
+    # a regressed epoch id = wiped checkpoint under a reused prefix
+    with pytest.raises(RuntimeError, match="behind the latest"):
+        AX.commit_ann_stream_batch(
+            batch, -1, table, tracker, artifacts=arts, epoch_cache={}
+        )
+    # next epoch appends
+    batch2 = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    AX.commit_ann_stream_batch(
+        batch2, 1, table, tracker, artifacts=arts, epoch_cache=cache
+    )
+    assert read_current(spark, table, tracker).count() == n1 + 5
