@@ -280,14 +280,19 @@ def extend_ann_index(
 
     ``concurrency``: an extend is a read-modify-write, so the DEFAULT is
     ``"optimistic"`` — the commit pins the head read at entry
-    (``expected_head``) and two concurrent extends touching the SAME
-    bucket conflict (``CommitConflictError``; re-run to retry on the new
-    base) instead of silently dropping each other's rows, while extends
-    to disjoint buckets auto-merge.  ``"strict"`` conflicts on any head
-    movement; ``"last-writer-wins"`` restores the plain-write default
-    for single-writer pipelines.  (This is a stronger default than
+    (``expected_head``) and a racing commit conflicts
+    (``CommitConflictError``; re-run to retry on the new base) instead
+    of silently dropping rows.  The conflict SCOPE follows the read
+    set: an UPSERT reads the whole index (its locate scan), so under
+    ``"optimistic"`` it conflicts on ANY interim commit exactly like
+    ``"strict"`` — a disjoint-bucket merge could otherwise leave a
+    concurrently-landed copy of the same new id live in another bucket;
+    an APPEND reads only its touched buckets, so disjoint-bucket racers
+    auto-merge.  ``"strict"`` conflicts on any head movement in both
+    modes; ``"last-writer-wins"`` restores the plain-write default for
+    single-writer pipelines.  (Stronger defaults than
     ``versioned_insert_into``'s because a plain write only ADDS data —
-    an RMW that loses the race rewrites a bucket from a stale base.)
+    an RMW that loses the race rewrites buckets from a stale base.)
 
     Scale shape: one map-side encode pass over the NEW data; a driver
     collect of the touched bucket ids (≤ n_clusters ints); a
@@ -313,8 +318,15 @@ def extend_ann_index(
             f"'strict', got {concurrency!r}"
         )
     spark = df_new.sparkSession
-    base_head = tracker.table_state(table.name).current_version
-    state = tracker.current_version(table.name)
+    # ONE log read feeds both the conflict pin and the RMW base: reading
+    # them separately would let a commit land in between, making the base
+    # newer than the pinned head — a spurious conflict on a write that
+    # was actually derived from the current state
+    from ..core import fold
+
+    st = tracker.table_state(table.name)
+    base_head = st.current_version
+    state = fold.current_version(st.updates, base_head)
     if artifacts is None:
         artifacts = load_ann_artifacts(table, state)
     centroids = artifacts.centroid_list
@@ -353,7 +365,16 @@ def _extend_publish(
     counts = encoded_new.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.col(id_col)).alias("nd"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("nn"),
     ).collect()[0]
+    if counts["nn"]:
+        # countDistinct excludes NULLs, so without this check a null id
+        # would be misreported as a duplicate; it would also never match
+        # the upsert anti-join — reject it by name
+        raise ValueError(
+            f"df_new contains {counts['nn']} NULL {id_col} value(s) — "
+            "every row needs a concrete id"
+        )
     if counts["n"] != counts["nd"]:
         raise ValueError(
             f"df_new contains duplicate {id_col} values "
@@ -405,63 +426,49 @@ def _extend_publish(
         table, version.label, artifacts.centroids, artifacts.codebooks
     )
 
-    # the commit must carry Add ops for written buckets AND Remove ops
-    # for touched buckets emptied by a moved upsert, atomically — so the
-    # write+ops are assembled here instead of versioned_insert_into
-    # (same guard, same discovery, same op ordering)
-    from datetime import datetime, timezone
-
-    from ..core.ops import (
-        AddPartitionVersion,
-        RemovePartition,
-        TableUpdate,
-        TableUpdateMetadata,
-    )
-    from ..spark.writer import partitions_written, write_versioned
-
-    pmode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if (pmode or "").lower() != "dynamic":
-        raise RuntimeError(
-            "The Spark configuration must have spark.sql.sources."
-            "partitionOverwriteMode set to 'dynamic'"
-        )
-    write_versioned(out, table, version)
-    written = partitions_written(table, version, spark=spark)
-    written_buckets = {dict(p.column_values)[BUCKET_COL] for p in written}
-    ops = [
-        AddPartitionVersion(p, version)
-        for p in sorted(written, key=lambda p: p.path)
-    ]
+    # which touched buckets still hold rows — ONE small aggregation over
+    # the touched slice (never an FS walk over every bucket directory of
+    # the index; at n_clusters in the tens of thousands a per-batch walk
+    # would dwarf the batch itself).  `out` is evaluated twice (this
+    # count + the write), both passes bounded by the touched slice.
     from ..core.model import Partition
 
+    written_buckets = {
+        r[BUCKET_COL]
+        for r in out.groupBy(BUCKET_COL).count().collect()
+    }
+    written_parts = [
+        Partition.of((BUCKET_COL, b)) for b in sorted(written_buckets)
+    ]
     had_live = {
         dict(p.column_values)[BUCKET_COL]
         for p in sub_state.partition_versions
     }
-    for b in touched_sorted:
-        if b in had_live and b not in written_buckets:
-            ops.append(RemovePartition(Partition.of((BUCKET_COL, b))))
-    meta = TableUpdateMetadata.new(user_id, message, datetime.now(timezone.utc))
-    if concurrency == "last-writer-wins":
-        tracker.commit(table.name, TableUpdate(meta, tuple(ops)))
-    else:
-        # conflict detection pins the head read BEFORE the RMW (a racer's
-        # commit since then could have changed the very bucket contents
-        # this write derived from); written _version dirs stay invisible
-        # on conflict, exactly like a crash between write and commit
-        tracker.commit(
-            table.name,
-            TableUpdate(meta, tuple(ops)),
-            expected_head=base_head,
-            allow_disjoint=(concurrency == "optimistic"),
-        )
-    new_state = tracker.current_version(table.name)
-    if metastore is not None:
-        from ..core.diff import compute_changes
+    emptied = [
+        Partition.of((BUCKET_COL, b))
+        for b in touched_sorted
+        if b in had_live and b not in written_buckets
+    ]
 
-        metastore.update(
-            table, compute_changes(metastore.current_version(table), new_state)
-        )
+    from ..spark.writer import versioned_insert_into
+
+    # the SAME commit carries the Add ops for written buckets and the
+    # Remove ops for buckets a moved upsert emptied.  Conflict scope:
+    # an UPSERT's read set is the whole index (the locate scan), so
+    # "optimistic" pins the head strictly — ANY interim commit could
+    # e.g. have landed the same new id in another bucket, and a
+    # disjoint-merge would leave that id live twice; an APPEND only
+    # reads the touched buckets, so disjoint-bucket racers auto-merge.
+    eff = concurrency
+    if concurrency == "optimistic" and mode == "upsert":
+        eff = "strict"
+    new_state, _ = versioned_insert_into(
+        out, table, tracker, user_id, message,
+        version=version, metastore=metastore,
+        partitions=written_parts,
+        concurrency=eff, base_head=base_head,
+        remove_partitions=emptied,
+    )
     return new_state, stamped
 
 
@@ -792,7 +799,18 @@ def ivfpq_topk_indexed(
             else []
         )
         if not live:
-            raise ValueError(f"table {table.name} has no live index data")
+            # initialized-but-empty index (artifacts passed explicitly,
+            # no build yet): a no-op query must stay a no-op.  With no
+            # data to derive the corpus id type from, neighbor_id
+            # defaults to long; the query-id type comes from the probes.
+            qt = dict(zip(probes.schema.names, probes.schema.fields))[
+                query_id_col
+            ].dataType.simpleString()
+            return spark.createDataFrame(
+                [],
+                f"{query_id_col} {qt}, rank int, neighbor_id long, "
+                "adc_dist double",
+            )
         sub_state = PartitionedTableVersion(dict(live[:1]))
         codes = read_version(spark, table, sub_state).limit(0)
     else:

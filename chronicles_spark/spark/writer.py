@@ -46,6 +46,7 @@ from ..core.model import Partition, PartitionedTableVersion, SnapshotTableVersio
 from ..core.ops import (
     AddPartitionVersion,
     AddTableVersion,
+    RemovePartition,
     TableOperation,
     TableUpdate,
     TableUpdateMetadata,
@@ -355,6 +356,7 @@ def versioned_insert_into(
     base_head: Optional[str] = None,
     stats_columns=None,
     schema_mode: str = "off",
+    remove_partitions: Optional[List[Partition]] = None,
 ):
     """Full write flow (VersionContext.scala:51-104 + VersionedMetastore.scala:53-66).
 
@@ -408,6 +410,14 @@ def versioned_insert_into(
     any bytes land), or ``"strict"`` (any schema change raises) — see
     :mod:`chronicles_spark.spark.schema_guard`.  The recorded schema is
     only advanced AFTER the commit succeeds.
+
+    ``remove_partitions``: partitions to DROP from the live view in the
+    SAME commit as the write — the primitive for read-modify-write
+    operators whose rewrite can empty a partition (e.g. an ANN-index
+    upsert that moves a bucket's last row elsewhere: without the atomic
+    removal the emptied partition's old version directory would stay
+    live and resurrect the moved rows).  A partition both written and
+    listed here raises — the caller's plan is self-contradictory.
     """
     if partition_discovery not in ("listing", "scan"):
         raise ValueError(
@@ -474,11 +484,25 @@ def versioned_insert_into(
 
     ops: List[TableOperation]
     if table.is_snapshot:
+        if remove_partitions:
+            raise ValueError("remove_partitions applies to partitioned tables only")
         ops = [AddTableVersion(version)]
     else:
         if parts is None:
             parts = partitions_written(table, version, spark=df.sparkSession)
         ops = [AddPartitionVersion(p, version) for p in sorted(parts, key=lambda p: p.path)]
+        if remove_partitions:
+            written_set = set(parts)
+            clash = [p.path for p in remove_partitions if p in written_set]
+            if clash:
+                raise ValueError(
+                    f"partitions {clash} are both written and removed in "
+                    "one commit — self-contradictory plan"
+                )
+            ops += [
+                RemovePartition(p)
+                for p in sorted(set(remove_partitions), key=lambda p: p.path)
+            ]
 
     if stats_columns is not None:
         from .stats import write_stats_sidecars

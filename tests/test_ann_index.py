@@ -531,9 +531,17 @@ def test_extend_optimistic_conflict_on_racing_commit(spark, tmp_path, monkeypatc
     with pytest.raises(CommitConflictError):
         AX.extend_ann_index(batch, table, tracker, artifacts=arts0)
 
-    # disjoint racer (bucket 1): optimistic extend auto-merges
+    # an UPSERT's read set is the whole index: even a DISJOINT-bucket
+    # racer conflicts (its commit could have landed the same new id in
+    # another bucket)
     racer_bucket["value"] = "1"
-    AX.extend_ann_index(batch, table, tracker, artifacts=arts0)
+    with pytest.raises(CommitConflictError):
+        AX.extend_ann_index(batch, table, tracker, artifacts=arts0)
+    # ...while an APPEND reads only its touched buckets, so the same
+    # disjoint racer auto-merges
+    AX.extend_ann_index(
+        batch, table, tracker, artifacts=arts0, mode="append"
+    )
     # overlapping racer again, but last-writer-wins opts out of detection
     racer_bucket["value"] = "0"
     AX.extend_ann_index(
@@ -553,6 +561,13 @@ def test_extend_optimistic_conflict_on_racing_commit(spark, tmp_path, monkeypatc
     )
     with pytest.raises(ValueError, match="duplicate"):
         AX.extend_ann_index(dup, table, tracker, artifacts=arts0)
+    # a NULL id is named as such, not misdiagnosed as a duplicate
+    nulled = spark.createDataFrame(
+        [(None, [0.1, 0.0, 0.0, 0.0]), (9, [0.0, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        AX.extend_ann_index(nulled, table, tracker, artifacts=arts0)
 
 
 def test_probe_of_empty_cluster_returns_empty_like_in_memory(spark, tmp_path):
@@ -718,3 +733,27 @@ def test_ann_stream_epoch_replay_and_regression_guard(spark, tmp_path):
         batch2, 1, table, tracker, artifacts=arts, epoch_cache=cache
     )
     assert read_current(spark, table, tracker).count() == n1 + 5
+
+
+def test_empty_query_on_initialized_empty_index_is_noop(spark, tmp_path):
+    """Search wired up before the first build (artifacts explicit, no
+    committed data, empty batch) must return zero rows, not raise."""
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annq"), str(tmp_path / "annq"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    arts = AX.AnnArtifacts(
+        centroids=((0, (0.0,) * 4), (1, (10.0,) * 4)),
+        codebooks=(((0.0, 0.0), (10.0, 10.0)),) * 2,
+        version_label="none",
+    )
+    empty_q = spark.createDataFrame(
+        [], "query_id long, qv array<float>"
+    )
+    res = AX.ivfpq_topk_indexed(
+        spark, table, tracker, empty_q, k=3, n_probe=1, artifacts=arts
+    )
+    assert res.count() == 0
+    assert res.columns == ["query_id", "rank", "neighbor_id", "adc_dist"]
