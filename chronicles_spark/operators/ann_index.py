@@ -212,7 +212,13 @@ def load_ann_artifacts(
     write outside this module, or a partial-rollback interleaving) and
     no single artifact set can score it: pass ``artifacts=`` explicitly
     after deciding which geometry is right, or rebuild.  Returns the
-    artifacts stamped with the NEWEST live label."""
+    artifacts stamped with the NEWEST live label.
+
+    Cost: one sidecar read + payload comparison per DISTINCT live label
+    — bounded by the number of extends since the last full rebuild (a
+    rebuild collapses every bucket to one label), all driver-side
+    metadata.  Latency-sensitive repeat callers (the streaming sink's
+    per-batch default) should pass ``artifacts=`` and skip resolution."""
     if not isinstance(table_version, PartitionedTableVersion):
         raise ValueError("ANN index tables are partitioned by bucket")
     labels = sorted({v.label for v in table_version.partition_versions.values()})
