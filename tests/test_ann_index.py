@@ -757,3 +757,88 @@ def test_empty_query_on_initialized_empty_index_is_noop(spark, tmp_path):
     )
     assert res.count() == 0
     assert res.columns == ["query_id", "rank", "neighbor_id", "adc_dist"]
+
+
+def test_index_over_cas_tracker_and_vacuum_after_extend(spark, tmp_path):
+    """The ANN index composes with the object-store commit protocol and
+    with GC: build+extend over a use_cas tracker (checkpoint cuts on),
+    vacuum the superseded touched-bucket versions, and the indexed
+    search still equals the in-memory one."""
+    from chronicles_spark.spark import vacuum
+
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "_log"), use_cas=True, checkpoint_interval=2
+    )
+    table = TableDefinition(
+        TableName("demo", "anncas"), str(tmp_path / "anncas"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_fit(emb, N_CLUSTERS, 1)
+    books = SIM.pq_fit(emb, m=M, k_sub=K_SUB, iters=1)
+    AX.build_ann_index(
+        emb.where(F.col("vec_id") < 25), table, tracker,
+        centroids=cents, codebooks=books,
+    )
+    AX.extend_ann_index(emb.where(F.col("vec_id") >= 25), table, tracker)
+    removed = vacuum(table, tracker, keep_last=1)
+    # superseded versions of the extended buckets were reclaimed
+    assert removed
+    AX.vacuum_ann_artifacts(table, tracker)
+
+    q = _queries(emb)
+    got = sorted(map(tuple, AX.ivfpq_topk_indexed(
+        spark, table, tracker, q, k=3, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        emb, q, k=3, n_probe=2, centroids=cents, codebooks=books
+    ).collect()))
+    assert got == want and got
+    # checkpointed CAS resolution agrees with a full-fold ground truth
+    truth = FileBackedVersionTracker(
+        str(tmp_path / "_log"), checkpoint_interval=None
+    )
+    assert tracker.current_version(table.name) == truth.current_version(
+        table.name
+    )
+
+
+def test_extend_syncs_metastore_including_removals(spark, tmp_path):
+    """extend's commit flows through the shared writer, so an attached
+    metastore receives the partition ADDs and — for a bucket emptied by
+    a moved upsert — the partition REMOVE."""
+    from chronicles_spark.spark.metastore import InMemoryMetastore
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    table = TableDefinition(
+        TableName("demo", "annm"), str(tmp_path / "annm"),
+        PartitionSchema(("bucket",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    ms = InMemoryMetastore()
+    ms.create_table(table)
+    cents = [(0, [0.0] * 4), (1, [10.0] * 4)]
+    books = [[[0.0, 0.0], [10.0, 10.0]]] * 2
+    corpus = spark.createDataFrame(
+        [(1, [0.1, 0.0, 0.0, 0.0]), (3, [10.0, 10.0, 10.0, 9.9])],
+        "vec_id long, embedding array<float>",
+    )
+    AX.build_ann_index(
+        corpus, table, tracker, centroids=cents, codebooks=books,
+        metastore=ms,
+    )
+    synced = ms.current_version(table)
+    assert {
+        dict(p.column_values)["bucket"] for p in synced.partition_versions
+    } == {"0", "1"}
+    # move vector 3 near the origin: bucket 1 empties → metastore DROP
+    moved = spark.createDataFrame(
+        [(3, [0.0, 0.0, 0.3, 0.0])], "vec_id long, embedding array<float>"
+    )
+    state2, _ = AX.extend_ann_index(moved, table, tracker, metastore=ms)
+    synced2 = ms.current_version(table)
+    assert {
+        dict(p.column_values)["bucket"] for p in synced2.partition_versions
+    } == {"0"}
+    assert synced2.partition_versions == state2.partition_versions
