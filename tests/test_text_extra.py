@@ -611,3 +611,68 @@ def test_remove_repeated_spans_guard_and_escaped_E(spark):
     r = remove_repeated_spans(df2, sep="\\E").collect()[0]
     assert r["text_clean"] == "a\\Eb\\Ec"
     assert (r["n_spans"], r["n_spans_kept"]) == (4, 3)
+
+
+def test_gopher_row_oracle_parity_on_adversarial_text(spark, tmp_path):
+    """Cross-ENGINE fuzz for the merged q_repetition_signals driver row:
+    the exact queries() body and its DuckDB oracle run over crafted +
+    seeded-random text full of the edges the line rules care about
+    (CRLF, unicode bullets/ellipsis, space-only lines, repeated lines,
+    multi-space words, '#' symbols) — every column must agree.  The
+    Python-reference differential cannot catch a Spark-vs-DuckDB
+    regex/ltrim/substr divergence; this can."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rng = random.Random(7)
+    pool = (
+        "abc def  ghi\n\r•-*…#.0123 THE the of and is on in to a "
+        "xyzzy\nlorem ipsum "
+    )
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "\n\n\n"),
+        (3, "- one\r\n- two\r\n- three\r\n- four"),
+        (4, "  • spaced bullet\n\t* tab bullet\nplain"),
+        (5, "teaser…\nmore...\nend...   \nno dots"),
+        (6, "same\nsame\nsame\nunique\nsame"),
+        (7, "1 2 3 4 5 six seven 8 9 10"),
+        (8, "### hash #heavy# text ... with … ellipses"),
+        (9, "word  double  spaces\ttab\nmix\r\nCRLF"),
+    ]
+    for i in range(10, 60):
+        n = rng.randint(0, 160)
+        rows.append((i, "".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    sdf = entry.queries()["q_repetition_signals"](spark, str(tmp_path))
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(  # Spark wrote a directory of part files
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'"
+    )
+    res = con.execute(entry.oracle_sql()["q_repetition_signals"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    def norm(cols, rows_):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = sorted(
+            tuple(r[i] for i in order) for r in rows_
+        )
+        return [cols[i] for i in order], out
+
+    sc, sn = norm(s_cols, s_rows)
+    dc, dn = norm(d_cols, d_rows)
+    assert sc == dc
+    assert len(sn) == len(dn) == 60
+    for a, b in zip(sn, dn):
+        assert a == b, (a, b)
