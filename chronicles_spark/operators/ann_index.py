@@ -327,11 +327,26 @@ def extend_ann_index(
     # ONE log read feeds both the conflict pin and the RMW base: reading
     # them separately would let a commit land in between, making the base
     # newer than the pinned head — a spurious conflict on a write that
-    # was actually derived from the current state
+    # was actually derived from the current state.  The read must also be
+    # SELF-CONSISTENT: the files tracker lists commit files before
+    # reading head_ref, so a commit racing the read can yield a head
+    # whose commit is missing from the listed updates — and
+    # fold.take_through silently folds EVERYTHING when the head id is
+    # absent, which would pin a head the folded base doesn't contain
+    # (conflict check passes, base stale → lost update).  Re-read until
+    # the pinned head's commit is present in the update list.
     from ..core import fold
 
-    st = tracker.table_state(table.name)
-    base_head = st.current_version
+    for _ in range(8):
+        st = tracker.table_state(table.name)
+        base_head = st.current_version
+        if any(u.metadata.commit_id == base_head for u in st.updates):
+            break
+    else:
+        raise RuntimeError(
+            f"could not obtain a self-consistent log read for {table.name} "
+            "after 8 attempts (head kept outrunning the commit listing)"
+        )
     state = fold.current_version(st.updates, base_head)
     if artifacts is None:
         artifacts = load_ann_artifacts(table, state)
@@ -441,7 +456,7 @@ def _extend_publish(
 
     written_buckets = {
         r[BUCKET_COL]
-        for r in out.groupBy(BUCKET_COL).count().collect()
+        for r in out.select(BUCKET_COL).distinct().collect()
     }
     written_parts = [
         Partition.of((BUCKET_COL, b)) for b in sorted(written_buckets)
@@ -504,26 +519,15 @@ def commit_ann_stream_batch(
     (extend's optimistic default) and fails the stream loudly — two
     writers maintaining one index is a deployment error, not a race to
     arbitrate silently."""
-    from ..streaming.ingest import _latest_stream_epoch
+    from ..streaming.ingest import epoch_replay_guard
 
     if batch_df.isEmpty():
         return
     message = f"{message_prefix} epoch {epoch_id}"
-    latest = epoch_cache.get("latest_epoch") if epoch_cache is not None else None
-    if latest is None:
-        latest = _latest_stream_epoch(tracker, table.name, message_prefix)
-    if latest is not None:
-        if epoch_cache is not None:
-            epoch_cache["latest_epoch"] = latest
-        if latest == epoch_id:
-            return  # checkpoint replay of the just-committed epoch
-        if latest > epoch_id:
-            raise RuntimeError(
-                f"epoch {epoch_id} is behind the latest committed epoch "
-                f"{latest} for message_prefix {message_prefix!r} — a "
-                "fresh/wiped checkpoint reuses epoch ids; give this sink "
-                "a new message_prefix"
-            )
+    if epoch_replay_guard(
+        tracker, table.name, message_prefix, epoch_id, epoch_cache
+    ):
+        return  # checkpoint replay of the just-committed epoch
     try:
         extend_ann_index(
             batch_df, table, tracker, user_id, message,
@@ -744,6 +748,7 @@ def ivfpq_topk_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     id_col: str = "vec_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """IVF+PQ search against a MATERIALIZED index, pruning at the scan.
 
@@ -807,14 +812,14 @@ def ivfpq_topk_indexed(
         if not live:
             # initialized-but-empty index (artifacts passed explicitly,
             # no build yet): a no-op query must stay a no-op.  With no
-            # data to derive the corpus id type from, neighbor_id
-            # defaults to long; the query-id type comes from the probes.
-            qt = dict(zip(probes.schema.names, probes.schema.fields))[
-                query_id_col
-            ].dataType.simpleString()
+            # data to derive the corpus id type from, neighbor_id takes
+            # ``id_type`` (default long — pass the corpus id's Spark
+            # type name when it differs so pre-build and post-build
+            # schemas line up); the query-id type comes from the probes.
+            qt = probes.schema[query_id_col].dataType.simpleString()
             return spark.createDataFrame(
                 [],
-                f"{query_id_col} {qt}, rank int, neighbor_id long, "
+                f"{query_id_col} {qt}, rank int, neighbor_id {id_type}, "
                 "adc_dist double",
             )
         sub_state = PartitionedTableVersion(dict(live[:1]))

@@ -253,6 +253,19 @@ def partitions_written(
     return _walk_partitions(fs, root, part_cols, version_dir, ())
 
 
+def _check_remove_clash(parts, remove_partitions) -> None:
+    """A partition both written and removed in one commit is a
+    self-contradictory caller plan — reject it (pre-write when the
+    written set is known early; re-checked at ops assembly otherwise)."""
+    written_set = set(parts)
+    clash = [p.path for p in remove_partitions if p in written_set]
+    if clash:
+        raise ValueError(
+            f"partitions {clash} are both written and removed in "
+            "one commit — self-contradictory plan"
+        )
+
+
 def write_versioned(
     df: DataFrame,
     table: TableDefinition,
@@ -443,6 +456,12 @@ def versioned_insert_into(
             "partitionOverwriteMode set to 'dynamic'"
         )
 
+    # caller-plan validation BEFORE any bytes land: a misconfigured
+    # retry loop would otherwise leak an invisible version directory per
+    # attempt until the orphan sweep
+    if remove_partitions and table.is_snapshot:
+        raise ValueError("remove_partitions applies to partitioned tables only")
+
     # schema guard runs BEFORE any bytes are written, so a drifting input
     # never even leaves invisible files behind
     record_after_commit = False
@@ -479,26 +498,22 @@ def versioned_insert_into(
         elif partition_discovery == "scan":
             # pre-write discovery: null values rejected before any bytes land
             parts = partition_values(df, table.partition_schema.columns)
+        if parts is not None and remove_partitions:
+            # clash check pre-write whenever the written set is known early
+            # (the listing path re-checks in the ops assembly below)
+            _check_remove_clash(parts, remove_partitions)
 
     write_versioned(df, table, version)
 
     ops: List[TableOperation]
     if table.is_snapshot:
-        if remove_partitions:
-            raise ValueError("remove_partitions applies to partitioned tables only")
         ops = [AddTableVersion(version)]
     else:
         if parts is None:
             parts = partitions_written(table, version, spark=df.sparkSession)
         ops = [AddPartitionVersion(p, version) for p in sorted(parts, key=lambda p: p.path)]
         if remove_partitions:
-            written_set = set(parts)
-            clash = [p.path for p in remove_partitions if p in written_set]
-            if clash:
-                raise ValueError(
-                    f"partitions {clash} are both written and removed in "
-                    "one commit — self-contradictory plan"
-                )
+            _check_remove_clash(parts, remove_partitions)
             ops += [
                 RemovePartition(p)
                 for p in sorted(set(remove_partitions), key=lambda p: p.path)

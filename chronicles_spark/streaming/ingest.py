@@ -82,6 +82,41 @@ def _latest_stream_epoch(
     return None
 
 
+def epoch_replay_guard(
+    tracker: VersionTracker,
+    table_name,
+    message_prefix: str,
+    epoch_id: int,
+    epoch_cache: Optional[dict],
+) -> bool:
+    """Shared replay/regression guard for epoch-keyed streaming sinks
+    (this module's versioned sink AND the ANN index's
+    :func:`~chronicles_spark.operators.ann_index.ann_stream_sink`).
+    Returns True when ``epoch_id`` is a checkpoint REPLAY of the latest
+    committed epoch (caller must skip the batch); raises RuntimeError
+    when it is BEHIND the latest (a wiped checkpoint reusing ids under
+    the same prefix would otherwise silently drop fresh batches);
+    updates ``epoch_cache`` with the derived latest epoch."""
+    latest = (
+        epoch_cache.get("latest_epoch") if epoch_cache is not None else None
+    )
+    if latest is None:
+        latest = _latest_stream_epoch(tracker, table_name, message_prefix)
+    if latest is not None:
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = latest
+        if latest == epoch_id:
+            return True
+        if latest > epoch_id:
+            raise RuntimeError(
+                f"epoch {epoch_id} is behind the latest committed epoch "
+                f"{latest} for message_prefix {message_prefix!r} — a "
+                "fresh/wiped checkpoint reuses epoch ids; give this "
+                "sink a new message_prefix"
+            )
+    return False
+
+
 def _align(live: DataFrame, batch_df: DataFrame) -> DataFrame:
     """Partition-column types are recovered from directory names on read;
     align the live frame to the batch schema before a union."""
@@ -125,23 +160,10 @@ def commit_stream_batch(
     # the message_prefix was reused — that would silently skip fresh data;
     # fail loudly instead.
     if mode in ("append", "strict"):
-        latest = (
-            epoch_cache.get("latest_epoch") if epoch_cache is not None else None
-        )
-        if latest is None:
-            latest = _latest_stream_epoch(tracker, table.name, message_prefix)
-        if latest is not None:
-            if epoch_cache is not None:
-                epoch_cache["latest_epoch"] = latest
-            if latest == epoch_id:
-                return  # checkpoint replay of the just-committed epoch
-            if latest > epoch_id:
-                raise RuntimeError(
-                    f"epoch {epoch_id} is behind the latest committed epoch "
-                    f"{latest} for message_prefix {message_prefix!r} — a "
-                    "fresh/wiped checkpoint reuses epoch ids; give this "
-                    "sink a new message_prefix"
-                )
+        if epoch_replay_guard(
+            tracker, table.name, message_prefix, epoch_id, epoch_cache
+        ):
+            return  # checkpoint replay of the just-committed epoch
 
     try:
         part_cols = table.partition_schema.columns
