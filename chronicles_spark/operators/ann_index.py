@@ -260,6 +260,7 @@ def extend_ann_index(
     artifacts: "AnnArtifacts | None" = None,
     mode: str = "upsert",
     concurrency: str = "optimistic",
+    exclusive: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metastore=None,
@@ -300,6 +301,19 @@ def extend_ann_index(
     ``versioned_insert_into``'s because a plain write only ADDS data —
     an RMW that loses the race rewrites buckets from a stale base.)
 
+    MULTI-APPLICATION note: beyond commit-log safety, two SIMULTANEOUS
+    Spark applications writing under one table location contend on the
+    output committer's shared ``_temporary`` staging — a Spark-level
+    clash the commit protocol cannot see (it fails jobs loudly, never
+    silently).  Run ONE index maintainer per table (the stream sink);
+    the optimistic pin turns an accidental second maintainer into a
+    loud failure.  Where genuinely concurrent maintainers are needed on
+    a HOST-LOCAL log, pass ``exclusive=True`` with a ``use_lock=True``
+    tracker: the per-table flock is held across the WHOLE
+    read-modify-write, serializing extends from separate OS processes —
+    no staging clash, no conflicts, every batch lands (raced for real
+    in tests/test_ann_index_multiprocess.py).
+
     Scale shape: one map-side encode pass over the NEW data; a driver
     collect of the touched bucket ids (≤ n_clusters ints); a
     read-modify-write of ONLY the touched buckets (the streaming sink's
@@ -323,6 +337,34 @@ def extend_ann_index(
             "concurrency must be 'last-writer-wins', 'optimistic' or "
             f"'strict', got {concurrency!r}"
         )
+    if exclusive:
+        if not (
+            hasattr(tracker, "_commit_guard") and getattr(tracker, "_use_lock", False)
+        ):
+            raise ValueError(
+                "exclusive=True needs a FileBackedVersionTracker with "
+                "use_lock=True (the per-table flock is what serializes "
+                "the whole read-modify-write across processes)"
+            )
+        # hold the table's commit flock for the ENTIRE extend; the inner
+        # commit's guard is re-entrant within this thread, while other
+        # processes' extends block until ours publishes — serial RMW, no
+        # Spark output-committer staging clash, no conflicts to retry
+        with tracker._commit_guard(tracker._table_dir(table.name)):
+            return _extend_body(
+                df_new, table, tracker, user_id, message, artifacts, mode,
+                concurrency, id_col, vec_col, metastore,
+            )
+    return _extend_body(
+        df_new, table, tracker, user_id, message, artifacts, mode,
+        concurrency, id_col, vec_col, metastore,
+    )
+
+
+def _extend_body(
+    df_new, table, tracker, user_id, message, artifacts, mode,
+    concurrency, id_col, vec_col, metastore,
+):
     spark = df_new.sparkSession
     # ONE log read feeds both the conflict pin and the RMW base: reading
     # them separately would let a commit land in between, making the base
