@@ -267,6 +267,66 @@ def main():
 
     results["q_versioned_write_roundtrip"] = timed_min(_fresh_roundtrip)
 
+    # ---- ANN index family (round 6; gated in _pq_gate, no queries() row:
+    # bench evidence lives here) -------------------------------------------
+    from chronicles_spark.operators import ann_index as AX, similarity as SIM
+
+    ann_tracker = FileBackedVersionTracker(tmp + "/_ann_log")
+    ann_table = TableDefinition(
+        TableName("bench", "ann"), tmp + "/ann", PartitionSchema(("bucket",))
+    )
+    ann_tracker.init_table(ann_table.name, is_snapshot=False, user_id="bench")
+    emb = load_table(spark, data_dir, "embeddings")
+    # each run is a full fit+encode+publish (a rebuild supersedes — the
+    # operator's production refresh shape), so min-of-3 is honest
+    results["b6_ann_index_build"] = timed_min(
+        lambda: AX.build_ann_index(
+            emb, ann_table, ann_tracker, n_clusters=16, m=8, k_sub=16, iters=2
+        )
+    )
+    arts = AX.load_ann_artifacts(
+        ann_table, ann_tracker.current_version(ann_table.name)
+    )
+    ann_q = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    results["b6_ann_indexed_search"] = timed_min(
+        lambda: AX.ivfpq_topk_indexed(
+            spark, ann_table, ann_tracker, ann_q, k=10, n_probe=2,
+            artifacts=arts,
+        ).collect()
+    )
+    # the in-memory twin RE-ENCODES the corpus per call (its documented
+    # shape); the ratio shows what materializing the encode once buys
+    results["b6_ann_inmemory_search"] = timed_min(
+        lambda: SIM.ivfpq_topk(
+            emb, ann_q, k=10, n_probe=2,
+            centroids=arts.centroid_list, codebooks=arts.codebook_list,
+        ).collect()
+    )
+    # upsert of a 256-vector batch: idempotent (replaces itself), so
+    # repeated timed runs measure the same logical operation
+    ann_batch = emb.where(F.col("vec_id") < 256)
+    results["b6_ann_extend_upsert"] = timed_min(
+        lambda: AX.extend_ann_index(ann_batch, ann_table, ann_tracker)
+    )
+    # deterministic scale evidence (not a wall-clock number): the share
+    # of live index directories a 1-query n_probe=2 batch actually reads
+    ann_state = ann_tracker.current_version(ann_table.name)
+    probes1 = SIM.select_probes(ann_q.limit(1), arts.centroid_list, 2)
+    probed = sorted(
+        r["bucket"] for r in probes1.select("bucket").distinct().collect()
+    )
+    all_buckets = sorted(
+        dict(p.column_values)["bucket"]
+        for p in ann_state.partition_versions.keys()
+    )
+    ann_probe_read_fraction = round(
+        len(AX.probed_bucket_paths(ann_table, ann_state, probed))
+        / max(1, len(AX.probed_bucket_paths(ann_table, ann_state, all_buckets))),
+        4,
+    )
+
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
     def _fold_incremental():
@@ -303,7 +363,11 @@ def main():
                     "b4_versioned_over_plain_agg": _ratio(
                         "b4_versioned_agg", "b4_plain_agg"
                     ),
+                    "b6_ann_indexed_over_inmemory_search": _ratio(
+                        "b6_ann_indexed_search", "b6_ann_inmemory_search"
+                    ),
                 },
+                "ann_probe_read_fraction": ann_probe_read_fraction,
             }
         )
     )
