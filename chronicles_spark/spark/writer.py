@@ -502,6 +502,20 @@ def versioned_insert_into(
             # clash check pre-write whenever the written set is known early
             # (the listing path re-checks in the ops assembly below)
             _check_remove_clash(parts, remove_partitions)
+        elif remove_partitions:
+            # listing mode discovers the written set only AFTER the data
+            # lands, so a self-contradictory caller plan would leak an
+            # invisible version directory per retry until the orphan
+            # sweep.  remove_partitions callers opted into RMW semantics:
+            # spend one distinct projection on the input to fail BEFORE
+            # any bytes land.  Best-effort fail-fast only — the listing
+            # path's post-write check below stays authoritative (a
+            # nondeterministic partition column can diverge between this
+            # pre-scan and what actually lands, the "scan" caveat above).
+            _check_remove_clash(
+                partition_values(df, table.partition_schema.columns),
+                remove_partitions,
+            )
 
     write_versioned(df, table, version)
 

@@ -227,40 +227,58 @@ class VersionTracker(abc.ABC):
             self._append_commit(table, update)
             return
         with self._serialized_commit(table):
-            state = self.table_state(table)
-            if state.current_version != expected_head:
-                ids = [u.metadata.commit_id for u in state.updates]
-                if expected_head not in ids:
-                    raise UnknownCommitError(expected_head)
-                # auto-merge is sound only if the head advanced by pure
-                # appends (head == newest log entry): after a rollback the
-                # writer's base state is not a prefix of the current state
-                interim = list(state.updates)[ids.index(expected_head) + 1:]
-                mine, mine_whole = _touched_partitions(update)
-                theirs: Set[Partition] = set()
-                theirs_whole = False
-                for u in interim:
-                    t, w = _touched_partitions(u)
-                    theirs |= t
-                    theirs_whole = theirs_whole or w
-                overlap = mine & theirs
-                mergeable = (
-                    allow_disjoint
-                    and state.current_version == ids[-1]
-                    and not mine_whole
-                    and not theirs_whole
-                    and not overlap
-                )
-                if not mergeable:
-                    raise CommitConflictError(
-                        table,
-                        expected_head,
-                        state.current_version,
-                        sorted(p.path for p in overlap),
-                    )
+            self._check_expected_head(table, update, expected_head, allow_disjoint)
             self._append_commit(table, update)
 
-    def commit_group(self, updates: "Dict[TableName, TableUpdate]") -> None:
+    def _check_expected_head(
+        self,
+        table: TableName,
+        update: TableUpdate,
+        expected_head: str,
+        allow_disjoint: bool,
+    ) -> None:
+        """The optimistic-commit conflict check (shared by :meth:`commit`
+        and :meth:`commit_group`); the caller holds the table's commit
+        serialization across check-then-append."""
+        state = self.table_state(table)
+        if state.current_version == expected_head:
+            return
+        ids = [u.metadata.commit_id for u in state.updates]
+        if expected_head not in ids:
+            raise UnknownCommitError(expected_head)
+        # auto-merge is sound only if the head advanced by pure
+        # appends (head == newest log entry): after a rollback the
+        # writer's base state is not a prefix of the current state
+        interim = list(state.updates)[ids.index(expected_head) + 1:]
+        mine, mine_whole = _touched_partitions(update)
+        theirs: Set[Partition] = set()
+        theirs_whole = False
+        for u in interim:
+            t, w = _touched_partitions(u)
+            theirs |= t
+            theirs_whole = theirs_whole or w
+        overlap = mine & theirs
+        mergeable = (
+            allow_disjoint
+            and state.current_version == ids[-1]
+            and not mine_whole
+            and not theirs_whole
+            and not overlap
+        )
+        if not mergeable:
+            raise CommitConflictError(
+                table,
+                expected_head,
+                state.current_version,
+                sorted(p.path for p in overlap),
+            )
+
+    def commit_group(
+        self,
+        updates: "Dict[TableName, TableUpdate]",
+        expected_heads: "Optional[Dict[TableName, str]]" = None,
+        allow_disjoint: bool = True,
+    ) -> None:
         """Append one commit to EACH table as a group — the cross-table
         transaction for pipelines whose tables must stay mutually
         consistent (e.g. ``documents`` + ``embeddings`` refreshed
@@ -283,7 +301,15 @@ class VersionTracker(abc.ABC):
         serialization is HELD ACROSS the whole loop (acquired in sorted
         table order — deadlock-free), so backends with real locks
         (in-memory RLock, files+flock) never expose or interleave a
-        half-appended group."""
+        half-appended group.
+
+        ``expected_heads`` makes the group OPTIMISTIC per table (same
+        semantics as :meth:`commit`'s ``expected_head``): every listed
+        table's conflict check runs UNDER the held serialization BEFORE
+        any table's append, so a conflict anywhere fails the whole group
+        with nothing landed — the cross-table read-modify-write primitive
+        (e.g. an ANN index + its id-map companion extended from one
+        pinned base)."""
         import contextlib as _ctx
 
         ordered = sorted(updates, key=lambda t: t.fully_qualified)
@@ -296,6 +322,15 @@ class VersionTracker(abc.ABC):
             for table in ordered:
                 if not self._table_exists(table):
                     raise UnknownTableError(table)
+            if expected_heads:
+                # ALL conflict checks precede ANY append: a conflict on
+                # the second table must not leave the first one committed
+                for table in ordered:
+                    if table in expected_heads:
+                        self._check_expected_head(
+                            table, updates[table],
+                            expected_heads[table], allow_disjoint,
+                        )
             for table in ordered:
                 self._append_commit(table, updates[table])
 

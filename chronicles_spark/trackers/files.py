@@ -202,6 +202,23 @@ class FileBackedVersionTracker(VersionTracker):
         default last-writer-wins commits already have)."""
         return self._commit_guard(self._table_dir(table))
 
+    def hold_commit_lock(self, table: TableName):
+        """PUBLIC context manager holding this table's commit flock for
+        the caller's whole critical section — the supported surface for
+        read-modify-write operators that must serialize across OS
+        processes (e.g. ``extend_ann_index(exclusive=True)``), so they
+        need not reach into tracker internals.  Re-entrant within the
+        holding thread: commits issued inside the block take the guard
+        without re-flocking.  Requires ``use_lock=True`` — without the
+        flock the context would be a silent no-op that callers would
+        mistake for mutual exclusion."""
+        if not self._use_lock:
+            raise ValueError(
+                "hold_commit_lock requires use_lock=True (the per-table "
+                "flock is what provides the cross-process exclusion)"
+            )
+        return self._commit_guard(self._table_dir(table))
+
     def _write_commit_file(self, d: str, update: TableUpdate) -> int:
         ts = self._clock.next_timestamp_ms()
         if self._use_lock or self._use_cas:

@@ -460,11 +460,189 @@ class FsspecFileSystem(FileSystem):
         return float(ts)
 
 
+class BotoS3FileSystem(FileSystem):
+    """Direct boto3-backed S3 filesystem — the no-fsspec path to a real
+    object store.  Paths are full ``s3://bucket/key`` URLs.
+
+    Conditional put maps to the REAL S3 primitive: ``PutObject`` with
+    ``If-None-Match: *`` (generally available on S3 since 2024; honoured
+    by MinIO and moto ≥5), whose losing writer gets HTTP 412
+    ``PreconditionFailed`` — exactly the rename-if-absent semantics the
+    CAS commit protocol (trackers/files.py) needs, with the same
+    lost-response disambiguation as the fsspec adapter: if the put
+    errors but the object now holds OUR bytes, the put actually landed
+    and only the response was lost.
+
+    ``endpoint_url`` (or ``CHRONICLES_S3_ENDPOINT`` /
+    ``AWS_ENDPOINT_URL_S3`` in the environment) points the client at a
+    local MinIO/moto for integration tests; credentials follow the
+    standard boto3 chain.  S3 has no directories: ``mkdirs`` is a no-op,
+    ``is_dir``/``list_dir`` are prefix queries with ``/`` delimiter, and
+    ``remove_tree`` is a batched prefix delete."""
+
+    def __init__(self, endpoint_url: "str | None" = None, client=None) -> None:
+        if client is not None:
+            self._s3 = client
+        else:
+            import os as _os
+
+            import boto3  # noqa: F401 — import error surfaces to caller
+
+            endpoint_url = (
+                endpoint_url
+                or _os.environ.get("CHRONICLES_S3_ENDPOINT")
+                or _os.environ.get("AWS_ENDPOINT_URL_S3")
+            )
+            self._s3 = boto3.client("s3", endpoint_url=endpoint_url)
+
+    @staticmethod
+    def _split(path: str) -> Tuple[str, str]:
+        if not path.startswith("s3://"):
+            raise ValueError(f"BotoS3FileSystem paths are s3:// URLs, got {path!r}")
+        bucket, _, key = path[len("s3://"):].partition("/")
+        return bucket, key
+
+    def _client_error_code(self, err) -> str:
+        return getattr(err, "response", {}).get("Error", {}).get("Code", "")
+
+    def exists(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except ClientError:
+            pass
+        # a "directory": any key under the prefix
+        r = self._s3.list_objects_v2(
+            Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+        )
+        return r.get("KeyCount", 0) > 0
+
+    def mkdirs(self, path: str) -> None:
+        pass  # S3 has no directories; prefixes exist implicitly
+
+    def read_text(self, path: str) -> str:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            body = self._s3.get_object(Bucket=bucket, Key=key)["Body"]
+        except ClientError as e:
+            # facade contract: a missing file is FileNotFoundError, the
+            # signal every degrade-to-fallback path (checkpoints, heads,
+            # sidecars) already catches
+            if self._client_error_code(e) in ("NoSuchKey", "404", "NotFound"):
+                raise FileNotFoundError(path) from e
+            raise
+        return body.read().decode("utf-8")
+
+    def write_text(self, path: str, text: str) -> None:
+        bucket, key = self._split(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=text.encode("utf-8"))
+
+    def supports_put_if_absent(self) -> bool:
+        return True
+
+    def write_text_if_absent(self, path: str, text: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            self._s3.put_object(
+                Bucket=bucket, Key=key, Body=text.encode("utf-8"), IfNoneMatch="*"
+            )
+            return True
+        except ClientError as put_err:
+            code = self._client_error_code(put_err)
+            if code not in ("PreconditionFailed", "ConditionalRequestConflict"):
+                raise
+            # same lost-response disambiguation as FsspecFileSystem: our
+            # own bytes there = the put landed and the 412 raced our
+            # retry of a lost response; other bytes = a genuinely lost race
+            try:
+                cur = self.read_text(path)
+            except ClientError as read_err:
+                raise put_err from read_err
+            return cur == text
+
+    def list_dir(self, path: str) -> List[str]:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        names: List[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            r = self._s3.list_objects_v2(**kw)
+            names += [
+                posixpath.basename(c["Key"])
+                for c in r.get("Contents", [])
+                if c["Key"] != prefix
+            ]
+            names += [
+                posixpath.basename(p["Prefix"].rstrip("/"))
+                for p in r.get("CommonPrefixes", [])
+            ]
+            token = r.get("NextContinuationToken")
+            if not token:
+                break
+        return names
+
+    def is_dir(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        r = self._s3.list_objects_v2(
+            Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+        )
+        return r.get("KeyCount", 0) > 0
+
+    def remove_tree(self, path: str) -> None:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/"
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            r = self._s3.list_objects_v2(**kw)
+            objs = [{"Key": c["Key"]} for c in r.get("Contents", [])]
+            if objs:
+                self._s3.delete_objects(Bucket=bucket, Delete={"Objects": objs})
+            token = r.get("NextContinuationToken")
+            if not token:
+                break
+        # the bare-key object too (rare: a file where a dir was expected)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def remove_file(self, path: str) -> None:
+        bucket, key = self._split(path)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def mtime(self, path: str) -> "float | None":
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            ts = self._s3.head_object(Bucket=bucket, Key=key)["LastModified"]
+        except ClientError:
+            return None
+        return ts.timestamp()
+
+    def join(self, *parts: str) -> str:
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+
 def filesystem_for(url: str) -> Tuple[FileSystem, str]:
     """URL/path → (filesystem, root path within it).
 
     * no scheme → local filesystem
     * ``memory://bucket/path`` → shared in-memory store (tests)
+    * ``s3://`` → fsspec if installed, else the direct boto3 backend
     * any other scheme → fsspec (raises a clear error if not installed)
     """
     if "://" not in url:
@@ -476,6 +654,11 @@ def filesystem_for(url: str) -> Tuple[FileSystem, str]:
     try:
         import fsspec  # type: ignore
     except ImportError as e:
+        if scheme == "s3":
+            try:
+                return BotoS3FileSystem(), url
+            except ImportError:
+                pass
         raise ImportError(
             f"scheme {scheme!r} needs the fsspec package (not installed); "
             "use a local path or memory:// instead"

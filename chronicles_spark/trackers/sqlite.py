@@ -220,19 +220,30 @@ class SqliteVersionTracker(VersionTracker):
                 (commit_id, table.fully_qualified),
             )
 
-    def commit_group(self, updates) -> None:
+    def commit_group(self, updates, expected_heads=None, allow_disjoint=True) -> None:
         """Cross-table group commit as ONE SERIALIZABLE transaction —
         every table's log row, op rows, and head pointer land atomically;
         a failure (or crash) rolls the whole group back (S8 isolation
-        stance, DbVersionTracker.scala:118-124, extended across tables)."""
+        stance, DbVersionTracker.scala:118-124, extended across tables).
+        ``expected_heads`` adds per-table optimistic conflict checks run
+        inside the same transaction, before any insert."""
         with self._lock, self._conn:
-            for table in sorted(updates, key=lambda t: t.fully_qualified):
+            ordered = sorted(updates, key=lambda t: t.fully_qualified)
+            for table in ordered:
                 row = self._conn.execute(
                     "SELECT 1 FROM chronicle_tables_v1 WHERE table_name = ?",
                     (table.fully_qualified,),
                 ).fetchone()
                 if row is None:
                     raise UnknownTableError(table)
+            if expected_heads:
+                for table in ordered:
+                    if table in expected_heads:
+                        self._check_expected_head(
+                            table, updates[table],
+                            expected_heads[table], allow_disjoint,
+                        )
+            for table in ordered:
                 update = updates[table]
                 self._insert_update(table, update)
                 self._conn.execute(

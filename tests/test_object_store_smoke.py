@@ -41,13 +41,68 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture()
-def store():
-    fsspec = pytest.importorskip("fsspec")
-    from chronicles_spark.trackers.fs import FsspecFileSystem
+@pytest.fixture(scope="module")
+def moto_endpoint():
+    """With CHRONICLES_SMOKE_MOTO=1, spin a REAL S3-API server (moto) on
+    localhost for the duration of the module and create the URL's bucket
+    — the S3 wire protocol incl. `If-None-Match` conditional puts, no
+    network needed.  Without the flag, assume the URL points at a real
+    deployment (MinIO / S3 / GCS) that is already reachable."""
+    if os.environ.get("CHRONICLES_SMOKE_MOTO") != "1":
+        yield None
+        return
+    import socket
+    import subprocess
+    import time
 
+    boto3 = pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    endpoint = f"http://127.0.0.1:{port}"
+    proc = subprocess.Popen(
+        ["moto_server", "-p", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        os.environ.setdefault("AWS_ACCESS_KEY_ID", "smoke")
+        os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "smoke")
+        os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+        os.environ["CHRONICLES_S3_ENDPOINT"] = endpoint
+        client = boto3.client("s3", endpoint_url=endpoint)
+        bucket = OBJECT_STORE_URL[len("s3://"):].split("/", 1)[0]
+        for _ in range(40):  # wait for the server to come up
+            try:
+                client.create_bucket(Bucket=bucket)
+                break
+            except Exception:
+                time.sleep(0.25)
+        else:
+            raise RuntimeError("moto_server did not come up")
+        yield endpoint
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        os.environ.pop("CHRONICLES_S3_ENDPOINT", None)
+
+
+@pytest.fixture()
+def store(moto_endpoint):
     scheme = OBJECT_STORE_URL.split("://", 1)[0]
-    fs = FsspecFileSystem(fsspec.filesystem(scheme), conditional_put=True)
+    try:
+        import fsspec
+
+        from chronicles_spark.trackers.fs import FsspecFileSystem
+
+        fs = FsspecFileSystem(fsspec.filesystem(scheme), conditional_put=True)
+    except ImportError:
+        if scheme != "s3":
+            pytest.skip(f"scheme {scheme!r} needs fsspec")
+        pytest.importorskip("boto3")
+        from chronicles_spark.trackers.fs import BotoS3FileSystem
+
+        fs = BotoS3FileSystem()  # endpoint/creds from the environment
     base = OBJECT_STORE_URL.rstrip("/") + f"/chronicles_cas_smoke_{uuid.uuid4().hex}"
     yield fs, base
     fs.remove_tree(base)
