@@ -37,7 +37,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..core.model import PartitionedTableVersion, TableDefinition
+from ..core.model import (
+    PartitionedTableVersion,
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
 from ..core.version import generate_version
 from ..trackers.base import VersionTracker
 from ..trackers.fs import filesystem_for
@@ -45,17 +50,152 @@ from . import similarity as SIM
 
 ARTIFACT_PREFIX = "_ann_artifacts_"
 BUCKET_COL = "bucket"
+ID_SHARD_COL = "id_shard"
+
+# collecting this many ids to the driver for an IN-list parquet pushdown
+# is cheap; above it the locate relies on shard pruning + the broadcast
+# semi-join alone (a bulk extend's locate cost is dominated by its own
+# write anyway)
+_LOCATE_PUSHDOWN_MAX_IDS = 10_000
+
+
+def ann_id_map_table(table: TableDefinition) -> TableDefinition:
+    """The companion ``(id -> physical bucket)`` map table derived from an
+    index table definition: ``<name>_ids`` at ``<location>_ids``,
+    partitioned by ``id_shard`` (= ``pmod(xxhash64(id), id_shards)``).
+
+    This is what makes an upsert's locate O(batch) instead of O(index):
+    a batch's ids resolve to at most ``min(|batch|, id_shards)`` shard
+    partitions, read through the same structural pruning as the index's
+    probed buckets; within a shard the files are written SORTED by id so
+    a small batch's IN-list filter prunes at parquet row-group level.
+    Sizing rule: pick ``id_shards`` ≈ index_rows / a-few-million so one
+    shard is a few tens of MB of (id, bucket) pairs at target scale —
+    more shards = finer locate pruning, at the cost of more (tiny)
+    partition dirs."""
+    return TableDefinition(
+        TableName(table.name.schema, table.name.name + "_ids"),
+        table.location.rstrip("/") + "_ids",
+        PartitionSchema((ID_SHARD_COL,)),
+        format=table.format,
+        format_options=table.format_options,
+    )
+
+
+def _shard_col(id_col: str, id_shards: int):
+    """Deterministic shard of an id — xxhash64 is stable across Spark
+    sessions/versions by contract, so every extend hashes ids exactly as
+    the build did.  Callers must keep the id column's TYPE stable across
+    batches (xxhash64 hashes the typed value)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(id_shards)).cast("string")
+
+
+def _apply_bucket_splits(df: DataFrame, id_col: str, splits: "dict[str, int]"):
+    """Rewrite the physical bucket of rows in oversized buckets to
+    ``<bucket>_<sub>`` with ``sub = pmod(xxhash64(id), n_subs)`` — the
+    bucket-skew guard's layout step (``semantic_dedup``'s
+    ``max_cluster_size`` pattern applied to the index).  Search stays
+    transparent: probes of logical bucket ``b`` read every live physical
+    partition ``b`` / ``b_*`` (:func:`restrict_to_buckets`), and scoring
+    recovers the logical id with :func:`_logical_bucket`."""
+    if not splits:
+        return df
+    col = F.col(BUCKET_COL)
+    expr = None
+    for b, s in sorted(splits.items()):
+        sub = F.concat_ws(
+            "_", col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(s))).cast("string")
+        )
+        cond = col == F.lit(b)
+        expr = F.when(cond, sub) if expr is None else expr.when(cond, sub)
+    return df.withColumn(BUCKET_COL, expr.otherwise(col))
+
+
+def _split_to_cap(encoded: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Skew-split oversized buckets until EVERY physical partition holds
+    ≤ ``cap`` rows — a hard guarantee, not an expectation.  The initial
+    modulus is ``ceil(rows / cap)``; because the sub-assignment is an id
+    HASH (the only split that needs no hot-key shuffle), small buckets
+    can overshoot by sampling variance, so the split re-counts and
+    DOUBLES any still-oversized bucket's modulus until the cap holds.
+    Each round is one map-side groupBy-count over the (map-side) encode
+    lineage; at production caps (millions of rows per partition, where
+    hash deviation is ~0.1%) the first assignment virtually always
+    passes, so the expected cost is the one counting pass plus one
+    verification pass."""
+    if cap < 1:
+        raise ValueError("max_bucket_rows must be >= 1")
+    import math
+
+    splits = {
+        r[BUCKET_COL]: math.ceil(r["n"] / cap)
+        for r in encoded.groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["n"] > cap
+    }
+    if not splits:
+        return encoded
+    for _ in range(12):
+        out = _apply_bucket_splits(encoded, id_col, splits)
+        over = {
+            r[BUCKET_COL]
+            for r in out.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["n"] > cap
+        }
+        if not over:
+            return out
+        for phys in over:
+            base = phys.partition("_")[0]
+            splits[base] = splits.get(base, 1) * 2
+    raise RuntimeError(
+        f"bucket skew split did not converge to max_bucket_rows={cap} "
+        "after 12 doublings — cap is likely smaller than the duplicate "
+        "multiplicity of a single hashed id"
+    )
+
+
+def _live_splits(table_version) -> "dict[str, int]":
+    """logical bucket -> sub-partition modulus, derived from the LIVE
+    physical layout (``3_0``/``3_1`` ⇒ ``{"3": 2}``) so an extend places
+    new rows consistently with the build's skew split.  The modulus is
+    ``max(live sub suffix) + 1`` — stable even when an upsert emptied and
+    removed one sub-partition."""
+    subs: dict = {}
+    for p in table_version.partition_versions:
+        v = dict(p.column_values)[BUCKET_COL]
+        base, sep, suffix = v.partition("_")
+        if sep:
+            subs[base] = max(subs.get(base, 0), int(suffix) + 1)
+    return subs
+
+
+def _logical_bucket(col=None):
+    """Logical (probe-comparable) bucket id of a physical partition value:
+    ``"3" -> 3``, ``"3_1" -> 3``."""
+    c = F.col(BUCKET_COL) if col is None else col
+    return F.split(c, "_").getItem(0).cast("int")
 
 
 @dataclass(frozen=True)
 class AnnArtifacts:
     """The metadata-scale fit outputs an index version pins: coarse
     centroids ``[(cid, vec), ...]`` and PQ ``codebooks[sub][code] ->
-    subvector``, plus the data-version label they encoded."""
+    subvector``, plus the data-version label they encoded.
+
+    ``id_shards`` records the companion id-map table's shard count when
+    the index was built with one (``build_ann_index(id_map_shards=...)``)
+    — it is part of the index GEOMETRY like the quantizer (an extend must
+    hash batch ids with the same modulus), so it rides the sidecar and
+    the loader's agreement check.  ``None`` = no id map (pre-round-7
+    sidecars deserialize to this, keeping old indexes readable)."""
 
     centroids: tuple
     codebooks: tuple
     version_label: str
+    id_shards: "int | None" = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -65,6 +205,7 @@ class AnnArtifacts:
                 "codebooks": [
                     [list(c) for c in cb] for cb in self.codebooks
                 ],
+                "id_shards": self.id_shards,
             }
         )
 
@@ -77,6 +218,7 @@ class AnnArtifacts:
                 tuple(tuple(c) for c in cb) for cb in d["codebooks"]
             ),
             version_label=d["version_label"],
+            id_shards=d.get("id_shards"),
         )
 
     @property
@@ -94,7 +236,8 @@ def _artifact_path(table: TableDefinition, label: str):
 
 
 def _write_artifact_sidecar(
-    table: TableDefinition, version_label: str, centroids, codebooks
+    table: TableDefinition, version_label: str, centroids, codebooks,
+    id_shards: "int | None" = None,
 ) -> AnnArtifacts:
     """Stamp + persist the artifact sidecar for a version BEFORE its data
     commit — a crash leaves an orphan sidecar (reclaimable via
@@ -104,6 +247,7 @@ def _write_artifact_sidecar(
         centroids=tuple((cid, tuple(c)) for cid, c in centroids),
         codebooks=tuple(tuple(tuple(x) for x in cb) for cb in codebooks),
         version_label=version_label,
+        id_shards=id_shards,
     )
     fs, apath = _artifact_path(table, version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
@@ -124,6 +268,8 @@ def build_ann_index(
     train_fraction: "float | None" = None,
     centroids: "list | None" = None,
     codebooks: "list | None" = None,
+    id_map_shards: "int | None" = 64,
+    max_bucket_rows: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metastore=None,
@@ -151,7 +297,25 @@ def build_ann_index(
     claim on disk: D float32 -> m small ints (e.g. 768×4B -> 8×1B), so
     the whole searchable index is ~1/100 the corpus bytes and a full
     index scan (the n_probe = n_clusters worst case) reads ~1% of what
-    a brute-force pass over raw embeddings would."""
+    a brute-force pass over raw embeddings would.
+
+    ``id_map_shards`` (default 64): ALSO publish the companion
+    ``(id -> physical bucket)`` map table (:func:`ann_id_map_table`) in
+    the SAME ``commit_group``, making later upsert locates O(batch) —
+    see :func:`extend_ann_index`.  ``None`` skips it (upserts then fall
+    back to the column-pruned whole-index locate scan).  Sizing: shards
+    of a few million ids each; the sidecar records the modulus so every
+    extend shards identically.
+
+    ``max_bucket_rows``: the bucket-skew guard.  Buckets whose row count
+    exceeds the cap are sub-partitioned ``b_0..b_{s-1}`` by id hash
+    (``s = ceil(rows / cap)``) so one mega-cluster at 100 TB cannot
+    become one mega-partition every probe touching it must scan in
+    full; probes of logical bucket ``b`` transparently read all of
+    ``b``'s live sub-partitions.  Costs one extra counting pass over the
+    (map-side) encode lineage — nothing corpus-scale is persisted.
+    Extends place new rows into the live sub-layout; a periodic rebuild
+    re-balances drifted splits."""
     if tuple(table.partition_schema.columns) != (BUCKET_COL,):
         raise ValueError(
             f"ANN index table must be partitioned by ({BUCKET_COL!r},), "
@@ -182,18 +346,121 @@ def build_ann_index(
         F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
         "pq_codes",
     )
+    if max_bucket_rows is not None:
+        encoded = _split_to_cap(encoded, id_col, max_bucket_rows)
 
     from ..spark.writer import versioned_insert_into
 
     version = generate_version()
     artifacts = _write_artifact_sidecar(
-        table, version.label, centroids, codebooks
+        table, version.label, centroids, codebooks, id_map_shards
     )
-    state, _ = versioned_insert_into(
-        encoded, table, tracker, user_id, message,
-        version=version, metastore=metastore,
+    if id_map_shards is None:
+        state, _ = versioned_insert_into(
+            encoded, table, tracker, user_id, message,
+            version=version, metastore=metastore,
+        )
+        return state, artifacts
+
+    # index + id map published by ONE commit_group: the map is derived
+    # state and must never be observable ahead of/behind the index data
+    # it describes (sqlite: one transaction; files: both appends under
+    # held guards — crash exposure documented on extend_ann_index)
+    if id_map_shards < 1:
+        raise ValueError("id_map_shards must be >= 1 (or None for no map)")
+    map_table = ann_id_map_table(table)
+    tracker.init_table(map_table.name, is_snapshot=False, user_id=user_id)
+    mapping = (
+        encoded.select(F.col(id_col), F.col(BUCKET_COL))
+        .withColumn(ID_SHARD_COL, _shard_col(id_col, id_map_shards))
+        .repartition(F.col(ID_SHARD_COL))
+        .sortWithinPartitions(ID_SHARD_COL, id_col)
+    )
+    state = _publish_pair(
+        df.sparkSession, table, map_table, tracker, version,
+        encoded, mapping, user_id, message,
+        expected_heads=None, allow_disjoint=True, metastore=metastore,
     )
     return state, artifacts
+
+
+def _publish_pair(
+    spark,
+    table: TableDefinition,
+    map_table: TableDefinition,
+    tracker: VersionTracker,
+    version,
+    index_df: DataFrame,
+    map_df: DataFrame,
+    user_id: str,
+    message: str,
+    expected_heads,
+    allow_disjoint: bool,
+    metastore,
+    index_partitions=None,
+    index_remove=(),
+    map_partitions=None,
+):
+    """Write index + id-map data under ONE version label and publish both
+    commits as one ``tracker.commit_group`` (optionally optimistic via
+    ``expected_heads``).  Partitions are taken from the caller's plan
+    when given (extend — it already collected the touched sets), else
+    from the written-directory listing (build).  Returns the index
+    table's new state; the metastore (if any) is synced for the INDEX
+    table only — the id map is derived internal state."""
+    from datetime import datetime, timezone
+
+    from ..core.diff import compute_changes
+    from ..core.ops import (
+        AddPartitionVersion,
+        RemovePartition,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from ..spark.writer import partitions_written, write_versioned
+
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if (mode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+    # data first (invisible until the group commit), then metadata
+    write_versioned(index_df, table, version)
+    write_versioned(map_df, map_table, version)
+    if index_partitions is None:
+        index_partitions = partitions_written(table, version, spark=spark)
+    if map_partitions is None:
+        map_partitions = partitions_written(map_table, version, spark=spark)
+
+    meta_ts = datetime.now(timezone.utc)
+    index_ops = [
+        AddPartitionVersion(p, version)
+        for p in sorted(index_partitions, key=lambda p: p.path)
+    ] + [
+        RemovePartition(p)
+        for p in sorted(set(index_remove), key=lambda p: p.path)
+    ]
+    map_ops = [
+        AddPartitionVersion(p, version)
+        for p in sorted(map_partitions, key=lambda p: p.path)
+    ]
+    group = {
+        table.name: TableUpdate(
+            TableUpdateMetadata.new(user_id, message, meta_ts), tuple(index_ops)
+        ),
+        map_table.name: TableUpdate(
+            TableUpdateMetadata.new(user_id, message, meta_ts), tuple(map_ops)
+        ),
+    }
+    tracker.commit_group(
+        group, expected_heads=expected_heads, allow_disjoint=allow_disjoint
+    )
+    new_state = tracker.current_version(table.name)
+    if metastore is not None:
+        actual = metastore.current_version(table)
+        metastore.update(table, compute_changes(actual, new_state))
+    return new_state
 
 
 def load_ann_artifacts(
@@ -238,6 +505,7 @@ def load_ann_artifacts(
         if (
             other.centroids != first.centroids
             or other.codebooks != first.codebooks
+            or other.id_shards != first.id_shards
         ):
             raise ValueError(
                 f"table {table.name} has live partitions encoded under "
@@ -248,6 +516,7 @@ def load_ann_artifacts(
         centroids=first.centroids,
         codebooks=first.codebooks,
         version_label=labels[-1],
+        id_shards=first.id_shards,
     )
 
 
@@ -273,33 +542,52 @@ def extend_ann_index(
     sidecar-per-label agreement contract keeps holding.
 
     ``mode="upsert"`` (default): rows whose id already exists anywhere in
-    the index are REPLACED.  Old rows are located with one column-pruned
-    scan of the whole index (only (id, bucket) — a PQ index is ~1/100
-    the corpus bytes and the scan reads two int columns of it) filtered
-    map-side against the broadcast new-id set, so a replacement whose
-    new embedding lands in a DIFFERENT coarse bucket still removes the
-    stale row from its old bucket, and a bucket emptied by such a move
-    is removed from the live view in the same commit (RemovePartition —
+    the index are REPLACED.  Old rows are located through the companion
+    id map when the index was built with one (``build_ann_index``'s
+    ``id_map_shards``, the default): the batch's ids resolve to at most
+    ``min(|batch|, id_shards)`` shard partitions of the map, read through
+    the same structural pruning as probed buckets (plus a parquet
+    IN-list row-group prune for small batches over the shards'
+    sorted-by-id files) — **O(batch), independent of index size**, then
+    filtered against the broadcast new-id set.  A replacement whose new
+    embedding lands in a DIFFERENT coarse bucket still removes the stale
+    row from its old bucket, and a bucket emptied by such a move is
+    removed from the live view in the same commit (RemovePartition —
     without it the old version directory would stay live and resurrect
-    the moved row).  ``mode="append"``: the caller asserts every id is
-    new; the locate scan is skipped entirely and cost is O(new data +
-    touched buckets' current data) with no index-wide read.
+    the moved row).  Indexes WITHOUT a map fall back to one
+    column-pruned (id, bucket) scan of the whole index — honest
+    O(index); build with a map for streaming-cadence upserts.
+    ``mode="append"``: the caller asserts every id is new; the locate is
+    skipped entirely and cost is O(new data + touched buckets' current
+    data) with no index-wide read (the id map, when present, is still
+    extended with the new ids' rows).
 
     ``concurrency``: an extend is a read-modify-write, so the DEFAULT is
-    ``"optimistic"`` — the commit pins the head read at entry
-    (``expected_head``) and a racing commit conflicts
+    ``"optimistic"`` — the commit pins the head(s) read at entry
+    (``expected_heads``: the index AND its id map go into one optimistic
+    ``commit_group``) and a racing commit conflicts
     (``CommitConflictError``; re-run to retry on the new base) instead
-    of silently dropping rows.  The conflict SCOPE follows the read
-    set: an UPSERT reads the whole index (its locate scan), so under
-    ``"optimistic"`` it conflicts on ANY interim commit exactly like
-    ``"strict"`` — a disjoint-bucket merge could otherwise leave a
-    concurrently-landed copy of the same new id live in another bucket;
-    an APPEND reads only its touched buckets, so disjoint-bucket racers
-    auto-merge.  ``"strict"`` conflicts on any head movement in both
+    of silently dropping rows.  The conflict SCOPE follows the read set:
+    WITH an id map the upsert reads only its touched buckets + batch
+    shards, so disjoint racers auto-merge under ``"optimistic"`` — a
+    racer carrying any of our ids must touch one of our shards (ids hash
+    to fixed shards), so id collisions always surface as partition
+    overlap; WITHOUT a map the upsert reads the whole index, so
+    ``"optimistic"`` escalates to ``"strict"`` (any interim commit
+    conflicts).  ``"strict"`` conflicts on any head movement in all
     modes; ``"last-writer-wins"`` restores the plain-write default for
-    single-writer pipelines.  (Stronger defaults than
+    single-writer pipelines (note it also skips the id-map head pin — a
+    lost race can silently drop map rows, the same lost-update class the
+    optimistic default exists to prevent).  (Stronger defaults than
     ``versioned_insert_into``'s because a plain write only ADDS data —
     an RMW that loses the race rewrites buckets from a stale base.)
+
+    CRASH EXPOSURE (files backend only): the pair's two commit appends
+    are serialized but not one atomic write — a driver crash BETWEEN
+    them leaves index and map at different bases (sqlite commits the
+    group as a single transaction and has no such window).
+    :func:`verify_ann_id_map` detects the divergence;
+    :func:`rebuild_ann_id_map` repairs it from the live index.
 
     MULTI-APPLICATION note: beyond commit-log safety, two SIMULTANEOUS
     Spark applications writing under one table location contend on the
@@ -338,19 +626,19 @@ def extend_ann_index(
             f"'strict', got {concurrency!r}"
         )
     if exclusive:
-        if not (
-            hasattr(tracker, "_commit_guard") and getattr(tracker, "_use_lock", False)
-        ):
+        hold = getattr(tracker, "hold_commit_lock", None)
+        if hold is None or not getattr(tracker, "_use_lock", False):
             raise ValueError(
                 "exclusive=True needs a FileBackedVersionTracker with "
                 "use_lock=True (the per-table flock is what serializes "
                 "the whole read-modify-write across processes)"
             )
-        # hold the table's commit flock for the ENTIRE extend; the inner
-        # commit's guard is re-entrant within this thread, while other
-        # processes' extends block until ours publishes — serial RMW, no
-        # Spark output-committer staging clash, no conflicts to retry
-        with tracker._commit_guard(tracker._table_dir(table.name)):
+        # hold the table's commit flock for the ENTIRE extend (public
+        # tracker surface); the inner commit's guard is re-entrant within
+        # this thread, while other processes' extends block until ours
+        # publishes — serial RMW, no Spark output-committer staging
+        # clash, no conflicts to retry
+        with hold(table.name):
             return _extend_body(
                 df_new, table, tracker, user_id, message, artifacts, mode,
                 concurrency, id_col, vec_col, metastore,
@@ -361,61 +649,93 @@ def extend_ann_index(
     )
 
 
-def _extend_body(
-    df_new, table, tracker, user_id, message, artifacts, mode,
-    concurrency, id_col, vec_col, metastore,
-):
-    spark = df_new.sparkSession
-    # ONE log read feeds both the conflict pin and the RMW base: reading
-    # them separately would let a commit land in between, making the base
-    # newer than the pinned head — a spurious conflict on a write that
-    # was actually derived from the current state.  The read must also be
-    # SELF-CONSISTENT: the files tracker lists commit files before
-    # reading head_ref, so a commit racing the read can yield a head
-    # whose commit is missing from the listed updates — and
-    # fold.take_through silently folds EVERYTHING when the head id is
-    # absent, which would pin a head the folded base doesn't contain
-    # (conflict check passes, base stale → lost update).  Re-read until
-    # the pinned head's commit is present in the update list.
+def _pinned_state(tracker, table_name):
+    """ONE self-consistent log read feeding both the conflict pin and the
+    RMW base: reading them separately would let a commit land in between,
+    making the base newer than the pinned head — a spurious conflict on a
+    write that was actually derived from the current state.  The read
+    must also be SELF-CONSISTENT: the files tracker lists commit files
+    before reading head_ref, so a commit racing the read can yield a head
+    whose commit is missing from the listed updates — and
+    fold.take_through silently folds EVERYTHING when the head id is
+    absent, which would pin a head the folded base doesn't contain
+    (conflict check passes, base stale → lost update).  Re-read (with
+    jittered exponential backoff, 10ms..~150ms, so a sustained concurrent
+    writer can't keep every re-read inside one contention burst) until
+    the pinned head's commit is present in the update list."""
     from ..core import fold
 
-    for _ in range(8):
-        st = tracker.table_state(table.name)
+    for attempt in range(8):
+        if attempt:
+            import random
+            import time as _t
+
+            _t.sleep(min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random()))
+        st = tracker.table_state(table_name)
         base_head = st.current_version
         if any(u.metadata.commit_id == base_head for u in st.updates):
             break
     else:
         raise RuntimeError(
-            f"could not obtain a self-consistent log read for {table.name} "
+            f"could not obtain a self-consistent log read for {table_name} "
             "after 8 attempts (head kept outrunning the commit listing)"
         )
-    state = fold.current_version(st.updates, base_head)
+    return fold.current_version(st.updates, base_head), base_head
+
+
+def _extend_body(
+    df_new, table, tracker, user_id, message, artifacts, mode,
+    concurrency, id_col, vec_col, metastore,
+):
+    spark = df_new.sparkSession
+    state, base_head = _pinned_state(tracker, table.name)
+    if not isinstance(state, PartitionedTableVersion):
+        # a snapshot-table log under an ANN table definition would
+        # otherwise surface downstream as an opaque AttributeError
+        raise ValueError("ANN index tables are partitioned by bucket")
     if artifacts is None:
         artifacts = load_ann_artifacts(table, state)
     centroids = artifacts.centroid_list
     codebooks = artifacts.codebook_list
     SIM.validate_ann_artifacts(df_new, vec_col, centroids, codebooks)
 
+    # pin the companion id map's base alongside the index's: both heads
+    # go into the SAME optimistic group commit, so any interleaved
+    # extend (which must touch both lines) conflicts loudly
+    map_table = map_state = map_head = None
+    if artifacts.id_shards is not None:
+        map_table = ann_id_map_table(table)
+        map_state, map_head = _pinned_state(tracker, map_table.name)
+        if not isinstance(map_state, PartitionedTableVersion):
+            raise ValueError("ANN id-map tables are partitioned by id_shard")
+
     vd = df_new.select(F.col(id_col), SIM.as_double(F.col(vec_col)).alias("v"))
     # persist the (bounded — one batch, never the index) encoded batch:
-    # it is consumed up to four times below (bucket collect, duplicate
-    # check, locate semi-join, RMW union+write) and re-running an
-    # expensive upstream lineage per consumer would dominate the extend
-    encoded_new = SIM.pq_encode(
-        SIM._assign_nearest(vd, centroids).withColumnRenamed("cluster", BUCKET_COL),
-        codebooks,
-        id_col=id_col,
-        vec_col="v",
-        keep_cols=True,
-    ).select(
-        F.col(id_col),
-        F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
-        "pq_codes",
+    # it is consumed up to five times below (bucket collect, duplicate
+    # check, shard collect, locate semi-join, RMW union+write) and
+    # re-running an expensive upstream lineage per consumer would
+    # dominate the extend.  New rows land in the LIVE skew-split layout
+    # (_live_splits) so a split bucket keeps its per-partition cap.
+    encoded_new = _apply_bucket_splits(
+        SIM.pq_encode(
+            SIM._assign_nearest(vd, centroids).withColumnRenamed("cluster", BUCKET_COL),
+            codebooks,
+            id_col=id_col,
+            vec_col="v",
+            keep_cols=True,
+        ).select(
+            F.col(id_col),
+            F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
+            "pq_codes",
+        ),
+        id_col,
+        _live_splits(state),
     ).persist()
     try:
         return _extend_publish(
             spark, table, tracker, state, base_head, encoded_new, artifacts,
             mode, concurrency, user_id, message, id_col, metastore,
+            map_table, map_state, map_head,
         )
     finally:
         encoded_new.unpersist()
@@ -424,12 +744,23 @@ def _extend_body(
 def _extend_publish(
     spark, table, tracker, state, base_head, encoded_new, artifacts,
     mode, concurrency, user_id, message, id_col, metastore,
+    map_table=None, map_state=None, map_head=None,
 ):
-    counts = encoded_new.agg(
+    # ONE aggregation job yields every piece of batch metadata the plan
+    # needs: row/dup/null counts plus the distinct bucket and shard sets
+    # (both bounded — ≤ n_clusters / ≤ id_shards values), instead of a
+    # separate collect per set
+    agg_cols = [
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.col(id_col)).alias("nd"),
         F.count(F.when(F.col(id_col).isNull(), 1)).alias("nn"),
-    ).collect()[0]
+        F.collect_set(F.col(BUCKET_COL)).alias("bks"),
+    ]
+    if map_table is not None:
+        agg_cols.append(
+            F.collect_set(_shard_col(id_col, artifacts.id_shards)).alias("shs")
+        )
+    counts = encoded_new.agg(*agg_cols).collect()[0]
     if counts["nn"]:
         # countDistinct excludes NULLs, so without this check a null id
         # would be misreported as a duplicate; it would also never match
@@ -444,10 +775,7 @@ def _extend_publish(
             f"({counts['n']} rows, {counts['nd']} distinct ids) — an upsert "
             "needs one row per id; deduplicate the batch first"
         )
-    new_buckets = sorted(
-        r[BUCKET_COL]
-        for r in encoded_new.select(BUCKET_COL).distinct().collect()
-    )
+    new_buckets = sorted(counts["bks"])
     if not new_buckets:
         raise ValueError("extend_ann_index got an empty batch")
 
@@ -455,19 +783,51 @@ def _extend_publish(
 
     touched = set(new_buckets)
     new_ids = encoded_new.select(id_col).distinct()
+    batch_shards: "list | None" = None
+    if map_table is not None:
+        # the batch's id shards: at most min(|batch|, id_shards) values —
+        # the locate's (and the map RMW's) pruning key
+        batch_shards = sorted(counts["shs"])
     if mode == "upsert" and state.partition_versions:
-        # locate old rows of re-submitted ids ANYWHERE in the index: a
-        # column-pruned (id, bucket) scan filtered map-side against the
-        # broadcast new-id set — the moved-bucket correctness pass
-        old_locs = (
-            read_version(spark, table, state, infer_partition_types=False)
-            .select(F.col(id_col), F.col(BUCKET_COL))
-            .join(F.broadcast(new_ids), id_col, "left_semi")
-            .select(BUCKET_COL)
-            .distinct()
-            .collect()
-        )
-        touched |= {r[BUCKET_COL] for r in old_locs}
+        if map_table is not None:
+            # O(batch) locate through the id map: read ONLY the batch's
+            # shard partitions (structural pruning — unrelated shards are
+            # never listed or opened); within them, a small batch pushes
+            # an IN-list filter down to the parquet scan, where the
+            # shard files' sorted-by-id layout prunes at row-group
+            # level.  The broadcast semi-join stays authoritative either
+            # way.  Cost is O(|batch| × shard size), independent of how
+            # many buckets/rows the INDEX has grown to — this is the
+            # whole point of the companion table.
+            msub = _restrict_to_values(map_state, ID_SHARD_COL, batch_shards)
+            if msub.partition_versions:
+                located = read_version(
+                    spark, map_table, msub, infer_partition_types=False
+                ).select(F.col(id_col), F.col(BUCKET_COL))
+                if counts["n"] <= _LOCATE_PUSHDOWN_MAX_IDS:
+                    ids = [r[0] for r in encoded_new.select(id_col).collect()]
+                    located = located.where(F.col(id_col).isin(ids))
+                old_locs = (
+                    located.join(F.broadcast(new_ids), id_col, "left_semi")
+                    .select(BUCKET_COL)
+                    .distinct()
+                    .collect()
+                )
+                touched |= {r[BUCKET_COL] for r in old_locs}
+        else:
+            # no id map (index built with id_map_shards=None): locate old
+            # rows of re-submitted ids ANYWHERE in the index with a
+            # column-pruned (id, bucket) scan filtered map-side against
+            # the broadcast new-id set — honest O(index) fallback
+            old_locs = (
+                read_version(spark, table, state, infer_partition_types=False)
+                .select(F.col(id_col), F.col(BUCKET_COL))
+                .join(F.broadcast(new_ids), id_col, "left_semi")
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()
+            )
+            touched |= {r[BUCKET_COL] for r in old_locs}
     touched_sorted = sorted(touched)
 
     sub_state = restrict_to_buckets(state, touched_sorted)
@@ -486,7 +846,8 @@ def _extend_publish(
     # sidecar BEFORE the data commit (build's crash-ordering contract)
     version = generate_version()
     stamped = _write_artifact_sidecar(
-        table, version.label, artifacts.centroids, artifacts.codebooks
+        table, version.label, artifacts.centroids, artifacts.codebooks,
+        artifacts.id_shards,
     )
 
     # which touched buckets still hold rows — ONE small aggregation over
@@ -500,6 +861,11 @@ def _extend_publish(
         r[BUCKET_COL]
         for r in out.select(BUCKET_COL).distinct().collect()
     }
+    if None in written_buckets:
+        raise ValueError(
+            "encoded batch contains a NULL bucket (null embedding?) — "
+            "versioned writes require concrete partition values"
+        )
     written_parts = [
         Partition.of((BUCKET_COL, b)) for b in sorted(written_buckets)
     ]
@@ -513,24 +879,70 @@ def _extend_publish(
         if b in had_live and b not in written_buckets
     ]
 
-    from ..spark.writer import versioned_insert_into
+    if map_table is None:
+        from ..spark.writer import versioned_insert_into
 
-    # the SAME commit carries the Add ops for written buckets and the
-    # Remove ops for buckets a moved upsert emptied.  Conflict scope:
-    # an UPSERT's read set is the whole index (the locate scan), so
-    # "optimistic" pins the head strictly — ANY interim commit could
-    # e.g. have landed the same new id in another bucket, and a
-    # disjoint-merge would leave that id live twice; an APPEND only
-    # reads the touched buckets, so disjoint-bucket racers auto-merge.
-    eff = concurrency
-    if concurrency == "optimistic" and mode == "upsert":
-        eff = "strict"
-    new_state, _ = versioned_insert_into(
-        out, table, tracker, user_id, message,
-        version=version, metastore=metastore,
-        partitions=written_parts,
-        concurrency=eff, base_head=base_head,
-        remove_partitions=emptied,
+        # the SAME commit carries the Add ops for written buckets and the
+        # Remove ops for buckets a moved upsert emptied.  Conflict scope
+        # WITHOUT an id map: an UPSERT's read set is the whole index (the
+        # locate scan), so "optimistic" pins the head strictly — ANY
+        # interim commit could e.g. have landed the same new id in
+        # another bucket, and a disjoint-merge would leave that id live
+        # twice; an APPEND only reads the touched buckets, so
+        # disjoint-bucket racers auto-merge.
+        eff = concurrency
+        if concurrency == "optimistic" and mode == "upsert":
+            eff = "strict"
+        new_state, _ = versioned_insert_into(
+            out, table, tracker, user_id, message,
+            version=version, metastore=metastore,
+            partitions=written_parts,
+            concurrency=eff, base_head=base_head,
+            remove_partitions=emptied,
+        )
+        return new_state, stamped
+
+    # -- id-map read-modify-write of exactly the batch's shards ------------
+    # an id never leaves its shard, so the touched shard set = the batch's
+    # shard set on both the read and the write side, and shards are never
+    # emptied by an extend
+    msub = _restrict_to_values(map_state, ID_SHARD_COL, batch_shards)
+    new_map = encoded_new.select(F.col(id_col), F.col(BUCKET_COL))
+    if msub.partition_versions:
+        live_map = read_version(
+            spark, map_table, msub, infer_partition_types=False
+        ).select(F.col(id_col), F.col(BUCKET_COL))
+        if mode == "upsert":
+            live_map = live_map.join(F.broadcast(new_ids), id_col, "left_anti")
+        new_map = new_map.unionByName(live_map)
+    out_map = (
+        new_map.withColumn(ID_SHARD_COL, _shard_col(id_col, artifacts.id_shards))
+        .repartition(F.col(ID_SHARD_COL))
+        .sortWithinPartitions(ID_SHARD_COL, id_col)
+    )
+    map_parts = [Partition.of((ID_SHARD_COL, s)) for s in batch_shards]
+
+    # WITH the id map the upsert's read set is bounded (touched buckets +
+    # batch shards), so "optimistic" genuinely disjoint-merges in BOTH
+    # modes: a racer carrying any of our ids must touch one of our shards
+    # (ids hash to fixed shards) → partition overlap → conflict; a racer
+    # on disjoint buckets AND disjoint shards is provably unrelated.
+    # Crash exposure (files backend only): the group's two appends are
+    # not one atomic write — a crash between them leaves the pair
+    # inconsistent; verify_ann_id_map detects it and rebuild_ann_id_map
+    # repairs it (sqlite commits the group as one transaction).
+    expected = None
+    if concurrency != "last-writer-wins":
+        expected = {table.name: base_head, map_table.name: map_head}
+    new_state = _publish_pair(
+        spark, table, map_table, tracker, version, out, out_map,
+        user_id, message,
+        expected_heads=expected,
+        allow_disjoint=(concurrency == "optimistic"),
+        metastore=metastore,
+        index_partitions=written_parts,
+        index_remove=emptied,
+        map_partitions=map_parts,
     )
     return new_state, stamped
 
@@ -612,7 +1024,15 @@ def ann_stream_sink(
     the live state, which also picks up an out-of-band full rebuild
     mid-stream (the next batch encodes under the NEW quantizer).
     Replayed epochs are skipped (batch-level exactly-once, keyed on
-    ``message_prefix`` like the ingest sink — one sink per prefix)."""
+    ``message_prefix`` like the ingest sink — one sink per prefix).
+
+    Per-batch cost: for an index built with an id map (the build
+    default) the upsert locate is O(batch) — batch shards only, never
+    an index-wide read — so ``mode="upsert"`` is safe at streaming
+    cadence.  Only an index built with ``id_map_shards=None`` pays the
+    whole-index (id, bucket) locate scan per micro-batch; there, prefer
+    ``mode="append"`` + periodic rebuild, or run
+    :func:`rebuild_ann_id_map` once to migrate."""
     epoch_cache: dict = {}
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -633,6 +1053,7 @@ def vacuum_ann_artifacts(
     tracker: VersionTracker,
     dry_run: bool = False,
     orphan_min_age=None,
+    version_index: bool = True,
 ) -> list:
     """Reclaim artifact sidecars whose index version's DATA is gone —
     the companion sweep to :func:`~chronicles_spark.spark.vacuum.vacuum`
@@ -654,13 +1075,17 @@ def vacuum_ann_artifacts(
     (default 7 days — vacuum's orphan retention), and kept when the
     backend cannot report an mtime.  Cost: one root listing +
     O(#doomed-candidate labels × their partition count) existence
-    probes — metadata-scale."""
+    probes — metadata-scale.  The label→directory mapping resolves
+    through the persisted versions index + log tail
+    (``spark/version_index.py``, shared with vacuum's) so the sweep
+    costs O(new commits) log reads instead of re-parsing every commit
+    of every line; ``version_index=False`` restores the full walk."""
     from datetime import timedelta
     import time as _time
 
     from ..branching import branches, parse_branch
     from ..core import paths as vpaths
-    from ..core.ops import AddPartitionVersion
+    from ..spark.version_index import line_versions_indexed
 
     if parse_branch(table.name) is not None:
         raise ValueError(
@@ -678,18 +1103,15 @@ def vacuum_ann_artifacts(
     labels = {n[len(ARTIFACT_PREFIX):-len(".json")] for n in sidecars}
     dirs_by_label: dict = {}
     lines = [table.name, *branches(tracker, table.name).values()]
+    line_entries = line_versions_indexed(
+        tracker, table, lines, use_index=version_index
+    )
     for line in lines:
-        for u in tracker.table_state(line).updates:
-            for op in u.operations:
-                if (
-                    isinstance(op, AddPartitionVersion)
-                    and op.version.label in labels
-                ):
-                    dirs_by_label.setdefault(op.version.label, set()).add(
-                        vpaths.path_for(
-                            op.partition.resolve_path(root), op.version
-                        )
-                    )
+        for partition, version in line_entries[line]:
+            if partition is not None and version.label in labels:
+                dirs_by_label.setdefault(version.label, set()).add(
+                    vpaths.path_for(partition.resolve_path(root), version)
+                )
     doomed = []
     now = _time.time()
     for n in sorted(sidecars):
@@ -707,6 +1129,186 @@ def vacuum_ann_artifacts(
         for p in doomed:
             fs.remove_file(p)
     return doomed
+
+
+def verify_ann_id_map(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Differential audit of the index against its companion id map:
+    returns the rows where they DISAGREE — an id live in the index whose
+    map row is missing or points at a different bucket, or a map row
+    whose id is gone from the index.  Empty result = consistent pair.
+
+    This is the detection half of the files-backend crash exposure
+    documented on :func:`extend_ann_index` (the group's two appends are
+    not one atomic write); :func:`rebuild_ann_id_map` is the repair
+    half.  Cost: one column-pruned scan of each table plus a join keyed
+    on id — an OFFLINE audit, not a per-batch path."""
+    from ..spark.reader import read_version
+
+    state = tracker.current_version(table.name)
+    map_state = tracker.current_version(ann_id_map_table(table).name)
+    idx = read_version(spark, table, state, infer_partition_types=False).select(
+        F.col(id_col), F.col(BUCKET_COL).alias("index_bucket")
+    )
+    mp = read_version(
+        spark, ann_id_map_table(table), map_state, infer_partition_types=False
+    ).select(F.col(id_col), F.col(BUCKET_COL).alias("map_bucket"))
+    return (
+        idx.join(mp, id_col, "full_outer")
+        .where(
+            F.col("index_bucket").isNull()
+            | F.col("map_bucket").isNull()
+            | (F.col("index_bucket") != F.col("map_bucket"))
+        )
+        .select(id_col, "index_bucket", "map_bucket")
+    )
+
+
+def rebuild_ann_id_map(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "ann",
+    message: str = "rebuild ann id map",
+    artifacts: "AnnArtifacts | None" = None,
+    id_col: str = "vec_id",
+):
+    """Re-derive the companion id map from the LIVE index — the repair
+    tool for a files-backend crash that landed the index commit without
+    its map commit (or vice versa), and the migration path for an index
+    built before it had a map (pass ``artifacts=`` carrying the desired
+    ``id_shards`` in that case).  One column-pruned scan of the index,
+    one commit on the map table; shards the index no longer populates
+    are removed from the live view in the same commit.  Returns the map
+    table's new state."""
+    from ..core.model import Partition
+    from ..spark.reader import read_version
+    from ..spark.writer import versioned_insert_into
+
+    state = tracker.current_version(table.name)
+    if not isinstance(state, PartitionedTableVersion):
+        raise ValueError("ANN index tables are partitioned by bucket")
+    if artifacts is None:
+        artifacts = load_ann_artifacts(table, state)
+    if artifacts.id_shards is None:
+        raise ValueError(
+            "this index has no id map (built with id_map_shards=None) — "
+            "pass artifacts= with id_shards set to create one"
+        )
+    map_table = ann_id_map_table(table)
+    tracker.init_table(map_table.name, is_snapshot=False, user_id=user_id)
+    mapping = (
+        read_version(spark, table, state, infer_partition_types=False)
+        .select(F.col(id_col), F.col(BUCKET_COL))
+        .withColumn(ID_SHARD_COL, _shard_col(id_col, artifacts.id_shards))
+    )
+    written = sorted(
+        r["s"]
+        for r in mapping.select(F.col(ID_SHARD_COL).alias("s")).distinct().collect()
+    )
+    map_state = tracker.current_version(map_table.name)
+    live = (
+        {
+            dict(p.column_values)[ID_SHARD_COL]
+            for p in map_state.partition_versions
+        }
+        if isinstance(map_state, PartitionedTableVersion)
+        else set()
+    )
+    new_map_state, _ = versioned_insert_into(
+        mapping.repartition(F.col(ID_SHARD_COL))
+        .sortWithinPartitions(ID_SHARD_COL, id_col),
+        map_table, tracker, user_id, message,
+        partitions=[Partition.of((ID_SHARD_COL, s)) for s in written],
+        remove_partitions=[
+            Partition.of((ID_SHARD_COL, s)) for s in sorted(live - set(written))
+        ],
+    )
+    return new_map_state
+
+
+def ann_recall_at_k(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_probes=(1, 2, 4),
+    shortlist_k: "int | None" = None,
+    metric: str = "cosine",
+    artifacts: "AnnArtifacts | None" = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the indexed search (:func:`search_ann_index`,
+    the full IVFPQ+refine recipe) against the exact answer, per
+    ``n_probe`` — the tuning/monitoring surface for every knob that
+    trades recall (n_probe, shortlist_k, and the build's m/k_sub).
+    Returns a metadata-scale DataFrame ``(n_probe, k, shortlist_k,
+    recall)`` with recall = |approx ∩ exact| / |exact| over all queries.
+
+    The exact side is ONE broadcast-query pass over ``vectors`` (shared
+    across all n_probe settings); run it on a SAMPLED query set — recall
+    estimation needs tens-to-hundreds of queries, not the corpus.
+    ``shortlist_k`` defaults to ``4 * k``."""
+    if shortlist_k is None:
+        shortlist_k = 4 * k
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(query_id_col), SIM.as_double(F.col(query_vec_col)).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        SIM.as_double(F.col(vec_col)).alias("v"),
+    )
+    if metric == "cosine":
+        score = SIM.cosine(F.col("qv"), F.col("v"))
+        order = [F.col("s").desc(), F.col("neighbor_id").asc()]
+    elif metric == "l2":
+        score = F.round(
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        order = [F.col("s").asc(), F.col("neighbor_id").asc()]
+    else:
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    w = W.partitionBy(query_id_col).orderBy(*order)
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .select(query_id_col, "neighbor_id", score.alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id")
+        .localCheckpoint(eager=True)  # one exact pass shared by all n_probe runs
+    )
+    n_exact = exact.count()
+    rows = []
+    for np_ in n_probes:
+        approx = search_ann_index(
+            spark, table, tracker, queries, vectors, k=k,
+            shortlist_k=shortlist_k, n_probe=np_, metric=metric,
+            artifacts=artifacts, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, id_col=id_col, vec_col=vec_col,
+        ).select(query_id_col, F.col("neighbor_id"))
+        hits = approx.join(exact, [query_id_col, "neighbor_id"], "left_semi").count()
+        rows.append(
+            (int(np_), int(k), int(shortlist_k),
+             round(hits / n_exact, 6) if n_exact else None)
+        )
+    return spark.createDataFrame(
+        rows, "n_probe int, k int, shortlist_k int, recall double"
+    )
 
 
 def search_ann_index(
@@ -759,12 +1361,29 @@ def restrict_to_buckets(table_version, buckets) -> PartitionedTableVersion:
     the partition-pruning step: feeding this to the versioned reader
     builds a path list that never mentions an unprobed bucket.  Bucket
     values compare as strings (partition values are strings at the
-    metadata layer)."""
+    metadata layer).  A LOGICAL bucket id also matches its skew-split
+    sub-partitions (probe ``3`` reads ``3``, ``3_0``, ``3_1``, ...);
+    a physical value (``3_0``) matches exactly itself."""
     wanted = {str(b) for b in buckets}
+    prefixes = tuple(w + "_" for w in wanted if "_" not in w)
     kept = {
         p: v
         for p, v in table_version.partition_versions.items()
-        if dict(p.column_values).get(BUCKET_COL) in wanted
+        if (val := dict(p.column_values).get(BUCKET_COL)) in wanted
+        or (prefixes and val is not None and val.startswith(prefixes))
+    }
+    return PartitionedTableVersion(kept)
+
+
+def _restrict_to_values(table_version, column: str, values) -> PartitionedTableVersion:
+    """Exact-value partition restriction on an arbitrary partition column
+    (the id map's shard pruning — same structural-pruning move as
+    :func:`restrict_to_buckets`, without the skew-prefix rule)."""
+    wanted = {str(v) for v in values}
+    kept = {
+        p: v
+        for p, v in table_version.partition_versions.items()
+        if dict(p.column_values).get(column) in wanted
     }
     return PartitionedTableVersion(kept)
 
@@ -823,14 +1442,27 @@ def ivfpq_topk_indexed(
     broadcast — for the corpus-scale-Q regime cache ``queries`` first;
     the corpus side is read exactly once either way."""
     state = tracker.current_version(table.name)
+    if not isinstance(state, PartitionedTableVersion):
+        # checked up front on BOTH artifact paths: with artifacts= the
+        # loader's identical check is skipped and a snapshot-table state
+        # would otherwise surface later as an opaque AttributeError
+        raise ValueError("ANN index tables are partitioned by bucket")
     if artifacts is None:
         artifacts = load_ann_artifacts(table, state)
     centroids = artifacts.centroid_list
     codebooks = artifacts.codebook_list
 
+    # pin the probe relation (bounded: Q·n_probe rows) — it is consumed
+    # twice (distinct-bucket collect + the ADC join) and without the pin
+    # the query-side lineage would be re-evaluated per consumer.  An
+    # eager localCheckpoint (not persist) because the second consumer is
+    # the RETURNED plan, evaluated after this function exits: a
+    # finally-unpersist would drop the cache before it runs, while the
+    # checkpoint blocks live exactly as long as the returned DataFrame
+    # (freed by the context cleaner when it is garbage-collected)
     probes = SIM.select_probes(
         queries, centroids, n_probe, query_id_col, query_vec_col
-    )
+    ).localCheckpoint(eager=True)
     probed = sorted(
         r[BUCKET_COL] for r in probes.select(BUCKET_COL).distinct().collect()
     )
@@ -870,7 +1502,9 @@ def ivfpq_topk_indexed(
         codes = read_version(spark, table, sub_state)
     corpus = codes.select(
         F.col(id_col),
-        F.col(BUCKET_COL).cast("int").alias(BUCKET_COL),
+        # physical partition value -> logical probe-comparable bucket id
+        # ("3" and its skew-split "3_0"/"3_1" all score as bucket 3)
+        _logical_bucket().alias(BUCKET_COL),
         F.posexplode("pq_codes").alias("sub", "code"),
     )
     return SIM.adc_over_probes(
