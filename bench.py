@@ -204,8 +204,8 @@ def main():
         "q_log_json_read",
         "q_partition_filter",
         "q_tpch_q3",
-        "q_token_count",
-        "q_quality_score",
+        "q_token_count",  # r7: carries the merged q_quality_score columns
+        "q_ann_index_search",  # r7: the materialized-index hash-checked row
         "q_repetition_signals",
         "q_lang_id",
         "q_fingerprint",
@@ -310,6 +310,76 @@ def main():
     results["b6_ann_extend_upsert"] = timed_min(
         lambda: AX.extend_ann_index(ann_batch, ann_table, ann_tracker)
     )
+    # ---- r7: the upsert LOCATE's cost class, at two index sizes ----------
+    # the id map bounds the locate to the batch's shards (+ an IN-list
+    # row-group prune); the old path scans the whole index's (id, bucket)
+    # columns.  Timing the locate in isolation (same batch, half vs full
+    # corpus index) separates the locate's scaling from the LSM-style
+    # touched-bucket rewrite, which legitimately scales with bucket size.
+    from chronicles_spark.spark.reader import read_version
+
+    half_dir = tempfile.mkdtemp(prefix="chronicles_ann_half_", dir=tmp)
+    half_tracker = FileBackedVersionTracker(half_dir + "/_log")
+    half_table = TableDefinition(
+        TableName("bench", "annh"), half_dir + "/ann", PartitionSchema(("bucket",))
+    )
+    half_tracker.init_table(half_table.name, is_snapshot=False, user_id="bench")
+    AX.build_ann_index(
+        emb.where(F.col("vec_id") % 2 == 0), half_table, half_tracker,
+        n_clusters=16, m=8, k_sub=16, iters=1,
+        centroids=arts.centroid_list, codebooks=arts.codebook_list,
+    )
+    # 8 ids → at most 8 of the 64 map shards are listed/read; a larger
+    # batch would touch nearly every shard and hide the pruning
+    locate_ids = emb.where(F.col("vec_id") < 8).select("vec_id")
+
+    def _locate(table_, tracker_, mapped: bool):
+        st = tracker_.current_version(table_.name)
+        if mapped:
+            arts_l = AX.load_ann_artifacts(table_, st)
+            mt = AX.ann_id_map_table(table_)
+            ms = tracker_.current_version(mt.name)
+            shards = [
+                r["s"]
+                for r in locate_ids.select(
+                    AX._shard_col("vec_id", arts_l.id_shards).alias("s")
+                ).distinct().collect()
+            ]
+            sub = AX._restrict_to_values(ms, AX.ID_SHARD_COL, shards)
+            located = read_version(
+                spark, mt, sub, infer_partition_types=False
+            ).select("vec_id", "bucket").where(
+                F.col("vec_id").isin([r[0] for r in locate_ids.collect()])
+            )
+        else:
+            located = read_version(
+                spark, table_, st, infer_partition_types=False
+            ).select("vec_id", "bucket")
+        located.join(
+            F.broadcast(locate_ids), "vec_id", "left_semi"
+        ).select("bucket").distinct().collect()
+
+    results["b7_ann_locate_mapped_full"] = timed_min(
+        lambda: _locate(ann_table, ann_tracker, True)
+    )
+    results["b7_ann_locate_mapped_half"] = timed_min(
+        lambda: _locate(half_table, half_tracker, True)
+    )
+    results["b7_ann_locate_scan_full"] = timed_min(
+        lambda: _locate(ann_table, ann_tracker, False)
+    )
+    results["b7_ann_locate_scan_half"] = timed_min(
+        lambda: _locate(half_table, half_tracker, False)
+    )
+
+    # recall measurement (r7 operator) — one small sampled-query sweep
+    results["b7_ann_recall_sweep"] = timed_min(
+        lambda: AX.ann_recall_at_k(
+            spark, ann_table, ann_tracker, ann_q.limit(8), emb,
+            k=10, n_probes=(2,), artifacts=arts,
+        ).collect()
+    )
+
     # deterministic scale evidence (not a wall-clock number): the share
     # of live index directories a 1-query n_probe=2 batch actually reads
     ann_state = ann_tracker.current_version(ann_table.name)
@@ -325,6 +395,50 @@ def main():
         len(AX.probed_bucket_paths(ann_table, ann_state, probed))
         / max(1, len(AX.probed_bucket_paths(ann_table, ann_state, all_buckets))),
         4,
+    )
+
+    # ---- r7: sweep cost at 20k commits, walk vs versions index -----------
+    # metadata-only AddPartitionVersion commits (no Spark jobs) build a
+    # 20k-commit files log; keep_last is huge so the timing isolates the
+    # Add-ops ENUMERATION (the part the index bounds) from deletion
+    # probes.  The indexed sweep reads one JSON artifact + the log tail;
+    # the walk re-parses every commit file.
+    from datetime import datetime, timezone
+
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.vacuum import vacuum as _vacuum
+
+    big_dir = tempfile.mkdtemp(prefix="chronicles_20k_", dir=tmp)
+    big_tracker = FileBackedVersionTracker(big_dir + "/_log")
+    big_table = TableDefinition(
+        TableName("bench", "big"), big_dir + "/big", PartitionSchema(("p",))
+    )
+    big_tracker.init_table(big_table.name, is_snapshot=False, user_id="bench")
+    for i in range(20_000):
+        big_tracker.commit(
+            big_table.name,
+            TableUpdate(
+                TableUpdateMetadata.new("bench", "x", datetime.now(timezone.utc)),
+                (AddPartitionVersion(
+                    Partition.of(("p", str(i % 16))), generate_version()
+                ),),
+            ),
+        )
+    results["b7_vacuum_20k_walk"] = timed_min(
+        lambda: _vacuum(
+            big_table, big_tracker, keep_last=10**9, dry_run=True,
+            version_index=False,
+        )
+    )
+    _vacuum(big_table, big_tracker, keep_last=10**9, dry_run=True)  # cut index
+    results["b7_vacuum_20k_indexed"] = timed_min(
+        lambda: _vacuum(
+            big_table, big_tracker, keep_last=10**9, dry_run=True,
+            version_index=True,
+        )
     )
 
     # incremental (checkpointed) fold — kept here after its queries() entry
@@ -365,6 +479,23 @@ def main():
                     ),
                     "b6_ann_indexed_over_inmemory_search": _ratio(
                         "b6_ann_indexed_search", "b6_ann_inmemory_search"
+                    ),
+                    # r7 scaling evidence: mapped locate should NOT grow
+                    # with index size (≈1.0); the full scan roughly
+                    # doubles half→full; mapped-vs-scan at full size is
+                    # the absolute saving at this (tiny) scale
+                    "b7_ann_locate_mapped_full_over_half": _ratio(
+                        "b7_ann_locate_mapped_full", "b7_ann_locate_mapped_half"
+                    ),
+                    "b7_ann_locate_scan_full_over_half": _ratio(
+                        "b7_ann_locate_scan_full", "b7_ann_locate_scan_half"
+                    ),
+                    "b7_ann_locate_mapped_over_scan": _ratio(
+                        "b7_ann_locate_mapped_full", "b7_ann_locate_scan_full"
+                    ),
+                    # r7: indexed sweep vs full walk at 20k commits
+                    "b7_vacuum_20k_indexed_over_walk": _ratio(
+                        "b7_vacuum_20k_indexed", "b7_vacuum_20k_walk"
                     ),
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,

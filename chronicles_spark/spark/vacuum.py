@@ -55,21 +55,31 @@ def _line_versions(tracker: VersionTracker, name):
 
 
 def _versions_ever_written(
-    tracker: VersionTracker, table: TableDefinition, lines=None
+    tracker: VersionTracker, table: TableDefinition, lines=None,
+    use_index: bool = False,
 ):
     """(partition | None, version) for every Add op across the table's log
     AND every branch's log (branches write to the same storage location,
     so GC decisions must see their versions too), deduplicated, in commit
     order (oldest first, main log first).  ``lines`` short-circuits the
-    branch enumeration when the caller already resolved it."""
+    branch enumeration when the caller already resolved it;
+    ``use_index`` routes through the persisted versions index + log tail
+    (spark/version_index.py) instead of re-parsing every commit."""
     if lines is None:
         from ..branching import branches
 
         lines = [table.name, *branches(tracker, table.name).values()]
+    if use_index:
+        from .version_index import line_versions_indexed
+
+        per_line = line_versions_indexed(tracker, table, lines, use_index=True)
+        streams = [per_line[name] for name in lines]
+    else:
+        streams = [_line_versions(tracker, name) for name in lines]
     out: list[tuple[object, object]] = []
     seen: set = set()
-    for name in lines:
-        for item in _line_versions(tracker, name):
+    for stream in streams:
+        for item in stream:
             if item not in seen:
                 seen.add(item)
                 out.append(item)
@@ -157,6 +167,7 @@ def vacuum(
     spark=None,
     sweep_orphans: bool = False,
     orphan_min_age: timedelta = timedelta(days=7),
+    version_index: bool = True,
 ) -> List[str]:
     """Delete superseded version directories; returns the removed (or, in
     dry-run, doomed) paths.
@@ -206,8 +217,18 @@ def vacuum(
 
     # every line of history over this storage location: the table itself
     # plus all its branches — a branch's live state and tagged states are
-    # as protected as main's (its branch-point tag pins the base state)
+    # as protected as main's (its branch-point tag pins the base state).
+    # The Add-ops enumeration resolves through the persisted versions
+    # index + log tail (spark/version_index.py) so the sweep stays
+    # O(new commits) in log reads instead of re-parsing every commit of
+    # every line; version_index=False (or a tracker without the tail
+    # surface) restores the full walk.
+    from .version_index import line_versions_indexed
+
     lines = [table.name, *branches(tracker, table.name).values()]
+    line_entries = line_versions_indexed(
+        tracker, table, lines, use_index=version_index
+    )
     by_part: dict[object, list] = {}
     part_objs: dict[object, object] = {}
     seen_pv: set = set()
@@ -219,13 +240,13 @@ def vacuum(
         # each tag O(tail), not O(log))
         for _tag, tagged_commit in sorted(tracker.tags(line).items()):
             _keep_state(tracker.version_at(line, tagged_commit))
-        # ONE full-log read per line feeds both the keep window and the
-        # candidate set below.  The keep_last time-travel window is PER
-        # LINE: each log keeps its own newest N versions per partition, so
-        # branch churn can never evict main's recent history from main's
-        # window (and vice versa)
+        # ONE indexed (O(tail)) read per line feeds both the keep window
+        # and the candidate set below.  The keep_last time-travel window
+        # is PER LINE: each log keeps its own newest N versions per
+        # partition, so branch churn can never evict main's recent
+        # history from main's window (and vice versa)
         line_by_part: dict[object, list] = {}
-        for partition, version in _line_versions(tracker, line):
+        for partition, version in line_entries[line]:
             key = partition.path if partition is not None else ""
             line_by_part.setdefault(key, []).append(version)
             if (key, version) not in seen_pv:
@@ -320,7 +341,9 @@ def vacuum(
                 vpaths.path_for(
                     p.resolve_path(location) if p is not None else location, v
                 )
-                for p, v in _versions_ever_written(tracker, table)
+                for p, v in _versions_ever_written(
+                    tracker, table, use_index=version_index
+                )
                 if not v.is_unversioned
             }
             orphans = [p for p in orphans if p not in fresh_known]
