@@ -44,7 +44,7 @@ def main():
     from pyspark.sql import SparkSession, functions as F
 
     import __spark_entry__ as entry
-    from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
+    from chronicles_spark.core.model import Partition, PartitionSchema, TableDefinition, TableName
     from chronicles_spark.plans import log_queries as LQ
     from chronicles_spark.plans.synthetic_log import head_ref_df, ops_log_df
     from chronicles_spark.sources import load_table
@@ -72,6 +72,13 @@ def main():
     load_start = os.getloadavg()[0]
     tmp = tempfile.mkdtemp(prefix="chronicles_bench_")
 
+    _t_start = time.time()
+
+    def _progress(msg: str) -> None:
+        # stderr progress marker (the JSON contract line goes to stdout);
+        # makes a wall-budget overrun diagnosable from the log
+        print(f"[bench +{time.time() - _t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
     def timed_min(fn, n=N_RUNS, clear=True) -> float:
         best = float("inf")
         for _ in range(n):
@@ -83,6 +90,7 @@ def main():
             gc.collect()  # drop localCheckpoint refs so ContextCleaner frees them
         return round(best, 3)
 
+    _progress("prep: re-split testdata")
     # ---- prep: split the single-file testdata into CPUS files -------------
     # The driver's parquet files are one row group each — unsplittable, so
     # every scan would be a single task and local[N] buys nothing on map
@@ -102,6 +110,7 @@ def main():
                 .parquet(f"{data_dir}/{t}.parquet")
             )
 
+    _progress("B1 writes")
     # ---- B1: versioned write vs plain write -------------------------------
     events = load_table(spark, data_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date").cast("string")
@@ -131,6 +140,7 @@ def main():
         lambda: versioned_insert_into(one_day, table, tracker, "bench", "redo")
     )
 
+    _progress("B3 rollback")
     # ---- B3: rollback + log (metadata-only) -------------------------------
     ms = InMemoryMetastore()
     ms.create_table(table)
@@ -160,6 +170,7 @@ def main():
         .collect()
     )
 
+    _progress("B5 fold/diff")
     # ---- B5: metadata algebra on a 10k-partition synthetic log ------------
     big_log = spark.range(10000).select(
         F.col("id").alias("sequence_id"),
@@ -250,6 +261,7 @@ def main():
     for name in headline:
         df_fn = qs[name]
         results[name] = timed_min(lambda fn=df_fn: fn(spark, data_dir).collect())
+        _progress(f"headline {name} = {results[name]}")
 
     # the honest write roundtrip: fresh table, versioned write of every
     # partition + one overwrite + current-view read-back, all timed
@@ -267,6 +279,7 @@ def main():
 
     results["q_versioned_write_roundtrip"] = timed_min(_fresh_roundtrip)
 
+    _progress("b6 ANN family")
     # ---- ANN index family (round 6; gated in _pq_gate, no queries() row:
     # bench evidence lives here) -------------------------------------------
     from chronicles_spark.operators import ann_index as AX, similarity as SIM
@@ -310,66 +323,93 @@ def main():
     results["b6_ann_extend_upsert"] = timed_min(
         lambda: AX.extend_ann_index(ann_batch, ann_table, ann_tracker)
     )
+    _progress("b7 locate")
     # ---- r7: the upsert LOCATE's cost class, at two index sizes ----------
-    # the id map bounds the locate to the batch's shards (+ an IN-list
-    # row-group prune); the old path scans the whole index's (id, bucket)
-    # columns.  Timing the locate in isolation (same batch, half vs full
-    # corpus index) separates the locate's scaling from the LSM-style
-    # touched-bucket rewrite, which legitimately scales with bucket size.
-    from chronicles_spark.spark.reader import read_version
+    # A synthetic corpus big enough that DATA (not Spark fixed overhead)
+    # dominates: SPARK_GRAFT_B7_ROWS (default 400k) 16-dim vectors built
+    # from pure column expressions, indexed under injected deterministic
+    # artifacts (no fits).  The extend of the SAME 8-vector batch is
+    # timed against the full- and half-size mapped index (flat = the
+    # O(batch) claim) and against a full-size UNMAPPED index (the old
+    # whole-index locate scan, for contrast).  The deterministic
+    # ann_locate_read_fraction below is the number that scales.
+    import math as _math
 
-    half_dir = tempfile.mkdtemp(prefix="chronicles_ann_half_", dir=tmp)
-    half_tracker = FileBackedVersionTracker(half_dir + "/_log")
-    half_table = TableDefinition(
-        TableName("bench", "annh"), half_dir + "/ann", PartitionSchema(("bucket",))
-    )
-    half_tracker.init_table(half_table.name, is_snapshot=False, user_id="bench")
-    AX.build_ann_index(
-        emb.where(F.col("vec_id") % 2 == 0), half_table, half_tracker,
-        n_clusters=16, m=8, k_sub=16, iters=1,
-        centroids=arts.centroid_list, codebooks=arts.codebook_list,
-    )
-    # 8 ids → at most 8 of the 64 map shards are listed/read; a larger
-    # batch would touch nearly every shard and hide the pruning
-    locate_ids = emb.where(F.col("vec_id") < 8).select("vec_id")
+    b7_rows = int(os.environ.get("SPARK_GRAFT_B7_ROWS", "400000"))
+    b7_dim, b7_k, b7_m, b7_ksub = 16, 64, 4, 8
+    b7_cents = [
+        (c, [_math.sin(0.7 * c + 1.3 * j) for j in range(b7_dim)])
+        for c in range(b7_k)
+    ]
+    b7_books = [
+        [
+            [_math.cos(0.9 * code + 0.5 * j + 2.0 * sub) for j in range(b7_dim // b7_m)]
+            for code in range(b7_ksub)
+        ]
+        for sub in range(b7_m)
+    ]
 
-    def _locate(table_, tracker_, mapped: bool):
-        st = tracker_.current_version(table_.name)
-        if mapped:
-            arts_l = AX.load_ann_artifacts(table_, st)
-            mt = AX.ann_id_map_table(table_)
-            ms = tracker_.current_version(mt.name)
-            shards = [
-                r["s"]
-                for r in locate_ids.select(
-                    AX._shard_col("vec_id", arts_l.id_shards).alias("s")
-                ).distinct().collect()
-            ]
-            sub = AX._restrict_to_values(ms, AX.ID_SHARD_COL, shards)
-            located = read_version(
-                spark, mt, sub, infer_partition_types=False
-            ).select("vec_id", "bucket").where(
-                F.col("vec_id").isin([r[0] for r in locate_ids.collect()])
-            )
-        else:
-            located = read_version(
-                spark, table_, st, infer_partition_types=False
-            ).select("vec_id", "bucket")
-        located.join(
-            F.broadcast(locate_ids), "vec_id", "left_semi"
-        ).select("bucket").distinct().collect()
+    def _b7_corpus(n):
+        # deterministic pseudo-random embeddings, pure column exprs
+        vec = F.array(*[
+            F.sin(F.col("id") * F.lit(0.001 * (j + 1)) + F.lit(j)).cast("double")
+            for j in range(b7_dim)
+        ])
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
 
-    results["b7_ann_locate_mapped_full"] = timed_min(
-        lambda: _locate(ann_table, ann_tracker, True)
+    def _b7_index(name, n, mapped):
+        d = tempfile.mkdtemp(prefix=f"chronicles_b7_{name}_", dir=tmp)
+        trk = FileBackedVersionTracker(d + "/_log")
+        tbl = TableDefinition(
+            TableName("bench", name), d + "/ann", PartitionSchema(("bucket",))
+        )
+        trk.init_table(tbl.name, is_snapshot=False, user_id="bench")
+        AX.build_ann_index(
+            _b7_corpus(n), tbl, trk, centroids=b7_cents, codebooks=b7_books,
+            id_map_shards=(64 if mapped else None),
+        )
+        return tbl, trk
+
+    b7_full_t, b7_full_k = _b7_index("b7full", b7_rows, True)
+    b7_half_t, b7_half_k = _b7_index("b7half", b7_rows // 2, True)
+    b7_nomap_t, b7_nomap_k = _b7_index("b7nomap", b7_rows, False)
+    b7_batch = _b7_corpus(8)  # re-submit 8 existing ids: idempotent upsert
+
+    results["b7_ann_extend_mapped_full"] = timed_min(
+        lambda: AX.extend_ann_index(b7_batch, b7_full_t, b7_full_k), n=2
     )
-    results["b7_ann_locate_mapped_half"] = timed_min(
-        lambda: _locate(half_table, half_tracker, True)
+    results["b7_ann_extend_mapped_half"] = timed_min(
+        lambda: AX.extend_ann_index(b7_batch, b7_half_t, b7_half_k), n=2
     )
-    results["b7_ann_locate_scan_full"] = timed_min(
-        lambda: _locate(ann_table, ann_tracker, False)
+    # same index size built WITHOUT a map → the old honest whole-index
+    # (id, bucket) locate scan per upsert
+    results["b7_ann_extend_scanlocate_full"] = timed_min(
+        lambda: AX.extend_ann_index(b7_batch, b7_nomap_t, b7_nomap_k), n=2
     )
-    results["b7_ann_locate_scan_half"] = timed_min(
-        lambda: _locate(half_table, half_tracker, False)
+
+    # deterministic locate-read evidence (the number that scales, like
+    # ann_probe_read_fraction): share of the id map's live shard
+    # partitions the 8-id batch's locate reads — and it never opens the
+    # INDEX data at all (the scan path reads 100% of it)
+    b7_full_state = b7_full_k.current_version(b7_full_t.name)
+    b7_map_state = b7_full_k.current_version(
+        AX.ann_id_map_table(b7_full_t).name
+    )
+    b7_arts_full = AX.load_ann_artifacts(b7_full_t, b7_full_state)
+    b7_shards = sorted(
+        r["s"]
+        for r in b7_batch.select(
+            AX._shard_col("vec_id", b7_arts_full.id_shards).alias("s")
+        ).distinct().collect()
+    )
+    ann_locate_read_fraction = round(
+        len(AX._restrict_to_values(
+            b7_map_state, AX.ID_SHARD_COL, b7_shards
+        ).partition_versions)
+        / max(1, len(b7_map_state.partition_versions)),
+        4,
     )
 
     # recall measurement (r7 operator) — one small sampled-query sweep
@@ -377,7 +417,8 @@ def main():
         lambda: AX.ann_recall_at_k(
             spark, ann_table, ann_tracker, ann_q.limit(8), emb,
             k=10, n_probes=(2,), artifacts=arts,
-        ).collect()
+        ).collect(),
+        n=1,
     )
 
     # deterministic scale evidence (not a wall-clock number): the share
@@ -397,6 +438,7 @@ def main():
         4,
     )
 
+    _progress("b7 20k sweep")
     # ---- r7: sweep cost at 20k commits, walk vs versions index -----------
     # metadata-only AddPartitionVersion commits (no Spark jobs) build a
     # 20k-commit files log; keep_last is huge so the timing isolates the
@@ -411,36 +453,48 @@ def main():
     from chronicles_spark.core.version import generate_version
     from chronicles_spark.spark.vacuum import vacuum as _vacuum
 
-    big_dir = tempfile.mkdtemp(prefix="chronicles_20k_", dir=tmp)
+    # the 20k-commit log is synthetic and format-stable — cache it across
+    # bench invocations (first run pays ~90s construction once per box);
+    # sweep timings are single-shot (the walk/indexed ratio is ~10x, far
+    # above run-to-run noise) to keep the bench inside its wall budget
+    big_dir = "/tmp/chronicles_bench20k_v1"
     big_tracker = FileBackedVersionTracker(big_dir + "/_log")
     big_table = TableDefinition(
         TableName("bench", "big"), big_dir + "/big", PartitionSchema(("p",))
     )
-    big_tracker.init_table(big_table.name, is_snapshot=False, user_id="bench")
-    for i in range(20_000):
-        big_tracker.commit(
-            big_table.name,
-            TableUpdate(
-                TableUpdateMetadata.new("bench", "x", datetime.now(timezone.utc)),
-                (AddPartitionVersion(
-                    Partition.of(("p", str(i % 16))), generate_version()
-                ),),
-            ),
-        )
+    if not os.path.exists(big_dir + "/_done"):
+        shutil.rmtree(big_dir, ignore_errors=True)
+        big_tracker = FileBackedVersionTracker(big_dir + "/_log")
+        big_tracker.init_table(big_table.name, is_snapshot=False, user_id="bench")
+        for i in range(20_000):
+            big_tracker.commit(
+                big_table.name,
+                TableUpdate(
+                    TableUpdateMetadata.new("bench", "x", datetime.now(timezone.utc)),
+                    (AddPartitionVersion(
+                        Partition.of(("p", str(i % 16))), generate_version()
+                    ),),
+                ),
+            )
+        with open(big_dir + "/_done", "w") as f:
+            f.write("ok")
     results["b7_vacuum_20k_walk"] = timed_min(
         lambda: _vacuum(
             big_table, big_tracker, keep_last=10**9, dry_run=True,
             version_index=False,
-        )
+        ),
+        n=1,
     )
     _vacuum(big_table, big_tracker, keep_last=10**9, dry_run=True)  # cut index
     results["b7_vacuum_20k_indexed"] = timed_min(
         lambda: _vacuum(
             big_table, big_tracker, keep_last=10**9, dry_run=True,
             version_index=True,
-        )
+        ),
+        n=1,
     )
 
+    _progress("fold incremental + headline")
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
     def _fold_incremental():
@@ -484,14 +538,12 @@ def main():
                     # with index size (≈1.0); the full scan roughly
                     # doubles half→full; mapped-vs-scan at full size is
                     # the absolute saving at this (tiny) scale
-                    "b7_ann_locate_mapped_full_over_half": _ratio(
-                        "b7_ann_locate_mapped_full", "b7_ann_locate_mapped_half"
+                    "b7_ann_extend_mapped_full_over_half": _ratio(
+                        "b7_ann_extend_mapped_full", "b7_ann_extend_mapped_half"
                     ),
-                    "b7_ann_locate_scan_full_over_half": _ratio(
-                        "b7_ann_locate_scan_full", "b7_ann_locate_scan_half"
-                    ),
-                    "b7_ann_locate_mapped_over_scan": _ratio(
-                        "b7_ann_locate_mapped_full", "b7_ann_locate_scan_full"
+                    "b7_ann_extend_mapped_over_scanlocate": _ratio(
+                        "b7_ann_extend_mapped_full",
+                        "b7_ann_extend_scanlocate_full",
                     ),
                     # r7: indexed sweep vs full walk at 20k commits
                     "b7_vacuum_20k_indexed_over_walk": _ratio(
@@ -499,6 +551,7 @@ def main():
                     ),
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
+                "ann_locate_read_fraction": ann_locate_read_fraction,
             }
         )
     )

@@ -126,6 +126,10 @@ class FileBackedVersionTracker(VersionTracker):
         # their own fd and block each other — an instance-shared set would
         # let a second thread skip the lock a first thread holds
         self._held_locks = threading.local()
+        # per-table-dir count of commits since the last EXACT checkpoint
+        # check (the exact check lists the dir — see _maybe_checkpoint's
+        # O(1) fast path); cadence hint only, never a correctness input
+        self._ck_pending: dict = {}
         if checkpoint_interval is not None and checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1 (or None to disable)")
         self._checkpoint_interval = checkpoint_interval
@@ -474,6 +478,18 @@ class FileBackedVersionTracker(VersionTracker):
         pointer valid."""
         if not self._checkpoint_interval:
             return
+        # O(1) fast path: the exact check below LISTS the whole table dir
+        # (O(log size) dirents) — per commit that turns a bulk load into
+        # O(N²).  An instance-local count of commits since the last exact
+        # check skips the listing until the interval could possibly have
+        # accumulated.  The counter cannot see OTHER writers' commits, so
+        # under concurrency a checkpoint may be cut a little late — a
+        # cadence (not correctness) property: checkpoints are derived
+        # artifacts and every reader verifies/degrades independently.
+        pend = self._ck_pending.get(d)
+        if pend is not None and pend + 1 < self._checkpoint_interval:
+            self._ck_pending[d] = pend + 1
+            return
         # read the checkpoint BEFORE listing: the listing is then at least
         # as fresh as the checkpoint, so a checkpoint cut concurrently by
         # another writer can never spuriously fail the covers-prefix guard
@@ -487,7 +503,9 @@ class FileBackedVersionTracker(VersionTracker):
         base_seq = int(ck["last_seq"]) if ck else -1
         tail = [(s, n) for s, n in all_seqs if s > base_seq]
         if len(tail) < self._checkpoint_interval:
+            self._ck_pending[d] = len(tail)
             return
+        self._ck_pending[d] = 0  # cutting now (every exit below counts)
         updates = self._read_updates(d, [n for _, n in tail])
         if ck:
             state = dict(ck["partitions"])

@@ -122,3 +122,7 @@ def test_two_process_extend_race_loses_nothing(spark, tmp_path):
     )
     AX.build_ann_index(corpus, table2, t2, centroids=cents, codebooks=books)
     assert content(table, tracker) == content(table2, t2)
+
+    # round 7: the companion id map survived the cross-process race too —
+    # every group commit landed both halves under the held flock
+    assert AX.verify_ann_id_map(spark, table, tracker).count() == 0

@@ -361,3 +361,47 @@ def test_sqlite_snapshot_checkpoint_and_group_commit(tmp_path):
     assert tr.current_version(snap).version == versions[-1]
     truth = SqliteVersionTracker(path, checkpoint_interval=None)
     assert tr.current_version(snap) == truth.current_version(snap)
+
+
+class ListCountingFs(CountingFs):
+    """CountingFs that also counts directory LISTINGS — the per-commit
+    cost the round-7 O(1) cadence fast path removes."""
+
+    def __init__(self, inner):
+        super().__init__(inner)
+        self.listings = 0
+
+    def list_dir(self, path):
+        self.listings += 1
+        return self.inner.list_dir(path)
+
+
+def test_commit_does_not_list_per_commit(tmp_path):
+    """Bulk loads must not pay a full directory LISTING per commit: the
+    exact checkpoint check (which lists) runs once per interval via the
+    instance-local pending counter, so N commits cost O(N/interval)
+    listings — not O(N) (which made bulk loads O(N²) in dirents before
+    round 7).  Cadence is unchanged: checkpoints still cut and the
+    fast-path fold still agrees with the full fold."""
+    from chronicles_spark.trackers.fs import LocalFileSystem
+
+    fs = ListCountingFs(LocalFileSystem())
+    tr = FileBackedVersionTracker(str(tmp_path), fs=fs, checkpoint_interval=50)
+    tr.init_table(T, is_snapshot=False, user_id="alice")
+    fs.listings = 0
+    for i in range(300):
+        _commit(tr, _add(f"date=2024-01-{(i % 7) + 1:02d}"))
+    # 300 commits / interval 50 → ~6 exact checks (each may list a couple
+    # of times); anywhere near 300 means the fast path regressed
+    assert fs.listings < 40, f"{fs.listings} listings for 300 commits"
+    assert len(_ckpt_files(tr)) >= 5  # cadence preserved
+    assert tr.current_version(T) == _full_fold(str(tmp_path))
+
+    # a FRESH instance (cold counter) keeps committing and checkpointing
+    tr2 = FileBackedVersionTracker(str(tmp_path), fs=fs, checkpoint_interval=50)
+    before = len(_ckpt_files(tr))
+    for i in range(60):
+        meta = TableUpdateMetadata.new("bob", "x")
+        tr2.commit(T, TableUpdate(meta, (_add(f"date=2024-02-{(i % 7) + 1:02d}"),)))
+    assert len(_ckpt_files(tr2)) > before
+    assert tr2.current_version(T) == _full_fold(str(tmp_path))
