@@ -804,7 +804,15 @@ def _extend_publish(
                 located = read_version(
                     spark, map_table, msub, infer_partition_types=False
                 ).select(F.col(id_col), F.col(BUCKET_COL))
-                if counts["n"] <= _LOCATE_PUSHDOWN_MAX_IDS:
+                if (
+                    counts["n"] <= _LOCATE_PUSHDOWN_MAX_IDS
+                    and len(batch_shards) * 2 <= artifacts.id_shards
+                ):
+                    # IN-list pushdown prunes row groups WITHIN the read
+                    # shards; when the batch already covers most shards
+                    # the list spans most row groups too, so the extra
+                    # collect job buys nothing — skip it (the broadcast
+                    # semi-join below is authoritative either way)
                     ids = [r[0] for r in encoded_new.select(id_col).collect()]
                     located = located.where(F.col(id_col).isin(ids))
                 old_locs = (

@@ -29,6 +29,15 @@ Safety rules (the commit files stay the only source of truth):
   pointer, never removes commits), so a cumulative prefix never needs
   invalidation by content — only by identity (the first-commit check).
 
+Artifact size: the index holds one (path, label) pair per Add op ever
+committed — ~100 bytes each, so ~100 MB of JSON at 10⁶ single-partition
+commits, parsed once per sweep (seconds).  That replaces 10⁶ individual
+commit-file reads (hours of GETs on an object store); if the parse
+itself ever becomes the bottleneck the format can move to parquet
+without touching the guards.  Vacuum does not shrink the index (GC
+removes data directories, not commits); a log whose history is
+truncated out-of-band fails the identity check and rebuilds.
+
 Like the reference's stance that reads resolve through recorded
 metadata, not storage walks (spark/src/main/scala/dev/chronicles/spark/
 SparkHiveMetastore.scala:58-61), the sweep's candidate enumeration here
