@@ -252,6 +252,31 @@ class FileBackedVersionTracker(VersionTracker):
                 "CAS commit could not claim a filename after 4096 attempts "
                 "(pathological contention or a misbehaving filesystem)"
             )
+        if self.fs.supports_put_if_absent():
+            # PLAIN mode must not overwrite either: a burst of >1 commit
+            # per ms runs the per-instance monotonic clock AHEAD of wall
+            # time, so a FRESH instance's next commit can land on an
+            # already-claimed sequence slot — a plain write_text there
+            # silently DESTROYS the committed update it replaces (found
+            # by the round-7 cadence regression test, latent since round
+            # 3).  Conditional-create + bump-one-higher costs the same
+            # single syscall on the happy path and turns the collision
+            # into an append; the multi-WRITER head race stays the
+            # documented last-writer-wins (that is about head_ref, never
+            # about losing a committed file).
+            for _ in range(4096):
+                if self.fs.write_text_if_absent(
+                    self.fs.join(d, f"table_update_{ts:013d}.json"), payload
+                ):
+                    return ts
+                ts += 1
+            raise RuntimeError(
+                "commit could not claim a filename after 4096 attempts "
+                "(pathological clock skew or a misbehaving filesystem)"
+            )
+        # backend without conditional create (fsspec sans conditional_put):
+        # keep the historical best-effort write — its docstring already
+        # carries the multi-writer caveat
         self.fs.write_text(
             self.fs.join(d, f"table_update_{ts:013d}.json"), payload
         )

@@ -64,6 +64,28 @@ class CountingFs(FileSystem):
     def join(self, *parts):
         return self.inner.join(*parts)
 
+    # conditional-put surface must delegate too: without it the proxy
+    # silently downgrades commits to the legacy overwrite-capable path
+    # (exactly the hazard test_fresh_instance_commit... pins)
+    def supports_put_if_absent(self):
+        return self.inner.supports_put_if_absent()
+
+    def write_text_if_absent(self, path, text):
+        return self.inner.write_text_if_absent(path, text)
+
+    def supports_put_if_match(self):
+        return self.inner.supports_put_if_match()
+
+    def read_text_and_token(self, path):
+        self.reads.append(path)
+        return self.inner.read_text_and_token(path)
+
+    def write_text_if_match(self, path, text, token):
+        return self.inner.write_text_if_match(path, text, token)
+
+    def mtime(self, path):
+        return self.inner.mtime(path)
+
 
 def _commit(tracker, *ops, msg="u"):
     meta = TableUpdateMetadata.new("alice", msg)
@@ -405,3 +427,32 @@ def test_commit_does_not_list_per_commit(tmp_path):
         tr2.commit(T, TableUpdate(meta, (_add(f"date=2024-02-{(i % 7) + 1:02d}"),)))
     assert len(_ckpt_files(tr2)) > before
     assert tr2.current_version(T) == _full_fold(str(tmp_path))
+
+
+def test_fresh_instance_commit_never_overwrites_a_slot(tmp_path):
+    """A burst of >1 commit/ms runs the per-instance monotonic clock
+    ahead of wall time; a FRESH tracker's next commit then lands on an
+    already-claimed sequence slot.  Before round 7 the plain (no-lock)
+    path write_text'd over it — silently destroying the committed update
+    it replaced.  The conditional-create + bump fix must keep EVERY
+    commit: file count grows by exactly one and all prior commit ids
+    stay readable."""
+    import os as _os
+
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="a")
+    ids = [_commit(tr, _add(f"date=2024-01-{(i % 7) + 1:02d}")) for i in range(300)]
+    d = tr._table_dir(T)
+
+    def n_files():
+        return sum(1 for n in _os.listdir(d) if n.startswith("table_update"))
+
+    before = n_files()
+    tr2 = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    meta = TableUpdateMetadata.new("b", "fresh")
+    tr2.commit(T, TableUpdate(meta, (_add("date=2024-02-01"),)))
+    assert n_files() == before + 1  # landed as a NEW file, no overwrite
+    got = [u.metadata.commit_id for u in tr2.table_state(T).updates]
+    assert meta.commit_id in got
+    for cid in ids:
+        assert cid in got  # nothing was destroyed
