@@ -1192,7 +1192,13 @@ def rebuild_ann_id_map(
     ``id_shards`` in that case).  One column-pruned scan of the index,
     one commit on the map table; shards the index no longer populates
     are removed from the live view in the same commit.  Returns the map
-    table's new state."""
+    table's new state.
+
+    Migration completeness: every LIVE label's artifact sidecar is
+    re-stamped with the map's ``id_shards`` — without that, future
+    extends resolving artifacts from the sidecars would see ``None``,
+    take the scan-locate path, and silently stop MAINTAINING the map
+    just created (leaving it to rot stale)."""
     from ..core.model import Partition
     from ..spark.reader import read_version
     from ..spark.writer import versioned_insert_into
@@ -1236,6 +1242,23 @@ def rebuild_ann_id_map(
             Partition.of((ID_SHARD_COL, s)) for s in sorted(live - set(written))
         ],
     )
+    # migration completeness: pin the shard modulus into every live
+    # label's sidecar so auto-resolved extends keep maintaining the map
+    fs = filesystem_for(table.location)[0]
+    for label in sorted({v.label for v in state.partition_versions.values()}):
+        _, apath = _artifact_path(table, label)
+        if fs.exists(apath):
+            side = AnnArtifacts.from_json(fs.read_text(apath))
+            if side.id_shards != artifacts.id_shards:
+                fs.write_text(
+                    apath,
+                    AnnArtifacts(
+                        centroids=side.centroids,
+                        codebooks=side.codebooks,
+                        version_label=side.version_label,
+                        id_shards=artifacts.id_shards,
+                    ).to_json(),
+                )
     return new_map_state
 
 

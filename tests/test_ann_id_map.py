@@ -286,6 +286,22 @@ def test_rebuild_creates_map_for_unmapped_index(spark, tmp_path):
     AX.rebuild_ann_id_map(spark, table, tracker, artifacts=arts_m)
     assert AX.verify_ann_id_map(spark, table, tracker).count() == 0
 
+    # migration completeness: the live sidecars were re-stamped, so an
+    # extend with AUTO-resolved artifacts keeps maintaining the map
+    # (without the re-stamp it would take the scan path and rot it)
+    resolved = AX.load_ann_artifacts(
+        table, tracker.current_version(table.name)
+    )
+    assert resolved.id_shards == 6
+    donor = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    AX.extend_ann_index(
+        spark.createDataFrame(
+            [(0, list(donor))], "vec_id long, embedding array<float>"
+        ),
+        table, tracker,
+    )
+    assert AX.verify_ann_id_map(spark, table, tracker).count() == 0
+
 
 def test_commit_group_conflict_leaves_nothing_committed(tmp_path):
     """Tracker-level: an optimistic group whose SECOND table conflicts
