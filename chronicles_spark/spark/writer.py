@@ -291,6 +291,8 @@ def versioned_insert_group(
     user_id: str,
     message: str,
     metastore=None,
+    expected_heads=None,
+    allow_disjoint: bool = True,
 ):
     """Write SEVERAL tables and flip their live views together — the
     cross-table transaction for pipelines whose outputs must stay
@@ -306,7 +308,14 @@ def versioned_insert_group(
     written-directory listing (zero extra scans).  Returns
     ``{table_name: table_version}`` for the new states; with
     ``metastore``, each table is then synced by diff (the ALTERs
-    themselves are per-statement, as in the reference)."""
+    themselves are per-statement, as in the reference).
+
+    ``expected_heads`` (``{table_name: head_commit_id}``) makes the
+    group OPTIMISTIC per listed table — every conflict check runs before
+    any append, so a conflict anywhere lands nothing (round 7; the
+    cross-table read-modify-write primitive, same semantics as
+    ``versioned_insert_into``'s ``concurrency="optimistic"`` with
+    ``allow_disjoint`` controlling disjoint-partition auto-merge)."""
     if not writes:
         raise ValueError("versioned_insert_group needs at least one (df, table)")
     names = [t.name for _df, t in writes]
@@ -343,7 +352,9 @@ def versioned_insert_group(
         meta = TableUpdateMetadata.new(user_id, message, meta_ts)
         group[table.name] = TableUpdate(meta, tuple(ops))
 
-    tracker.commit_group(group)
+    tracker.commit_group(
+        group, expected_heads=expected_heads, allow_disjoint=allow_disjoint
+    )
 
     out = {}
     for _df, table in writes:

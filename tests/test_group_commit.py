@@ -213,3 +213,59 @@ def test_group_write_syncs_metastore(spark, tmp_path):
     )
     assert ms.current_version(docs) == states[docs.name]
     assert ms.current_version(embs) == states[embs.name]
+
+
+def test_versioned_insert_group_optimistic(spark, tmp_path):
+    """Round 7: the group WRITE surface exposes expected_heads — a
+    conflict on one table lands neither table's commit, and a disjoint
+    interim commit auto-merges."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.core.model import (
+        Partition, PartitionSchema, TableDefinition, TableName,
+    )
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.spark.writer import versioned_insert_group
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    ta = TableDefinition(
+        TableName("g", "a"), str(tmp_path / "a"), PartitionSchema(("p",))
+    )
+    tb = TableDefinition(
+        TableName("g", "b"), str(tmp_path / "b"), PartitionSchema(("p",))
+    )
+    for t in (ta, tb):
+        tracker.init_table(t.name, is_snapshot=False, user_id="t")
+    df = spark.createDataFrame([(1, "x")], "v long, p string")
+    heads = {
+        t.name: tracker.table_state(t.name).current_version for t in (ta, tb)
+    }
+    # interim commit on b touching partition p=x → overlap → conflict
+    tracker.commit(
+        tb.name,
+        TableUpdate(
+            TableUpdateMetadata.new("r", "racer"),
+            (AddPartitionVersion(Partition.of(("p", "x")), generate_version()),),
+        ),
+    )
+    head_a_before = tracker.table_state(ta.name).current_version
+    with pytest.raises(CommitConflictError):
+        versioned_insert_group(
+            [(df, ta), (df, tb)], tracker, "t", "grp", expected_heads=heads
+        )
+    assert tracker.table_state(ta.name).current_version == head_a_before
+
+    # disjoint interim (p=y vs our p=x write on a only?) — write p=z on
+    # both; the racer touched p=x on b → disjoint → merges
+    df2 = spark.createDataFrame([(1, "z")], "v long, p string")
+    out = versioned_insert_group(
+        [(df2, ta), (df2, tb)], tracker, "t", "grp2", expected_heads=heads
+    )
+    assert set(out) == {ta.name, tb.name}
