@@ -185,6 +185,10 @@ class AnnArtifacts:
     centroids ``[(cid, vec), ...]`` and PQ ``codebooks[sub][code] ->
     subvector``, plus the data-version label they encoded.
 
+    ``max_bucket_rows`` records the build's skew cap so extends can WARN
+    when a rewritten physical partition drifts past it (the layout is
+    re-balanced by the periodic rebuild, never mid-extend).
+
     ``id_shards`` records the companion id-map table's shard count when
     the index was built with one (``build_ann_index(id_map_shards=...)``)
     — it is part of the index GEOMETRY like the quantizer (an extend must
@@ -196,6 +200,7 @@ class AnnArtifacts:
     codebooks: tuple
     version_label: str
     id_shards: "int | None" = None
+    max_bucket_rows: "int | None" = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -206,6 +211,7 @@ class AnnArtifacts:
                     [list(c) for c in cb] for cb in self.codebooks
                 ],
                 "id_shards": self.id_shards,
+                "max_bucket_rows": self.max_bucket_rows,
             }
         )
 
@@ -219,6 +225,7 @@ class AnnArtifacts:
             ),
             version_label=d["version_label"],
             id_shards=d.get("id_shards"),
+            max_bucket_rows=d.get("max_bucket_rows"),
         )
 
     @property
@@ -238,6 +245,7 @@ def _artifact_path(table: TableDefinition, label: str):
 def _write_artifact_sidecar(
     table: TableDefinition, version_label: str, centroids, codebooks,
     id_shards: "int | None" = None,
+    max_bucket_rows: "int | None" = None,
 ) -> AnnArtifacts:
     """Stamp + persist the artifact sidecar for a version BEFORE its data
     commit — a crash leaves an orphan sidecar (reclaimable via
@@ -248,6 +256,7 @@ def _write_artifact_sidecar(
         codebooks=tuple(tuple(tuple(x) for x in cb) for cb in codebooks),
         version_label=version_label,
         id_shards=id_shards,
+        max_bucket_rows=max_bucket_rows,
     )
     fs, apath = _artifact_path(table, version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
@@ -353,7 +362,8 @@ def build_ann_index(
 
     version = generate_version()
     artifacts = _write_artifact_sidecar(
-        table, version.label, centroids, codebooks, id_map_shards
+        table, version.label, centroids, codebooks, id_map_shards,
+        max_bucket_rows,
     )
     if id_map_shards is None:
         state, _ = versioned_insert_into(
@@ -506,6 +516,7 @@ def load_ann_artifacts(
             other.centroids != first.centroids
             or other.codebooks != first.codebooks
             or other.id_shards != first.id_shards
+            or other.max_bucket_rows != first.max_bucket_rows
         ):
             raise ValueError(
                 f"table {table.name} has live partitions encoded under "
@@ -517,6 +528,7 @@ def load_ann_artifacts(
         codebooks=first.codebooks,
         version_label=labels[-1],
         id_shards=first.id_shards,
+        max_bucket_rows=first.max_bucket_rows,
     )
 
 
@@ -855,7 +867,7 @@ def _extend_publish(
     version = generate_version()
     stamped = _write_artifact_sidecar(
         table, version.label, artifacts.centroids, artifacts.codebooks,
-        artifacts.id_shards,
+        artifacts.id_shards, artifacts.max_bucket_rows,
     )
 
     # which touched buckets still hold rows — ONE small aggregation over
@@ -865,10 +877,33 @@ def _extend_publish(
     # count + the write), both passes bounded by the touched slice.
     from ..core.model import Partition
 
-    written_buckets = {
-        r[BUCKET_COL]
-        for r in out.select(BUCKET_COL).distinct().collect()
+    written_counts = {
+        r[BUCKET_COL]: r["n"]
+        for r in out.groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
+    written_buckets = set(written_counts)
+    if artifacts.max_bucket_rows is not None:
+        over = {
+            b: n for b, n in written_counts.items()
+            if n > artifacts.max_bucket_rows
+        }
+        if over:
+            # drift detection, not enforcement: re-splitting mid-extend
+            # would rewrite untouched sub-partitions of the same logical
+            # bucket (expanding the RMW beyond the locate's read set) —
+            # the documented re-balance point is the periodic rebuild
+            import warnings
+
+            warnings.warn(
+                f"extend grew {len(over)} physical bucket(s) past the "
+                f"build's max_bucket_rows={artifacts.max_bucket_rows} "
+                f"(worst: {max(over.values())} rows) — schedule a "
+                "build_ann_index rebuild to re-balance the skew split",
+                RuntimeWarning,
+                stacklevel=4,
+            )
     if None in written_buckets:
         raise ValueError(
             "encoded batch contains a NULL bucket (null embedding?) — "

@@ -223,6 +223,22 @@ def test_skew_guard_caps_partitions_and_keeps_search_identical(spark, tmp_path):
     assert all("_" in b for b in after if b.startswith("0"))
     assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
 
+    # cap-drift detection: the cap rides the sidecar, and an extend that
+    # grows a physical partition past it WARNS (re-balance = rebuild)
+    resolved = AX.load_ann_artifacts(tg, trg.current_version(tg.name))
+    assert resolved.max_bucket_rows == 25
+    # the build's overshoot-doubling converged to a modulus of tens of
+    # subs, so the flood must be large enough to push SOME sub past the
+    # cap (cap × modulus rows all landing in logical bucket 0)
+    n_subs = sum(1 for b in after if b.startswith("0_"))
+    flood = spark.createDataFrame(
+        [(700 + i, [0.03] * dim) for i in range(25 * n_subs + 5 * n_subs)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.warns(RuntimeWarning, match="past the build's max_bucket_rows"):
+        AX.extend_ann_index(flood, tg, trg)
+    assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
+
 
 def test_rebuild_ann_id_map_repairs_divergence(spark, tmp_path):
     """Simulated files-backend crash (map head rolled back one commit):
