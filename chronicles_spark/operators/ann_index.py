@@ -1285,6 +1285,10 @@ def rebuild_ann_id_map(
         if fs.exists(apath):
             side = AnnArtifacts.from_json(fs.read_text(apath))
             if side.id_shards != artifacts.id_shards:
+                # only id_shards changes: dropping max_bucket_rows here
+                # would silently erase the recorded skew cap (and a crash
+                # mid-loop would leave live sidecars disagreeing on BOTH
+                # fields, making load_ann_artifacts raise)
                 fs.write_text(
                     apath,
                     AnnArtifacts(
@@ -1292,6 +1296,7 @@ def rebuild_ann_id_map(
                         codebooks=side.codebooks,
                         version_label=side.version_label,
                         id_shards=artifacts.id_shards,
+                        max_bucket_rows=side.max_bucket_rows,
                     ).to_json(),
                 )
     return new_map_state

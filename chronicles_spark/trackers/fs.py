@@ -561,8 +561,13 @@ class BotoS3FileSystem(FileSystem):
             # same lost-response disambiguation as FsspecFileSystem: our
             # own bytes there = the put landed and the 412 raced our
             # retry of a lost response; other bytes = a genuinely lost race
+            # (read_text translates NoSuchKey to FileNotFoundError — the
+            # object vanishing after the 412 means the slot is free
+            # again: report failure so the CAS loop retries)
             try:
                 cur = self.read_text(path)
+            except FileNotFoundError:
+                return False
             except ClientError as read_err:
                 raise put_err from read_err
             return cur == text

@@ -291,7 +291,7 @@ def test_rebuild_creates_map_for_unmapped_index(spark, tmp_path):
     table, tracker = _mk_index(spark, tmp_path, "migrate")
     _, arts = AX.build_ann_index(
         emb, table, tracker, n_clusters=4, m=4, k_sub=4, iters=1,
-        id_map_shards=None,
+        id_map_shards=None, max_bucket_rows=1000,
     )
     with pytest.raises(ValueError, match="no id map"):
         AX.rebuild_ann_id_map(spark, table, tracker)
@@ -309,6 +309,9 @@ def test_rebuild_creates_map_for_unmapped_index(spark, tmp_path):
         table, tracker.current_version(table.name)
     )
     assert resolved.id_shards == 6
+    # ... and ONLY id_shards changed: the recorded skew cap must survive
+    # the re-stamp (erasing it would silently disable drift handling)
+    assert resolved.max_bucket_rows == 1000
     donor = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
     AX.extend_ann_index(
         spark.createDataFrame(

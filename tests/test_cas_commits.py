@@ -554,3 +554,27 @@ def test_gap_fill_self_heal_replaces_stale_same_seq_checkpoint():
     )
     assert tr.current_version(T) == truth.current_version(T)
     assert Partition.of(("d", "healme")) in tr.current_version(T).partition_versions
+
+
+def test_boto_412_then_vanished_object_reports_slot_free():
+    """BotoS3FileSystem conditional put: a 412 whose object has VANISHED
+    by the time we read it back (the racer's commit was itself rolled
+    back / deleted) means the slot is free again — the CAS loop must see
+    False and retry, not have read_text's FileNotFoundError translation
+    escape through the retry loop."""
+    import botocore.exceptions as be
+
+    from chronicles_spark.trackers.fs import BotoS3FileSystem
+
+    class FakeS3:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            assert IfNoneMatch == "*"
+            raise be.ClientError(
+                {"Error": {"Code": "PreconditionFailed"}}, "PutObject"
+            )
+
+        def get_object(self, Bucket, Key):
+            raise be.ClientError({"Error": {"Code": "NoSuchKey"}}, "GetObject")
+
+    fs = BotoS3FileSystem(client=FakeS3())
+    assert fs.write_text_if_absent("s3://b/slot", "v") is False

@@ -307,10 +307,15 @@ def test_partitions_written_falls_back_when_executors_lack_package(
         )
 
     monkeypatch.setattr(spark.sparkContext, "parallelize", _boom)
-    got = sorted(
-        p.path
-        for p in partitions_written(table, v, spark=spark, distribute_threshold=2)
-    )
+    import pytest as _pt
+
+    with _pt.warns(RuntimeWarning, match="cannot import chronicles_spark"):
+        got = sorted(
+            p.path
+            for p in partitions_written(
+                table, v, spark=spark, distribute_threshold=2
+            )
+        )
     assert got == serial and len(got) == 6
 
     # any OTHER executor failure still surfaces
