@@ -380,16 +380,16 @@ def build_ann_index(
         raise ValueError("id_map_shards must be >= 1 (or None for no map)")
     map_table = ann_id_map_table(table)
     tracker.init_table(map_table.name, is_snapshot=False, user_id=user_id)
-    mapping = (
-        encoded.select(F.col(id_col), F.col(BUCKET_COL))
-        .withColumn(ID_SHARD_COL, _shard_col(id_col, id_map_shards))
-        .repartition(F.col(ID_SHARD_COL))
-        .sortWithinPartitions(ID_SHARD_COL, id_col)
-    )
+    # map_df=None: _publish_pair derives the map from the JUST-WRITTEN
+    # index files (a column-pruned (id, bucket) read of the new version
+    # directories, ~1/100 the corpus bytes) — materializing the mapping
+    # from `encoded` here would re-run the corpus-scale encode lineage
+    # (centroid assignment + PQ + skew-split CASE) a second time
     state = _publish_pair(
         df.sparkSession, table, map_table, tracker, version,
-        encoded, mapping, user_id, message,
+        encoded, None, user_id, message,
         expected_heads=None, allow_disjoint=True, metastore=metastore,
+        map_id_col=id_col, map_id_shards=id_map_shards,
     )
     return state, artifacts
 
@@ -410,14 +410,21 @@ def _publish_pair(
     index_partitions=None,
     index_remove=(),
     map_partitions=None,
+    map_id_col=None,
+    map_id_shards=None,
 ):
     """Write index + id-map data under ONE version label and publish both
     commits as one ``tracker.commit_group`` (optionally optimistic via
     ``expected_heads``).  Partitions are taken from the caller's plan
     when given (extend — it already collected the touched sets), else
-    from the written-directory listing (build).  Returns the index
-    table's new state; the metastore (if any) is synced for the INDEX
-    table only — the id map is derived internal state."""
+    from the written-directory listing (build).  ``map_df=None`` (build)
+    derives the map from the index data ALREADY WRITTEN under this
+    version — a column-pruned (id, bucket) read of the new version
+    directories — instead of re-evaluating the caller's corpus-scale
+    encode lineage a second time; pass ``map_id_col``/``map_id_shards``
+    with it.  Returns the index table's new state; the metastore (if
+    any) is synced for the INDEX table only — the id map is derived
+    internal state."""
     from datetime import datetime, timezone
 
     from ..core.diff import compute_changes
@@ -437,9 +444,26 @@ def _publish_pair(
         )
     # data first (invisible until the group commit), then metadata
     write_versioned(index_df, table, version)
-    write_versioned(map_df, map_table, version)
     if index_partitions is None:
         index_partitions = partitions_written(table, version, spark=spark)
+    if map_df is None:
+        # build path: the encoded corpus is on disk now — derive the map
+        # from the written files (id + bucket columns only; parquet
+        # column pruning makes this ~the map's own bytes) rather than
+        # re-running assignment/PQ/skew-split over the raw embeddings
+        from ..spark.reader import read_version
+
+        written_state = PartitionedTableVersion(
+            {p: version for p in index_partitions}
+        )
+        map_df = (
+            read_version(spark, table, written_state, infer_partition_types=False)
+            .select(F.col(map_id_col), F.col(BUCKET_COL))
+            .withColumn(ID_SHARD_COL, _shard_col(map_id_col, map_id_shards))
+            .repartition(F.col(ID_SHARD_COL))
+            .sortWithinPartitions(ID_SHARD_COL, map_id_col)
+        )
+    write_versioned(map_df, map_table, version)
     if map_partitions is None:
         map_partitions = partitions_written(map_table, version, spark=spark)
 
