@@ -90,54 +90,84 @@ def _shard_col(id_col: str, id_shards: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(id_shards)).cast("string")
 
 
-def _apply_bucket_splits(df: DataFrame, id_col: str, splits: "dict[str, int]"):
-    """Rewrite the physical bucket of rows in oversized buckets to
-    ``<bucket>_<sub>`` with ``sub = pmod(xxhash64(id), n_subs)`` — the
-    bucket-skew guard's layout step (``semantic_dedup``'s
-    ``max_cluster_size`` pattern applied to the index).  Search stays
-    transparent: probes of logical bucket ``b`` read every live physical
-    partition ``b`` / ``b_*`` (:func:`restrict_to_buckets`), and scoring
-    recovers the logical id with :func:`_logical_bucket`."""
-    if not splits:
+def _apply_split_tree(df: DataFrame, id_col: str, tree: "dict[str, int]"):
+    """Route rows through the skew-split TREE: an entry ``parent -> m``
+    rewrites bucket value ``parent`` to ``parent_<sub>`` with ``sub =
+    pmod(hash(id), m)`` — the bucket-skew guard's layout step
+    (``semantic_dedup``'s ``max_cluster_size`` pattern applied to the
+    index).  Entries apply shallow-to-deep, so a row whose logical
+    bucket is split at depth 1 AND whose sub-partition was later
+    re-split at depth 2 (``{"3": 2, "3_0": 2}``) lands in the nested
+    leaf (``3_0_1``) in ONE pass — routing depends only on the id hash,
+    so rows already sitting in an intermediate physical partition and
+    rows arriving from the logical bucket converge on the same leaf.
+    Depth ``d`` uses ``xxhash64(id, d)`` (depth 1 keeps the pre-nesting
+    ``xxhash64(id)`` so existing layouts stay valid): re-splitting a
+    sub-partition with the SAME hash that created it would send every
+    row to child 0.  Search stays transparent: probes of logical bucket
+    ``b`` read every live ``b``-prefixed physical partition
+    (:func:`restrict_to_buckets`) and scoring recovers the logical id
+    with :func:`_logical_bucket`."""
+    if not tree:
         return df
-    col = F.col(BUCKET_COL)
-    expr = None
-    for b, s in sorted(splits.items()):
-        sub = F.concat_ws(
-            "_", col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(s))).cast("string")
+    by_depth: "dict[int, dict[str, int]]" = {}
+    for k, m in tree.items():
+        by_depth.setdefault(k.count("_") + 1, {})[k] = int(m)
+    out = df
+    for depth in sorted(by_depth):
+        h = (
+            F.xxhash64(F.col(id_col))
+            if depth == 1
+            else F.xxhash64(F.col(id_col), F.lit(depth))
         )
-        cond = col == F.lit(b)
-        expr = F.when(cond, sub) if expr is None else expr.when(cond, sub)
-    return df.withColumn(BUCKET_COL, expr.otherwise(col))
+        expr = None
+        for b, s in sorted(by_depth[depth].items()):
+            sub = F.concat_ws(
+                "_", F.col(BUCKET_COL), F.pmod(h, F.lit(int(s))).cast("string")
+            )
+            cond = F.col(BUCKET_COL) == F.lit(b)
+            expr = F.when(cond, sub) if expr is None else expr.when(cond, sub)
+        out = out.withColumn(BUCKET_COL, expr.otherwise(F.col(BUCKET_COL)))
+    return out
 
 
-def _split_to_cap(encoded: DataFrame, id_col: str, cap: int) -> DataFrame:
+def _split_to_cap(
+    encoded: DataFrame, id_col: str, cap: int, counts: "dict | None" = None
+) -> "tuple[DataFrame, dict[str, int]]":
     """Skew-split oversized buckets until EVERY physical partition holds
-    ≤ ``cap`` rows — a hard guarantee, not an expectation.  The initial
-    modulus is ``ceil(rows / cap)``; because the sub-assignment is an id
-    HASH (the only split that needs no hot-key shuffle), small buckets
-    can overshoot by sampling variance, so the split re-counts and
-    DOUBLES any still-oversized bucket's modulus until the cap holds.
-    Each round is one map-side groupBy-count over the (map-side) encode
-    lineage; at production caps (millions of rows per partition, where
-    hash deviation is ~0.1%) the first assignment virtually always
-    passes, so the expected cost is the one counting pass plus one
-    verification pass."""
+    ≤ ``cap`` rows — a hard guarantee, not an expectation.  Returns
+    ``(df, new_entries)`` where ``new_entries`` are the split-tree
+    entries this call ADDED (record them in the artifact sidecar so
+    later writers route identically).  Works on logical values (build)
+    and on physical sub-partition values (extend's in-commit re-split
+    of a breached bucket) alike: an entry keyed by a physical value
+    nests one suffix level deeper.  The initial modulus is
+    ``ceil(rows / cap)``; because the sub-assignment is an id HASH (the
+    only split that needs no hot-key shuffle), small buckets can
+    overshoot by sampling variance, so the split re-counts and DOUBLES
+    any still-oversized value's parent modulus until the cap holds.
+    Each round is one map-side groupBy-count; at production caps
+    (millions of rows per partition, where hash deviation is ~0.1%) the
+    first assignment virtually always passes, so the expected cost is
+    the one counting pass plus one verification pass.  ``counts`` seeds
+    the initial per-bucket counts when the caller already computed
+    them."""
     if cap < 1:
         raise ValueError("max_bucket_rows must be >= 1")
     import math
 
-    splits = {
-        r[BUCKET_COL]: math.ceil(r["n"] / cap)
-        for r in encoded.groupBy(BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-        if r["n"] > cap
-    }
-    if not splits:
-        return encoded
+    if counts is None:
+        counts = {
+            r[BUCKET_COL]: r["n"]
+            for r in encoded.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    new = {b: math.ceil(n / cap) for b, n in counts.items() if n > cap}
+    if not new:
+        return encoded, {}
     for _ in range(12):
-        out = _apply_bucket_splits(encoded, id_col, splits)
+        out = _apply_split_tree(encoded, id_col, new)
         over = {
             r[BUCKET_COL]
             for r in out.groupBy(BUCKET_COL)
@@ -146,10 +176,10 @@ def _split_to_cap(encoded: DataFrame, id_col: str, cap: int) -> DataFrame:
             if r["n"] > cap
         }
         if not over:
-            return out
+            return out, new
         for phys in over:
-            base = phys.partition("_")[0]
-            splits[base] = splits.get(base, 1) * 2
+            parent = phys if phys in new else phys.rsplit("_", 1)[0]
+            new[parent] = new.get(parent, 1) * 2
     raise RuntimeError(
         f"bucket skew split did not converge to max_bucket_rows={cap} "
         "after 12 doublings — cap is likely smaller than the duplicate "
@@ -158,17 +188,22 @@ def _split_to_cap(encoded: DataFrame, id_col: str, cap: int) -> DataFrame:
 
 
 def _live_splits(table_version) -> "dict[str, int]":
-    """logical bucket -> sub-partition modulus, derived from the LIVE
-    physical layout (``3_0``/``3_1`` ⇒ ``{"3": 2}``) so an extend places
-    new rows consistently with the build's skew split.  The modulus is
-    ``max(live sub suffix) + 1`` — stable even when an upsert emptied and
-    removed one sub-partition."""
+    """Split tree inferred from the LIVE physical layout (``3_0``/``3_1``
+    ⇒ ``{"3": 2}``; nested ``3_0_1`` additionally ⇒ ``{"3_0": 2}``) —
+    the FALLBACK placement rule for indexes whose sidecars predate the
+    recorded ``bucket_splits`` tree.  Each parent's modulus is inferred
+    as ``max(live child suffix) + 1``, which UNDERCOUNTS when the
+    highest sub-partition was emptied by an upsert — new sidecars record
+    the tree explicitly for exactly that reason; this stays for
+    compatibility with pre-recording layouts (search and locate are
+    unaffected either way: they match by prefix and exact physical
+    values, never through this inference)."""
     subs: dict = {}
     for p in table_version.partition_versions:
-        v = dict(p.column_values)[BUCKET_COL]
-        base, sep, suffix = v.partition("_")
-        if sep:
-            subs[base] = max(subs.get(base, 0), int(suffix) + 1)
+        parts = dict(p.column_values)[BUCKET_COL].split("_")
+        for i in range(1, len(parts)):
+            parent = "_".join(parts[:i])
+            subs[parent] = max(subs.get(parent, 0), int(parts[i]) + 1)
     return subs
 
 
@@ -185,22 +220,33 @@ class AnnArtifacts:
     centroids ``[(cid, vec), ...]`` and PQ ``codebooks[sub][code] ->
     subvector``, plus the data-version label they encoded.
 
-    ``max_bucket_rows`` records the build's skew cap so extends can WARN
-    when a rewritten physical partition drifts past it (the layout is
-    re-balanced by the periodic rebuild, never mid-extend).
+    ``max_bucket_rows`` records the build's skew cap so an extend whose
+    rewrite grows a touched physical partition past it re-splits that
+    partition IN the same commit (nested split suffixes).
 
     ``id_shards`` records the companion id-map table's shard count when
     the index was built with one (``build_ann_index(id_map_shards=...)``)
     — it is part of the index GEOMETRY like the quantizer (an extend must
     hash batch ids with the same modulus), so it rides the sidecar and
     the loader's agreement check.  ``None`` = no id map (pre-round-7
-    sidecars deserialize to this, keeping old indexes readable)."""
+    sidecars deserialize to this, keeping old indexes readable).
+
+    ``bucket_splits`` records the skew-split TREE (``(parent, modulus)``
+    pairs — see :func:`_apply_split_tree`) so writers route new rows
+    exactly as the layout was built, instead of inferring moduli from
+    the live directory layout (which undercounts when the highest
+    sub-partition was emptied by an upsert).  Unlike the quantizer
+    fields it legitimately EVOLVES across extends (an in-commit
+    re-split adds entries), so it is excluded from the loader's
+    agreement check and taken from the NEWEST live label.  ``None`` =
+    pre-recording sidecar (placement falls back to layout inference)."""
 
     centroids: tuple
     codebooks: tuple
     version_label: str
     id_shards: "int | None" = None
     max_bucket_rows: "int | None" = None
+    bucket_splits: "tuple | None" = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -212,6 +258,11 @@ class AnnArtifacts:
                 ],
                 "id_shards": self.id_shards,
                 "max_bucket_rows": self.max_bucket_rows,
+                "bucket_splits": (
+                    None
+                    if self.bucket_splits is None
+                    else dict(self.bucket_splits)
+                ),
             }
         )
 
@@ -226,7 +277,14 @@ class AnnArtifacts:
             version_label=d["version_label"],
             id_shards=d.get("id_shards"),
             max_bucket_rows=d.get("max_bucket_rows"),
+            bucket_splits=_freeze_splits(d.get("bucket_splits")),
         )
+
+    @property
+    def split_tree(self) -> "dict[str, int] | None":
+        """The recorded split tree as a dict (``None`` = unrecorded —
+        legacy sidecar, caller falls back to layout inference)."""
+        return None if self.bucket_splits is None else dict(self.bucket_splits)
 
     @property
     def centroid_list(self) -> list:
@@ -235,6 +293,15 @@ class AnnArtifacts:
     @property
     def codebook_list(self) -> list:
         return [[list(c) for c in cb] for cb in self.codebooks]
+
+
+def _freeze_splits(splits) -> "tuple | None":
+    """Canonical hashable form of a split tree: sorted (parent, modulus)
+    pairs (``AnnArtifacts`` is a frozen dataclass — a dict field would
+    break its hashability and equality canonicalization)."""
+    if splits is None:
+        return None
+    return tuple(sorted((str(k), int(v)) for k, v in dict(splits).items()))
 
 
 def _artifact_path(table: TableDefinition, label: str):
@@ -246,6 +313,7 @@ def _write_artifact_sidecar(
     table: TableDefinition, version_label: str, centroids, codebooks,
     id_shards: "int | None" = None,
     max_bucket_rows: "int | None" = None,
+    bucket_splits=None,
 ) -> AnnArtifacts:
     """Stamp + persist the artifact sidecar for a version BEFORE its data
     commit — a crash leaves an orphan sidecar (reclaimable via
@@ -257,6 +325,7 @@ def _write_artifact_sidecar(
         version_label=version_label,
         id_shards=id_shards,
         max_bucket_rows=max_bucket_rows,
+        bucket_splits=_freeze_splits(bucket_splits),
     )
     fs, apath = _artifact_path(table, version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
@@ -355,15 +424,16 @@ def build_ann_index(
         F.col(BUCKET_COL).cast("string").alias(BUCKET_COL),
         "pq_codes",
     )
+    splits: "dict[str, int]" = {}
     if max_bucket_rows is not None:
-        encoded = _split_to_cap(encoded, id_col, max_bucket_rows)
+        encoded, splits = _split_to_cap(encoded, id_col, max_bucket_rows)
 
     from ..spark.writer import versioned_insert_into
 
     version = generate_version()
     artifacts = _write_artifact_sidecar(
         table, version.label, centroids, codebooks, id_map_shards,
-        max_bucket_rows,
+        max_bucket_rows, bucket_splits=splits,
     )
     if id_map_shards is None:
         state, _ = versioned_insert_into(
@@ -536,6 +606,9 @@ def load_ann_artifacts(
         loaded.append(AnnArtifacts.from_json(fs.read_text(apath)))
     first = loaded[0]
     for other in loaded[1:]:
+        # bucket_splits is deliberately NOT part of the agreement set: the
+        # split tree legitimately evolves across extends (in-commit
+        # re-splits add entries); placement takes the NEWEST label's tree
         if (
             other.centroids != first.centroids
             or other.codebooks != first.codebooks
@@ -553,6 +626,7 @@ def load_ann_artifacts(
         version_label=labels[-1],
         id_shards=first.id_shards,
         max_bucket_rows=first.max_bucket_rows,
+        bucket_splits=loaded[-1].bucket_splits,
     )
 
 
@@ -750,9 +824,14 @@ def _extend_body(
     # it is consumed up to five times below (bucket collect, duplicate
     # check, shard collect, locate semi-join, RMW union+write) and
     # re-running an expensive upstream lineage per consumer would
-    # dominate the extend.  New rows land in the LIVE skew-split layout
-    # (_live_splits) so a split bucket keeps its per-partition cap.
-    encoded_new = _apply_bucket_splits(
+    # dominate the extend.  New rows route through the recorded
+    # skew-split tree (sidecar bucket_splits; pre-recording sidecars
+    # fall back to layout inference) so a split bucket keeps its
+    # per-partition cap.
+    tree = artifacts.split_tree
+    if tree is None:
+        tree = _live_splits(state)
+    encoded_new = _apply_split_tree(
         SIM.pq_encode(
             SIM._assign_nearest(vd, centroids).withColumnRenamed("cluster", BUCKET_COL),
             codebooks,
@@ -765,13 +844,13 @@ def _extend_body(
             "pq_codes",
         ),
         id_col,
-        _live_splits(state),
+        tree,
     ).persist()
     try:
         return _extend_publish(
             spark, table, tracker, state, base_head, encoded_new, artifacts,
             mode, concurrency, user_id, message, id_col, metastore,
-            map_table, map_state, map_head,
+            map_table, map_state, map_head, split_tree=tree,
         )
     finally:
         encoded_new.unpersist()
@@ -780,7 +859,7 @@ def _extend_body(
 def _extend_publish(
     spark, table, tracker, state, base_head, encoded_new, artifacts,
     mode, concurrency, user_id, message, id_col, metastore,
-    map_table=None, map_state=None, map_head=None,
+    map_table=None, map_state=None, map_head=None, split_tree=None,
 ):
     # ONE aggregation job yields every piece of batch metadata the plan
     # needs: row/dup/null counts plus the distinct bucket and shard sets
@@ -879,26 +958,27 @@ def _extend_publish(
     if sub_state.partition_versions:
         # current rows of exactly the touched buckets, partition values as
         # exact strings (read-modify-write contract); in upsert mode
-        # same-id rows are superseded via a broadcast anti-join
+        # same-id rows are superseded via a broadcast anti-join.  The
+        # union re-routes through the recorded split tree (idempotent
+        # for rows already at a leaf) so live rows of a partition the
+        # tree has since split MIGRATE to their leaf in this rewrite —
+        # the self-heal that lets a stale layout converge without a
+        # rebuild.
         live = read_version(
             spark, table, sub_state, infer_partition_types=False
         ).select(F.col(id_col), F.col(BUCKET_COL), F.col("pq_codes"))
         if mode == "upsert":
             live = live.join(F.broadcast(new_ids), id_col, "left_anti")
-        out = encoded_new.unionByName(live)
+        out = _apply_split_tree(
+            encoded_new.unionByName(live), id_col, split_tree or {}
+        )
 
-    # sidecar BEFORE the data commit (build's crash-ordering contract)
-    version = generate_version()
-    stamped = _write_artifact_sidecar(
-        table, version.label, artifacts.centroids, artifacts.codebooks,
-        artifacts.id_shards, artifacts.max_bucket_rows,
-    )
-
-    # which touched buckets still hold rows — ONE small aggregation over
-    # the touched slice (never an FS walk over every bucket directory of
-    # the index; at n_clusters in the tens of thousands a per-batch walk
-    # would dwarf the batch itself).  `out` is evaluated twice (this
-    # count + the write), both passes bounded by the touched slice.
+    # which physical buckets the rewrite lands — ONE small aggregation
+    # over the touched slice (never an FS walk over every bucket
+    # directory of the index; at n_clusters in the tens of thousands a
+    # per-batch walk would dwarf the batch itself).  `out` is evaluated
+    # twice (this count + the write) — plus two more bounded passes in
+    # the rare re-split case — all bounded by the touched slice.
     from ..core.model import Partition
 
     written_counts = {
@@ -907,43 +987,56 @@ def _extend_publish(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    written_buckets = set(written_counts)
-    if artifacts.max_bucket_rows is not None:
-        over = {
-            b: n for b, n in written_counts.items()
-            if n > artifacts.max_bucket_rows
-        }
-        if over:
-            # drift detection, not enforcement: re-splitting mid-extend
-            # would rewrite untouched sub-partitions of the same logical
-            # bucket (expanding the RMW beyond the locate's read set) —
-            # the documented re-balance point is the periodic rebuild
-            import warnings
-
-            warnings.warn(
-                f"extend grew {len(over)} physical bucket(s) past the "
-                f"build's max_bucket_rows={artifacts.max_bucket_rows} "
-                f"(worst: {max(over.values())} rows) — schedule a "
-                "build_ann_index rebuild to re-balance the skew split",
-                RuntimeWarning,
-                stacklevel=4,
-            )
-    if None in written_buckets:
+    if None in written_counts:
         raise ValueError(
             "encoded batch contains a NULL bucket (null embedding?) — "
             "versioned writes require concrete partition values"
         )
+    if artifacts.max_bucket_rows is not None:
+        # skew-cap ENFORCEMENT, not just detection: a touched physical
+        # partition the rewrite grew past the cap is re-split IN this
+        # commit with a nested suffix level (the breached partition is
+        # already in the RMW's touched set, so splitting exactly it
+        # rewrites nothing the extend wasn't rewriting anyway — reads
+        # stay O(touched); untouched partitions are never expanded).
+        # The added tree entries ride this commit's sidecar so every
+        # later writer routes identically.
+        out, new_entries = _split_to_cap(
+            out, id_col, artifacts.max_bucket_rows, counts=written_counts
+        )
+        if new_entries:
+            split_tree = {**(split_tree or {}), **new_entries}
+            written_counts = {
+                r[BUCKET_COL]: r["n"]
+                for r in out.groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+    # sidecar BEFORE the data commit (build's crash-ordering contract);
+    # it records the (possibly just-extended) split tree
+    version = generate_version()
+    stamped = _write_artifact_sidecar(
+        table, version.label, artifacts.centroids, artifacts.codebooks,
+        artifacts.id_shards, artifacts.max_bucket_rows,
+        bucket_splits=split_tree,
+    )
+
+    written_buckets = set(written_counts)
     written_parts = [
         Partition.of((BUCKET_COL, b)) for b in sorted(written_buckets)
     ]
+    # every physical partition this RMW read but did not write back is
+    # emptied (its rows were replaced, or migrated by a re-split) and
+    # must leave the live view in the SAME commit
     had_live = {
         dict(p.column_values)[BUCKET_COL]
         for p in sub_state.partition_versions
     }
     emptied = [
         Partition.of((BUCKET_COL, b))
-        for b in touched_sorted
-        if b in had_live and b not in written_buckets
+        for b in sorted(had_live)
+        if b not in written_buckets
     ]
 
     if map_table is None:
@@ -974,7 +1067,14 @@ def _extend_publish(
     # shard set on both the read and the write side, and shards are never
     # emptied by an extend
     msub = _restrict_to_values(map_state, ID_SHARD_COL, batch_shards)
-    new_map = encoded_new.select(F.col(id_col), F.col(BUCKET_COL))
+    # batch ids' map rows take their FINAL physical bucket from `out`
+    # (encoded_new's values predate a possible in-commit re-split);
+    # non-batch rows migrated by a re-split keep their old map value,
+    # which stays resolvable as a prefix ancestor (locate restricts to
+    # the recorded value's whole subtree, verify tolerates ancestors)
+    new_map = out.join(F.broadcast(new_ids), id_col, "left_semi").select(
+        F.col(id_col), F.col(BUCKET_COL)
+    )
     if msub.partition_versions:
         live_map = read_version(
             spark, map_table, msub, infer_partition_types=False
@@ -1224,12 +1324,19 @@ def verify_ann_id_map(
     mp = read_version(
         spark, ann_id_map_table(table), map_state, infer_partition_types=False
     ).select(F.col(id_col), F.col(BUCKET_COL).alias("map_bucket"))
+    # a map value that is a PREFIX ANCESTOR of the index value agrees:
+    # an in-commit re-split migrates live rows one suffix level deeper
+    # without rewriting non-batch ids' map rows (the locate reads the
+    # recorded value's whole subtree, so ancestors resolve correctly)
+    agrees = (F.col("index_bucket") == F.col("map_bucket")) | F.col(
+        "index_bucket"
+    ).startswith(F.concat(F.col("map_bucket"), F.lit("_")))
     return (
         idx.join(mp, id_col, "full_outer")
         .where(
             F.col("index_bucket").isNull()
             | F.col("map_bucket").isNull()
-            | (F.col("index_bucket") != F.col("map_bucket"))
+            | ~agrees
         )
         .select(id_col, "index_bucket", "map_bucket")
     )
@@ -1321,6 +1428,7 @@ def rebuild_ann_id_map(
                         version_label=side.version_label,
                         id_shards=artifacts.id_shards,
                         max_bucket_rows=side.max_bucket_rows,
+                        bucket_splits=side.bucket_splits,
                     ).to_json(),
                 )
     return new_map_state
@@ -1456,11 +1564,14 @@ def restrict_to_buckets(table_version, buckets) -> PartitionedTableVersion:
     the partition-pruning step: feeding this to the versioned reader
     builds a path list that never mentions an unprobed bucket.  Bucket
     values compare as strings (partition values are strings at the
-    metadata layer).  A LOGICAL bucket id also matches its skew-split
-    sub-partitions (probe ``3`` reads ``3``, ``3_0``, ``3_1``, ...);
-    a physical value (``3_0``) matches exactly itself."""
+    metadata layer).  EVERY requested value also matches its whole
+    split subtree: a LOGICAL bucket id matches its skew-split
+    sub-partitions (probe ``3`` reads ``3``, ``3_0``, ``3_0_1``, ...),
+    and a physical value (``3_0``) matches itself plus any NESTED
+    re-splits (``3_0_1``) — the latter is what keeps an id-map entry
+    recorded before an in-commit re-split resolvable afterwards."""
     wanted = {str(b) for b in buckets}
-    prefixes = tuple(w + "_" for w in wanted if "_" not in w)
+    prefixes = tuple(w + "_" for w in wanted)
     kept = {
         p: v
         for p, v in table_version.partition_versions.items()

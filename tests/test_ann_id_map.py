@@ -223,10 +223,13 @@ def test_skew_guard_caps_partitions_and_keeps_search_identical(spark, tmp_path):
     assert all("_" in b for b in after if b.startswith("0"))
     assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
 
-    # cap-drift detection: the cap rides the sidecar, and an extend that
-    # grows a physical partition past it WARNS (re-balance = rebuild)
+    # cap ENFORCEMENT on extend: the cap rides the sidecar, and an
+    # extend whose rewrite grows touched physical partitions past it
+    # re-splits them IN the same commit (nested suffixes) — the cap is
+    # a hard layout invariant, not a drift warning
     resolved = AX.load_ann_artifacts(tg, trg.current_version(tg.name))
     assert resolved.max_bucket_rows == 25
+    assert resolved.bucket_splits is not None  # build recorded its tree
     # the build's overshoot-doubling converged to a modulus of tens of
     # subs, so the flood must be large enough to push SOME sub past the
     # cap (cap × modulus rows all landing in logical bucket 0)
@@ -235,9 +238,19 @@ def test_skew_guard_caps_partitions_and_keeps_search_identical(spark, tmp_path):
         [(700 + i, [0.03] * dim) for i in range(25 * n_subs + 5 * n_subs)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.warns(RuntimeWarning, match="past the build's max_bucket_rows"):
-        AX.extend_ann_index(flood, tg, trg)
+    AX.extend_ann_index(flood, tg, trg)
+    post = {
+        r["bucket"]: r["n"]
+        for r in read_current(spark, tg, trg)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(post.values()) <= 25
+    assert any(b.count("_") >= 2 for b in post)  # nested re-split happened
     assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
+    # the nested entries rode the extend's sidecar
+    resolved2 = AX.load_ann_artifacts(tg, trg.current_version(tg.name))
+    nested = [k for k, _ in resolved2.bucket_splits if "_" in k]
+    assert nested
 
 
 def test_rebuild_ann_id_map_repairs_divergence(spark, tmp_path):
@@ -415,3 +428,172 @@ def test_ann_recall_at_k_matches_numpy(spark, tmp_path):
             }
             hits += len(exact & mine)
         assert got[np_] == pytest.approx(hits / total, abs=1e-6)
+
+
+def test_sustained_hot_bucket_extends_keep_cap_without_rebuild(spark, tmp_path):
+    """The round-7 `weak` closed: a sustained hot-bucket stream of
+    extends keeps EVERY physical partition at or under the cap with NO
+    rebuild — breached touched partitions re-split in-commit with
+    nested suffixes — while search stays byte-identical to an unguarded
+    twin, the probe prune audit holds across the nested split, and
+    upserting an id that migrated into a nested partition leaves a
+    single live copy."""
+    from chronicles_spark.spark import read_current
+
+    dim = 8
+    cents = [(0, [0.0] * dim), (1, [100.0] * dim)]
+    books = [[[0.0] * 4, [100.0] * 4]] * 2
+    cap = 12
+    tg, trg = _mk_index(spark, tmp_path, "hotg")
+    tu, tru = _mk_index(spark, tmp_path, "hotu")
+    seed = spark.createDataFrame(
+        [(i, [float(i % 5) / 100.0] * dim) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    AX.build_ann_index(
+        seed, tg, trg, centroids=cents, codebooks=books,
+        max_bucket_rows=cap, id_map_shards=4,
+    )
+    AX.build_ann_index(
+        seed, tu, tru, centroids=cents, codebooks=books, id_map_shards=4,
+    )
+
+    per = {}
+    nxt = 100
+    for _ in range(4):
+        batch = spark.createDataFrame(
+            [(nxt + i, [float((nxt + i) % 7) / 100.0] * dim) for i in range(15)],
+            "vec_id long, embedding array<float>",
+        )
+        nxt += 15
+        AX.extend_ann_index(batch, tg, trg)
+        AX.extend_ann_index(batch, tu, tru)
+        per = {
+            r["bucket"]: r["n"]
+            for r in read_current(spark, tg, trg)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert max(per.values()) <= cap, per
+        assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
+
+    # the hot bucket went NESTED (depth >= 2) — enforcement, not rebuild
+    assert any(b.count("_") >= 2 for b in per), per
+    # guarded and unguarded twins hold the same logical contents
+    assert sorted(
+        (v, c) for v, _, c in _contents(spark, tg, trg)
+    ) == sorted((v, c) for v, _, c in _contents(spark, tu, tru))
+
+    # search byte-identical across the nested layout
+    q = spark.createDataFrame(
+        [(1, [0.01] * dim)], "query_id long, qv array<float>"
+    )
+    got = sorted(map(tuple, AX.ivfpq_topk_indexed(
+        spark, tg, trg, q, k=8, n_probe=1
+    ).collect()))
+    want = sorted(map(tuple, AX.ivfpq_topk_indexed(
+        spark, tu, tru, q, k=8, n_probe=1
+    ).collect()))
+    assert got == want and got
+
+    # prune audit: probing logical bucket 0 reads only bucket=0 subtrees
+    stg = trg.current_version(tg.name)
+    allowed = AX.probed_bucket_paths(tg, stg, ["0"])
+    assert allowed and all("/bucket=0" in p for p in allowed)
+    res = AX.ivfpq_topk_indexed(spark, tg, trg, q, k=8, n_probe=1)
+    files = [
+        f.removeprefix("file://")
+        for f in res.inputFiles()
+        if tg.location in f.removeprefix("file://")
+    ]
+    assert files and all(any(f.startswith(a) for a in allowed) for f in files)
+
+    # upsert an id now living in a NESTED partition: exactly one live
+    # copy afterwards (the stale nested row is located through the
+    # prefix-ancestor map entry and removed in the same commit)
+    nested_id = next(
+        r["vec_id"]
+        for r in read_current(spark, tg, trg).collect()
+        if r["bucket"].count("_") >= 2
+    )
+    AX.extend_ann_index(
+        spark.createDataFrame(
+            [(nested_id, [0.06] * dim)], "vec_id long, embedding array<float>"
+        ),
+        tg, trg,
+    )
+    assert read_current(spark, tg, trg).where(
+        F.col("vec_id") == nested_id
+    ).count() == 1
+    assert AX.verify_ann_id_map(spark, tg, trg).count() == 0
+
+
+def test_recorded_split_modulus_survives_emptied_highest_sub(spark, tmp_path):
+    """The sidecar-recorded split tree is authoritative for placement:
+    after an upsert empties (and removes) the HIGHEST sub-partition of
+    a split bucket, a later extend still routes with the build's
+    modulus — layout inference (max live suffix + 1) would shrink it
+    and funnel new rows into fewer sub-partitions."""
+    from chronicles_spark.spark import read_current
+
+    dim = 8
+    cents = [(0, [0.0] * dim), (1, [100.0] * dim)]
+    books = [[[0.0] * 4, [100.0] * 4]] * 2
+    table, tracker = _mk_index(spark, tmp_path, "modulus")
+    seed = spark.createDataFrame(
+        [(i, [float(i % 5) / 100.0] * dim) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    AX.build_ann_index(
+        seed, table, tracker, centroids=cents, codebooks=books,
+        max_bucket_rows=16, id_map_shards=4,
+    )
+    arts = AX.load_ann_artifacts(table, tracker.current_version(table.name))
+    tree = dict(arts.bucket_splits)
+    assert tree.get("0", 0) >= 2
+    modulus = tree["0"]
+    top = str(modulus - 1)
+
+    # move every row of the highest sub-partition 0_<m-1> to bucket 1
+    doomed = [
+        r["vec_id"]
+        for r in read_current(spark, table, tracker)
+        .where(F.col("bucket") == f"0_{top}").collect()
+    ]
+    assert doomed
+    AX.extend_ann_index(
+        spark.createDataFrame(
+            [(i, [100.0] * dim) for i in doomed],
+            "vec_id long, embedding array<float>",
+        ),
+        table, tracker,
+    )
+    live = {
+        dict(p.column_values)["bucket"]
+        for p in tracker.current_version(table.name).partition_versions
+    }
+    assert f"0_{top}" not in live  # highest sub emptied and removed
+
+    # a new id whose hash lands in the emptied sub must be placed THERE
+    # (recorded modulus), not funneled into a lower sub
+    probe_ids = list(range(1000, 1200))
+    hashed = {
+        r["i"]: str(r["s"])
+        for r in spark.range(1000, 1200)
+        .select(
+            F.col("id").alias("i"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(modulus)).alias("s"),
+        )
+        .collect()
+    }
+    lands_top = next(i for i in probe_ids if hashed[i] == top)
+    AX.extend_ann_index(
+        spark.createDataFrame(
+            [(lands_top, [0.01] * dim)], "vec_id long, embedding array<float>"
+        ),
+        table, tracker,
+    )
+    got = read_current(spark, table, tracker).where(
+        F.col("vec_id") == lands_top
+    ).collect()
+    assert len(got) == 1 and got[0]["bucket"] == f"0_{top}"
+    assert AX.verify_ann_id_map(spark, table, tracker).count() == 0
