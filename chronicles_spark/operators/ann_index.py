@@ -58,6 +58,57 @@ ID_SHARD_COL = "id_shard"
 # write anyway)
 _LOCATE_PUSHDOWN_MAX_IDS = 10_000
 
+_PAIR_MARKER_PREFIX = " [ann-pair:"
+
+
+class TornAnnPairError(RuntimeError):
+    """The index and its companion id map do not sit on the SAME pair
+    commit — a files-backend crash between the group's two appends (or
+    a single-table rollback) left them at different bases.  Extending
+    from a torn pair would locate upserts through a map that does not
+    describe the index (silently wrong results), so the hot path
+    refuses instead: audit with ``verify_ann_id_map`` and repair with
+    ``rebuild_ann_id_map`` (or checkout both tables to a matching
+    pair)."""
+
+
+def _pair_message(message: str, version_label: str) -> str:
+    """Stamp a pair commit's message with the shared pair marker — the
+    cheap hot-path pairing check reads it back from both heads (the
+    commit metadata has no extension field; the marker is an opaque
+    suffix every message consumer tolerates)."""
+    return f"{message}{_PAIR_MARKER_PREFIX}{version_label}]"
+
+
+def _pair_label(message: "str | None") -> "str | None":
+    """The pair marker's label, or None for unmarked (pre-marker legacy
+    or non-pair) commits."""
+    if not message or not message.endswith("]"):
+        return None
+    i = message.rfind(_PAIR_MARKER_PREFIX)
+    if i < 0:
+        return None
+    return message[i + len(_PAIR_MARKER_PREFIX):-1]
+
+
+def _check_ann_pair(table, pi: "str | None", pm: "str | None") -> None:
+    """Fail LOUDLY when the two lines' newest pair markers (within their
+    folded prefixes — out-of-band unmarked commits in between don't
+    obscure the comparison) disagree.  Both None = a pre-marker legacy
+    log (no pairing info — the offline ``verify_ann_id_map`` stays the
+    audit there); any other asymmetry or label mismatch is a torn
+    pair."""
+    if pi is None and pm is None:
+        return
+    if pi != pm:
+        raise TornAnnPairError(
+            f"index {table.name} and its id map head different pair "
+            f"commits (index pair={pi!r}, map pair={pm!r}) — a crash "
+            "between the group's two appends or a single-table rollback "
+            "tore the pair; run verify_ann_id_map to audit and "
+            "rebuild_ann_id_map to repair before extending"
+        )
+
 
 def ann_id_map_table(table: TableDefinition) -> TableDefinition:
     """The companion ``(id -> physical bucket)`` map table derived from an
@@ -482,6 +533,7 @@ def _publish_pair(
     map_partitions=None,
     map_id_col=None,
     map_id_shards=None,
+    map_remove=(),
 ):
     """Write index + id-map data under ONE version label and publish both
     commits as one ``tracker.commit_group`` (optionally optimistic via
@@ -512,10 +564,16 @@ def _publish_pair(
             "The Spark configuration must have spark.sql.sources."
             "partitionOverwriteMode set to 'dynamic'"
         )
-    # data first (invisible until the group commit), then metadata
-    write_versioned(index_df, table, version)
-    if index_partitions is None:
-        index_partitions = partitions_written(table, version, spark=spark)
+    # data first (invisible until the group commit), then metadata.
+    # index_df=None (rebuild_ann_id_map): the index side contributes an
+    # EMPTY update — no data, no ops — whose only job is to land the
+    # shared pair marker on the index head too.
+    if index_df is not None:
+        write_versioned(index_df, table, version)
+        if index_partitions is None:
+            index_partitions = partitions_written(table, version, spark=spark)
+    else:
+        index_partitions = list(index_partitions or ())
     if map_df is None:
         # build path: the encoded corpus is on disk now — derive the map
         # from the written files (id + bucket columns only; parquet
@@ -548,13 +606,22 @@ def _publish_pair(
     map_ops = [
         AddPartitionVersion(p, version)
         for p in sorted(map_partitions, key=lambda p: p.path)
+    ] + [
+        RemovePartition(p)
+        for p in sorted(set(map_remove), key=lambda p: p.path)
     ]
+    # both commits carry the SAME pair marker: the extend hot path
+    # compares the two heads' markers and refuses a torn pair loudly
+    # (files-backend crash window between the two appends)
+    stamped_message = _pair_message(message, version.label)
     group = {
         table.name: TableUpdate(
-            TableUpdateMetadata.new(user_id, message, meta_ts), tuple(index_ops)
+            TableUpdateMetadata.new(user_id, stamped_message, meta_ts),
+            tuple(index_ops),
         ),
         map_table.name: TableUpdate(
-            TableUpdateMetadata.new(user_id, message, meta_ts), tuple(map_ops)
+            TableUpdateMetadata.new(user_id, stamped_message, meta_ts),
+            tuple(map_ops),
         ),
     }
     tracker.commit_group(
@@ -790,7 +857,19 @@ def _pinned_state(tracker, table_name):
             f"could not obtain a self-consistent log read for {table_name} "
             "after 8 attempts (head kept outrunning the commit listing)"
         )
-    return fold.current_version(st.updates, base_head), base_head
+    # newest pair marker within the folded prefix — what the RMW base
+    # actually contains (the head itself may be an out-of-band unmarked
+    # commit; commits AFTER a rolled-back head must not count)
+    prefix = fold.take_through(st.updates, base_head)
+    pair_label = next(
+        (
+            lbl
+            for u in reversed(prefix)
+            if (lbl := _pair_label(u.metadata.message)) is not None
+        ),
+        None,
+    )
+    return fold.current_version(st.updates, base_head), base_head, pair_label
 
 
 def _extend_body(
@@ -798,7 +877,7 @@ def _extend_body(
     concurrency, id_col, vec_col, metastore,
 ):
     spark = df_new.sparkSession
-    state, base_head = _pinned_state(tracker, table.name)
+    state, base_head, head_pair = _pinned_state(tracker, table.name)
     if not isinstance(state, PartitionedTableVersion):
         # a snapshot-table log under an ANN table definition would
         # otherwise surface downstream as an opaque AttributeError
@@ -811,11 +890,18 @@ def _extend_body(
 
     # pin the companion id map's base alongside the index's: both heads
     # go into the SAME optimistic group commit, so any interleaved
-    # extend (which must touch both lines) conflicts loudly
+    # extend (which must touch both lines) conflicts loudly.  The
+    # head-pair stamp check runs HERE, before any read the locate
+    # trusts: a torn pair (files-backend crash between the group's two
+    # appends) must fail loudly, never locate through a map that does
+    # not describe the index.
     map_table = map_state = map_head = None
     if artifacts.id_shards is not None:
         map_table = ann_id_map_table(table)
-        map_state, map_head = _pinned_state(tracker, map_table.name)
+        map_state, map_head, map_pair = _pinned_state(
+            tracker, map_table.name
+        )
+        _check_ann_pair(table, head_pair, map_pair)
         if not isinstance(map_state, PartitionedTableVersion):
             raise ValueError("ANN id-map tables are partitioned by id_shard")
 
@@ -1367,7 +1453,6 @@ def rebuild_ann_id_map(
     just created (leaving it to rot stale)."""
     from ..core.model import Partition
     from ..spark.reader import read_version
-    from ..spark.writer import versioned_insert_into
 
     state = tracker.current_version(table.name)
     if not isinstance(state, PartitionedTableVersion):
@@ -1399,15 +1484,25 @@ def rebuild_ann_id_map(
         if isinstance(map_state, PartitionedTableVersion)
         else set()
     )
-    new_map_state, _ = versioned_insert_into(
+    # publish the repaired map AS A PAIR: the index side contributes an
+    # empty update so both heads land the same pair marker — the repair
+    # itself must re-establish the invariant the hot path checks (and a
+    # crash between the rebuild's own two appends re-tears loudly, never
+    # silently)
+    version = generate_version()
+    _publish_pair(
+        spark, table, map_table, tracker, version,
+        None,
         mapping.repartition(F.col(ID_SHARD_COL))
         .sortWithinPartitions(ID_SHARD_COL, id_col),
-        map_table, tracker, user_id, message,
-        partitions=[Partition.of((ID_SHARD_COL, s)) for s in written],
-        remove_partitions=[
+        user_id, message,
+        expected_heads=None, allow_disjoint=True, metastore=None,
+        map_partitions=[Partition.of((ID_SHARD_COL, s)) for s in written],
+        map_remove=[
             Partition.of((ID_SHARD_COL, s)) for s in sorted(live - set(written))
         ],
     )
+    new_map_state = tracker.current_version(map_table.name)
     # migration completeness: pin the shard modulus into every live
     # label's sidecar so auto-resolved extends keep maintaining the map
     fs = filesystem_for(table.location)[0]

@@ -76,7 +76,9 @@ def _latest_stream_epoch(
         m = u.metadata.message
         if m.startswith(prefix):
             try:
-                return int(m[len(prefix):])
+                # split: pair-publishing sinks (the ANN index extend)
+                # append an opaque marker suffix after the epoch number
+                return int(m[len(prefix):].split(" ", 1)[0])
             except ValueError:
                 continue  # manual commit that merely resembles the prefix
     return None

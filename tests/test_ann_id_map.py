@@ -597,3 +597,57 @@ def test_recorded_split_modulus_survives_emptied_highest_sub(spark, tmp_path):
     ).collect()
     assert len(got) == 1 and got[0]["bucket"] == f"0_{top}"
     assert AX.verify_ann_id_map(spark, table, tracker).count() == 0
+
+
+def test_torn_pair_fails_loudly_and_rebuild_repairs(spark, tmp_path):
+    """Crash injection: kill the pair's group commit between its two
+    appends (files backend — the index commit lands, the map's never
+    does).  The NEXT extend must refuse loudly with TornAnnPairError —
+    never locate through a map that does not describe the index — and
+    rebuild_ann_id_map (itself pair-published) repairs the stamp so
+    extends work again."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    table, tracker = _mk_index(spark, tmp_path, "torn")
+    AX.build_ann_index(
+        emb, table, tracker, n_clusters=4, m=4, k_sub=4, iters=1,
+        id_map_shards=4,
+    )
+
+    # marker round-trip sanity
+    stamped = AX._pair_message("extend", "v123")
+    assert AX._pair_label(stamped) == "v123"
+    assert AX._pair_label("plain message") is None
+
+    calls = {"n": 0}
+    orig = tracker._append_commit
+
+    def boom(tbl, update):
+        # the group appends in sorted table order: demo.torn (index)
+        # first, demo.torn_ids (map) second — crash the second
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash between pair appends")
+        calls["n"] += 1
+        return orig(tbl, update)
+
+    tracker._append_commit = boom
+    donor = emb.where(F.col("vec_id") == 5).collect()[0]["embedding"]
+    batch = spark.createDataFrame(
+        [(0, list(donor))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        AX.extend_ann_index(batch, table, tracker)
+
+    # "restart": a fresh tracker over the same log sees the torn pair
+    tracker2 = FileBackedVersionTracker(str(tmp_path / "_log_torn"))
+    with pytest.raises(AX.TornAnnPairError, match="rebuild_ann_id_map"):
+        AX.extend_ann_index(batch, table, tracker2)
+
+    AX.rebuild_ann_id_map(spark, table, tracker2)
+    assert AX.verify_ann_id_map(spark, table, tracker2).count() == 0
+    AX.extend_ann_index(batch, table, tracker2)
+    from chronicles_spark.spark import read_current
+
+    assert read_current(spark, table, tracker2).where(
+        F.col("vec_id") == 0
+    ).count() == 1
+    assert AX.verify_ann_id_map(spark, table, tracker2).count() == 0
