@@ -565,6 +565,41 @@ def _ann_index_fixture(spark: SparkSession, sf_dir: str):
     return table, tracker
 
 
+_DEDUP_IDX_CACHE: dict = {}
+
+
+def _dedup_index_fixture(spark: SparkSession, sf_dir: str):
+    """Incremental dedup index (operators/dedup_index.py) built over the
+    CORPUS slice (doc_id % 5 != 0) of the documents table; the
+    q_dedup_incremental row then extends it with the remaining fifth
+    (the "daily crawl dump") and returns the verified pairs.  Same
+    MinHash geometry as the one-shot q_dedup_minhash_lsh row, so the
+    DuckDB oracle is the SAME CTE chain restricted to pairs touching
+    the batch.  Memoized per sf_dir; the row's extend is an idempotent
+    upsert, so repeated driver/bench invocations return identical
+    values."""
+    if sf_dir in _DEDUP_IDX_CACHE:
+        return _DEDUP_IDX_CACHE[sf_dir]
+    from chronicles_spark.operators import dedup_index as DX
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="chronicles_qdedup_")
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    table = TableDefinition(
+        TableName("demo", "dedup_q"), tmp + "/bands",
+        PartitionSchema(("band_shard",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="q")
+    DX.build_dedup_index(
+        docs.where("doc_id % 5 != 0"), table, tracker,
+        bands=_MINHASH_BANDS, rows=_MINHASH_ROWS,
+        band_shards=16, doc_shards=8,
+    )
+    _DEDUP_IDX_CACHE[sf_dir] = (table, tracker)
+    return table, tracker
+
+
 _COMPACT_CACHE: dict = {}
 
 
@@ -780,9 +815,19 @@ WHERE cosine >= {threshold}
 #   * extended Gopher rules (4 new pass_* columns) → the hash-checked
 #     q_repetition_signals row (same scan, map-side, oracle widened);
 #   * CAS-mode streaming coverage → pytest only (lifecycle, no row).
+# Round-8 curation (still 49 rows):
+#   * q_fingerprint merged INTO q_lang_id (same documents scan, both
+#     map-side projections; the merged oracle value-checks every
+#     fingerprint column) — the freed slot carries
+#     `q_dedup_incremental`, the incremental dedup index's hash-checked
+#     row (operators/dedup_index.py; in-row verify_dedup_index gate);
+#   * torn-pair refusal / pairing protocol → pytest crash-injection
+#     (tests/test_ann_id_map.py, tests/test_dedup_index.py) — no row;
+#   * skew-cap in-commit re-split / nested suffixes → pytest
+#     (tests/test_ann_id_map.py hot-bucket suite) — no row.
 # If a FUTURE family truly needs a new row, merge these nearest
-# duplicates first: q_lang_id + q_fingerprint (same documents scan,
-# map-side projections — one merged row value-checks both).
+# duplicates first: q_version_parse + q_partition_parse (both pure
+# string-algebra rows over the synthetic log).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1102,12 +1147,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(TX.corpus_mixture(docs))
 
     def q_lang_id(spark, sf):
+        # round-8 merge (the documented next-candidate consolidation):
+        # lang-ID scores AND both document fingerprints off ONE
+        # documents scan — the merged oracle still value-checks every
+        # fingerprint column, and the freed slot carries
+        # q_dedup_incremental.  Both operators are map-side projections,
+        # so the merged row stays one zero-exchange codegen span.
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return _longify(TX.with_lang_id(docs).drop("text"))
-
-    def q_fingerprint(spark, sf):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return TX.with_fingerprints(docs).drop("text")
+        return _longify(
+            TX.with_fingerprints(TX.with_lang_id(docs)).drop("text")
+        )
 
     # --- training-data pipeline: dedup -------------------------------------
 
@@ -1174,6 +1223,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 threshold=_JACCARD_THRESHOLD,
             )
         )
+
+    def q_dedup_incremental(spark, sf):
+        # round-8: O(batch) corpus-delta dedup against the MATERIALIZED
+        # MinHash index (operators/dedup_index.py — the ann_id_map
+        # pattern applied to fuzzy dedup).  One fifth of the documents
+        # table arrives as "today's batch" against an index over the
+        # other four fifths: candidate generation reads ONLY the batch's
+        # band-shard partitions, exact-Jaccard verify fetches shingles
+        # from ONLY the candidates' doc shards, and the publish is a
+        # shard-scoped RMW pair commit.  In-row gate: the band table
+        # must re-derive exactly from the stored shingles after the
+        # extend (verify_dedup_index empty).  The oracle is the full
+        # minhash CTE chain restricted to pairs with a batch endpoint —
+        # incremental == full re-run is the module's contract.
+        from chronicles_spark.operators import dedup_index as DX
+
+        table, tracker = _dedup_index_fixture(spark, sf)
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        pairs, _, _ = DX.extend_dedup_index(
+            docs.where("doc_id % 5 = 0"), table, tracker,
+            threshold=_JACCARD_THRESHOLD,
+        )
+        if DX.verify_dedup_index(spark, table, tracker).count():
+            raise AssertionError(
+                "dedup index inconsistent with its shingle store after extend"
+            )
+        return _longify(pairs)
 
     def q_dedup_ngram_jaccard(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -1721,24 +1797,20 @@ SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
             WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
             WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
             WHEN score_fr >= score_zh THEN 'fr'
-            ELSE 'zh' END AS lang_pred
+            ELSE 'zh' END AS lang_pred,
+       fp_exact, fp_content
 FROM (
   SELECT doc_id,
     len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS score_en,
     len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','nicht'))) AS score_de,
     len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS score_es,
     len(list_filter(t, x -> x IN ('le','la','de','et','un','est','dans','que'))) AS score_fr,
-    len(list_filter(t, x -> x IN ('de','shi','le','zai','wo','you','he','bu'))) AS score_zh
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+    len(list_filter(t, x -> x IN ('de','shi','le','zai','wo','you','he','bu'))) AS score_zh,
+    md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp_exact,
+    md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp_content
+  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
         FROM documents) x
 ) s
-""",
-        "q_fingerprint": """
-SELECT doc_id,
-       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp_exact,
-       md5(array_to_string(list_sort(list_distinct(
-         regexp_extract_all(lower(text), '[a-z0-9]+', 0))), ' ')) AS fp_content
-FROM documents
 """,
         "q_dedup_exact": """
 SELECT md5(substr(text, 1, 100)) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1751,6 +1823,15 @@ HAVING count(*) > 1
 SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
 FROM inter
 WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
+""",
+        # incremental == full re-run restricted to pairs touching the
+        # batch (doc_id % 5 = 0) — the dedup index's whole contract
+        "q_dedup_incremental": _MINHASH_CTES
+        + f"""
+SELECT id_a, id_b, n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {_JACCARD_THRESHOLD}
+  AND (id_a % 5 = 0 OR id_b % 5 = 0)
 """,
         "q_dedup_clusters": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
         + f""",

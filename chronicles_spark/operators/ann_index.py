@@ -58,56 +58,28 @@ ID_SHARD_COL = "id_shard"
 # write anyway)
 _LOCATE_PUSHDOWN_MAX_IDS = 10_000
 
-_PAIR_MARKER_PREFIX = " [ann-pair:"
-
-
-class TornAnnPairError(RuntimeError):
-    """The index and its companion id map do not sit on the SAME pair
-    commit — a files-backend crash between the group's two appends (or
-    a single-table rollback) left them at different bases.  Extending
-    from a torn pair would locate upserts through a map that does not
-    describe the index (silently wrong results), so the hot path
-    refuses instead: audit with ``verify_ann_id_map`` and repair with
-    ``rebuild_ann_id_map`` (or checkout both tables to a matching
-    pair)."""
-
-
-def _pair_message(message: str, version_label: str) -> str:
-    """Stamp a pair commit's message with the shared pair marker — the
-    cheap hot-path pairing check reads it back from both heads (the
-    commit metadata has no extension field; the marker is an opaque
-    suffix every message consumer tolerates)."""
-    return f"{message}{_PAIR_MARKER_PREFIX}{version_label}]"
-
-
-def _pair_label(message: "str | None") -> "str | None":
-    """The pair marker's label, or None for unmarked (pre-marker legacy
-    or non-pair) commits."""
-    if not message or not message.endswith("]"):
-        return None
-    i = message.rfind(_PAIR_MARKER_PREFIX)
-    if i < 0:
-        return None
-    return message[i + len(_PAIR_MARKER_PREFIX):-1]
+# pair-commit protocol (markers, pinned reads, group publish) shared
+# with the other primary+companion families (operators/pairing.py)
+from .pairing import (  # noqa: E402
+    TornPairError as TornAnnPairError,
+    pair_label as _pair_label,
+    pair_message as _pair_message,
+    pinned_state as _pinned_state,
+)
 
 
 def _check_ann_pair(table, pi: "str | None", pm: "str | None") -> None:
-    """Fail LOUDLY when the two lines' newest pair markers (within their
-    folded prefixes — out-of-band unmarked commits in between don't
-    obscure the comparison) disagree.  Both None = a pre-marker legacy
-    log (no pairing info — the offline ``verify_ann_id_map`` stays the
-    audit there); any other asymmetry or label mismatch is a torn
-    pair."""
-    if pi is None and pm is None:
-        return
-    if pi != pm:
-        raise TornAnnPairError(
-            f"index {table.name} and its id map head different pair "
-            f"commits (index pair={pi!r}, map pair={pm!r}) — a crash "
-            "between the group's two appends or a single-table rollback "
-            "tore the pair; run verify_ann_id_map to audit and "
-            "rebuild_ann_id_map to repair before extending"
-        )
+    """The ANN family's torn-pair refusal: extending from a torn pair
+    would locate upserts through a map that does not describe the index
+    (silently wrong results), so the hot path fails loudly with this
+    family's audit/repair advice instead."""
+    from . import pairing
+
+    pairing.check_pair(
+        table, pi, pm,
+        "run verify_ann_id_map to audit and rebuild_ann_id_map to "
+        "repair before extending",
+    )
 
 
 def ann_id_map_table(table: TableDefinition) -> TableDefinition:
@@ -546,41 +518,31 @@ def _publish_pair(
     encode lineage a second time; pass ``map_id_col``/``map_id_shards``
     with it.  Returns the index table's new state; the metastore (if
     any) is synced for the INDEX table only — the id map is derived
-    internal state."""
-    from datetime import datetime, timezone
-
+    internal state.  The group-commit + pair-marker mechanics live in
+    :func:`pairing.publish_group`."""
     from ..core.diff import compute_changes
-    from ..core.ops import (
-        AddPartitionVersion,
-        RemovePartition,
-        TableUpdate,
-        TableUpdateMetadata,
-    )
     from ..spark.writer import partitions_written, write_versioned
+    from .pairing import publish_group
 
-    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if (mode or "").lower() != "dynamic":
-        raise RuntimeError(
-            "The Spark configuration must have spark.sql.sources."
-            "partitionOverwriteMode set to 'dynamic'"
-        )
-    # data first (invisible until the group commit), then metadata.
-    # index_df=None (rebuild_ann_id_map): the index side contributes an
-    # EMPTY update — no data, no ops — whose only job is to land the
-    # shared pair marker on the index head too.
-    if index_df is not None:
-        write_versioned(index_df, table, version)
-        if index_partitions is None:
-            index_partitions = partitions_written(table, version, spark=spark)
-    else:
-        index_partitions = list(index_partitions or ())
-    if map_df is None:
-        # build path: the encoded corpus is on disk now — derive the map
-        # from the written files (id + bucket columns only; parquet
-        # column pruning makes this ~the map's own bytes) rather than
+    if map_df is None and map_id_shards is not None:
+        # build path: write the index FIRST, then derive the map from
+        # the written files (id + bucket columns only; parquet column
+        # pruning makes this ~the map's own bytes) rather than
         # re-running assignment/PQ/skew-split over the raw embeddings
         from ..spark.reader import read_version
 
+        mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        if (mode or "").lower() != "dynamic":
+            raise RuntimeError(
+                "The Spark configuration must have spark.sql.sources."
+                "partitionOverwriteMode set to 'dynamic'"
+            )
+        write_versioned(index_df, table, version)
+        if index_partitions is None:
+            index_partitions = partitions_written(table, version, spark=spark)
+        index_df = None  # already on disk; publish_group lands its ops
         written_state = PartitionedTableVersion(
             {p: version for p in index_partitions}
         )
@@ -591,41 +553,13 @@ def _publish_pair(
             .repartition(F.col(ID_SHARD_COL))
             .sortWithinPartitions(ID_SHARD_COL, map_id_col)
         )
-    write_versioned(map_df, map_table, version)
-    if map_partitions is None:
-        map_partitions = partitions_written(map_table, version, spark=spark)
-
-    meta_ts = datetime.now(timezone.utc)
-    index_ops = [
-        AddPartitionVersion(p, version)
-        for p in sorted(index_partitions, key=lambda p: p.path)
-    ] + [
-        RemovePartition(p)
-        for p in sorted(set(index_remove), key=lambda p: p.path)
-    ]
-    map_ops = [
-        AddPartitionVersion(p, version)
-        for p in sorted(map_partitions, key=lambda p: p.path)
-    ] + [
-        RemovePartition(p)
-        for p in sorted(set(map_remove), key=lambda p: p.path)
-    ]
-    # both commits carry the SAME pair marker: the extend hot path
-    # compares the two heads' markers and refuses a torn pair loudly
-    # (files-backend crash window between the two appends)
-    stamped_message = _pair_message(message, version.label)
-    group = {
-        table.name: TableUpdate(
-            TableUpdateMetadata.new(user_id, stamped_message, meta_ts),
-            tuple(index_ops),
-        ),
-        map_table.name: TableUpdate(
-            TableUpdateMetadata.new(user_id, stamped_message, meta_ts),
-            tuple(map_ops),
-        ),
-    }
-    tracker.commit_group(
-        group, expected_heads=expected_heads, allow_disjoint=allow_disjoint
+    publish_group(
+        spark, tracker, version, user_id, message,
+        [
+            (table, index_df, index_partitions, index_remove),
+            (map_table, map_df, map_partitions, map_remove),
+        ],
+        expected_heads=expected_heads, allow_disjoint=allow_disjoint,
     )
     new_state = tracker.current_version(table.name)
     if metastore is not None:
@@ -824,52 +758,6 @@ def extend_ann_index(
         df_new, table, tracker, user_id, message, artifacts, mode,
         concurrency, id_col, vec_col, metastore,
     )
-
-
-def _pinned_state(tracker, table_name):
-    """ONE self-consistent log read feeding both the conflict pin and the
-    RMW base: reading them separately would let a commit land in between,
-    making the base newer than the pinned head — a spurious conflict on a
-    write that was actually derived from the current state.  The read
-    must also be SELF-CONSISTENT: the files tracker lists commit files
-    before reading head_ref, so a commit racing the read can yield a head
-    whose commit is missing from the listed updates — and
-    fold.take_through silently folds EVERYTHING when the head id is
-    absent, which would pin a head the folded base doesn't contain
-    (conflict check passes, base stale → lost update).  Re-read (with
-    jittered exponential backoff, 10ms..~150ms, so a sustained concurrent
-    writer can't keep every re-read inside one contention burst) until
-    the pinned head's commit is present in the update list."""
-    from ..core import fold
-
-    for attempt in range(8):
-        if attempt:
-            import random
-            import time as _t
-
-            _t.sleep(min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random()))
-        st = tracker.table_state(table_name)
-        base_head = st.current_version
-        if any(u.metadata.commit_id == base_head for u in st.updates):
-            break
-    else:
-        raise RuntimeError(
-            f"could not obtain a self-consistent log read for {table_name} "
-            "after 8 attempts (head kept outrunning the commit listing)"
-        )
-    # newest pair marker within the folded prefix — what the RMW base
-    # actually contains (the head itself may be an out-of-band unmarked
-    # commit; commits AFTER a rolled-back head must not count)
-    prefix = fold.take_through(st.updates, base_head)
-    pair_label = next(
-        (
-            lbl
-            for u in reversed(prefix)
-            if (lbl := _pair_label(u.metadata.message)) is not None
-        ),
-        None,
-    )
-    return fold.current_version(st.updates, base_head), base_head, pair_label
 
 
 def _extend_body(

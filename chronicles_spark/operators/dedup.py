@@ -131,18 +131,32 @@ def exact_duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -
 # MinHash + LSH
 
 
+def _salted_md5(prefix: str):
+    """One-arg transform lambda via a REAL closure.  The old
+    ``lambda s, i=i: ... f"{i}|" ...`` spelling was the documented
+    F.transform trap twice over: a two-parameter lambda makes Spark pass
+    (element, INDEX) — so ``i`` bound the index Column, whose repr
+    (``Column<'y_10'>``, counter varies per invocation) became the salt
+    via the f-string.  Signatures were self-consistent within one query
+    (each i still got a distinct salt) but NON-DETERMINISTIC across
+    invocations — harmless for one-shot dedup (exact verify masks
+    candidate-set wobble), fatal for the incremental dedup index, whose
+    extends must reproduce the build's band keys bit-for-bit."""
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(num_hashes: int, shingle_col: str = "shingles") -> list[Column]:
     """num_hashes min-hash values as columns sig_0..sig_{n-1}: per hash i,
     the lexicographic min of md5('<i>|' || shingle). Map-side only; reads
     the materialized shingle column (one md5 pass per hash function is
-    inherent to MinHash — the shingle ARRAY itself is never recomputed)."""
+    inherent to MinHash — the shingle ARRAY itself is never recomputed).
+    Deterministic across sessions/invocations (the dedup index contract;
+    also what the DuckDB oracles compute)."""
     out = []
     for i in range(num_hashes):
         out.append(
             F.array_min(
-                F.transform(
-                    F.col(shingle_col), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
+                F.transform(F.col(shingle_col), _salted_md5(f"{i}|"))
             ).alias(f"sig_{i}")
         )
     return out
@@ -158,21 +172,27 @@ def lsh_band_keys(bands: int, rows: int) -> list[Column]:
     return out
 
 
-def minhash_lsh_candidates(
+def lsh_banded(
     base: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     rows: int = 2,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing at least one LSH band.
-
-    ``base`` is a materialized shingle base from :func:`shingle_base`.
-    Plan shape: project signatures from cached shingles (no shuffle) →
-    explode b band rows/doc → self-join on (band_id, band_key) → distinct
-    pairs. The join shuffle is O(b·N) rows; hot buckets (identical docs)
-    square only within a bucket."""
-    sigs = base.select(F.col(id_col), *minhash_signature(bands * rows))
-    banded = sigs.select(
+    """``(id, band_id, band_key)`` — b rows per doc, the LSH bucketing
+    relation candidate generation self-joins on (and the persisted
+    payload of the incremental dedup index,
+    :mod:`~chronicles_spark.operators.dedup_index`).  Signatures project
+    from the materialized shingle column (no shuffle); only the b band
+    structs per doc are exploded.  Docs with EMPTY shingle sets are
+    dropped: their null signatures would all collapse onto one constant
+    band key (md5 of the empty concat) and bucket every short doc with
+    every other — exact-verify would reject the pairs anyway (the
+    DuckDB oracles' ``WHERE len(shingles) > 0`` filter, made structural
+    here)."""
+    sigs = base.where(F.size("shingles") > 0).select(
+        F.col(id_col), *minhash_signature(bands * rows)
+    )
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -183,6 +203,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.band_key")
+
+
+def minhash_lsh_candidates(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing at least one LSH band.
+
+    ``base`` is a materialized shingle base from :func:`shingle_base`.
+    Plan shape: project signatures from cached shingles (no shuffle) →
+    explode b band rows/doc (:func:`lsh_banded`) → self-join on
+    (band_id, band_key) → distinct pairs. The join shuffle is O(b·N)
+    rows; hot buckets (identical docs) square only within a bucket."""
+    banded = lsh_banded(base, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,188 @@
+"""Paired-table publishing: the shared machinery for operators that
+maintain a PRIMARY versioned table plus a DERIVED companion (the ANN
+index + its id map, the dedup index's band table + its shingle store).
+
+Three pieces every such family needs:
+
+* :func:`publish_group` — write both tables' data under ONE version
+  label and land both commits as one ``tracker.commit_group``
+  (optionally optimistic), every commit message stamped with a shared
+  PAIR MARKER;
+* :func:`pinned_state` — one self-consistent log read per table feeding
+  the RMW base, the optimistic pin, AND the newest pair marker in the
+  folded prefix;
+* :func:`check_pair` — compare two lines' newest markers and refuse a
+  TORN pair loudly (a files-backend crash between the group's two
+  appends leaves the tables at different bases; acting on the stale
+  companion would be silently wrong, so hot paths fail instead).
+
+The marker rides the commit MESSAGE (the commit metadata has no
+extension field) as an opaque ``" [ann-pair:<label>]"`` suffix that
+every message consumer tolerates.  The tag spelling is shared across
+families — pairing is a protocol property, not an operator property.
+
+No reference counterpart: stettix/chronicles commits one table at a
+time (core/.../VersionTracker.scala); cross-table pairing is this
+repo's extension for derived-state companions.
+"""
+
+from __future__ import annotations
+
+PAIR_MARKER_PREFIX = " [ann-pair:"
+
+
+class TornPairError(RuntimeError):
+    """A paired table and its companion do not sit on the SAME pair
+    commit — a crash between the group's two appends (or a single-table
+    rollback) left them at different bases.  The raiser's message names
+    the family's audit/repair tools."""
+
+
+def pair_message(message: str, version_label: str) -> str:
+    """Stamp a pair commit's message with the shared pair marker — the
+    cheap hot-path pairing check reads it back from both heads."""
+    return f"{message}{PAIR_MARKER_PREFIX}{version_label}]"
+
+
+def pair_label(message: "str | None") -> "str | None":
+    """The pair marker's label, or None for unmarked (pre-marker legacy
+    or non-pair) commits."""
+    if not message or not message.endswith("]"):
+        return None
+    i = message.rfind(PAIR_MARKER_PREFIX)
+    if i < 0:
+        return None
+    return message[i + len(PAIR_MARKER_PREFIX):-1]
+
+
+def check_pair(table, pi: "str | None", pm: "str | None", advice: str) -> None:
+    """Fail LOUDLY when the two lines' newest pair markers (within their
+    folded prefixes — out-of-band unmarked commits in between don't
+    obscure the comparison) disagree.  Both None = a pre-marker legacy
+    log (no pairing info; the family's offline audit stays the check
+    there); any other asymmetry or label mismatch is a torn pair."""
+    if pi is None and pm is None:
+        return
+    if pi != pm:
+        raise TornPairError(
+            f"{table.name} and its companion head different pair commits "
+            f"(primary pair={pi!r}, companion pair={pm!r}) — a crash "
+            "between the group's two appends or a single-table rollback "
+            f"tore the pair; {advice}"
+        )
+
+
+def pinned_state(tracker, table_name):
+    """ONE self-consistent log read feeding the conflict pin, the RMW
+    base, and the pairing check: reading them separately would let a
+    commit land in between, making the base newer than the pinned head —
+    a spurious conflict on a write that was actually derived from the
+    current state.  The read must also be SELF-CONSISTENT: the files
+    tracker lists commit files before reading head_ref, so a commit
+    racing the read can yield a head whose commit is missing from the
+    listed updates — and fold.take_through silently folds EVERYTHING
+    when the head id is absent, which would pin a head the folded base
+    doesn't contain (conflict check passes, base stale → lost update).
+    Re-read (with jittered exponential backoff, 10ms..~150ms, so a
+    sustained concurrent writer can't keep every re-read inside one
+    contention burst) until the pinned head's commit is present in the
+    update list.  Returns ``(folded_state, head_commit_id,
+    newest_pair_label_in_prefix)``."""
+    from ..core import fold
+
+    for attempt in range(8):
+        if attempt:
+            import random
+            import time as _t
+
+            _t.sleep(min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random()))
+        st = tracker.table_state(table_name)
+        base_head = st.current_version
+        if any(u.metadata.commit_id == base_head for u in st.updates):
+            break
+    else:
+        raise RuntimeError(
+            f"could not obtain a self-consistent log read for {table_name} "
+            "after 8 attempts (head kept outrunning the commit listing)"
+        )
+    # newest pair marker within the folded prefix — what the RMW base
+    # actually contains (the head itself may be an out-of-band unmarked
+    # commit; commits AFTER a rolled-back head must not count)
+    prefix = fold.take_through(st.updates, base_head)
+    found = next(
+        (
+            lbl
+            for u in reversed(prefix)
+            if (lbl := pair_label(u.metadata.message)) is not None
+        ),
+        None,
+    )
+    return fold.current_version(st.updates, base_head), base_head, found
+
+
+def publish_group(
+    spark,
+    tracker,
+    version,
+    user_id: str,
+    message: str,
+    writes,
+    expected_heads=None,
+    allow_disjoint: bool = True,
+):
+    """Write every table's data under ONE version label and publish all
+    commits as one ``tracker.commit_group`` (optionally optimistic via
+    ``expected_heads``), each commit's message stamped with the shared
+    pair marker.
+
+    ``writes``: list of ``(table, df, partitions, remove_partitions)``.
+    ``df=None`` contributes a data-less update (possibly ops-less too)
+    whose job is to land the marker on that table's head — the repair
+    tools' re-stamp.  ``partitions=None`` lists the written directories
+    (build path); callers that already collected the touched sets pass
+    them (extend path).  Data lands first and stays invisible until the
+    group commit; a crash between the group's appends is exactly what
+    :func:`check_pair` catches on the next read-modify-write."""
+    from datetime import datetime, timezone
+
+    from ..core.ops import (
+        AddPartitionVersion,
+        RemovePartition,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from ..spark.writer import partitions_written, write_versioned
+
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if (mode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+    resolved = []
+    for table, df, partitions, removes in writes:
+        if df is not None:
+            write_versioned(df, table, version)
+            if partitions is None:
+                partitions = partitions_written(table, version, spark=spark)
+        else:
+            partitions = list(partitions or ())
+        resolved.append((table, partitions, removes))
+
+    meta_ts = datetime.now(timezone.utc)
+    stamped = pair_message(message, version.label)
+    group = {}
+    for table, partitions, removes in resolved:
+        ops = [
+            AddPartitionVersion(p, version)
+            for p in sorted(partitions, key=lambda p: p.path)
+        ] + [
+            RemovePartition(p)
+            for p in sorted(set(removes or ()), key=lambda p: p.path)
+        ]
+        group[table.name] = TableUpdate(
+            TableUpdateMetadata.new(user_id, stamped, meta_ts), tuple(ops)
+        )
+    tracker.commit_group(
+        group, expected_heads=expected_heads, allow_disjoint=allow_disjoint
+    )
