@@ -8,45 +8,52 @@ sweep needs the full ``(partition, version)`` history of every line —
 main plus branches — to decide which directories are superseded.
 Without an index that is one file read + JSON parse PER COMMIT per
 sweep: fine at 10⁴ commits, a stall at 10⁶.  This module extends the
-checkpoint idea to that enumeration: the sweep persists the cumulative
-Add-ops list per line as ONE JSON file next to the data
-(``_chronicles_versions_index.json``), and the next sweep reads the
-index plus only the commits appended since (``updates_slice`` — the
-same O(new commits) tail surface the CDC stream source uses).
+checkpoint idea to that enumeration, and (round 8) keeps the ARTIFACT
+itself O(tail) per sweep too: entries live in immutable SEGMENT files
+under ``_chronicles_versions_index/`` and a small ``manifest.json``
+records, per line, the identity guards plus the ordered segment list.
+A sweep that finds N new commits writes ONE new segment holding exactly
+those N entries and rewrites only the manifest — never the history.
+(The previous layout was one cumulative JSON blob re-written whole per
+sweep: at 10⁶ commits that is a ~100 MB PUT per sweep for a 1-commit
+tail.)  When a line accumulates more than ``MAX_SEGMENTS_PER_LINE``
+segments they are compacted into one — amortized O(total/64), bounding
+both the per-sweep GET count and the long-run write cost.
 
 Safety rules (the commit files stay the only source of truth):
 
-* the index stores, per line, the POSITION folded up to and the first
-  commit's id; a shrunken log, a mismatched first commit (drop +
-  recreate under the same name), a missing/corrupt file, or a tracker
-  without the tail surface all degrade to the full walk — never an
-  error, never a stale answer;
+* the manifest stores, per line, the POSITION folded up to, the first
+  commit's id, and the commit id AT the last indexed position; a
+  shrunken log, a mismatched first commit (drop + recreate under the
+  same name), a position shift (a CAS gap-filler landing below an
+  indexed position), a missing/corrupt manifest OR segment file, or a
+  tracker without the tail surface all degrade to the full walk —
+  never an error, never a stale answer;
 * lines are re-enumerated from the tracker at every sweep: a DROPPED
   branch's entries are discarded with it (identical semantics to the
   full walk, which cannot see a dropped log either), so the index can
   never hold a deletion candidate the walk would not produce;
 * ops are append-only in every backend (rollback moves the head
   pointer, never removes commits), so a cumulative prefix never needs
-  invalidation by content — only by identity (the first-commit check).
-
-Artifact size: the index holds one (path, label) pair per Add op ever
-committed — ~100 bytes each, so ~100 MB of JSON at 10⁶ single-partition
-commits, parsed once per sweep (seconds).  That replaces 10⁶ individual
-commit-file reads (hours of GETs on an object store); if the parse
-itself ever becomes the bottleneck the format can move to parquet
-without touching the guards.  Vacuum does not shrink the index (GC
-removes data directories, not commits); a log whose history is
-truncated out-of-band fails the identity check and rebuilds.
+  invalidation by content — only by identity (the first-commit check);
+* segment files are immutable and written BEFORE the manifest that
+  references them: a crash leaves unreferenced orphans (reclaimed by
+  the next sweep's cleanup pass), never a manifest pointing at missing
+  data;
+* the pre-segmentation single-blob file is still READ (migration);
+  the first sweep under this layout rewrites it as segments and
+  removes the blob.
 
 Like the reference's stance that reads resolve through recorded
 metadata, not storage walks (spark/src/main/scala/dev/chronicles/spark/
 SparkHiveMetastore.scala:58-61), the sweep's candidate enumeration here
-resolves through one recorded artifact plus the log tail.
+resolves through one recorded manifest plus the log tail.
 """
 
 from __future__ import annotations
 
 import json
+import uuid
 from typing import List, Optional, Tuple
 
 from ..core.model import Partition, TableDefinition
@@ -55,7 +62,10 @@ from ..core.version import Version
 from ..trackers.base import VersionTracker
 from ..trackers.fs import filesystem_for
 
-INDEX_FILE = "_chronicles_versions_index.json"
+INDEX_FILE = "_chronicles_versions_index.json"  # legacy single blob (read-only)
+INDEX_DIR = "_chronicles_versions_index"
+MANIFEST_FILE = "manifest.json"
+MAX_SEGMENTS_PER_LINE = 64
 
 
 def _entries_of(updates) -> List[Tuple[Optional[str], str]]:
@@ -79,27 +89,66 @@ def _revive(entries) -> List[Tuple[Optional[Partition], Version]]:
     ]
 
 
-def _index_path(table: TableDefinition):
+def index_dir_path(table: TableDefinition):
     fs, root = filesystem_for(table.location)
-    return fs, fs.join(root, INDEX_FILE)
+    return fs, fs.join(root, INDEX_DIR)
 
 
-def _load_index(table: TableDefinition) -> dict:
-    fs, path = _index_path(table)
-    if not fs.exists(path):
-        return {}
+def manifest_path(table: TableDefinition) -> str:
+    fs, d = index_dir_path(table)
+    return fs.join(d, MANIFEST_FILE)
+
+
+def _load_manifest(table: TableDefinition) -> dict:
+    """Per-line manifest records (no entries — those live in segments),
+    or the LEGACY single-blob records (entries inline, marked with
+    ``"_legacy_entries"``), or {} when absent/corrupt."""
+    fs, d = index_dir_path(table)
+    mpath = fs.join(d, MANIFEST_FILE)
     try:
-        doc = json.loads(fs.read_text(path))
-        lines = doc.get("lines", {})
-        return lines if isinstance(lines, dict) else {}
+        if fs.exists(mpath):
+            doc = json.loads(fs.read_text(mpath))
+            lines = doc.get("lines", {})
+            return lines if isinstance(lines, dict) else {}
     except (ValueError, KeyError, OSError):
-        return {}  # corrupt index degrades to the full walk
+        return {}  # corrupt manifest degrades to the full walk
+    # migration: the pre-segmentation cumulative blob
+    legacy = fs.join(fs.join(*mpath.rsplit("/", 2)[:1]), INDEX_FILE)
+    try:
+        if fs.exists(legacy):
+            doc = json.loads(fs.read_text(legacy))
+            lines = doc.get("lines", {})
+            if isinstance(lines, dict):
+                for rec in lines.values():
+                    if isinstance(rec, dict) and "entries" in rec:
+                        rec["_legacy_entries"] = rec.pop("entries")
+                return lines
+    except (ValueError, KeyError, OSError):
+        pass
+    return {}
 
 
-def _save_index(table: TableDefinition, lines: dict) -> None:
-    fs, path = _index_path(table)
-    fs.mkdirs(path.rsplit("/", 1)[0])  # metadata-only logs: no data dir yet
-    fs.write_text(path, json.dumps({"lines": lines}))
+def _read_segments(fs, d, rec) -> "list | None":
+    """All of a record's entries, concatenated from its segment files (or
+    the legacy inline list).  None = any segment missing/corrupt — the
+    caller rebuilds the line."""
+    if "_legacy_entries" in rec:
+        return [tuple(e) for e in rec["_legacy_entries"]]
+    entries: list = []
+    for seg in rec.get("segments", ()):
+        try:
+            doc = json.loads(fs.read_text(fs.join(d, seg["file"])))
+            entries.extend(tuple(e) for e in doc["entries"])
+        except (ValueError, KeyError, OSError, FileNotFoundError):
+            return None
+    return entries
+
+
+def _write_segment(fs, d, entries) -> dict:
+    """One immutable segment file; returns its manifest stanza."""
+    name = f"seg-{uuid.uuid4().hex}.json"
+    fs.write_text(fs.join(d, name), json.dumps({"entries": [list(e) for e in entries]}))
+    return {"file": name, "n": len(entries)}
 
 
 def line_versions_indexed(
@@ -111,7 +160,9 @@ def line_versions_indexed(
     """``{line_name: [(Partition | None, Version), ...]}`` in commit order
     for every given line, via the persisted index + log tail when
     possible, via the full walk otherwise.  Persists the refreshed index
-    (only the given lines — dropped lines fall out) before returning.
+    (only the given lines — dropped lines fall out) before returning,
+    writing ONLY the tail as a new segment for lines whose prefix was
+    reusable.
 
     Trackers without the tail surface (``update_count`` /
     ``updates_slice``) take the full walk and the index is not written —
@@ -123,9 +174,12 @@ def line_versions_indexed(
             name: _revive(_entries_of(tracker.table_state(name).updates))
             for name in line_names
         }
-    stored = _load_index(table)
-    fresh: dict = {}
+    fs, d = index_dir_path(table)
+    stored = _load_manifest(table)
     out: dict = {}
+    plans: list = []
+
+    # ---- phase 1: resolve every line's entries (reads only) --------------
     for name in line_names:
         key = str(name)
         n = count_of(name)
@@ -139,6 +193,7 @@ def line_versions_indexed(
             and isinstance(rec.get("upto"), int)
             and 0 < rec["upto"] <= n
         )
+        tail = ()
         if usable:
             # position-shift guard (the checkpoint covers-prefix lesson):
             # a CAS writer whose clock ran behind can land a commit file
@@ -149,25 +204,78 @@ def line_versions_indexed(
             usable = bool(tail) and (
                 tail[0].metadata.commit_id == rec.get("last_commit_id")
             )
-        if usable:
-            entries = [tuple(e) for e in rec["entries"]]
-            entries += _entries_of(tail[1:])
+        prefix = _read_segments(fs, d, rec) if usable else None
+        if prefix is not None:
+            tail_entries = _entries_of(tail[1:])
+            entries = prefix + tail_entries
+            reuse = (
+                []
+                if "_legacy_entries" in rec  # migrate the blob once
+                else [dict(s) for s in rec.get("segments", ())]
+            )
+            legacy_prefix = prefix if "_legacy_entries" in rec else None
         else:
-            # unknown line, shrunken/recreated/shifted log, or corrupt
-            # record — rebuild this line from scratch
+            # unknown line, shrunken/recreated/shifted log, corrupt or
+            # missing segment — rebuild this line from scratch
             entries = _entries_of(tracker.table_state(name).updates)
+            tail_entries = None  # sentinel: full rebuild
+            reuse = []
+            legacy_prefix = None
         last_id = (
             slice_of(name, n - 1, n)[0].metadata.commit_id if n else None
         )
-        fresh[key] = {
-            "upto": n,
-            "first_commit_id": first_id,
-            "last_commit_id": last_id,
-            "entries": [list(e) for e in entries],
-        }
+        plans.append(
+            (key, n, first_id, last_id, entries, tail_entries, reuse,
+             legacy_prefix)
+        )
         out[name] = _revive(entries)
+
+    # ---- phase 2: persist (tail segments + manifest + reclaim) -----------
+    # Any failure here (read-only storage) leaves the sweep's ANSWER
+    # intact — just un-cached; partially written segments become orphans
+    # the next successful sweep reclaims.
     try:
-        _save_index(table, fresh)
+        fs.mkdirs(d)
+        fresh: dict = {}
+        keep_files: set = set()
+        for (key, n, first_id, last_id, entries, tail_entries, reuse,
+             legacy_prefix) in plans:
+            if tail_entries is None:
+                # full rebuild: one segment with the whole history
+                segments = [_write_segment(fs, d, entries)] if entries else []
+            else:
+                segments = list(reuse)
+                if legacy_prefix:
+                    segments.append(_write_segment(fs, d, legacy_prefix))
+                if tail_entries:
+                    segments.append(_write_segment(fs, d, tail_entries))
+            if len(segments) > MAX_SEGMENTS_PER_LINE:
+                # compaction: one merged segment — amortized O(total/64),
+                # bounds the per-sweep GET count and long-run write cost
+                segments = [_write_segment(fs, d, entries)]
+            fresh[key] = {
+                "upto": n,
+                "first_commit_id": first_id,
+                "last_commit_id": last_id,
+                "segments": segments,
+            }
+            keep_files.update(s["file"] for s in segments)
+        fs.write_text(
+            fs.join(d, MANIFEST_FILE), json.dumps({"lines": fresh})
+        )
+        # reclaim: superseded/orphaned segments (rebuilds, compactions,
+        # crashes between segment write and manifest write) and the
+        # migrated legacy blob
+        for nme in fs.list_dir(d):
+            if (
+                nme.startswith("seg-")
+                and nme.endswith(".json")
+                and nme not in keep_files
+            ):
+                fs.remove_file(fs.join(d, nme))
+        legacy = fs.join(fs.join(*d.rsplit("/", 1)[:1]), INDEX_FILE)
+        if fs.exists(legacy):
+            fs.remove_file(legacy)
     except OSError:
         pass  # read-only storage: the sweep still ran, just un-cached
     return out

@@ -25,7 +25,9 @@ from chronicles_spark.core.ops import (
 from chronicles_spark.core.version import generate_version
 from chronicles_spark.spark.vacuum import _versions_ever_written, vacuum
 from chronicles_spark.spark.version_index import (
+    INDEX_DIR,
     INDEX_FILE,
+    MANIFEST_FILE,
     line_versions_indexed,
 )
 from chronicles_spark.trackers import FileBackedVersionTracker
@@ -67,7 +69,7 @@ def test_indexed_enumeration_equals_full_walk(tmp_path):
     idx = _versions_ever_written(tracker, table, use_index=True)
     assert idx == walk and len(idx) == 120
     # warm re-read (index now on disk) still equal
-    assert os.path.exists(str(tmp_path / "vx" / INDEX_FILE))
+    assert os.path.exists(str(tmp_path / "vx" / INDEX_DIR / MANIFEST_FILE))
     assert _versions_ever_written(tracker, table, use_index=True) == walk
 
     # tail growth: new commits after the index was cut are picked up
@@ -148,7 +150,7 @@ def test_corrupt_index_degrades_to_walk(tmp_path):
     table, tracker = _mk(tmp_path, n_commits=6)
     walk = _versions_ever_written(tracker, table, use_index=False)
     _versions_ever_written(tracker, table, use_index=True)
-    idx_path = str(tmp_path / "vx" / INDEX_FILE)
+    idx_path = str(tmp_path / "vx" / INDEX_DIR / MANIFEST_FILE)
     with open(idx_path, "w") as f:
         f.write("{not json")
     assert _versions_ever_written(tracker, table, use_index=True) == walk
@@ -166,6 +168,7 @@ def test_tracker_without_tail_surface_falls_back(tmp_path):
         _commit(tracker, table.name, str(i))
     walk = _versions_ever_written(tracker, table, use_index=False)
     assert _versions_ever_written(tracker, table, use_index=True) == walk
+    assert not os.path.exists(str(tmp_path / "vm" / INDEX_DIR))
     assert not os.path.exists(str(tmp_path / "vm" / INDEX_FILE))
 
 
@@ -220,3 +223,117 @@ def test_vacuum_decisions_identical_with_and_without_index(spark, tmp_path):
         atable, atracker, dry_run=True, version_index=True
     ))
     assert a_idx == a_walk and a_walk  # the superseded label's sidecar
+
+
+def _seg_files(tmp_path):
+    d = str(tmp_path / "vx" / INDEX_DIR)
+    return sorted(
+        f for f in os.listdir(d) if f.startswith("seg-") and f.endswith(".json")
+    )
+
+
+def test_sweep_writes_only_the_tail_segment(tmp_path):
+    """Round-8 artifact-cost contract: after the index is cut, a sweep
+    over K new commits writes ONE new segment holding exactly K entries
+    — the history segment is byte-untouched (same file, same mtime,
+    same bytes), and the manifest stays small."""
+    table, tracker = _mk(tmp_path, n_commits=100)
+    _versions_ever_written(tracker, table, use_index=True)  # cut
+    segs0 = _seg_files(tmp_path)
+    assert len(segs0) == 1
+    d = str(tmp_path / "vx" / INDEX_DIR)
+    big = os.path.join(d, segs0[0])
+    bytes0 = open(big, "rb").read()
+    mtime0 = os.path.getmtime(big)
+
+    for i in range(3):
+        _commit(tracker, table.name, f"t{i}")
+    walk = _versions_ever_written(tracker, table, use_index=False)
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+
+    segs1 = _seg_files(tmp_path)
+    assert segs0[0] in segs1 and len(segs1) == 2
+    assert open(big, "rb").read() == bytes0
+    assert os.path.getmtime(big) == mtime0
+    new = [f for f in segs1 if f != segs0[0]][0]
+    tail_doc = json.load(open(os.path.join(d, new)))
+    assert len(tail_doc["entries"]) == 3
+    # ...and the tail segment's bytes are a tiny fraction of the history's
+    assert os.path.getsize(os.path.join(d, new)) < len(bytes0) / 10
+
+    # a sweep with NO new commits writes no new segment
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+    assert _seg_files(tmp_path) == segs1
+
+
+def test_legacy_blob_migrates_to_segments(tmp_path):
+    """A pre-segmentation cumulative blob is read once (prefix reused —
+    no full-log re-walk), rewritten as segments, and removed."""
+    from chronicles_spark.spark import version_index as VX
+
+    table, tracker = _mk(tmp_path, n_commits=30)
+    # hand-write the LEGACY single-blob layout the old code produced
+    walk = _versions_ever_written(tracker, table, use_index=False)
+    updates = tracker.table_state(table.name).updates
+    legacy = {
+        str(table.name): {
+            "upto": tracker.update_count(table.name),
+            "first_commit_id": updates[0].metadata.commit_id,
+            "last_commit_id": updates[-1].metadata.commit_id,
+            "entries": [
+                [p.path if p is not None else None, v.label] for p, v in walk
+            ],
+        }
+    }
+    os.makedirs(str(tmp_path / "vx"), exist_ok=True)
+    with open(str(tmp_path / "vx" / INDEX_FILE), "w") as f:
+        json.dump({"lines": legacy}, f)
+
+    for i in range(2):
+        _commit(tracker, table.name, f"m{i}")
+    walk2 = _versions_ever_written(tracker, table, use_index=False)
+    assert _versions_ever_written(tracker, table, use_index=True) == walk2
+    # migrated: blob gone, segmented layout present (prefix + tail)
+    assert not os.path.exists(str(tmp_path / "vx" / INDEX_FILE))
+    assert len(_seg_files(tmp_path)) == 2
+    assert _versions_ever_written(tracker, table, use_index=True) == walk2
+
+
+def test_corrupt_segment_rebuilds_line(tmp_path):
+    table, tracker = _mk(tmp_path, n_commits=12)
+    walk = _versions_ever_written(tracker, table, use_index=False)
+    _versions_ever_written(tracker, table, use_index=True)
+    d = str(tmp_path / "vx" / INDEX_DIR)
+    seg = _seg_files(tmp_path)[0]
+    with open(os.path.join(d, seg), "w") as f:
+        f.write("{broken")
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+    # healed: the corrupt segment was superseded and reclaimed
+    segs = _seg_files(tmp_path)
+    assert seg not in segs and len(segs) == 1
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+
+
+def test_segments_compact_and_orphans_reclaimed(tmp_path):
+    from chronicles_spark.spark import version_index as VX
+
+    table, tracker = _mk(tmp_path, n_commits=5)
+    _versions_ever_written(tracker, table, use_index=True)
+    # drive many tail sweeps to cross the compaction threshold
+    for i in range(VX.MAX_SEGMENTS_PER_LINE + 2):
+        _commit(tracker, table.name, f"c{i}")
+        _versions_ever_written(tracker, table, use_index=True)
+    assert len(_seg_files(tmp_path)) <= VX.MAX_SEGMENTS_PER_LINE
+    walk = _versions_ever_written(tracker, table, use_index=False)
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+
+    # an orphan segment (crash between segment and manifest write) is
+    # reclaimed by the next sweep
+    d = str(tmp_path / "vx" / INDEX_DIR)
+    orphan = os.path.join(d, "seg-deadbeef.json")
+    with open(orphan, "w") as f:
+        json.dump({"entries": []}, f)
+    _commit(tracker, table.name, "after-orphan")
+    walk2 = _versions_ever_written(tracker, table, use_index=False)
+    assert _versions_ever_written(tracker, table, use_index=True) == walk2
+    assert not os.path.exists(orphan)
