@@ -213,6 +213,34 @@ class VacuumAction:
     orphan_min_age_days: float = 7.0
 
 
+@dataclass(frozen=True)
+class AnnIndexAction:
+    """Ops surface for the materialized ANN index family
+    (operators/ann_index.py) — the one lifecycle family a pipeline
+    operator previously could not drive from the shell.  ``build`` /
+    ``extend`` / ``verify`` / ``rebuild`` obtain a SparkSession
+    (``getOrCreate`` — under spark-submit that is the submitted
+    session); ``vacuum-artifacts`` is pure metadata and needs none."""
+
+    operation: str  # build | extend | verify | rebuild | vacuum-artifacts
+    table: TableName
+    location: str
+    input_path: Optional[str] = None
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    message: str = ""
+    mode: str = "upsert"
+    n_clusters: int = 8
+    m: int = 8
+    k_sub: int = 16
+    iters: int = 3
+    train_fraction: Optional[float] = None
+    id_map_shards: Optional[int] = 64
+    max_bucket_rows: Optional[int] = None
+    apply: bool = False
+    orphan_min_age_days: float = 7.0
+
+
 # ---------------------------------------------------------------------------
 # console (cli/.../Console.scala — capture-able for tests like StubConsole)
 
@@ -505,6 +533,44 @@ def build_parser() -> argparse.ArgumentParser:
         "considered abandoned rather than in-flight (default 7)",
     )
 
+    p_idx = sub.add_parser(
+        "index",
+        help="Maintain a materialized ANN index "
+        "(build/extend/verify/rebuild/vacuum-artifacts)",
+    )
+    p_idx.add_argument(
+        "operation",
+        choices=["build", "extend", "verify", "rebuild", "vacuum-artifacts"],
+    )
+    p_idx.add_argument("table")
+    p_idx.add_argument("--location", required=True, help="Index storage root")
+    p_idx.add_argument(
+        "--input", default=None,
+        help="Parquet path of (id, embedding) rows (build/extend)",
+    )
+    p_idx.add_argument("--id-col", default="vec_id")
+    p_idx.add_argument("--vec-col", default="embedding")
+    p_idx.add_argument("--message", default="")
+    p_idx.add_argument("--mode", choices=["upsert", "append"], default="upsert")
+    p_idx.add_argument("--n-clusters", type=int, default=8)
+    p_idx.add_argument("--m", type=int, default=8)
+    p_idx.add_argument("--k-sub", type=int, default=16)
+    p_idx.add_argument("--iters", type=int, default=3)
+    p_idx.add_argument("--train-fraction", type=float, default=None)
+    p_idx.add_argument(
+        "--id-map-shards", type=int, default=64,
+        help="Companion id-map shard count (0 = build without a map)",
+    )
+    p_idx.add_argument(
+        "--max-bucket-rows", type=int, default=None,
+        help="Bucket-skew hard cap (rows per physical partition)",
+    )
+    p_idx.add_argument(
+        "--apply", action="store_true",
+        help="vacuum-artifacts: actually delete (default: dry-run)",
+    )
+    p_idx.add_argument("--orphan-min-age-days", type=float, default=7.0)
+
     return parser
 
 
@@ -572,6 +638,19 @@ def parse_action(argv: Sequence[str]):
             _table_name(ns.table), ns.location, ns.keep_last, ns.apply,
             ns.sweep_orphans, ns.orphan_min_age_days,
         )
+    if ns.command == "index":
+        if ns.operation in ("build", "extend") and not ns.input:
+            raise CliError(f"index {ns.operation} needs --input <parquet path>")
+        return ns, AnnIndexAction(
+            ns.operation, _table_name(ns.table), ns.location,
+            input_path=ns.input, id_col=ns.id_col, vec_col=ns.vec_col,
+            message=ns.message or f"cli index {ns.operation}",
+            mode=ns.mode, n_clusters=ns.n_clusters, m=ns.m, k_sub=ns.k_sub,
+            iters=ns.iters, train_fraction=ns.train_fraction,
+            id_map_shards=(ns.id_map_shards or None),
+            max_bucket_rows=ns.max_bucket_rows,
+            apply=ns.apply, orphan_min_age_days=ns.orphan_min_age_days,
+        )
     raise CliError(f"Unknown command {ns.command!r}")
 
 
@@ -620,6 +699,8 @@ class CliClient:
             self.manifest(action)
         elif isinstance(action, VacuumAction):
             self.vacuum(action)
+        elif isinstance(action, AnnIndexAction):
+            self.ann_index(action, user_id)
         else:
             raise CliError(f"Unknown action {action!r}")
 
@@ -855,6 +936,105 @@ class CliClient:
             f"{'y' if len(doomed) == 1 else 'ies'} "
             f"(keep_last={action.keep_last})"
         )
+
+    def ann_index(self, action: AnnIndexAction, user_id: str) -> None:
+        """The ANN family's shell surface.  build/extend read the input
+        parquet through the CURRENT SparkSession (spark-submit's, or a
+        local one when run standalone); verify/rebuild read the index
+        itself; vacuum-artifacts is pure metadata."""
+        from .operators import ann_index as AX
+
+        table = TableDefinition(
+            action.table,
+            location=action.location,
+            partition_schema=PartitionSchema((AX.BUCKET_COL,)),
+        )
+        tracker = self.delegate.tracker
+
+        if action.operation == "vacuum-artifacts":
+            from datetime import timedelta
+
+            doomed = AX.vacuum_ann_artifacts(
+                table, tracker, dry_run=not action.apply,
+                orphan_min_age=timedelta(days=action.orphan_min_age_days),
+            )
+            for path in doomed:
+                self.console.println(path)
+            verb = "Removed" if action.apply else "Would remove"
+            self.console.println(
+                f"{verb} {len(doomed)} orphan artifact sidecar"
+                f"{'' if len(doomed) == 1 else 's'}"
+            )
+            return
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if action.operation == "build":
+            tracker.init_table(
+                action.table, is_snapshot=False, user_id=user_id
+            )
+            df = spark.read.parquet(action.input_path)
+            state, arts = AX.build_ann_index(
+                df, table, tracker, user_id, action.message,
+                n_clusters=action.n_clusters, m=action.m,
+                k_sub=action.k_sub, iters=action.iters,
+                train_fraction=action.train_fraction,
+                id_map_shards=action.id_map_shards,
+                max_bucket_rows=action.max_bucket_rows,
+                id_col=action.id_col, vec_col=action.vec_col,
+            )
+            self.console.println(
+                f"Built index '{action.table.fully_qualified}' "
+                f"({len(state.partition_versions)} bucket partitions, "
+                f"version {arts.version_label})"
+            )
+        elif action.operation == "extend":
+            df = spark.read.parquet(action.input_path)
+            state, arts = AX.extend_ann_index(
+                df, table, tracker, user_id, action.message,
+                mode=action.mode, id_col=action.id_col,
+                vec_col=action.vec_col,
+            )
+            self.console.println(
+                f"Extended index '{action.table.fully_qualified}' "
+                f"(mode={action.mode}, now "
+                f"{len(state.partition_versions)} bucket partitions, "
+                f"version {arts.version_label})"
+            )
+        elif action.operation == "verify":
+            bad = AX.verify_ann_id_map(
+                spark, table, tracker, id_col=action.id_col
+            )
+            rows = bad.limit(21).collect()
+            for r in rows[:20]:
+                self.console.println(
+                    f"{r[action.id_col]}\tindex={r['index_bucket']}\t"
+                    f"map={r['map_bucket']}"
+                )
+            if rows:
+                more = " (first 20 shown)" if len(rows) > 20 else ""
+                self.console.println(
+                    f"Index and id map DISAGREE{more} — run "
+                    "'index rebuild' to repair"
+                )
+                raise CliError(
+                    f"id map inconsistent for {action.table.fully_qualified}"
+                )
+            self.console.println(
+                f"Index '{action.table.fully_qualified}' and its id map agree"
+            )
+        elif action.operation == "rebuild":
+            AX.rebuild_ann_id_map(
+                spark, table, tracker, user_id, action.message,
+                id_col=action.id_col,
+            )
+            self.console.println(
+                f"Rebuilt id map for '{action.table.fully_qualified}'"
+            )
+        else:
+            raise CliError(f"Unknown index operation {action.operation!r}")
 
 
 def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) -> int:

@@ -401,3 +401,109 @@ def test_tracker_from_config_commit_modes(tmp_path):
         C.Config(type="files-config", root=str(tmp_path / "c"))
     )
     assert not tr._use_lock and not tr._use_cas
+
+
+# -- round 8: the ANN index family's shell surface ---------------------------
+
+
+def test_index_parse_and_validation():
+    _, action = C.parse_action(
+        ["index", "build", "db.idx", "--location", "/tmp/idx",
+         "--input", "/tmp/emb.parquet", "--id-map-shards", "0"]
+    )
+    assert action.operation == "build" and action.id_map_shards is None
+    with pytest.raises(C.CliError, match="needs --input"):
+        C.parse_action(["index", "build", "db.idx", "--location", "/x"])
+    with pytest.raises(C.CliError, match="needs --input"):
+        C.parse_action(["index", "extend", "db.idx", "--location", "/x"])
+    with pytest.raises(C.CliError):  # unknown operation rejected by argparse
+        C.parse_action(["index", "explode", "db.idx", "--location", "/x"])
+    _, va = C.parse_action(
+        ["index", "vacuum-artifacts", "db.idx", "--location", "/x", "--apply"]
+    )
+    assert va.operation == "vacuum-artifacts" and va.apply
+
+
+def test_index_lifecycle_end_to_end(spark, tmp_path):
+    """build → partitions → extend → verify → rebuild → vacuum-artifacts,
+    all through the console surface against a tmp-path index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    emb = spark.range(24).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.sin(F.col("id") * F.lit(0.3 + j)).cast("double") for j in range(8)
+        ]).alias("embedding"),
+    )
+    src1 = str(tmp_path / "emb1.parquet")
+    src2 = str(tmp_path / "emb2.parquet")
+    emb.where("vec_id < 16").write.parquet(src1)
+    emb.where("vec_id >= 16").write.parquet(src2)
+    loc = str(tmp_path / "idx")
+
+    client, console = make_client()
+    args = ["db.idx", "--location", loc, "--n-clusters", "2", "--m", "4",
+            "--k-sub", "4", "--iters", "1", "--id-map-shards", "4"]
+    assert C.run(
+        ["index", "build", *args, "--input", src1], client, console, "u"
+    ) == 0
+    assert any("Built index 'db.idx'" in l for l in console.out)
+
+    assert C.run(
+        ["index", "extend", "db.idx", "--location", loc, "--input", src2],
+        client, console, "u",
+    ) == 0
+    assert any("Extended index 'db.idx'" in l for l in console.out)
+
+    assert C.run(
+        ["index", "verify", "db.idx", "--location", loc], client, console, "u"
+    ) == 0
+    assert any("agree" in l for l in console.out)
+
+    assert C.run(
+        ["index", "rebuild", "db.idx", "--location", loc], client, console, "u"
+    ) == 0
+    assert C.run(
+        ["index", "verify", "db.idx", "--location", loc], client, console, "u"
+    ) == 0
+
+    # make the build's superseded artifact sidecar reclaimable: vacuum the
+    # data (keep only live versions), then sweep sidecars via the CLI
+    from chronicles_spark.core.model import (
+        PartitionSchema, TableDefinition, TableName,
+    )
+    from chronicles_spark.spark.vacuum import vacuum as run_vacuum
+
+    tdef = TableDefinition(
+        TableName("db", "idx"), loc, PartitionSchema(("bucket",))
+    )
+    run_vacuum(tdef, client.delegate.tracker, keep_last=1, dry_run=False)
+    n_side = len([f for f in os.listdir(loc) if f.startswith("_ann_artifacts")])
+    console.out.clear()
+    assert C.run(
+        ["index", "vacuum-artifacts", "db.idx", "--location", loc],
+        client, console, "u",
+    ) == 0
+    assert any("Would remove" in l for l in console.out)
+    assert C.run(
+        ["index", "vacuum-artifacts", "db.idx", "--location", loc, "--apply"],
+        client, console, "u",
+    ) == 0
+    left = len([f for f in os.listdir(loc) if f.startswith("_ann_artifacts")])
+    assert left <= n_side
+
+    # verify FAILS loudly (exit 1) when the map diverges: tear it by
+    # rolling the MAP table back one commit
+    tracker = client.delegate.tracker
+    map_name = TableName("db", "idx_ids")
+    ups = tracker.table_state(map_name).updates
+    # roll back to the BUILD's map (missing every extended id)
+    tracker.set_current_version(map_name, ups[1].metadata.commit_id)
+    console.out.clear()
+    assert C.run(
+        ["index", "verify", "db.idx", "--location", loc], client, console, "u"
+    ) == 1
+    assert any("DISAGREE" in l for l in console.out or [])
