@@ -33,6 +33,10 @@ HEADLINE = [
     "q_ann_cosine_topk", "q_ann_ivf", "q_ann_index_search", "q_mm_decode_meta",
     "q_asof_join", "q_range_join", "q_sessionize", "q_curate_corpus",
     "q_pack_sequences", "q_training_shards", "q_stratified_sample",
+    # round 8 (the q_updates_log adjudication): the log-algebra rows are
+    # audited too, so "byte-identical plans" is checked, not asserted
+    "q_updates_log", "q_snapshot_version_fold", "q_tables_list",
+    "q_table_state_group", "q_lang_id", "q_dedup_incremental",
 ]
 
 # Python appears legitimately only where Python IS the payload
