@@ -37,6 +37,7 @@ HEADLINE = [
     # audited too, so "byte-identical plans" is checked, not asserted
     "q_updates_log", "q_snapshot_version_fold", "q_tables_list",
     "q_table_state_group", "q_lang_id", "q_dedup_incremental",
+    "q_emb_transform", "q_running_totals",
 ]
 
 # Python appears legitimately only where Python IS the payload
