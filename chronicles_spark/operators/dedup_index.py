@@ -717,3 +717,109 @@ def verify_dedup_index(
         )
         .select(id_col, "band_id", "want_key", "have_key")
     )
+
+
+def commit_dedup_stream_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    artifacts: "DedupArtifacts | None" = None,
+    message_prefix: str = "dedup-stream",
+    threshold: float = 0.5,
+    mode: str = "upsert",
+    epoch_cache: "dict | None" = None,
+    on_pairs=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    metastore=None,
+) -> None:
+    """Land ONE document micro-batch as a dedup-index extend (the
+    ``foreachBatch`` body of :func:`dedup_stream_sink`, exposed for
+    direct use/testing).  Same epoch-replay contract as the other
+    versioned sinks (:mod:`chronicles_spark.streaming.ingest`): an epoch
+    EQUAL to the latest committed one is a crash-replay and is skipped;
+    an epoch BEHIND it (wiped checkpoint reusing ids under the same
+    ``message_prefix``) raises.
+
+    ``on_pairs(pairs_df, epoch_id)`` receives each batch's verified
+    duplicate pairs (already materialized) AFTER the extend commits —
+    e.g. to append them to a pairs table.  Delivery is best-effort
+    per epoch: a crash between the extend's commit and ``on_pairs``
+    skips the epoch on replay WITHOUT re-delivering its pairs (the
+    index itself stays exactly-once; re-derive missed pairs offline
+    with :func:`~chronicles_spark.operators.dedup.minhash_dedup` or by
+    re-extending under fresh ids)."""
+    from ..streaming.ingest import epoch_replay_guard
+
+    if batch_df.isEmpty():
+        return
+    message = f"{message_prefix} epoch {epoch_id}"
+    if epoch_replay_guard(
+        tracker, table.name, message_prefix, epoch_id, epoch_cache
+    ):
+        return  # checkpoint replay of the just-committed epoch
+    try:
+        pairs, _, _ = extend_dedup_index(
+            batch_df, table, tracker, user_id, message,
+            threshold=threshold, mode=mode, artifacts=artifacts,
+            id_col=id_col, text_col=text_col, metastore=metastore,
+        )
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = epoch_id
+    except BaseException:
+        # stale-cache hazard: re-derive from the log on the next attempt
+        if epoch_cache is not None:
+            epoch_cache.pop("latest_epoch", None)
+        raise
+    if on_pairs is not None:
+        on_pairs(pairs, epoch_id)
+
+
+def dedup_stream_sink(
+    stream_df: DataFrame,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str,
+    checkpoint_dir: str,
+    artifacts: "DedupArtifacts | None" = None,
+    message_prefix: str = "dedup-stream",
+    threshold: float = 0.5,
+    mode: str = "upsert",
+    on_pairs=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    metastore=None,
+):
+    """Streaming maintenance of the dedup index: every document
+    micro-batch becomes one O(batch) :func:`extend_dedup_index` commit —
+    the crawl-firehose shape (each dump deduped against everything ever
+    ingested, then folded in).  Caller starts it (and picks the
+    trigger)::
+
+        q = dedup_stream_sink(doc_stream, bands, tracker, "etl",
+                              "/ckpt/dedup",
+                              on_pairs=lambda p, e: p.write.mode("append")
+                                  .parquet("/dupes")
+            ).trigger(availableNow=True).start()
+
+    Replayed epochs are skipped (batch-level exactly-once for the INDEX;
+    ``on_pairs`` delivery is best-effort per epoch — see
+    :func:`commit_dedup_stream_batch`).  Per-batch cost is O(batch +
+    candidates) regardless of corpus size — the module's whole point,
+    which is what makes ``mode="upsert"`` safe at streaming cadence."""
+    epoch_cache: dict = {}
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_dedup_stream_batch(
+            batch_df, epoch_id, table, tracker, user_id,
+            artifacts=artifacts, message_prefix=message_prefix,
+            threshold=threshold, mode=mode, epoch_cache=epoch_cache,
+            on_pairs=on_pairs, id_col=id_col, text_col=text_col,
+            metastore=metastore,
+        )
+
+    return stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )

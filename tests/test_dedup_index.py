@@ -251,3 +251,63 @@ def test_batch_validation_and_empty_shingles(spark, tmp_path):
     ).where("doc_id IN (902, 903)")
     assert bands.count() == 0
     assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+
+
+def test_dedup_stream_sink_and_epoch_replay(spark, tmp_path):
+    """A real document stream (file source, several micro-batches) keeps
+    the dedup index current and surfaces each batch's verified pairs via
+    on_pairs; after the drain the union of streamed pairs equals the
+    full re-run's pairs for the streamed docs, and a replayed epoch is
+    skipped without touching the index."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id < 250")
+    table, tracker = _mk_index(tmp_path, "stream")
+    DX.build_dedup_index(corpus, table, tracker, band_shards=16, doc_shards=8)
+
+    src = str(tmp_path / "docs_src")
+    docs.where("doc_id >= 250").repartition(3).write.parquet(src)
+    got_pairs = []
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = DX.dedup_stream_sink(
+        stream, table, tracker, "t", str(tmp_path / "ckpt"),
+        threshold=0.5,
+        on_pairs=lambda p, e: got_pairs.extend(_pairs(p)),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+    if q.exception() is not None:
+        raise q.exception()
+
+    msgs = [
+        u.metadata.message
+        for u in tracker.table_state(table.name).updates
+        if u.metadata.message.startswith("dedup-stream epoch ")
+    ]
+    assert len(msgs) >= 2  # several micro-batches committed
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+
+    # streamed pairs ⊇-check: every full-run pair with a streamed
+    # endpoint was reported exactly once (batch boundaries differ from
+    # the one-shot run, but the UNION must match pairs touching ≥1
+    # streamed doc)
+    want = _full_pairs(docs, "id_b >= 250 OR id_a >= 250")
+    assert sorted(got_pairs) == want
+
+    # replay of the latest committed epoch is skipped (no new commit)
+    last_epoch = max(
+        int(m.split(" epoch ", 1)[1].split(" ", 1)[0]) for m in msgs
+    )
+    n_before = len(tracker.table_state(table.name).updates)
+    DX.commit_dedup_stream_batch(
+        docs.where("doc_id >= 490"), last_epoch, table, tracker, "t",
+    )
+    assert len(tracker.table_state(table.name).updates) == n_before
+    # an epoch BEHIND the latest raises (wiped checkpoint)
+    with pytest.raises(RuntimeError, match="behind the latest"):
+        DX.commit_dedup_stream_batch(
+            docs.where("doc_id >= 490"), last_epoch - 1, table, tracker, "t",
+        )
