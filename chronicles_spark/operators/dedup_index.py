@@ -513,12 +513,14 @@ def _extend_publish(
         live_bands = read_version(
             spark, table, bsub, infer_partition_types=False
         ).select(F.col(id_col).alias("_old"), "band_id", "band_key")
+        # no forced broadcast: the batch side is b rows per doc — small
+        # for a daily delta (AQE picks a broadcast join then) but not
+        # provably small for a bulk backfill; the shard-pruned live side
+        # is bounded by the batch's shards either way
         cand_old = (
             live_bands.join(
-                F.broadcast(
-                    banded_new.select(
-                        F.col(id_col).alias("_new"), "band_id", "band_key"
-                    )
+                banded_new.select(
+                    F.col(id_col).alias("_new"), "band_id", "band_key"
                 ),
                 ["band_id", "band_key"],
             )
