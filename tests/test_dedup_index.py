@@ -160,6 +160,79 @@ def test_extend_reads_only_batch_shards(spark, tmp_path):
     assert len(dsub.partition_versions) <= 1
 
 
+def test_candidate_band_read_pushes_band_keys(spark, tmp_path):
+    """Round-9 (r8 `weak` fix): the candidate read over a touched band
+    shard pushes the batch's (band_id, band_key) IN-list to the parquet
+    scan — band files are written sorted by (band_id, band_key), so the
+    pushed filter prunes at row-group level instead of scanning the
+    shard in full.  Pinned structurally: PushedFilters carries band_key,
+    and the filtered read returns exactly the full read's rows for the
+    batch's keys (pure pruning, no semantic restriction)."""
+    from chronicles_spark.spark.reader import read_version
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "push")
+    _, arts = DX.build_dedup_index(
+        docs, table, tracker, band_shards=8, doc_shards=4
+    )
+    state = tracker.current_version(table.name)
+
+    banded = DD.lsh_banded(
+        docs.where("doc_id = 3").select(
+            "doc_id", DD.shingles_of(F.col("text")).alias("shingles")
+        ),
+        "doc_id", arts.bands, arts.rows,
+    ).withColumn("band_shard", DX._band_shard_col(arts.band_shards))
+    sample = banded.select("band_shard", "band_id", "band_key").collect()
+    assert sample
+    flt = DX._band_key_filter(sample)
+    bsub = DX._restrict_to_values(
+        state, DX.BAND_SHARD_COL, sorted({r["band_shard"] for r in sample})
+    )
+    full = read_version(spark, table, bsub, infer_partition_types=False)
+    filtered = full.where(flt)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    pushed_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("band_key" in ln for ln in pushed_lines), plan
+
+    keys = {(r["band_id"], r["band_key"]) for r in sample}
+    want = sorted(
+        map(tuple, full.collect()),
+        key=str,
+    )
+    want = [t for t in want if (t[1], t[2]) in keys]
+    got = sorted(map(tuple, filtered.collect()), key=str)
+    assert got == want and got  # doc 3's own band rows at minimum
+
+
+def test_append_mode_rejects_existing_id(spark, tmp_path):
+    """mode='append' promises every id is new — a re-submitted id must
+    raise (ADVICE r8: a silent hit would duplicate id rows in both
+    tables, invisible to verify_dedup_index)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "appmode")
+    DX.build_dedup_index(
+        docs.where("doc_id < 50"), table, tracker, band_shards=8, doc_shards=4
+    )
+    with pytest.raises(ValueError, match="mode='append'"):
+        DX.extend_dedup_index(
+            docs.where("doc_id IN (3, 60)"), table, tracker, mode="append"
+        )
+    # genuinely-new ids pass in append mode
+    pairs, _, _ = DX.extend_dedup_index(
+        docs.where("doc_id >= 60 AND doc_id < 70"), table, tracker,
+        mode="append",
+    )
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+
+
 def test_torn_pair_refused_and_rebuild_repairs(spark, tmp_path):
     """Crash injection between the pair's two appends (bands commit
     lands, docs' doesn't): the next extend refuses loudly; a fresh
