@@ -48,6 +48,7 @@ from .core.ops import AddPartitionVersion, RemovePartition, TableUpdate, TableUp
 from .core.version import UNVERSIONED, generate_version
 from .spark.metastore import Metastore
 from .branching import MergeConflictError
+from .operators.pairing import TornPairError
 from .trackers import (
     CommitConflictError,
     FileBackedVersionTracker,
@@ -237,6 +238,39 @@ class AnnIndexAction:
     train_fraction: Optional[float] = None
     id_map_shards: Optional[int] = 64
     max_bucket_rows: Optional[int] = None
+    apply: bool = False
+    orphan_min_age_days: float = 7.0
+
+
+@dataclass(frozen=True)
+class DedupIndexAction:
+    """Ops surface for the incremental dedup index families
+    (operators/dedup_index.py text MinHash, operators/emb_dedup_index.py
+    embedding sign-LSH — selected by ``family``).  ``build`` / ``extend``
+    / ``verify`` / ``rebuild`` obtain a SparkSession; ``repair-pairs``
+    and ``vacuum-artifacts`` are pure metadata and need none.  Geometry
+    flags left unset take the operator defaults on build and mean "keep
+    the current value" on rebuild."""
+
+    operation: str  # build|extend|verify|rebuild|repair-pairs|vacuum-artifacts
+    table: TableName
+    location: str
+    family: str = "text"  # text | embedding
+    input_path: Optional[str] = None
+    id_col: Optional[str] = None  # default: doc_id (text) / vec_id (embedding)
+    text_col: str = "text"
+    vec_col: str = "embedding"
+    message: str = ""
+    mode: str = "upsert"
+    threshold: Optional[float] = None  # default: 0.5 (text) / 0.95 (embedding)
+    bands: Optional[int] = None
+    rows: Optional[int] = None
+    width: Optional[int] = None
+    n_planes: Optional[int] = None
+    dim: Optional[int] = None  # embedding build only (required there)
+    band_shards: Optional[int] = None
+    doc_shards: Optional[int] = None
+    pairs: bool = False
     apply: bool = False
     orphan_min_age_days: float = 7.0
 
@@ -571,6 +605,63 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_idx.add_argument("--orphan-min-age-days", type=float, default=7.0)
 
+    p_dd = sub.add_parser(
+        "dedup",
+        help="Maintain an incremental dedup index — text MinHash or "
+        "embedding sign-LSH "
+        "(build/extend/verify/rebuild/repair-pairs/vacuum-artifacts)",
+    )
+    p_dd.add_argument(
+        "operation",
+        choices=["build", "extend", "verify", "rebuild", "repair-pairs",
+                 "vacuum-artifacts"],
+    )
+    p_dd.add_argument("table")
+    p_dd.add_argument("--location", required=True, help="Index storage root")
+    p_dd.add_argument(
+        "--family", choices=["text", "embedding"], default="text",
+        help="text = MinHash shingles (doc_id, text); "
+        "embedding = sign-LSH (vec_id, embedding)",
+    )
+    p_dd.add_argument(
+        "--input", default=None,
+        help="Parquet path of (id, text|embedding) rows (build/extend)",
+    )
+    p_dd.add_argument(
+        "--id-col", default=None,
+        help="Default: doc_id (text) / vec_id (embedding)",
+    )
+    p_dd.add_argument("--text-col", default="text")
+    p_dd.add_argument("--vec-col", default="embedding")
+    p_dd.add_argument("--message", default="")
+    p_dd.add_argument("--mode", choices=["upsert", "append"], default="upsert")
+    p_dd.add_argument(
+        "--threshold", type=float, default=None,
+        help="Exact-verify cutoff (default: 0.5 jaccard / 0.95 cosine)",
+    )
+    p_dd.add_argument("--bands", type=int, default=None)
+    p_dd.add_argument("--rows", type=int, default=None, help="text family")
+    p_dd.add_argument("--width", type=int, default=None, help="text family")
+    p_dd.add_argument(
+        "--n-planes", type=int, default=None, help="embedding family"
+    )
+    p_dd.add_argument(
+        "--dim", type=int, default=None,
+        help="Embedding dimension (required for an embedding build)",
+    )
+    p_dd.add_argument("--band-shards", type=int, default=None)
+    p_dd.add_argument("--doc-shards", type=int, default=None)
+    p_dd.add_argument(
+        "--pairs", action="store_true",
+        help="Journal verified pairs into <table>_pairs in the same "
+        "pair commit (extend/rebuild)",
+    )
+    p_dd.add_argument(
+        "--apply", action="store_true",
+        help="vacuum-artifacts: actually delete (default: dry-run)",
+    )
+    p_dd.add_argument("--orphan-min-age-days", type=float, default=7.0)
+
     return parser
 
 
@@ -651,6 +742,22 @@ def parse_action(argv: Sequence[str]):
             max_bucket_rows=ns.max_bucket_rows,
             apply=ns.apply, orphan_min_age_days=ns.orphan_min_age_days,
         )
+    if ns.command == "dedup":
+        if ns.operation in ("build", "extend") and not ns.input:
+            raise CliError(f"dedup {ns.operation} needs --input <parquet path>")
+        if ns.operation == "build" and ns.family == "embedding" and not ns.dim:
+            raise CliError("dedup build --family embedding needs --dim")
+        return ns, DedupIndexAction(
+            ns.operation, _table_name(ns.table), ns.location,
+            family=ns.family, input_path=ns.input, id_col=ns.id_col,
+            text_col=ns.text_col, vec_col=ns.vec_col,
+            message=ns.message or f"cli dedup {ns.operation}",
+            mode=ns.mode, threshold=ns.threshold, bands=ns.bands,
+            rows=ns.rows, width=ns.width, n_planes=ns.n_planes, dim=ns.dim,
+            band_shards=ns.band_shards, doc_shards=ns.doc_shards,
+            pairs=ns.pairs, apply=ns.apply,
+            orphan_min_age_days=ns.orphan_min_age_days,
+        )
     raise CliError(f"Unknown command {ns.command!r}")
 
 
@@ -701,6 +808,8 @@ class CliClient:
             self.vacuum(action)
         elif isinstance(action, AnnIndexAction):
             self.ann_index(action, user_id)
+        elif isinstance(action, DedupIndexAction):
+            self.dedup_index(action, user_id)
         else:
             raise CliError(f"Unknown action {action!r}")
 
@@ -1036,6 +1145,163 @@ class CliClient:
         else:
             raise CliError(f"Unknown index operation {action.operation!r}")
 
+    def dedup_index(self, action: DedupIndexAction, user_id: str) -> None:
+        """The dedup index families' shell surface (text MinHash /
+        embedding sign-LSH share one verb set — same shared core).
+        build/extend read the input parquet through the CURRENT
+        SparkSession; verify/rebuild read the index itself;
+        repair-pairs and vacuum-artifacts are pure metadata."""
+        from .operators import dedup_index as DX
+
+        emb = action.family == "embedding"
+        id_col = action.id_col or ("vec_id" if emb else "doc_id")
+        table = TableDefinition(
+            action.table,
+            location=action.location,
+            partition_schema=PartitionSchema((DX.BAND_SHARD_COL,)),
+        )
+        tracker = self.delegate.tracker
+        what = f"{action.family} dedup index '{action.table.fully_qualified}'"
+
+        if action.operation == "vacuum-artifacts":
+            from datetime import timedelta
+
+            doomed = DX.vacuum_dedup_artifacts(
+                table, tracker, dry_run=not action.apply,
+                orphan_min_age=timedelta(days=action.orphan_min_age_days),
+            )
+            for path in doomed:
+                self.console.println(path)
+            verb = "Removed" if action.apply else "Would remove"
+            self.console.println(
+                f"{verb} {len(doomed)} orphan artifact sidecar"
+                f"{'' if len(doomed) == 1 else 's'}"
+            )
+            return
+        if action.operation == "repair-pairs":
+            relanded = DX.repair_dedup_pairs(table, tracker, user_id=user_id)
+            self.console.println(
+                f"Re-landed torn pairs batch '{relanded}' on {what}"
+                if relanded is not None
+                else f"Pairs journal already paired with {what} — "
+                "nothing to repair"
+            )
+            return
+
+        from pyspark.sql import SparkSession
+
+        if emb:
+            from .operators import emb_dedup_index as EX
+        spark = SparkSession.builder.getOrCreate()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        pairs_table = DX.dedup_pairs_table(table) if action.pairs else None
+        geo = {
+            k: v
+            for k, v in dict(
+                bands=action.bands, band_shards=action.band_shards,
+                doc_shards=action.doc_shards,
+            ).items()
+            if v is not None
+        }
+        if emb:
+            if action.n_planes is not None:
+                geo["n_planes"] = action.n_planes
+        else:
+            for k, v in (("rows", action.rows), ("width", action.width)):
+                if v is not None:
+                    geo[k] = v
+        if action.operation == "build":
+            tracker.init_table(
+                action.table, is_snapshot=False, user_id=user_id
+            )
+            df = spark.read.parquet(action.input_path)
+            if emb:
+                geo.pop("width", None)
+                state, arts = EX.build_embedding_dedup_index(
+                    df, table, tracker, dim=action.dim, user_id=user_id,
+                    message=action.message, id_col=id_col,
+                    vec_col=action.vec_col, **geo,
+                )
+            else:
+                state, arts = DX.build_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    id_col=id_col, text_col=action.text_col, **geo,
+                )
+            self.console.println(
+                f"Built {what} ({len(state.partition_versions)} band-shard "
+                f"partitions, version {arts.version_label})"
+            )
+        elif action.operation == "extend":
+            df = spark.read.parquet(action.input_path)
+            thr = action.threshold if action.threshold is not None else (
+                0.95 if emb else 0.5
+            )
+            if emb:
+                pairs, state, arts = EX.extend_embedding_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    threshold=thr, mode=action.mode, id_col=id_col,
+                    vec_col=action.vec_col, pairs_table=pairs_table,
+                )
+            else:
+                pairs, state, arts = DX.extend_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    threshold=thr, mode=action.mode, id_col=id_col,
+                    text_col=action.text_col, pairs_table=pairs_table,
+                )
+            self.console.println(
+                f"Extended {what} (mode={action.mode}, "
+                f"{pairs.count()} verified duplicate pairs, "
+                f"version {arts.version_label})"
+            )
+        elif action.operation == "verify":
+            bad = (
+                EX.verify_embedding_dedup_index(
+                    spark, table, tracker, id_col=id_col,
+                    vec_col=action.vec_col,
+                )
+                if emb
+                else DX.verify_dedup_index(spark, table, tracker, id_col=id_col)
+            )
+            rows = bad.limit(21).collect()
+            for r in rows[:20]:
+                self.console.println(
+                    f"{r[id_col]}\tband={r['band_id']}\t"
+                    f"want={r['want_key']}\thave={r['have_key']}"
+                )
+            if rows:
+                more = " (first 20 shown)" if len(rows) > 20 else ""
+                self.console.println(
+                    f"Band table and doc store DISAGREE{more} — run "
+                    "'dedup rebuild' to repair"
+                )
+                raise CliError(
+                    f"dedup index inconsistent for "
+                    f"{action.table.fully_qualified}"
+                )
+            self.console.println(
+                f"Band table and doc store agree for {what}"
+            )
+        elif action.operation == "rebuild":
+            if emb:
+                state, arts = EX.rebuild_embedding_dedup_index(
+                    spark, table, tracker, user_id, action.message,
+                    id_col=id_col, vec_col=action.vec_col,
+                    pairs_table=pairs_table, **geo,
+                )
+            else:
+                geo.pop("width", None)  # immutable: derives from raw text
+                state, arts = DX.rebuild_dedup_index(
+                    spark, table, tracker, user_id, action.message,
+                    id_col=id_col, pairs_table=pairs_table, **geo,
+                )
+            self.console.println(
+                f"Rebuilt {what} under geometry "
+                f"{sorted(arts.geometry().items())} "
+                f"(version {arts.version_label})"
+            )
+        else:
+            raise CliError(f"Unknown dedup operation {action.operation!r}")
+
 
 def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) -> int:
     """Parse + execute; console-reported errors → exit code 1."""
@@ -1055,6 +1321,11 @@ def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) 
     except (CommitConflictError, MergeConflictError) as e:
         # expected WAP/restore failure paths: a conflicting merge or a
         # racing commit is a user-visible outcome, not a crash
+        console.errorln(str(e))
+        return 1
+    except TornPairError as e:
+        # a torn derived-state pair refusing an extend is a user-visible
+        # outcome whose message names the repair tool
         console.errorln(str(e))
         return 1
     except FileNotFoundError as e:  # restore target vacuumed

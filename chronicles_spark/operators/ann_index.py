@@ -1220,56 +1220,17 @@ def vacuum_ann_artifacts(
     through the persisted versions index + log tail
     (``spark/version_index.py``, shared with vacuum's) so the sweep
     costs O(new commits) log reads instead of re-parsing every commit
-    of every line; ``version_index=False`` restores the full walk."""
-    from datetime import timedelta
-    import time as _time
+    of every line; ``version_index=False`` restores the full walk.
+    The sweep itself is the family-generic
+    :func:`~chronicles_spark.operators.sidecars.vacuum_artifact_sidecars`
+    (shared with the dedup indexes' ``_dedup_artifacts_`` sidecars)."""
+    from .sidecars import vacuum_artifact_sidecars
 
-    from ..branching import branches, parse_branch
-    from ..core import paths as vpaths
-    from ..spark.version_index import line_versions_indexed
-
-    if parse_branch(table.name) is not None:
-        raise ValueError(
-            f"{table.name} is a branch; sweep its source table's sidecars "
-            "(branch-committed labels are protected automatically)"
-        )
-    if orphan_min_age is None:
-        orphan_min_age = timedelta(days=7)
-    fs, root = filesystem_for(table.location)
-    sidecars = [
-        n
-        for n in fs.list_dir(root)
-        if n.startswith(ARTIFACT_PREFIX) and n.endswith(".json")
-    ]
-    labels = {n[len(ARTIFACT_PREFIX):-len(".json")] for n in sidecars}
-    dirs_by_label: dict = {}
-    lines = [table.name, *branches(tracker, table.name).values()]
-    line_entries = line_versions_indexed(
-        tracker, table, lines, use_index=version_index
+    return vacuum_artifact_sidecars(
+        table, tracker, ARTIFACT_PREFIX,
+        dry_run=dry_run, orphan_min_age=orphan_min_age,
+        version_index=version_index,
     )
-    for line in lines:
-        for partition, version in line_entries[line]:
-            if partition is not None and version.label in labels:
-                dirs_by_label.setdefault(version.label, set()).add(
-                    vpaths.path_for(partition.resolve_path(root), version)
-                )
-    doomed = []
-    now = _time.time()
-    for n in sorted(sidecars):
-        label = n[len(ARTIFACT_PREFIX):-len(".json")]
-        path = fs.join(root, n)
-        dirs = dirs_by_label.get(label, set())
-        if dirs:
-            if not any(fs.is_dir(d) for d in dirs):
-                doomed.append(path)
-            continue
-        mt = fs.mtime(path)
-        if mt is not None and now - mt > orphan_min_age.total_seconds():
-            doomed.append(path)
-    if not dry_run:
-        for p in doomed:
-            fs.remove_file(p)
-    return doomed
 
 
 def verify_ann_id_map(

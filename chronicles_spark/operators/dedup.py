@@ -525,26 +525,25 @@ def embedding_cosine_pairs(
     )
 
 
-def embedding_lsh_dedup(
+def sign_lsh_banded(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
     n_planes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: banded sign-LSH candidates →
-    exact-cosine verify.  NO all-pairs join anywhere.
-
-    Plan shape: per vector compute n_planes sign bits (each hyperplane's
-    bit feeds exactly ONE band — disjoint subsets, so nothing is
-    re-evaluated), explode ``bands`` (band_id, band_key) rows per vector,
-    self-equi-join on the band key (shuffle carries bands·N rows), then
-    exact cosine only on in-bucket candidate pairs.  Recall is tunable via
-    (n_planes, bands); pairs with cosine >= threshold that never collide
-    in any band are missed — the documented LSH trade-off."""
-    from .similarity import as_double, cosine as cos_fn, hyperplane_signs
+    """``(id, band_id, band_key)`` sign-LSH banding for embeddings — the
+    vector twin of :func:`lsh_banded`, and the persisted payload of the
+    incremental embedding dedup index
+    (:mod:`~chronicles_spark.operators.emb_dedup_index`).  Per vector
+    compute n_planes sign bits against deterministic md5-derived
+    hyperplanes (each hyperplane's bit feeds exactly ONE band — disjoint
+    subsets, nothing re-evaluated), then explode ``bands`` rows per
+    vector with band_key = the band's concatenated bit string.
+    Deterministic across sessions/invocations given (n_planes, dim) —
+    the same contract :func:`minhash_signature` keeps for text."""
+    from .similarity import hyperplane_signs
 
     planes = hyperplane_signs(n_planes, dim)
     r = n_planes // bands
@@ -566,9 +565,56 @@ def embedding_lsh_dedup(
         )
         for b in range(bands)
     ]
-    banded = v.select(
+    return v.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band_id", "bk.band_key")
+
+
+def cosine_verify(
+    base: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine over candidate pairs only — the embedding twin of
+    :func:`jaccard_verify`: joins each endpoint's vector from ``base``
+    and keeps pairs at or above ``threshold``.  Same arithmetic as
+    :func:`embedding_cosine_pairs` (float→double cast, sequential fold,
+    round 6) so DuckDB oracles reproduce values bit-for-bit."""
+    from .similarity import as_double, cosine as cos_fn
+
+    vd = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    va = vd.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vd.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_lsh_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded sign-LSH candidates →
+    exact-cosine verify.  NO all-pairs join anywhere.
+
+    Plan shape: :func:`sign_lsh_banded` (bands (band_id, band_key) rows
+    per vector, disjoint hyperplane subsets), self-equi-join on the band
+    key (shuffle carries bands·N rows), then exact cosine only on
+    in-bucket candidate pairs.  Recall is tunable via
+    (n_planes, bands); pairs with cosine >= threshold that never collide
+    in any band are missed — the documented LSH trade-off."""
+    banded = sign_lsh_banded(df, dim, id_col, vec_col, n_planes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -582,16 +628,7 @@ def embedding_lsh_dedup(
     )
     # cut lineage: the candidate set is re-referenced by both verify joins
     cands = lineage_barrier(cands, name="emb_cands")
-    vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    va = vd.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = vd.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return cosine_verify(df, cands, id_col, vec_col, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,5 @@
-"""Incremental corpus-delta dedup: the MinHash-LSH state materialized ON
-the versioned lake, so deduping a NEW batch against a 100 TB corpus is
+"""Incremental corpus-delta dedup: the LSH state materialized ON the
+versioned lake, so deduping a NEW batch against a 100 TB corpus is
 O(batch), not O(corpus).
 
 :func:`~chronicles_spark.operators.dedup.minhash_dedup` recomputes
@@ -19,25 +19,36 @@ id-map pattern, ``operators/ann_index.py``) to fuzzy dedup:
   band keys prunes at parquet row-group level WITHIN each touched
   shard — the per-extend read cost is O(batch's row groups), not
   O(shard bytes), even as shards grow with the corpus;
-* the **doc table** (``<name>_docs``) persists ``(doc_id, shingles)`` —
+* the **doc table** (``<name>_docs``) persists ``(doc_id, payload)`` —
   the exact-verify source — partitioned by ``doc_shard =
   pmod(xxhash64(doc_id), doc_shards)`` with files sorted by id, so
-  fetching the candidates' shingles reads only the candidate ids'
-  shards (row-group pruned), never the corpus.
+  fetching the candidates' payloads reads only the candidate ids'
+  shards (row-group pruned), never the corpus;
+* optionally a **pairs table** (``<name>_pairs``) journals each
+  extend's verified duplicate pairs as one ``batch=<label>`` partition
+  landed in the SAME pair commit group — the exactly-once surface for
+  the operator's actual product (``on_pairs`` callbacks stay sugar).
 
 :func:`extend_dedup_index` then dedups a batch by: encode the batch →
-read ONLY its band shards → candidate pairs (batch × corpus and batch ×
-batch) → exact Jaccard verify against shingles fetched from ONLY the
-candidates' doc shards → publish the batch's band/doc rows as a
-read-modify-write of exactly the touched shards, both tables in ONE
-optimistic pair commit (``operators/pairing.py`` — same torn-pair
-refusal as the ANN family).  Every per-invocation cost is bounded by
-the batch and its candidates; nothing scales with corpus size.
+read ONLY its band shards (row-group pruned to its band keys) →
+candidate pairs (batch × corpus and batch × batch) → exact verify
+against payloads fetched from ONLY the candidates' doc shards →
+publish the batch's band/doc rows as a read-modify-write of exactly
+the touched shards, all tables in ONE optimistic pair commit
+(``operators/pairing.py`` — same torn-pair refusal as the ANN family).
+Every per-invocation cost is bounded by the batch and its candidates;
+nothing scales with corpus size.
 
-All hashes are md5-hex (the in-memory operators' convention) so DuckDB
-oracles reproduce results bit-for-bit; shard routing uses xxhash64 on
-typed values (the id-map convention — keep id/band column TYPES stable
-across batches).
+The machinery is a FAMILY-GENERIC core (:class:`_IndexFamily`): the
+text family here (MinHash shingles + exact Jaccard) and the embedding
+family (:mod:`~chronicles_spark.operators.emb_dedup_index`: sign-LSH
+bands + exact cosine) share one extend/build/verify/rebuild protocol
+and differ only in their encoder, bander, and verifier.
+
+All text hashes are md5-hex (the in-memory operators' convention) so
+DuckDB oracles reproduce results bit-for-bit; shard routing uses
+xxhash64 on typed values (the id-map convention — keep id/band column
+TYPES stable across batches).
 
 No reference counterpart: stettix/chronicles versions tables
 (core/.../VersionTracker.scala); the dedup index composes its commit
@@ -47,7 +58,7 @@ protocol with this repo's LLM-pipeline operators.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -58,38 +69,118 @@ from ..core.model import (
     TableDefinition,
     TableName,
 )
-from ..core.version import generate_version
+from ..core.version import generate_version, parse_version
 from ..trackers.base import VersionTracker
 from ..trackers.fs import filesystem_for
 from . import dedup as DD
-from .pairing import check_pair, pinned_state, publish_group
+from .pairing import (
+    TornPairError,
+    check_pair,
+    pair_message,
+    pinned_state,
+    publish_group,
+)
 
 ARTIFACT_PREFIX = "_dedup_artifacts_"
 BAND_SHARD_COL = "band_shard"
 DOC_SHARD_COL = "doc_shard"
+PAIRS_BATCH_COL = "batch"
 
-# collecting this many candidate ids to the driver for an IN-list parquet
-# pushdown is cheap; above it the shingle fetch relies on shard pruning +
-# the broadcast semi-join alone (same constant class as the ANN locate)
+# collecting this many candidate ids / batch band keys to the driver for
+# an IN-list parquet pushdown is cheap; above it the reads rely on shard
+# pruning + the broadcast semi-join alone (same constant class as the
+# ANN locate)
 _FETCH_PUSHDOWN_MAX_IDS = 10_000
 
 
+# ---------------------------------------------------------------------------
+# family strategy: what distinguishes text dedup from embedding dedup
+
+
+@dataclass(frozen=True)
+class _IndexFamily:
+    """The three points where the text and embedding dedup indexes
+    differ; everything else — shard routing, structural pruning,
+    row-group pushdown, the RMW pair-commit publish, upsert/append
+    semantics, the pairs journal, rebuild — is the shared core.
+
+    ``band_fn(payload_df) -> (id, band_id, band_key)`` must be
+    DETERMINISTIC across invocations (extends must reproduce the
+    build's band keys bit-for-bit) and derive ONLY from the stored
+    payload column, so replacement lookups and offline verification
+    can re-derive band rows without the raw source.
+    ``verify_fn(payload_df, cand) -> (id_a, id_b, <score>)`` is the
+    exact (not estimated) similarity check over candidate pairs."""
+
+    kind: str
+    payload_col: str
+    band_fn: "object"
+    verify_fn: "object"
+    repair_advice: str
+
+
+_TEXT_REPAIR_ADVICE = (
+    "rebuild with build_dedup_index over the full corpus (or checkout "
+    "both tables to a matching pair) before extending"
+)
+
+
+def _text_family(artifacts: "DedupArtifacts", id_col: str, threshold: float):
+    return _IndexFamily(
+        kind="dedup",
+        payload_col="shingles",
+        band_fn=lambda payload: DD.lsh_banded(
+            payload, id_col, artifacts.bands, artifacts.rows
+        ),
+        verify_fn=lambda payload, cand: DD.jaccard_verify(
+            payload, cand, id_col, threshold
+        ),
+        repair_advice=_TEXT_REPAIR_ADVICE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# companion table shapes
+
+
 def dedup_docs_table(table: TableDefinition) -> TableDefinition:
-    """The companion ``(doc_id -> shingles)`` store derived from a band
+    """The companion ``(doc_id -> payload)`` store derived from a band
     table definition: ``<name>_docs`` at ``<location>_docs``, partitioned
     by ``doc_shard``.  This is what makes exact verification O(candidates)
     instead of O(corpus): candidate ids resolve to at most
     ``min(|candidates|, doc_shards)`` shard partitions, and within a
     shard the files are written SORTED by id so a small candidate set's
     IN-list filter prunes at parquet row-group level.  Sizing rule: pick
-    ``doc_shards`` so one shard's shingle payload is a few hundred MB at
-    target scale (shingles are ~3× doc bytes; this table is the index's
-    dominant storage cost and the price of EXACT — not
-    signature-estimated — Jaccard)."""
+    ``doc_shards`` so one shard's payload is a few hundred MB at
+    target scale (text shingles are ~3× doc bytes; this table is the
+    index's dominant storage cost and the price of EXACT — not
+    signature-estimated — similarity).  See ``docs/scale.md`` for the
+    geometry sizing rule and :func:`rebuild_dedup_index` for changing
+    it in place."""
     return TableDefinition(
         TableName(table.name.schema, table.name.name + "_docs"),
         table.location.rstrip("/") + "_docs",
         PartitionSchema((DOC_SHARD_COL,)),
+        format=table.format,
+        format_options=table.format_options,
+    )
+
+
+def dedup_pairs_table(table: TableDefinition) -> TableDefinition:
+    """The optional verified-pairs journal: ``<name>_pairs`` at
+    ``<location>_pairs``, partitioned by ``batch`` — ONE partition per
+    extend, valued by the extend's pair version label and landed in the
+    SAME pair commit group as the band/doc RMW.  That makes the pairs
+    exactly-once: a replayed streaming epoch is skipped before the
+    extend runs (no double-landing), and a crash can only tear the
+    GROUP, which the next extend refuses loudly and
+    :func:`repair_dedup_pairs` heals from the already-written files.
+    Pass it to :func:`extend_dedup_index` CONSISTENTLY (every extend or
+    never): the pairs line's pair marker must track the primary's."""
+    return TableDefinition(
+        TableName(table.name.schema, table.name.name + "_pairs"),
+        table.location.rstrip("/") + "_pairs",
+        PartitionSchema((PAIRS_BATCH_COL,)),
         format=table.format,
         format_options=table.format_options,
     )
@@ -103,6 +194,10 @@ def _band_shard_col(band_shards: int):
 
 def _doc_shard_col(id_col: str, doc_shards: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(doc_shards)).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# geometry sidecars
 
 
 @dataclass(frozen=True)
@@ -120,17 +215,16 @@ class DedupArtifacts:
     doc_shards: int
     version_label: str
 
+    def geometry(self) -> dict:
+        d = self.__dict__.copy()
+        d.pop("version_label")
+        return d
+
+    def with_label(self, label: str) -> "DedupArtifacts":
+        return replace(self, version_label=label)
+
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version_label": self.version_label,
-                "bands": self.bands,
-                "rows": self.rows,
-                "width": self.width,
-                "band_shards": self.band_shards,
-                "doc_shards": self.doc_shards,
-            }
-        )
+        return json.dumps({"version_label": self.version_label, **self.geometry()})
 
     @staticmethod
     def from_json(text: str) -> "DedupArtifacts":
@@ -150,26 +244,23 @@ def _artifact_path(table: TableDefinition, label: str):
     return fs, fs.join(root, ARTIFACT_PREFIX + label + ".json")
 
 
-def _write_artifact_sidecar(table, version_label, **geometry) -> DedupArtifacts:
+def _write_artifact_sidecar(table, stamped) -> None:
     """Sidecar BEFORE the data commit (the ANN build's crash-ordering
-    contract): a crash leaves an orphan sidecar, never a committed index
-    whose geometry is missing."""
-    stamped = DedupArtifacts(version_label=version_label, **geometry)
-    fs, apath = _artifact_path(table, version_label)
+    contract): a crash leaves an orphan sidecar (reclaimed by
+    :func:`vacuum_dedup_artifacts`), never a committed index whose
+    geometry is missing."""
+    fs, apath = _artifact_path(table, stamped.version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))
     fs.write_text(apath, stamped.to_json())
-    return stamped
 
 
-def load_dedup_artifacts(
-    table: TableDefinition, table_version
-) -> DedupArtifacts:
+def _load_artifacts(table: TableDefinition, table_version, from_json, what: str):
     """Geometry pinned by a resolved band-table state: every distinct
     live label's sidecar must AGREE (extends re-stamp the same geometry
     under their new label — the load_ann_artifacts contract).  Returns
     the geometry stamped with the NEWEST live label."""
     if not isinstance(table_version, PartitionedTableVersion):
-        raise ValueError("dedup band tables are partitioned by band_shard")
+        raise ValueError(f"{what} band tables are partitioned by band_shard")
     labels = sorted({v.label for v in table_version.partition_versions.values()})
     if not labels:
         raise ValueError(f"table {table.name} has no live index data")
@@ -180,29 +271,22 @@ def load_dedup_artifacts(
             raise ValueError(
                 f"no artifact sidecar for live index version {label} at {apath}"
             )
-        loaded.append(DedupArtifacts.from_json(fs.read_text(apath)))
+        loaded.append(from_json(fs.read_text(apath)))
     first = loaded[0]
     for other in loaded[1:]:
-        if (
-            other.bands != first.bands
-            or other.rows != first.rows
-            or other.width != first.width
-            or other.band_shards != first.band_shards
-            or other.doc_shards != first.doc_shards
-        ):
+        if other.geometry() != first.geometry():
             raise ValueError(
                 f"table {table.name} has live partitions written under "
-                f"DIFFERENT dedup geometries (labels {labels}) — rebuild "
+                f"DIFFERENT {what} geometries (labels {labels}) — rebuild "
                 "the index"
             )
-    return DedupArtifacts(
-        bands=first.bands,
-        rows=first.rows,
-        width=first.width,
-        band_shards=first.band_shards,
-        doc_shards=first.doc_shards,
-        version_label=labels[-1],
-    )
+    return first.with_label(labels[-1])
+
+
+def load_dedup_artifacts(
+    table: TableDefinition, table_version
+) -> DedupArtifacts:
+    return _load_artifacts(table, table_version, DedupArtifacts.from_json, "dedup")
 
 
 def _shingle_batch(df, id_col, text_col, width):
@@ -211,12 +295,34 @@ def _shingle_batch(df, id_col, text_col, width):
     )
 
 
-def _check_dedup_pair(table, pi, pm) -> None:
-    check_pair(
-        table, pi, pm,
-        "rebuild with build_dedup_index over the full corpus (or checkout "
-        "both tables to a matching pair) before extending",
-    )
+def _require_dynamic_overwrite(spark) -> None:
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if (mode or "").lower() != "dynamic":
+        raise RuntimeError(
+            "The Spark configuration must have spark.sql.sources."
+            "partitionOverwriteMode set to 'dynamic'"
+        )
+
+
+def _require_band_partitioning(table, what: str) -> None:
+    if tuple(table.partition_schema.columns) != (BAND_SHARD_COL,):
+        raise ValueError(
+            f"{what} band table must be partitioned by ({BAND_SHARD_COL!r},), "
+            f"got {table.partition_schema.columns}"
+        )
+
+
+def _sync_metastore(metastore, table, state) -> None:
+    if metastore is None:
+        return
+    from ..core.diff import compute_changes
+
+    actual = metastore.current_version(table)
+    metastore.update(table, compute_changes(actual, state))
+
+
+# ---------------------------------------------------------------------------
+# build
 
 
 def build_dedup_index(
@@ -254,54 +360,59 @@ def build_dedup_index(
     md5 signatures, so build-then-extend agrees with it exactly);
     this function only materializes the state that makes every LATER
     batch O(batch)."""
-    if tuple(table.partition_schema.columns) != (BAND_SHARD_COL,):
-        raise ValueError(
-            f"dedup band table must be partitioned by ({BAND_SHARD_COL!r},), "
-            f"got {table.partition_schema.columns}"
-        )
+    _require_band_partitioning(table, "dedup")
     for n, v in (("bands", bands), ("rows", rows), ("width", width),
                  ("band_shards", band_shards), ("doc_shards", doc_shards)):
         if v < 1:
             raise ValueError(f"{n} must be >= 1, got {v}")
+    version = generate_version()
+    artifacts = DedupArtifacts(
+        bands=bands, rows=rows, width=width, band_shards=band_shards,
+        doc_shards=doc_shards, version_label=version.label,
+    )
+    family = _text_family(artifacts, id_col, threshold=None)
+    encoded = _shingle_batch(df, id_col, text_col, width)
+    return _build_index(
+        encoded, table, tracker, family, artifacts, version,
+        user_id, message, id_col, metastore,
+    )
+
+
+def _build_index(
+    encoded, table, tracker, family, artifacts, version,
+    user_id, message, id_col, metastore,
+):
+    """Family-generic build: one pass over the encoded corpus lands the
+    doc (payload) store; the band table derives from the WRITTEN
+    payload parquet; both publish as one pair commit."""
     from ..spark.reader import read_version
     from ..spark.writer import partitions_written, write_versioned
 
-    spark = df.sparkSession
-    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if (mode or "").lower() != "dynamic":
-        raise RuntimeError(
-            "The Spark configuration must have spark.sql.sources."
-            "partitionOverwriteMode set to 'dynamic'"
-        )
+    spark = encoded.sparkSession
+    _require_dynamic_overwrite(spark)
     docs_table = dedup_docs_table(table)
     tracker.init_table(docs_table.name, is_snapshot=False, user_id=user_id)
-
-    version = generate_version()
-    artifacts = _write_artifact_sidecar(
-        table, version.label, bands=bands, rows=rows, width=width,
-        band_shards=band_shards, doc_shards=doc_shards,
-    )
-    # one pass over raw text → the doc store (shingles evaluated ONCE,
-    # into parquet — never a corpus-scale persist)
+    _write_artifact_sidecar(table, artifacts)
+    # one pass over the raw source → the doc store (payload evaluated
+    # ONCE, into parquet — never a corpus-scale persist)
     docs_df = (
-        _shingle_batch(df, id_col, text_col, width)
-        .withColumn(DOC_SHARD_COL, _doc_shard_col(id_col, doc_shards))
+        encoded
+        .withColumn(DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards))
         .repartition(F.col(DOC_SHARD_COL))
         .sortWithinPartitions(DOC_SHARD_COL, id_col)
     )
     write_versioned(docs_df, docs_table, version)
     doc_parts = partitions_written(docs_table, version, spark=spark)
 
-    # band table derives from the WRITTEN shingle parquet — columnar,
-    # already tokenized; the raw corpus is not read a second time
+    # band table derives from the WRITTEN payload parquet — columnar,
+    # already encoded; the raw corpus is not read a second time
     written_state = PartitionedTableVersion({p: version for p in doc_parts})
     bands_df = (
-        DD.lsh_banded(
+        family.band_fn(
             read_version(spark, docs_table, written_state,
-                         infer_partition_types=False),
-            id_col, bands, rows,
+                         infer_partition_types=False)
         )
-        .withColumn(BAND_SHARD_COL, _band_shard_col(band_shards))
+        .withColumn(BAND_SHARD_COL, _band_shard_col(artifacts.band_shards))
         .repartition(F.col(BAND_SHARD_COL))
         .sortWithinPartitions(BAND_SHARD_COL, "band_id", "band_key")
     )
@@ -313,12 +424,12 @@ def build_dedup_index(
         ],
     )
     state = tracker.current_version(table.name)
-    if metastore is not None:
-        from ..core.diff import compute_changes
-
-        actual = metastore.current_version(table)
-        metastore.update(table, compute_changes(actual, state))
+    _sync_metastore(metastore, table, state)
     return state, artifacts
+
+
+# ---------------------------------------------------------------------------
+# extend
 
 
 def extend_dedup_index(
@@ -334,6 +445,7 @@ def extend_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     metastore=None,
+    pairs_table: "TableDefinition | None" = None,
 ):
     """Dedup ONE new batch against the indexed corpus — and fold the
     batch into the index — in O(batch), independent of corpus size.
@@ -355,11 +467,17 @@ def extend_dedup_index(
     lookup — raising ``ValueError`` on any hit) and skips the
     replacement lookup.
 
+    ``pairs_table`` (see :func:`dedup_pairs_table`): when given, the
+    verified pairs ALSO land as one ``batch=<label>`` partition in the
+    SAME pair commit group — the exactly-once journal of the operator's
+    product.  Pass it consistently (every extend or never).
+
     Cost shape, per stage (B = batch rows, b = bands): encode = one
     map-side pass over the batch; candidate generation reads ONLY the
     batch's ≤ min(b·B, band_shards) band-shard partitions (structural
-    pruning — unrelated shards are never listed or opened) and joins
-    them against the b·B broadcast batch band rows; exact verification
+    pruning — unrelated shards are never listed or opened), row-group
+    pruned to the batch's own band keys over the sorted band files, and
+    joins them against the b·B batch band rows; exact verification
     fetches shingles for candidate ids only, reading ≤
     min(|cands|, doc_shards) doc shards with an IN-list row-group prune
     for small candidate sets; the publish is a read-modify-write of
@@ -368,19 +486,15 @@ def extend_dedup_index(
     against a full-size and half-size corpus) plus the
     ``dedup_band_read_fraction`` structural ratio in ``bench.py``.
 
-    Concurrency/pairing: both tables commit as ONE optimistic pair
-    (``expected_heads`` pins both lines) stamped with a shared pair
+    Concurrency/pairing: all tables commit as ONE optimistic pair
+    (``expected_heads`` pins every line) stamped with a shared pair
     marker; racing extends with overlapping shards conflict loudly,
     disjoint ones auto-merge (an id collision always surfaces as a
     doc-shard overlap, the ANN id-map argument), and a torn pair (files
-    backend crash between the two appends) is REFUSED on the next
+    backend crash between the group's appends) is REFUSED on the next
     extend (:class:`~chronicles_spark.operators.pairing.TornPairError`).
     """
-    if tuple(table.partition_schema.columns) != (BAND_SHARD_COL,):
-        raise ValueError(
-            f"dedup band table must be partitioned by ({BAND_SHARD_COL!r},), "
-            f"got {table.partition_schema.columns}"
-        )
+    _require_band_partitioning(table, "dedup")
     if mode not in ("upsert", "append"):
         raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
     if concurrency not in ("last-writer-wins", "optimistic", "strict"):
@@ -388,28 +502,26 @@ def extend_dedup_index(
             "concurrency must be 'last-writer-wins', 'optimistic' or "
             f"'strict', got {concurrency!r}"
         )
-    from ..spark.reader import read_version
-
-    spark = df_new.sparkSession
     docs_table = dedup_docs_table(table)
     state, base_head, head_pair = pinned_state(tracker, table.name)
     docs_state, docs_head, docs_pair = pinned_state(tracker, docs_table.name)
-    _check_dedup_pair(table, head_pair, docs_pair)
+    check_pair(table, head_pair, docs_pair, _TEXT_REPAIR_ADVICE)
     if not isinstance(state, PartitionedTableVersion) or not isinstance(
         docs_state, PartitionedTableVersion
     ):
         raise ValueError("dedup index tables are partitioned by shard")
     if artifacts is None:
         artifacts = load_dedup_artifacts(table, state)
+    family = _text_family(artifacts, id_col, threshold)
 
-    # bounded (one batch) shingle base — consumed by the band encode,
+    # bounded (one batch) payload base — consumed by the band encode,
     # the verify union, and the doc-store write
     base_new = _shingle_batch(df_new, id_col, text_col, artifacts.width).persist()
     try:
-        return _extend_body(
-            spark, table, docs_table, tracker, state, docs_state,
-            base_head, docs_head, base_new, artifacts, threshold, mode,
-            concurrency, user_id, message, id_col, metastore,
+        return _extend_index(
+            table, docs_table, tracker, family, state, docs_state,
+            base_head, docs_head, head_pair, base_new, artifacts, mode,
+            concurrency, user_id, message, id_col, metastore, pairs_table,
         )
     finally:
         base_new.unpersist()
@@ -449,12 +561,25 @@ def _restrict_to_values(table_version, column, values) -> PartitionedTableVersio
     return PartitionedTableVersion(kept)
 
 
-def _extend_body(
-    spark, table, docs_table, tracker, state, docs_state,
-    base_head, docs_head, base_new, artifacts, threshold, mode,
-    concurrency, user_id, message, id_col, metastore,
+def _extend_index(
+    table, docs_table, tracker, family, state, docs_state,
+    base_head, docs_head, head_pair, base_new, artifacts, mode,
+    concurrency, user_id, message, id_col, metastore, pairs_table,
 ):
-    from ..spark.reader import read_version
+    spark = base_new.sparkSession
+    _require_dynamic_overwrite(spark)
+    pairs_head = None
+    if pairs_table is not None:
+        tracker.init_table(pairs_table.name, is_snapshot=False, user_id=user_id)
+        _, pairs_head, pairs_marker = pinned_state(tracker, pairs_table.name)
+        if pairs_marker is not None and pairs_marker != head_pair:
+            raise TornPairError(
+                f"{pairs_table.name} heads pair commit {pairs_marker!r} but "
+                f"the index heads {head_pair!r} — a crash between the "
+                "group's appends tore the pairs journal off its extend "
+                "(or pairs_table was not passed on every extend); run "
+                "repair_dedup_pairs to re-land the torn batch partition"
+            )
 
     # ONE aggregation yields the batch's row/dup/null counts plus its
     # doc-shard set (≤ doc_shards values)
@@ -476,36 +601,38 @@ def _extend_body(
             "(exact_duplicate_groups)"
         )
     if not counts["n"]:
-        raise ValueError("extend_dedup_index got an empty batch")
+        raise ValueError(f"extend_{family.kind}_index got an empty batch")
     batch_doc_shards = sorted(counts["ds"])
     new_ids = base_new.select(id_col).distinct()
 
-    # batch band rows (empty-shingle docs excluded — lsh_banded) with
-    # their shard routes; bounded: b rows per batch doc
+    # batch band rows (payloads the family's bander drops — e.g. empty
+    # shingle sets — excluded) with their shard routes; bounded: b rows
+    # per batch doc
     banded_new = (
-        DD.lsh_banded(base_new, id_col, artifacts.bands, artifacts.rows)
+        family.band_fn(base_new)
         .withColumn(BAND_SHARD_COL, _band_shard_col(artifacts.band_shards))
         .persist()
     )
     try:
         return _extend_publish(
-            spark, table, docs_table, tracker, state, docs_state,
-            base_head, docs_head, base_new, banded_new, new_ids,
-            batch_doc_shards, artifacts, threshold, mode, concurrency,
-            user_id, message, id_col, metastore,
+            spark, table, docs_table, tracker, family, state, docs_state,
+            base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
+            batch_doc_shards, artifacts, mode, concurrency,
+            user_id, message, id_col, metastore, pairs_table,
         )
     finally:
         banded_new.unpersist()
 
 
 def _extend_publish(
-    spark, table, docs_table, tracker, state, docs_state,
-    base_head, docs_head, base_new, banded_new, new_ids,
-    batch_doc_shards, artifacts, threshold, mode, concurrency,
-    user_id, message, id_col, metastore,
+    spark, table, docs_table, tracker, family, state, docs_state,
+    base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
+    batch_doc_shards, artifacts, mode, concurrency,
+    user_id, message, id_col, metastore, pairs_table,
 ):
     from ..spark.reader import read_version
 
+    payload = family.payload_col
     # ONE capped collect yields both the batch's band-shard set (the
     # structural partition prune) and, for normal-size batches, its
     # (band_id, band_key) pairs — pushed at the candidate read as a
@@ -532,9 +659,9 @@ def _extend_publish(
         band_filter = None
 
     # -- replacement lookup (upsert): OLD band rows of re-submitted ids --
-    # Their shingles live in the batch's own doc shards (same id → same
+    # Their payloads live in the batch's own doc shards (same id → same
     # shard), so the lookup reads only those; band keys recompute
-    # deterministically from the stored shingles, locating the stale
+    # deterministically from the stored payloads, locating the stale
     # band rows WITHOUT any band-table scan.
     replaced_band_shards: "list[str]" = []
     dsub = _restrict_to_values(docs_state, DOC_SHARD_COL, batch_doc_shards)
@@ -542,7 +669,7 @@ def _extend_publish(
         # append promises every id is NEW — enforce it (a silent hit
         # would write duplicate id rows into both tables, and the
         # offline verify can't flag it because the duplicated band rows
-        # still re-derive from the duplicated shingle rows).  One
+        # still re-derive from the duplicated payload rows).  One
         # column-pruned read of the batch's own doc shards — strictly
         # cheaper than upsert's replacement lookup.
         hit = (
@@ -561,12 +688,12 @@ def _extend_publish(
     if mode == "upsert" and dsub.partition_versions:
         old_docs = (
             read_version(spark, docs_table, dsub, infer_partition_types=False)
-            .select(F.col(id_col), F.col("shingles"))
+            .select(F.col(id_col), F.col(payload))
             .join(F.broadcast(new_ids), id_col, "left_semi")
         )
-        old_banded = DD.lsh_banded(
-            old_docs, id_col, artifacts.bands, artifacts.rows
-        ).withColumn(BAND_SHARD_COL, _band_shard_col(artifacts.band_shards))
+        old_banded = family.band_fn(old_docs).withColumn(
+            BAND_SHARD_COL, _band_shard_col(artifacts.band_shards)
+        )
         replaced_band_shards = sorted(
             r["s"]
             for r in old_banded.select(
@@ -624,7 +751,7 @@ def _extend_publish(
     # (minhash_dedup's measured Catalyst-analysis blowup otherwise)
     cand = DD.lineage_barrier(cand.distinct())
 
-    # -- exact verify: shingles from base_new + ONLY candidate shards --
+    # -- exact verify: payloads from base_new + ONLY candidate shards --
     old_cand_ids = DD.lineage_barrier(
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select("id_b"))
@@ -639,7 +766,7 @@ def _extend_publish(
         F.col(id_col),
         _doc_shard_col(id_col, artifacts.doc_shards).alias("s"),
     ).limit(_FETCH_PUSHDOWN_MAX_IDS + 1).collect()
-    verify_base = base_new.select(F.col(id_col), "shingles")
+    verify_base = base_new.select(F.col(id_col), payload)
     if sample:
         if len(sample) <= _FETCH_PUSHDOWN_MAX_IDS:
             cand_shards = sorted({r["s"] for r in sample})
@@ -654,20 +781,18 @@ def _extend_publish(
             in_ids = None
         csub = _restrict_to_values(docs_state, DOC_SHARD_COL, cand_shards)
         if csub.partition_versions:
-            old_shingles = read_version(
+            old_payloads = read_version(
                 spark, docs_table, csub, infer_partition_types=False
-            ).select(F.col(id_col), "shingles")
+            ).select(F.col(id_col), payload)
             if in_ids is not None:
-                old_shingles = old_shingles.where(
+                old_payloads = old_payloads.where(
                     F.col(id_col).isin(in_ids)
                 )
-            old_shingles = old_shingles.join(
+            old_payloads = old_payloads.join(
                 F.broadcast(old_cand_ids), id_col, "left_semi"
             )
-            verify_base = verify_base.unionByName(old_shingles)
-    verified = DD.lineage_barrier(
-        DD.jaccard_verify(verify_base, cand, id_col, threshold)
-    )
+            verify_base = verify_base.unionByName(old_payloads)
+    verified = DD.lineage_barrier(family.verify_fn(verify_base, cand))
 
     # -- publish: RMW of exactly the touched shards, one pair commit --
     touched_band_shards = sorted(
@@ -682,13 +807,13 @@ def _extend_publish(
         if mode == "upsert":
             live = live.join(F.broadcast(new_ids), id_col, "left_anti")
         bands_out = banded_new.unionByName(live)
-    docs_out = base_new.select(F.col(id_col), "shingles").withColumn(
+    docs_out = base_new.select(F.col(id_col), payload).withColumn(
         DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards)
     )
     if dsub.partition_versions:
         live_docs = read_version(
             spark, docs_table, dsub, infer_partition_types=False
-        ).select(F.col(id_col), "shingles", DOC_SHARD_COL)
+        ).select(F.col(id_col), payload, DOC_SHARD_COL)
         if mode == "upsert":
             live_docs = live_docs.join(
                 F.broadcast(new_ids), id_col, "left_anti"
@@ -717,47 +842,59 @@ def _extend_publish(
     ]
 
     version = generate_version()
-    stamped = _write_artifact_sidecar(
-        table, version.label, bands=artifacts.bands, rows=artifacts.rows,
-        width=artifacts.width, band_shards=artifacts.band_shards,
-        doc_shards=artifacts.doc_shards,
-    )
+    stamped = artifacts.with_label(version.label)
+    _write_artifact_sidecar(table, stamped)
     expected = None
     if concurrency != "last-writer-wins":
         expected = {table.name: base_head, docs_table.name: docs_head}
-    publish_group(
-        spark, tracker, version, user_id, message,
-        [
+    writes = [
+        (
+            table,
+            bands_out.repartition(F.col(BAND_SHARD_COL))
+            .sortWithinPartitions(BAND_SHARD_COL, "band_id", "band_key"),
+            [
+                Partition.of((BAND_SHARD_COL, s))
+                for s in sorted(written_band_shards)
+            ],
+            emptied,
+        ),
+        (
+            docs_table,
+            docs_out,
+            [
+                Partition.of((DOC_SHARD_COL, s))
+                for s in batch_doc_shards
+            ],
+            (),
+        ),
+    ]
+    if pairs_table is not None:
+        # the exactly-once pairs journal: one batch=<label> partition in
+        # the SAME commit group (sorted table order puts it LAST, so a
+        # crash prefix never lands pairs without their extend); an empty
+        # pair set lands a data-less marker commit
+        writes.append(
             (
-                table,
-                bands_out.repartition(F.col(BAND_SHARD_COL))
-                .sortWithinPartitions(BAND_SHARD_COL, "band_id", "band_key"),
-                [
-                    Partition.of((BAND_SHARD_COL, s))
-                    for s in sorted(written_band_shards)
-                ],
-                emptied,
-            ),
-            (
-                docs_table,
-                docs_out,
-                [
-                    Partition.of((DOC_SHARD_COL, s))
-                    for s in batch_doc_shards
-                ],
+                pairs_table,
+                verified.withColumn(PAIRS_BATCH_COL, F.lit(version.label)),
+                None,
                 (),
-            ),
-        ],
+            )
+        )
+        if expected is not None:
+            expected[pairs_table.name] = pairs_head
+    publish_group(
+        spark, tracker, version, user_id, message, writes,
         expected_heads=expected,
         allow_disjoint=(concurrency == "optimistic"),
     )
     new_state = tracker.current_version(table.name)
-    if metastore is not None:
-        from ..core.diff import compute_changes
-
-        actual = metastore.current_version(table)
-        metastore.update(table, compute_changes(actual, new_state))
+    _sync_metastore(metastore, table, new_state)
     return verified, new_state, stamped
+
+
+# ---------------------------------------------------------------------------
+# verify / rebuild / repair / vacuum
 
 
 def verify_dedup_index(
@@ -772,15 +909,20 @@ def verify_dedup_index(
     doc entry, doc whose band rows are missing).  Empty = consistent.
     One column-pruned scan of each table — the OFFLINE deep audit
     backing the hot path's cheap pair-marker check."""
+    state = tracker.current_version(table.name)
+    artifacts = load_dedup_artifacts(table, state)
+    family = _text_family(artifacts, id_col, threshold=None)
+    return _verify_index(spark, table, tracker, family, state, id_col)
+
+
+def _verify_index(spark, table, tracker, family, state, id_col) -> DataFrame:
     from ..spark.reader import read_version
 
-    state = tracker.current_version(table.name)
     docs_state = tracker.current_version(dedup_docs_table(table).name)
-    artifacts = load_dedup_artifacts(table, state)
     docs = read_version(
         spark, dedup_docs_table(table), docs_state, infer_partition_types=False
-    ).select(F.col(id_col), "shingles")
-    want = DD.lsh_banded(docs, id_col, artifacts.bands, artifacts.rows).select(
+    ).select(F.col(id_col), family.payload_col)
+    want = family.band_fn(docs).select(
         F.col(id_col), "band_id", F.col("band_key").alias("want_key")
     )
     have = read_version(
@@ -795,6 +937,241 @@ def verify_dedup_index(
         )
         .select(id_col, "band_id", "want_key", "have_key")
     )
+
+
+def rebuild_dedup_index(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "rebuild dedup index",
+    bands: "int | None" = None,
+    rows: "int | None" = None,
+    band_shards: "int | None" = None,
+    doc_shards: "int | None" = None,
+    id_col: str = "doc_id",
+    pairs_table: "TableDefinition | None" = None,
+    metastore=None,
+):
+    """Re-shard (and/or re-band) the index in place under NEW geometry —
+    the re-geometry escape hatch that bounds shard size: at fixed
+    ``band_shards``/``doc_shards`` the per-shard bytes grow with the
+    corpus, and with them the extend's RMW rewrite cost.  The sizing
+    rule (``docs/scale.md``): re-geometry when the average shard
+    outgrows a few hundred MB — i.e. roughly double the shard counts
+    every time the corpus doubles.  Cost: ONE pass over the doc store
+    (the payload is never re-encoded from raw text — which is also why
+    ``width`` cannot change here; geometry derivable from the stored
+    payload — bands/rows/shard counts — can).  Publishes both rewritten
+    tables (and, when given, a data-less marker on ``pairs_table`` so
+    the pairs journal's marker keeps tracking the primary's) as one
+    STRICT pair commit pinned on every line — any racing extend
+    conflicts loudly.  Returns ``(band_table_state, DedupArtifacts)``."""
+    _require_band_partitioning(table, "dedup")
+    state, _, _ = pinned_state(tracker, table.name)
+    old = load_dedup_artifacts(table, state)
+    new_geo = dict(
+        bands=bands if bands is not None else old.bands,
+        rows=rows if rows is not None else old.rows,
+        width=old.width,
+        band_shards=band_shards if band_shards is not None else old.band_shards,
+        doc_shards=doc_shards if doc_shards is not None else old.doc_shards,
+    )
+    for n, v in new_geo.items():
+        if v < 1:
+            raise ValueError(f"{n} must be >= 1, got {v}")
+    version = generate_version()
+    artifacts = DedupArtifacts(version_label=version.label, **new_geo)
+    family = _text_family(artifacts, id_col, threshold=None)
+    return _rebuild_index(
+        spark, table, tracker, family, artifacts, version,
+        user_id, message, id_col, pairs_table, metastore,
+    )
+
+
+def _rebuild_index(
+    spark, table, tracker, family, artifacts, version,
+    user_id, message, id_col, pairs_table, metastore,
+):
+    """Family-generic re-geometry: one doc-store pass re-shards the
+    payloads, the band table re-derives from the WRITTEN files (the
+    build's move), and every prior partition not overwritten is removed
+    in the same strict pair commit."""
+    from ..spark.reader import read_version
+    from ..spark.writer import partitions_written, write_versioned
+
+    _require_dynamic_overwrite(spark)
+    docs_table = dedup_docs_table(table)
+    state, base_head, head_pair = pinned_state(tracker, table.name)
+    docs_state, docs_head, docs_pair = pinned_state(tracker, docs_table.name)
+    check_pair(table, head_pair, docs_pair, family.repair_advice)
+    _write_artifact_sidecar(table, artifacts)
+
+    encoded = read_version(
+        spark, docs_table, docs_state, infer_partition_types=False
+    ).select(F.col(id_col), family.payload_col)
+    docs_out = (
+        encoded
+        .withColumn(DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards))
+        .repartition(F.col(DOC_SHARD_COL))
+        .sortWithinPartitions(DOC_SHARD_COL, id_col)
+    )
+    write_versioned(docs_out, docs_table, version)
+    doc_parts = partitions_written(docs_table, version, spark=spark)
+    written_state = PartitionedTableVersion({p: version for p in doc_parts})
+    bands_df = (
+        family.band_fn(
+            read_version(spark, docs_table, written_state,
+                         infer_partition_types=False)
+        )
+        .withColumn(BAND_SHARD_COL, _band_shard_col(artifacts.band_shards))
+        .repartition(F.col(BAND_SHARD_COL))
+        .sortWithinPartitions(BAND_SHARD_COL, "band_id", "band_key")
+    )
+    write_versioned(bands_df, table, version)
+    band_parts = partitions_written(table, version, spark=spark)
+
+    rm_bands = [
+        p for p in state.partition_versions if p not in set(band_parts)
+    ]
+    rm_docs = [
+        p for p in docs_state.partition_versions if p not in set(doc_parts)
+    ]
+    writes = [
+        (table, None, band_parts, rm_bands),
+        (docs_table, None, doc_parts, rm_docs),
+    ]
+    expected = {table.name: base_head, docs_table.name: docs_head}
+    if pairs_table is not None:
+        tracker.init_table(pairs_table.name, is_snapshot=False, user_id=user_id)
+        _, pairs_head, _ = pinned_state(tracker, pairs_table.name)
+        writes.append((pairs_table, None, (), ()))
+        expected[pairs_table.name] = pairs_head
+    publish_group(
+        spark, tracker, version, user_id, message, writes,
+        expected_heads=expected, allow_disjoint=False,
+    )
+    new_state = tracker.current_version(table.name)
+    _sync_metastore(metastore, table, new_state)
+    return new_state, artifacts
+
+
+def repair_dedup_pairs(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    pairs_table: "TableDefinition | None" = None,
+    user_id: str = "dedup",
+    message: str = "repair dedup pairs line",
+) -> "str | None":
+    """Re-land a pairs-journal commit torn off its extend (a crash
+    between the group's band/doc appends and the pairs append).  The
+    pairs DATA for the torn batch was written BEFORE any commit
+    (``publish_group`` lands data first), so the repair is pure
+    metadata: commit the already-written ``batch=<label>`` partition —
+    or a data-less marker when the torn extend verified zero pairs —
+    stamped with the index head's pair label.  Requires the index
+    itself (band + doc lines) to be WHOLE; a torn index needs the
+    family's full rebuild.  Returns the re-landed pair label, or None
+    when the lines already agree.  Shared by both index families (the
+    embedding module's wrapper passes its own tables)."""
+    from datetime import datetime, timezone
+
+    from ..core import paths as vpaths
+    from ..core.ops import AddPartitionVersion, TableUpdate, TableUpdateMetadata
+
+    pairs_table = pairs_table if pairs_table is not None else dedup_pairs_table(table)
+    docs_table = dedup_docs_table(table)
+    _, _, head_pair = pinned_state(tracker, table.name)
+    _, _, docs_pair = pinned_state(tracker, docs_table.name)
+    check_pair(
+        table, head_pair, docs_pair,
+        "the index itself is torn — run the family's full rebuild first",
+    )
+    _, pairs_head, pairs_marker = pinned_state(tracker, pairs_table.name)
+    if head_pair is None or pairs_marker == head_pair:
+        return None
+    version = parse_version(head_pair)
+    part = Partition.of((PAIRS_BATCH_COL, head_pair))
+    fs, root = filesystem_for(pairs_table.location)
+    dirpath = vpaths.path_for(part.resolve_path(root), version)
+    ops = (
+        (AddPartitionVersion(part, version),) if fs.is_dir(dirpath) else ()
+    )
+    tracker.commit(
+        pairs_table.name,
+        TableUpdate(
+            TableUpdateMetadata.new(
+                user_id,
+                pair_message(message, head_pair),
+                datetime.now(timezone.utc),
+            ),
+            ops,
+        ),
+        expected_head=pairs_head,
+    )
+    return head_pair
+
+
+def vacuum_dedup_artifacts(
+    table: TableDefinition,
+    tracker: VersionTracker,
+    dry_run: bool = False,
+    orphan_min_age=None,
+    version_index: bool = True,
+) -> list:
+    """Reclaim ``_dedup_artifacts_*`` sidecars whose index version's
+    data is gone — the dedup twin of
+    :func:`~chronicles_spark.operators.ann_index.vacuum_ann_artifacts`
+    (one orphan JSON per micro-batch at streaming cadence otherwise).
+    Same storage-truth rules (see
+    :func:`~chronicles_spark.operators.sidecars.vacuum_artifact_sidecars`):
+    never outruns vacuum's retention, branch-committed labels protected,
+    commit-less orphans age-guarded.  Serves BOTH index families — the
+    embedding index uses the same sidecar prefix at its own location."""
+    from .sidecars import vacuum_artifact_sidecars
+
+    return vacuum_artifact_sidecars(
+        table, tracker, ARTIFACT_PREFIX,
+        dry_run=dry_run, orphan_min_age=orphan_min_age,
+        version_index=version_index,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming maintenance
+
+
+def _commit_index_stream_batch(
+    batch_df, epoch_id, table, tracker, extend_fn,
+    message_prefix, epoch_cache, on_pairs,
+) -> None:
+    """Family-generic ``foreachBatch`` body: epoch-replay guard →
+    O(batch) extend → optional pairs callback.  Same epoch-replay
+    contract as the other versioned sinks
+    (:mod:`chronicles_spark.streaming.ingest`): an epoch EQUAL to the
+    latest committed one is a crash-replay and is skipped; an epoch
+    BEHIND it (wiped checkpoint reusing ids under the same
+    ``message_prefix``) raises."""
+    from ..streaming.ingest import epoch_replay_guard
+
+    if batch_df.isEmpty():
+        return
+    message = f"{message_prefix} epoch {epoch_id}"
+    if epoch_replay_guard(
+        tracker, table.name, message_prefix, epoch_id, epoch_cache
+    ):
+        return  # checkpoint replay of the just-committed epoch
+    try:
+        pairs, _, _ = extend_fn(batch_df, message)
+        if epoch_cache is not None:
+            epoch_cache["latest_epoch"] = epoch_id
+    except BaseException:
+        # stale-cache hazard: re-derive from the log on the next attempt
+        if epoch_cache is not None:
+            epoch_cache.pop("latest_epoch", None)
+        raise
+    if on_pairs is not None:
+        on_pairs(pairs, epoch_id)
 
 
 def commit_dedup_stream_batch(
@@ -812,47 +1189,33 @@ def commit_dedup_stream_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     metastore=None,
+    pairs_table: "TableDefinition | None" = None,
 ) -> None:
     """Land ONE document micro-batch as a dedup-index extend (the
     ``foreachBatch`` body of :func:`dedup_stream_sink`, exposed for
-    direct use/testing).  Same epoch-replay contract as the other
-    versioned sinks (:mod:`chronicles_spark.streaming.ingest`): an epoch
-    EQUAL to the latest committed one is a crash-replay and is skipped;
-    an epoch BEHIND it (wiped checkpoint reusing ids under the same
-    ``message_prefix``) raises.
+    direct use/testing).
 
-    ``on_pairs(pairs_df, epoch_id)`` receives each batch's verified
-    duplicate pairs (already materialized) AFTER the extend commits —
-    e.g. to append them to a pairs table.  Delivery is best-effort
-    per epoch: a crash between the extend's commit and ``on_pairs``
-    skips the epoch on replay WITHOUT re-delivering its pairs (the
-    index itself stays exactly-once; re-derive missed pairs offline
-    with :func:`~chronicles_spark.operators.dedup.minhash_dedup` or by
-    re-extending under fresh ids)."""
-    from ..streaming.ingest import epoch_replay_guard
+    ``pairs_table`` makes the batch's verified pairs EXACTLY-ONCE: they
+    land as a ``batch=<label>`` partition in the extend's own pair
+    commit, so a crash anywhere after the commit loses nothing and an
+    epoch replay double-lands nothing.  ``on_pairs(pairs_df, epoch_id)``
+    remains as sugar (e.g. alerting); its delivery alone is best-effort
+    per epoch — a crash between the extend's commit and the callback
+    skips the epoch on replay WITHOUT re-delivering (recover from the
+    pairs journal, which is why it is the primary surface)."""
 
-    if batch_df.isEmpty():
-        return
-    message = f"{message_prefix} epoch {epoch_id}"
-    if epoch_replay_guard(
-        tracker, table.name, message_prefix, epoch_id, epoch_cache
-    ):
-        return  # checkpoint replay of the just-committed epoch
-    try:
-        pairs, _, _ = extend_dedup_index(
-            batch_df, table, tracker, user_id, message,
+    def extend_fn(df, message):
+        return extend_dedup_index(
+            df, table, tracker, user_id, message,
             threshold=threshold, mode=mode, artifacts=artifacts,
             id_col=id_col, text_col=text_col, metastore=metastore,
+            pairs_table=pairs_table,
         )
-        if epoch_cache is not None:
-            epoch_cache["latest_epoch"] = epoch_id
-    except BaseException:
-        # stale-cache hazard: re-derive from the log on the next attempt
-        if epoch_cache is not None:
-            epoch_cache.pop("latest_epoch", None)
-        raise
-    if on_pairs is not None:
-        on_pairs(pairs, epoch_id)
+
+    _commit_index_stream_batch(
+        batch_df, epoch_id, table, tracker, extend_fn,
+        message_prefix, epoch_cache, on_pairs,
+    )
 
 
 def dedup_stream_sink(
@@ -869,6 +1232,7 @@ def dedup_stream_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     metastore=None,
+    pairs_table: "TableDefinition | None" = None,
 ):
     """Streaming maintenance of the dedup index: every document
     micro-batch becomes one O(batch) :func:`extend_dedup_index` commit —
@@ -878,12 +1242,11 @@ def dedup_stream_sink(
 
         q = dedup_stream_sink(doc_stream, bands, tracker, "etl",
                               "/ckpt/dedup",
-                              on_pairs=lambda p, e: p.write.mode("append")
-                                  .parquet("/dupes")
+                              pairs_table=dedup_pairs_table(bands)
             ).trigger(availableNow=True).start()
 
-    Replayed epochs are skipped (batch-level exactly-once for the INDEX;
-    ``on_pairs`` delivery is best-effort per epoch — see
+    Replayed epochs are skipped (batch-level exactly-once for the index
+    AND, with ``pairs_table``, for the verified pairs — see
     :func:`commit_dedup_stream_batch`).  Per-batch cost is O(batch +
     candidates) regardless of corpus size — the module's whole point,
     which is what makes ``mode="upsert"`` safe at streaming cadence."""
@@ -895,7 +1258,7 @@ def dedup_stream_sink(
             artifacts=artifacts, message_prefix=message_prefix,
             threshold=threshold, mode=mode, epoch_cache=epoch_cache,
             on_pairs=on_pairs, id_col=id_col, text_col=text_col,
-            metastore=metastore,
+            metastore=metastore, pairs_table=pairs_table,
         )
 
     return stream_df.writeStream.foreachBatch(commit_batch).option(

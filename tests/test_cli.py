@@ -507,3 +507,194 @@ def test_index_lifecycle_end_to_end(spark, tmp_path):
         ["index", "verify", "db.idx", "--location", loc], client, console, "u"
     ) == 1
     assert any("DISAGREE" in l for l in console.out or [])
+
+
+# -- round 9: the dedup index families' shell surface -------------------------
+
+
+def test_dedup_parse_and_validation():
+    _, action = C.parse_action(
+        ["dedup", "build", "db.dd", "--location", "/tmp/dd",
+         "--input", "/tmp/docs.parquet", "--band-shards", "8"]
+    )
+    assert action.operation == "build" and action.band_shards == 8
+    assert action.family == "text" and action.id_col is None
+    with pytest.raises(C.CliError, match="needs --input"):
+        C.parse_action(["dedup", "build", "db.dd", "--location", "/x"])
+    with pytest.raises(C.CliError, match="needs --input"):
+        C.parse_action(["dedup", "extend", "db.dd", "--location", "/x"])
+    with pytest.raises(C.CliError, match="needs --dim"):
+        C.parse_action(
+            ["dedup", "build", "db.dd", "--location", "/x",
+             "--family", "embedding", "--input", "/tmp/e.parquet"]
+        )
+    with pytest.raises(C.CliError):  # unknown operation rejected by argparse
+        C.parse_action(["dedup", "explode", "db.dd", "--location", "/x"])
+    _, va = C.parse_action(
+        ["dedup", "vacuum-artifacts", "db.dd", "--location", "/x", "--apply"]
+    )
+    assert va.operation == "vacuum-artifacts" and va.apply
+
+
+def test_dedup_lifecycle_end_to_end(spark, tmp_path):
+    """build → extend --pairs → verify → rebuild → repair-pairs →
+    vacuum-artifacts, all through the console surface; verify exits
+    non-zero once the pair is torn by a single-table rollback."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 97).cast(
+                "string"
+            ),
+        )
+        for j in range(20)
+    ]
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    src1 = str(tmp_path / "docs1.parquet")
+    src2 = str(tmp_path / "docs2.parquet")
+    docs.where("doc_id < 20").write.parquet(src1)
+    # the extend batch re-uses doc 3's word pattern under a new id → a
+    # guaranteed verified pair
+    docs.where("doc_id >= 20").unionByName(
+        docs.where("doc_id = 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+    ).write.parquet(src2)
+    loc = str(tmp_path / "dd")
+
+    client, console = make_client()
+    assert C.run(
+        ["dedup", "build", "db.dd", "--location", loc, "--input", src1,
+         "--band-shards", "8", "--doc-shards", "4"],
+        client, console, "u",
+    ) == 0
+    assert any("Built text dedup index 'db.dd'" in l for l in console.out)
+
+    assert C.run(
+        ["dedup", "extend", "db.dd", "--location", loc, "--input", src2,
+         "--pairs"],
+        client, console, "u",
+    ) == 0
+    ext = [l for l in console.out if "Extended text dedup index" in l]
+    assert ext and "0 verified" not in ext[0]  # the planted pair was found
+
+    assert C.run(
+        ["dedup", "verify", "db.dd", "--location", loc], client, console, "u"
+    ) == 0
+    assert any("agree" in l for l in console.out)
+
+    assert C.run(
+        ["dedup", "rebuild", "db.dd", "--location", loc,
+         "--band-shards", "16", "--pairs"],
+        client, console, "u",
+    ) == 0
+    assert any("Rebuilt text dedup index" in l for l in console.out)
+    assert C.run(
+        ["dedup", "verify", "db.dd", "--location", loc], client, console, "u"
+    ) == 0
+
+    assert C.run(
+        ["dedup", "repair-pairs", "db.dd", "--location", loc],
+        client, console, "u",
+    ) == 0
+    assert any("nothing to repair" in l for l in console.out)
+
+    # make the superseded builds' sidecars reclaimable, then sweep
+    from chronicles_spark.core.model import (
+        PartitionSchema, TableDefinition, TableName,
+    )
+    from chronicles_spark.spark.vacuum import vacuum as run_vacuum
+
+    tdef = TableDefinition(
+        TableName("db", "dd"), loc, PartitionSchema(("band_shard",))
+    )
+    run_vacuum(tdef, client.delegate.tracker, keep_last=1, dry_run=False)
+    n_side = len(
+        [f for f in os.listdir(loc) if f.startswith("_dedup_artifacts")]
+    )
+    console.out.clear()
+    assert C.run(
+        ["dedup", "vacuum-artifacts", "db.dd", "--location", loc],
+        client, console, "u",
+    ) == 0
+    assert any("Would remove" in l for l in console.out)
+    assert C.run(
+        ["dedup", "vacuum-artifacts", "db.dd", "--location", loc, "--apply"],
+        client, console, "u",
+    ) == 0
+    left = len(
+        [f for f in os.listdir(loc) if f.startswith("_dedup_artifacts")]
+    )
+    assert left <= n_side
+
+    # verify FAILS loudly (exit 1) once the doc store diverges: roll the
+    # docs line back one commit so band rows outrun their shingles
+    tracker = client.delegate.tracker
+    docs_name = TableName("db", "dd_docs")
+    ups = tracker.table_state(docs_name).updates
+    tracker.set_current_version(docs_name, ups[1].metadata.commit_id)
+    console.out.clear()
+    assert C.run(
+        ["dedup", "verify", "db.dd", "--location", loc], client, console, "u"
+    ) == 1
+    assert any("DISAGREE" in l for l in console.out or [])
+    # ... and the next extend refuses the torn pair with exit 1, naming
+    # the repair (TornPairError is an expected console outcome)
+    console.err.clear()
+    assert C.run(
+        ["dedup", "extend", "db.dd", "--location", loc, "--input", src2],
+        client, console, "u",
+    ) == 1
+    assert any("build_dedup_index" in l for l in console.err)
+
+
+def test_dedup_embedding_cli_family(spark, tmp_path):
+    """The embedding family rides the same verbs: build --family
+    embedding --dim, extend, verify."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    emb = spark.range(24).select(
+        F.col("id").alias("vec_id"),
+        # +1 offset: vec_id=0 must not yield the all-zero vector (its
+        # cosine is undefined — the one-shot operator rejects it too)
+        F.array(*[
+            F.sin((F.col("id") + 1) * F.lit(0.3 + j)).cast("float")
+            for j in range(8)
+        ]).alias("embedding"),
+    )
+    src1 = str(tmp_path / "e1.parquet")
+    src2 = str(tmp_path / "e2.parquet")
+    emb.where("vec_id < 16").write.parquet(src1)
+    emb.where("vec_id >= 16").write.parquet(src2)
+    loc = str(tmp_path / "edd")
+
+    client, console = make_client()
+    args = ["db.edd", "--location", loc, "--family", "embedding"]
+    assert C.run(
+        ["dedup", "build", *args, "--input", src1, "--dim", "8",
+         "--n-planes", "8", "--bands", "4", "--band-shards", "8",
+         "--doc-shards", "4"],
+        client, console, "u",
+    ) == 0
+    assert any(
+        "Built embedding dedup index 'db.edd'" in l for l in console.out
+    )
+    assert C.run(
+        ["dedup", "extend", *args, "--input", src2, "--threshold", "0.99"],
+        client, console, "u",
+    ) == 0
+    assert any(
+        "Extended embedding dedup index" in l for l in console.out
+    )
+    assert C.run(
+        ["dedup", "verify", *args], client, console, "u"
+    ) == 0
+    assert any("agree" in l for l in console.out)

@@ -326,6 +326,214 @@ def test_batch_validation_and_empty_shingles(spark, tmp_path):
     assert DX.verify_dedup_index(spark, table, tracker).count() == 0
 
 
+def test_rebuild_regeometry(spark, tmp_path):
+    """rebuild_dedup_index re-shards (and re-bands) in place from ONE
+    doc-store pass: the rebuilt index equals a from-scratch build under
+    the new geometry, the offline verify is empty, every live partition
+    carries the rebuild's label, and extends keep agreeing with the
+    full re-run under the NEW banding — the re-geometry path that
+    bounds shard growth (round-9 directive #3)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id < 300")
+    table, tracker = _mk_index(tmp_path, "regeo")
+    DX.build_dedup_index(corpus, table, tracker, band_shards=8, doc_shards=4)
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 300 AND doc_id < 350"), table, tracker
+    )
+
+    _, arts = DX.rebuild_dedup_index(
+        spark, table, tracker, bands=4, band_shards=16, doc_shards=8
+    )
+    assert (arts.bands, arts.rows, arts.band_shards, arts.doc_shards) == (
+        4, 2, 16, 8
+    )
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+    state = tracker.current_version(table.name)
+    assert DX.load_dedup_artifacts(table, state).geometry() == arts.geometry()
+    assert {v.label for v in state.partition_versions.values()} == {
+        arts.version_label
+    }
+
+    # equality with a from-scratch build under the new geometry
+    table2, tracker2 = _mk_index(tmp_path, "regeo2")
+    DX.build_dedup_index(
+        docs.where("doc_id < 350"), table2, tracker2, bands=4,
+        band_shards=16, doc_shards=8,
+    )
+    from chronicles_spark.spark.reader import read_version
+
+    def contents(t, tr):
+        st = tr.current_version(t.name)
+        return sorted(
+            map(tuple, read_version(spark, t, st, infer_partition_types=False)
+                .select("doc_id", "band_id", "band_key", "band_shard")
+                .collect())
+        )
+
+    assert contents(table, tracker) == contents(table2, tracker2)
+
+    # extends after the rebuild agree with the full re-run at 4 bands
+    p, _, _ = DX.extend_dedup_index(
+        docs.where("doc_id >= 350"), table, tracker, threshold=0.5
+    )
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+    want = _pairs(
+        DD.minhash_dedup(docs, bands=4, threshold=0.5).where(
+            "id_a >= 350 OR id_b >= 350"
+        )
+    )
+    assert _pairs(p) == want
+
+
+def test_pairs_table_exactly_once(spark, tmp_path):
+    """The verified-pairs journal (round-9 directive #4): pairs land in
+    the extend's OWN pair commit, so (a) a crash after the commit loses
+    nothing — the epoch replay is skipped and the pairs are already in
+    the table, no double-landing; (b) a crash that tears the pairs
+    append off the group is refused loudly on the next extend and
+    repair_dedup_pairs re-lands the torn batch partition from the
+    already-written files; (c) a zero-pair extend lands a data-less
+    marker commit that keeps the lines paired."""
+    from chronicles_spark.spark.reader import read_version
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id < 200")
+    table, tracker = _mk_index(tmp_path, "pairs")
+    DX.build_dedup_index(corpus, table, tracker, band_shards=8, doc_shards=4)
+    pt = DX.dedup_pairs_table(table)
+    donor13 = corpus.where("doc_id = 13").collect()[0]["text"]
+
+    def stored_pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9), r["batch"])
+            for r in read_version(
+                spark, pt, tracker.current_version(pt.name),
+                infer_partition_types=False,
+            ).collect()
+        )
+
+    # (a) crash BETWEEN commit and callback: on_pairs raises after the
+    # extend committed; the replayed epoch is skipped, the pairs are in
+    # the journal exactly once
+    batch1 = spark.createDataFrame(
+        [(900, donor13)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="crash before callback"):
+        DX.commit_dedup_stream_batch(
+            batch1, 0, table, tracker, "t", pairs_table=pt,
+            on_pairs=lambda p, e: (_ for _ in ()).throw(
+                RuntimeError("crash before callback")
+            ),
+        )
+    n_before = len(tracker.table_state(table.name).updates)
+    DX.commit_dedup_stream_batch(
+        batch1, 0, table, tracker, "t", pairs_table=pt,
+    )  # checkpoint replay of epoch 0 → skipped
+    assert len(tracker.table_state(table.name).updates) == n_before
+    got = stored_pairs()
+    assert [(a, b, j) for a, b, j, _ in got] == [(13, 900, 1.0)]
+    batch1_label = got[0][3]
+
+    # (c) a zero-pair extend lands a marker-only commit; lines stay paired
+    DX.extend_dedup_index(
+        spark.createDataFrame(
+            [(901, "utterly unique zebra quine flux " * 3)],
+            "doc_id long, text string",
+        ),
+        table, tracker, pairs_table=pt,
+    )
+    assert [(a, b) for a, b, _, _ in stored_pairs()] == [(13, 900)]
+
+    # (b) tear the pairs append off the group (crash on the 3rd append)
+    calls = {"n": 0}
+    orig = tracker._append_commit
+
+    def boom(tbl, update):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before pairs append")
+        calls["n"] += 1
+        return orig(tbl, update)
+
+    tracker._append_commit = boom
+    donor17 = corpus.where("doc_id = 17").collect()[0]["text"]
+    batch2 = spark.createDataFrame(
+        [(902, donor17)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        DX.extend_dedup_index(batch2, table, tracker, pairs_table=pt)
+    tracker._append_commit = orig
+
+    batch3 = spark.createDataFrame(
+        [(903, donor13)], "doc_id long, text string"
+    )
+    with pytest.raises(TornPairError, match="repair_dedup_pairs"):
+        DX.extend_dedup_index(batch3, table, tracker, pairs_table=pt)
+    relanded = DX.repair_dedup_pairs(table, tracker, pt)
+    assert relanded is not None
+    # the torn batch's pairs are recovered from the already-written files
+    assert [(a, b) for a, b, _, _ in stored_pairs()] == [(13, 900), (17, 902)]
+    assert DX.repair_dedup_pairs(table, tracker, pt) is None  # idempotent
+
+    # and the line is whole again: the next extend journals normally
+    p3, _, _ = DX.extend_dedup_index(batch3, table, tracker, pairs_table=pt)
+    assert [(a, b) for a, b, _, _ in stored_pairs()] == [
+        (13, 900), (13, 903), (17, 902), (900, 903),
+    ]
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+
+
+def test_vacuum_dedup_artifacts_follows_data_vacuum(spark, tmp_path):
+    """Sidecar GC mirrors storage truth (round-9 directive #5, the ANN
+    sweep generalized): live/retained labels keep their sidecars; a
+    label whose band data vacuum reclaimed loses its sidecar; a
+    commit-less orphan (crashed build) waits out the age guard."""
+    from datetime import timedelta
+
+    from chronicles_spark.spark import vacuum
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id < 100")
+    table, tracker = _mk_index(tmp_path, "gc")
+    _, a1 = DX.build_dedup_index(
+        corpus, table, tracker, band_shards=8, doc_shards=4
+    )
+    _, a2 = DX.build_dedup_index(
+        corpus, table, tracker, band_shards=8, doc_shards=4,
+        message="rebuild",
+    )
+    fs, p1 = DX._artifact_path(table, a1.version_label)
+    _, p2 = DX._artifact_path(table, a2.version_label)
+
+    # before any data vacuum: both labels' band data exist → nothing doomed
+    assert DX.vacuum_dedup_artifacts(table, tracker, dry_run=True) == []
+
+    removed = vacuum(table, tracker, keep_last=1)
+    assert removed  # the superseded build's band dirs really went away
+    assert DX.vacuum_dedup_artifacts(table, tracker, dry_run=True) == [p1]
+    assert fs.exists(p1)
+    assert DX.vacuum_dedup_artifacts(table, tracker) == [p1]
+    assert not fs.exists(p1) and fs.exists(p2)
+    assert DX.load_dedup_artifacts(
+        table, tracker.current_version(table.name)
+    ) == a2
+
+    # crashed-build orphan: sidecar without any commit — age-guarded
+    fs.write_text(
+        fs.join(*p1.rsplit("/", 1)[:1]) + "/"
+        + DX.ARTIFACT_PREFIX + "20200101-000000.000000000-"
+        + "0" * 8 + "-0000-0000-0000-" + "0" * 12 + ".json",
+        a1.to_json(),
+    )
+    assert DX.vacuum_dedup_artifacts(
+        table, tracker, dry_run=True, orphan_min_age=timedelta(days=7)
+    ) == []  # too young (mtime is now)
+    aged = DX.vacuum_dedup_artifacts(
+        table, tracker, orphan_min_age=timedelta(seconds=-1)
+    )
+    assert len(aged) == 1 and aged[0].endswith("-000000000000.json")
+    assert fs.exists(p2)
+
+
 def test_dedup_stream_sink_and_epoch_replay(spark, tmp_path):
     """A real document stream (file source, several micro-batches) keeps
     the dedup index current and surfaces each batch's verified pairs via
