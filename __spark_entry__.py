@@ -110,6 +110,24 @@ WITH built AS (
 )
 """
 
+# labels PLUS hive partition strings per distinct (date, event_type) —
+# the round-9 merged fixture for q_version_parse (V11 label parsing +
+# V12 partition parsing on one row set)
+LBL_PART_CTE = """
+WITH built AS (
+  SELECT d, event_type,
+    replace(d, '-', '') || '-120000.000000000-' ||
+    substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-' ||
+    substr(h, 17, 4) || '-' || substr(h, 21, 12) AS label,
+    'event_date=' || d || '/event_type=' || event_type AS part_str
+  FROM (
+    SELECT DISTINCT CAST(CAST(ts AS DATE) AS STRING) AS d, event_type,
+           md5(CAST(CAST(ts AS DATE) AS STRING)) AS h
+    FROM events
+  ) x
+)
+"""
+
 _FOLD_INNER = """
   SELECT part, version FROM (
     SELECT o.part, o.version, o.operation_type,
@@ -600,6 +618,41 @@ def _dedup_index_fixture(spark: SparkSession, sf_dir: str):
     return table, tracker
 
 
+_EMB_DEDUP_IDX_CACHE: dict = {}
+
+
+def _emb_dedup_index_fixture(spark: SparkSession, sf_dir: str):
+    """Incremental EMBEDDING dedup index (operators/emb_dedup_index.py —
+    the dedup_index family core with a sign-LSH bander and exact-cosine
+    verifier) built over the corpus slice (vec_id % 5 != 0) of the
+    embeddings table; the q_dedup_emb_incremental row then extends it
+    with the remaining fifth and returns the verified pairs.  Same
+    hyperplane geometry as the one-shot q_dedup_embedding row, so the
+    DuckDB oracle is the SAME sign-LSH CTE chain restricted to pairs
+    touching the batch.  Memoized per sf_dir; the row's extend is an
+    idempotent upsert."""
+    if sf_dir in _EMB_DEDUP_IDX_CACHE:
+        return _EMB_DEDUP_IDX_CACHE[sf_dir]
+    from chronicles_spark.operators import emb_dedup_index as EX
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="chronicles_qembdedup_")
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    table = TableDefinition(
+        TableName("demo", "emb_dedup_q"), tmp + "/bands",
+        PartitionSchema(("band_shard",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="q")
+    EX.build_embedding_dedup_index(
+        emb.where("vec_id % 5 != 0"), table, tracker, dim=_EMB_DIM,
+        n_planes=_EMB_LSH_PLANES, bands=_EMB_LSH_BANDS,
+        band_shards=16, doc_shards=8,
+    )
+    _EMB_DEDUP_IDX_CACHE[sf_dir] = (table, tracker)
+    return table, tracker
+
+
 _COMPACT_CACHE: dict = {}
 
 
@@ -825,9 +878,18 @@ WHERE cosine >= {threshold}
 #     (tests/test_ann_id_map.py, tests/test_dedup_index.py) — no row;
 #   * skew-cap in-commit re-split / nested suffixes → pytest
 #     (tests/test_ann_id_map.py hot-bucket suite) — no row.
+# Round-9 curation (still 49 rows):
+#   * q_partition_parse merged INTO q_version_parse (one synthetic
+#     (label, part_str) fixture; every column of both still
+#     hash-checked) — the freed slot carries `q_dedup_emb_incremental`,
+#     the incremental EMBEDDING dedup index's hash-checked row
+#     (operators/emb_dedup_index.py; in-row verify gate);
+#   * exactly-once pairs journal / rebuild re-geometry / dedup sidecar
+#     GC / dedup CLI verbs → pytest (tests/test_dedup_index.py,
+#     tests/test_emb_dedup_index.py, tests/test_cli.py) — no rows.
 # If a FUTURE family truly needs a new row, merge these nearest
-# duplicates first: q_version_parse + q_partition_parse (both pure
-# string-algebra rows over the synthetic log).
+# duplicates first: q_mm_decode_meta + q_mm_frame_sample (both Arrow
+# mapInPandas rows over the same multimodal fixture).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1007,11 +1069,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- string algebra as column functions --------------------------------
 
     def q_version_parse(spark, sf):
+        # V11 + V12 merged (round-9 driver-cap curation, funding
+        # q_dedup_emb_incremental): one synthetic (label, part_str) row
+        # set value-checks version-label parsing (V11 — this row's
+        # original job) AND multi-column partition parsing (V12 —
+        # formerly q_partition_parse), both pure string algebra over the
+        # same events-derived fixture.
         register_views(spark, sf, ("events",))
-        df = spark.sql(LBL_CTE + "SELECT label FROM built")
+        df = spark.sql(LBL_PART_CTE + "SELECT label, part_str FROM built")
         t, n, u = version_label_parts(F.col("label"))
+        pat = "^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$"
         return df.select(
-            "label", t.alias("ts_part"), n.alias("nanos_part"), u.alias("uuid_part")
+            "label", t.alias("ts_part"), n.alias("nanos_part"),
+            u.alias("uuid_part"),
+            "part_str",
+            F.regexp_extract("part_str", pat, 1).alias("col1"),
+            F.regexp_extract("part_str", pat, 2).alias("val1"),
+            F.regexp_extract("part_str", pat, 3).alias("col2"),
+            F.regexp_extract("part_str", pat, 4).alias("val2"),
         )
 
     def q_version_paths(spark, sf):
@@ -1029,25 +1104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             partition_of_path(F.col("path"), "date").alias("part"),
             version_of_path(F.col("path")).alias("version_label"),
             base_path_of(F.col("path")).alias("base_path"),
-        )
-
-    def q_partition_parse(spark, sf):
-        ev = load_table(spark, sf, "events")
-        parts = ev.select(
-            F.concat(
-                F.lit("event_date="),
-                F.col("ts").cast("date").cast("string"),
-                F.lit("/event_type="),
-                F.col("event_type"),
-            ).alias("part_str")
-        ).distinct()
-        pat = "^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$"
-        return parts.select(
-            "part_str",
-            F.regexp_extract("part_str", pat, 1).alias("col1"),
-            F.regexp_extract("part_str", pat, 2).alias("val1"),
-            F.regexp_extract("part_str", pat, 3).alias("col2"),
-            F.regexp_extract("part_str", pat, 4).alias("val2"),
         )
 
     def q_partition_expr_render(spark, sf):
@@ -1296,6 +1352,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=_EMB_LSH_PLANES,
             bands=_EMB_LSH_BANDS,
         )
+
+    def q_dedup_emb_incremental(spark, sf):
+        # round-9: O(batch) corpus-delta EMBEDDING dedup against the
+        # materialized sign-LSH index (operators/emb_dedup_index.py —
+        # the dedup_index family core, embedding instance).  One fifth
+        # of the embeddings table arrives as "today's batch" against an
+        # index over the other four fifths: candidate generation reads
+        # ONLY the batch's band shards (row-group pruned to its band
+        # keys), exact-cosine verify fetches vectors from ONLY the
+        # candidates' doc shards, and the publish is a shard-scoped RMW
+        # pair commit.  In-row gate: the band table must re-derive
+        # exactly from the stored vectors after the extend.  The oracle
+        # is the full sign-LSH CTE chain restricted to pairs with a
+        # batch endpoint — incremental == full re-run is the contract.
+        from chronicles_spark.operators import emb_dedup_index as EX
+
+        table, tracker = _emb_dedup_index_fixture(spark, sf)
+        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+        pairs, _, _ = EX.extend_embedding_dedup_index(
+            emb.where("vec_id % 5 = 0"), table, tracker,
+            threshold=_COSINE_DEDUP_THRESHOLD,
+        )
+        if EX.verify_embedding_dedup_index(spark, table, tracker).count():
+            raise AssertionError(
+                "embedding dedup index inconsistent with its vector store "
+                "after extend"
+            )
+        return pairs
 
     # --- training-data pipeline: multimodal (binary) columns ---------------
 
@@ -1582,12 +1666,18 @@ SELECT event_id, user_id, event_type, value,
 FROM events
 WHERE CAST(CAST(ts AS DATE) AS STRING) = '2024-01-05'
 """,
-        "q_version_parse": LBL_CTE
+        # V11 + V12 merged: label parsing + multi-column partition parsing
+        "q_version_parse": LBL_PART_CTE
         + f"""
 SELECT label,
        regexp_extract(label, '{fold_re}', 1) AS ts_part,
        regexp_extract(label, '{fold_re}', 2) AS nanos_part,
-       regexp_extract(label, '{fold_re}', 3) AS uuid_part
+       regexp_extract(label, '{fold_re}', 3) AS uuid_part,
+       part_str,
+       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 1) AS col1,
+       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 2) AS val1,
+       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 3) AS col2,
+       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 4) AS val2
 FROM built
 """,
         # V13 + M1 merged: partition parse, version-label parse, base-path strip
@@ -1598,19 +1688,6 @@ SELECT path,
        regexp_extract(path, '_version=([^/]+)$', 1) AS version_label,
        regexp_replace(path, '/_version=[^/]+$', '') AS base_path
 FROM paths
-""",
-        "q_partition_parse": """
-WITH parts AS (
-  SELECT DISTINCT 'event_date=' || CAST(CAST(ts AS DATE) AS STRING) ||
-         '/event_type=' || event_type AS part_str
-  FROM events
-)
-SELECT part_str,
-       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 1) AS col1,
-       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 2) AS val1,
-       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 3) AS col2,
-       regexp_extract(part_str, '^([a-z][a-z0-9_]*)=([^/]+)/([a-z][a-z0-9_]*)=(.+)$', 4) AS val2
-FROM parts
 """,
         "q_partition_expr_render": """
 SELECT event_date, event_type,
@@ -2001,6 +2078,12 @@ FROM pairs
 WHERE len(list_filter(range(1, 33), i -> substr(sa, CAST(i AS INT), 1)
           <> substr(sb, CAST(i AS INT), 1))) <= 6
 """,
+        # incremental == full re-run restricted to pairs touching the
+        # batch (vec_id % 5 = 0) — the embedding dedup index's contract
+        "q_dedup_emb_incremental": _emb_lsh_sql(
+            _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
+        )
+        + "  AND (id_a % 5 = 0 OR id_b % 5 = 0)\n",
         "q_dedup_embedding": _emb_lsh_sql(
             _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
         ),
