@@ -39,7 +39,12 @@ Safety rules (the commit files stay the only source of truth):
 * segment files are immutable and written BEFORE the manifest that
   references them: a crash leaves unreferenced orphans (reclaimed by
   the next sweep's cleanup pass), never a manifest pointing at missing
-  data;
+  data; the cleanup pass SKIPS unreferenced segments younger than
+  ``ORPHAN_SEGMENT_GRACE_SECONDS`` — two sweeps racing on one table
+  must not delete each other's just-written segments between segment
+  write and manifest write (the loser's segments would merely degrade
+  it to a full-walk rebuild, but sustained concurrent sweeps would
+  thrash the index and repeatedly pay the rebuild write);
 * the pre-segmentation single-blob file is still READ (migration);
   the first sweep under this layout rewrites it as segments and
   removes the blob.
@@ -66,6 +71,11 @@ INDEX_FILE = "_chronicles_versions_index.json"  # legacy single blob (read-only)
 INDEX_DIR = "_chronicles_versions_index"
 MANIFEST_FILE = "manifest.json"
 MAX_SEGMENTS_PER_LINE = 64
+# unreferenced segments younger than this are left alone by the reclaim
+# pass: they may be a CONCURRENT sweep's segments, written but not yet
+# referenced by its manifest (a sweep takes seconds; 15 min is orders of
+# magnitude of safety).  Genuinely crashed sweeps' orphans age out.
+ORPHAN_SEGMENT_GRACE_SECONDS = 900.0
 
 
 def _entries_of(updates) -> List[Tuple[Optional[str], str]]:
@@ -265,14 +275,23 @@ def line_versions_indexed(
         )
         # reclaim: superseded/orphaned segments (rebuilds, compactions,
         # crashes between segment write and manifest write) and the
-        # migrated legacy blob
+        # migrated legacy blob.  RECENT unreferenced segments are left
+        # alone — they may belong to a concurrent sweep that has not
+        # written its manifest yet (mtime unknown → treat as recent)
+        import time as _time
+
+        now = _time.time()
         for nme in fs.list_dir(d):
             if (
                 nme.startswith("seg-")
                 and nme.endswith(".json")
                 and nme not in keep_files
             ):
-                fs.remove_file(fs.join(d, nme))
+                p = fs.join(d, nme)
+                mt = fs.mtime(p)
+                if mt is None or now - mt < ORPHAN_SEGMENT_GRACE_SECONDS:
+                    continue
+                fs.remove_file(p)
         legacy = fs.join(fs.join(*d.rsplit("/", 1)[:1]), INDEX_FILE)
         if fs.exists(legacy):
             fs.remove_file(legacy)

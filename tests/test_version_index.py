@@ -308,10 +308,26 @@ def test_corrupt_segment_rebuilds_line(tmp_path):
     with open(os.path.join(d, seg), "w") as f:
         f.write("{broken")
     assert _versions_ever_written(tracker, table, use_index=True) == walk
-    # healed: the corrupt segment was superseded and reclaimed
+    # healed: the corrupt segment was superseded (the fresh file itself
+    # rides out the reclaim grace window — it could as well be a racing
+    # sweep's — and is swept once aged)
+    import json as _json
+    import time as _time
+
+    from chronicles_spark.spark import version_index as VX
+
+    with open(os.path.join(d, VX.MANIFEST_FILE)) as f:
+        referenced = {
+            s["file"]
+            for line in _json.load(f)["lines"].values()
+            for s in line["segments"]
+        }
+    assert seg not in referenced and len(referenced) == 1
+    old = _time.time() - VX.ORPHAN_SEGMENT_GRACE_SECONDS - 60
+    os.utime(os.path.join(d, seg), (old, old))
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
     segs = _seg_files(tmp_path)
     assert seg not in segs and len(segs) == 1
-    assert _versions_ever_written(tracker, table, use_index=True) == walk
 
 
 def test_segments_compact_and_orphans_reclaimed(tmp_path):
@@ -323,12 +339,41 @@ def test_segments_compact_and_orphans_reclaimed(tmp_path):
     for i in range(VX.MAX_SEGMENTS_PER_LINE + 2):
         _commit(tracker, table.name, f"c{i}")
         _versions_ever_written(tracker, table, use_index=True)
-    assert len(_seg_files(tmp_path)) <= VX.MAX_SEGMENTS_PER_LINE
+
+    # compaction bounds the REFERENCED set — what a sweep actually GETs;
+    # files it superseded ride out the reclaim grace window first
+    import time
+
+    def referenced():
+        with open(os.path.join(str(tmp_path / "vx" / INDEX_DIR),
+                               VX.MANIFEST_FILE)) as f:
+            return {
+                s["file"]
+                for line in json.load(f)["lines"].values()
+                for s in line["segments"]
+            }
+
+    refs = referenced()
+    assert len(refs) <= VX.MAX_SEGMENTS_PER_LINE
     walk = _versions_ever_written(tracker, table, use_index=False)
     assert _versions_ever_written(tracker, table, use_index=True) == walk
 
-    # an orphan segment (crash between segment and manifest write) is
-    # reclaimed by the next sweep
+    # age the superseded files past the grace window → the next sweep
+    # reclaims disk down to exactly the referenced set
+    old_ts = time.time() - VX.ORPHAN_SEGMENT_GRACE_SECONDS - 60
+    for name in _seg_files(tmp_path):
+        if name not in refs:
+            p = os.path.join(str(tmp_path / "vx" / INDEX_DIR), name)
+            os.utime(p, (old_ts, old_ts))
+    assert _versions_ever_written(tracker, table, use_index=True) == walk
+    assert set(_seg_files(tmp_path)) == referenced()
+
+    # a FRESH unreferenced segment is protected by the grace window — it
+    # may be a CONCURRENT sweep's segment whose manifest hasn't landed
+    # yet (ADVICE r8: racing sweeps must not delete each other's
+    # just-written segments and thrash the index)
+    import time
+
     d = str(tmp_path / "vx" / INDEX_DIR)
     orphan = os.path.join(d, "seg-deadbeef.json")
     with open(orphan, "w") as f:
@@ -336,4 +381,13 @@ def test_segments_compact_and_orphans_reclaimed(tmp_path):
     _commit(tracker, table.name, "after-orphan")
     walk2 = _versions_ever_written(tracker, table, use_index=False)
     assert _versions_ever_written(tracker, table, use_index=True) == walk2
+    assert os.path.exists(orphan)  # too young to be a crash orphan
+
+    # once AGED past the grace window (a genuinely crashed sweep), the
+    # next sweep reclaims it
+    old = time.time() - VX.ORPHAN_SEGMENT_GRACE_SECONDS - 60
+    os.utime(orphan, (old, old))
+    _commit(tracker, table.name, "after-aged-orphan")
+    walk3 = _versions_ever_written(tracker, table, use_index=False)
+    assert _versions_ever_written(tracker, table, use_index=True) == walk3
     assert not os.path.exists(orphan)
