@@ -38,6 +38,11 @@ HEADLINE = [
     "q_updates_log", "q_snapshot_version_fold", "q_tables_list",
     "q_table_state_group", "q_lang_id", "q_dedup_incremental",
     "q_emb_transform", "q_running_totals",
+    # round 9: the checkpointed incremental fold (bench-only since its
+    # row merged into q_current_version_fold) — audited so plan drift is
+    # a diff, not an inference (the r8 q_fold_incremental adjudication);
+    # plus the embedding dedup index's new hash-checked row
+    "q_fold_incremental", "q_dedup_emb_incremental",
 ]
 
 # Python appears legitimately only where Python IS the payload
@@ -100,7 +105,27 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+
+    def _q_fold_incremental(spark, sf):
+        # not a queries() row (merged into q_current_version_fold in r6)
+        # but still benchmarked — audit the plan of the checkpointed
+        # O(tail) fold path directly
+        from chronicles_spark.plans import log_queries as LQ
+        from chronicles_spark.plans.synthetic_log import (
+            head_ref_df,
+            ops_log_df,
+        )
+
+        ops = ops_log_df(spark, sf)
+        ckpt = LQ.fold_state_checkpoint(
+            ops, upto_seq=15, table_name="demo.events"
+        )
+        return LQ.current_version_fold_incremental(
+            ops, ckpt, 15, head_ref_df(spark, sf), "demo.events"
+        )
+
+    qs["q_fold_incremental"] = _q_fold_incremental
     names = args or [n for n in HEADLINE if n in qs]
     bad = 0
     for name in names:
