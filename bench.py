@@ -253,10 +253,10 @@ def main():
         "q_updates_log",
         "q_table_state_group",
         "q_tables_list",
-        "q_version_parse",
+        "q_version_parse",  # r9: now also carries the partition-parse checks
         "q_version_paths",
-        "q_partition_parse",
         "q_partition_expr_render",
+        "q_dedup_emb_incremental",  # r9: O(batch) embedding-delta dedup row
     ]
     for name in headline:
         df_fn = qs[name]
@@ -586,6 +586,128 @@ def main():
         4,
     )
 
+    # ---- r9: the flat-cost claim measured the scale-faithful way -------
+    # The b8 pair above keeps ONE fixed 64-shard geometry for both corpus
+    # sizes, and its 64-doc batch (x8 bands) saturates every band AND doc
+    # shard by pigeonhole — so its RMW rewrites the ENTIRE state and the
+    # full/half ratio reads corpus bytes, not extend cost (kept for
+    # round-over-round continuity; the r9 band-key pushdown moved it
+    # 1.275 -> ~1.14 by fixing the read half).  Production holds
+    # per-shard bytes CONSTANT via the sizing rule (rebuild re-geometry:
+    # double the shards when the corpus doubles) and a daily delta
+    # touches b*B << shards.  This pair measures exactly that invariant:
+    # full-size corpus at 2x the shards vs half-size at 1x, same 4-doc
+    # batch -> both sides touch <= 32 equal-sized band shards + <= 4
+    # equal-sized doc shards, so a flat ratio is the structural claim.
+    def _b8_index_geo(name, n, shards):
+        d = tempfile.mkdtemp(prefix=f"chronicles_b8g_{name}_", dir=tmp)
+        trk = FileBackedVersionTracker(d + "/_log")
+        tbl = TableDefinition(
+            TableName("bench", name), d + "/bands",
+            PartitionSchema(("band_shard",)),
+        )
+        trk.init_table(tbl.name, is_snapshot=False, user_id="bench")
+        DX.build_dedup_index(
+            _b8_corpus(n), tbl, trk, band_shards=shards, doc_shards=shards
+        )
+        return tbl, trk
+
+    b8g_full_t, b8g_full_k = _b8_index_geo("b8gfull", b8_docs, 128)
+    b8g_half_t, b8g_half_k = _b8_index_geo("b8ghalf", b8_docs // 2, 64)
+    b8g_batch = _b8_corpus(4, start=20_000_000)
+    results["b9_dedup_extend_geo_full"] = timed_min(
+        lambda: DX.extend_dedup_index(b8g_batch, b8g_full_t, b8g_full_k)[0]
+        .count(),
+        n=2,
+    )
+    results["b9_dedup_extend_geo_half"] = timed_min(
+        lambda: DX.extend_dedup_index(b8g_batch, b8g_half_t, b8g_half_k)[0]
+        .count(),
+        n=2,
+    )
+
+    _progress("b9 incremental embedding dedup")
+    # ---- r9: incremental EMBEDDING dedup index — same two-size flat-cost
+    # protocol as b8, embedding family (sign-LSH bander + exact-cosine
+    # verifier over the shared core).  n_planes=64/bands=4 gives 16-bit
+    # band keys (~65k buckets/band) so synthetic-vector buckets stay
+    # sparse — the (n_planes, bands) recall/cost dial the one-shot
+    # operator documents, at the setting a 100k-vector corpus needs.
+    from chronicles_spark.operators import emb_dedup_index as EDX
+
+    b9_rows = int(os.environ.get("SPARK_GRAFT_B9_ROWS", "60000"))
+    b9_dim, b9_planes, b9_bands = 16, 64, 4
+
+    def _b9_corpus(n, start=0):
+        # deterministic smooth-curve vectors; +1 offset keeps id 0 off
+        # the all-zero vector (undefined cosine)
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                F.sin((F.col("id") + 1) * F.lit(0.31 + 0.7 * j)).cast("float")
+                for j in range(b9_dim)
+            ]).alias("embedding"),
+        )
+
+    def _b9_index(name, n):
+        d = tempfile.mkdtemp(prefix=f"chronicles_b9_{name}_", dir=tmp)
+        trk = FileBackedVersionTracker(d + "/_log")
+        tbl = TableDefinition(
+            TableName("bench", name), d + "/bands",
+            PartitionSchema(("band_shard",)),
+        )
+        trk.init_table(tbl.name, is_snapshot=False, user_id="bench")
+        EDX.build_embedding_dedup_index(
+            _b9_corpus(n), tbl, trk, dim=b9_dim, n_planes=b9_planes,
+            bands=b9_bands, band_shards=64, doc_shards=64,
+        )
+        return tbl, trk
+
+    b9_full_t, b9_full_k = _b9_index("b9full", b9_rows)
+    b9_half_t, b9_half_k = _b9_index("b9half", b9_rows // 2)
+    b9_batch = _b9_corpus(64, start=10_000_000)  # genuinely new ids
+
+    results["b9_emb_dedup_extend_full"] = timed_min(
+        lambda: EDX.extend_embedding_dedup_index(
+            b9_batch, b9_full_t, b9_full_k, threshold=0.9
+        )[0].count(),
+        n=2,
+    )
+    results["b9_emb_dedup_extend_half"] = timed_min(
+        lambda: EDX.extend_embedding_dedup_index(
+            b9_batch, b9_half_t, b9_half_k, threshold=0.9
+        )[0].count(),
+        n=2,
+    )
+    # the O(corpus) one-shot the extend replaces for a daily delta
+    results["b9_emb_dedup_full_rerun"] = timed_min(
+        lambda: _DDmod.embedding_lsh_dedup(
+            _b9_corpus(b9_rows).unionByName(b9_batch), dim=b9_dim,
+            threshold=0.9, n_planes=b9_planes, bands=b9_bands,
+        ).count(),
+        n=1,
+    )
+
+    # structural read-fraction: share of live band shards a 4-vector
+    # delta's candidate read opens (≤ bands per vector by pigeonhole)
+    b9_state = b9_full_k.current_version(b9_full_t.name)
+    b9_arts = EDX.load_embedding_dedup_artifacts(b9_full_t, b9_state)
+    b9_banded = _DDmod.sign_lsh_banded(
+        b9_batch.limit(4), b9_arts.dim, "vec_id", "embedding",
+        b9_arts.n_planes, b9_arts.bands,
+    ).withColumn("band_shard", DX._band_shard_col(b9_arts.band_shards))
+    b9_shards = sorted(
+        r["band_shard"]
+        for r in b9_banded.select("band_shard").distinct().collect()
+    )
+    emb_dedup_band_read_fraction = round(
+        len(DX._restrict_to_values(
+            b9_state, DX.BAND_SHARD_COL, b9_shards
+        ).partition_versions)
+        / max(1, len(b9_state.partition_versions)),
+        4,
+    )
+
     _progress("fold incremental + headline")
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
@@ -651,10 +773,24 @@ def main():
                     "b8_dedup_extend_over_full_rerun": _ratio(
                         "b8_dedup_extend_full", "b8_dedup_full_rerun"
                     ),
+                    # r9: flat cost under the production invariant —
+                    # per-shard bytes held constant by the sizing rule,
+                    # batch touches b*B << shards (see the b8g comment)
+                    "b9_dedup_extend_geo_full_over_half": _ratio(
+                        "b9_dedup_extend_geo_full", "b9_dedup_extend_geo_half"
+                    ),
+                    # r9: the embedding family under the same protocol
+                    "b9_emb_dedup_extend_full_over_half": _ratio(
+                        "b9_emb_dedup_extend_full", "b9_emb_dedup_extend_half"
+                    ),
+                    "b9_emb_dedup_extend_over_full_rerun": _ratio(
+                        "b9_emb_dedup_extend_full", "b9_emb_dedup_full_rerun"
+                    ),
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
                 "ann_locate_read_fraction": ann_locate_read_fraction,
                 "dedup_band_read_fraction": dedup_band_read_fraction,
+                "emb_dedup_band_read_fraction": emb_dedup_band_read_fraction,
             }
         )
     )
