@@ -300,3 +300,70 @@ def test_pairs_table_lands_in_extend_commit(spark, tmp_path):
         for r in stored.collect()
     ) == [(*t, arts.version_label) for t in _pairs(pairs)]
     assert (11, 900, 1.0) in _pairs(pairs)
+
+
+def test_embedding_stream_sink_and_epoch_replay(spark, tmp_path):
+    """A real embedding stream keeps the index current with one O(batch)
+    extend per micro-batch; with a pairs_table the streamed pairs land
+    exactly-once in the journal, a replayed epoch is skipped, and the
+    journal's union equals the full re-run's pairs for streamed ids."""
+    from chronicles_spark.spark.reader import read_version
+
+    emb = _emb(spark)
+    corpus = emb.where("vec_id < 250")
+    table, tracker = _mk_index(tmp_path, "estream")
+    EX.build_embedding_dedup_index(
+        corpus, table, tracker, dim=DIM, n_planes=PLANES, bands=BANDS,
+        band_shards=16, doc_shards=8,
+    )
+    pt = DX.dedup_pairs_table(table)
+
+    src = str(tmp_path / "emb_src")
+    emb.where("vec_id >= 250").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = EX.embedding_dedup_stream_sink(
+        stream, table, tracker, "t", str(tmp_path / "eckpt"),
+        threshold=THRESH, pairs_table=pt,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+    if q.exception() is not None:
+        raise q.exception()
+
+    msgs = [
+        u.metadata.message
+        for u in tracker.table_state(table.name).updates
+        if u.metadata.message.startswith("emb-dedup-stream epoch ")
+    ]
+    assert len(msgs) >= 2  # several micro-batches committed
+    assert EX.verify_embedding_dedup_index(spark, table, tracker).count() == 0
+
+    stored = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in read_version(
+            spark, pt, tracker.current_version(pt.name),
+            infer_partition_types=False,
+        ).collect()
+    )
+    want = _full_pairs(emb, "id_b >= 250 OR id_a >= 250")
+    assert stored == want and want
+
+    # replay of the latest committed epoch is skipped (no new commit,
+    # no pairs double-landing)
+    last_epoch = max(
+        int(m.split(" epoch ", 1)[1].split(" ", 1)[0]) for m in msgs
+    )
+    n_before = len(tracker.table_state(table.name).updates)
+    EX.commit_embedding_dedup_stream_batch(
+        emb.where("vec_id >= 490"), last_epoch, table, tracker, "t",
+        pairs_table=pt,
+    )
+    assert len(tracker.table_state(table.name).updates) == n_before
+    with pytest.raises(RuntimeError, match="behind the latest"):
+        EX.commit_embedding_dedup_stream_batch(
+            emb.where("vec_id >= 490"), last_epoch - 1, table, tracker, "t",
+        )
