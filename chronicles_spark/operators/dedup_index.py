@@ -446,6 +446,7 @@ def extend_dedup_index(
     text_col: str = "text",
     metastore=None,
     pairs_table: "TableDefinition | None" = None,
+    exclusive: bool = False,
 ):
     """Dedup ONE new batch against the indexed corpus — and fold the
     batch into the index — in O(batch), independent of corpus size.
@@ -493,7 +494,12 @@ def extend_dedup_index(
     doc-shard overlap, the ANN id-map argument), and a torn pair (files
     backend crash between the group's appends) is REFUSED on the next
     extend (:class:`~chronicles_spark.operators.pairing.TornPairError`).
-    """
+    Run ONE maintainer per index (the stream sink) — an accidental
+    second maintainer fails loudly; where genuinely concurrent
+    maintainers are needed on a HOST-LOCAL log, ``exclusive=True`` with
+    a ``use_lock=True`` tracker holds the primary table's flock across
+    the whole read-modify-write (the ANN family's contract — see
+    :func:`~chronicles_spark.operators.ann_index.extend_ann_index`)."""
     _require_band_partitioning(table, "dedup")
     if mode not in ("upsert", "append"):
         raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
@@ -502,29 +508,57 @@ def extend_dedup_index(
             "concurrency must be 'last-writer-wins', 'optimistic' or "
             f"'strict', got {concurrency!r}"
         )
-    docs_table = dedup_docs_table(table)
-    state, base_head, head_pair = pinned_state(tracker, table.name)
-    docs_state, docs_head, docs_pair = pinned_state(tracker, docs_table.name)
-    check_pair(table, head_pair, docs_pair, _TEXT_REPAIR_ADVICE)
-    if not isinstance(state, PartitionedTableVersion) or not isinstance(
-        docs_state, PartitionedTableVersion
-    ):
-        raise ValueError("dedup index tables are partitioned by shard")
-    if artifacts is None:
-        artifacts = load_dedup_artifacts(table, state)
-    family = _text_family(artifacts, id_col, threshold)
 
-    # bounded (one batch) payload base — consumed by the band encode,
-    # the verify union, and the doc-store write
-    base_new = _shingle_batch(df_new, id_col, text_col, artifacts.width).persist()
-    try:
-        return _extend_index(
-            table, docs_table, tracker, family, state, docs_state,
-            base_head, docs_head, head_pair, base_new, artifacts, mode,
-            concurrency, user_id, message, id_col, metastore, pairs_table,
+    def _run():
+        docs_table = dedup_docs_table(table)
+        state, base_head, head_pair = pinned_state(tracker, table.name)
+        docs_state, docs_head, docs_pair = pinned_state(
+            tracker, docs_table.name
         )
-    finally:
-        base_new.unpersist()
+        check_pair(table, head_pair, docs_pair, _TEXT_REPAIR_ADVICE)
+        if not isinstance(state, PartitionedTableVersion) or not isinstance(
+            docs_state, PartitionedTableVersion
+        ):
+            raise ValueError("dedup index tables are partitioned by shard")
+        arts = artifacts
+        if arts is None:
+            arts = load_dedup_artifacts(table, state)
+        family = _text_family(arts, id_col, threshold)
+        # bounded (one batch) payload base — consumed by the band
+        # encode, the verify union, and the doc-store write
+        base_new = _shingle_batch(
+            df_new, id_col, text_col, arts.width
+        ).persist()
+        try:
+            return _extend_index(
+                table, docs_table, tracker, family, state, docs_state,
+                base_head, docs_head, head_pair, base_new, arts, mode,
+                concurrency, user_id, message, id_col, metastore,
+                pairs_table,
+            )
+        finally:
+            base_new.unpersist()
+
+    return _run_maybe_exclusive(tracker, table, exclusive, _run)
+
+
+def _run_maybe_exclusive(tracker, table, exclusive: bool, fn):
+    """The ANN family's ``exclusive=True`` contract, shared: hold the
+    primary table's commit flock for the ENTIRE read-modify-write so
+    extends from separate OS processes serialize (no Spark
+    output-committer staging clash, no conflicts to retry; the inner
+    commits' guard is re-entrant within this thread)."""
+    if not exclusive:
+        return fn()
+    hold = getattr(tracker, "hold_commit_lock", None)
+    if hold is None or not getattr(tracker, "_use_lock", False):
+        raise ValueError(
+            "exclusive=True needs a FileBackedVersionTracker with "
+            "use_lock=True (the per-table flock is what serializes "
+            "the whole read-modify-write across processes)"
+        )
+    with hold(table.name):
+        return fn()
 
 
 def _band_key_filter(band_rows) -> "object | None":

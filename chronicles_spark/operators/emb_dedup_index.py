@@ -209,6 +209,7 @@ def extend_embedding_dedup_index(
     vec_col: str = "embedding",
     metastore=None,
     pairs_table: "TableDefinition | None" = None,
+    exclusive: bool = False,
 ):
     """Near-dup-check ONE new embedding batch against the indexed
     corpus — and fold the batch in — in O(batch), independent of corpus
@@ -217,9 +218,12 @@ def extend_embedding_dedup_index(
     at or above ``threshold`` with at least one endpoint in the batch,
     id_a < id_b — exactly the rows a full :func:`embedding_lsh_dedup`
     re-run over corpus+batch would add for these vectors.  Semantics,
-    cost shape, upsert/append/pairs/concurrency contracts are the text
-    family's (:func:`~chronicles_spark.operators.dedup_index.
-    extend_dedup_index`) — one shared core, different encoder/verifier."""
+    cost shape, upsert/append/pairs/concurrency/``exclusive`` contracts
+    are the text family's (:func:`~chronicles_spark.operators.
+    dedup_index.extend_dedup_index`) — one shared core, different
+    encoder/verifier."""
+    from .dedup_index import _run_maybe_exclusive
+
     _require_band_partitioning(table, "embedding dedup")
     if mode not in ("upsert", "append"):
         raise ValueError(f"mode must be 'upsert' or 'append', got {mode!r}")
@@ -228,28 +232,35 @@ def extend_embedding_dedup_index(
             "concurrency must be 'last-writer-wins', 'optimistic' or "
             f"'strict', got {concurrency!r}"
         )
-    docs_table = dedup_docs_table(table)
-    state, base_head, head_pair = pinned_state(tracker, table.name)
-    docs_state, docs_head, docs_pair = pinned_state(tracker, docs_table.name)
-    check_pair(table, head_pair, docs_pair, _EMB_REPAIR_ADVICE)
-    if not isinstance(state, PartitionedTableVersion) or not isinstance(
-        docs_state, PartitionedTableVersion
-    ):
-        raise ValueError("dedup index tables are partitioned by shard")
-    if artifacts is None:
-        artifacts = load_embedding_dedup_artifacts(table, state)
-    _check_dim(df_new, vec_col, artifacts.dim)
-    family = _emb_family(artifacts, id_col, vec_col, threshold)
 
-    base_new = df_new.select(F.col(id_col), F.col(vec_col)).persist()
-    try:
-        return _extend_index(
-            table, docs_table, tracker, family, state, docs_state,
-            base_head, docs_head, head_pair, base_new, artifacts, mode,
-            concurrency, user_id, message, id_col, metastore, pairs_table,
+    def _run():
+        docs_table = dedup_docs_table(table)
+        state, base_head, head_pair = pinned_state(tracker, table.name)
+        docs_state, docs_head, docs_pair = pinned_state(
+            tracker, docs_table.name
         )
-    finally:
-        base_new.unpersist()
+        check_pair(table, head_pair, docs_pair, _EMB_REPAIR_ADVICE)
+        if not isinstance(state, PartitionedTableVersion) or not isinstance(
+            docs_state, PartitionedTableVersion
+        ):
+            raise ValueError("dedup index tables are partitioned by shard")
+        arts = artifacts
+        if arts is None:
+            arts = load_embedding_dedup_artifacts(table, state)
+        _check_dim(df_new, vec_col, arts.dim)
+        family = _emb_family(arts, id_col, vec_col, threshold)
+        base_new = df_new.select(F.col(id_col), F.col(vec_col)).persist()
+        try:
+            return _extend_index(
+                table, docs_table, tracker, family, state, docs_state,
+                base_head, docs_head, head_pair, base_new, arts, mode,
+                concurrency, user_id, message, id_col, metastore,
+                pairs_table,
+            )
+        finally:
+            base_new.unpersist()
+
+    return _run_maybe_exclusive(tracker, table, exclusive, _run)
 
 
 def verify_embedding_dedup_index(

@@ -592,3 +592,136 @@ def test_dedup_stream_sink_and_epoch_replay(spark, tmp_path):
         DX.commit_dedup_stream_batch(
             docs.where("doc_id >= 490"), last_epoch - 1, table, tracker, "t",
         )
+
+
+def test_extend_optimistic_conflict_and_exclusive(spark, tmp_path, monkeypatch):
+    """An extend is a read-modify-write: a racer committing to one of ITS
+    band shards between write and commit must raise CommitConflictError
+    (default optimistic), a racer on a DISJOINT shard auto-merges,
+    last-writer-wins opts out entirely, and exclusive=True demands the
+    flock tracker that actually serializes cross-process extends (the
+    ANN family's contract, shared core)."""
+    import chronicles_spark.spark.writer as writer_mod
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        RemovePartition, TableUpdate, TableUpdateMetadata,
+    )
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "race")
+    _, arts = DX.build_dedup_index(
+        docs.where("doc_id < 200"), table, tracker,
+        band_shards=16, doc_shards=8,
+    )
+    batch = docs.where("doc_id = 200")  # 1 doc → ≤ bands shards touched
+    banded = DD.lsh_banded(
+        batch.select("doc_id", DD.shingles_of(F.col("text")).alias("shingles")),
+        "doc_id", arts.bands, arts.rows,
+    ).withColumn("band_shard", DX._band_shard_col(arts.band_shards))
+    touched = {
+        r["band_shard"] for r in banded.select("band_shard").distinct().collect()
+    }
+    live = {
+        dict(p.column_values)["band_shard"]
+        for p in tracker.current_version(table.name).partition_versions
+    }
+    assert touched and (live - touched)  # fixture discriminates
+    racer_shard = {"value": sorted(touched)[0]}
+
+    orig = writer_mod.write_versioned
+
+    def racing_write(df, table_, version_):
+        orig(df, table_, version_)
+        # metadata-only racer (a RemovePartition needs no data directory)
+        tracker.commit(
+            table.name,
+            TableUpdate(
+                TableUpdateMetadata.new("racer", "concurrent"),
+                (RemovePartition(
+                    Partition.of(("band_shard", racer_shard["value"])),
+                ),),
+            ),
+        )
+
+    monkeypatch.setattr(writer_mod, "write_versioned", racing_write)
+    with pytest.raises(CommitConflictError):
+        DX.extend_dedup_index(batch, table, tracker, artifacts=arts)
+
+    # disjoint racer auto-merges (an id collision would necessarily
+    # surface as a doc- or band-shard overlap)
+    racer_shard["value"] = sorted(live - touched)[0]
+    DX.extend_dedup_index(batch, table, tracker, artifacts=arts)
+    # overlapping racer again, but last-writer-wins opts out of detection
+    racer_shard["value"] = sorted(touched)[0]
+    DX.extend_dedup_index(
+        batch, table, tracker, artifacts=arts,
+        concurrency="last-writer-wins",
+    )
+    monkeypatch.setattr(writer_mod, "write_versioned", orig)
+
+    # exclusive=True needs the flock tracker…
+    with pytest.raises(ValueError, match="use_lock"):
+        DX.extend_dedup_index(
+            batch, table, tracker, artifacts=arts, exclusive=True
+        )
+    # …and with one, the flock-held RMW extends normally
+    locked = FileBackedVersionTracker(
+        str(tmp_path / "_log_locked"), use_lock=True
+    )
+    table2 = TableDefinition(
+        TableName("demo", "racex"), str(tmp_path / "racex"),
+        PartitionSchema(("band_shard",)),
+    )
+    locked.init_table(table2.name, is_snapshot=False, user_id="t")
+    DX.build_dedup_index(
+        docs.where("doc_id < 100"), table2, locked,
+        band_shards=8, doc_shards=4,
+    )
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 100 AND doc_id < 110"), table2, locked,
+        exclusive=True,
+    )
+    assert DX.verify_dedup_index(spark, table2, locked).count() == 0
+
+
+def test_dedup_index_over_cas_tracker_and_vacuum(spark, tmp_path):
+    """The dedup index composes with the object-store commit protocol
+    and with GC: build+extend over a use_cas tracker (checkpoint cuts
+    on), vacuum superseded shard versions + sidecars, and the extend's
+    pairs still equal the full re-run's batch slice."""
+    from chronicles_spark.spark import vacuum
+
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "_log"), use_cas=True, checkpoint_interval=2
+    )
+    table = TableDefinition(
+        TableName("demo", "ddcas"), str(tmp_path / "ddcas"),
+        PartitionSchema(("band_shard",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    DX.build_dedup_index(
+        docs.where("doc_id < 200"), table, tracker,
+        band_shards=16, doc_shards=8,
+    )
+    pairs, _, _ = DX.extend_dedup_index(
+        docs.where("doc_id >= 200 AND doc_id < 250"), table, tracker,
+        threshold=0.5,
+    )
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+    want = _full_pairs(docs.where("doc_id < 250"), "id_b >= 200")
+    assert _pairs(pairs) == want
+
+    removed = vacuum(table, tracker, keep_last=1)
+    assert removed  # superseded touched-shard versions reclaimed
+    DX.vacuum_dedup_artifacts(table, tracker)
+    assert DX.verify_dedup_index(spark, table, tracker).count() == 0
+
+    # checkpointed CAS resolution agrees with a full-fold ground truth
+    truth = FileBackedVersionTracker(
+        str(tmp_path / "_log"), checkpoint_interval=None
+    )
+    assert tracker.current_version(table.name) == truth.current_version(
+        table.name
+    )
