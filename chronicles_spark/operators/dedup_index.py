@@ -482,10 +482,14 @@ def extend_dedup_index(
     fetches shingles for candidate ids only, reading ≤
     min(|cands|, doc_shards) doc shards with an IN-list row-group prune
     for small candidate sets; the publish is a read-modify-write of
-    exactly the touched shards.  Nothing is O(corpus) — the measured
-    claim is ``b8_dedup_extend_full_over_half`` (same batch, same cost
-    against a full-size and half-size corpus) plus the
-    ``dedup_band_read_fraction`` structural ratio in ``bench.py``.
+    exactly the touched shards.  Nothing is O(corpus) — provided the
+    geometry follows the sizing rule (:func:`rebuild_dedup_index`:
+    shard counts scale with the corpus, so per-shard bytes stay
+    bounded); the measured claim is ``b9_dedup_extend_geo_full_over_
+    half`` in ``bench.py`` (same small batch, full-size corpus at 2×
+    the shards vs half-size at 1× — equal touched bytes by
+    construction) plus the ``dedup_band_read_fraction`` structural
+    ratio.
 
     Concurrency/pairing: all tables commit as ONE optimistic pair
     (``expected_heads`` pins every line) stamped with a shared pair
