@@ -246,18 +246,19 @@ class AnnIndexAction:
 class DedupIndexAction:
     """Ops surface for the incremental dedup index families
     (operators/dedup_index.py text MinHash, operators/emb_dedup_index.py
-    embedding sign-LSH — selected by ``family``).  ``build`` / ``extend``
-    / ``verify`` / ``rebuild`` obtain a SparkSession; ``repair-pairs``
-    and ``vacuum-artifacts`` are pure metadata and need none.  Geometry
+    embedding sign-LSH, operators/simhash_index.py banded fingerprints —
+    selected by ``family``).  ``build`` / ``extend`` / ``verify`` /
+    ``rebuild`` obtain a SparkSession; ``repair-pairs`` and
+    ``vacuum-artifacts`` are pure metadata and need none.  Geometry
     flags left unset take the operator defaults on build and mean "keep
     the current value" on rebuild."""
 
     operation: str  # build|extend|verify|rebuild|repair-pairs|vacuum-artifacts
     table: TableName
     location: str
-    family: str = "text"  # text | embedding
+    family: str = "text"  # text | embedding | simhash
     input_path: Optional[str] = None
-    id_col: Optional[str] = None  # default: doc_id (text) / vec_id (embedding)
+    id_col: Optional[str] = None  # default: doc_id / vec_id (embedding)
     text_col: str = "text"
     vec_col: str = "embedding"
     message: str = ""
@@ -268,6 +269,8 @@ class DedupIndexAction:
     width: Optional[int] = None
     n_planes: Optional[int] = None
     dim: Optional[int] = None  # embedding build only (required there)
+    bits: Optional[int] = None  # simhash family
+    max_hamming: int = 3  # simhash family
     band_shards: Optional[int] = None
     doc_shards: Optional[int] = None
     pairs: bool = False
@@ -619,9 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_dd.add_argument("table")
     p_dd.add_argument("--location", required=True, help="Index storage root")
     p_dd.add_argument(
-        "--family", choices=["text", "embedding"], default="text",
+        "--family", choices=["text", "embedding", "simhash"], default="text",
         help="text = MinHash shingles (doc_id, text); "
-        "embedding = sign-LSH (vec_id, embedding)",
+        "embedding = sign-LSH (vec_id, embedding); "
+        "simhash = banded fingerprints (doc_id, text)",
     )
     p_dd.add_argument(
         "--input", default=None,
@@ -642,6 +646,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_dd.add_argument("--bands", type=int, default=None)
     p_dd.add_argument("--rows", type=int, default=None, help="text family")
     p_dd.add_argument("--width", type=int, default=None, help="text family")
+    p_dd.add_argument(
+        "--bits", type=int, default=None, help="simhash family"
+    )
+    p_dd.add_argument(
+        "--max-hamming", type=int, default=3, help="simhash family"
+    )
     p_dd.add_argument(
         "--n-planes", type=int, default=None, help="embedding family"
     )
@@ -754,6 +764,7 @@ def parse_action(argv: Sequence[str]):
             message=ns.message or f"cli dedup {ns.operation}",
             mode=ns.mode, threshold=ns.threshold, bands=ns.bands,
             rows=ns.rows, width=ns.width, n_planes=ns.n_planes, dim=ns.dim,
+            bits=ns.bits, max_hamming=ns.max_hamming,
             band_shards=ns.band_shards, doc_shards=ns.doc_shards,
             pairs=ns.pairs, apply=ns.apply,
             orphan_min_age_days=ns.orphan_min_age_days,
@@ -1147,13 +1158,14 @@ class CliClient:
 
     def dedup_index(self, action: DedupIndexAction, user_id: str) -> None:
         """The dedup index families' shell surface (text MinHash /
-        embedding sign-LSH share one verb set — same shared core).
+        embedding sign-LSH / simhash share one verb set — same core).
         build/extend read the input parquet through the CURRENT
         SparkSession; verify/rebuild read the index itself;
         repair-pairs and vacuum-artifacts are pure metadata."""
         from .operators import dedup_index as DX
 
         emb = action.family == "embedding"
+        sim = action.family == "simhash"
         id_col = action.id_col or ("vec_id" if emb else "doc_id")
         table = TableDefinition(
             action.table,
@@ -1192,6 +1204,8 @@ class CliClient:
 
         if emb:
             from .operators import emb_dedup_index as EX
+        if sim:
+            from .operators import simhash_index as SX
         spark = SparkSession.builder.getOrCreate()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pairs_table = DX.dedup_pairs_table(table) if action.pairs else None
@@ -1206,6 +1220,9 @@ class CliClient:
         if emb:
             if action.n_planes is not None:
                 geo["n_planes"] = action.n_planes
+        elif sim:
+            if action.bits is not None:
+                geo["bits"] = action.bits
         else:
             for k, v in (("rows", action.rows), ("width", action.width)):
                 if v is not None:
@@ -1216,11 +1233,15 @@ class CliClient:
             )
             df = spark.read.parquet(action.input_path)
             if emb:
-                geo.pop("width", None)
                 state, arts = EX.build_embedding_dedup_index(
                     df, table, tracker, dim=action.dim, user_id=user_id,
                     message=action.message, id_col=id_col,
                     vec_col=action.vec_col, **geo,
+                )
+            elif sim:
+                state, arts = SX.build_simhash_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    id_col=id_col, text_col=action.text_col, **geo,
                 )
             else:
                 state, arts = DX.build_dedup_index(
@@ -1242,6 +1263,13 @@ class CliClient:
                     threshold=thr, mode=action.mode, id_col=id_col,
                     vec_col=action.vec_col, pairs_table=pairs_table,
                 )
+            elif sim:
+                pairs, state, arts = SX.extend_simhash_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    max_hamming=action.max_hamming, mode=action.mode,
+                    id_col=id_col, text_col=action.text_col,
+                    pairs_table=pairs_table,
+                )
             else:
                 pairs, state, arts = DX.extend_dedup_index(
                     df, table, tracker, user_id, action.message,
@@ -1254,14 +1282,19 @@ class CliClient:
                 f"version {arts.version_label})"
             )
         elif action.operation == "verify":
-            bad = (
-                EX.verify_embedding_dedup_index(
+            if emb:
+                bad = EX.verify_embedding_dedup_index(
                     spark, table, tracker, id_col=id_col,
                     vec_col=action.vec_col,
                 )
-                if emb
-                else DX.verify_dedup_index(spark, table, tracker, id_col=id_col)
-            )
+            elif sim:
+                bad = SX.verify_simhash_dedup_index(
+                    spark, table, tracker, id_col=id_col
+                )
+            else:
+                bad = DX.verify_dedup_index(
+                    spark, table, tracker, id_col=id_col
+                )
             rows = bad.limit(21).collect()
             for r in rows[:20]:
                 self.console.println(
@@ -1287,6 +1320,12 @@ class CliClient:
                     spark, table, tracker, user_id, action.message,
                     id_col=id_col, vec_col=action.vec_col,
                     pairs_table=pairs_table, **geo,
+                )
+            elif sim:
+                geo.pop("bits", None)  # immutable: the payload itself
+                state, arts = SX.rebuild_simhash_dedup_index(
+                    spark, table, tracker, user_id, action.message,
+                    id_col=id_col, pairs_table=pairs_table, **geo,
                 )
             else:
                 geo.pop("width", None)  # immutable: derives from raw text

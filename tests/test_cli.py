@@ -698,3 +698,51 @@ def test_dedup_embedding_cli_family(spark, tmp_path):
         ["dedup", "verify", *args], client, console, "u"
     ) == 0
     assert any("agree" in l for l in console.out)
+
+
+def test_dedup_simhash_cli_family(spark, tmp_path):
+    """The simhash family rides the same verbs: build --family simhash
+    --bits, extend --max-hamming, verify, rebuild."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * F.lit(5 + 11 * j) + F.lit(j)) % 89).cast("string"),
+        )
+        for j in range(16)
+    ]
+    docs = spark.range(24).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    src1 = str(tmp_path / "sd1.parquet")
+    src2 = str(tmp_path / "sd2.parquet")
+    docs.where("doc_id < 16").write.parquet(src1)
+    docs.where("doc_id >= 16").write.parquet(src2)
+    loc = str(tmp_path / "sdd")
+
+    client, console = make_client()
+    args = ["db.sdd", "--location", loc, "--family", "simhash"]
+    assert C.run(
+        ["dedup", "build", *args, "--input", src1, "--bits", "32",
+         "--bands", "4", "--band-shards", "8", "--doc-shards", "4"],
+        client, console, "u",
+    ) == 0
+    assert any(
+        "Built simhash dedup index 'db.sdd'" in l for l in console.out
+    )
+    assert C.run(
+        ["dedup", "extend", *args, "--input", src2, "--max-hamming", "2"],
+        client, console, "u",
+    ) == 0
+    assert any(
+        "Extended simhash dedup index" in l for l in console.out
+    )
+    assert C.run(["dedup", "verify", *args], client, console, "u") == 0
+    assert any("agree" in l for l in console.out)
+    assert C.run(
+        ["dedup", "rebuild", *args, "--bands", "8", "--band-shards", "16"],
+        client, console, "u",
+    ) == 0
+    assert C.run(["dedup", "verify", *args], client, console, "u") == 0
