@@ -1322,13 +1322,23 @@ class CliClient:
                     pairs_table=pairs_table, **geo,
                 )
             elif sim:
-                geo.pop("bits", None)  # immutable: the payload itself
+                if "bits" in geo:  # immutable: the payload IS the fingerprint
+                    raise CliError(
+                        "--bits cannot change on 'dedup rebuild' (the stored "
+                        "fingerprint is the payload itself); run a fresh "
+                        "'dedup build' over the raw corpus to re-fingerprint"
+                    )
                 state, arts = SX.rebuild_simhash_dedup_index(
                     spark, table, tracker, user_id, action.message,
                     id_col=id_col, pairs_table=pairs_table, **geo,
                 )
             else:
-                geo.pop("width", None)  # immutable: derives from raw text
+                if "width" in geo:  # immutable: shingles derive from raw text
+                    raise CliError(
+                        "--width cannot change on 'dedup rebuild' (shingles "
+                        "derive from the raw text, which the index does not "
+                        "keep); run a fresh 'dedup build' to re-shingle"
+                    )
                 state, arts = DX.rebuild_dedup_index(
                     spark, table, tracker, user_id, action.message,
                     id_col=id_col, pairs_table=pairs_table, **geo,

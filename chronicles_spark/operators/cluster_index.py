@@ -1,0 +1,701 @@
+"""Incremental duplicate-CLUSTER maintenance: the connected-components
+state materialized on the versioned lake, so folding a new batch of
+verified duplicate pairs into the corpus-wide drop-decision is
+O(batch + relabeled members), not O(all-pairs-to-date).
+
+:func:`~chronicles_spark.operators.dedup.dedup_clusters` computes
+connected components over EVERY pair per run — correct, but a curation
+pipeline that extends a dedup index daily (the pairs journal,
+:func:`~chronicles_spark.operators.dedup_index.dedup_pairs_table`)
+would re-cluster all history each cycle just to refresh the survivor
+list.  This module applies the repo's paired-companion-table pattern
+(the ANN index + id map; the dedup band + doc stores) to the cluster
+assignment itself:
+
+* the **assignment table** (the caller's primary table) persists
+  ``(doc_id, cluster_id)`` partitioned by ``doc_shard =
+  pmod(xxhash64(doc_id), doc_shards)`` with files SORTED by id — the
+  O(batch) "which cluster is this doc in?" lookup surface (shard-pruned
+  + IN-list row-group pruned, the id-map convention);
+* the **members table** (``<name>_members``) persists the SAME rows
+  partitioned by ``cluster_shard = pmod(xxhash64(cluster_id),
+  cluster_shards)`` with files sorted by cluster_id — the O(touched
+  clusters) "who is in this cluster?" surface a cross-batch merge needs
+  to relabel exactly the rows whose label changes.
+
+:func:`extend_dedup_clusters` folds ONE pairs batch: look up the batch
+endpoints' current clusters (reads only the endpoints' assign shards),
+run min-label connected components over the SMALL graph of {new pairs}
+∪ {endpoint → its current cluster representative} (bounded by the
+batch and the clusters it touches — never the corpus), then relabel
+the members of exactly the clusters whose representative changed (reads
+only those clusters' member shards).  Both tables rewrite only their
+touched shards in ONE optimistic pair commit.
+
+Label semantics are the one-shot's: ``cluster_id`` is the MINIMUM
+member id, so after any fold sequence the assignment table equals
+``dedup_clusters`` over the union of all folded pairs exactly (the
+differential contract; min-label components are confluent, so fold
+order never matters).  The rows rewritten by a merge are precisely the
+rows whose VALUE changes — a union-by-size representative-pointer
+scheme would bound rewrites further but break the min-member label
+contract the one-shot (and its DuckDB oracle) defines.  When a merge
+relabels a giant cluster (a new smallest id arrives), that rewrite is
+semantic, not amplification.
+
+Exactly-once over the pairs journal: pass ``batch_label`` (the journal
+partition's ``batch=<label>`` value) and the fold stamps
+``[folds:<label>]`` into its commit message; a re-submitted label is
+skipped (crash replay), and :func:`fold_new_dedup_pairs` drives the
+catch-up loop — one fold commit per unfolded journal partition, in
+label order.  The fold is a SEPARATE maintainer from the index extend
+(documented protocol): the journal partition is the exactly-once
+hand-off, landed by the extend's own pair commit, consumed here by
+watermark.
+
+Doc-id TYPE must stay stable across folds (shard routing hashes the
+typed value — the id-map convention shared by every index family).
+
+No reference counterpart: stettix/chronicles versions tables
+(core/.../VersionTracker.scala); this composes the repo's commit
+protocol with its LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.model import (
+    Partition,
+    PartitionedTableVersion,
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
+from ..core.version import generate_version
+from ..trackers.base import VersionTracker
+from . import dedup as DD
+from .dedup_index import (
+    _FETCH_PUSHDOWN_MAX_IDS,
+    _artifact_path,
+    _doc_shard_col,
+    _load_artifacts,
+    _require_dynamic_overwrite,
+    _restrict_to_values,
+    _run_maybe_exclusive,
+    _sync_metastore,
+    _write_artifact_sidecar,
+    DOC_SHARD_COL,
+    PAIRS_BATCH_COL,
+)
+from .pairing import check_pair, pinned_state, publish_group
+
+CLUSTER_SHARD_COL = "cluster_shard"
+
+_FOLDS_RE = re.compile(r"\[folds:([^\]]+)\]")
+
+_CLUSTER_REPAIR_ADVICE = (
+    "rebuild with build_dedup_clusters over the full pair history (or "
+    "checkout both tables to a matching pair) before folding"
+)
+
+
+def cluster_members_table(table: TableDefinition) -> TableDefinition:
+    """The companion cluster-keyed view of the assignment rows:
+    ``<name>_members`` at ``<location>_members``, partitioned by
+    ``cluster_shard`` with files sorted by cluster_id — so a merge that
+    relabels cluster C reads at most C's one shard (IN-list row-group
+    pruned), never the assignment table.  Same rows as the primary,
+    different routing — the ANN id-map move applied to clusters.  The
+    ``_members`` suffix sorts after the primary's name, so the group
+    commit lands primary-first (torn-pair refusal covers the gap)."""
+    return TableDefinition(
+        TableName(table.name.schema, table.name.name + "_members"),
+        table.location.rstrip("/") + "_members",
+        PartitionSchema((CLUSTER_SHARD_COL,)),
+        format=table.format,
+        format_options=table.format_options,
+    )
+
+
+def _cluster_shard_col(cluster_col: str, cluster_shards: int):
+    return F.pmod(
+        F.xxhash64(F.col(cluster_col)), F.lit(cluster_shards)
+    ).cast("string")
+
+
+@dataclass(frozen=True)
+class ClusterArtifacts:
+    """Geometry sidecar (the shared dedup-artifacts contract: named by
+    data version label, every live label must agree; swept by
+    :func:`~chronicles_spark.operators.dedup_index.
+    vacuum_dedup_artifacts` — same ``_dedup_artifacts_`` prefix)."""
+
+    doc_shards: int
+    cluster_shards: int
+    version_label: str
+
+    def geometry(self) -> dict:
+        d = self.__dict__.copy()
+        d.pop("version_label")
+        return d
+
+    def with_label(self, label: str) -> "ClusterArtifacts":
+        return replace(self, version_label=label)
+
+    def to_json(self) -> str:
+        return json.dumps({"version_label": self.version_label, **self.geometry()})
+
+    @staticmethod
+    def from_json(text: str) -> "ClusterArtifacts":
+        d = json.loads(text)
+        return ClusterArtifacts(
+            doc_shards=int(d["doc_shards"]),
+            cluster_shards=int(d["cluster_shards"]),
+            version_label=d["version_label"],
+        )
+
+
+def load_cluster_artifacts(
+    table: TableDefinition, table_version, head_pair_label: "str | None" = None
+) -> ClusterArtifacts:
+    """Geometry pinned by the assignment table's resolved state.  Unlike
+    the band-table families an EMPTY cluster index is legitimate (built
+    before any pairs exist), so the head's pair label also anchors a
+    sidecar lookup when no partitions are live yet."""
+    return _load_artifacts(
+        table, table_version, ClusterArtifacts.from_json, "dedup cluster",
+        extra_labels=(head_pair_label,) if head_pair_label else (),
+    )
+
+
+def _require_cluster_partitioning(table: TableDefinition) -> None:
+    if tuple(table.partition_schema.columns) != (DOC_SHARD_COL,):
+        raise ValueError(
+            "dedup cluster assignment table must be partitioned by "
+            f"({DOC_SHARD_COL!r},), got {table.partition_schema.columns}"
+        )
+
+
+def folded_batch_labels(tracker: VersionTracker, table_name: TableName) -> set:
+    """The pairs-journal batch labels already folded into the assignment
+    table, parsed from the ``[folds:<label>]`` stamps in the folded
+    commit prefix — the fold's exactly-once watermark (the label lands
+    in the SAME commit as the fold's data, so a crash can never record
+    a fold that didn't land or land a fold it didn't record).  One
+    metadata-only log read."""
+    from ..core import fold
+
+    st = tracker.table_state(table_name)
+    prefix = fold.take_through(st.updates, st.current_version)
+    out = set()
+    for u in prefix:
+        m = _FOLDS_RE.search(u.metadata.message or "")
+        if m:
+            out.add(m.group(1))
+    return out
+
+
+def build_dedup_clusters(
+    pairs: "DataFrame | None",
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "build dedup clusters",
+    doc_shards: int = 32,
+    cluster_shards: int = 32,
+    id_col: str = "doc_id",
+    metastore=None,
+):
+    """One-shot bootstrap: run the connected-components resolution over
+    the base corpus' verified pairs (``pairs`` — e.g. a full
+    :func:`~chronicles_spark.operators.dedup.minhash_dedup` run) and
+    publish the assignment + members tables in one pair commit.
+    ``pairs=None`` publishes an EMPTY index (sidecar + marker pair
+    commit only) — the from-scratch streaming shape where every pair
+    arrives through the journal.  Returns ``(assignment_table_state,
+    ClusterArtifacts)``.  ``table`` must be partitioned by exactly
+    ``(doc_shard,)`` and already ``init_table``-ed; the members
+    companion is initialized here."""
+    _require_cluster_partitioning(table)
+    for n, v in (("doc_shards", doc_shards), ("cluster_shards", cluster_shards)):
+        if v < 1:
+            raise ValueError(f"{n} must be >= 1, got {v}")
+    members_table = cluster_members_table(table)
+    tracker.init_table(members_table.name, is_snapshot=False, user_id=user_id)
+    version = generate_version()
+    artifacts = ClusterArtifacts(
+        doc_shards=doc_shards, cluster_shards=cluster_shards,
+        version_label=version.label,
+    )
+    _write_artifact_sidecar(table, artifacts)
+    if pairs is None:
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        _require_dynamic_overwrite(spark)
+        writes = [(table, None, (), ()), (members_table, None, (), ())]
+        publish_group(spark, tracker, version, user_id, message, writes)
+    else:
+        spark = pairs.sparkSession
+        _require_dynamic_overwrite(spark)
+        assigned = DD.dedup_clusters(pairs, id_col).select(
+            F.col(id_col), F.col("cluster_id")
+        )
+        writes = [
+            (
+                table,
+                assigned.withColumn(
+                    DOC_SHARD_COL, _doc_shard_col(id_col, doc_shards)
+                )
+                .repartition(F.col(DOC_SHARD_COL))
+                .sortWithinPartitions(DOC_SHARD_COL, id_col),
+                None,
+                (),
+            ),
+            (
+                members_table,
+                assigned.withColumn(
+                    CLUSTER_SHARD_COL,
+                    _cluster_shard_col("cluster_id", cluster_shards),
+                )
+                .repartition(F.col(CLUSTER_SHARD_COL))
+                .sortWithinPartitions(CLUSTER_SHARD_COL, "cluster_id"),
+                None,
+                (),
+            ),
+        ]
+        publish_group(spark, tracker, version, user_id, message, writes)
+    state = tracker.current_version(table.name)
+    _sync_metastore(metastore, table, state)
+    return state, artifacts
+
+
+def extend_dedup_clusters(
+    pairs_new: DataFrame,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "fold dedup pairs",
+    batch_label: "str | None" = None,
+    concurrency: str = "optimistic",
+    artifacts: "ClusterArtifacts | None" = None,
+    id_col: str = "doc_id",
+    metastore=None,
+    exclusive: bool = False,
+):
+    """Fold ONE batch of verified duplicate pairs into the assignment —
+    in O(batch + members of relabeled clusters), independent of how many
+    pairs were ever folded.  Returns ``(changed_assignments,
+    assignment_table_state, artifacts)`` where ``changed_assignments``
+    is ``(doc_id, cluster_id)`` for every row whose label this fold set
+    (new docs + relabeled members; pre-materialized, so the returned
+    relation never depends on superseded shard versions).  When
+    ``batch_label`` names an already-folded journal batch the fold is
+    SKIPPED (crash-replay idempotence) and ``changed_assignments`` is
+    None.
+
+    Cost shape, per stage (P = batch pairs, E = endpoints ≤ 2P):
+    endpoint lookup reads ONLY E's ≤ min(E, doc_shards) assign shards
+    (IN-list row-group pruned over the sorted files); the
+    connected-components run is over the {pairs ∪ endpoint→current-rep}
+    graph — bounded by the batch and its touched clusters, never the
+    corpus; the relabel reads ONLY the changed clusters' member shards;
+    the publish is a read-modify-write of exactly the touched shards of
+    both tables, one optimistic pair commit.  Nothing is O(corpus) or
+    O(pair history).
+
+    Concurrency mirrors the index families: ``expected_heads`` pins
+    both lines, racing folds with overlapping shards conflict loudly,
+    ``exclusive=True`` holds the primary's flock across the whole RMW
+    (run ONE fold maintainer per assignment table — the journal
+    watermark assumes a single consumer)."""
+    _require_cluster_partitioning(table)
+    if concurrency not in ("last-writer-wins", "optimistic", "strict"):
+        raise ValueError(
+            "concurrency must be 'last-writer-wins', 'optimistic' or "
+            f"'strict', got {concurrency!r}"
+        )
+    if batch_label is not None and batch_label in folded_batch_labels(
+        tracker, table.name
+    ):
+        state = tracker.current_version(table.name)
+        arts = artifacts
+        if arts is None:
+            _, _, head_pair = pinned_state(tracker, table.name)
+            arts = load_cluster_artifacts(table, state, head_pair)
+        return None, state, arts
+
+    def _run():
+        return _fold_batch(
+            pairs_new, table, tracker, user_id, message, batch_label,
+            concurrency, artifacts, id_col, metastore,
+        )
+
+    return _run_maybe_exclusive(tracker, table, exclusive, _run)
+
+
+def _collect_shards_and_ids(df, id_expr, shard_expr):
+    """ONE capped collect yielding (shard values, IN-list ids or None) —
+    the shared pushdown move: small sets get a row-group-pruning id
+    IN-list over the sorted shard files; above the cap only the DISTINCT
+    shard values are collected (bounded by the shard count) and
+    structural pruning alone bounds the read."""
+    sample = (
+        df.select(id_expr.alias("_id"), shard_expr.alias("_s"))
+        .distinct()
+        .limit(_FETCH_PUSHDOWN_MAX_IDS + 1)
+        .collect()
+    )
+    if len(sample) <= _FETCH_PUSHDOWN_MAX_IDS:
+        return sorted({r["_s"] for r in sample}), [r["_id"] for r in sample]
+    shards = sorted(
+        r["_s"] for r in df.select(shard_expr.alias("_s")).distinct().collect()
+    )
+    return shards, None
+
+
+def _fold_batch(
+    pairs_new, table, tracker, user_id, message, batch_label,
+    concurrency, artifacts, id_col, metastore,
+):
+    from ..spark.reader import read_version
+
+    spark = pairs_new.sparkSession
+    _require_dynamic_overwrite(spark)
+    members_table = cluster_members_table(table)
+    tracker.init_table(members_table.name, is_snapshot=False, user_id=user_id)
+    state, base_head, head_pair = pinned_state(tracker, table.name)
+    mstate, m_head, m_pair = pinned_state(tracker, members_table.name)
+    check_pair(table, head_pair, m_pair, _CLUSTER_REPAIR_ADVICE)
+    if not isinstance(state, PartitionedTableVersion) or not isinstance(
+        mstate, PartitionedTableVersion
+    ):
+        raise ValueError("dedup cluster tables are partitioned by shard")
+    arts = artifacts
+    if arts is None:
+        arts = load_cluster_artifacts(table, state, head_pair)
+
+    stamped_message = (
+        f"{message} [folds:{batch_label}]" if batch_label is not None else message
+    )
+
+    # bounded: one batch's distinct pairs (self-pairs carry no edge;
+    # null-safe so a NULL endpoint survives into the loud check below
+    # instead of being silently dropped by three-valued logic)
+    pairs = DD.lineage_barrier(
+        pairs_new.select(F.col("id_a"), F.col("id_b"))
+        .where(~F.col("id_a").eqNullSafe(F.col("id_b")))
+        .distinct()
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("id_a").isNull() | F.col("id_b").isNull(), 1)
+        ).alias("nn"),
+    ).collect()[0]
+    if counts["nn"]:
+        raise ValueError(
+            f"pairs batch contains {counts['nn']} NULL endpoint(s) — "
+            "every pair needs two concrete ids"
+        )
+
+    version = generate_version()
+    new_arts = arts.with_label(version.label)
+    _write_artifact_sidecar(table, new_arts)
+    expected = None
+    if concurrency != "last-writer-wins":
+        expected = {table.name: base_head, members_table.name: m_head}
+
+    empty_changed = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_a").alias("cluster_id")
+    ).limit(0)
+    if not counts["n"]:
+        # an empty journal batch still lands its watermark marker (the
+        # exactly-once accounting must record the label as folded)
+        publish_group(
+            spark, tracker, version, user_id, stamped_message,
+            [(table, None, (), ()), (members_table, None, (), ())],
+            expected_heads=expected,
+            allow_disjoint=(concurrency == "optimistic"),
+        )
+        new_state = tracker.current_version(table.name)
+        _sync_metastore(metastore, table, new_state)
+        return empty_changed.localCheckpoint(eager=True), new_state, new_arts
+
+    # -- endpoint lookup: ONLY the endpoints' assign shards -------------
+    endpoints = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    e_shards, e_ids = _collect_shards_and_ids(
+        endpoints, F.col(id_col), _doc_shard_col(id_col, arts.doc_shards)
+    )
+    esub = _restrict_to_values(state, DOC_SHARD_COL, e_shards)
+    known = empty_changed  # (id_col, cluster_id) schema, zero rows
+    if esub.partition_versions:
+        live = read_version(
+            spark, table, esub, infer_partition_types=False
+        ).select(F.col(id_col), F.col("cluster_id"))
+        if e_ids is not None:
+            # superset of the semi-join keys — pure row-group pruning
+            live = live.where(F.col(id_col).isin(e_ids))
+        known = live.join(endpoints, id_col, "left_semi")
+    known = DD.lineage_barrier(known)
+
+    # -- local components over {new pairs} ∪ {endpoint → current rep} ---
+    # every node is a batch endpoint or a touched cluster's min-member
+    # representative, so the graph (and the CC run) is O(batch)
+    edges = pairs.unionByName(
+        known.select(
+            F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+    )
+    local = DD.lineage_barrier(
+        DD.dedup_clusters(edges, id_col).select(F.col(id_col), "cluster_id")
+    )
+
+    # -- relabel map: touched clusters whose representative changed -----
+    touched = known.select(F.col("cluster_id").alias("old_cluster")).distinct()
+    relabel = DD.lineage_barrier(
+        touched.join(local, touched.old_cluster == local[id_col])
+        .where(F.col("old_cluster") != F.col("cluster_id"))
+        .select("old_cluster", F.col("cluster_id").alias("new_cluster"))
+    )
+    r_shards, r_ids = _collect_shards_and_ids(
+        relabel,
+        F.col("old_cluster"),
+        _cluster_shard_col("old_cluster", arts.cluster_shards),
+    )
+    moved = empty_changed
+    rsub = _restrict_to_values(mstate, CLUSTER_SHARD_COL, r_shards)
+    if rsub.partition_versions:
+        mem = read_version(
+            spark, members_table, rsub, infer_partition_types=False
+        ).select(F.col(id_col), F.col("cluster_id"))
+        if r_ids is not None:
+            mem = mem.where(F.col("cluster_id").isin(r_ids))
+        moved = (
+            mem.withColumnRenamed("cluster_id", "old_cluster")
+            .join(relabel, "old_cluster")
+            .select(F.col(id_col), F.col("new_cluster").alias("cluster_id"))
+        )
+
+    # -- changed rows: exactly the rows whose label this fold sets ------
+    # (endpoints keep the local run's label; relabeled members map
+    # through the relabel table — where both apply the values agree by
+    # construction, min() just collapses the duplicate)
+    changed = (
+        local.join(endpoints, id_col, "left_semi")
+        .unionByName(moved)
+        .groupBy(id_col)
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    # drop no-op rows (endpoint already holding its final label): the
+    # RMW then touches only shards something actually changed in
+    changed = DD.lineage_barrier(
+        changed.join(
+            known.withColumnRenamed("cluster_id", "_old_label"),
+            id_col,
+            "left",
+        )
+        .where(
+            F.col("_old_label").isNull()
+            | (F.col("_old_label") != F.col("cluster_id"))
+        )
+        .select(id_col, "cluster_id")
+    )
+
+    if not changed.take(1):
+        publish_group(
+            spark, tracker, version, user_id, stamped_message,
+            [(table, None, (), ()), (members_table, None, (), ())],
+            expected_heads=expected,
+            allow_disjoint=(concurrency == "optimistic"),
+        )
+        new_state = tracker.current_version(table.name)
+        _sync_metastore(metastore, table, new_state)
+        return empty_changed.localCheckpoint(eager=True), new_state, new_arts
+
+    # -- assign-table RMW: exactly the changed docs' shards -------------
+    a_shards = sorted(
+        r["_s"]
+        for r in changed.select(
+            _doc_shard_col(id_col, arts.doc_shards).alias("_s")
+        ).distinct().collect()
+    )
+    asub = _restrict_to_values(state, DOC_SHARD_COL, a_shards)
+    assign_out = changed.withColumn(
+        DOC_SHARD_COL, _doc_shard_col(id_col, arts.doc_shards)
+    )
+    if asub.partition_versions:
+        live_a = read_version(
+            spark, table, asub, infer_partition_types=False
+        ).select(F.col(id_col), "cluster_id", DOC_SHARD_COL)
+        assign_out = assign_out.unionByName(
+            live_a.join(changed.select(id_col), id_col, "left_anti")
+        )
+
+    # -- members-table RMW: losers' shards + winners' shards ------------
+    new_label_shards = {
+        r["_s"]
+        for r in changed.select(
+            _cluster_shard_col("cluster_id", arts.cluster_shards).alias("_s")
+        ).distinct().collect()
+    }
+    m_touched = sorted(set(r_shards) | new_label_shards)
+    msub = _restrict_to_values(mstate, CLUSTER_SHARD_COL, m_touched)
+    members_out = changed.withColumn(
+        CLUSTER_SHARD_COL, _cluster_shard_col("cluster_id", arts.cluster_shards)
+    )
+    if msub.partition_versions:
+        live_m = read_version(
+            spark, members_table, msub, infer_partition_types=False
+        ).select(F.col(id_col), "cluster_id", CLUSTER_SHARD_COL)
+        members_out = members_out.unionByName(
+            live_m.join(changed.select(id_col), id_col, "left_anti")
+        )
+
+    # a relabeled-away cluster can empty its member shard; assign shards
+    # never empty (every touched one receives its changed rows back)
+    written_m_shards = {
+        r["_s"]
+        for r in members_out.select(
+            F.col(CLUSTER_SHARD_COL).alias("_s")
+        ).distinct().collect()
+    }
+    had_live_m = {
+        dict(p.column_values)[CLUSTER_SHARD_COL]
+        for p in msub.partition_versions
+    }
+    emptied_m = [
+        Partition.of((CLUSTER_SHARD_COL, s))
+        for s in sorted(had_live_m - written_m_shards)
+    ]
+
+    writes = [
+        (
+            table,
+            assign_out.repartition(F.col(DOC_SHARD_COL))
+            .sortWithinPartitions(DOC_SHARD_COL, id_col),
+            [Partition.of((DOC_SHARD_COL, s)) for s in a_shards],
+            (),
+        ),
+        (
+            members_table,
+            members_out.repartition(F.col(CLUSTER_SHARD_COL))
+            .sortWithinPartitions(CLUSTER_SHARD_COL, "cluster_id"),
+            [
+                Partition.of((CLUSTER_SHARD_COL, s))
+                for s in sorted(written_m_shards)
+            ],
+            emptied_m,
+        ),
+    ]
+    publish_group(
+        spark, tracker, version, user_id, stamped_message, writes,
+        expected_heads=expected,
+        allow_disjoint=(concurrency == "optimistic"),
+    )
+    new_state = tracker.current_version(table.name)
+    _sync_metastore(metastore, table, new_state)
+    return changed, new_state, new_arts
+
+
+def fold_new_dedup_pairs(
+    spark: SparkSession,
+    pairs_table: TableDefinition,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "fold dedup pairs",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **extend_kwargs,
+) -> list:
+    """Catch the assignment table up with the pairs journal: fold every
+    ``batch=<label>`` partition not yet stamped ``[folds:<label>]``, in
+    label order, one commit each.  The exactly-once hand-off between
+    the index extend (which lands the journal partition in its own pair
+    commit) and this separate maintainer: a crash mid-loop re-runs and
+    skips the folded prefix; re-running after a fold's commit but
+    before its return is skipped by the in-commit watermark.  Reads
+    each batch partition alone (structural pruning on ``batch``).
+    Returns the labels folded this call."""
+    from ..spark.reader import read_version
+
+    pstate = tracker.current_version(pairs_table.name)
+    if not isinstance(pstate, PartitionedTableVersion):
+        raise ValueError("pairs journal is partitioned by batch")
+    labels = sorted(
+        dict(p.column_values)[PAIRS_BATCH_COL]
+        for p in pstate.partition_versions
+    )
+    done = folded_batch_labels(tracker, table.name)
+    folded = []
+    for label in labels:
+        if label in done:
+            continue
+        sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, [label])
+        batch = read_version(
+            spark, pairs_table, sub, infer_partition_types=False
+        ).select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+        extend_dedup_clusters(
+            batch, table, tracker, user_id, message,
+            batch_label=label, **extend_kwargs,
+        )
+        folded.append(label)
+    return folded
+
+
+def verify_dedup_clusters(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Differential audit of the paired tables: (a) the assignment and
+    members tables must hold the SAME (doc, cluster) rows; (b) every
+    cluster's id must equal its minimum member id (the one-shot label
+    contract).  Returns the disagreeing rows (empty = consistent) with
+    a ``problem`` discriminator — the offline deep audit behind the hot
+    path's cheap pair-marker check.  One column-pruned scan of each
+    table."""
+    from ..spark.reader import read_version
+
+    members_table = cluster_members_table(table)
+    a = read_version(
+        spark, table, tracker.current_version(table.name),
+        infer_partition_types=False,
+    ).select(F.col(id_col), F.col("cluster_id").alias("assign_cluster"))
+    m = read_version(
+        spark, members_table, tracker.current_version(members_table.name),
+        infer_partition_types=False,
+    ).select(F.col(id_col), F.col("cluster_id").alias("members_cluster"))
+    mismatch = (
+        a.join(m, id_col, "full_outer")
+        .where(
+            F.col("assign_cluster").isNull()
+            | F.col("members_cluster").isNull()
+            | (F.col("assign_cluster") != F.col("members_cluster"))
+        )
+        .select(
+            F.col(id_col),
+            "assign_cluster",
+            "members_cluster",
+            F.lit("assign_members_mismatch").alias("problem"),
+        )
+    )
+    bad_min = (
+        m.groupBy("members_cluster")
+        .agg(F.min(id_col).alias("min_member"))
+        .where(F.col("members_cluster") != F.col("min_member"))
+        .select(
+            F.col("min_member").alias(id_col),
+            F.col("members_cluster").alias("assign_cluster"),
+            F.col("members_cluster"),
+            F.lit("cluster_id_not_min_member").alias("problem"),
+        )
+    )
+    return mismatch.unionByName(bad_min)

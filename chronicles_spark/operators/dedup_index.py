@@ -88,9 +88,21 @@ PAIRS_BATCH_COL = "batch"
 
 # collecting this many candidate ids / batch band keys to the driver for
 # an IN-list parquet pushdown is cheap; above it the reads rely on shard
-# pruning + the broadcast semi-join alone (same constant class as the
-# ANN locate)
+# pruning + the semi-join alone (same constant class as the ANN locate)
 _FETCH_PUSHDOWN_MAX_IDS = 10_000
+
+# geometry-drift guard: warn when an extend observes a touched band
+# shard holding more rows than this after its RMW — band rows are
+# ~60-100 bytes, so 5M rows ≈ the "few hundred MB per shard" sizing
+# target (docs/scale.md §"Sizing the dedup index"); staying under it is
+# what keeps the RMW rewrite O(batch's share of bounded shards)
+DRIFT_MAX_BAND_SHARD_ROWS = 5_000_000
+
+
+class DedupGeometryDriftWarning(UserWarning):
+    """An extend observed per-shard row counts beyond the sizing target —
+    the index has outgrown its shard geometry; run ``rebuild_dedup_index``
+    (or the family's rebuild) with scaled shard counts."""
 
 
 # ---------------------------------------------------------------------------
@@ -254,14 +266,23 @@ def _write_artifact_sidecar(table, stamped) -> None:
     fs.write_text(apath, stamped.to_json())
 
 
-def _load_artifacts(table: TableDefinition, table_version, from_json, what: str):
-    """Geometry pinned by a resolved band-table state: every distinct
-    live label's sidecar must AGREE (extends re-stamp the same geometry
+def _load_artifacts(
+    table: TableDefinition, table_version, from_json, what: str,
+    extra_labels=(),
+):
+    """Geometry pinned by a resolved table state: every distinct live
+    label's sidecar must AGREE (extends re-stamp the same geometry
     under their new label — the load_ann_artifacts contract).  Returns
-    the geometry stamped with the NEWEST live label."""
+    the geometry stamped with the NEWEST label.  ``extra_labels`` joins
+    the check for families whose index may legitimately be EMPTY (the
+    cluster index anchors the head's pair label so a partition-less
+    state still resolves its sidecar)."""
     if not isinstance(table_version, PartitionedTableVersion):
-        raise ValueError(f"{what} band tables are partitioned by band_shard")
-    labels = sorted({v.label for v in table_version.partition_versions.values()})
+        raise ValueError(f"{what} index tables are partitioned by shard")
+    labels = sorted(
+        {v.label for v in table_version.partition_versions.values()}
+        | set(extra_labels)
+    )
     if not labels:
         raise ValueError(f"table {table.name} has no live index data")
     loaded = []
@@ -447,6 +468,7 @@ def extend_dedup_index(
     metastore=None,
     pairs_table: "TableDefinition | None" = None,
     exclusive: bool = False,
+    drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     """Dedup ONE new batch against the indexed corpus — and fold the
     batch into the index — in O(batch), independent of corpus size.
@@ -471,7 +493,15 @@ def extend_dedup_index(
     ``pairs_table`` (see :func:`dedup_pairs_table`): when given, the
     verified pairs ALSO land as one ``batch=<label>`` partition in the
     SAME pair commit group — the exactly-once journal of the operator's
-    product.  Pass it consistently (every extend or never).
+    product.  Pass it consistently (every extend or never); its name
+    must sort after the band/doc tables' (commit order is what makes a
+    crash prefix never contain pairs without their extend — enforced).
+
+    ``drift_shard_rows``: the geometry-drift guard — when the RMW
+    observes a touched band shard above this row count (the pass is
+    already made; the count is free) a
+    :class:`DedupGeometryDriftWarning` names the family's rebuild.
+    ``None`` disables.
 
     Cost shape, per stage (B = batch rows, b = bands): encode = one
     map-side pass over the batch; candidate generation reads ONLY the
@@ -538,7 +568,7 @@ def extend_dedup_index(
                 table, docs_table, tracker, family, state, docs_state,
                 base_head, docs_head, head_pair, base_new, arts, mode,
                 concurrency, user_id, message, id_col, metastore,
-                pairs_table,
+                pairs_table, drift_shard_rows,
             )
         finally:
             base_new.unpersist()
@@ -587,6 +617,57 @@ def _band_key_filter(band_rows) -> "object | None":
     return clause
 
 
+def _require_pairs_last(pairs_table, *index_tables) -> None:
+    """The exactly-once pairs claim rests on COMMIT ORDER: commit_group
+    lands commits in sorted fully-qualified-name order, so the pairs
+    line must sort AFTER every index line — a crash prefix then never
+    contains pairs without their extend.  ``dedup_pairs_table``'s
+    ``<name>_pairs`` naming satisfies this by construction; a
+    caller-supplied name that sorts earlier would invert the crash
+    exposure (a phantom ``batch=<label>`` pairs partition for an extend
+    that never landed), so it is refused here."""
+    pq = pairs_table.name.fully_qualified
+    for t in index_tables:
+        if pq <= t.name.fully_qualified:
+            raise ValueError(
+                f"pairs_table {pq!r} must sort after {t.name.fully_qualified!r} "
+                "(commit groups land in sorted table-name order; the pairs "
+                "journal must commit LAST so a crash never lands pairs "
+                "without their extend) — use dedup_pairs_table(table)"
+            )
+
+
+def _check_payload_types(spark, docs_table, docs_state, base_new, id_col, payload_col):
+    """Refuse a batch whose id/payload column TYPES differ from the
+    stored doc schema: the RMW's unionByName would silently coerce to
+    the wider common type (e.g. a double-array batch against a
+    float-built index), rewriting only the touched shards and leaving
+    MIXED parquet physical types across shards — which Spark's
+    vectorized reader can fail on at later reads, and which breaks the
+    typed-value xxhash64 shard routing contract.  One parquet footer
+    (a single live doc partition) is read for the stored schema."""
+    if not docs_state.partition_versions:
+        return
+    from ..spark.reader import read_version
+
+    first = min(docs_state.partition_versions, key=lambda p: p.path)
+    one = PartitionedTableVersion({first: docs_state.partition_versions[first]})
+    stored = read_version(
+        spark, docs_table, one, infer_partition_types=False
+    ).schema
+    batch = base_new.schema
+    for c in (id_col, payload_col):
+        st = stored[c].dataType.simpleString()
+        bt = batch[c].dataType.simpleString()
+        if st != bt:
+            raise ValueError(
+                f"batch column {c!r} has type {bt} but the index stores "
+                f"{st} — keep column types stable across batches (shard "
+                "routing hashes the typed value); cast the batch or "
+                "rebuild the index from a fresh build"
+            )
+
+
 def _restrict_to_values(table_version, column, values) -> PartitionedTableVersion:
     """Exact-value partition restriction (the ANN module's structural-
     pruning move; shard values have no split hierarchy here)."""
@@ -603,11 +684,16 @@ def _extend_index(
     table, docs_table, tracker, family, state, docs_state,
     base_head, docs_head, head_pair, base_new, artifacts, mode,
     concurrency, user_id, message, id_col, metastore, pairs_table,
+    drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     spark = base_new.sparkSession
     _require_dynamic_overwrite(spark)
+    _check_payload_types(
+        spark, docs_table, docs_state, base_new, id_col, family.payload_col
+    )
     pairs_head = None
     if pairs_table is not None:
+        _require_pairs_last(pairs_table, table, docs_table)
         tracker.init_table(pairs_table.name, is_snapshot=False, user_id=user_id)
         _, pairs_head, pairs_marker = pinned_state(tracker, pairs_table.name)
         if pairs_marker is not None and pairs_marker != head_pair:
@@ -657,6 +743,7 @@ def _extend_index(
             base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
             batch_doc_shards, artifacts, mode, concurrency,
             user_id, message, id_col, metastore, pairs_table,
+            drift_shard_rows,
         )
     finally:
         banded_new.unpersist()
@@ -667,6 +754,7 @@ def _extend_publish(
     base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
     batch_doc_shards, artifacts, mode, concurrency,
     user_id, message, id_col, metastore, pairs_table,
+    drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     from ..spark.reader import read_version
 
@@ -710,10 +798,17 @@ def _extend_publish(
         # still re-derive from the duplicated payload rows).  One
         # column-pruned read of the batch's own doc shards — strictly
         # cheaper than upsert's replacement lookup.
+        # no forced broadcast on new_ids anywhere in this function: it
+        # is the whole batch's id set — small for a daily delta (AQE
+        # broadcasts it then) but not provably small for a bulk
+        # backfill, where a forced hint would push a multi-GB set
+        # through the driver; every join it feeds is against an
+        # already-shard-restricted read, so AQE's runtime choice is
+        # safe on both ends
         hit = (
             read_version(spark, docs_table, dsub, infer_partition_types=False)
             .select(F.col(id_col))
-            .join(F.broadcast(new_ids), id_col, "left_semi")
+            .join(new_ids, id_col, "left_semi")
             .limit(1)
             .collect()
         )
@@ -727,7 +822,7 @@ def _extend_publish(
         old_docs = (
             read_version(spark, docs_table, dsub, infer_partition_types=False)
             .select(F.col(id_col), F.col(payload))
-            .join(F.broadcast(new_ids), id_col, "left_semi")
+            .join(new_ids, id_col, "left_semi")
         )
         old_banded = family.band_fn(old_docs).withColumn(
             BAND_SHARD_COL, _band_shard_col(artifacts.band_shards)
@@ -769,7 +864,7 @@ def _extend_publish(
         if mode == "upsert":
             # a replaced id's OLD content must not pair with anything
             cand_old = cand_old.join(
-                F.broadcast(new_ids.select(F.col(id_col).alias("_old"))),
+                new_ids.select(F.col(id_col).alias("_old")),
                 "_old", "left_anti",
             )
         cand = cand_old.select(
@@ -794,7 +889,7 @@ def _extend_publish(
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select("id_b"))
         .distinct()
-        .join(F.broadcast(new_ids), id_col, "left_anti")
+        .join(new_ids, id_col, "left_anti")
     )
     # small candidate sets (the normal case) collect their ids for an
     # IN-list row-group prune over the sorted shard files; above the
@@ -827,7 +922,7 @@ def _extend_publish(
                     F.col(id_col).isin(in_ids)
                 )
             old_payloads = old_payloads.join(
-                F.broadcast(old_cand_ids), id_col, "left_semi"
+                old_cand_ids, id_col, "left_semi"
             )
             verify_base = verify_base.unionByName(old_payloads)
     verified = DD.lineage_barrier(family.verify_fn(verify_base, cand))
@@ -843,7 +938,7 @@ def _extend_publish(
             spark, table, wsub, infer_partition_types=False
         ).select(F.col(id_col), "band_id", "band_key", BAND_SHARD_COL)
         if mode == "upsert":
-            live = live.join(F.broadcast(new_ids), id_col, "left_anti")
+            live = live.join(new_ids, id_col, "left_anti")
         bands_out = banded_new.unionByName(live)
     docs_out = base_new.select(F.col(id_col), payload).withColumn(
         DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards)
@@ -854,7 +949,7 @@ def _extend_publish(
         ).select(F.col(id_col), payload, DOC_SHARD_COL)
         if mode == "upsert":
             live_docs = live_docs.join(
-                F.broadcast(new_ids), id_col, "left_anti"
+                new_ids, id_col, "left_anti"
             )
         docs_out = docs_out.unionByName(live_docs)
     docs_out = docs_out.repartition(F.col(DOC_SHARD_COL)).sortWithinPartitions(
@@ -863,13 +958,31 @@ def _extend_publish(
 
     # which touched band shards still hold rows (a replaced doc's
     # removal can empty one); doc shards never empty (the batch
-    # writes into every shard it touches)
-    written_band_shards = {
-        r["s"]
-        for r in bands_out.select(
-            F.col(BAND_SHARD_COL).alias("s")
-        ).distinct().collect()
-    }
+    # writes into every shard it touches).  The same pass (the extend
+    # already scans bands_out here — a count costs nothing extra over
+    # the old distinct) yields per-shard row counts for the
+    # geometry-drift guard: the sizing rule (docs/scale.md) is only
+    # enforced by rebuilds the operator remembers to run, so an extend
+    # that OBSERVES a touched shard beyond the target warns loudly.
+    shard_counts = bands_out.groupBy(
+        F.col(BAND_SHARD_COL).alias("s")
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    written_band_shards = {r["s"] for r in shard_counts}
+    if drift_shard_rows is not None and shard_counts:
+        worst = max(shard_counts, key=lambda r: r["n"])
+        if worst["n"] > drift_shard_rows:
+            import warnings
+
+            warnings.warn(
+                f"{family.kind} index {table.name}: touched band shard "
+                f"{worst['s']!r} now holds {worst['n']} rows (> "
+                f"{drift_shard_rows} sizing target) — the index has "
+                "outgrown its shard geometry; rebuild with scaled "
+                "band_shards/doc_shards (rebuild_dedup_index or the "
+                "family's rebuild; see docs/scale.md sizing rule)",
+                DedupGeometryDriftWarning,
+                stacklevel=3,
+            )
     had_live = {
         dict(p.column_values)[BAND_SHARD_COL]
         for p in wsub.partition_versions
@@ -1081,6 +1194,7 @@ def _rebuild_index(
     ]
     expected = {table.name: base_head, docs_table.name: docs_head}
     if pairs_table is not None:
+        _require_pairs_last(pairs_table, table, docs_table)
         tracker.init_table(pairs_table.name, is_snapshot=False, user_id=user_id)
         _, pairs_head, _ = pinned_state(tracker, pairs_table.name)
         writes.append((pairs_table, None, (), ()))

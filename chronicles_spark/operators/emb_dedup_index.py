@@ -51,6 +51,7 @@ from ..core.version import generate_version
 from ..trackers.base import VersionTracker
 from . import dedup as DD
 from .dedup_index import (
+    DRIFT_MAX_BAND_SHARD_ROWS,
     _build_index,
     _commit_index_stream_batch,
     _extend_index,
@@ -210,6 +211,7 @@ def extend_embedding_dedup_index(
     metastore=None,
     pairs_table: "TableDefinition | None" = None,
     exclusive: bool = False,
+    drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     """Near-dup-check ONE new embedding batch against the indexed
     corpus — and fold the batch in — in O(batch), independent of corpus
@@ -255,7 +257,7 @@ def extend_embedding_dedup_index(
                 table, docs_table, tracker, family, state, docs_state,
                 base_head, docs_head, head_pair, base_new, arts, mode,
                 concurrency, user_id, message, id_col, metastore,
-                pairs_table,
+                pairs_table, drift_shard_rows,
             )
         finally:
             base_new.unpersist()

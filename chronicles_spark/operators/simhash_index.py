@@ -42,6 +42,7 @@ from ..core.version import generate_version
 from ..trackers.base import VersionTracker
 from . import dedup as DD
 from .dedup_index import (
+    DRIFT_MAX_BAND_SHARD_ROWS,
     _build_index,
     _commit_index_stream_batch,
     _extend_index,
@@ -164,6 +165,17 @@ def _sim_family(
 
 
 def _validate_geometry(bits: int, bands: int) -> None:
+    if bits > 32:
+        # simhash_expr derives one vote per md5 hex digit — 32 of them;
+        # substr past digit 32 yields '' so bits 33+ would be CONSTANT
+        # '0': bands covering those positions get near-constant band
+        # keys (quadratic in-bucket candidate blowup) and the weakened
+        # similarity would persist as index geometry
+        raise ValueError(
+            f"bits={bits} exceeds the 32 votes one md5 provides; use "
+            "bits <= 32 (chaining a second hash for wider fingerprints "
+            "is not implemented)"
+        )
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits} evenly")
 
@@ -223,6 +235,7 @@ def extend_simhash_dedup_index(
     metastore=None,
     pairs_table: "TableDefinition | None" = None,
     exclusive: bool = False,
+    drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     """Near-dup-check ONE new batch against the indexed corpus — and
     fold the batch in — in O(batch).  Returns ``(verified_pairs,
@@ -265,7 +278,7 @@ def extend_simhash_dedup_index(
                 table, docs_table, tracker, family, state, docs_state,
                 base_head, docs_head, head_pair, base_new, arts, mode,
                 concurrency, user_id, message, id_col, metastore,
-                pairs_table,
+                pairs_table, drift_shard_rows,
             )
         finally:
             base_new.unpersist()

@@ -1,0 +1,344 @@
+"""Round-10: incremental duplicate-cluster maintenance
+(operators/cluster_index.py).
+
+House-style differentials:
+* fold-by-fold == one-shot ``dedup_clusters`` over the union of all
+  folded pairs — including cross-batch merges (a pair bridging two
+  existing clusters) and late arrival of a new minimum id (the
+  relabel-the-winner case);
+* fold order never matters (min-label components are confluent);
+* ``verify_dedup_clusters`` (assign ⟷ members + min-member invariant)
+  empty after every step;
+* exactly-once over the pairs journal (``[folds:<label>]`` watermark,
+  replayed labels skipped, empty batches still recorded);
+* structural O(batch) pruning pinned on the partition metadata;
+* torn-pair crash injection (the pairing.py protocol, cluster flavor).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronicles_spark.core.model import (
+    PartitionSchema,
+    TableDefinition,
+    TableName,
+)
+from chronicles_spark.operators import cluster_index as CX, dedup as DD
+from chronicles_spark.operators import dedup_index as DX
+from chronicles_spark.operators.pairing import TornPairError, publish_group
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.sources import load_table
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _mk(tmp_path, name):
+    tracker = FileBackedVersionTracker(str(tmp_path / f"_log_{name}"))
+    table = TableDefinition(
+        TableName("demo", name), str(tmp_path / name),
+        PartitionSchema(("doc_shard",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    return table, tracker
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _assignments(spark, table, tracker):
+    from chronicles_spark.spark.reader import read_version
+
+    state = tracker.current_version(table.name)
+    if not state.partition_versions:
+        return []
+    return sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in read_version(spark, table, state, infer_partition_types=False)
+        .select("doc_id", "cluster_id")
+        .collect()
+    )
+
+
+def _want(pairs_df):
+    return sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in DD.dedup_clusters(pairs_df).select("doc_id", "cluster_id").collect()
+    )
+
+
+def test_folds_equal_one_shot_over_real_pairs(spark, tmp_path):
+    """Minhash pairs over the documents fixture, split into three
+    batches and folded sequentially == one-shot dedup_clusters over all
+    pairs — clusters formed by pairs straddling batches exercise the
+    cross-batch merge path organically."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    all_pairs = DD.lineage_barrier(
+        DD.minhash_dedup(docs, threshold=0.5).select("id_a", "id_b")
+    )
+    assert all_pairs.count() > 3  # fixture has known near-dups
+
+    table, tracker = _mk(tmp_path, "real")
+    CX.build_dedup_clusters(
+        None, table, tracker, doc_shards=8, cluster_shards=4
+    )
+    for i in range(3):
+        batch = all_pairs.where((F.col("id_a") + F.col("id_b")) % 3 == i)
+        changed, _, _ = CX.extend_dedup_clusters(batch, table, tracker)
+        assert changed is not None
+        assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+    assert _assignments(spark, table, tracker) == _want(all_pairs)
+
+
+def test_cross_batch_merge_and_new_min(spark, tmp_path):
+    """Explicit merge choreography: two separate clusters, a bridging
+    pair (union), then a NEW smallest id joining one end — every member
+    of the merged cluster must relabel (min-member contract), members
+    table moving shards included."""
+    table, tracker = _mk(tmp_path, "merge")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=4)
+
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],   # clusters {1,2,3} and {10,11}
+        [(3, 10)],                    # bridge: one cluster {1,2,3,10,11}
+        [(0, 11), (20, 21)],          # new min 0 relabels all; fresh cluster
+    ]
+    folded = []
+    for b in batches:
+        folded.extend(b)
+        changed, _, _ = CX.extend_dedup_clusters(
+            _pairs_df(spark, b), table, tracker
+        )
+        assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+        assert _assignments(spark, table, tracker) == _want(
+            _pairs_df(spark, folded)
+        )
+
+    got = dict(_assignments(spark, table, tracker))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 11: 0, 20: 20, 21: 20}
+
+    # the bridge fold reported exactly the rows it relabeled
+    changed2, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 21)]), table, tracker
+    )
+    moved = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in changed2.collect()
+    )
+    assert moved == [(20, 0), (21, 0)]  # smaller cluster joined 0's
+
+
+def test_fold_order_is_confluent(spark, tmp_path):
+    """Min-label components are order-independent: folding the same
+    batches in reverse yields the identical assignment table."""
+    batches = [
+        [(1, 2), (7, 8)],
+        [(2, 7)],
+        [(5, 8), (3, 4)],
+    ]
+    results = []
+    for name, order in (("fwd", batches), ("rev", batches[::-1])):
+        table, tracker = _mk(tmp_path, name)
+        CX.build_dedup_clusters(
+            None, table, tracker, doc_shards=4, cluster_shards=2
+        )
+        for b in order:
+            CX.extend_dedup_clusters(_pairs_df(spark, b), table, tracker)
+        assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+        results.append(_assignments(spark, table, tracker))
+    assert results[0] == results[1] == _want(
+        _pairs_df(spark, [p for b in batches for p in b])
+    )
+
+
+def test_build_with_base_pairs_then_extend(spark, tmp_path):
+    """The bootstrap shape: build from a one-shot pair run, then fold a
+    delta — equals the one-shot over the union."""
+    base = [(1, 2), (4, 5)]
+    delta = [(2, 4), (9, 1)]
+    table, tracker = _mk(tmp_path, "boot")
+    CX.build_dedup_clusters(
+        _pairs_df(spark, base), table, tracker, doc_shards=4, cluster_shards=4
+    )
+    assert _assignments(spark, table, tracker) == _want(_pairs_df(spark, base))
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+    CX.extend_dedup_clusters(_pairs_df(spark, delta), table, tracker)
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, base + delta)
+    )
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+
+def test_batch_label_exactly_once(spark, tmp_path):
+    """A batch label folds ONCE: the label rides the fold's own commit
+    message, a replay is skipped (changed=None, no new commit), and an
+    EMPTY labeled batch still records its watermark."""
+    table, tracker = _mk(tmp_path, "once")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=2)
+
+    changed, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2)]), table, tracker, batch_label="b-one"
+    )
+    assert changed is not None
+    assert CX.folded_batch_labels(tracker, table.name) == {"b-one"}
+    head = tracker.table_state(table.name).current_version
+
+    replay, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2), (3, 4)]), table, tracker, batch_label="b-one"
+    )
+    assert replay is None
+    assert tracker.table_state(table.name).current_version == head
+    assert _assignments(spark, table, tracker) == [(1, 1), (2, 1)]
+
+    empty = _pairs_df(spark, [(1, 2)]).where("id_a < 0")
+    changed3, _, _ = CX.extend_dedup_clusters(
+        empty, table, tracker, batch_label="b-empty"
+    )
+    assert changed3.count() == 0
+    assert CX.folded_batch_labels(tracker, table.name) == {"b-one", "b-empty"}
+
+
+def test_fold_new_dedup_pairs_consumes_journal(spark, tmp_path):
+    """End-to-end with the text dedup index's exactly-once pairs
+    journal: extends land batch partitions, fold_new_dedup_pairs folds
+    exactly the unfolded ones (in label order), the assignment equals
+    the one-shot over the journal's union, and a second sweep is a
+    no-op."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx_tracker = FileBackedVersionTracker(str(tmp_path / "_log_idx"))
+    idx_table = TableDefinition(
+        TableName("demo", "bands"), str(tmp_path / "bands"),
+        PartitionSchema(("band_shard",)),
+    )
+    idx_tracker.init_table(idx_table.name, is_snapshot=False, user_id="t")
+    pt = DX.dedup_pairs_table(idx_table)
+    DX.build_dedup_index(
+        docs.where("doc_id < 300"), idx_table, idx_tracker,
+        band_shards=8, doc_shards=4,
+    )
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 300 AND doc_id < 400"), idx_table, idx_tracker,
+        threshold=0.5, pairs_table=pt,
+    )
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 400"), idx_table, idx_tracker,
+        threshold=0.5, pairs_table=pt,
+    )
+
+    table = TableDefinition(
+        TableName("demo", "fromjournal"), str(tmp_path / "fromjournal"),
+        PartitionSchema(("doc_shard",)),
+    )
+    idx_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(
+        None, table, idx_tracker, doc_shards=4, cluster_shards=4
+    )
+    folded = CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker)
+    assert len(folded) == 2 and folded == sorted(folded)
+    assert CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker) == []
+    assert CX.verify_dedup_clusters(spark, table, idx_tracker).count() == 0
+
+    from chronicles_spark.spark.reader import read_version
+
+    journal = read_version(
+        spark, pt, idx_tracker.current_version(pt.name),
+        infer_partition_types=False,
+    ).select("id_a", "id_b")
+    assert journal.count() > 0
+    assert _assignments(spark, table, idx_tracker) == _want(journal)
+
+
+def test_lookup_reads_only_endpoint_shards(spark, tmp_path):
+    """The O(batch) claim, structurally: one pair's endpoints resolve to
+    strict subsets of the live assign shards, and a relabel's old
+    cluster to a subset of the member shards."""
+    table, tracker = _mk(tmp_path, "prune")
+    many = [(i, i + 1000) for i in range(200)]
+    CX.build_dedup_clusters(
+        _pairs_df(spark, many), table, tracker, doc_shards=16, cluster_shards=8
+    )
+    state = tracker.current_version(table.name)
+    live = {
+        dict(p.column_values)["doc_shard"] for p in state.partition_versions
+    }
+    assert len(live) > 8
+
+    one = _pairs_df(spark, [(3, 1003)])
+    endpoints = one.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    shards = {
+        r["s"]
+        for r in endpoints.select(
+            CX._doc_shard_col("doc_id", 16).alias("s")
+        ).collect()
+    }
+    sub = CX._restrict_to_values(state, CX.DOC_SHARD_COL, sorted(shards))
+    assert 0 < len(sub.partition_versions) <= 2 < len(live)
+
+    mstate = tracker.current_version(CX.cluster_members_table(table).name)
+    msub = CX._restrict_to_values(
+        mstate, CX.CLUSTER_SHARD_COL,
+        sorted({
+            r["s"]
+            for r in spark.createDataFrame([(3,)], "old_cluster long").select(
+                CX._cluster_shard_col("old_cluster", 8).alias("s")
+            ).collect()
+        }),
+    )
+    assert len(msub.partition_versions) <= 1
+
+
+def test_torn_pair_refused_and_crash_injection(spark, tmp_path):
+    """A crash between the group's two appends leaves the assignment
+    and members lines on different pair commits — the next fold refuses
+    loudly instead of relabeling from a stale companion."""
+    table, tracker = _mk(tmp_path, "torn")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=2)
+    CX.extend_dedup_clusters(_pairs_df(spark, [(1, 2)]), table, tracker)
+
+    orig = tracker._append_commit
+    calls = {"n": 0}
+
+    def boom(tbl, update):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first append (primary) lands, second dies
+            raise RuntimeError("simulated crash")
+        return orig(tbl, update)
+
+    tracker._append_commit = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        CX.extend_dedup_clusters(_pairs_df(spark, [(2, 5)]), table, tracker)
+    tracker._append_commit = orig
+
+    tracker2 = FileBackedVersionTracker(str(tmp_path / "_log_torn"))
+    with pytest.raises(TornPairError, match="build_dedup_clusters"):
+        CX.extend_dedup_clusters(_pairs_df(spark, [(5, 6)]), table, tracker2)
+
+
+def test_validation_and_empty_index_artifacts(spark, tmp_path):
+    """Null endpoints are rejected by name; an EMPTY built index (no
+    partitions yet) still resolves its geometry through the head pair
+    label's sidecar; self-pairs carry no edge."""
+    table, tracker = _mk(tmp_path, "valid")
+    _, arts = CX.build_dedup_clusters(
+        None, table, tracker, doc_shards=4, cluster_shards=2
+    )
+    assert (arts.doc_shards, arts.cluster_shards) == (4, 2)
+
+    with pytest.raises(ValueError, match="NULL endpoint"):
+        CX.extend_dedup_clusters(
+            spark.createDataFrame(
+                [(1, None)], "id_a long, id_b long"
+            ),
+            table, tracker,
+        )
+    # self-pairs alone are an empty batch (no edges)
+    changed, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(7, 7)]), table, tracker
+    )
+    assert changed.count() == 0
+    assert _assignments(spark, table, tracker) == []
