@@ -223,9 +223,10 @@ def main():
         "q_dedup_incremental",  # r8: O(batch) corpus-delta dedup row
         "q_dedup_minhash_lsh",
         "q_dedup_ngram_jaccard",
-        "q_dedup_simhash_pairs",
+        "q_dedup_simhash_pairs",  # r10: carries the simhash-index gate
         "q_dedup_embedding",
         "q_dedup_clusters",
+        "q_dedup_clusters_incremental",  # r10: journal-fold cluster row
         "q_ann_cosine_topk",
         "q_ann_ivf",
         "q_mm_decode_meta",
@@ -245,7 +246,6 @@ def main():
         "q_stratified_sample",
         "q_pack_sequences",
         "q_training_shards",
-        "q_mm_frame_sample",
         "q_emb_transform",
         "q_ann_ivf_kmeans",
         "q_compact_roundtrip",  # fixture memoized: times the tag-pinned read
