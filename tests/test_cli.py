@@ -746,3 +746,24 @@ def test_dedup_simhash_cli_family(spark, tmp_path):
         client, console, "u",
     ) == 0
     assert C.run(["dedup", "verify", *args], client, console, "u") == 0
+
+
+def test_dedup_rebuild_rejects_immutable_geometry_flags(spark, tmp_path):
+    """ADVICE r9: 'dedup rebuild' used to silently DROP --width/--bits
+    (the immutable, payload-defining fields); asking to change them now
+    errors, pointing at a fresh build."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    loc = str(tmp_path / "dd")
+    client, console = make_client()
+    assert C.run(
+        ["dedup", "rebuild", "db.dd", "--location", loc, "--width", "5"],
+        client, console, "u",
+    ) == 1
+    assert any("--width cannot change" in l for l in console.err)
+    console.err.clear()
+    assert C.run(
+        ["dedup", "rebuild", "db.dd", "--location", loc,
+         "--family", "simhash", "--bits", "16"],
+        client, console, "u",
+    ) == 1
+    assert any("--bits cannot change" in l for l in console.err)

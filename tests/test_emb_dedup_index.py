@@ -367,3 +367,35 @@ def test_embedding_stream_sink_and_epoch_replay(spark, tmp_path):
         EX.commit_embedding_dedup_stream_batch(
             emb.where("vec_id >= 490"), last_epoch - 1, table, tracker, "t",
         )
+
+
+def test_batch_vector_type_mismatch_rejected(spark, tmp_path):
+    """ADVICE r9: a double-array batch against a float-built index must
+    raise instead of unionByName silently widening the touched shards
+    to double (mixed parquet physical types across shards)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.sin((F.col("id") + 1) * F.lit(0.3 + 0.7 * j)).cast("float")
+            for j in range(8)
+        ]).alias("embedding"),
+    )
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log_dtype"))
+    table = TableDefinition(
+        TableName("demo", "embdtype"), str(tmp_path / "embdtype"),
+        PartitionSchema(("band_shard",)),
+    )
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    EX.build_embedding_dedup_index(
+        vecs, table, tracker, dim=8, n_planes=8, bands=2,
+        band_shards=4, doc_shards=2,
+    )
+    bad = spark.createDataFrame(
+        [(900, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="keep column types stable"):
+        EX.extend_embedding_dedup_index(bad, table, tracker)

@@ -142,3 +142,52 @@ def test_resubmission_and_rebuild(spark, tmp_path):
         SX.extend_simhash_dedup_index(
             docs.where("doc_id IN (3, 900)"), table, tracker, mode="append"
         )
+
+
+def test_bits_over_32_rejected(spark, tmp_path):
+    """ADVICE r9: simhash_expr derives one vote per md5 hex digit (32);
+    bits beyond that would be constant '0' and persist as degenerate
+    band geometry — refused at build/validate time."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "bits64")
+    with pytest.raises(ValueError, match="32 votes"):
+        SX.build_simhash_dedup_index(
+            docs.where("doc_id < 20"), table, tracker, bits=64, bands=4
+        )
+
+
+def test_torn_pair_refused_at_family_level(spark, tmp_path):
+    """Round-10 directive #3: the crash-between-appends exposure and its
+    loud refusal, exercised through the SIMHASH family's own wrappers
+    (the shared-core tests cover the mechanics; this pins the family
+    wiring and its repair advice)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "torn")
+    SX.build_simhash_dedup_index(
+        docs.where("doc_id < 60"), table, tracker,
+        bits=BITS, bands=BANDS, band_shards=4, doc_shards=2,
+    )
+
+    orig = tracker._append_commit
+    calls = {"n": 0}
+
+    def boom(tbl, update):
+        calls["n"] += 1
+        if calls["n"] == 2:  # band line lands, docs line dies
+            raise RuntimeError("simulated crash")
+        return orig(tbl, update)
+
+    tracker._append_commit = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        SX.extend_simhash_dedup_index(
+            docs.where("doc_id >= 60 AND doc_id < 70"), table, tracker
+        )
+    tracker._append_commit = orig
+
+    tracker2 = FileBackedVersionTracker(str(tmp_path / "_log_torn"))
+    from chronicles_spark.operators.pairing import TornPairError
+
+    with pytest.raises(TornPairError, match="build_simhash_dedup_index"):
+        SX.extend_simhash_dedup_index(
+            docs.where("doc_id >= 70 AND doc_id < 80"), table, tracker2
+        )
