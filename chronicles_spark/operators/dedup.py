@@ -764,7 +764,14 @@ def semantic_dedup(
     policy family as ``max_band_freq``/``max_shingle_freq``): near-dups
     that straddle a sub-bucket boundary inside an oversized cluster are
     the documented recall trade-off — raise ``n_clusters`` to shrink
-    clusters instead of raising the cutoff."""
+    clusters instead of raising the cutoff.
+
+    Deliberately ONE-SHOT: the learned k-means partition is global
+    state — folding deltas in would freeze stale centroids or re-fit
+    (which IS the one-shot).  For incremental workloads use
+    :mod:`~chronicles_spark.operators.emb_dedup_index` (sign-LSH needs
+    no learned state) or probe a maintained ANN index at the same
+    k-means geometry; ``docs/usage.md`` §8f says which applies when."""
     from .similarity import (
         _assign_nearest,
         as_double,

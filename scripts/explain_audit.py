@@ -43,10 +43,12 @@ HEADLINE = [
     # a diff, not an inference (the r8 q_fold_incremental adjudication);
     # plus the embedding dedup index's new hash-checked row
     "q_fold_incremental", "q_dedup_emb_incremental",
+    # round 10: the incremental cluster-fold row
+    "q_dedup_clusters_incremental",
 ]
 
 # Python appears legitimately only where Python IS the payload
-PYTHON_OK = {"q_mm_decode_meta", "q_mm_frame_sample"}
+PYTHON_OK = {"q_mm_decode_meta"}  # frame-sample merged in (round 10)
 
 # queries whose scans MUST show pushed filters (a selective predicate on a
 # parquet source); pushed_filter_scans == 0 here means pushdown broke
