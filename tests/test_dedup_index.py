@@ -828,3 +828,30 @@ def test_batch_id_type_mismatch_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="keep column types stable"):
         DX.extend_dedup_index(bad, table, tracker)
+
+
+def test_delta_lookup_join_broadcasts_via_aqe(spark, tmp_path):
+    """Round-10 directive #5 evidence: with the forced hint gone, a
+    DELTA-scale batch's lookup join still ends up broadcast — chosen by
+    AQE from runtime stats, instead of decreed for all batch sizes."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table, tracker = _mk_index(tmp_path, "aqe")
+    _, arts = DX.build_dedup_index(
+        docs, table, tracker, band_shards=8, doc_shards=4
+    )
+    from chronicles_spark.spark.reader import read_version
+
+    docs_state = tracker.current_version(DX.dedup_docs_table(table).name)
+    new_ids = docs.where("doc_id IN (3, 5)").select("doc_id")
+    lookup = (
+        read_version(
+            spark, DX.dedup_docs_table(table), docs_state,
+            infer_partition_types=False,
+        )
+        .select("doc_id")
+        .join(new_ids, "doc_id", "left_semi")
+    )
+    assert lookup.count() == 2
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
+    assert "BroadcastHashJoin" in plan, plan
