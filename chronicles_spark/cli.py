@@ -253,7 +253,8 @@ class DedupIndexAction:
     flags left unset take the operator defaults on build and mean "keep
     the current value" on rebuild."""
 
-    operation: str  # build|extend|verify|rebuild|repair-pairs|vacuum-artifacts
+    operation: str  # build|extend|verify|rebuild|repair-pairs|
+    #                 vacuum-artifacts|fold-clusters|verify-clusters
     table: TableName
     location: str
     family: str = "text"  # text | embedding | simhash
@@ -276,6 +277,12 @@ class DedupIndexAction:
     pairs: bool = False
     apply: bool = False
     orphan_min_age_days: float = 7.0
+    # fold-clusters: the assignment table the pairs journal folds into
+    # (the action's table/location then name the PAIRS table);
+    # verify-clusters audits table/location as the assignment table
+    clusters_table: Optional[TableName] = None
+    clusters_location: Optional[str] = None
+    cluster_shards: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +624,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_dd.add_argument(
         "operation",
         choices=["build", "extend", "verify", "rebuild", "repair-pairs",
-                 "vacuum-artifacts"],
+                 "vacuum-artifacts", "fold-clusters", "verify-clusters"],
     )
     p_dd.add_argument("table")
     p_dd.add_argument("--location", required=True, help="Index storage root")
@@ -671,6 +678,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="vacuum-artifacts: actually delete (default: dry-run)",
     )
     p_dd.add_argument("--orphan-min-age-days", type=float, default=7.0)
+    p_dd.add_argument(
+        "--clusters-table", default=None,
+        help="fold-clusters: assignment table the journal folds into "
+        "(positional table/--location then name the PAIRS table)",
+    )
+    p_dd.add_argument(
+        "--clusters-location", default=None,
+        help="fold-clusters: assignment table storage root",
+    )
+    p_dd.add_argument(
+        "--cluster-shards", type=int, default=None,
+        help="fold-clusters bootstrap: members-table shard count",
+    )
 
     return parser
 
@@ -757,6 +777,14 @@ def parse_action(argv: Sequence[str]):
             raise CliError(f"dedup {ns.operation} needs --input <parquet path>")
         if ns.operation == "build" and ns.family == "embedding" and not ns.dim:
             raise CliError("dedup build --family embedding needs --dim")
+        if ns.operation == "fold-clusters" and not (
+            ns.clusters_table and ns.clusters_location
+        ):
+            raise CliError(
+                "dedup fold-clusters needs --clusters-table and "
+                "--clusters-location (the positional table/--location "
+                "name the pairs journal)"
+            )
         return ns, DedupIndexAction(
             ns.operation, _table_name(ns.table), ns.location,
             family=ns.family, input_path=ns.input, id_col=ns.id_col,
@@ -768,6 +796,11 @@ def parse_action(argv: Sequence[str]):
             band_shards=ns.band_shards, doc_shards=ns.doc_shards,
             pairs=ns.pairs, apply=ns.apply,
             orphan_min_age_days=ns.orphan_min_age_days,
+            clusters_table=(
+                _table_name(ns.clusters_table) if ns.clusters_table else None
+            ),
+            clusters_location=ns.clusters_location,
+            cluster_shards=ns.cluster_shards,
         )
     raise CliError(f"Unknown command {ns.command!r}")
 
@@ -1164,6 +1197,10 @@ class CliClient:
         repair-pairs and vacuum-artifacts are pure metadata."""
         from .operators import dedup_index as DX
 
+        if action.operation in ("fold-clusters", "verify-clusters"):
+            self._dedup_clusters(action, user_id)
+            return
+
         emb = action.family == "embedding"
         sim = action.family == "simhash"
         id_col = action.id_col or ("vec_id" if emb else "doc_id")
@@ -1350,6 +1387,79 @@ class CliClient:
             )
         else:
             raise CliError(f"Unknown dedup operation {action.operation!r}")
+
+    def _dedup_clusters(self, action: DedupIndexAction, user_id: str) -> None:
+        """The incremental duplicate-cluster surface
+        (operators/cluster_index.py): ``fold-clusters`` catches the
+        assignment table up with the pairs journal (bootstrapping an
+        empty index on first use), ``verify-clusters`` audits the
+        paired tables and exits non-zero on divergence."""
+        from pyspark.sql import SparkSession
+
+        from .operators import cluster_index as CX
+        from .operators.pairing import pinned_state
+
+        tracker = self.delegate.tracker
+        spark = SparkSession.builder.getOrCreate()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        if action.operation == "verify-clusters":
+            assign = TableDefinition(
+                action.table, location=action.location,
+                partition_schema=PartitionSchema((CX.DOC_SHARD_COL,)),
+            )
+            bad = CX.verify_dedup_clusters(spark, assign, tracker)
+            rows = bad.limit(21).collect()
+            for r in rows[:20]:
+                self.console.println(
+                    f"{r['doc_id']}\tassign={r['assign_cluster']}\t"
+                    f"members={r['members_cluster']}\t{r['problem']}"
+                )
+            if rows:
+                raise CliError(
+                    f"cluster assignment inconsistent for "
+                    f"{action.table.fully_qualified}"
+                )
+            self.console.println(
+                f"Assignment and members tables agree for "
+                f"'{action.table.fully_qualified}'"
+            )
+            return
+
+        pairs_table = TableDefinition(
+            action.table, location=action.location,
+            partition_schema=PartitionSchema((CX.PAIRS_BATCH_COL,)),
+        )
+        assign = TableDefinition(
+            action.clusters_table, location=action.clusters_location,
+            partition_schema=PartitionSchema((CX.DOC_SHARD_COL,)),
+        )
+        tracker.init_table(assign.name, is_snapshot=False, user_id=user_id)
+        state, _, head_pair = pinned_state(tracker, assign.name)
+        if head_pair is None and not getattr(
+            state, "partition_versions", None
+        ):
+            # first use: bootstrap an empty index (sidecar + marker)
+            CX.build_dedup_clusters(
+                None, assign, tracker, user_id=user_id,
+                doc_shards=action.doc_shards or 32,
+                cluster_shards=action.cluster_shards or 32,
+            )
+            self.console.println(
+                f"Bootstrapped empty cluster index "
+                f"'{action.clusters_table.fully_qualified}'"
+            )
+        folded = CX.fold_new_dedup_pairs(
+            spark, pairs_table, assign, tracker, user_id=user_id,
+            message=action.message,
+        )
+        for label in folded:
+            self.console.println(f"Folded pairs batch '{label}'")
+        self.console.println(
+            f"Folded {len(folded)} new pairs batch"
+            f"{'' if len(folded) == 1 else 'es'} into "
+            f"'{action.clusters_table.fully_qualified}'"
+        )
 
 
 def run(argv: Sequence[str], client: CliClient, console: Console, user_id: str) -> int:

@@ -767,3 +767,102 @@ def test_dedup_rebuild_rejects_immutable_geometry_flags(spark, tmp_path):
         client, console, "u",
     ) == 1
     assert any("--bits cannot change" in l for l in console.err)
+
+
+def test_dedup_fold_clusters_end_to_end(spark, tmp_path):
+    """Round-10: the cluster-index shell surface — build+extend journal
+    pairs through the dedup verbs, then fold-clusters bootstraps the
+    assignment table and consumes the journal exactly-once;
+    verify-clusters exits 0 (and a re-fold is a no-op)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 97).cast(
+                "string"
+            ),
+        )
+        for j in range(20)
+    ]
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    src1 = str(tmp_path / "cdocs1.parquet")
+    src2 = str(tmp_path / "cdocs2.parquet")
+    docs.where("doc_id < 20").write.parquet(src1)
+    docs.where("doc_id >= 20").unionByName(
+        docs.where("doc_id = 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+    ).write.parquet(src2)
+    loc = str(tmp_path / "cdd")
+    cloc = str(tmp_path / "cclusters")
+
+    client, console = make_client()
+    assert C.run(
+        ["dedup", "build", "db.cdd", "--location", loc, "--input", src1,
+         "--band-shards", "8", "--doc-shards", "4"],
+        client, console, "u",
+    ) == 0
+    assert C.run(
+        ["dedup", "extend", "db.cdd", "--location", loc, "--input", src2,
+         "--pairs"],
+        client, console, "u",
+    ) == 0
+
+    # missing flags → parse error
+    with pytest.raises(C.CliError, match="fold-clusters needs"):
+        C.parse_action(
+            ["dedup", "fold-clusters", "db.cdd_pairs", "--location", loc]
+        )
+
+    console.out.clear()
+    assert C.run(
+        ["dedup", "fold-clusters", "db.cdd_pairs",
+         "--location", loc + "_pairs",
+         "--clusters-table", "db.cclusters", "--clusters-location", cloc,
+         "--doc-shards", "4", "--cluster-shards", "4"],
+        client, console, "u",
+    ) == 0
+    assert any("Bootstrapped empty cluster index" in l for l in console.out)
+    assert any("Folded 1 new pairs batch" in l for l in console.out)
+
+    assert C.run(
+        ["dedup", "verify-clusters", "db.cclusters", "--location", cloc],
+        client, console, "u",
+    ) == 0
+    assert any("agree" in l for l in console.out)
+
+    # second sweep: nothing new
+    console.out.clear()
+    assert C.run(
+        ["dedup", "fold-clusters", "db.cdd_pairs",
+         "--location", loc + "_pairs",
+         "--clusters-table", "db.cclusters", "--clusters-location", cloc],
+        client, console, "u",
+    ) == 0
+    assert any("Folded 0 new pairs batches" in l for l in console.out)
+
+    # the planted duplicate (3, 103) landed as one cluster
+    from chronicles_spark.core.model import (
+        PartitionSchema, TableDefinition, TableName,
+    )
+    from chronicles_spark.operators import cluster_index as CX
+    from chronicles_spark.spark.reader import read_version
+
+    assign = TableDefinition(
+        TableName("db", "cclusters"), cloc, PartitionSchema(("doc_shard",))
+    )
+    rows = dict(
+        (r["doc_id"], r["cluster_id"])
+        for r in read_version(
+            spark, assign,
+            client.delegate.tracker.current_version(assign.name),
+            infer_partition_types=False,
+        ).collect()
+    )
+    assert rows.get(103) == 3 and rows.get(3) == 3
