@@ -272,6 +272,9 @@ class DedupIndexAction:
     dim: Optional[int] = None  # embedding build only (required there)
     bits: Optional[int] = None  # simhash family
     max_hamming: int = 3  # simhash family
+    n_clusters: Optional[int] = None  # semantic family
+    iters: int = 3  # semantic family (k-means fit)
+    train_fraction: Optional[float] = None  # semantic family
     band_shards: Optional[int] = None
     doc_shards: Optional[int] = None
     pairs: bool = False
@@ -629,10 +632,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_dd.add_argument("table")
     p_dd.add_argument("--location", required=True, help="Index storage root")
     p_dd.add_argument(
-        "--family", choices=["text", "embedding", "simhash"], default="text",
+        "--family",
+        choices=["text", "embedding", "simhash", "semantic"],
+        default="text",
         help="text = MinHash shingles (doc_id, text); "
         "embedding = sign-LSH (vec_id, embedding); "
-        "simhash = banded fingerprints (doc_id, text)",
+        "simhash = banded fingerprints (doc_id, text); "
+        "semantic = pinned k-means clusters (vec_id, embedding)",
     )
     p_dd.add_argument(
         "--input", default=None,
@@ -661,6 +667,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_dd.add_argument(
         "--n-planes", type=int, default=None, help="embedding family"
+    )
+    p_dd.add_argument(
+        "--n-clusters", type=int, default=None, help="semantic family"
+    )
+    p_dd.add_argument(
+        "--iters", type=int, default=3, help="semantic family k-means fit"
+    )
+    p_dd.add_argument(
+        "--train-fraction", type=float, default=None,
+        help="semantic family: sample fraction for the k-means fit",
     )
     p_dd.add_argument(
         "--dim", type=int, default=None,
@@ -775,8 +791,10 @@ def parse_action(argv: Sequence[str]):
     if ns.command == "dedup":
         if ns.operation in ("build", "extend") and not ns.input:
             raise CliError(f"dedup {ns.operation} needs --input <parquet path>")
-        if ns.operation == "build" and ns.family == "embedding" and not ns.dim:
-            raise CliError("dedup build --family embedding needs --dim")
+        if ns.operation == "build" and ns.family in (
+            "embedding", "semantic"
+        ) and not ns.dim:
+            raise CliError(f"dedup build --family {ns.family} needs --dim")
         if ns.operation == "fold-clusters" and not (
             ns.clusters_table and ns.clusters_location
         ):
@@ -793,6 +811,8 @@ def parse_action(argv: Sequence[str]):
             mode=ns.mode, threshold=ns.threshold, bands=ns.bands,
             rows=ns.rows, width=ns.width, n_planes=ns.n_planes, dim=ns.dim,
             bits=ns.bits, max_hamming=ns.max_hamming,
+            n_clusters=ns.n_clusters, iters=ns.iters,
+            train_fraction=ns.train_fraction,
             band_shards=ns.band_shards, doc_shards=ns.doc_shards,
             pairs=ns.pairs, apply=ns.apply,
             orphan_min_age_days=ns.orphan_min_age_days,
@@ -1203,7 +1223,8 @@ class CliClient:
 
         emb = action.family == "embedding"
         sim = action.family == "simhash"
-        id_col = action.id_col or ("vec_id" if emb else "doc_id")
+        sem = action.family == "semantic"
+        id_col = action.id_col or ("vec_id" if emb or sem else "doc_id")
         table = TableDefinition(
             action.table,
             location=action.location,
@@ -1243,6 +1264,8 @@ class CliClient:
             from .operators import emb_dedup_index as EX
         if sim:
             from .operators import simhash_index as SX
+        if sem:
+            from .operators import semantic_dedup_index as SDX
         spark = SparkSession.builder.getOrCreate()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pairs_table = DX.dedup_pairs_table(table) if action.pairs else None
@@ -1260,6 +1283,14 @@ class CliClient:
         elif sim:
             if action.bits is not None:
                 geo["bits"] = action.bits
+        elif sem:
+            if "bands" in geo:  # no banding knob: one band per vector
+                raise CliError(
+                    "--bands does not apply to --family semantic (one "
+                    "cluster band per vector; tune --n-clusters instead)"
+                )
+            if action.n_clusters is not None:
+                geo["n_clusters"] = action.n_clusters
         else:
             for k, v in (("rows", action.rows), ("width", action.width)):
                 if v is not None:
@@ -1274,6 +1305,13 @@ class CliClient:
                     df, table, tracker, dim=action.dim, user_id=user_id,
                     message=action.message, id_col=id_col,
                     vec_col=action.vec_col, **geo,
+                )
+            elif sem:
+                state, arts = SDX.build_semantic_dedup_index(
+                    df, table, tracker, dim=action.dim, user_id=user_id,
+                    message=action.message, id_col=id_col,
+                    vec_col=action.vec_col, iters=action.iters,
+                    train_fraction=action.train_fraction, **geo,
                 )
             elif sim:
                 state, arts = SX.build_simhash_dedup_index(
@@ -1292,10 +1330,16 @@ class CliClient:
         elif action.operation == "extend":
             df = spark.read.parquet(action.input_path)
             thr = action.threshold if action.threshold is not None else (
-                0.95 if emb else 0.5
+                0.95 if emb else 0.9 if sem else 0.5
             )
             if emb:
                 pairs, state, arts = EX.extend_embedding_dedup_index(
+                    df, table, tracker, user_id, action.message,
+                    threshold=thr, mode=action.mode, id_col=id_col,
+                    vec_col=action.vec_col, pairs_table=pairs_table,
+                )
+            elif sem:
+                pairs, state, arts = SDX.extend_semantic_dedup_index(
                     df, table, tracker, user_id, action.message,
                     threshold=thr, mode=action.mode, id_col=id_col,
                     vec_col=action.vec_col, pairs_table=pairs_table,
@@ -1321,6 +1365,11 @@ class CliClient:
         elif action.operation == "verify":
             if emb:
                 bad = EX.verify_embedding_dedup_index(
+                    spark, table, tracker, id_col=id_col,
+                    vec_col=action.vec_col,
+                )
+            elif sem:
+                bad = SDX.verify_semantic_dedup_index(
                     spark, table, tracker, id_col=id_col,
                     vec_col=action.vec_col,
                 )
@@ -1354,6 +1403,18 @@ class CliClient:
         elif action.operation == "rebuild":
             if emb:
                 state, arts = EX.rebuild_embedding_dedup_index(
+                    spark, table, tracker, user_id, action.message,
+                    id_col=id_col, vec_col=action.vec_col,
+                    pairs_table=pairs_table, **geo,
+                )
+            elif sem:
+                if "n_clusters" in geo:  # immutable: pinned quantizer
+                    raise CliError(
+                        "--n-clusters cannot change on 'dedup rebuild' "
+                        "(the centroids are the index's pinned quantizer); "
+                        "run a fresh 'dedup build' to re-fit"
+                    )
+                state, arts = SDX.rebuild_semantic_dedup_index(
                     spark, table, tracker, user_id, action.message,
                     id_col=id_col, vec_col=action.vec_col,
                     pairs_table=pairs_table, **geo,

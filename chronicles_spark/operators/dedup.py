@@ -744,6 +744,7 @@ def semantic_dedup(
     train_fraction: float | None = None,
     max_cluster_size: int = 10_000,
     sub_planes: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -766,12 +767,13 @@ def semantic_dedup(
     the documented recall trade-off — raise ``n_clusters`` to shrink
     clusters instead of raising the cutoff.
 
-    Deliberately ONE-SHOT: the learned k-means partition is global
-    state — folding deltas in would freeze stale centroids or re-fit
-    (which IS the one-shot).  For incremental workloads use
-    :mod:`~chronicles_spark.operators.emb_dedup_index` (sign-LSH needs
-    no learned state) or probe a maintained ANN index at the same
-    k-means geometry; ``docs/usage.md`` §8f says which applies when."""
+    Deliberately ONE-SHOT: this function re-FITS the quantizer per run.
+    The incremental path is
+    :mod:`~chronicles_spark.operators.semantic_dedup_index` (same
+    recipe, centroids PINNED in the index's geometry sidecar — extends
+    agree with this function under injected ``centroids``), or
+    :mod:`~chronicles_spark.operators.emb_dedup_index` when no learned
+    state is wanted; ``docs/usage.md`` §8f says which applies when."""
     from .similarity import (
         _assign_nearest,
         as_double,
@@ -792,9 +794,14 @@ def semantic_dedup(
             f"dim={dim} does not match the embedding dimension "
             f"{dim_row[0]['d']} observed in {vec_col!r}"
         )
-    centroids = kmeans_fit(
-        df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
-    )
+    # centroids= injects an existing quantizer (the ANN-build move) —
+    # the incremental index's differential contract runs the one-shot
+    # under the index's PINNED centroids
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, n_clusters, iters, id_col, vec_col,
+            train_fraction=train_fraction,
+        )
     vd = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     # barrier the ASSIGNMENT as (id, cluster) — two narrow columns, the
     # shape lineage_barrier is for — so the k-means argmin runs over the

@@ -866,3 +866,65 @@ def test_dedup_fold_clusters_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert rows.get(103) == 3 and rows.get(3) == 3
+
+
+def test_dedup_semantic_cli_family(spark, tmp_path):
+    """Round-10: the SEMANTIC family rides the same verbs — build
+    --family semantic --dim fits and pins centroids, extend finds the
+    planted same-cluster duplicate, verify audits, rebuild refuses a
+    quantizer change."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.sin((F.col("id") % 20 + 1) * F.lit(0.3 + 0.7 * j)).cast("float")
+            for j in range(8)
+        ]).alias("embedding"),
+    )
+    src1 = str(tmp_path / "vecs1.parquet")
+    src2 = str(tmp_path / "vecs2.parquet")
+    vecs.where("vec_id < 40").write.parquet(src1)
+    vecs.where("vec_id >= 40").write.parquet(src2)  # id%20 twins of 0..19
+    loc = str(tmp_path / "sdd")
+
+    client, console = make_client()
+    with pytest.raises(C.CliError, match="needs --dim"):
+        C.parse_action(
+            ["dedup", "build", "db.sdd", "--location", loc, "--input", src1,
+             "--family", "semantic"]
+        )
+    assert C.run(
+        ["dedup", "build", "db.sdd", "--location", loc, "--input", src1,
+         "--family", "semantic", "--dim", "8", "--n-clusters", "4",
+         "--band-shards", "4", "--doc-shards", "2"],
+        client, console, "u",
+    ) == 0
+    assert any("Built semantic dedup index" in l for l in console.out)
+
+    assert C.run(
+        ["dedup", "extend", "db.sdd", "--location", loc, "--input", src2,
+         "--family", "semantic", "--threshold", "0.99"],
+        client, console, "u",
+    ) == 0
+    ext = [l for l in console.out if "Extended semantic dedup index" in l]
+    assert ext and ", 0 verified" not in ext[0]  # the id%20 twins pair
+
+    assert C.run(
+        ["dedup", "verify", "db.sdd", "--location", loc,
+         "--family", "semantic"],
+        client, console, "u",
+    ) == 0
+    console.err.clear()
+    assert C.run(
+        ["dedup", "rebuild", "db.sdd", "--location", loc,
+         "--family", "semantic", "--n-clusters", "8"],
+        client, console, "u",
+    ) == 1
+    assert any("--n-clusters cannot change" in l for l in console.err)
+    assert C.run(
+        ["dedup", "rebuild", "db.sdd", "--location", loc,
+         "--family", "semantic", "--band-shards", "8"],
+        client, console, "u",
+    ) == 0
