@@ -89,12 +89,18 @@ from .dedup_index import (
     _run_maybe_exclusive,
     _sync_metastore,
     _write_artifact_sidecar,
+    DedupGeometryDriftWarning,
     DOC_SHARD_COL,
     PAIRS_BATCH_COL,
 )
+
 from .pairing import check_pair, pinned_state, publish_group
 
 CLUSTER_SHARD_COL = "cluster_shard"
+
+# assignment rows are ~two ids (~20-40 bytes) — 10M rows ≈ the "few
+# hundred MB per shard" sizing target the other families document
+DRIFT_MAX_ASSIGN_SHARD_ROWS = 10_000_000
 
 _FOLDS_RE = re.compile(r"\[folds:([^\]]+)\]")
 
@@ -273,6 +279,100 @@ def build_dedup_clusters(
     return state, artifacts
 
 
+def rebuild_dedup_clusters(
+    spark: SparkSession,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "rebuild dedup clusters",
+    doc_shards: "int | None" = None,
+    cluster_shards: "int | None" = None,
+    id_col: str = "doc_id",
+    metastore=None,
+):
+    """Re-shard the assignment + members tables in place under NEW shard
+    counts — the family's re-geometry escape hatch (the other index
+    families' sizing rule applies: roughly double the shard counts when
+    the corpus doubles; folds WARN via
+    :class:`~chronicles_spark.operators.dedup_index.
+    DedupGeometryDriftWarning` when a touched shard outgrows the
+    target).  Cost: ONE pass over the assignment table (both layouts
+    re-derive from the same rows).  Publishes both rewrites — removing
+    every prior partition not overwritten — as one STRICT pair commit
+    pinned on both lines, so a racing fold conflicts loudly.  The
+    ``[folds:...]`` watermark history is untouched (it lives in the
+    commit log, not the data).  Returns ``(assignment_table_state,
+    ClusterArtifacts)``."""
+    from ..spark.reader import read_version
+    from ..spark.writer import partitions_written, write_versioned
+
+    _require_cluster_partitioning(table)
+    _require_dynamic_overwrite(spark)
+    members_table = cluster_members_table(table)
+    state, base_head, head_pair = pinned_state(tracker, table.name)
+    mstate, m_head, m_pair = pinned_state(tracker, members_table.name)
+    check_pair(table, head_pair, m_pair, _CLUSTER_REPAIR_ADVICE)
+    old = load_cluster_artifacts(table, state, head_pair)
+    new_geo = dict(
+        doc_shards=doc_shards if doc_shards is not None else old.doc_shards,
+        cluster_shards=(
+            cluster_shards if cluster_shards is not None
+            else old.cluster_shards
+        ),
+    )
+    for n, v in new_geo.items():
+        if v < 1:
+            raise ValueError(f"{n} must be >= 1, got {v}")
+    version = generate_version()
+    artifacts = ClusterArtifacts(version_label=version.label, **new_geo)
+    _write_artifact_sidecar(table, artifacts)
+
+    assign_parts: list = []
+    member_parts: list = []
+    if state.partition_versions:
+        rows = read_version(
+            spark, table, state, infer_partition_types=False
+        ).select(F.col(id_col), "cluster_id")
+        write_versioned(
+            rows.withColumn(
+                DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards)
+            )
+            .repartition(F.col(DOC_SHARD_COL))
+            .sortWithinPartitions(DOC_SHARD_COL, id_col),
+            table, version,
+        )
+        assign_parts = partitions_written(table, version, spark=spark)
+        write_versioned(
+            rows.withColumn(
+                CLUSTER_SHARD_COL,
+                _cluster_shard_col("cluster_id", artifacts.cluster_shards),
+            )
+            .repartition(F.col(CLUSTER_SHARD_COL))
+            .sortWithinPartitions(CLUSTER_SHARD_COL, "cluster_id"),
+            members_table, version,
+        )
+        member_parts = partitions_written(members_table, version, spark=spark)
+
+    rm_assign = [
+        p for p in state.partition_versions if p not in set(assign_parts)
+    ]
+    rm_members = [
+        p for p in mstate.partition_versions if p not in set(member_parts)
+    ]
+    publish_group(
+        spark, tracker, version, user_id, message,
+        [
+            (table, None, assign_parts, rm_assign),
+            (members_table, None, member_parts, rm_members),
+        ],
+        expected_heads={table.name: base_head, members_table.name: m_head},
+        allow_disjoint=False,
+    )
+    new_state = tracker.current_version(table.name)
+    _sync_metastore(metastore, table, new_state)
+    return new_state, artifacts
+
+
 def extend_dedup_clusters(
     pairs_new: DataFrame,
     table: TableDefinition,
@@ -285,6 +385,7 @@ def extend_dedup_clusters(
     id_col: str = "doc_id",
     metastore=None,
     exclusive: bool = False,
+    drift_shard_rows: "int | None" = DRIFT_MAX_ASSIGN_SHARD_ROWS,
 ):
     """Fold ONE batch of verified duplicate pairs into the assignment —
     in O(batch + members of relabeled clusters), independent of how many
@@ -331,7 +432,7 @@ def extend_dedup_clusters(
     def _run():
         return _fold_batch(
             pairs_new, table, tracker, user_id, message, batch_label,
-            concurrency, artifacts, id_col, metastore,
+            concurrency, artifacts, id_col, metastore, drift_shard_rows,
         )
 
     return _run_maybe_exclusive(tracker, table, exclusive, _run)
@@ -360,6 +461,7 @@ def _collect_shards_and_ids(df, id_expr, shard_expr):
 def _fold_batch(
     pairs_new, table, tracker, user_id, message, batch_label,
     concurrency, artifacts, id_col, metastore,
+    drift_shard_rows: "int | None" = DRIFT_MAX_ASSIGN_SHARD_ROWS,
 ):
     from ..spark.reader import read_version
 
@@ -558,13 +660,29 @@ def _fold_batch(
         )
 
     # a relabeled-away cluster can empty its member shard; assign shards
-    # never empty (every touched one receives its changed rows back)
-    written_m_shards = {
-        r["_s"]
-        for r in members_out.select(
-            F.col(CLUSTER_SHARD_COL).alias("_s")
-        ).distinct().collect()
-    }
+    # never empty (every touched one receives its changed rows back).
+    # The same pass that finds the written shards yields per-shard row
+    # counts for the geometry-drift guard (members rows == assignment
+    # rows overall, so observing the members side covers both tables
+    # without an extra evaluation of assign_out).
+    m_counts = members_out.groupBy(
+        F.col(CLUSTER_SHARD_COL).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n")).collect()
+    written_m_shards = {r["_s"] for r in m_counts}
+    if drift_shard_rows is not None and m_counts:
+        worst = max(m_counts, key=lambda r: r["_n"])
+        if worst["_n"] > drift_shard_rows:
+            import warnings
+
+            warnings.warn(
+                f"cluster index {table.name}: touched member shard "
+                f"{worst['_s']!r} now holds {worst['_n']} rows (> "
+                f"{drift_shard_rows} sizing target) — the index has "
+                "outgrown its shard geometry; run rebuild_dedup_clusters "
+                "with scaled doc_shards/cluster_shards",
+                DedupGeometryDriftWarning,
+                stacklevel=3,
+            )
     had_live_m = {
         dict(p.column_values)[CLUSTER_SHARD_COL]
         for p in msub.partition_versions

@@ -342,3 +342,54 @@ def test_validation_and_empty_index_artifacts(spark, tmp_path):
     )
     assert changed.count() == 0
     assert _assignments(spark, table, tracker) == []
+
+
+def test_rebuild_reshards_and_folds_continue(spark, tmp_path):
+    """Re-geometry: rebuild under doubled shard counts keeps every
+    assignment byte-identical, later folds agree with the one-shot over
+    the union, and the fold watermark survives (it lives in the log)."""
+    batches = [[(1, 2), (10, 11)], [(2, 10)]]
+    table, tracker = _mk(tmp_path, "regeo")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=2, cluster_shards=2)
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, batches[0]), table, tracker, batch_label="b0"
+    )
+    before = _assignments(spark, table, tracker)
+
+    state, arts = CX.rebuild_dedup_clusters(
+        spark, table, tracker, doc_shards=8, cluster_shards=8
+    )
+    assert (arts.doc_shards, arts.cluster_shards) == (8, 8)
+    assert len(state.partition_versions) > 2  # actually re-sharded
+    assert _assignments(spark, table, tracker) == before
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+    assert CX.folded_batch_labels(tracker, table.name) == {"b0"}
+
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, batches[1]), table, tracker, batch_label="b1"
+    )
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, batches[0] + batches[1])
+    )
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+
+def test_fold_drift_warning(spark, tmp_path):
+    """A fold observing a touched member shard beyond the sizing target
+    warns, naming rebuild_dedup_clusters; the default stays silent."""
+    import warnings
+
+    table, tracker = _mk(tmp_path, "drift")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=2, cluster_shards=1)
+    with pytest.warns(
+        DX.DedupGeometryDriftWarning, match="rebuild_dedup_clusters"
+    ):
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, [(i, i + 100) for i in range(10)]),
+            table, tracker, drift_shard_rows=5,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, [(200, 300)]), table, tracker
+        )
