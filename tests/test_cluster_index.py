@@ -393,3 +393,36 @@ def test_fold_drift_warning(spark, tmp_path):
         CX.extend_dedup_clusters(
             _pairs_df(spark, [(200, 300)]), table, tracker
         )
+
+
+def test_seeded_fuzz_folds_match_one_shot(spark, tmp_path):
+    """Seeded random pair batches (duplicate pairs within and across
+    batches, chains, re-touched clusters, singletons) folded in sequence
+    == one-shot over the union — the shapes the structured cases don't
+    enumerate."""
+    import random
+
+    rng = random.Random(20260815)
+    ids = list(range(40))
+    batches = [
+        [
+            tuple(rng.sample(ids, 2))
+            for _ in range(rng.randint(1, 8))
+        ]
+        for _ in range(5)
+    ]
+    table, tracker = _mk(tmp_path, "fuzz")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=4)
+    folded = []
+    for i, b in enumerate(batches):
+        folded.extend(b)
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, b), table, tracker, batch_label=f"fz-{i}"
+        )
+        assert _assignments(spark, table, tracker) == _want(
+            _pairs_df(spark, folded)
+        )
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+    assert CX.folded_batch_labels(tracker, table.name) == {
+        f"fz-{i}" for i in range(5)
+    }
