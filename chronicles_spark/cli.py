@@ -280,6 +280,7 @@ class DedupIndexAction:
     pairs: bool = False
     apply: bool = False
     orphan_min_age_days: float = 7.0
+    coalesce_batches: int = 1  # fold-clusters backlog knob
     # fold-clusters: the assignment table the pairs journal folds into
     # (the action's table/location then name the PAIRS table);
     # verify-clusters audits table/location as the assignment table
@@ -707,6 +708,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--cluster-shards", type=int, default=None,
         help="fold-clusters bootstrap: members-table shard count",
     )
+    p_dd.add_argument(
+        "--coalesce-batches", type=int, default=1,
+        help="fold-clusters: fold up to N journal batches per commit "
+        "(backlog catch-up)",
+    )
 
     return parser
 
@@ -821,6 +827,7 @@ def parse_action(argv: Sequence[str]):
             ),
             clusters_location=ns.clusters_location,
             cluster_shards=ns.cluster_shards,
+            coalesce_batches=ns.coalesce_batches,
         )
     raise CliError(f"Unknown command {ns.command!r}")
 
@@ -1513,6 +1520,7 @@ class CliClient:
         folded = CX.fold_new_dedup_pairs(
             spark, pairs_table, assign, tracker, user_id=user_id,
             message=action.message,
+            coalesce_batches=action.coalesce_batches,
         )
         for label in folded:
             self.console.println(f"Folded pairs batch '{label}'")

@@ -47,8 +47,9 @@ Exactly-once over the pairs journal: pass ``batch_label`` (the journal
 partition's ``batch=<label>`` value) and the fold stamps
 ``[folds:<label>]`` into its commit message; a re-submitted label is
 skipped (crash replay), and :func:`fold_new_dedup_pairs` drives the
-catch-up loop — one fold commit per unfolded journal partition, in
-label order.  The fold is a SEPARATE maintainer from the index extend
+catch-up loop — one fold commit per unfolded journal partition in
+label order, or one per ``coalesce_batches`` of them (confluence makes
+folding a union of batches equivalent — the backlog knob).  The fold is a SEPARATE maintainer from the index extend
 (documented protocol): the journal partition is the exactly-once
 hand-off, landed by the extend's own pair commit, consumed here by
 watermark.
@@ -200,9 +201,7 @@ def folded_batch_labels(tracker: VersionTracker, table_name: TableName) -> set:
     prefix = fold.take_through(st.updates, st.current_version)
     out = set()
     for u in prefix:
-        m = _FOLDS_RE.search(u.metadata.message or "")
-        if m:
-            out.add(m.group(1))
+        out.update(_FOLDS_RE.findall(u.metadata.message or ""))
     return out
 
 
@@ -379,7 +378,7 @@ def extend_dedup_clusters(
     tracker: VersionTracker,
     user_id: str = "dedup",
     message: str = "fold dedup pairs",
-    batch_label: "str | None" = None,
+    batch_label: "str | list | tuple | None" = None,
     concurrency: str = "optimistic",
     artifacts: "ClusterArtifacts | None" = None,
     id_col: str = "doc_id",
@@ -393,10 +392,13 @@ def extend_dedup_clusters(
     assignment_table_state, artifacts)`` where ``changed_assignments``
     is ``(doc_id, cluster_id)`` for every row whose label this fold set
     (new docs + relabeled members; pre-materialized, so the returned
-    relation never depends on superseded shard versions).  When
-    ``batch_label`` names an already-folded journal batch the fold is
-    SKIPPED (crash-replay idempotence) and ``changed_assignments`` is
-    None.
+    relation never depends on superseded shard versions).
+    ``batch_label`` takes one journal label or a SEQUENCE (a coalesced
+    fold of several batches' union — see
+    :func:`fold_new_dedup_pairs`'s ``coalesce_batches``); when every
+    named label is already folded the fold is SKIPPED (crash-replay
+    idempotence, ``changed_assignments`` None), and a partial overlap
+    re-folds harmlessly (already-reflected edges are no-ops).
 
     Cost shape, per stage (P = batch pairs, E = endpoints ≤ 2P):
     endpoint lookup reads ONLY E's ≤ min(E, doc_shards) assign shards
@@ -419,9 +421,8 @@ def extend_dedup_clusters(
             "concurrency must be 'last-writer-wins', 'optimistic' or "
             f"'strict', got {concurrency!r}"
         )
-    if batch_label is not None and batch_label in folded_batch_labels(
-        tracker, table.name
-    ):
+    labels = _norm_labels(batch_label)
+    if labels and set(labels) <= folded_batch_labels(tracker, table.name):
         state = tracker.current_version(table.name)
         arts = artifacts
         if arts is None:
@@ -431,7 +432,7 @@ def extend_dedup_clusters(
 
     def _run():
         return _fold_batch(
-            pairs_new, table, tracker, user_id, message, batch_label,
+            pairs_new, table, tracker, user_id, message, labels,
             concurrency, artifacts, id_col, metastore, drift_shard_rows,
         )
 
@@ -458,8 +459,20 @@ def _collect_shards_and_ids(df, id_expr, shard_expr):
     return shards, None
 
 
+def _norm_labels(batch_label) -> tuple:
+    """``batch_label`` accepts one label or a sequence (a COALESCED
+    fold of several journal batches — min-label components are
+    confluent, so folding the union in one commit equals folding each
+    batch in turn, and the commit stamps every covered label)."""
+    if batch_label is None:
+        return ()
+    if isinstance(batch_label, str):
+        return (batch_label,)
+    return tuple(batch_label)
+
+
 def _fold_batch(
-    pairs_new, table, tracker, user_id, message, batch_label,
+    pairs_new, table, tracker, user_id, message, labels,
     concurrency, artifacts, id_col, metastore,
     drift_shard_rows: "int | None" = DRIFT_MAX_ASSIGN_SHARD_ROWS,
 ):
@@ -480,9 +493,7 @@ def _fold_batch(
     if arts is None:
         arts = load_cluster_artifacts(table, state, head_pair)
 
-    stamped_message = (
-        f"{message} [folds:{batch_label}]" if batch_label is not None else message
-    )
+    stamped_message = message + "".join(f" [folds:{l}]" for l in labels)
 
     # bounded: one batch's distinct pairs (self-pairs carry no edge;
     # null-safe so a NULL endpoint survives into the loud check below
@@ -730,19 +741,30 @@ def fold_new_dedup_pairs(
     message: str = "fold dedup pairs",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    coalesce_batches: int = 1,
     **extend_kwargs,
 ) -> list:
     """Catch the assignment table up with the pairs journal: fold every
     ``batch=<label>`` partition not yet stamped ``[folds:<label>]``, in
-    label order, one commit each.  The exactly-once hand-off between
-    the index extend (which lands the journal partition in its own pair
-    commit) and this separate maintainer: a crash mid-loop re-runs and
-    skips the folded prefix; re-running after a fold's commit but
-    before its return is skipped by the in-commit watermark.  Reads
-    each batch partition alone (structural pruning on ``batch``).
-    Returns the labels folded this call."""
+    label order.  The exactly-once hand-off between the index extend
+    (which lands the journal partition in its own pair commit) and this
+    separate maintainer: a crash mid-loop re-runs and skips the folded
+    prefix; re-running after a fold's commit but before its return is
+    skipped by the in-commit watermark.  Reads only the unfolded batch
+    partitions (structural pruning on ``batch``).
+
+    ``coalesce_batches`` is the BACKLOG knob: at 1 (default) each
+    journal batch folds as its own commit; at N a catch-up after an
+    outage reads up to N unfolded partitions together and folds their
+    UNION as one commit stamping every covered label — sound because
+    min-label components are confluent (fold(a∪b) ≡ fold(a);fold(b),
+    differential-tested), and it turns a 1000-batch backlog's 1000
+    fixed Spark-job overheads into 1000/N.  Returns the labels folded
+    this call."""
     from ..spark.reader import read_version
 
+    if coalesce_batches < 1:
+        raise ValueError("coalesce_batches must be >= 1")
     pstate = tracker.current_version(pairs_table.name)
     if not isinstance(pstate, PartitionedTableVersion):
         raise ValueError("pairs journal is partitioned by batch")
@@ -751,19 +773,19 @@ def fold_new_dedup_pairs(
         for p in pstate.partition_versions
     )
     done = folded_batch_labels(tracker, table.name)
+    todo = [l for l in labels if l not in done]
     folded = []
-    for label in labels:
-        if label in done:
-            continue
-        sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, [label])
+    for i in range(0, len(todo), coalesce_batches):
+        chunk = todo[i:i + coalesce_batches]
+        sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, chunk)
         batch = read_version(
             spark, pairs_table, sub, infer_partition_types=False
         ).select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
         extend_dedup_clusters(
             batch, table, tracker, user_id, message,
-            batch_label=label, **extend_kwargs,
+            batch_label=chunk, **extend_kwargs,
         )
-        folded.append(label)
+        folded.extend(chunk)
     return folded
 
 

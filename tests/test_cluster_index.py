@@ -426,3 +426,56 @@ def test_seeded_fuzz_folds_match_one_shot(spark, tmp_path):
     assert CX.folded_batch_labels(tracker, table.name) == {
         f"fz-{i}" for i in range(5)
     }
+
+
+def test_coalesced_backlog_fold(spark, tmp_path):
+    """The backlog knob: three journal batches fold in TWO commits
+    (coalesce_batches=2), every label recorded, result == one-shot over
+    the union; a replay of the coalesced label set is skipped."""
+    idx_tracker = FileBackedVersionTracker(str(tmp_path / "_log_cidx"))
+    idx_table = TableDefinition(
+        TableName("demo", "cbands"), str(tmp_path / "cbands"),
+        PartitionSchema(("band_shard",)),
+    )
+    idx_tracker.init_table(idx_table.name, is_snapshot=False, user_id="t")
+    pt = DX.dedup_pairs_table(idx_table)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    DX.build_dedup_index(
+        docs.where("doc_id < 200"), idx_table, idx_tracker,
+        band_shards=8, doc_shards=4,
+    )
+    for lo, hi in ((200, 300), (300, 400), (400, 10**9)):
+        DX.extend_dedup_index(
+            docs.where(f"doc_id >= {lo} AND doc_id < {hi}"),
+            idx_table, idx_tracker, threshold=0.5, pairs_table=pt,
+        )
+
+    table = TableDefinition(
+        TableName("demo", "cfold"), str(tmp_path / "cfold"),
+        PartitionSchema(("doc_shard",)),
+    )
+    idx_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(None, table, idx_tracker, doc_shards=4,
+                            cluster_shards=4)
+    n_commits_before = len(idx_tracker.table_state(table.name).updates)
+    folded = CX.fold_new_dedup_pairs(
+        spark, pt, table, idx_tracker, coalesce_batches=2
+    )
+    assert len(folded) == 3
+    n_commits = len(
+        idx_tracker.table_state(table.name).updates
+    ) - n_commits_before
+    assert n_commits == 2  # ceil(3/2) fold commits, not 3
+    assert CX.folded_batch_labels(idx_tracker, table.name) == set(folded)
+    assert CX.fold_new_dedup_pairs(
+        spark, pt, table, idx_tracker, coalesce_batches=2
+    ) == []
+    assert CX.verify_dedup_clusters(spark, table, idx_tracker).count() == 0
+
+    from chronicles_spark.spark.reader import read_version
+
+    journal = read_version(
+        spark, pt, idx_tracker.current_version(pt.name),
+        infer_partition_types=False,
+    ).select("id_a", "id_b")
+    assert _assignments(spark, table, idx_tracker) == _want(journal)
