@@ -525,7 +525,11 @@ def test_cas_writer_racing_stream_never_exposes_inflight_or_gap(tmp_path):
             polls += 1
             time.sleep(0.02)
     finally:
-        out, err = proc.communicate(timeout=120)
+        # generous: a cold subprocess (interpreter + package import) plus
+        # 30 CAS commits can crawl when the full suite saturates the box —
+        # the invariants above, not this timeout, are the test's teeth
+        # (observed flaking once at 120 s under a loaded certification run)
+        out, err = proc.communicate(timeout=600)
     assert proc.returncode == 0, err[-2000:]
     assert f"DONE {n_commits}" in out
 
