@@ -749,7 +749,11 @@ def main():
     # the same two clusters (idempotent relabels after the first).
     from chronicles_spark.operators import cluster_index as CXB
 
-    b10c_pairs = int(os.environ.get("SPARK_GRAFT_B10C_PAIRS", "100000"))
+    # 50k pairs keeps the one-shot bootstrap build ~60s; the fold's cost
+    # and the read fraction are batch-bounded, not corpus-bounded, so a
+    # bigger corpus only buys bench wall (the flat-cost structural claim
+    # rides cluster_fold_read_fraction either way)
+    b10c_pairs = int(os.environ.get("SPARK_GRAFT_B10C_PAIRS", "50000"))
     b10c_dir = tempfile.mkdtemp(prefix="chronicles_b10_clu_", dir=tmp)
     b10c_trk = FileBackedVersionTracker(b10c_dir + "/_log")
     b10c_tbl = TableDefinition(
