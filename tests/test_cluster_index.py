@@ -479,3 +479,30 @@ def test_coalesced_backlog_fold(spark, tmp_path):
         infer_partition_types=False,
     ).select("id_a", "id_b")
     assert _assignments(spark, table, idx_tracker) == _want(journal)
+
+
+def test_coalesced_partial_overlap_refolds_harmlessly(spark, tmp_path):
+    """A coalesced label set PARTIALLY overlapping the watermark
+    re-folds the union (already-reflected edges are no-ops — the
+    documented contract) and records the new labels; a full-overlap
+    replay is skipped."""
+    table, tracker = _mk(tmp_path, "overlap")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=2)
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2)]), table, tracker, batch_label="a"
+    )
+    changed, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2), (3, 4)]), table, tracker,
+        batch_label=["a", "b"],
+    )
+    assert changed is not None  # partial overlap folds
+    assert CX.folded_batch_labels(tracker, table.name) == {"a", "b"}
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, [(1, 2), (3, 4)])
+    )
+    replay, _, _ = CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2), (3, 4)]), table, tracker,
+        batch_label=["a", "b"],
+    )
+    assert replay is None  # full overlap skips
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
