@@ -257,7 +257,7 @@ class DedupIndexAction:
     #                 vacuum-artifacts|fold-clusters|verify-clusters
     table: TableName
     location: str
-    family: str = "text"  # text | embedding | simhash
+    family: str = "text"  # text | embedding | simhash | semantic
     input_path: Optional[str] = None
     id_col: Optional[str] = None  # default: doc_id / vec_id (embedding)
     text_col: str = "text"

@@ -342,6 +342,8 @@ def _write_artifact_sidecar(
     commit — a crash leaves an orphan sidecar (reclaimable via
     :func:`vacuum_ann_artifacts`'s age guard), never a committed index
     whose artifacts are missing."""
+    from .dedup_index import _check_artifact_size
+
     stamped = AnnArtifacts(
         centroids=tuple((cid, tuple(c)) for cid, c in centroids),
         codebooks=tuple(tuple(tuple(x) for x in cb) for cb in codebooks),
@@ -350,9 +352,11 @@ def _write_artifact_sidecar(
         max_bucket_rows=max_bucket_rows,
         bucket_splits=_freeze_splits(bucket_splits),
     )
+    payload = stamped.to_json()
+    _check_artifact_size(payload, table, "ann")
     fs, apath = _artifact_path(table, version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
-    fs.write_text(apath, stamped.to_json())
+    fs.write_text(apath, payload)
     return stamped
 
 

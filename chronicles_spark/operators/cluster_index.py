@@ -77,7 +77,7 @@ from ..core.model import (
     TableDefinition,
     TableName,
 )
-from ..core.version import generate_version
+from ..core.version import Version, generate_version
 from ..trackers.base import VersionTracker
 from . import dedup as DD
 from .dedup_index import (
@@ -102,6 +102,20 @@ CLUSTER_SHARD_COL = "cluster_shard"
 # assignment rows are ~two ids (~20-40 bytes) — 10M rows ≈ the "few
 # hundred MB per shard" sizing target the other families document
 DRIFT_MAX_ASSIGN_SHARD_ROWS = 10_000_000
+
+# a single fold relabeling this many MEMBER rows is semantically correct
+# (the min-member label contract: a merge that hands a giant cluster a
+# new smaller representative rewrites every member) but operationally
+# noteworthy — the fold warns so the rewrite is never mistaken for a bug
+RELABEL_WARN_ROWS = 10_000_000
+
+
+class ClusterRelabelWarning(UserWarning):
+    """One fold relabeled more member rows than ``relabel_warn_rows`` —
+    a giant-cluster merge under the min-member label contract (the
+    rewrite is the contract's cost, not amplification; see the module
+    docstring and :func:`rebuild_dedup_clusters` for re-sharding if the
+    shards themselves have outgrown their sizing target)."""
 
 _FOLDS_RE = re.compile(r"\[folds:([^\]]+)\]")
 
@@ -188,15 +202,90 @@ def _require_cluster_partitioning(table: TableDefinition) -> None:
         )
 
 
-def folded_batch_labels(tracker: VersionTracker, table_name: TableName) -> set:
+_FOLDS_CURSOR_FILE = "_chronicles_folds_cursor.json"
+
+
+def _folds_cursor_path(table: TableDefinition):
+    from ..trackers.fs import filesystem_for
+
+    fs, root = filesystem_for(table.location)
+    return fs, root, fs.join(root, _FOLDS_CURSOR_FILE)
+
+
+def _folded_labels_fast(tracker, table: TableDefinition) -> "set | None":
+    """Position-cursor watermark read: the labels in all commits at
+    sequence <= the cursor's ``through_seq`` are a pure function of log
+    ORDER (rollbacks never remove commit files), so the cursor stays
+    valid forever and each call parses only the commits SINCE it —
+    O(new commits), not O(history).  Preconditions: the tracker exposes
+    the seq-slice surface (files + sqlite) and the head sits at the top
+    of the log (the streaming-maintainer steady state; a rollback or an
+    in-flight racing commit degrades to the full prefix walk, which is
+    always correct).  A CAS gap-fill below the cursor can only make the
+    cursor UNDER-report — a re-fold of an already-folded batch is a
+    harmless no-op, the safe direction.  The cursor file is a pure
+    cache (last-writer-wins, derived from the log); missing/corrupt
+    degrades to a full scan that rewrites it."""
+    update_seqs = getattr(tracker, "update_seqs", None)
+    in_range = getattr(tracker, "updates_in_seq_range", None)
+    head_id = getattr(tracker, "head_commit_id", None)
+    if update_seqs is None or in_range is None or head_id is None:
+        return None
+    seqs = update_seqs(table.name)
+    if not seqs:
+        return None
+    top = seqs[-1]
+    newest = in_range(table.name, top - 1, top)
+    if not newest or newest[-1].metadata.commit_id != head_id(table.name):
+        return None  # head not at the top of the log: full-walk semantics
+    fs, root, cpath = _folds_cursor_path(table)
+    labels: set = set()
+    base_seq = -1
+    try:
+        doc = json.loads(fs.read_text(cpath))
+        cseq = int(doc["through_seq"])
+        if cseq <= top:
+            labels = set(doc["labels"])
+            base_seq = cseq
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
+        pass
+    for u in in_range(table.name, base_seq, top):
+        labels.update(_FOLDS_RE.findall(u.metadata.message or ""))
+    if base_seq != top:
+        try:
+            fs.mkdirs(root)
+            fs.write_text(
+                cpath,
+                json.dumps({"through_seq": top, "labels": sorted(labels)}),
+            )
+        except OSError:
+            pass  # cache write is best-effort; the log stays the truth
+    return labels
+
+
+def folded_batch_labels(
+    tracker: VersionTracker, table: "TableDefinition | TableName"
+) -> set:
     """The pairs-journal batch labels already folded into the assignment
     table, parsed from the ``[folds:<label>]`` stamps in the folded
     commit prefix — the fold's exactly-once watermark (the label lands
     in the SAME commit as the fold's data, so a crash can never record
-    a fold that didn't land or land a fold it didn't record).  One
-    metadata-only log read."""
+    a fold that didn't land or land a fold it didn't record).
+
+    Pass the TableDefinition (both maintainer call sites do) and the
+    read is O(new commits) via a position-cursor sidecar
+    (``_chronicles_folds_cursor.json`` at the table location — see
+    :func:`_folded_labels_fast`); a bare TableName (or a tracker
+    without the seq-slice surface) takes the full prefix walk."""
     from ..core import fold
 
+    if isinstance(table, TableDefinition):
+        fast = _folded_labels_fast(tracker, table)
+        if fast is not None:
+            return fast
+        table_name = table.name
+    else:
+        table_name = table
     st = tracker.table_state(table_name)
     prefix = fold.take_through(st.updates, st.current_version)
     out = set()
@@ -385,6 +474,7 @@ def extend_dedup_clusters(
     metastore=None,
     exclusive: bool = False,
     drift_shard_rows: "int | None" = DRIFT_MAX_ASSIGN_SHARD_ROWS,
+    relabel_warn_rows: "int | None" = RELABEL_WARN_ROWS,
 ):
     """Fold ONE batch of verified duplicate pairs into the assignment —
     in O(batch + members of relabeled clusters), independent of how many
@@ -422,7 +512,7 @@ def extend_dedup_clusters(
             f"'strict', got {concurrency!r}"
         )
     labels = _norm_labels(batch_label)
-    if labels and set(labels) <= folded_batch_labels(tracker, table.name):
+    if labels and set(labels) <= folded_batch_labels(tracker, table):
         state = tracker.current_version(table.name)
         arts = artifacts
         if arts is None:
@@ -434,6 +524,7 @@ def extend_dedup_clusters(
         return _fold_batch(
             pairs_new, table, tracker, user_id, message, labels,
             concurrency, artifacts, id_col, metastore, drift_shard_rows,
+            relabel_warn_rows,
         )
 
     return _run_maybe_exclusive(tracker, table, exclusive, _run)
@@ -475,6 +566,7 @@ def _fold_batch(
     pairs_new, table, tracker, user_id, message, labels,
     concurrency, artifacts, id_col, metastore,
     drift_shard_rows: "int | None" = DRIFT_MAX_ASSIGN_SHARD_ROWS,
+    relabel_warn_rows: "int | None" = RELABEL_WARN_ROWS,
 ):
     from ..spark.reader import read_version
 
@@ -517,7 +609,6 @@ def _fold_batch(
 
     version = generate_version()
     new_arts = arts.with_label(version.label)
-    _write_artifact_sidecar(table, new_arts)
     expected = None
     if concurrency != "last-writer-wins":
         expected = {table.name: base_head, members_table.name: m_head}
@@ -525,18 +616,35 @@ def _fold_batch(
     empty_changed = pairs.select(
         F.col("id_a").alias(id_col), F.col("id_a").alias("cluster_id")
     ).limit(0)
-    if not counts["n"]:
-        # an empty journal batch still lands its watermark marker (the
-        # exactly-once accounting must record the label as folded)
+
+    def _marker_only_publish():
+        """Empty-batch and no-change folds land ONLY the watermark
+        stamp, RE-USING the head's existing pair label — minting a
+        fresh label here would create a data-less sidecar that
+        ``vacuum_artifact_sidecars`` ages out as a commit-less orphan,
+        after which every load anchored on that head-pair label fails
+        on a perfectly healthy index.  A legacy pre-marker log
+        (``head_pair`` None) mints a new label + sidecar, the old
+        behavior (and the bootstrap shape)."""
+        if head_pair is not None:
+            mv, m_arts = Version(head_pair), arts
+        else:
+            mv, m_arts = version, new_arts
+            _write_artifact_sidecar(table, m_arts)
         publish_group(
-            spark, tracker, version, user_id, stamped_message,
+            spark, tracker, mv, user_id, stamped_message,
             [(table, None, (), ()), (members_table, None, (), ())],
             expected_heads=expected,
             allow_disjoint=(concurrency == "optimistic"),
         )
         new_state = tracker.current_version(table.name)
         _sync_metastore(metastore, table, new_state)
-        return empty_changed.localCheckpoint(eager=True), new_state, new_arts
+        return empty_changed.localCheckpoint(eager=True), new_state, m_arts
+
+    if not counts["n"]:
+        # an empty journal batch still lands its watermark marker (the
+        # exactly-once accounting must record the label as folded)
+        return _marker_only_publish()
 
     # -- endpoint lookup: ONLY the endpoints' assign shards -------------
     endpoints = pairs.select(
@@ -621,15 +729,28 @@ def _fold_batch(
     )
 
     if not changed.take(1):
-        publish_group(
-            spark, tracker, version, user_id, stamped_message,
-            [(table, None, (), ()), (members_table, None, (), ())],
-            expected_heads=expected,
-            allow_disjoint=(concurrency == "optimistic"),
-        )
-        new_state = tracker.current_version(table.name)
-        _sync_metastore(metastore, table, new_state)
-        return empty_changed.localCheckpoint(eager=True), new_state, new_arts
+        return _marker_only_publish()
+
+    if relabel_warn_rows is not None:
+        # changed is pre-materialized; rows that are NOT batch endpoints
+        # are exactly the relabeled members of merged clusters
+        n_relabel = changed.join(endpoints, id_col, "left_anti").count()
+        if n_relabel > relabel_warn_rows:
+            import warnings
+
+            warnings.warn(
+                f"cluster index {table.name}: this fold relabels "
+                f"{n_relabel} member rows (> {relabel_warn_rows}) — a "
+                "giant-cluster merge handed a large cluster a new "
+                "min-member representative.  The rewrite is SEMANTIC "
+                "under the min-member label contract (the assignment "
+                "must equal the one-shot dedup_clusters oracle), not "
+                "write amplification; if touched shards have also "
+                "outgrown their sizing target, re-shard with "
+                "rebuild_dedup_clusters",
+                ClusterRelabelWarning,
+                stacklevel=4,
+            )
 
     # -- assign-table RMW: exactly the changed docs' shards -------------
     a_shards = sorted(
@@ -703,6 +824,11 @@ def _fold_batch(
         for s in sorted(had_live_m - written_m_shards)
     ]
 
+    # sidecar BEFORE the data commit (the families' crash-ordering
+    # contract) — but only for folds that actually write data: a crash
+    # here leaves an orphan sidecar for vacuum, never a committed index
+    # without geometry
+    _write_artifact_sidecar(table, new_arts)
     writes = [
         (
             table,
@@ -772,7 +898,7 @@ def fold_new_dedup_pairs(
         dict(p.column_values)[PAIRS_BATCH_COL]
         for p in pstate.partition_versions
     )
-    done = folded_batch_labels(tracker, table.name)
+    done = folded_batch_labels(tracker, table)
     todo = [l for l in labels if l not in done]
     folded = []
     for i in range(0, len(todo), coalesce_batches):

@@ -256,14 +256,42 @@ def _artifact_path(table: TableDefinition, label: str):
     return fs, fs.join(root, ARTIFACT_PREFIX + label + ".json")
 
 
+# the geometry sidecar is a small JSON document re-read on EVERY
+# extend/load resolution — a quantizer-scale payload (10⁵ clusters ×
+# 768 dims ≈ hundreds of MB of JSON) does not fit that contract and is
+# refused loudly at the single write choke point instead of silently
+# turning each base resolution into a multi-hundred-MB parse
+# (docs/scale.md "artifact sidecars").  32 MB comfortably holds the
+# documented 10⁵–10⁶-float centroid range (~20 MB of JSON) and every
+# non-quantizer family's geometry (a handful of ints).
+ARTIFACT_JSON_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _check_artifact_size(payload: str, table, what: str) -> None:
+    if len(payload) > ARTIFACT_JSON_MAX_BYTES:
+        raise ValueError(
+            f"{what} geometry sidecar for {table.name} serializes to "
+            f"{len(payload) / 1e6:.0f} MB (> the "
+            f"{ARTIFACT_JSON_MAX_BYTES // (1024 * 1024)} MB sidecar "
+            "bound) — sidecars are re-parsed on every extend/load, so "
+            "quantizer-scale payloads don't fit this contract.  Reduce "
+            "n_clusters / sub-quantizer size, pre-reduce the embedding "
+            "dim, or keep the coarse quantizer in the ANN index family "
+            "at a size under the bound"
+        )
+
+
 def _write_artifact_sidecar(table, stamped) -> None:
     """Sidecar BEFORE the data commit (the ANN build's crash-ordering
     contract): a crash leaves an orphan sidecar (reclaimed by
     :func:`vacuum_dedup_artifacts`), never a committed index whose
-    geometry is missing."""
+    geometry is missing.  Refuses payloads over
+    ``ARTIFACT_JSON_MAX_BYTES`` (see :func:`_check_artifact_size`)."""
+    payload = stamped.to_json()
+    _check_artifact_size(payload, table, getattr(stamped, "kind", "index"))
     fs, apath = _artifact_path(table, stamped.version_label)
     fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))
-    fs.write_text(apath, stamped.to_json())
+    fs.write_text(apath, payload)
 
 
 def _load_artifacts(

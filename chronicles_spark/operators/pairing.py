@@ -28,7 +28,16 @@ repo's extension for derived-state companions.
 
 from __future__ import annotations
 
-PAIR_MARKER_PREFIX = " [ann-pair:"
+# marker spelling + parsing live in core so the trackers' fold
+# checkpoints can record the newest marker of their folded prefix
+# (the O(tail) base-resolution fast path); re-exported here because the
+# operator families import the protocol from this module
+from ..core.markers import PAIR_MARKER_PREFIX, pair_label, pair_message
+
+__all__ = [
+    "PAIR_MARKER_PREFIX", "pair_label", "pair_message", "TornPairError",
+    "check_pair", "pinned_state", "publish_group",
+]
 
 
 class TornPairError(RuntimeError):
@@ -36,23 +45,6 @@ class TornPairError(RuntimeError):
     commit — a crash between the group's two appends (or a single-table
     rollback) left them at different bases.  The raiser's message names
     the family's audit/repair tools."""
-
-
-def pair_message(message: str, version_label: str) -> str:
-    """Stamp a pair commit's message with the shared pair marker — the
-    cheap hot-path pairing check reads it back from both heads."""
-    return f"{message}{PAIR_MARKER_PREFIX}{version_label}]"
-
-
-def pair_label(message: "str | None") -> "str | None":
-    """The pair marker's label, or None for unmarked (pre-marker legacy
-    or non-pair) commits."""
-    if not message or not message.endswith("]"):
-        return None
-    i = message.rfind(PAIR_MARKER_PREFIX)
-    if i < 0:
-        return None
-    return message[i + len(PAIR_MARKER_PREFIX):-1]
 
 
 def check_pair(table, pi: "str | None", pm: "str | None", advice: str) -> None:
@@ -77,18 +69,40 @@ def pinned_state(tracker, table_name):
     base, and the pairing check: reading them separately would let a
     commit land in between, making the base newer than the pinned head —
     a spurious conflict on a write that was actually derived from the
-    current state.  The read must also be SELF-CONSISTENT: the files
-    tracker lists commit files before reading head_ref, so a commit
-    racing the read can yield a head whose commit is missing from the
-    listed updates — and fold.take_through silently folds EVERYTHING
-    when the head id is absent, which would pin a head the folded base
-    doesn't contain (conflict check passes, base stale → lost update).
-    Re-read (with jittered exponential backoff, 10ms..~150ms, so a
-    sustained concurrent writer can't keep every re-read inside one
-    contention burst) until the pinned head's commit is present in the
-    update list.  Returns ``(folded_state, head_commit_id,
-    newest_pair_label_in_prefix)``."""
+    current state.  Returns ``(folded_state, head_commit_id,
+    newest_pair_label_in_prefix)``.
+
+    Resolution is O(tail), not O(commit history), wherever the tracker
+    offers ``head_resolution`` (files + sqlite backends): the fold and
+    the newest-marker lookup both ride the tracker's fold CHECKPOINT
+    plus the commits after it, so an extend against a million-commit
+    streaming log reads O(checkpoint_interval) commit records, not the
+    whole log (docs/scale.md "metadata plane").  ``head_resolution``
+    returns None when it cannot answer (no checkpoint yet, a
+    pre-upgrade checkpoint without the marker field, a gap-filled
+    prefix, or a head rolled back before the checkpoint) — then the
+    full ``table_state`` walk below is the always-correct degrade.
+
+    The full walk must be SELF-CONSISTENT: the files tracker lists
+    commit files before reading head_ref, so a commit racing the read
+    can yield a head whose commit is missing from the listed updates —
+    and fold.take_through silently folds EVERYTHING when the head id is
+    absent, which would pin a head the folded base doesn't contain
+    (conflict check passes, base stale → lost update).  Re-read (with
+    jittered exponential backoff, 10ms..~150ms, so a sustained
+    concurrent writer can't keep every re-read inside one contention
+    burst) until the pinned head's commit is present in the update
+    list.  (``head_resolution`` carries the same property internally:
+    it only answers when the head's commit is present in the listing it
+    folded, and returns None otherwise — landing here, where the retry
+    loop covers the race.)"""
     from ..core import fold
+
+    fast = getattr(tracker, "head_resolution", None)
+    if fast is not None:
+        out = fast(table_name)
+        if out is not None:
+            return out
 
     for attempt in range(8):
         if attempt:

@@ -42,7 +42,12 @@ def vacuum_artifact_sidecars(
     sidecar whose label NO line's log recorded (a build that crashed
     between sidecar write and commit) is doomed only once older than
     ``orphan_min_age`` (default 7 days — vacuum's orphan retention),
-    and kept when the backend cannot report an mtime.  Cost: one root
+    and kept when the backend cannot report an mtime.  Each line's
+    CURRENT HEAD-PAIR label is protected unconditionally: marker-only
+    commits (an empty-index bootstrap, a geometry-only rebuild, legacy
+    no-change folds) legitimately anchor loads on a label with no (or
+    no longer live) data directory, and dooming that sidecar would
+    break every subsequent fold/load of a healthy index.  Cost: one root
     listing + O(#doomed-candidate labels × their partition count)
     existence probes — metadata-scale.  The label→directory mapping
     resolves through the persisted versions index + log tail
@@ -81,11 +86,40 @@ def vacuum_artifact_sidecars(
                 dirs_by_label.setdefault(version.label, set()).add(
                     vpaths.path_for(partition.resolve_path(root), version)
                 )
+    # every line's newest head-pair marker label is load-bearing (the
+    # families anchor artifact resolution on it) — never doom it, even
+    # when the label maps to no (or no surviving) data directory
+    protected: set = set()
+    for line in lines:
+        lbl = None
+        fast = getattr(tracker, "head_resolution", None)
+        out = fast(line) if fast is not None else None
+        if out is not None:
+            lbl = out[2]
+        else:
+            from ..core import fold
+            from ..core.markers import pair_label
+
+            st = tracker.table_state(line)
+            lbl = next(
+                (
+                    pl
+                    for u in reversed(
+                        list(fold.take_through(st.updates, st.current_version))
+                    )
+                    if (pl := pair_label(u.metadata.message)) is not None
+                ),
+                None,
+            )
+        if lbl is not None:
+            protected.add(lbl)
     doomed = []
     now = _time.time()
     for n in sorted(sidecars):
         label = n[len(prefix):-len(".json")]
         path = fs.join(root, n)
+        if label in protected:
+            continue
         dirs = dirs_by_label.get(label, set())
         if dirs:
             if not any(fs.is_dir(d) for d in dirs):

@@ -69,6 +69,7 @@ from typing import List
 
 from ..core import fold
 from ..core.clock import MonotonicClock
+from ..core.markers import pair_label
 from ..core.model import (
     Partition,
     PartitionedTableVersion,
@@ -551,6 +552,25 @@ class FileBackedVersionTracker(VersionTracker):
             "snapshot_version": snapshot_version,
             "partitions": sorted(state.items()),
         }
+        # newest pair marker in the checkpointed prefix — what lets
+        # head_resolution answer the index families' base resolution
+        # without reading the whole log.  Tri-state on purpose: a value
+        # (newest marker), an explicit null (full prefix scanned, no
+        # marker anywhere — legacy/non-pair tables), or ABSENT (an
+        # incremental cut over a pre-upgrade checkpoint that never
+        # recorded the field — unknown, so head_resolution degrades).
+        marker = next(
+            (
+                pl
+                for u in reversed(updates)
+                if (pl := pair_label(u.metadata.message)) is not None
+            ),
+            None,
+        )
+        if marker is not None or ck is None:
+            body["pair_label"] = marker
+        elif "pair_label" in ck:
+            body["pair_label"] = ck["pair_label"]
         ck_path = self.fs.join(d, f"checkpoint_{last_seq:013d}.json")
         ptr_path = self.fs.join(d, "_last_checkpoint")
         ptr_doc = json.dumps({"seq": last_seq})
@@ -628,6 +648,11 @@ class FileBackedVersionTracker(VersionTracker):
             # the commit precedes the checkpoint: the checkpoint's prefix
             # includes commits past it, so it cannot be used
             return None
+        return self._fold_checkpoint_plus(ck, upto)
+
+    def _fold_checkpoint_plus(self, ck: dict, upto):
+        """The folded table version = checkpoint state + ``upto`` commits
+        applied on top (shared by _fast_resolve and head_resolution)."""
         if ck["is_snapshot"]:
             label = ck.get("snapshot_version")
             for u in upto:
@@ -642,6 +667,52 @@ class FileBackedVersionTracker(VersionTracker):
         return PartitionedTableVersion(
             {Partition.parse(p): Version(v) for p, v in state.items()}
         )
+
+    def head_resolution(self, table: TableName):
+        """O(tail) base resolution for the paired-table read-modify-write
+        operators (``operators.pairing.pinned_state``): ``(folded_state,
+        head_commit_id, newest_pair_label_in_prefix)`` computed from the
+        fold checkpoint + the commit files after it — per call, ONE
+        directory listing, the head read, and at most
+        ``checkpoint_interval``-ish commit-file reads, never the whole
+        log.  Returns None whenever the fast path cannot answer —
+        checkpoints disabled, no checkpoint yet, a pre-upgrade
+        checkpoint without the ``pair_label`` field, a gap-filled
+        prefix, a head rolled back before the checkpoint, or a head
+        that outran this read's listing (the caller's self-consistent
+        full walk is the degrade in every case).  Fold cutoff semantics
+        are current_version's exactly (the checkpoint is a pure function
+        of log order)."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        if not self._checkpoint_interval:
+            return None
+        ck = self._read_checkpoint(d)
+        if ck is None or "pair_label" not in ck:
+            return None
+        all_seqs = self._update_seqs(d)
+        if not self._checkpoint_covers_prefix(ck, [s for s, _ in all_seqs]):
+            return None
+        head = self._read_head(d)
+        tail = self._read_updates(
+            d, [n for s, n in all_seqs if s > int(ck["last_seq"])]
+        )
+        if head == ck["last_commit_id"]:
+            upto = ()
+        elif any(u.metadata.commit_id == head for u in tail):
+            upto = fold.take_through(tail, head)
+        else:
+            return None  # deep rollback, or the head outran the listing
+        marker = next(
+            (
+                pl
+                for u in reversed(list(upto))
+                if (pl := pair_label(u.metadata.message)) is not None
+            ),
+            ck["pair_label"],
+        )
+        return self._fold_checkpoint_plus(ck, upto), head, marker
 
     def current_version(self, table: TableName):
         """Checkpointed table resolution: fold = checkpoint + tail commits

@@ -471,6 +471,47 @@ class SqliteVersionTracker(VersionTracker):
             {Partition.parse(p): Version(v) for p, v in state.items()}
         )
 
+    def head_resolution(self, table: TableName):
+        """O(tail) base resolution for the paired-table read-modify-write
+        operators (``operators.pairing.pinned_state``): ``(folded_state,
+        head_commit_id, newest_pair_label_in_prefix)`` — the fold rides
+        the checkpoint row + tail, and the newest-marker lookup is one
+        indexed backwards LIKE scan that stops at the first parseable
+        marker, so neither reads (or assembles) the whole commit
+        history.  Returns None when the fast path cannot answer (no
+        checkpoint, or the head precedes it) — the caller's full
+        ``table_state`` walk is the degrade.  Sequence ids are
+        append-only and transaction-serialized here, so the files
+        tracker's listing/head race cannot occur."""
+        from ..core.markers import PAIR_MARKER_PREFIX, pair_label
+
+        head = self.head_commit_id(table)  # raises UnknownTableError
+        tv = self._fast_resolve(table, head)
+        if tv is None:
+            return None
+        name = table.fully_qualified
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT sequence_id FROM chronicle_table_updates_v1 "
+                "WHERE table_name = ? AND commit_id = ?",
+                (name, head),
+            ).fetchone()
+            if row is None:
+                return None
+            marker = None
+            cur = self._conn.execute(
+                "SELECT message FROM chronicle_table_updates_v1 "
+                "WHERE table_name = ? AND sequence_id <= ? "
+                "AND message LIKE ? ORDER BY sequence_id DESC",
+                (name, row[0], f"%{PAIR_MARKER_PREFIX}%"),
+            )
+            for (msg,) in cur:
+                pl = pair_label(msg)
+                if pl is not None:
+                    marker = pl
+                    break
+        return tv, head, marker
+
     def current_version(self, table: TableName):
         """O(tail) resolution via the checkpoint row (falls back to the
         base-class full fold; cutoff semantics identical in both paths)."""

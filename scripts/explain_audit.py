@@ -45,6 +45,11 @@ HEADLINE = [
     "q_fold_incremental", "q_dedup_emb_incremental",
     # round 10: the incremental cluster-fold row
     "q_dedup_clusters_incremental",
+    # round 11 (VERDICT r10 #4): the two sub-second metadata movers not
+    # previously audited — their r10 1.3-1.5x drift adjudicated as
+    # session-floor wobble (plans byte-identical; BASELINE.md r11 note);
+    # audited from now on so future drift is a diff
+    "q_version_paths", "q_partition_expr_render",
 ]
 
 # Python appears legitimately only where Python IS the payload

@@ -506,3 +506,127 @@ def test_coalesced_partial_overlap_refolds_harmlessly(spark, tmp_path):
     )
     assert replay is None  # full overlap skips
     assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+
+def _sidecar_files(table):
+    from chronicles_spark.trackers.fs import filesystem_for
+
+    fs, root = filesystem_for(table.location)
+    if not fs.is_dir(root):
+        return set()
+    return {n for n in fs.list_dir(root) if n.startswith(DX.ARTIFACT_PREFIX)}
+
+
+def test_marker_only_folds_mint_no_sidecar(spark, tmp_path):
+    """Round-11 (ADVICE): empty-batch and no-change folds re-stamp the
+    head's EXISTING pair label instead of minting a fresh data-less
+    sidecar — so the sidecar sweep can never age out a label a healthy
+    index's loads anchor on.  Real folds still mint one per version."""
+    table, tracker = _mk(tmp_path, "nomint")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=2)
+    after_build = _sidecar_files(table)
+    assert len(after_build) == 1  # the bootstrap geometry
+
+    # empty batch: watermark lands, no new sidecar
+    changed, _, arts0 = CX.extend_dedup_clusters(
+        _pairs_df(spark, []).limit(0), table, tracker, batch_label="b-empty"
+    )
+    assert changed is not None and changed.count() == 0
+    assert CX.folded_batch_labels(tracker, table.name) == {"b-empty"}
+    assert _sidecar_files(table) == after_build
+
+    # real fold: mints its sidecar
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2)]), table, tracker, batch_label="b1"
+    )
+    after_real = _sidecar_files(table)
+    assert len(after_real) == 2
+
+    # no-change fold (same pair again under a new label): no new sidecar
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(1, 2)]), table, tracker, batch_label="b2"
+    )
+    assert _sidecar_files(table) == after_real
+    assert CX.folded_batch_labels(tracker, table.name) == {
+        "b-empty", "b1", "b2",
+    }
+    # pairing stays coherent: the next real fold proceeds from the pair
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(2, 3)]), table, tracker, batch_label="b3"
+    )
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, [(1, 2), (2, 3)])
+    )
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+
+def test_vacuum_sidecars_protects_head_pair_label(spark, tmp_path):
+    """Round-11 (ADVICE): the bootstrap's marker-only pair label maps to
+    NO data directory — the sidecar sweep must protect each line's
+    current head-pair label from the orphan age-doom path, or a weekly
+    vacuum bricks every later fold of a healthy (empty or rebuilt)
+    index.  A genuinely orphaned foreign label still ages out."""
+    from datetime import timedelta
+
+    table, tracker = _mk(tmp_path, "protect")
+    _, arts = CX.build_dedup_clusters(
+        None, table, tracker, doc_shards=4, cluster_shards=2
+    )
+    fs, apath = DX._artifact_path(table, arts.version_label)
+    # even with a zero age guard, the head-pair label survives
+    assert DX.vacuum_dedup_artifacts(
+        table, tracker, orphan_min_age=timedelta(seconds=-1)
+    ) == []
+    assert fs.exists(apath)
+
+    # a crashed-build orphan under another label still ages out
+    junk = fs.join(
+        *apath.rsplit("/", 1)[:1]
+    ) + "/" + DX.ARTIFACT_PREFIX + "19990101-000000.000000000-" + "0" * 8 \
+        + "-0000-0000-0000-" + "0" * 12 + ".json"
+    fs.write_text(junk, arts.to_json())
+    doomed = DX.vacuum_dedup_artifacts(
+        table, tracker, orphan_min_age=timedelta(seconds=-1)
+    )
+    assert doomed == [junk]
+
+    # loads and folds keep working after the sweep
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(5, 6)]), table, tracker, batch_label="b0"
+    )
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, [(5, 6)])
+    )
+
+
+def test_giant_relabel_warning(spark, tmp_path):
+    """Round-11: a fold that relabels more member rows than
+    relabel_warn_rows warns (the min-member contract's semantic rewrite,
+    flagged so it is never mistaken for amplification); the default
+    threshold stays silent at toy scale."""
+    import warnings
+
+    table, tracker = _mk(tmp_path, "relabel")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=4)
+    # cluster {10..15}, then a new minimum 1 arrives: 6 members relabel
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(10, i) for i in range(11, 16)]), table, tracker
+    )
+    with pytest.warns(CX.ClusterRelabelWarning, match="min-member"):
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, [(1, 10)]), table, tracker, relabel_warn_rows=3
+        )
+    # default threshold (10M): silent on the same shape
+    table2, tracker2 = _mk(tmp_path, "relabel2")
+    CX.build_dedup_clusters(None, table2, tracker2, doc_shards=4, cluster_shards=4)
+    CX.extend_dedup_clusters(
+        _pairs_df(spark, [(10, i) for i in range(11, 16)]), table2, tracker2
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, [(1, 10)]), table2, tracker2
+        )
+    assert _assignments(spark, table2, tracker2) == _want(
+        _pairs_df(spark, [(10, i) for i in range(11, 16)] + [(1, 10)])
+    )

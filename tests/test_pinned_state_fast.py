@@ -1,0 +1,329 @@
+"""O(tail) base resolution for the index families' read-modify-write.
+
+``operators.pairing.pinned_state`` must resolve (folded state, pinned
+head, newest pair marker) through the tracker's fold CHECKPOINT plus
+the commit tail — O(checkpoint_interval) commit-file reads per extend,
+never O(commit history) — because the streaming maintenance sinks
+commit once per micro-batch: an O(history) read per extend is
+quadratic cumulative (docs/scale.md "metadata plane").  Differential
+style: every fast-path triple is compared against the checkpoint-free
+full walk of the same log; the structural tests count the commit-file
+reads themselves (the round-7 cadence-regression pattern, via
+CountingFs)."""
+
+import json
+
+import pytest
+
+from chronicles_spark.core import fold
+from chronicles_spark.core.markers import pair_label
+from chronicles_spark.core.model import Partition, PartitionSchema, TableDefinition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+from chronicles_spark.trackers.sqlite import SqliteVersionTracker
+from chronicles_spark.operators.pairing import pair_message, pinned_state
+from tests.test_checkpoint import CountingFs
+
+T = TableName("db", "idx")
+
+
+def _commit(tr, i, marked=True):
+    v = generate_version()
+    msg = pair_message(f"extend {i}", v.label) if marked else f"note {i}"
+    meta = TableUpdateMetadata.new("u", msg)
+    tr.commit(
+        T,
+        TableUpdate(
+            meta, (AddPartitionVersion(Partition.of(("p", str(i % 16))), v),)
+        ),
+    )
+    return meta.commit_id, v.label
+
+
+def _truth(tracker_factory):
+    """(state, head, marker) via the always-correct full walk."""
+    tr = tracker_factory()
+    st = tr.table_state(T)
+    prefix = list(fold.take_through(st.updates, st.current_version))
+    marker = next(
+        (
+            pl
+            for u in reversed(prefix)
+            if (pl := pair_label(u.metadata.message)) is not None
+        ),
+        None,
+    )
+    return (
+        fold.current_version(st.updates, st.current_version),
+        st.current_version,
+        marker,
+    )
+
+
+def _build(root, n, interval=100, mark_every=1):
+    tr = FileBackedVersionTracker(root, checkpoint_interval=interval)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(n):
+        _commit(tr, i, marked=(i % mark_every == 0))
+    return tr
+
+
+def _commit_file_reads(cfs):
+    return [p for p in cfs.reads if "table_update_" in p]
+
+
+def test_fast_triple_equals_full_walk(tmp_path):
+    tr = _build(str(tmp_path), 257, interval=50, mark_every=3)
+    got = pinned_state(tr, T)
+    want = _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+    assert got == want
+    # and the fast path really answered (not the slow-path degrade)
+    assert tr.head_resolution(T) == want
+
+
+def test_commit_file_reads_bounded_by_interval_not_log(tmp_path):
+    """The structural O(tail) guarantee: one pinned_state against a
+    5000-commit log reads at most ~checkpoint_interval commit files
+    (tail past the checkpoint) — never the whole log.  The bound is
+    scale-independent: at 20k or 1M commits the tail stays
+    O(interval) while the full walk grows linearly (bench entry
+    b11_extend_log_depth records the wall-clock contrast)."""
+    interval = 100
+    tr = _build(str(tmp_path), 5000, interval=interval)
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=interval
+    )
+    got = pinned_state(counted, T)
+    reads = _commit_file_reads(cfs)
+    assert len(reads) <= interval + 5, (
+        f"pinned_state read {len(reads)} commit files on a 5000-commit "
+        f"log — O(history), not O(checkpoint_interval={interval})"
+    )
+    want = _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+    assert got == want
+
+
+def test_rollback_before_checkpoint_degrades_correctly(tmp_path):
+    tr = _build(str(tmp_path), 120, interval=50)
+    st = tr.table_state(T)
+    early = st.updates[10].metadata.commit_id
+    tr.set_current_version(T, early)
+    assert tr.head_resolution(T) is None  # head precedes the checkpoint
+    got = pinned_state(tr, T)
+    want = _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+    assert got == want
+    assert got[1] == early
+
+
+def test_pre_upgrade_checkpoint_without_marker_field_degrades(tmp_path):
+    tr = _build(str(tmp_path), 120, interval=50)
+    d = tr._table_dir(T)
+    seq = json.loads(tr.fs.read_text(tr.fs.join(d, "_last_checkpoint")))["seq"]
+    ck_path = tr.fs.join(d, f"checkpoint_{seq:013d}.json")
+    body = json.loads(tr.fs.read_text(ck_path))
+    assert "pair_label" in body
+    del body["pair_label"]
+    tr.fs.write_text(ck_path, json.dumps(body))
+    assert tr.head_resolution(T) is None  # unknown marker: must degrade
+    got = pinned_state(tr, T)
+    want = _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+    assert got == want
+
+
+def test_checkpoint_inherits_marker_across_unmarked_tail(tmp_path):
+    """Tri-state field: a cut whose tail holds no marker inherits the
+    previous checkpoint's newest-marker value, so the fast path stays
+    correct when markers are sparse in a busy log."""
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=10)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    _, lbl = _commit(tr, 0, marked=True)
+    for i in range(1, 35):
+        _commit(tr, i, marked=False)  # three cuts, all-unmarked tails
+    out = tr.head_resolution(T)
+    assert out is not None and out[2] == lbl
+    assert out == _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+
+
+def test_markerless_log_records_known_none(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=10)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(25):
+        _commit(tr, i, marked=False)
+    out = tr.head_resolution(T)
+    assert out is not None  # known no-marker, NOT an unknown degrade
+    assert out[2] is None
+
+
+def test_head_resolution_unavailable_without_checkpoint(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=100)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(5):
+        _commit(tr, i)
+    assert tr.head_resolution(T) is None  # no checkpoint cut yet
+    none_tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    assert none_tr.head_resolution(T) is None  # disabled read side
+    got = pinned_state(tr, T)
+    assert got == _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+
+
+def test_sqlite_fast_triple_equals_full_walk():
+    tr = SqliteVersionTracker(checkpoint_interval=25)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(130):
+        _commit(tr, i, marked=(i % 4 == 0))
+    got = pinned_state(tr, T)
+    st = tr.table_state(T)
+    prefix = list(fold.take_through(st.updates, st.current_version))
+    marker = next(
+        (
+            pl
+            for u in reversed(prefix)
+            if (pl := pair_label(u.metadata.message)) is not None
+        ),
+        None,
+    )
+    assert got == (
+        fold.current_version(st.updates, st.current_version),
+        st.current_version,
+        marker,
+    )
+    assert tr.head_resolution(T) == got
+
+
+def test_sqlite_rollback_degrades():
+    tr = SqliteVersionTracker(checkpoint_interval=20)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    ids = [_commit(tr, i)[0] for i in range(50)]
+    tr.set_current_version(T, ids[3])
+    assert tr.head_resolution(T) is None
+    got = pinned_state(tr, T)
+    st = tr.table_state(T)
+    assert got[1] == ids[3]
+    assert got[0] == fold.current_version(st.updates, ids[3])
+
+
+# ---------------------------------------------------------------------------
+# folded_batch_labels position cursor (the cluster fold's exactly-once
+# watermark must not re-read every commit message per fold)
+
+from chronicles_spark.operators.cluster_index import (
+    _FOLDS_CURSOR_FILE,
+    folded_batch_labels,
+)
+
+
+def _fold_commit(tr, labels):
+    v = generate_version()
+    msg = "fold" + "".join(f" [folds:{l}]" for l in labels)
+    meta = TableUpdateMetadata.new("u", msg)
+    tr.commit(
+        T, TableUpdate(meta, (AddPartitionVersion(Partition.of(("doc_shard", "0")), v),))
+    )
+    return meta.commit_id
+
+
+def _tdef(tmp_path):
+    return TableDefinition(
+        T, str(tmp_path / "data"), PartitionSchema(("doc_shard",))
+    )
+
+
+def test_folded_labels_cursor_equals_full_walk(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    td = _tdef(tmp_path)
+    want = set()
+    for i in range(30):
+        lbls = {f"b{i}a", f"b{i}b"} if i % 3 == 0 else {f"b{i}"}
+        _fold_commit(tr, sorted(lbls))
+        want |= lbls
+    assert folded_batch_labels(tr, td) == want  # first call: full scan + cursor write
+    fs = tr.fs
+    cursor = json.loads(fs.read_text(fs.join(str(tmp_path / "data"), _FOLDS_CURSOR_FILE)))
+    assert set(cursor["labels"]) == want
+    # TableName (no location) keeps the walk semantics
+    assert folded_batch_labels(tr, T) == want
+
+
+def test_folded_labels_second_call_reads_o_new_commits(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    td = _tdef(tmp_path)
+    for i in range(200):
+        _fold_commit(tr, [f"b{i}"])
+    folded_batch_labels(tr, td)  # warms the cursor
+    _fold_commit(tr, ["b_new"])
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path / "log"), fs=cfs, checkpoint_interval=None
+    )
+    got = folded_batch_labels(counted, td)
+    assert "b_new" in got and "b0" in got and len(got) == 201
+    reads = _commit_file_reads(cfs)
+    assert len(reads) <= 4, (
+        f"cursor-warmed watermark read {len(reads)} commit files for one "
+        "new commit — O(history), not O(new commits)"
+    )
+
+
+def test_folded_labels_rollback_degrades_to_prefix_walk(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    td = _tdef(tmp_path)
+    keep = _fold_commit(tr, ["early"])
+    _fold_commit(tr, ["late"])
+    folded_batch_labels(tr, td)  # cursor now covers both
+    tr.set_current_version(T, keep)
+    # head is no longer at the top: the fast path must refuse and the
+    # prefix walk must EXCLUDE the rolled-back label
+    assert folded_batch_labels(tr, td) == {"early"}
+
+
+def test_folded_labels_corrupt_cursor_degrades(tmp_path):
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    td = _tdef(tmp_path)
+    for i in range(5):
+        _fold_commit(tr, [f"b{i}"])
+    folded_batch_labels(tr, td)
+    fs = tr.fs
+    cpath = fs.join(str(tmp_path / "data"), _FOLDS_CURSOR_FILE)
+    fs.write_text(cpath, "{not json")
+    assert folded_batch_labels(tr, td) == {f"b{i}" for i in range(5)}
+    # and the scan healed the cursor
+    assert set(json.loads(fs.read_text(cpath))["labels"]) == {
+        f"b{i}" for i in range(5)
+    }
+
+
+def test_folded_labels_sqlite_fast_path():
+    tr = SqliteVersionTracker(checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        td = TableDefinition(T, d + "/data", PartitionSchema(("doc_shard",)))
+        for i in range(8):
+            _fold_commit(tr, [f"s{i}"])
+        want = {f"s{i}" for i in range(8)}
+        assert folded_batch_labels(tr, td) == want
+        _fold_commit(tr, ["s8"])
+        assert folded_batch_labels(tr, td) == want | {"s8"}
