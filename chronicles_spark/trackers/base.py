@@ -239,7 +239,20 @@ class VersionTracker(abc.ABC):
     ) -> None:
         """The optimistic-commit conflict check (shared by :meth:`commit`
         and :meth:`commit_group`); the caller holds the table's commit
-        serialization across check-then-append."""
+        serialization across check-then-append.
+
+        The no-race happy path — head still equals the writer's pin — is
+        decided from the head pointer ALONE where the backend offers a
+        cheap read (files: one small-file read; sqlite: one indexed point
+        read), because materializing the full update stream here would
+        make every optimistic commit O(commit history): the round-11
+        real-extend read-count test caught exactly that (the RMW
+        operators' base resolution was O(tail) while their commit's
+        conflict check silently re-read the whole log).  Only a moved
+        head (a real race) pays the full interim analysis."""
+        head_fn = getattr(self, "head_commit_id", None)
+        if head_fn is not None and head_fn(table) == expected_head:
+            return
         state = self.table_state(table)
         if state.current_version == expected_head:
             return
