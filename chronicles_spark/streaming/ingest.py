@@ -65,14 +65,19 @@ def _latest_stream_epoch(
 ) -> Optional[int]:
     """Epoch id of the NEWEST commit carrying ``message_prefix``, or None.
 
-    The in-memory scan is newest-first and stops at the first stream
-    commit, but ``tracker.table_state()`` materializes the WHOLE update
-    log first — so this costs a full log read.  The sink amortizes it:
-    :func:`versioned_stream_sink` passes a per-query ``epoch_cache`` so
-    only the FIRST micro-batch after (re)start pays the scan; later
-    batches read the cached epoch."""
+    Scans the log BACKWARDS in fixed-size chunks where the tracker
+    offers the seq-slice surface (files + sqlite), so on a maintained
+    stream log — where nearly every commit carries the prefix — the
+    restart probe reads O(1) commit records instead of materializing
+    the whole log (round-11, same O(tail) discipline as
+    ``pinned_state``).  A log with NO stream commits still walks all of
+    it, once; the sink amortizes either way: :func:`versioned_stream_
+    sink` passes a per-query ``epoch_cache`` so only the FIRST
+    micro-batch after (re)start pays the probe; later batches read the
+    cached epoch."""
     prefix = f"{message_prefix} epoch "
-    for u in reversed(list(tracker.table_state(table_name).updates)):
+
+    def _epoch_of(u) -> Optional[int]:
         m = u.metadata.message
         if m.startswith(prefix):
             try:
@@ -80,7 +85,28 @@ def _latest_stream_epoch(
                 # append an opaque marker suffix after the epoch number
                 return int(m[len(prefix):].split(" ", 1)[0])
             except ValueError:
-                continue  # manual commit that merely resembles the prefix
+                return None  # manual commit that merely resembles it
+        return None
+
+    update_seqs = getattr(tracker, "update_seqs", None)
+    in_range = getattr(tracker, "updates_in_seq_range", None)
+    if update_seqs is not None and in_range is not None:
+        seqs = update_seqs(table_name)
+        hi = len(seqs)
+        while hi > 0:
+            lo = max(0, hi - 64)
+            for u in reversed(
+                list(in_range(table_name, seqs[lo] - 1, seqs[hi - 1]))
+            ):
+                e = _epoch_of(u)
+                if e is not None:
+                    return e
+            hi = lo
+        return None
+    for u in reversed(list(tracker.table_state(table_name).updates)):
+        e = _epoch_of(u)
+        if e is not None:
+            return e
     return None
 
 

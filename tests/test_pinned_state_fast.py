@@ -373,3 +373,69 @@ def test_real_extend_commit_file_reads_o_interval(spark, tmp_path):
         f"one extend read {len(reads)} commit files against a "
         f"~2000-commit log — the O(tail) fast path is not wired"
     )
+
+
+def test_latest_stream_epoch_backwards_chunk_scan(tmp_path):
+    """The streaming restart probe reads O(1) commit records on a
+    maintained stream log (newest commit carries the prefix), O(gap)
+    when trailing manual commits sit on top — never the whole log."""
+    from chronicles_spark.streaming.ingest import _latest_stream_epoch
+
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(300):
+        meta = TableUpdateMetadata.new("u", f"sink epoch {i}")
+        tr.commit(T, TableUpdate(meta, ()))
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=None
+    )
+    assert _latest_stream_epoch(counted, T, "sink") == 299
+    assert len(_commit_file_reads(cfs)) <= 65
+
+    # 70 manual commits on top: found across the chunk boundary
+    for i in range(70):
+        tr.commit(T, TableUpdate(TableUpdateMetadata.new("u", "manual"), ()))
+    cfs2 = CountingFs(tr.fs)
+    counted2 = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs2, checkpoint_interval=None
+    )
+    assert _latest_stream_epoch(counted2, T, "sink") == 299
+    assert len(_commit_file_reads(cfs2)) <= 130
+
+    # absent prefix: the documented full walk, returns None
+    assert _latest_stream_epoch(tr, T, "other-sink") is None
+
+
+def test_gap_filled_prefix_degrades_head_resolution(tmp_path):
+    """A CAS writer with a lagging clock can claim a free sequence slot
+    BELOW an already-cut checkpoint (the n_folded hazard) — the fast
+    path must refuse the checkpoint and pinned_state must fall back to
+    the full walk that sees the gap-filled commit."""
+    from chronicles_spark.core.ops import update_to_json
+
+    tr = _build(str(tmp_path), 60, interval=20)
+    assert tr.head_resolution(T) is not None
+    d = tr._table_dir(T)
+    # forge a commit file below the checkpoint's last_seq, in a free slot
+    seqs = tr.update_seqs(T)
+    free = None
+    for s in range(seqs[0] + 1, seqs[-1]):
+        if s not in set(seqs):
+            free = s
+            break
+    assert free is not None
+    v = generate_version()
+    gap = TableUpdate(
+        TableUpdateMetadata.new("laggard", "gap-fill"),
+        (AddPartitionVersion(Partition.of(("p", "gap")), v),),
+    )
+    tr.fs.write_text(
+        tr.fs.join(d, f"table_update_{free:013d}.json"), update_to_json(gap)
+    )
+    assert tr.head_resolution(T) is None  # covers-prefix guard refuses
+    got = pinned_state(tr, T)
+    want = _truth(
+        lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    )
+    assert got == want
