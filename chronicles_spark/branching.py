@@ -55,7 +55,7 @@ from .core.ops import (
     TableUpdate,
     TableUpdateMetadata,
 )
-from .trackers.base import VersionTracker
+from .trackers.base import VersionTracker, head_of
 
 BRANCH_INFIX = "__branch_"
 BRANCH_POINT_TAG = "branch-point"
@@ -171,7 +171,7 @@ def create_branch(
         base_commit = meta.commit_id
     else:
         # branched from an empty table: the init commit is the base
-        base_commit = tracker.table_state(btn).current_version
+        base_commit = head_of(tracker, btn)
     tracker.set_tag(btn, BRANCH_POINT_TAG, base_commit)
     return btn
 
@@ -254,7 +254,7 @@ def merge_branch(
     base_commit = tracker.tag_commit(btn, BRANCH_POINT_TAG)
     base = tracker.version_at(btn, base_commit)
     br = tracker.current_version(btn)
-    main_head = tracker.table_state(table.name).current_version
+    main_head = head_of(tracker, table.name)
     main = tracker.current_version(table.name)
 
     ops: List[TableOperation] = []
@@ -422,7 +422,7 @@ def rebase_branch(
         # branch view already equals main: just move the base marker
         tracker.set_tag(
             btn, BRANCH_POINT_TAG,
-            tracker.table_state(btn).current_version, force=True,
+            head_of(tracker, btn), force=True,
         )
 
     # commit 2: replay the branch's changes on the fresh base

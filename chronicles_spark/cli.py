@@ -49,6 +49,7 @@ from .core.version import UNVERSIONED, generate_version
 from .spark.metastore import Metastore
 from .branching import MergeConflictError
 from .operators.pairing import TornPairError
+from .trackers.base import head_of
 from .trackers import (
     CommitConflictError,
     FileBackedVersionTracker,
@@ -968,7 +969,7 @@ class CliClient:
         tracker = self.delegate.tracker
         if action.name is None:
             for name, btn in sorted(B.branches(tracker, action.table).items()):
-                head = tracker.table_state(btn).current_version
+                head = head_of(tracker, btn)
                 self.console.println(f"{name} {head}")
             return
         if action.delete:

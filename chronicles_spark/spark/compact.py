@@ -30,7 +30,7 @@ from ..core.model import (
     SnapshotTableVersion,
     TableDefinition,
 )
-from ..trackers.base import VersionTracker
+from ..trackers.base import VersionTracker, head_of
 from .reader import read_version
 from .writer import versioned_insert_into
 
@@ -159,7 +159,7 @@ def compact_partitions(
         raise ValueError("files_per_partition must be >= 1")
     if sort_by and zorder_by:
         raise ValueError("pass either sort_by or zorder_by, not both")
-    base_head = tracker.table_state(table.name).current_version
+    base_head = head_of(tracker, table.name)
     current = tracker.current_version(table.name)
 
     if isinstance(current, SnapshotTableVersion):

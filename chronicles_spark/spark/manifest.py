@@ -46,7 +46,7 @@ from ..core.model import (
     SnapshotTableVersion,
     TableDefinition,
 )
-from ..trackers.base import VersionTracker
+from ..trackers.base import VersionTracker, head_of
 from ..trackers.fs import filesystem_for
 from .stats import DISTRIBUTE_THRESHOLD, STATS_FILE
 
@@ -146,7 +146,7 @@ def generate_manifest(
 
     fs, location = filesystem_for(table.location)
     manifest_root = fs.join(location, MANIFEST_DIR)
-    head = tracker.table_state(table.name).current_version
+    head = head_of(tracker, table.name)
 
     stale_rels: Optional[set] = None  # None = derive by walking (full mode)
     jobs: List[Tuple[Optional[str], str]] = []

@@ -35,7 +35,7 @@ from ..core.ops import (
     TableUpdateMetadata,
 )
 from ..core.paths import path_for
-from ..trackers.base import VersionTracker
+from ..trackers.base import VersionTracker, head_of
 from ..trackers.fs import filesystem_for
 
 
@@ -85,7 +85,7 @@ def restore_partitions(
     then = tracker.version_at(table.name, at_commit)
     then_versions = then.partition_versions
 
-    head = tracker.table_state(table.name).current_version
+    head = head_of(tracker, table.name)
     current = tracker.current_version(table.name).partition_versions
 
     ops: List[TableOperation] = []

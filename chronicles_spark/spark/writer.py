@@ -53,7 +53,7 @@ from ..core.ops import (
 )
 from ..core.paths import VERSION_COLUMN, unescape_path_name
 from ..core.version import Version, generate_version
-from ..trackers.base import VersionTracker
+from ..trackers.base import VersionTracker, head_of
 
 
 def partition_values(df: DataFrame, partition_columns: Tuple[str, ...]) -> List[Partition]:
@@ -483,7 +483,7 @@ def versioned_insert_into(
 
     version = version or generate_version()
     if base_head is None:
-        base_head = tracker.table_state(table.name).current_version
+        base_head = head_of(tracker, table.name)
     prev_state = tracker.current_version(table.name)
 
     # data first (invisible until commit), then metadata. By default,

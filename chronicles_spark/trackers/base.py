@@ -102,6 +102,19 @@ def _touched_partitions(update: TableUpdate) -> Tuple[Set[Partition], bool]:
     return parts, whole
 
 
+def head_of(tracker, table: TableName) -> str:
+    """The current head commit id, from the head POINTER alone where the
+    backend offers the cheap read (files: one small-file read; sqlite:
+    one indexed point read) — calling ``table_state(...).current_version``
+    for just the head materializes the whole update log, which is the
+    O(history)-per-call tax the round-11 metadata-plane work removed
+    from every operator that pins an optimistic base."""
+    fn = getattr(tracker, "head_commit_id", None)
+    if fn is not None:
+        return fn(table)
+    return tracker.table_state(table).current_version
+
+
 @dataclass(frozen=True)
 class TableState:
     """Head commit id + updates in ascending time order

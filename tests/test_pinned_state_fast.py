@@ -89,14 +89,15 @@ def test_fast_triple_equals_full_walk(tmp_path):
 
 
 def test_commit_file_reads_bounded_by_interval_not_log(tmp_path):
-    """The structural O(tail) guarantee: one pinned_state against a
-    5000-commit log reads at most ~checkpoint_interval commit files
-    (tail past the checkpoint) — never the whole log.  The bound is
-    scale-independent: at 20k or 1M commits the tail stays
-    O(interval) while the full walk grows linearly (bench entry
-    b11_extend_log_depth records the wall-clock contrast)."""
+    """The structural O(tail) guarantee at the VERDICT r10 scale: one
+    pinned_state against a 20k-commit log reads at most
+    ~checkpoint_interval commit files (tail past the checkpoint) —
+    never the whole log.  The bound is scale-independent (at 1M
+    commits the tail stays O(interval) while the full walk grows
+    linearly); the bench pair b11_extend_deep/shallow_log records the
+    wall-clock twin of this file-unit claim."""
     interval = 100
-    tr = _build(str(tmp_path), 5000, interval=interval)
+    tr = _build(str(tmp_path), 20_000, interval=interval)
     cfs = CountingFs(tr.fs)
     counted = FileBackedVersionTracker(
         str(tmp_path), fs=cfs, checkpoint_interval=interval
@@ -104,7 +105,7 @@ def test_commit_file_reads_bounded_by_interval_not_log(tmp_path):
     got = pinned_state(counted, T)
     reads = _commit_file_reads(cfs)
     assert len(reads) <= interval + 5, (
-        f"pinned_state read {len(reads)} commit files on a 5000-commit "
+        f"pinned_state read {len(reads)} commit files on a 20000-commit "
         f"log — O(history), not O(checkpoint_interval={interval})"
     )
     want = _truth(
