@@ -266,16 +266,21 @@ class VersionTracker(abc.ABC):
         head_fn = getattr(self, "head_commit_id", None)
         if head_fn is not None and head_fn(table) == expected_head:
             return
-        state = self.table_state(table)
-        if state.current_version == expected_head:
-            return
-        ids = [u.metadata.commit_id for u in state.updates]
-        if expected_head not in ids:
-            raise UnknownCommitError(expected_head)
-        # auto-merge is sound only if the head advanced by pure
-        # appends (head == newest log entry): after a rollback the
-        # writer's base state is not a prefix of the current state
-        interim = list(state.updates)[ids.index(expected_head) + 1:]
+        resolved = self._interim_since(table, expected_head)
+        if resolved is None:
+            state = self.table_state(table)
+            if state.current_version == expected_head:
+                return
+            ids = [u.metadata.commit_id for u in state.updates]
+            if expected_head not in ids:
+                raise UnknownCommitError(expected_head)
+            interim = list(state.updates)[ids.index(expected_head) + 1:]
+            current_head = state.current_version
+            head_at_top = current_head == ids[-1]
+        else:
+            interim, current_head, head_at_top = resolved
+            if current_head == expected_head:
+                return
         mine, mine_whole = _touched_partitions(update)
         theirs: Set[Partition] = set()
         theirs_whole = False
@@ -284,9 +289,12 @@ class VersionTracker(abc.ABC):
             theirs |= t
             theirs_whole = theirs_whole or w
         overlap = mine & theirs
+        # auto-merge is sound only if the head advanced by pure
+        # appends (head == newest log entry): after a rollback the
+        # writer's base state is not a prefix of the current state
         mergeable = (
             allow_disjoint
-            and state.current_version == ids[-1]
+            and head_at_top
             and not mine_whole
             and not theirs_whole
             and not overlap
@@ -295,9 +303,48 @@ class VersionTracker(abc.ABC):
             raise CommitConflictError(
                 table,
                 expected_head,
-                state.current_version,
+                current_head,
                 sorted(p.path for p in overlap),
             )
+
+    def _interim_since(self, table: TableName, expected_head: str):
+        """Backwards chunked resolution of the commits AFTER
+        ``expected_head`` — O(distance the head moved since the writer's
+        pin), never O(commit history).  Returns ``(interim_updates_in_
+        log_order, current_head, head_at_top)`` or None when the backend
+        lacks the seq-slice surface (memory tracker: table_state is
+        in-process-cheap there).  Raises UnknownCommitError when
+        ``expected_head`` is not in the log at all — discovered only
+        after the full backwards walk, the same worst case the
+        positional path pays for a bogus pin."""
+        update_seqs = getattr(self, "update_seqs", None)
+        in_range = getattr(self, "updates_in_seq_range", None)
+        head_fn = getattr(self, "head_commit_id", None)
+        if update_seqs is None or in_range is None or head_fn is None:
+            return None
+        seqs = update_seqs(table)
+        if not seqs:
+            raise UnknownCommitError(expected_head)
+        current_head = head_fn(table)
+        newest_id = None
+        interim_rev: list = []
+        hi = len(seqs)
+        found = False
+        while hi > 0 and not found:
+            lo = max(0, hi - 64)
+            chunk = in_range(table, seqs[lo] - 1, seqs[hi - 1])
+            for u in reversed(list(chunk)):
+                if newest_id is None:
+                    newest_id = u.metadata.commit_id
+                if u.metadata.commit_id == expected_head:
+                    found = True
+                    break
+                interim_rev.append(u)
+            hi = lo
+        if not found:
+            raise UnknownCommitError(expected_head)
+        interim_rev.reverse()
+        return interim_rev, current_head, current_head == newest_id
 
     def commit_group(
         self,

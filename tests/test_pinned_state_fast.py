@@ -415,17 +415,20 @@ def test_gap_filled_prefix_degrades_head_resolution(tmp_path):
     the full walk that sees the gap-filled commit."""
     from chronicles_spark.core.ops import update_to_json
 
-    tr = _build(str(tmp_path), 60, interval=20)
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=20)
+    # space commit seqs 10 apart so a free below-checkpoint slot exists
+    # deterministically (consecutive-ms commits leave no gap to fill)
+    ctr = {"v": 1_000_000_000_000}
+    tr._clock.next_timestamp_ms = lambda: ctr.__setitem__("v", ctr["v"] + 10) or ctr["v"]
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(60):
+        _commit(tr, i)
     assert tr.head_resolution(T) is not None
     d = tr._table_dir(T)
     # forge a commit file below the checkpoint's last_seq, in a free slot
     seqs = tr.update_seqs(T)
-    free = None
-    for s in range(seqs[0] + 1, seqs[-1]):
-        if s not in set(seqs):
-            free = s
-            break
-    assert free is not None
+    free = seqs[5] + 1
+    assert free not in set(seqs)
     v = generate_version()
     gap = TableUpdate(
         TableUpdateMetadata.new("laggard", "gap-fill"),
@@ -440,3 +443,43 @@ def test_gap_filled_prefix_degrades_head_resolution(tmp_path):
         lambda: FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
     )
     assert got == want
+
+
+def test_moved_head_conflict_check_reads_o_interim(tmp_path):
+    """A lost-race optimistic commit's interim analysis reads O(distance
+    the head moved), not the whole log: pin the head, land 3 disjoint
+    commits, then commit with the stale pin — the auto-merge must
+    succeed having read ~one backwards chunk of a 3000-commit log."""
+    tr = _build(str(tmp_path), 3000, interval=100)
+    pin = tr.head_commit_id(T)
+    for i in range(3):
+        _commit(tr, 100_000 + i)  # disjoint-ish partitions p=0..2 ... 
+    # make the racer commits truly disjoint from ours below
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=100
+    )
+    v = generate_version()
+    mine = TableUpdate(
+        TableUpdateMetadata.new("u", "stale-pin write"),
+        (AddPartitionVersion(Partition.of(("p", "fresh")), v),),
+    )
+    counted.commit(T, mine, expected_head=pin)  # auto-merge, no raise
+    reads = [p for p in cfs.reads if "table_update_" in p]
+    assert len(reads) <= 80, (
+        f"conflict check read {len(reads)} commit files for a 3-commit "
+        "race window on a 3000-commit log — O(history), not O(interim)"
+    )
+    # and a genuinely overlapping racer still conflicts
+    pin2 = tr.head_commit_id(T)
+    _commit(tr, 100_000)  # touches p=<same shard> as the next write
+    clash = TableUpdate(
+        TableUpdateMetadata.new("u", "clash"),
+        (AddPartitionVersion(
+            Partition.of(("p", str(100_000 % 16))), generate_version()
+        ),),
+    )
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        tr.commit(T, clash, expected_head=pin2, allow_disjoint=True)
