@@ -342,6 +342,9 @@ def _write_artifact_sidecar(
     commit — a crash leaves an orphan sidecar (reclaimable via
     :func:`vacuum_ann_artifacts`'s age guard), never a committed index
     whose artifacts are missing."""
+    import json as _json
+
+    from .artifact_payload import externalize_doc
     from .dedup_index import _check_artifact_size
 
     stamped = AnnArtifacts(
@@ -352,10 +355,14 @@ def _write_artifact_sidecar(
         max_bucket_rows=max_bucket_rows,
         bucket_splits=_freeze_splits(bucket_splits),
     )
-    payload = stamped.to_json()
+    fs, root = filesystem_for(table.location)
+    text = stamped.to_json()
+    orig = _json.loads(text)
+    doc = externalize_doc(fs, root, orig)
+    payload = text if doc is orig else _json.dumps(doc)
     _check_artifact_size(payload, table, "ann")
-    fs, apath = _artifact_path(table, version_label)
-    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))  # first build: no dir yet
+    _, apath = _artifact_path(table, version_label)
+    fs.mkdirs(root)  # first build: no dir yet
     fs.write_text(apath, payload)
     return stamped
 
@@ -600,6 +607,9 @@ def load_ann_artifacts(
     labels = sorted({v.label for v in table_version.partition_versions.values()})
     if not labels:
         raise ValueError(f"table {table.name} has no live index data")
+    from .artifact_payload import resolve_text
+
+    pfs, proot = filesystem_for(table.location)
     loaded: list[AnnArtifacts] = []
     for label in labels:
         fs, apath = _artifact_path(table, label)
@@ -608,7 +618,9 @@ def load_ann_artifacts(
                 f"no artifact sidecar for live index version {label} at "
                 f"{apath}"
             )
-        loaded.append(AnnArtifacts.from_json(fs.read_text(apath)))
+        loaded.append(
+            AnnArtifacts.from_json(resolve_text(pfs, proot, fs.read_text(apath)))
+        )
     first = loaded[0]
     for other in loaded[1:]:
         # bucket_splits is deliberately NOT part of the agreement set: the
@@ -1358,26 +1370,28 @@ def rebuild_ann_id_map(
     new_map_state = tracker.current_version(map_table.name)
     # migration completeness: pin the shard modulus into every live
     # label's sidecar so auto-resolved extends keep maintaining the map
-    fs = filesystem_for(table.location)[0]
+    from .artifact_payload import resolve_text
+
+    fs, root = filesystem_for(table.location)
     for label in sorted({v.label for v in state.partition_versions.values()}):
         _, apath = _artifact_path(table, label)
         if fs.exists(apath):
-            side = AnnArtifacts.from_json(fs.read_text(apath))
+            side = AnnArtifacts.from_json(
+                resolve_text(fs, root, fs.read_text(apath))
+            )
             if side.id_shards != artifacts.id_shards:
                 # only id_shards changes: dropping max_bucket_rows here
                 # would silently erase the recorded skew cap (and a crash
                 # mid-loop would leave live sidecars disagreeing on BOTH
-                # fields, making load_ann_artifacts raise)
-                fs.write_text(
-                    apath,
-                    AnnArtifacts(
-                        centroids=side.centroids,
-                        codebooks=side.codebooks,
-                        version_label=side.version_label,
-                        id_shards=artifacts.id_shards,
-                        max_bucket_rows=side.max_bucket_rows,
-                        bucket_splits=side.bucket_splits,
-                    ).to_json(),
+                # fields, making load_ann_artifacts raise).  Re-stamp via
+                # the shared writer so an externalized payload keeps its
+                # (content-unchanged) reference instead of re-inlining.
+                _write_artifact_sidecar(
+                    table, side.version_label,
+                    side.centroid_list, side.codebook_list,
+                    id_shards=artifacts.id_shards,
+                    max_bucket_rows=side.max_bucket_rows,
+                    bucket_splits=side.split_tree,
                 )
     return new_map_state
 

@@ -285,12 +285,21 @@ def _write_artifact_sidecar(table, stamped) -> None:
     """Sidecar BEFORE the data commit (the ANN build's crash-ordering
     contract): a crash leaves an orphan sidecar (reclaimed by
     :func:`vacuum_dedup_artifacts`), never a committed index whose
-    geometry is missing.  Refuses payloads over
+    geometry is missing.  Quantizer-scale bulk fields externalize to a
+    content-addressed parquet payload (``operators/artifact_payload``,
+    landed before the sidecar referencing it — the crash ordering
+    extends one link); whatever stays inline is bounded by
     ``ARTIFACT_JSON_MAX_BYTES`` (see :func:`_check_artifact_size`)."""
-    payload = stamped.to_json()
+    from .artifact_payload import externalize_doc
+
+    fs, root = filesystem_for(table.location)
+    text = stamped.to_json()
+    orig = json.loads(text)
+    doc = externalize_doc(fs, root, orig)
+    payload = text if doc is orig else json.dumps(doc)
     _check_artifact_size(payload, table, getattr(stamped, "kind", "index"))
-    fs, apath = _artifact_path(table, stamped.version_label)
-    fs.mkdirs(fs.join(*apath.rsplit("/", 1)[:1]))
+    _, apath = _artifact_path(table, stamped.version_label)
+    fs.mkdirs(root)
     fs.write_text(apath, payload)
 
 
@@ -313,6 +322,9 @@ def _load_artifacts(
     )
     if not labels:
         raise ValueError(f"table {table.name} has no live index data")
+    from .artifact_payload import resolve_text
+
+    pfs, proot = filesystem_for(table.location)
     loaded = []
     for label in labels:
         fs, apath = _artifact_path(table, label)
@@ -320,7 +332,7 @@ def _load_artifacts(
             raise ValueError(
                 f"no artifact sidecar for live index version {label} at {apath}"
             )
-        loaded.append(from_json(fs.read_text(apath)))
+        loaded.append(from_json(resolve_text(pfs, proot, fs.read_text(apath))))
     first = loaded[0]
     for other in loaded[1:]:
         if other.geometry() != first.geometry():

@@ -32,9 +32,13 @@ Centroid lifecycle: ``n_clusters``/``dim``/``centroids`` are IMMUTABLE
 on rebuild (re-geometry re-shards from the stored vectors under the
 SAME centroids; re-FITTING the quantizer is a fresh build — the same
 refresh cadence as the ANN index's quantizer, and the drift story the
-design note documents).  Practical bound: the centroids ride the JSON
-sidecar, so keep ``n_clusters × dim`` in the 10⁵–10⁶ range (a few MB);
-beyond that the coarse quantizer belongs to the ANN index family.
+design note documents).  Size: small quantizers ride the JSON sidecar
+inline; past ``PAYLOAD_INLINE_MAX`` (4 MB) the centroids externalize
+automatically to ONE content-addressed parquet payload shared by every
+label's re-stamp (:mod:`~chronicles_spark.operators.artifact_payload`
+— resolved transparently on load, swept with the sidecars), bounded at
+``PAYLOAD_MAX_BYTES`` (512 MB) beyond which the quantizer belongs in a
+versioned table of its own.
 
 Differential contract (tested, and gated on the driver's
 ``q_ann_ivf_kmeans`` row): build+extend equals the one-shot

@@ -128,6 +128,42 @@ def vacuum_artifact_sidecars(
         mt = fs.mtime(path)
         if mt is not None and now - mt > orphan_min_age.total_seconds():
             doomed.append(path)
+    # content-addressed parquet payloads (operators/artifact_payload):
+    # a payload file survives while ANY surviving sidecar at this root
+    # — of any family — references its hash; unreferenced payloads age
+    # out under the same orphan guard (covers the crash window between
+    # payload write and sidecar write, and payloads whose last
+    # referencing sidecar this very sweep dooms)
+    from .artifact_payload import PAYLOAD_PREFIX, PAYLOAD_SUFFIX
+
+    payload_files = [
+        n
+        for n in fs.list_dir(root)
+        if n.startswith(PAYLOAD_PREFIX) and n.endswith(PAYLOAD_SUFFIX)
+    ]
+    if payload_files:
+        import json as _json
+
+        doomed_set = set(doomed)
+        live_refs = set()
+        for n in fs.list_dir(root):
+            if not (n.startswith("_") and n.endswith(".json")):
+                continue
+            path = fs.join(root, n)
+            if path in doomed_set:
+                continue
+            try:
+                live_refs.add(_json.loads(fs.read_text(path)).get("payload_ref"))
+            except (FileNotFoundError, ValueError):
+                continue  # torn/foreign file holds no reference
+        for n in sorted(payload_files):
+            sha = n[len(PAYLOAD_PREFIX):-len(PAYLOAD_SUFFIX)]
+            if sha in live_refs:
+                continue
+            path = fs.join(root, n)
+            mt = fs.mtime(path)
+            if mt is not None and now - mt > orphan_min_age.total_seconds():
+                doomed.append(path)
     if not dry_run:
         for p in doomed:
             fs.remove_file(p)

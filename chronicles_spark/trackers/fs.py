@@ -56,6 +56,23 @@ class FileSystem(abc.ABC):
         callers must treat None conservatively."""
         return None
 
+    # -- binary blobs (artifact payload files: parquet quantizers) ----------
+    # Optional capability: the artifact-payload path (operators/
+    # artifact_payload.py) externalizes quantizer-scale geometry to
+    # content-addressed parquet files next to the JSON sidecars.  A
+    # backend without the capability keeps geometry inline (bounded by
+    # ARTIFACT_JSON_MAX_BYTES) — a degrade, never an error.
+
+    def supports_bytes(self) -> bool:
+        """True iff :meth:`read_bytes`/:meth:`write_bytes` are available."""
+        return False
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError(f"{type(self).__name__} has no binary reads")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError(f"{type(self).__name__} has no binary writes")
+
     # -- conditional put (atomic create-if-absent) --------------------------
     # The primitive behind multi-writer commit safety without a lock
     # service: S3 PutObject with `If-None-Match: *`, GCS preconditions
@@ -169,6 +186,31 @@ class LocalFileSystem(FileSystem):
     def supports_put_if_match(self) -> bool:
         return True
 
+    def supports_bytes(self) -> bool:
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        return Path(path).read_bytes()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        # same atomic tmp+rename publish as write_text: payload files are
+        # content-addressed and may be read the moment they are listed
+        import os
+        import tempfile
+
+        p = Path(path)
+        fd, tmp = tempfile.mkstemp(prefix=f".{p.name}.", dir=str(p.parent))
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+
     def read_text_and_token(self, path: str) -> "tuple[str, object]":
         import hashlib
 
@@ -272,7 +314,10 @@ class MemoryFileSystem(FileSystem):
         p = self._norm(path)
         if p not in self._files:
             raise FileNotFoundError(path)
-        return self._files[p]
+        v = self._files[p]
+        if isinstance(v, (bytes, bytearray)):
+            raise ValueError(f"{path} holds binary data; use read_bytes")
+        return v
 
     def write_text(self, path: str, text: str) -> None:
         p = self._norm(path)
@@ -295,6 +340,30 @@ class MemoryFileSystem(FileSystem):
                 return False
             self.write_text(path, text)
             return True
+
+    # binary blobs share the file map (one namespace, like a real store);
+    # the two read methods police the type so a text reader can never
+    # silently receive payload bytes
+    def supports_bytes(self) -> bool:
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        p = self._norm(path)
+        if p not in self._files:
+            raise FileNotFoundError(path)
+        v = self._files[p]
+        return v if isinstance(v, (bytes, bytearray)) else v.encode()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = self._norm(path)
+        with MemoryFileSystem._lock:
+            parent = posixpath.dirname(p)
+            if parent:
+                self.mkdirs(parent)
+            self._files[p] = bytes(data)
+            self._mt[p] = time.time()
+            gens = self._gen_map()
+            gens[p] = gens.get(p, 0) + 1
 
     # token CAS: the per-path "generation" is the write count (the same
     # model as GCS object generations)
@@ -431,6 +500,17 @@ class FsspecFileSystem(FileSystem):
         with self._fs.open(path, "w") as f:
             f.write(text)
 
+    def supports_bytes(self) -> bool:
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._fs.open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self._fs.open(path, "wb") as f:
+            f.write(data)
+
     def list_dir(self, path: str) -> List[str]:
         if not self._fs.exists(path):
             return []
@@ -541,6 +621,25 @@ class BotoS3FileSystem(FileSystem):
     def write_text(self, path: str, text: str) -> None:
         bucket, key = self._split(path)
         self._s3.put_object(Bucket=bucket, Key=key, Body=text.encode("utf-8"))
+
+    def supports_bytes(self) -> bool:
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            body = self._s3.get_object(Bucket=bucket, Key=key)["Body"]
+        except ClientError as e:
+            if self._client_error_code(e) in ("NoSuchKey", "404", "NotFound"):
+                raise FileNotFoundError(path) from e
+            raise
+        return body.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=bytes(data))
 
     def supports_put_if_absent(self) -> bool:
         return True
