@@ -19,12 +19,16 @@ def _tdef(tmp_path, part="band_shard"):
 
 
 class _Fake:
+    """Stamped-artifact stub whose serialized JSON has an EXACT byte
+    length (valid JSON — the writer parses it for payload
+    externalization; no payload fields, so it always stays inline)."""
+
     def __init__(self, n_bytes):
         self.version_label = "v1"
         self._n = n_bytes
 
     def to_json(self):
-        return "x" * self._n
+        return '{"pad": "' + "x" * (self._n - 11) + '"}'
 
 
 def test_oversized_sidecar_refused_and_nothing_written(tmp_path):
