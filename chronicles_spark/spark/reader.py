@@ -195,19 +195,30 @@ def _changed_states(
     from_commit: str,
     to_commit: Optional[str] = None,
 ):
-    """(ops, tv_from, tv_to) — internal triple behind changed_partitions."""
-    from ..core import fold
+    """(ops, tv_from, tv_to) — internal triple behind changed_partitions.
+
+    Endpoint resolution rides ``version_at`` (round 11) — the fold
+    checkpoint + commit tail on checkpointed trackers — so an incremental
+    CDC consumer polling ``(from=last seen, to=head)`` against a deep log
+    reads O(checkpoint_interval) commit records per poll, never the whole
+    log (this previously materialized ``table_state``: O(history) per
+    poll, quadratic cumulative — the same shape the round-11 metadata
+    plane removed from the index extends).  An endpoint deeper than the
+    checkpoint degrades to that endpoint's full fold, which is always
+    correct (docs/scale.md "Resolution is O(tail)")."""
     from ..core.diff import compute_changes
+    from ..trackers.base import UnknownCommitError, head_of
 
-    state = tracker.table_state(table.name)
-    known = {u.metadata.commit_id for u in state.updates}
-    to_commit = to_commit or state.current_version
+    to_commit = to_commit or head_of(tracker, table.name)
+    resolved = []
     for label, cid in (("from_commit", from_commit), ("to_commit", to_commit)):
-        if cid not in known:
-            raise ValueError(f"unknown {label} {cid!r} for table {table.name}")
-
-    tv_from = fold.current_version(state.updates, from_commit)
-    tv_to = fold.current_version(state.updates, to_commit)
+        try:
+            resolved.append(tracker.version_at(table.name, cid))
+        except UnknownCommitError:
+            raise ValueError(
+                f"unknown {label} {cid!r} for table {table.name}"
+            ) from None
+    tv_from, tv_to = resolved
     return compute_changes(tv_from, tv_to), tv_from, tv_to
 
 

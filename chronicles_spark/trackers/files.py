@@ -623,10 +623,28 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.write_text(ck_path, json.dumps(body))
         self.fs.write_text(ptr_path, ptr_doc)
 
+    # how many retained-checkpoint segments _fast_resolve walks backwards
+    # before degrading to the full fold: bounds the wasted reads for a
+    # very deep (or unknown — the error path re-reads via the full walk)
+    # commit at ~32·interval files, while covering every realistic
+    # lag-behind-head window (a CDC poll or time travel a few checkpoint
+    # cuts behind) at O(distance-from-head) cost
+    _FAST_RESOLVE_MAX_SEGMENTS = 32
+
     def _fast_resolve(self, d: str, commit_id: str):
         """Checkpoint + tail fold at ``commit_id``, or None when the fast
-        path does not apply (no usable checkpoint, or the commit precedes
-        the checkpoint — e.g. a rolled-back head or deep time travel).
+        path cannot answer (no usable checkpoint, gap-filled prefix, or a
+        commit deeper than the walked checkpoints — e.g. genesis-deep time
+        travel).  Round 11: checkpoints are never deleted (only the
+        pointer advances), so a commit that PRECEDES the newest checkpoint
+        resolves from the newest retained checkpoint at-or-below it — a
+        newest-first walk reading one checkpoint-sized commit segment at a
+        time, O(distance the commit lags the head), never the whole log.
+        Without this, a CDC consumer polling ``changed_partitions(from=
+        recent)`` fell to the full fold the moment a checkpoint was cut
+        past its cursor.  Cutoff semantics are identical in every path
+        (checkpoints are pure functions of log order); each older
+        checkpoint is covers-prefix-validated independently before use.
         ``checkpoint_interval=None`` disables the READ side too, so a
         None-interval tracker is a true full-fold ground truth even over a
         directory that already carries checkpoints."""
@@ -636,19 +654,60 @@ class FileBackedVersionTracker(VersionTracker):
         if ck is None:
             return None
         all_seqs = self._update_seqs(d)
-        if not self._checkpoint_covers_prefix(ck, [s for s, _ in all_seqs]):
+        seq_nums = [s for s, _ in all_seqs]
+        if not self._checkpoint_covers_prefix(ck, seq_nums):
             return None  # gap-filled prefix: only the full fold is correct
-        tail_names = [n for s, n in all_seqs if s > int(ck["last_seq"])]
-        tail = self._read_updates(d, tail_names)
-        if commit_id == ck["last_commit_id"]:
-            upto = ()
-        elif any(u.metadata.commit_id == commit_id for u in tail):
-            upto = fold.take_through(tail, commit_id)
-        else:
-            # the commit precedes the checkpoint: the checkpoint's prefix
-            # includes commits past it, so it cannot be used
+        # retained checkpoint seqs below the pointer's, newest first
+        older = sorted(
+            (
+                s
+                for n in self.fs.list_dir(d)
+                if (m := _CHECKPOINT_FILE_RE.match(n))
+                and (s := int(m.group(1))) < int(ck["last_seq"])
+            ),
+            reverse=True,
+        )
+        upper = None  # exclusive seq upper bound of segments already searched
+        for _ in range(self._FAST_RESOLVE_MAX_SEGMENTS):
+            if commit_id == ck["last_commit_id"]:
+                return self._fold_checkpoint_plus(ck, ())
+            names = [
+                n
+                for s, n in all_seqs
+                if s > int(ck["last_seq"]) and (upper is None or s <= upper)
+            ]
+            seg = self._read_updates(d, names)
+            if any(u.metadata.commit_id == commit_id for u in seg):
+                return self._fold_checkpoint_plus(
+                    ck, fold.take_through(seg, commit_id)
+                )
+            upper = int(ck["last_seq"])
+            ck = None
+            while older and older[0] >= upper:
+                older.pop(0)
+            while older:
+                cand = self._checkpoint_body(d, older.pop(0))
+                if cand is not None and self._checkpoint_covers_prefix(
+                    cand, seq_nums
+                ):
+                    ck = cand
+                    break
+            if ck is None:
+                return None  # deeper than the oldest usable checkpoint
+        return None
+
+    def _checkpoint_body(self, d: str, seq: int) -> dict | None:
+        """Parse + validate ``checkpoint_<seq>.json`` (any retained cut,
+        not just the pointer's); missing/corrupt → None."""
+        try:
+            ck = json.loads(
+                self.fs.read_text(self.fs.join(d, f"checkpoint_{seq:013d}.json"))
+            )
+            if int(ck["last_seq"]) != seq or "last_commit_id" not in ck:
+                return None
+            return ck
+        except (FileNotFoundError, KeyError, ValueError):
             return None
-        return self._fold_checkpoint_plus(ck, upto)
 
     def _fold_checkpoint_plus(self, ck: dict, upto):
         """The folded table version = checkpoint state + ``upto`` commits

@@ -483,3 +483,44 @@ def test_moved_head_conflict_check_reads_o_interim(tmp_path):
 
     with pytest.raises(CommitConflictError):
         tr.commit(T, clash, expected_head=pin2, allow_disjoint=True)
+
+
+def test_changed_partitions_reads_o_tail(tmp_path):
+    """The incremental CDC batch surface (changed_partitions/read_changes)
+    resolves BOTH endpoints through version_at's checkpoint+tail path: a
+    consumer polling (from=recent, to=head) against a 3000-commit log
+    reads O(checkpoint_interval) commit files — previously this
+    materialized table_state per poll (O(history), quadratic cumulative
+    over a poll loop, the same shape the round-11 metadata plane removed
+    from the index extends)."""
+    from chronicles_spark.spark.reader import changed_partitions
+
+    interval = 100
+    tr = _build(str(tmp_path), 3000, interval=interval)
+    recent = tr.table_state(T).updates[-20].metadata.commit_id
+    tdef = TableDefinition(T, str(tmp_path) + "/data", PartitionSchema(("p",)))
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=interval
+    )
+    ops, tv_to = changed_partitions(tdef, counted, recent)
+    reads = _commit_file_reads(cfs)
+    assert len(reads) <= 2 * interval + 10, (
+        f"changed_partitions read {len(reads)} commit files on a "
+        f"3000-commit log — O(history), not O(checkpoint_interval)"
+    )
+    # differential: identical to the checkpoint-free full-fold answer
+    truth_tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    t_ops, t_tv_to = changed_partitions(tdef, truth_tr, recent)
+    assert (ops, tv_to) == (t_ops, t_tv_to)
+    # a from-endpoint DEEPER than the checkpoint degrades to the full
+    # fold and stays correct
+    deep = tr.table_state(T).updates[5].metadata.commit_id
+    assert changed_partitions(tdef, tr, deep) == changed_partitions(
+        tdef, truth_tr, deep
+    )
+    # the unknown-commit contract is version_at's now — same ValueError
+    with pytest.raises(ValueError, match="unknown from_commit"):
+        changed_partitions(tdef, tr, "no-such-commit")
+    with pytest.raises(ValueError, match="unknown to_commit"):
+        changed_partitions(tdef, tr, recent, "nope")
