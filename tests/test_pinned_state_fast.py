@@ -513,6 +513,20 @@ def test_changed_partitions_reads_o_tail(tmp_path):
     truth_tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
     t_ops, t_tv_to = changed_partitions(tdef, truth_tr, recent)
     assert (ops, tv_to) == (t_ops, t_tv_to)
+    # a MULTI-segment walk (endpoint several checkpoint cuts behind the
+    # head) stays O(lag): ~5 segments of `interval` commit files each
+    lagged = tr.table_state(T).updates[-450].metadata.commit_id
+    cfs2 = CountingFs(tr.fs)
+    counted2 = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs2, checkpoint_interval=interval
+    )
+    ops2, tv2 = changed_partitions(tdef, counted2, lagged)
+    reads2 = _commit_file_reads(cfs2)
+    assert len(reads2) <= 6 * interval + 10, (
+        f"a 450-commit-lagged poll read {len(reads2)} commit files — "
+        "O(history), not O(lag)"
+    )
+    assert (ops2, tv2) == changed_partitions(tdef, truth_tr, lagged)
     # a from-endpoint DEEPER than the checkpoint degrades to the full
     # fold and stays correct
     deep = tr.table_state(T).updates[5].metadata.commit_id
