@@ -496,12 +496,37 @@ class VersionTracker(abc.ABC):
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
-        best: Optional[str] = None
-        for u in self.table_state(table).updates:
+
+        def _qualifies(u) -> bool:
             uts = u.metadata.timestamp
             if uts.tzinfo is None:
                 uts = uts.replace(tzinfo=timezone.utc)
-            if uts <= ts:
+            return uts <= ts
+
+        # "newest log-ordered qualifying commit" means a BACKWARD scan can
+        # stop at the first qualifying commit it meets — O(commits newer
+        # than ts), not O(history), on trackers with the positional tail
+        # surface (round 11; the stream-epoch probe's chunk pattern).  A
+        # forward full scan keeping the last qualifying commit is the
+        # identical answer by construction, including under (rare)
+        # non-monotonic cross-writer timestamps.
+        count = getattr(self, "update_count", None)
+        sl = getattr(self, "updates_slice", None)
+        if count is not None and sl is not None:
+            hi = count(table)
+            chunk = 256
+            while hi > 0:
+                lo = max(0, hi - chunk)
+                for u in reversed(sl(table, lo, hi)):
+                    if _qualifies(u):
+                        return u.metadata.commit_id
+                hi = lo
+            raise UnknownCommitError(
+                None, f"no commit at or before {ts.isoformat()}"
+            )
+        best: Optional[str] = None
+        for u in self.table_state(table).updates:
+            if _qualifies(u):
                 best = u.metadata.commit_id
         if best is None:
             raise UnknownCommitError(

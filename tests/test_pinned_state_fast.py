@@ -538,3 +538,62 @@ def test_changed_partitions_reads_o_tail(tmp_path):
         changed_partitions(tdef, tr, "no-such-commit")
     with pytest.raises(ValueError, match="unknown to_commit"):
         changed_partitions(tdef, tr, recent, "nope")
+
+
+def test_commit_at_timestamp_reads_o_recency(tmp_path):
+    """Timestamp time travel scans BACKWARDS and stops at the first
+    qualifying commit: resolving a near-head timestamp against a
+    2000-commit log reads O(commits newer than ts), not the whole log —
+    and the answer equals the forward-full-scan ground truth, including
+    under non-monotonic cross-writer timestamps."""
+    from datetime import timezone as _tz
+
+    tr = _build(str(tmp_path), 2000, interval=100)
+    st = tr.table_state(T)
+    target = st.updates[-8].metadata.timestamp
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=100
+    )
+    got = counted.commit_at_timestamp(T, target)
+    reads = _commit_file_reads(cfs)
+    assert len(reads) <= 300, (
+        f"a near-head timestamp resolution read {len(reads)} commit files "
+        "on a 2000-commit log — O(history), not O(recency)"
+    )
+
+    def _truth_at(ts):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_tz.utc)
+        best = None
+        for u in tr.table_state(T).updates:
+            uts = u.metadata.timestamp
+            if uts.tzinfo is None:
+                uts = uts.replace(tzinfo=_tz.utc)
+            if uts <= ts:
+                best = u.metadata.commit_id
+        return best
+
+    assert got == _truth_at(target)
+    # non-monotonic cross-writer timestamps: land a commit whose metadata
+    # timestamp PRECEDES every earlier commit's — the latest log-ordered
+    # qualifying commit must win (it is the only qualifying one here)
+    from datetime import datetime as _dt
+
+    old_ts = _dt(2001, 1, 1, tzinfo=_tz.utc)
+    meta = TableUpdateMetadata.new("u", "skewed clock", old_ts)
+    tr.commit(
+        T,
+        TableUpdate(
+            meta,
+            (AddPartitionVersion(Partition.of(("p", "skew")), generate_version()),),
+        ),
+    )
+    assert tr.commit_at_timestamp(T, old_ts) == meta.commit_id
+    assert tr.commit_at_timestamp(T, old_ts) == _truth_at(old_ts)
+    # and a timestamp before EVERY commit still raises after the full
+    # backward walk
+    from chronicles_spark.trackers.base import UnknownCommitError
+
+    with pytest.raises(UnknownCommitError):
+        tr.commit_at_timestamp(T, _dt(1999, 1, 1, tzinfo=_tz.utc))
