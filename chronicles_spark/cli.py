@@ -255,7 +255,8 @@ class DedupIndexAction:
     the current value" on rebuild."""
 
     operation: str  # build|extend|verify|rebuild|repair-pairs|
-    #                 vacuum-artifacts|fold-clusters|verify-clusters
+    #                 vacuum-artifacts|fold-clusters|verify-clusters|
+    #                 compact-pairs
     table: TableName
     location: str
     family: str = "text"  # text | embedding | simhash | semantic
@@ -282,6 +283,7 @@ class DedupIndexAction:
     apply: bool = False
     orphan_min_age_days: float = 7.0
     coalesce_batches: int = 1  # fold-clusters backlog knob
+    min_batches: int = 2  # compact-pairs candidate floor
     # fold-clusters: the assignment table the pairs journal folds into
     # (the action's table/location then name the PAIRS table);
     # verify-clusters audits table/location as the assignment table
@@ -624,12 +626,14 @@ def build_parser() -> argparse.ArgumentParser:
         "dedup",
         help="Maintain an incremental dedup index — text MinHash or "
         "embedding sign-LSH "
-        "(build/extend/verify/rebuild/repair-pairs/vacuum-artifacts)",
+        "(build/extend/verify/rebuild/repair-pairs/vacuum-artifacts/"
+        "fold-clusters/verify-clusters/compact-pairs)",
     )
     p_dd.add_argument(
         "operation",
         choices=["build", "extend", "verify", "rebuild", "repair-pairs",
-                 "vacuum-artifacts", "fold-clusters", "verify-clusters"],
+                 "vacuum-artifacts", "fold-clusters", "verify-clusters",
+                 "compact-pairs"],
     )
     p_dd.add_argument("table")
     p_dd.add_argument("--location", required=True, help="Index storage root")
@@ -713,6 +717,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--coalesce-batches", type=int, default=1,
         help="fold-clusters: fold up to N journal batches per commit "
         "(backlog catch-up)",
+    )
+    p_dd.add_argument(
+        "--min-batches", type=int, default=2,
+        help="compact-pairs: skip unless at least N folded/consolidated "
+        "journal partitions exist",
     )
 
     return parser
@@ -802,11 +811,11 @@ def parse_action(argv: Sequence[str]):
             "embedding", "semantic"
         ) and not ns.dim:
             raise CliError(f"dedup build --family {ns.family} needs --dim")
-        if ns.operation == "fold-clusters" and not (
+        if ns.operation in ("fold-clusters", "compact-pairs") and not (
             ns.clusters_table and ns.clusters_location
         ):
             raise CliError(
-                "dedup fold-clusters needs --clusters-table and "
+                f"dedup {ns.operation} needs --clusters-table and "
                 "--clusters-location (the positional table/--location "
                 "name the pairs journal)"
             )
@@ -828,6 +837,7 @@ def parse_action(argv: Sequence[str]):
             ),
             clusters_location=ns.clusters_location,
             cluster_shards=ns.cluster_shards,
+            min_batches=ns.min_batches,
             coalesce_batches=ns.coalesce_batches,
         )
     raise CliError(f"Unknown command {ns.command!r}")
@@ -1225,7 +1235,9 @@ class CliClient:
         repair-pairs and vacuum-artifacts are pure metadata."""
         from .operators import dedup_index as DX
 
-        if action.operation in ("fold-clusters", "verify-clusters"):
+        if action.operation in (
+            "fold-clusters", "verify-clusters", "compact-pairs"
+        ):
             self._dedup_clusters(action, user_id)
             return
 
@@ -1462,7 +1474,11 @@ class CliClient:
         (operators/cluster_index.py): ``fold-clusters`` catches the
         assignment table up with the pairs journal (bootstrapping an
         empty index on first use), ``verify-clusters`` audits the
-        paired tables and exits non-zero on divergence."""
+        paired tables and exits non-zero on divergence, and
+        ``compact-pairs`` consolidates the journal's already-folded
+        batch partitions into one (the positional table/--location name
+        the PAIRS table; --clusters-table/--clusters-location name the
+        assignment table whose fold watermarks decide what is safe)."""
         from pyspark.sql import SparkSession
 
         from .operators import cluster_index as CX
@@ -1503,6 +1519,24 @@ class CliClient:
             action.clusters_table, location=action.clusters_location,
             partition_schema=PartitionSchema((CX.DOC_SHARD_COL,)),
         )
+        if action.operation == "compact-pairs":
+            value = CX.compact_dedup_pairs(
+                spark, pairs_table, assign, tracker, user_id=user_id,
+                message=action.message, min_batches=action.min_batches,
+            )
+            if value is None:
+                self.console.println(
+                    f"Nothing to compact (fewer than {action.min_batches} "
+                    "folded journal partitions)"
+                )
+            else:
+                self.console.println(
+                    f"Compacted folded journal partitions of "
+                    f"'{action.table.fully_qualified}' into "
+                    f"'batch={value}'"
+                )
+            return
+
         tracker.init_table(assign.name, is_snapshot=False, user_id=user_id)
         state, _, head_pair = pinned_state(tracker, assign.name)
         if head_pair is None and not getattr(

@@ -78,7 +78,7 @@ from ..core.model import (
     TableName,
 )
 from ..core.version import Version, generate_version
-from ..trackers.base import VersionTracker
+from ..trackers.base import UnknownTableError, VersionTracker
 from . import dedup as DD
 from .dedup_index import (
     _FETCH_PUSHDOWN_MAX_IDS,
@@ -899,7 +899,12 @@ def fold_new_dedup_pairs(
         for p in pstate.partition_versions
     )
     done = folded_batch_labels(tracker, table)
-    todo = [l for l in labels if l not in done]
+    # consolidated partitions (compact_dedup_pairs) hold only
+    # already-folded pairs by construction — never fold candidates
+    todo = [
+        l for l in labels
+        if l not in done and not l.startswith(FOLDED_BATCH_PREFIX)
+    ]
     folded = []
     for i in range(0, len(todo), coalesce_batches):
         chunk = todo[i:i + coalesce_batches]
@@ -913,6 +918,120 @@ def fold_new_dedup_pairs(
         )
         folded.extend(chunk)
     return folded
+
+
+# consolidated journal partitions get this prefix on their ``batch``
+# value; real batch labels are version labels (digit-leading timestamps,
+# core/version.py::make_label), so the prefix cannot collide
+FOLDED_BATCH_PREFIX = "folded-"
+
+
+def compact_dedup_pairs(
+    spark: SparkSession,
+    pairs_table: TableDefinition,
+    table: TableDefinition,
+    tracker: VersionTracker,
+    user_id: str = "dedup",
+    message: str = "compact folded pairs journal",
+    min_batches: int = 2,
+) -> "str | None":
+    """Consolidate the journal's already-FOLDED ``batch=<label>``
+    partitions (plus any prior consolidations) into ONE
+    ``batch=folded-<version>`` partition, content preserved
+    row-for-row.
+
+    Why this exists at 100 TB: the journal lands one partition per
+    extend, forever — at streaming cadence that is ~500k partitions a
+    year, and every live partition rides every fold state, checkpoint
+    document, and partition listing of the pairs table from then on
+    (the commit machinery is O(live partitions) per resolution by
+    design).  Folded batches are exactly the ones whose per-batch
+    identity no longer matters — the assignment table consumed them,
+    the ``[folds:...]`` watermark history lives in the commit log (not
+    the data), and every remaining consumer (verify differentials,
+    ``rebuild_dedup_clusters``, duplicate listings) reads the journal
+    as a whole.  Compaction caps the partition map at O(unfolded + 1).
+
+    Cost class: O(all folded pairs) read+write per call — a maintenance
+    sweep (compaction cadence), not a per-batch step.  Exactly-once is
+    preserved structurally: ``fold_new_dedup_pairs`` never treats a
+    ``folded-`` partition as a fold candidate.  Concurrency: the commit
+    pins the journal head optimistically — a racing extend lands a NEW
+    batch partition (disjoint, auto-merges); a racing compaction
+    overlaps on the removed partitions and the loser raises
+    ``CommitConflictError``.  The commit re-stamps the journal's
+    CURRENT pair marker (minting a new one would trip the pair
+    protocol's primary/companion check on the next extend — the
+    marker-only-fold precedent).
+
+    Returns the consolidated partition's ``batch`` value, or None when
+    fewer than ``min_batches`` candidate partitions exist.
+
+    No reference counterpart: the journal itself is this repo's
+    extension (operators/dedup_index.py); this is its OPTIMIZE-style
+    lifecycle companion."""
+    from ..core.ops import (
+        AddPartitionVersion,
+        RemovePartition,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from ..spark.reader import read_version
+    from ..spark.writer import write_versioned
+    from .pairing import pair_message
+
+    _require_dynamic_overwrite(spark)
+    if min_batches < 1:
+        raise ValueError("min_batches must be >= 1")
+    pstate, pairs_head, pairs_marker = pinned_state(tracker, pairs_table.name)
+    if not isinstance(pstate, PartitionedTableVersion):
+        raise ValueError("pairs journal is partitioned by batch")
+    try:
+        done = folded_batch_labels(tracker, table)
+    except UnknownTableError:
+        # no assignment table yet = nothing has ever been folded — an
+        # honest "nothing to compact", not an error (the journal may
+        # predate its cluster index)
+        done = set()
+    todo = sorted(
+        l
+        for p in pstate.partition_versions
+        if (l := dict(p.column_values)[PAIRS_BATCH_COL]) in done
+        or l.startswith(FOLDED_BATCH_PREFIX)
+    )
+    if len(todo) < min_batches:
+        return None
+    version = generate_version()
+    batch_value = FOLDED_BATCH_PREFIX + version.label
+    sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, todo)
+    rows = (
+        read_version(spark, pairs_table, sub, infer_partition_types=False)
+        .drop(PAIRS_BATCH_COL)
+        .withColumn(PAIRS_BATCH_COL, F.lit(batch_value))
+    )
+    # parallelism follows the source partitions; no repartition — a
+    # single consolidated partition may hold the corpus's full duplicate
+    # history and must not funnel through one task
+    write_versioned(rows, pairs_table, version)
+    todo_set = set(todo)
+    removes = [
+        p
+        for p in pstate.partition_versions
+        if dict(p.column_values)[PAIRS_BATCH_COL] in todo_set
+    ]
+    msg = message if pairs_marker is None else pair_message(message, pairs_marker)
+    ops = [
+        AddPartitionVersion(
+            Partition.of((PAIRS_BATCH_COL, batch_value)), version
+        )
+    ] + [RemovePartition(p) for p in sorted(removes, key=lambda p: p.path)]
+    tracker.commit(
+        pairs_table.name,
+        TableUpdate(TableUpdateMetadata.new(user_id, msg), tuple(ops)),
+        expected_head=pairs_head,
+        allow_disjoint=True,
+    )
+    return batch_value
 
 
 def verify_dedup_clusters(

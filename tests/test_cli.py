@@ -928,3 +928,107 @@ def test_dedup_semantic_cli_family(spark, tmp_path):
          "--family", "semantic", "--band-shards", "8"],
         client, console, "u",
     ) == 0
+
+
+def test_dedup_compact_pairs_cli(spark, tmp_path):
+    """Round-11: ``dedup compact-pairs`` consolidates the journal's
+    folded batch partitions from the shell — declines below the
+    candidate floor, reports the consolidated partition, preserves the
+    verify-clusters outcome, and validates its flags."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 97).cast(
+                "string"
+            ),
+        )
+        for j in range(20)
+    ]
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    src1 = str(tmp_path / "kdocs1.parquet")
+    src2 = str(tmp_path / "kdocs2.parquet")
+    src3 = str(tmp_path / "kdocs3.parquet")
+    docs.where("doc_id < 15").write.parquet(src1)
+    docs.where("doc_id >= 15 AND doc_id < 25").unionByName(
+        docs.where("doc_id = 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+    ).write.parquet(src2)
+    docs.where("doc_id >= 25").unionByName(
+        docs.where("doc_id = 7").select(
+            (F.col("doc_id") + 200).alias("doc_id"), "text"
+        )
+    ).write.parquet(src3)
+    loc = str(tmp_path / "kdd")
+    cloc = str(tmp_path / "kclusters")
+
+    client, console = make_client()
+    assert C.run(
+        ["dedup", "build", "db.kdd", "--location", loc, "--input", src1,
+         "--band-shards", "8", "--doc-shards", "4"],
+        client, console, "u",
+    ) == 0
+    for src in (src2, src3):
+        assert C.run(
+            ["dedup", "extend", "db.kdd", "--location", loc, "--input", src,
+             "--pairs"],
+            client, console, "u",
+        ) == 0
+
+    with pytest.raises(C.CliError, match="compact-pairs needs"):
+        C.parse_action(
+            ["dedup", "compact-pairs", "db.kdd_pairs", "--location", loc]
+        )
+
+    # nothing folded yet → declined
+    console.out.clear()
+    assert C.run(
+        ["dedup", "compact-pairs", "db.kdd_pairs",
+         "--location", loc + "_pairs",
+         "--clusters-table", "db.kclusters", "--clusters-location", cloc],
+        client, console, "u",
+    ) == 0
+    assert any("Nothing to compact" in l for l in console.out)
+
+    assert C.run(
+        ["dedup", "fold-clusters", "db.kdd_pairs",
+         "--location", loc + "_pairs",
+         "--clusters-table", "db.kclusters", "--clusters-location", cloc,
+         "--doc-shards", "4", "--cluster-shards", "4"],
+        client, console, "u",
+    ) == 0
+
+    console.out.clear()
+    assert C.run(
+        ["dedup", "compact-pairs", "db.kdd_pairs",
+         "--location", loc + "_pairs",
+         "--clusters-table", "db.kclusters", "--clusters-location", cloc],
+        client, console, "u",
+    ) == 0
+    assert any("Compacted folded journal partitions" in l for l in console.out)
+
+    from chronicles_spark.core.model import (
+        PartitionSchema, TableDefinition, TableName,
+    )
+    from chronicles_spark.operators import cluster_index as CX
+
+    pt = TableDefinition(
+        TableName("db", "kdd_pairs"), loc + "_pairs",
+        PartitionSchema((CX.PAIRS_BATCH_COL,)),
+    )
+    st = client.delegate.tracker.current_version(pt.name)
+    labels = [
+        dict(p.column_values)[CX.PAIRS_BATCH_COL]
+        for p in st.partition_versions
+    ]
+    assert len(labels) == 1 and labels[0].startswith(CX.FOLDED_BATCH_PREFIX)
+
+    assert C.run(
+        ["dedup", "verify-clusters", "db.kclusters", "--location", cloc],
+        client, console, "u",
+    ) == 0

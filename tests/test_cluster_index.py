@@ -630,3 +630,119 @@ def test_giant_relabel_warning(spark, tmp_path):
     assert _assignments(spark, table2, tracker2) == _want(
         _pairs_df(spark, [(10, i) for i in range(11, 16)] + [(1, 10)])
     )
+
+
+def test_compact_dedup_pairs_preserves_journal_and_folds(spark, tmp_path):
+    """Journal compaction (round 11): consolidating the FOLDED batch
+    partitions into one ``batch=folded-<v>`` partition preserves the
+    journal's content row-for-row, drops the partition count to
+    O(unfolded + 1), never re-enters the fold path (exactly-once
+    structural), leaves unfolded batches alone, and a later extend +
+    fold + re-compaction still equals the one-shot over the whole
+    journal."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx_tracker = FileBackedVersionTracker(str(tmp_path / "_log_idx"))
+    idx_table = TableDefinition(
+        TableName("demo", "bands"), str(tmp_path / "bands"),
+        PartitionSchema(("band_shard",)),
+    )
+    idx_tracker.init_table(idx_table.name, is_snapshot=False, user_id="t")
+    pt = DX.dedup_pairs_table(idx_table)
+    DX.build_dedup_index(
+        docs.where("doc_id < 250"), idx_table, idx_tracker,
+        band_shards=8, doc_shards=4,
+    )
+    for lo, hi in ((250, 320), (320, 400), (400, 10**9)):
+        DX.extend_dedup_index(
+            docs.where(f"doc_id >= {lo} AND doc_id < {hi}"),
+            idx_table, idx_tracker, threshold=0.5, pairs_table=pt,
+        )
+
+    table = TableDefinition(
+        TableName("demo", "cx"), str(tmp_path / "cx"),
+        PartitionSchema(("doc_shard",)),
+    )
+    idx_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(
+        None, table, idx_tracker, doc_shards=4, cluster_shards=4
+    )
+
+    from chronicles_spark.spark.reader import read_version
+
+    def journal_rows():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in read_version(spark, pt, st, infer_partition_types=False)
+            .select("id_a", "id_b").collect()
+        )
+
+    def journal_batches():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            dict(p.column_values)[DX.PAIRS_BATCH_COL]
+            for p in st.partition_versions
+        )
+
+    # nothing folded yet: compaction has no candidates
+    assert CX.compact_dedup_pairs(spark, pt, table, idx_tracker) is None
+
+    # fold only the first two batches, leave the third unfolded
+    all_labels = journal_batches()
+    before = journal_rows()
+    CX.fold_new_dedup_pairs(
+        spark, pt, table, idx_tracker, coalesce_batches=2
+    )
+    # re-land a third unfolded batch AFTER the fold by extending again?
+    # no — instead compact with everything folded vs partially: first
+    # exercise the partial case by folding all, then extend once more
+    consolidated = CX.compact_dedup_pairs(spark, pt, table, idx_tracker)
+    assert consolidated is not None
+    assert consolidated.startswith(CX.FOLDED_BATCH_PREFIX)
+    assert journal_rows() == before  # content preserved row-for-row
+    batches = journal_batches()
+    assert consolidated in batches
+    assert all(l not in batches for l in all_labels)
+    assert len(batches) == 1
+
+    # the consolidated partition is never a fold candidate
+    assert CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker) == []
+    assert CX.verify_dedup_clusters(spark, table, idx_tracker).count() == 0
+
+    # a later extend lands a NEW batch; only it folds; re-compaction
+    # folds consolidated + new into one again; assignment == one-shot
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 100 AND doc_id < 180"), idx_table,
+        idx_tracker, threshold=0.4, pairs_table=pt,
+    )
+    new_labels = [
+        l for l in journal_batches()
+        if not l.startswith(CX.FOLDED_BATCH_PREFIX)
+    ]
+    assert len(new_labels) == 1
+    # below min_batches (1 folded-eligible consolidated + 0 folded new):
+    # the new batch is unfolded, so only the consolidated partition
+    # qualifies — min_batches=2 declines
+    assert CX.compact_dedup_pairs(spark, pt, table, idx_tracker) is None
+    folded = CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker)
+    assert folded == new_labels
+    before2 = journal_rows()
+    again = CX.compact_dedup_pairs(spark, pt, table, idx_tracker)
+    assert again is not None and again != consolidated
+    assert journal_rows() == before2
+    assert len(journal_batches()) == 1
+    assert CX.verify_dedup_clusters(spark, table, idx_tracker).count() == 0
+
+    journal = read_version(
+        spark, pt, idx_tracker.current_version(pt.name),
+        infer_partition_types=False,
+    ).select("id_a", "id_b")
+    assert _assignments(spark, table, idx_tracker) == _want(journal)
+
+    # a torn marker cannot be introduced: the compaction re-stamped the
+    # journal's current pair marker, so the next extend still passes the
+    # primary/companion check
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 180 AND doc_id < 200"), idx_table,
+        idx_tracker, threshold=0.4, pairs_table=pt,
+    )
