@@ -746,3 +746,101 @@ def test_compact_dedup_pairs_preserves_journal_and_folds(spark, tmp_path):
         docs.where("doc_id >= 180 AND doc_id < 200"), idx_table,
         idx_tracker, threshold=0.4, pairs_table=pt,
     )
+
+
+def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
+    """The compaction commit's optimistic pin behaves as documented: a
+    racing EXTEND's new batch partition is disjoint (auto-merge — the
+    consolidation lands and the interim batch survives untouched), while
+    a racing COMPACTION overlaps on the removed partitions and the loser
+    raises CommitConflictError.  Simulated by pinning a stale
+    pinned_state around real interim commits."""
+    from chronicles_spark.trackers.base import CommitConflictError
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx_tracker = FileBackedVersionTracker(str(tmp_path / "_log_idx"))
+    idx_table = TableDefinition(
+        TableName("demo", "bands"), str(tmp_path / "bands"),
+        PartitionSchema(("band_shard",)),
+    )
+    idx_tracker.init_table(idx_table.name, is_snapshot=False, user_id="t")
+    pt = DX.dedup_pairs_table(idx_table)
+    DX.build_dedup_index(
+        docs.where("doc_id < 300"), idx_table, idx_tracker,
+        band_shards=8, doc_shards=4,
+    )
+    for lo, hi in ((300, 400), (400, 10**9)):
+        DX.extend_dedup_index(
+            docs.where(f"doc_id >= {lo} AND doc_id < {hi}"),
+            idx_table, idx_tracker, threshold=0.5, pairs_table=pt,
+        )
+    table = TableDefinition(
+        TableName("demo", "cxr"), str(tmp_path / "cxr"),
+        PartitionSchema(("doc_shard",)),
+    )
+    idx_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(
+        None, table, idx_tracker, doc_shards=4, cluster_shards=4
+    )
+    CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker)
+
+    from chronicles_spark.spark.reader import read_version
+
+    def journal_rows():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in read_version(spark, pt, st, infer_partition_types=False)
+            .select("id_a", "id_b").collect()
+        )
+
+    def journal_batches():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            dict(p.column_values)[DX.PAIRS_BATCH_COL]
+            for p in st.partition_versions
+        )
+
+    real_pinned = CX.pinned_state
+    stale = real_pinned(idx_tracker, pt.name)
+    before = journal_rows()
+    batches_before = set(journal_batches())
+    # a racing extend lands AFTER the compaction read its base
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 100 AND doc_id < 160"), idx_table,
+        idx_tracker, threshold=0.4, pairs_table=pt,
+    )
+    after_extend = journal_rows()
+    assert len(after_extend) > len(before)
+    interim_label = [
+        l for l in journal_batches() if l not in batches_before
+    ]
+    assert len(interim_label) == 1
+
+    def stale_pinned(tracker, name):
+        return stale if name == pt.name else real_pinned(tracker, name)
+
+    monkeypatch.setattr(CX, "pinned_state", stale_pinned)
+    consolidated = CX.compact_dedup_pairs(spark, pt, table, idx_tracker)
+    monkeypatch.setattr(CX, "pinned_state", real_pinned)
+    assert consolidated is not None
+    # disjoint auto-merge: consolidation landed AND the interim batch
+    # partition survived with every row
+    assert journal_rows() == after_extend
+    assert sorted(journal_batches()) == sorted([consolidated] + interim_label)
+
+    # a racing COMPACTION overlaps on the removed partitions: loser raises
+    stale2 = real_pinned(idx_tracker, pt.name)
+    CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker)
+    winner = CX.compact_dedup_pairs(
+        spark, pt, table, idx_tracker, min_batches=1
+    )
+    assert winner is not None
+    monkeypatch.setattr(CX, "pinned_state", lambda tr, name: (
+        stale2 if name == pt.name else real_pinned(tr, name)
+    ))
+    with pytest.raises(CommitConflictError):
+        CX.compact_dedup_pairs(spark, pt, table, idx_tracker, min_batches=1)
+    monkeypatch.setattr(CX, "pinned_state", real_pinned)
+    # nothing lost: the winner's consolidation holds every row
+    assert journal_rows() == after_extend
