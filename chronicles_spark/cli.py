@@ -284,6 +284,7 @@ class DedupIndexAction:
     orphan_min_age_days: float = 7.0
     coalesce_batches: int = 1  # fold-clusters backlog knob
     min_batches: int = 2  # compact-pairs candidate floor
+    max_batches: Optional[int] = None  # compact-pairs per-call rewrite bound
     # fold-clusters: the assignment table the pairs journal folds into
     # (the action's table/location then name the PAIRS table);
     # verify-clusters audits table/location as the assignment table
@@ -723,6 +724,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="compact-pairs: skip unless at least N folded/consolidated "
         "journal partitions exist",
     )
+    p_dd.add_argument(
+        "--max-batches", type=int, default=None,
+        help="compact-pairs: bound one call's rewrite to the oldest N "
+        "candidate partitions (incremental compaction)",
+    )
 
     return parser
 
@@ -838,6 +844,7 @@ def parse_action(argv: Sequence[str]):
             clusters_location=ns.clusters_location,
             cluster_shards=ns.cluster_shards,
             min_batches=ns.min_batches,
+            max_batches=ns.max_batches,
             coalesce_batches=ns.coalesce_batches,
         )
     raise CliError(f"Unknown command {ns.command!r}")
@@ -1523,6 +1530,7 @@ class CliClient:
             value = CX.compact_dedup_pairs(
                 spark, pairs_table, assign, tracker, user_id=user_id,
                 message=action.message, min_batches=action.min_batches,
+                max_batches=action.max_batches,
             )
             if value is None:
                 self.console.println(

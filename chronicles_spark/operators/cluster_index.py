@@ -934,6 +934,7 @@ def compact_dedup_pairs(
     user_id: str = "dedup",
     message: str = "compact folded pairs journal",
     min_batches: int = 2,
+    max_batches: "int | None" = None,
 ) -> "str | None":
     """Consolidate the journal's already-FOLDED ``batch=<label>``
     partitions (plus any prior consolidations) into ONE
@@ -966,6 +967,13 @@ def compact_dedup_pairs(
 
     Returns the consolidated partition's ``batch`` value, or None when
     fewer than ``min_batches`` candidate partitions exist.
+
+    ``max_batches`` bounds ONE call's rewrite to the oldest N candidate
+    partitions (raw batch labels sort before ``folded-`` consolidations,
+    so capped calls drain the raw backlog first) — the incremental
+    (LSM-style) alternative to the default full consolidation: each call
+    is O(those batches' pairs) and the partition count converges to
+    O(calls-not-yet-merged + unfolded) instead of 1 + unfolded.
 
     No reference counterpart: the journal itself is this repo's
     extension (operators/dedup_index.py); this is its OPTIMIZE-style
@@ -1001,6 +1009,11 @@ def compact_dedup_pairs(
     )
     if len(todo) < min_batches:
         return None
+    if max_batches is not None:
+        if max_batches < 2:
+            raise ValueError("max_batches must be >= 2 (a 1-batch "
+                             "consolidation only renames a partition)")
+        todo = todo[:max_batches]
     version = generate_version()
     batch_value = FOLDED_BATCH_PREFIX + version.label
     sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, todo)

@@ -693,6 +693,13 @@ def test_compact_dedup_pairs_preserves_journal_and_folds(spark, tmp_path):
     CX.fold_new_dedup_pairs(
         spark, pt, table, idx_tracker, coalesce_batches=2
     )
+    # a capped call (max_batches) is the incremental/LSM flavor: it
+    # consolidates only the OLDEST candidates and a 1-batch cap is
+    # refused (it would only rename a partition)
+    with pytest.raises(ValueError, match="max_batches"):
+        CX.compact_dedup_pairs(
+            spark, pt, table, idx_tracker, max_batches=1
+        )
     # re-land a third unfolded batch AFTER the fold by extending again?
     # no — instead compact with everything folded vs partially: first
     # exercise the partial case by folding all, then extend once more
@@ -844,3 +851,94 @@ def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(CX, "pinned_state", real_pinned)
     # nothing lost: the winner's consolidation holds every row
     assert journal_rows() == after_extend
+
+
+def test_compact_dedup_pairs_max_batches_incremental(spark, tmp_path):
+    """``max_batches`` caps one call's rewrite to the OLDEST candidates
+    (raw labels sort before consolidations): with three folded batches a
+    cap of 2 consolidates the first two and leaves the third, and a
+    follow-up uncapped call drains the rest — content preserved
+    throughout."""
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 61)
+                    .cast("string"),
+                )
+                for j in range(18)
+            ],
+        ).alias("text"),
+    )
+    idx_tracker = FileBackedVersionTracker(str(tmp_path / "_log_idx"))
+    idx_table = TableDefinition(
+        TableName("demo", "bandsm"), str(tmp_path / "bandsm"),
+        PartitionSchema(("band_shard",)),
+    )
+    idx_tracker.init_table(idx_table.name, is_snapshot=False, user_id="t")
+    pt = DX.dedup_pairs_table(idx_table)
+    DX.build_dedup_index(
+        docs.where("doc_id < 10"), idx_table, idx_tracker,
+        band_shards=4, doc_shards=4,
+    )
+    for i, (lo, hi) in enumerate(((10, 20), (20, 30), (30, 40))):
+        # plant an exact duplicate of an already-indexed doc in every
+        # batch so each extend journals at least one pair (a pair-less
+        # extend lands a data-less marker commit, no batch partition)
+        batch = docs.where(f"doc_id >= {lo} AND doc_id < {hi}").unionByName(
+            docs.where(f"doc_id = {5 + i}").select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        DX.extend_dedup_index(
+            batch, idx_table, idx_tracker, threshold=0.3, pairs_table=pt,
+        )
+    table = TableDefinition(
+        TableName("demo", "cxm"), str(tmp_path / "cxm"),
+        PartitionSchema(("doc_shard",)),
+    )
+    idx_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(
+        None, table, idx_tracker, doc_shards=4, cluster_shards=4
+    )
+    CX.fold_new_dedup_pairs(spark, pt, table, idx_tracker)
+
+    from chronicles_spark.spark.reader import read_version
+
+    def journal_rows():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in read_version(spark, pt, st, infer_partition_types=False)
+            .select("id_a", "id_b").collect()
+        )
+
+    def journal_batches():
+        st = idx_tracker.current_version(pt.name)
+        return sorted(
+            dict(p.column_values)[DX.PAIRS_BATCH_COL]
+            for p in st.partition_versions
+        )
+
+    before = journal_rows()
+    raw = journal_batches()
+    assert len(raw) == 3 and not any(
+        l.startswith(CX.FOLDED_BATCH_PREFIX) for l in raw
+    )
+    capped = CX.compact_dedup_pairs(
+        spark, pt, table, idx_tracker, max_batches=2
+    )
+    assert capped is not None
+    batches = journal_batches()
+    # oldest two consolidated; the newest raw batch survived
+    assert raw[2] in batches and capped in batches and len(batches) == 2
+    assert raw[0] not in batches and raw[1] not in batches
+    assert journal_rows() == before
+    # uncapped follow-up drains the rest into one
+    final = CX.compact_dedup_pairs(spark, pt, table, idx_tracker)
+    assert final is not None
+    assert journal_batches() == [final]
+    assert journal_rows() == before
