@@ -935,6 +935,7 @@ def compact_dedup_pairs(
     message: str = "compact folded pairs journal",
     min_batches: int = 2,
     max_batches: "int | None" = None,
+    exclusive: bool = False,
 ) -> "str | None":
     """Consolidate the journal's already-FOLDED ``batch=<label>``
     partitions (plus any prior consolidations) into ONE
@@ -975,6 +976,12 @@ def compact_dedup_pairs(
     is O(those batches' pairs) and the partition count converges to
     O(calls-not-yet-merged + unfolded) instead of 1 + unfolded.
 
+    ``exclusive=True`` holds the journal's commit flock across the whole
+    read-modify-write (the families' shared contract, `use_lock`
+    trackers only) — for one-host deployments where a compaction may
+    genuinely overlap a flocked extend and the Spark staging clash must
+    be serialized away, not just detected.
+
     No reference counterpart: the journal itself is this repo's
     extension (operators/dedup_index.py); this is its OPTIMIZE-style
     lifecycle companion."""
@@ -991,60 +998,69 @@ def compact_dedup_pairs(
     _require_dynamic_overwrite(spark)
     if min_batches < 1:
         raise ValueError("min_batches must be >= 1")
-    pstate, pairs_head, pairs_marker = pinned_state(tracker, pairs_table.name)
-    if not isinstance(pstate, PartitionedTableVersion):
-        raise ValueError("pairs journal is partitioned by batch")
-    try:
-        done = folded_batch_labels(tracker, table)
-    except UnknownTableError:
-        # no assignment table yet = nothing has ever been folded — an
-        # honest "nothing to compact", not an error (the journal may
-        # predate its cluster index)
-        done = set()
-    todo = sorted(
-        l
-        for p in pstate.partition_versions
-        if (l := dict(p.column_values)[PAIRS_BATCH_COL]) in done
-        or l.startswith(FOLDED_BATCH_PREFIX)
-    )
-    if len(todo) < min_batches:
-        return None
-    if max_batches is not None:
-        if max_batches < 2:
-            raise ValueError("max_batches must be >= 2 (a 1-batch "
-                             "consolidation only renames a partition)")
-        todo = todo[:max_batches]
-    version = generate_version()
-    batch_value = FOLDED_BATCH_PREFIX + version.label
-    sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, todo)
-    rows = (
-        read_version(spark, pairs_table, sub, infer_partition_types=False)
-        .drop(PAIRS_BATCH_COL)
-        .withColumn(PAIRS_BATCH_COL, F.lit(batch_value))
-    )
-    # parallelism follows the source partitions; no repartition — a
-    # single consolidated partition may hold the corpus's full duplicate
-    # history and must not funnel through one task
-    write_versioned(rows, pairs_table, version)
-    todo_set = set(todo)
-    removes = [
-        p
-        for p in pstate.partition_versions
-        if dict(p.column_values)[PAIRS_BATCH_COL] in todo_set
-    ]
-    msg = message if pairs_marker is None else pair_message(message, pairs_marker)
-    ops = [
-        AddPartitionVersion(
-            Partition.of((PAIRS_BATCH_COL, batch_value)), version
+
+    def _run():
+        pstate, pairs_head, pairs_marker = pinned_state(
+            tracker, pairs_table.name
         )
-    ] + [RemovePartition(p) for p in sorted(removes, key=lambda p: p.path)]
-    tracker.commit(
-        pairs_table.name,
-        TableUpdate(TableUpdateMetadata.new(user_id, msg), tuple(ops)),
-        expected_head=pairs_head,
-        allow_disjoint=True,
-    )
-    return batch_value
+        if not isinstance(pstate, PartitionedTableVersion):
+            raise ValueError("pairs journal is partitioned by batch")
+        try:
+            done = folded_batch_labels(tracker, table)
+        except UnknownTableError:
+            # no assignment table yet = nothing has ever been folded —
+            # an honest "nothing to compact", not an error (the journal
+            # may predate its cluster index)
+            done = set()
+        todo = sorted(
+            l
+            for p in pstate.partition_versions
+            if (l := dict(p.column_values)[PAIRS_BATCH_COL]) in done
+            or l.startswith(FOLDED_BATCH_PREFIX)
+        )
+        if len(todo) < min_batches:
+            return None
+        if max_batches is not None:
+            if max_batches < 2:
+                raise ValueError("max_batches must be >= 2 (a 1-batch "
+                                 "consolidation only renames a partition)")
+            todo = todo[:max_batches]
+        version = generate_version()
+        batch_value = FOLDED_BATCH_PREFIX + version.label
+        sub = _restrict_to_values(pstate, PAIRS_BATCH_COL, todo)
+        rows = (
+            read_version(spark, pairs_table, sub, infer_partition_types=False)
+            .drop(PAIRS_BATCH_COL)
+            .withColumn(PAIRS_BATCH_COL, F.lit(batch_value))
+        )
+        # parallelism follows the source partitions; no repartition — a
+        # single consolidated partition may hold the corpus's full
+        # duplicate history and must not funnel through one task
+        write_versioned(rows, pairs_table, version)
+        todo_set = set(todo)
+        removes = [
+            p
+            for p in pstate.partition_versions
+            if dict(p.column_values)[PAIRS_BATCH_COL] in todo_set
+        ]
+        msg = (
+            message if pairs_marker is None
+            else pair_message(message, pairs_marker)
+        )
+        ops = [
+            AddPartitionVersion(
+                Partition.of((PAIRS_BATCH_COL, batch_value)), version
+            )
+        ] + [RemovePartition(p) for p in sorted(removes, key=lambda p: p.path)]
+        tracker.commit(
+            pairs_table.name,
+            TableUpdate(TableUpdateMetadata.new(user_id, msg), tuple(ops)),
+            expected_head=pairs_head,
+            allow_disjoint=True,
+        )
+        return batch_value
+
+    return _run_maybe_exclusive(tracker, pairs_table, exclusive, _run)
 
 
 def verify_dedup_clusters(

@@ -942,3 +942,27 @@ def test_compact_dedup_pairs_max_batches_incremental(spark, tmp_path):
     assert final is not None
     assert journal_batches() == [final]
     assert journal_rows() == before
+
+
+def test_compact_dedup_pairs_exclusive_contract(spark, tmp_path):
+    """``exclusive=True`` follows the families' shared contract: refused
+    without a use_lock tracker; serializes (and succeeds) with one."""
+    table, tracker = _mk(tmp_path, "excl")
+    idx_table = TableDefinition(
+        TableName("demo", "exclbands"), str(tmp_path / "exclbands"),
+        PartitionSchema(("band_shard",)),
+    )
+    pt = DX.dedup_pairs_table(idx_table)
+    with pytest.raises(ValueError, match="use_lock"):
+        CX.compact_dedup_pairs(
+            spark, pt, table, tracker, exclusive=True
+        )
+    lock_tracker = FileBackedVersionTracker(
+        str(tmp_path / "_log_locked"), use_lock=True
+    )
+    lock_tracker.init_table(pt.name, is_snapshot=False, user_id="t")
+    lock_tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    # empty journal → honest None, lock held and released cleanly
+    assert CX.compact_dedup_pairs(
+        spark, pt, table, lock_tracker, exclusive=True
+    ) is None
