@@ -936,6 +936,35 @@ def main():
         n=2,
     )
 
+    # r11: CDC batch poll vs the full walk it replaced, on the SAME deep
+    # log.  changed_partitions(from=recent, to=head) rides version_at's
+    # retained-checkpoint walk — O(lag) commit-file reads; it previously
+    # materialized table_state per poll (~20k file reads+parses here).
+    # The contrast is poll/full-walk on one log (interleaved) rather
+    # than deep-vs-shallow: a poll's residual depth-dependence is the
+    # ONE directory listing every checkpointed fast path shares (no
+    # commit-file reads), which on a sub-ms shallow denominator would
+    # dominate the ratio and misread as O(history).  The file-unit twin
+    # is tests/test_pinned_state_fast.py::
+    # test_changed_partitions_reads_o_tail.
+    from chronicles_spark.spark.reader import changed_partitions as _cp
+
+    # 20-commit lag, clamped for smoke runs whose logs are shallower
+    _b11_pos = max(0, b11_deep_k.update_count(b11_deep_t.name) - 20)
+    b11_deep_from = b11_deep_k.updates_slice(
+        b11_deep_t.name, _b11_pos, _b11_pos + 1
+    )[0].metadata.commit_id
+    (
+        results["b11_cdc_poll_deep_log"],
+        results["b11_cdc_poll_deep_full_walk"],
+        b11_poll_ratio,
+        b11_poll_ratios,
+    ) = timed_pair(
+        lambda: len(_cp(b11_deep_t, b11_deep_k, b11_deep_from)[0]),
+        lambda: len(b11_deep_k.table_state(b11_deep_t.name).updates),
+        n=3,
+    )
+
     _progress("fold incremental + headline")
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
@@ -1014,6 +1043,11 @@ def main():
                     # weak #1 closed)
                     "b11_extend_deep_over_shallow_log": b11_depth_ratio,
                     "b11_extend_log_depth_pair_ratios": b11_depth_ratios,
+                    # r11: a 20-commit-lagged CDC poll vs the full log
+                    # walk it replaced, same ~20k-commit log (≪1 =
+                    # polls read O(lag), not O(history))
+                    "b11_cdc_poll_over_deep_full_walk": b11_poll_ratio,
+                    "b11_cdc_poll_pair_ratios": b11_poll_ratios,
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
                 "ann_locate_read_fraction": ann_locate_read_fraction,
