@@ -597,3 +597,33 @@ def test_commit_at_timestamp_reads_o_recency(tmp_path):
 
     with pytest.raises(UnknownCommitError):
         tr.commit_at_timestamp(T, _dt(1999, 1, 1, tzinfo=_tz.utc))
+
+
+def test_checkpoint_walk_skips_corrupt_older_checkpoints(tmp_path):
+    """The retained-checkpoint walk validates every OLDER checkpoint
+    independently: a corrupted intermediate cut is skipped (the walk
+    continues to the next older one) and resolution stays equal to the
+    full-fold ground truth; corrupting ALL older cuts degrades a
+    pre-newest-checkpoint commit to the full fold, still correct."""
+    interval = 50
+    tr = _build(str(tmp_path), 500, interval=interval)
+    st = tr.table_state(T)
+    lagged = st.updates[-(2 * interval + 10)].metadata.commit_id
+    truth = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    want = truth.version_at(T, lagged)
+    assert tr.version_at(T, lagged) == want
+
+    d = tr._table_dir(T)
+    cks = sorted(
+        n for n in tr.fs.list_dir(d)
+        if n.startswith("checkpoint_") and n.endswith(".json")
+    )
+    assert len(cks) >= 3
+    # corrupt the checkpoint the lagged commit would resolve from
+    # (the second-newest); the walk must skip to an older valid one
+    tr.fs.write_text(tr.fs.join(d, cks[-2]), "{not json")
+    assert tr.version_at(T, lagged) == want
+    # corrupt every older cut: degrade to the full fold, still correct
+    for n in cks[:-1]:
+        tr.fs.write_text(tr.fs.join(d, n), "{not json")
+    assert tr.version_at(T, lagged) == want
