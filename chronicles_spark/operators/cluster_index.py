@@ -982,6 +982,12 @@ def compact_dedup_pairs(
     genuinely overlap a flocked extend and the Spark staging clash must
     be serialized away, not just detected.
 
+    Downstream consumers tailing the journal through the CDC source see
+    a compaction as one changed partition holding rows they already
+    consumed — filter out ``batch LIKE 'folded-%'`` partitions to treat
+    the journal as append-only deltas (a consolidated partition never
+    contains a first-delivery pair by construction).
+
     No reference counterpart: the journal itself is this repo's
     extension (operators/dedup_index.py); this is its OPTIMIZE-style
     lifecycle companion."""
