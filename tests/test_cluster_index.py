@@ -966,3 +966,72 @@ def test_compact_dedup_pairs_exclusive_contract(spark, tmp_path):
     assert CX.compact_dedup_pairs(
         spark, pt, table, lock_tracker, exclusive=True
     ) is None
+
+
+@pytest.mark.parametrize("seed", [20260816, 7])
+def test_seeded_fuzz_compaction_interleave(spark, tmp_path, seed):
+    """Seeded random interleave of journal-batch lands, folds (with
+    random coalescing), and compactions (random max_batches caps): the
+    journal's row multiset always equals everything ever landed, the
+    fold path never re-consumes a consolidation, and the final
+    assignment equals the one-shot over the whole journal — the
+    orderings the structured compaction cases don't enumerate."""
+    import random
+
+    rng = random.Random(seed)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    table, tracker = _mk(tmp_path, f"cfz{seed}")
+    CX.build_dedup_clusters(None, table, tracker, doc_shards=4, cluster_shards=4)
+    pt = DX.dedup_pairs_table(
+        TableDefinition(
+            TableName("demo", f"cfz{seed}bands"),
+            str(tmp_path / f"cfz{seed}bands"),
+            PartitionSchema(("band_shard",)),
+        )
+    )
+    tracker.init_table(pt.name, is_snapshot=False, user_id="t")
+    ids = list(range(30))
+    expected = []  # multiset of every pair ever landed
+
+    def journal_rows():
+        from chronicles_spark.spark.reader import read_version
+
+        st = tracker.current_version(pt.name)
+        if not getattr(st, "partition_versions", None):
+            return []
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in read_version(spark, pt, st, infer_partition_types=False)
+            .select("id_a", "id_b").collect()
+        )
+
+    def land_batch():
+        pairs = [tuple(rng.sample(ids, 2)) for _ in range(rng.randint(1, 6))]
+        version = generate_version()
+        df = _pairs_df(spark, pairs).withColumn(
+            DX.PAIRS_BATCH_COL, F.lit(version.label)
+        )
+        publish_group(
+            spark, tracker, version, "f", "land pairs", [(pt, df, None, ())]
+        )
+        expected.extend(pairs)
+
+    land_batch()  # never start empty
+    for _ in range(10):
+        action = rng.random()
+        if action < 0.45:
+            land_batch()
+        elif action < 0.75:
+            CX.fold_new_dedup_pairs(
+                spark, pt, table, tracker,
+                coalesce_batches=rng.choice([1, 2, 3]),
+            )
+        else:
+            CX.compact_dedup_pairs(
+                spark, pt, table, tracker, min_batches=1,
+                max_batches=rng.choice([None, 2, 3]),
+            )
+        assert journal_rows() == sorted(expected), "journal content drifted"
+    CX.fold_new_dedup_pairs(spark, pt, table, tracker)
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+    assert _assignments(spark, table, tracker) == _want(_pairs_df(spark, expected))
