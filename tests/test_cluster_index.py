@@ -1035,3 +1035,57 @@ def test_seeded_fuzz_compaction_interleave(spark, tmp_path, seed):
     CX.fold_new_dedup_pairs(spark, pt, table, tracker)
     assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
     assert _assignments(spark, table, tracker) == _want(_pairs_df(spark, expected))
+
+
+def test_compact_dedup_pairs_sqlite_backend(spark, tmp_path):
+    """Backend breadth: the compaction's tracker surfaces (pinned_state,
+    current_version, optimistic commit) are backend-agnostic — the same
+    land/fold/compact sequence on the SERIALIZABLE sqlite tracker
+    preserves content and caps the partition map."""
+    from chronicles_spark.operators.pairing import publish_group as _pg
+    from chronicles_spark.trackers.sqlite import SqliteVersionTracker
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tracker = SqliteVersionTracker(str(tmp_path / "log.db"))
+    pt = TableDefinition(
+        TableName("demo", "sqlc_pairs"), str(tmp_path / "sqlc_pairs"),
+        PartitionSchema((DX.PAIRS_BATCH_COL,)),
+    )
+    table = TableDefinition(
+        TableName("demo", "sqlc"), str(tmp_path / "sqlc"),
+        PartitionSchema(("doc_shard",)),
+    )
+    tracker.init_table(pt.name, is_snapshot=False, user_id="t")
+    tracker.init_table(table.name, is_snapshot=False, user_id="t")
+    CX.build_dedup_clusters(
+        None, table, tracker, doc_shards=4, cluster_shards=4
+    )
+    all_pairs = []
+    for b in range(3):
+        pairs = [(10 * b, 10 * b + 1), (10 * b + 1, b)]
+        all_pairs += pairs
+        version = generate_version()
+        df = _pairs_df(spark, pairs).withColumn(
+            DX.PAIRS_BATCH_COL, F.lit(version.label)
+        )
+        _pg(spark, tracker, version, "t", "land", [(pt, df, None, ())])
+    assert len(CX.fold_new_dedup_pairs(spark, pt, table, tracker)) == 3
+    value = CX.compact_dedup_pairs(spark, pt, table, tracker)
+    assert value is not None and value.startswith(CX.FOLDED_BATCH_PREFIX)
+
+    from chronicles_spark.spark.reader import read_version
+
+    st = tracker.current_version(pt.name)
+    assert [
+        dict(p.column_values)[DX.PAIRS_BATCH_COL]
+        for p in st.partition_versions
+    ] == [value]
+    assert sorted(
+        (r["id_a"], r["id_b"])
+        for r in read_version(spark, pt, st, infer_partition_types=False)
+        .select("id_a", "id_b").collect()
+    ) == sorted(all_pairs)
+    assert _assignments(spark, table, tracker) == _want(
+        _pairs_df(spark, all_pairs)
+    )
+    assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
