@@ -117,6 +117,18 @@ class CheckoutAction:
 
 
 @dataclass(frozen=True)
+class ChangesAction:
+    """Extension beyond the reference CLI verbs: the CDC ops surface —
+    the partition-level metastore-operation diff between two commits
+    (spark/reader.py changed_partitions; round 11 resolves both
+    endpoints O(distance-from-head)).  Pure metadata, no Spark."""
+
+    table: TableName
+    from_commit: str
+    to_commit: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class TagAction:
     """Extension beyond the reference CLI verbs: git-tag-style data-version
     pinning (trackers/base.py set_tag).  ``name=None`` lists tags;
@@ -455,6 +467,21 @@ def build_parser() -> argparse.ArgumentParser:
     p_log = sub.add_parser("log", help="List version history for table")
     p_log.add_argument("table")
 
+    p_ch = sub.add_parser(
+        "changes",
+        help="Partition-level diff between two commits (the CDC ops "
+        "surface: what changed from --from to --to/head)",
+    )
+    p_ch.add_argument("table")
+    p_ch.add_argument(
+        "--from", dest="from_commit", required=True,
+        help="Baseline commit id (exclusive)",
+    )
+    p_ch.add_argument(
+        "--to", dest="to_commit", default=None,
+        help="Target commit id (default: current head)",
+    )
+
     p_parts = sub.add_parser("partitions", help="List partitions for table")
     p_parts.add_argument("table")
 
@@ -752,6 +779,10 @@ def parse_action(argv: Sequence[str]):
         return ns, ShowTableHistory(_table_name(ns.table))
     if ns.command == "partitions":
         return ns, ListPartitions(_table_name(ns.table))
+    if ns.command == "changes":
+        return ns, ChangesAction(
+            _table_name(ns.table), ns.from_commit, ns.to_commit
+        )
     if ns.command == "partition":
         act = AddPartitionAction if ns.operation == "add" else RemovePartitionAction
         return ns, act(_table_name(ns.table), ns.partition, ns.message)
@@ -881,6 +912,8 @@ class CliClient:
             self.remove_partition(action.table, action.partition_name, user_id, action.message)
         elif isinstance(action, CheckoutAction):
             self.checkout(action.table, action.commit_id)
+        elif isinstance(action, ChangesAction):
+            self.changes(action)
         elif isinstance(action, TagAction):
             self.tag(action)
         elif isinstance(action, RestoreAction):
@@ -924,6 +957,36 @@ class CliClient:
             self.console.println(
                 f"{u.commit_id}\t{u.timestamp.isoformat()}\t{u.user_id}\t{u.message}"
             )
+
+    def changes(self, action: ChangesAction) -> None:
+        """One line per metastore operation in the (from, to] diff —
+        what an incremental consumer would act on."""
+        from .core.diff import (
+            AddPartition,
+            RemovePartitionOp,
+            UpdatePartitionVersion,
+            UpdateTableVersion,
+        )
+        from .spark.reader import changed_partitions
+
+        tdef = TableDefinition(action.table, "")  # diff needs only the name
+        ops, _ = changed_partitions(
+            tdef, self.delegate.tracker, action.from_commit, action.to_commit
+        )
+        if not ops:
+            self.console.println("No changes")
+            return
+        for op in ops:
+            if isinstance(op, AddPartition):
+                self.console.println(f"add\t{op.partition}\t{op.version.label}")
+            elif isinstance(op, UpdatePartitionVersion):
+                self.console.println(
+                    f"update\t{op.partition}\t{op.version.label}"
+                )
+            elif isinstance(op, RemovePartitionOp):
+                self.console.println(f"remove\t{op.partition}")
+            elif isinstance(op, UpdateTableVersion):
+                self.console.println(f"update-table\t{op.version.label}")
 
     def add_partition(self, table: TableName, partition_name: str, user_id: str, message: str) -> None:
         try:

@@ -1032,3 +1032,71 @@ def test_dedup_compact_pairs_cli(spark, tmp_path):
         ["dedup", "verify-clusters", "db.kclusters", "--location", cloc],
         client, console, "u",
     ) == 0
+
+
+def test_changes_verb():
+    """Round-11: the CDC ops surface from the shell — one line per
+    metastore operation in the (from, to] diff; default --to is head;
+    unknown ids exit 1."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        RemovePartition,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+
+    from chronicles_spark.core.model import TableName
+
+    client, console = make_client()
+    tracker = client.delegate.tracker
+    T = TableName("db", "ch")
+    tracker.init_table(T, is_snapshot=False, user_id="u")
+    v1, v2, v3 = generate_version(), generate_version(), generate_version()
+    m1 = TableUpdateMetadata.new("u", "c1")
+    tracker.commit(
+        T, TableUpdate(m1, (AddPartitionVersion(Partition.parse("d=1"), v1),))
+    )
+    m2 = TableUpdateMetadata.new("u", "c2")
+    tracker.commit(
+        T,
+        TableUpdate(
+            m2,
+            (
+                AddPartitionVersion(Partition.parse("d=2"), v2),
+                AddPartitionVersion(Partition.parse("d=1"), v3),
+            ),
+        ),
+    )
+    m3 = TableUpdateMetadata.new("u", "c3")
+    tracker.commit(
+        T, TableUpdate(m3, (RemovePartition(Partition.parse("d=2")),))
+    )
+
+    console.out.clear()
+    assert C.run(
+        ["changes", "db.ch", "--from", m1.commit_id], client, console, "u"
+    ) == 0
+    out = "\n".join(console.out)
+    assert f"update\td=1\t{v3.label}" in out
+    assert "d=2" not in out or "add\td=2" not in out  # added then removed
+
+    console.out.clear()
+    assert C.run(
+        ["changes", "db.ch", "--from", m1.commit_id, "--to", m2.commit_id],
+        client, console, "u",
+    ) == 0
+    out = "\n".join(console.out)
+    assert f"add\td=2\t{v2.label}" in out
+    assert f"update\td=1\t{v3.label}" in out
+
+    console.out.clear()
+    assert C.run(
+        ["changes", "db.ch", "--from", m3.commit_id], client, console, "u"
+    ) == 0
+    assert any("No changes" in l for l in console.out)
+
+    assert C.run(
+        ["changes", "db.ch", "--from", "nope"], client, console, "u"
+    ) == 1
