@@ -627,3 +627,19 @@ def test_checkpoint_walk_skips_corrupt_older_checkpoints(tmp_path):
     for n in cks[:-1]:
         tr.fs.write_text(tr.fs.join(d, n), "{not json")
     assert tr.version_at(T, lagged) == want
+
+
+def test_version_at_walk_exhaustive_every_commit(tmp_path):
+    """Exhaustive differential: version_at through the retained-
+    checkpoint walk equals the checkpoint-free full fold at EVERY commit
+    of a 317-commit log (interval 50) — checkpoint boundary positions,
+    mid-segment positions, genesis-deep positions past the walk's reach,
+    and the head.  No Spark; pure metadata."""
+    interval = 50
+    tr = _build(str(tmp_path), 317, interval=interval)
+    truth = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=None)
+    st = truth.table_state(T)
+    ids = [u.metadata.commit_id for u in st.updates]
+    assert len(ids) >= 317  # + the init commit
+    for cid in ids:
+        assert tr.version_at(T, cid) == truth.version_at(T, cid), cid
