@@ -643,3 +643,19 @@ def test_version_at_walk_exhaustive_every_commit(tmp_path):
     assert len(ids) >= 317  # + the init commit
     for cid in ids:
         assert tr.version_at(T, cid) == truth.version_at(T, cid), cid
+
+
+def test_sqlite_version_at_exhaustive_every_commit():
+    """Backend twin of the exhaustive sweep: the sqlite tracker's
+    checkpoint-row fast path (single row, no retained walk — the
+    degrade there is one indexed SQL scan) equals the checkpoint-free
+    full fold at every commit position."""
+    tr = SqliteVersionTracker(checkpoint_interval=25)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(130):
+        _commit(tr, i, marked=(i % 4 == 0))
+    st = tr.table_state(T)
+    for u in st.updates:
+        cid = u.metadata.commit_id
+        want = fold.current_version(st.updates, cid)
+        assert tr.version_at(T, cid) == want, cid
