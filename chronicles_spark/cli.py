@@ -259,7 +259,8 @@ class AnnIndexAction:
 class DedupIndexAction:
     """Ops surface for the incremental dedup index families
     (operators/dedup_index.py text MinHash, operators/emb_dedup_index.py
-    embedding sign-LSH, operators/simhash_index.py banded fingerprints —
+    embedding sign-LSH, operators/simhash_index.py banded fingerprints,
+    operators/semantic_dedup_index.py k-means-bucketed SemDeDup —
     selected by ``family``).  ``build`` / ``extend`` / ``verify`` /
     ``rebuild`` obtain a SparkSession; ``repair-pairs`` and
     ``vacuum-artifacts`` are pure metadata and need none.  Geometry

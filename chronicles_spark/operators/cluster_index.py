@@ -958,13 +958,18 @@ def compact_dedup_pairs(
     sweep (compaction cadence), not a per-batch step.  Exactly-once is
     preserved structurally: ``fold_new_dedup_pairs`` never treats a
     ``folded-`` partition as a fold candidate.  Concurrency: the commit
-    pins the journal head optimistically — a racing extend lands a NEW
-    batch partition (disjoint, auto-merges); a racing compaction
-    overlaps on the removed partitions and the loser raises
-    ``CommitConflictError``.  The commit re-stamps the journal's
-    CURRENT pair marker (minting a new one would trip the pair
-    protocol's primary/companion check on the next extend — the
-    marker-only-fold precedent).
+    pins the journal head with ``allow_disjoint=False`` and retries the
+    COMMIT (never the Spark rewrite) on conflict after re-reading
+    ``pinned_state`` — a racing extend's new batch partition survives
+    untouched and the retry picks up the extend's FRESH pair marker, so
+    the consolidation never appends a stale marker as the journal's
+    newest-in-prefix (which would TornPairError every later extend); a
+    racing compaction consumed our source partitions, so the retry
+    detects the changed versions and re-raises ``CommitConflictError``
+    to the loser.  The commit re-stamps the journal's CURRENT pair
+    marker (minting a new one would trip the pair protocol's
+    primary/companion check on the next extend — the marker-only-fold
+    precedent).
 
     Returns the consolidated partition's ``batch`` value, or None when
     fewer than ``min_batches`` candidate partitions exist.
@@ -1004,6 +1009,12 @@ def compact_dedup_pairs(
     _require_dynamic_overwrite(spark)
     if min_batches < 1:
         raise ValueError("min_batches must be >= 1")
+    # validated at entry, not after the min_batches early return — a
+    # bad cap must raise on the FIRST call, not lie latent until the
+    # backlog grows past min_batches (round-12 advice)
+    if max_batches is not None and max_batches < 2:
+        raise ValueError("max_batches must be >= 2 (a 1-batch "
+                         "consolidation only renames a partition)")
 
     def _run():
         pstate, pairs_head, pairs_marker = pinned_state(
@@ -1027,9 +1038,6 @@ def compact_dedup_pairs(
         if len(todo) < min_batches:
             return None
         if max_batches is not None:
-            if max_batches < 2:
-                raise ValueError("max_batches must be >= 2 (a 1-batch "
-                                 "consolidation only renames a partition)")
             todo = todo[:max_batches]
         version = generate_version()
         batch_value = FOLDED_BATCH_PREFIX + version.label
@@ -1049,22 +1057,49 @@ def compact_dedup_pairs(
             for p in pstate.partition_versions
             if dict(p.column_values)[PAIRS_BATCH_COL] in todo_set
         ]
-        msg = (
-            message if pairs_marker is None
-            else pair_message(message, pairs_marker)
-        )
         ops = [
             AddPartitionVersion(
                 Partition.of((PAIRS_BATCH_COL, batch_value)), version
             )
         ] + [RemovePartition(p) for p in sorted(removes, key=lambda p: p.path)]
-        tracker.commit(
-            pairs_table.name,
-            TableUpdate(TableUpdateMetadata.new(user_id, msg), tuple(ops)),
-            expected_head=pairs_head,
-            allow_disjoint=True,
+        # The re-stamped marker must be the journal's newest at COMMIT
+        # time, not at pin time: a racing extend mints a fresh pair
+        # marker on both tables during the long Spark rewrite window
+        # above, and appending the pin-time marker here would leave the
+        # journal's newest-in-prefix marker STALE vs the primary's —
+        # bricking every later extend with TornPairError (round-12
+        # advice).  So commit with allow_disjoint=False: ANY head
+        # movement (even a disjoint racing batch) forces a re-read that
+        # picks up the fresh marker, and we retry the commit — never the
+        # Spark rewrite — while our source partitions are untouched.  A
+        # racing compaction consumed them (version changed / partition
+        # gone), so that conflict surfaces to the caller unchanged.
+        from ..trackers.base import CommitConflictError
+
+        base_versions = {p: pstate.partition_versions[p] for p in removes}
+        head, marker = pairs_head, pairs_marker
+        for _ in range(8):
+            msg = message if marker is None else pair_message(message, marker)
+            try:
+                tracker.commit(
+                    pairs_table.name,
+                    TableUpdate(TableUpdateMetadata.new(user_id, msg),
+                                tuple(ops)),
+                    expected_head=head,
+                    allow_disjoint=False,
+                )
+                return batch_value
+            except CommitConflictError:
+                fresh, head, marker = pinned_state(tracker, pairs_table.name)
+                if not isinstance(fresh, PartitionedTableVersion) or any(
+                    fresh.partition_versions.get(p) != v
+                    for p, v in base_versions.items()
+                ):
+                    raise
+        raise RuntimeError(
+            f"compact_dedup_pairs on {pairs_table.name} could not land "
+            "after 8 attempts (the journal head kept moving)"
         )
-        return batch_value
 
     return _run_maybe_exclusive(tracker, pairs_table, exclusive, _run)
 

@@ -471,7 +471,9 @@ class FileBackedVersionTracker(VersionTracker):
             if int(ck["last_seq"]) != seq or "last_commit_id" not in ck:
                 return None
             return ck
-        except (FileNotFoundError, KeyError, ValueError):
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
+            # TypeError covers a JSON-null last_seq / non-dict body —
+            # any malformed retained checkpoint degrades to full fold
             return None
 
     @staticmethod
@@ -706,7 +708,10 @@ class FileBackedVersionTracker(VersionTracker):
             if int(ck["last_seq"]) != seq or "last_commit_id" not in ck:
                 return None
             return ck
-        except (FileNotFoundError, KeyError, ValueError):
+        except (FileNotFoundError, KeyError, ValueError, TypeError):
+            # TypeError: JSON-null last_seq or a non-dict body; the
+            # multi-checkpoint walk reads older (possibly pre-upgrade)
+            # cuts, so every malformed shape must degrade, not crash
             return None
 
     def _fold_checkpoint_plus(self, ck: dict, upto):

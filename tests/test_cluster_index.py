@@ -824,17 +824,37 @@ def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
     ]
     assert len(interim_label) == 1
 
-    def stale_pinned(tracker, name):
-        return stale if name == pt.name else real_pinned(tracker, name)
+    def stale_once(value):
+        # stale on the FIRST journal read only: the compaction re-reads
+        # pinned_state on its conflict retry, and the retry must see the
+        # REAL head (and the racing extend's FRESH pair marker)
+        box = {"used": False}
 
-    monkeypatch.setattr(CX, "pinned_state", stale_pinned)
+        def pinned(tracker, name):
+            if name == pt.name and not box["used"]:
+                box["used"] = True
+                return value
+            return real_pinned(tracker, name)
+
+        return pinned
+
+    monkeypatch.setattr(CX, "pinned_state", stale_once(stale))
     consolidated = CX.compact_dedup_pairs(spark, pt, table, idx_tracker)
     monkeypatch.setattr(CX, "pinned_state", real_pinned)
     assert consolidated is not None
-    # disjoint auto-merge: consolidation landed AND the interim batch
+    # racing-extend merge: consolidation landed AND the interim batch
     # partition survived with every row
     assert journal_rows() == after_extend
     assert sorted(journal_batches()) == sorted([consolidated] + interim_label)
+    # round-12 regression (advice): the merged consolidation must have
+    # re-stamped the racing extend's FRESH pair marker at commit time —
+    # a stale pin-time marker as the journal's newest-in-prefix bricks
+    # every later extend with TornPairError.  Extend again: must land.
+    DX.extend_dedup_index(
+        docs.where("doc_id >= 160 AND doc_id < 200"), idx_table,
+        idx_tracker, threshold=0.4, pairs_table=pt,
+    )
+    after_extend = journal_rows()
 
     # a racing COMPACTION overlaps on the removed partitions: loser raises
     stale2 = real_pinned(idx_tracker, pt.name)
@@ -843,9 +863,10 @@ def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
         spark, pt, table, idx_tracker, min_batches=1
     )
     assert winner is not None
-    monkeypatch.setattr(CX, "pinned_state", lambda tr, name: (
-        stale2 if name == pt.name else real_pinned(tr, name)
-    ))
+    # loser pins stale2, loses the commit, re-reads the REAL state on
+    # retry, finds its source partitions consumed by the winner, and
+    # surfaces the conflict instead of retrying forever
+    monkeypatch.setattr(CX, "pinned_state", stale_once(stale2))
     with pytest.raises(CommitConflictError):
         CX.compact_dedup_pairs(spark, pt, table, idx_tracker, min_batches=1)
     monkeypatch.setattr(CX, "pinned_state", real_pinned)
