@@ -228,6 +228,20 @@ class VacuumAction:
 
 
 @dataclass(frozen=True)
+class ArchiveAction:
+    """Extension beyond the reference CLI verbs: commit-log archival
+    (trackers/files.py::archive_commits) — pack checkpoint-covered commit
+    files into one artifact so resolutions list O(tail) dirents.  Dry-run
+    by default, ``--apply`` packs and deletes.  Files-backed logs only
+    (the sqlite tracker has no listing to bound — docs/scale.md)."""
+
+    table: TableName
+    retain_checkpoints: int
+    through_seq: Optional[int]
+    apply: bool
+
+
+@dataclass(frozen=True)
 class AnnIndexAction:
     """Ops surface for the materialized ANN index family
     (operators/ann_index.py) — the one lifecycle family a pipeline
@@ -613,6 +627,26 @@ def build_parser() -> argparse.ArgumentParser:
         "considered abandoned rather than in-flight (default 7)",
     )
 
+    p_arch = sub.add_parser(
+        "archive",
+        help="Pack old commit-log files into one archive artifact so "
+        "resolutions list O(tail) dirents (dry-run by default)",
+    )
+    p_arch.add_argument("table")
+    p_arch.add_argument(
+        "--retain-checkpoints", type=int, default=2,
+        help="Newest N checkpoint segments kept live (the O(lag) fast-"
+        "resolution window for CDC consumers; default 2)",
+    )
+    p_arch.add_argument(
+        "--through-seq", type=int, default=None,
+        help="Pin the cut to a specific retained checkpoint seq",
+    )
+    p_arch.add_argument(
+        "--apply", action="store_true",
+        help="Actually pack and delete (default: dry-run)",
+    )
+
     p_idx = sub.add_parser(
         "index",
         help="Maintain a materialized ANN index "
@@ -829,6 +863,11 @@ def parse_action(argv: Sequence[str]):
             _table_name(ns.table), ns.location, ns.keep_last, ns.apply,
             ns.sweep_orphans, ns.orphan_min_age_days,
         )
+    if ns.command == "archive":
+        return ns, ArchiveAction(
+            _table_name(ns.table), ns.retain_checkpoints, ns.through_seq,
+            ns.apply,
+        )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
             raise CliError(f"index {ns.operation} needs --input <parquet path>")
@@ -929,6 +968,8 @@ class CliClient:
             self.manifest(action)
         elif isinstance(action, VacuumAction):
             self.vacuum(action)
+        elif isinstance(action, ArchiveAction):
+            self.archive(action)
         elif isinstance(action, AnnIndexAction):
             self.ann_index(action, user_id)
         elif isinstance(action, DedupIndexAction):
@@ -1197,6 +1238,28 @@ class CliClient:
             f"{verb} {len(doomed)} superseded version director"
             f"{'y' if len(doomed) == 1 else 'ies'} "
             f"(keep_last={action.keep_last})"
+        )
+
+    def archive(self, action: ArchiveAction) -> None:
+        tracker = self.delegate.tracker
+        fn = getattr(tracker, "archive_commits", None)
+        if fn is None:
+            raise CliError(
+                "archive applies to files-backed commit logs only (the "
+                "sqlite tracker has no directory listing to bound)"
+            )
+        out = fn(
+            action.table,
+            retain_checkpoints=action.retain_checkpoints,
+            through_seq=action.through_seq,
+            dry_run=not action.apply,
+        )
+        verb = "Archived" if action.apply else "Would archive"
+        self.console.println(
+            f"{verb} {out['archived']} commit file(s) through seq "
+            f"{out['through_seq']} (repaired {out['repaired']}, pruned "
+            f"{out['pruned_checkpoints']} checkpoint file(s))"
+            + (f" -> {out['archive']}" if out.get("archive") else "")
         )
 
     def ann_index(self, action: AnnIndexAction, user_id: str) -> None:

@@ -81,6 +81,7 @@ from ..core.ops import (
     AddTableVersion,
     RemovePartition,
     TableUpdate,
+    update_from_dict,
     update_from_json,
     update_to_json,
 )
@@ -91,6 +92,24 @@ from .fs import FileSystem, LocalFileSystem, filesystem_for
 _TABLE_DIR_RE = re.compile(r"^_chronicles_table_([\w\-]+)\.([\w\-]+)$")
 _UPDATE_FILE_RE = re.compile(r"^table_update_(\d+)\.json$")
 _CHECKPOINT_FILE_RE = re.compile(r"^checkpoint_(\d+)\.json$")
+# commit-log archive: a checkpoint-covered PREFIX of commit files packed
+# into one artifact (docs/scale.md "commit-log archival").  The filename
+# carries (last_seq, n_entries, crc32-of-body): the first two let every
+# fast path count archived commits from the directory LISTING alone (no
+# archive reads on hot paths), and the crc makes the name content-unique
+# so the process-wide parse cache below needs no invalidation I/O.
+_ARCHIVE_FILE_RE = re.compile(r"^archive_(\d{13})_(\d{8})_([0-9a-f]{8})\.json$")
+_ARCHIVE_FLOOR_FILE = "_archive_floor"
+
+# process-wide archive parse caches.  Sound because archive files are
+# immutable by construction (content-unique names: same path+name ⇒ same
+# bytes).  Seqs are kept for every archive ever read (8 bytes/commit —
+# the CDC source's per-poll update_seqs stays O(live listing) after the
+# first poll); full update bodies are only needed on degrade/deep-travel
+# paths, so they ride a small LRU.
+_ARCHIVE_SEQ_CACHE: dict = {}
+_ARCHIVE_BODY_CACHE: "dict[str, list]" = {}
+_ARCHIVE_BODY_CACHE_MAX = 4
 
 
 class FileBackedVersionTracker(VersionTracker):
@@ -127,6 +146,11 @@ class FileBackedVersionTracker(VersionTracker):
         # their own fd and block each other — an instance-shared set would
         # let a second thread skip the lock a first thread holds
         self._held_locks = threading.local()
+        # per-table-dir cache of the archive floor (highest archived commit
+        # seq): read once per instance, refreshed by archive_commits and by
+        # the CAS post-claim check — keeps the plain-mode commit path at
+        # one extra small read per DIRECTORY, not per commit
+        self._floor_cache: dict = {}
         # per-table-dir count of commits since the last EXACT checkpoint
         # check (the exact check lists the dir — see _maybe_checkpoint's
         # O(1) fast path); cadence hint only, never a correctness input
@@ -226,15 +250,25 @@ class FileBackedVersionTracker(VersionTracker):
 
     def _write_commit_file(self, d: str, update: TableUpdate) -> int:
         ts = self._clock.next_timestamp_ms()
+        # archived sequence slots must never be re-claimed: their files
+        # were DELETED by archive_commits, so conditional-create alone no
+        # longer protects them.  The floor (highest archived seq) is read
+        # once per instance per directory — sequential fresh instances
+        # with lagging clocks land above it; concurrent-archival windows
+        # are closed per mode below (flock / CAS post-claim re-check).
+        floor = self._floor_cache.get(d)
+        if floor is None:
+            floor = self._floor_cache[d] = self._read_floor_seq(d)
+        if ts <= floor:
+            ts = floor + 1
         if self._use_lock or self._use_cas:
             # the per-process monotonic clock cannot see OTHER processes'
             # filenames; under flock a directory check is race-free, and
-            # in CAS mode it just seeds the first create attempt
-            existing = [
-                int(m.group(1))
-                for n in self.fs.list_dir(d)
-                if (m := _UPDATE_FILE_RE.match(n))
-            ]
+            # in CAS mode it just seeds the first create attempt.  Archive
+            # artifact names carry their cut seq, so the same listing also
+            # seeds above anything a racer archived since the floor read.
+            live, archives = self._scan_dir(d)
+            existing = [s for s, _ in live] + [a for a, _, _ in archives]
             if existing:
                 ts = max(ts, max(existing) + 1)
         payload = update_to_json(update)
@@ -247,6 +281,21 @@ class FileBackedVersionTracker(VersionTracker):
                 if self.fs.write_text_if_absent(
                     self.fs.join(d, f"table_update_{ts:013d}.json"), payload
                 ):
+                    # post-claim floor re-check: a concurrent archiver
+                    # CAS-advances the floor BEFORE deleting any file, so
+                    # if our create landed on a slot a delete just freed,
+                    # this read (strongly consistent on S3) must see the
+                    # new floor — release the slot and go above it.  One
+                    # small GET per CAS commit buys the no-duplicate-seq
+                    # invariant across archival.
+                    f2 = self._read_floor_seq(d)
+                    if ts <= f2:
+                        self.fs.remove_file(
+                            self.fs.join(d, f"table_update_{ts:013d}.json")
+                        )
+                        self._floor_cache[d] = f2
+                        ts = f2 + 1
+                        continue
                     return ts
                 ts += 1
             raise RuntimeError(
@@ -335,13 +384,14 @@ class FileBackedVersionTracker(VersionTracker):
         self.fs.write_text(self.fs.join(d, "head_ref"), json.dumps({"head_ref": commit_id}))
 
     def table_state(self, table: TableName) -> TableState:
+        """Full log state — archived commits included (the archive is the
+        log relocated, never a derived artifact), so every full-fold
+        degrade path stays the ground truth after archival."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        names = sorted(n for n in self.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
-        updates = tuple(
-            update_from_json(self.fs.read_text(self.fs.join(d, n))) for n in names
-        )
+        live, archives = self._scan_dir(d)
+        updates = tuple(u for _, u in self._merged_updates(d, live, archives))
         head = json.loads(self.fs.read_text(self.fs.join(d, "head_ref")))["head_ref"]
         return TableState(head, updates)
 
@@ -353,22 +403,31 @@ class FileBackedVersionTracker(VersionTracker):
 
     def update_count(self, table: TableName) -> int:
         """Number of commits, from a directory listing alone (no file
-        reads/parses)."""
+        reads/parses — archive names carry their entry counts)."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        return sum(1 for n in self.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
+        live, archives = self._scan_dir(d)
+        _, arch_n = self._arch_stats(archives)
+        return len(live) + arch_n
 
     def updates_slice(self, table: TableName, start: int, end: int) -> tuple:
         """Updates at log positions [start, end) in commit order, parsing
-        only those files."""
+        only those files (archive bodies only when the slice reaches
+        below the archive floor)."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        names = sorted(n for n in self.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
+        live, archives = self._scan_dir(d)
+        seqs = self._merged_seq_list(d, live, archives)
+        window = seqs[start:end]
+        if not window:
+            return ()
         return tuple(
-            update_from_json(self.fs.read_text(self.fs.join(d, n)))
-            for n in names[start:end]
+            u
+            for _, u in self._merged_updates(
+                d, live, archives, lo=window[0] - 1, hi=window[-1]
+            )
         )
 
     # -- tags: one tiny `tag_<name>` JSON file per tag in the table dir
@@ -404,27 +463,33 @@ class FileBackedVersionTracker(VersionTracker):
         return self._read_head(d)
 
     def update_seqs(self, table: TableName) -> List[int]:
-        """Commit-file sequence numbers (the filename timestamps),
-        ascending — one directory listing, no file reads.  Unlike bare
-        positions, sequence numbers are STABLE identifiers: a late writer
-        whose clock lags cannot shift them, which is what lets the
+        """Commit sequence numbers (the filename timestamps), ascending,
+        archived prefix included — one directory listing, no file reads
+        after an archive's seqs are in the process cache (archives are
+        immutable, so the first read per process is the last).  Unlike
+        bare positions, sequence numbers are STABLE identifiers: a late
+        writer whose clock lags cannot shift them, which is what lets the
         streaming source detect an insert inside an already-consumed
-        prefix instead of silently skipping a commit."""
+        prefix instead of silently skipping a commit — and archival keeps
+        every consumed seq visible here, so CDC offsets recorded before
+        an archival cut keep verifying after it."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        return [s for s, _ in self._update_seqs(d)]
+        live, archives = self._scan_dir(d)
+        return self._merged_seq_list(d, live, archives)
 
     def updates_in_seq_range(self, table: TableName, lo: int, hi: int) -> tuple:
-        """Updates whose filename sequence ``s`` satisfies ``lo < s <= hi``,
-        in commit order, parsing only those files."""
+        """Updates whose sequence ``s`` satisfies ``lo < s <= hi``, in
+        commit order, parsing only those files; archive bodies are read
+        only when the range reaches below the archive floor (the CDC
+        source's polls stay live-files-only)."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
+        live, archives = self._scan_dir(d)
         return tuple(
-            update_from_json(self.fs.read_text(self.fs.join(d, n)))
-            for s, n in self._update_seqs(d)
-            if lo < s <= hi
+            u for _, u in self._merged_updates(d, live, archives, lo=lo, hi=hi)
         )
 
     # -- fold checkpoints ----------------------------------------------------
@@ -434,12 +499,123 @@ class FileBackedVersionTracker(VersionTracker):
     # (the same invariant Delta's _last_checkpoint relies on).
 
     def _update_seqs(self, d: str) -> list:
-        """(seq, filename) for every commit file, ascending."""
+        """(seq, filename) for every LIVE commit file, ascending."""
         return sorted(
             (int(m.group(1)), n)
             for n in self.fs.list_dir(d)
             if (m := _UPDATE_FILE_RE.match(n))
         )
+
+    # -- commit-log archive access (docs/scale.md "commit-log archival") --
+
+    def _scan_dir(self, d: str, with_checkpoints: bool = False):
+        """ONE directory listing → (live [(seq, name)] ascending,
+        archives [(last_seq, n_entries, name)] ascending[, checkpoint
+        seqs ascending]) — every fast path derives its counts from this
+        single listing, never from archive reads."""
+        live, archives, cks = [], [], []
+        for n in self.fs.list_dir(d):
+            if (m := _UPDATE_FILE_RE.match(n)):
+                live.append((int(m.group(1)), n))
+            elif (m := _ARCHIVE_FILE_RE.match(n)):
+                archives.append((int(m.group(1)), int(m.group(2)), n))
+            elif with_checkpoints and (m := _CHECKPOINT_FILE_RE.match(n)):
+                cks.append(int(m.group(1)))
+        live.sort()
+        archives.sort()
+        if with_checkpoints:
+            cks.sort()
+            return live, archives, cks
+        return live, archives
+
+    @staticmethod
+    def _arch_stats(archives) -> "tuple[int | None, int]":
+        """(highest archived seq | None, total archived commit count) —
+        from archive NAMES alone."""
+        if not archives:
+            return None, 0
+        return archives[-1][0], sum(n for _, n, _ in archives)
+
+    def _archive_entries(self, d: str, name: str) -> list:
+        """[(seq, TableUpdate)] of one archive artifact, via the process
+        cache (sound: archive names are content-unique)."""
+        path = self.fs.join(d, name)
+        got = _ARCHIVE_BODY_CACHE.get(path)
+        if got is None:
+            body = json.loads(self.fs.read_text(path))
+            got = [(int(s), update_from_dict(o)) for s, o in body["entries"]]
+            if len(_ARCHIVE_BODY_CACHE) >= _ARCHIVE_BODY_CACHE_MAX:
+                _ARCHIVE_BODY_CACHE.pop(next(iter(_ARCHIVE_BODY_CACHE)))
+            _ARCHIVE_BODY_CACHE[path] = got
+            _ARCHIVE_SEQ_CACHE.setdefault(path, tuple(s for s, _ in got))
+        return got
+
+    def _archive_seqs(self, d: str, name: str) -> tuple:
+        path = self.fs.join(d, name)
+        got = _ARCHIVE_SEQ_CACHE.get(path)
+        if got is None:
+            got = tuple(s for s, _ in self._archive_entries(d, name))
+        return got
+
+    def _merged_seq_list(self, d: str, live, archives) -> list:
+        """All commit seqs, archived + live, ascending, deduped (a crash
+        between an archive write and its live-file deletes leaves benign
+        identical duplicates until the next archival repairs them)."""
+        seen = set()
+        for _, _, name in archives:
+            seen.update(self._archive_seqs(d, name))
+        seen.update(s for s, _ in live)
+        return sorted(seen)
+
+    def _merged_updates(
+        self, d: str, live, archives, lo: "int | None" = None,
+        hi: "int | None" = None,
+    ) -> list:
+        """[(seq, update)] over archives + live files, ``lo < seq <= hi``
+        (None = unbounded), seq-deduped.  A sequence slot present both
+        archived and live must hold the SAME commit (crash leftover —
+        benign, live wins); different commits in one slot means an
+        archived slot was re-claimed, which the write-side floor guards
+        exist to prevent — fail loudly rather than pick an order."""
+        by: dict = {}
+        for last, _, name in archives:
+            if lo is not None and last <= lo:
+                continue  # whole archive below the range: zero reads
+            for s, u in self._archive_entries(d, name):
+                if (lo is None or s > lo) and (hi is None or s <= hi):
+                    by[s] = u
+        for s, n in live:
+            if (lo is None or s > lo) and (hi is None or s <= hi):
+                u = update_from_json(self.fs.read_text(self.fs.join(d, n)))
+                prev = by.get(s)
+                if (
+                    prev is not None
+                    and prev.metadata.commit_id != u.metadata.commit_id
+                ):
+                    raise RuntimeError(
+                        f"commit sequence slot {s} holds DIFFERENT commits "
+                        f"archived ({prev.metadata.commit_id}) and live "
+                        f"({u.metadata.commit_id}) — an archived slot was "
+                        "re-claimed by a writer that bypassed the archive "
+                        "floor; the log order is ambiguous and no read can "
+                        "be trusted until repaired"
+                    )
+                by[s] = u
+        return [(s, by[s]) for s in sorted(by)]
+
+    def _read_floor_seq(self, d: str) -> int:
+        """Highest archived commit seq per the floor doc (-1 when no
+        archive exists).  The doc exists for WRITERS (plain mode commits
+        don't list the directory); readers derive the floor from archive
+        names in the listing they already have."""
+        try:
+            return int(
+                json.loads(
+                    self.fs.read_text(self.fs.join(d, _ARCHIVE_FLOOR_FILE))
+                )["seq"]
+            )
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return -1
 
     def _read_updates(self, d: str, names) -> tuple:
         return tuple(
@@ -477,22 +653,35 @@ class FileBackedVersionTracker(VersionTracker):
             return None
 
     @staticmethod
-    def _checkpoint_covers_prefix(ck: dict, all_seqs) -> bool:
+    def _checkpoint_covers_prefix(
+        ck: dict, live_seqs, arch_last: "int | None" = None, arch_n: int = 0
+    ) -> bool:
         """Gap-fill guard: a checkpoint is usable ONLY if every commit
-        file now present at seq <= last_seq was folded into it.  Without
+        now present at seq <= last_seq was folded into it.  Without
         this, a CAS writer whose (per-process) clock ran behind a racer's
         can claim a still-free sequence slot BELOW an already-cut
         checkpoint, and that committed update would silently never reach
-        any checkpointed reader.  ``n_folded`` (the prefix file count at
+        any checkpointed reader.  ``n_folded`` (the prefix commit count at
         cut time) makes the omission detectable from the directory
-        listing readers already have; a mismatch — or a pre-upgrade
-        checkpoint without the field — degrades to the full fold, which
-        is always correct."""
+        listing readers already have — after archival the archived share
+        of that count comes from the archive NAMES in the same listing
+        (archives pack only strictly checkpoint-covered prefixes, so the
+        detectability survives the cut).  A mismatch, a pre-upgrade
+        checkpoint without the field, a checkpoint cut below the archive
+        floor (its tail files are no longer live), or any live file at or
+        below the floor (gap-fill into archived history, or a crash
+        leftover awaiting repair) degrades to the full fold, which is
+        always correct."""
         n = ck.get("n_folded")
         if n is None:
             return False
         last = int(ck["last_seq"])
-        return sum(1 for s in all_seqs if s <= last) == int(n)
+        if arch_last is not None:
+            if last < arch_last:
+                return False
+            if live_seqs and live_seqs[0] <= arch_last:
+                return False
+        return sum(1 for s in live_seqs if s <= last) + arch_n == int(n)
 
     # shared with the sqlite checkpoint fast path
     _apply_to_state = staticmethod(apply_ops_to_path_state)
@@ -523,22 +712,35 @@ class FileBackedVersionTracker(VersionTracker):
         # another writer can never spuriously fail the covers-prefix guard
         # (a stale listing would under-count its prefix)
         ck = self._read_checkpoint(d)
-        all_seqs = self._update_seqs(d)
+        live, archives = self._scan_dir(d)
+        arch_last, arch_n = self._arch_stats(archives)
+        live_seqs = [s for s, _ in live]
+        if arch_last is not None and live_seqs and live_seqs[0] <= arch_last:
+            # crash leftover / gap-fill below the archive floor: a cut
+            # here would bake an ambiguous count into n_folded — skip
+            # (cadence only; archive_commits repairs, reads stay correct
+            # via the full fold)
+            self._ck_pending[d] = 0
+            return
         if ck is not None and not self._checkpoint_covers_prefix(
-            ck, [s for s, _ in all_seqs]
+            ck, live_seqs, arch_last, arch_n
         ):
             ck = None  # gap-filled prefix: rebuild from the full log
         base_seq = int(ck["last_seq"]) if ck else -1
-        tail = [(s, n) for s, n in all_seqs if s > base_seq]
+        tail = [(s, n) for s, n in live if s > base_seq]
         if len(tail) < self._checkpoint_interval:
             self._ck_pending[d] = len(tail)
             return
         self._ck_pending[d] = 0  # cutting now (every exit below counts)
-        updates = self._read_updates(d, [n for _, n in tail])
         if ck:
+            updates = self._read_updates(d, [n for _, n in tail])
             state = dict(ck["partitions"])
             snapshot_version = ck.get("snapshot_version")
         else:
+            # full rebuild must fold the ARCHIVED prefix too
+            updates = tuple(
+                u for _, u in self._merged_updates(d, live, archives)
+            )
             state, snapshot_version = {}, None
         self._apply_to_state(state, updates)
         for u in updates:
@@ -548,7 +750,7 @@ class FileBackedVersionTracker(VersionTracker):
         last_seq = tail[-1][0]
         body = {
             "last_seq": last_seq,
-            "n_folded": sum(1 for s, _ in all_seqs if s <= last_seq),
+            "n_folded": sum(1 for s in live_seqs if s <= last_seq) + arch_n,
             "last_commit_id": updates[-1].metadata.commit_id,
             "is_snapshot": self._is_snapshot_dir(d),
             "snapshot_version": snapshot_version,
@@ -655,17 +857,21 @@ class FileBackedVersionTracker(VersionTracker):
         ck = self._read_checkpoint(d)
         if ck is None:
             return None
-        all_seqs = self._update_seqs(d)
-        seq_nums = [s for s, _ in all_seqs]
-        if not self._checkpoint_covers_prefix(ck, seq_nums):
+        live, archives, ck_seqs = self._scan_dir(d, with_checkpoints=True)
+        arch_last, arch_n = self._arch_stats(archives)
+        seq_nums = [s for s, _ in live]
+        if not self._checkpoint_covers_prefix(ck, seq_nums, arch_last, arch_n):
             return None  # gap-filled prefix: only the full fold is correct
-        # retained checkpoint seqs below the pointer's, newest first
+        # retained checkpoint seqs below the pointer's, newest first —
+        # but never below the archive floor: those checkpoints' tail
+        # segments are archived, so deeper travel takes the full fold
+        # (which reads the archives)
         older = sorted(
             (
                 s
-                for n in self.fs.list_dir(d)
-                if (m := _CHECKPOINT_FILE_RE.match(n))
-                and (s := int(m.group(1))) < int(ck["last_seq"])
+                for s in ck_seqs
+                if s < int(ck["last_seq"])
+                and (arch_last is None or s >= arch_last)
             ),
             reverse=True,
         )
@@ -675,7 +881,7 @@ class FileBackedVersionTracker(VersionTracker):
                 return self._fold_checkpoint_plus(ck, ())
             names = [
                 n
-                for s, n in all_seqs
+                for s, n in live
                 if s > int(ck["last_seq"]) and (upper is None or s <= upper)
             ]
             seg = self._read_updates(d, names)
@@ -690,7 +896,7 @@ class FileBackedVersionTracker(VersionTracker):
             while older:
                 cand = self._checkpoint_body(d, older.pop(0))
                 if cand is not None and self._checkpoint_covers_prefix(
-                    cand, seq_nums
+                    cand, seq_nums, arch_last, arch_n
                 ):
                     ck = cand
                     break
@@ -755,12 +961,15 @@ class FileBackedVersionTracker(VersionTracker):
         ck = self._read_checkpoint(d)
         if ck is None or "pair_label" not in ck:
             return None
-        all_seqs = self._update_seqs(d)
-        if not self._checkpoint_covers_prefix(ck, [s for s, _ in all_seqs]):
+        live, archives = self._scan_dir(d)
+        arch_last, arch_n = self._arch_stats(archives)
+        if not self._checkpoint_covers_prefix(
+            ck, [s for s, _ in live], arch_last, arch_n
+        ):
             return None
         head = self._read_head(d)
         tail = self._read_updates(
-            d, [n for s, n in all_seqs if s > int(ck["last_seq"])]
+            d, [n for s, n in live if s > int(ck["last_seq"])]
         )
         if head == ck["last_commit_id"]:
             upto = ()
@@ -800,3 +1009,185 @@ class FileBackedVersionTracker(VersionTracker):
             raise UnknownTableError(table)
         tv = self._fast_resolve(d, commit_id)
         return tv if tv is not None else super().version_at(table, commit_id)
+
+    # -- commit-log archival --------------------------------------------
+    # The last O(history) term on the metadata plane after round 11 was
+    # the directory LISTING itself: every checkpointed fast path lists
+    # the commit log once, O(log length) dirents — ~one paginated LIST
+    # per 1000 commits on S3, seconds per resolution at the 10^6-commit
+    # design point (docs/scale.md "commit-log archival").  Archival packs
+    # a strictly checkpoint-covered prefix of commit files into ONE
+    # immutable artifact and deletes the packed files (and the checkpoint
+    # files below the cut, unreachable by fast paths afterwards), so the
+    # live listing stays O(tail + archival runs).  The archive is the log
+    # RELOCATED, not a derived artifact: table_state and every full-fold
+    # degrade path read through it, commit order and content preserved
+    # byte-for-byte, so "commit files are the only source of truth"
+    # becomes "commit records are" — the CAS gap-fill guard keeps its
+    # detectability because the archive NAME carries the packed count.
+
+    def archive_commits(
+        self,
+        table: TableName,
+        retain_checkpoints: int = 2,
+        through_seq: "int | None" = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Pack the commit files at-or-below a retained checkpoint into
+        one archive artifact; delete the packed files.  Returns a summary
+        ``{"archived", "through_seq", "repaired", "pruned_checkpoints",
+        "archive"}``.
+
+        The cut is the newest retained checkpoint after skipping
+        ``retain_checkpoints`` of them (keeping recent checkpoint
+        segments live preserves the O(lag) fast resolution window for
+        CDC consumers/time travel near the head; deeper travel degrades
+        to the full fold, which reads archives).  ``through_seq`` pins
+        the cut to a specific retained checkpoint seq instead.
+
+        Crash-safe ordering: archive file → floor doc → deletes; a crash
+        anywhere leaves reads correct (duplicate slots hold identical
+        commits and every fast path degrades until the next call's
+        repair step finishes the deletes).  Concurrency follows the
+        tracker's commit discipline: under ``use_lock`` the table flock
+        is held; under CAS the floor doc advances monotonically BEFORE
+        any delete and writers re-check it post-claim, so an archived
+        slot can never be silently re-claimed; in default mode archival
+        is a write operation under the same single-writer stance as
+        commits.  Maintenance cadence, like vacuum — not a per-commit
+        step.  No reference counterpart (the reference has no checkpoint
+        or archival tier; its full-log fold is the only read path)."""
+        d = self._table_dir(table)
+        if not self.fs.exists(self.fs.join(d, "table-metadata")):
+            raise UnknownTableError(table)
+        if retain_checkpoints < 0:
+            raise ValueError("retain_checkpoints must be >= 0")
+        with self._commit_guard(d):
+            return self._archive_locked(d, retain_checkpoints, through_seq, dry_run)
+
+    def _archive_locked(
+        self, d: str, retain_checkpoints: int, through_seq, dry_run: bool
+    ) -> dict:
+        live, archives, ck_seqs = self._scan_dir(d, with_checkpoints=True)
+        arch_last, arch_n = self._arch_stats(archives)
+        out = {
+            "archived": 0, "through_seq": None, "repaired": 0,
+            "pruned_checkpoints": 0, "archive": None,
+        }
+        # 1. repair a crashed prior run: live files at-or-below the floor
+        # must be identical duplicates of archived entries — finish their
+        # deletes.  A DIFFERENT commit in an archived slot means a writer
+        # bypassed the floor guards; refuse loudly (reads are already
+        # failing loudly on it too).
+        if arch_last is not None:
+            below = [(s, n) for s, n in live if s <= arch_last]
+            if below:
+                ids = {}
+                for _, _, name in archives:
+                    for s, u in self._archive_entries(d, name):
+                        ids[s] = u.metadata.commit_id
+                for s, n in below:
+                    u = update_from_json(self.fs.read_text(self.fs.join(d, n)))
+                    if ids.get(s) != u.metadata.commit_id:
+                        raise RuntimeError(
+                            f"live commit file at seq {s} inside the archived "
+                            "prefix holds a different commit than the archive "
+                            "— an archived slot was re-claimed; refusing to "
+                            "archive (reads degrade loudly on this state)"
+                        )
+                    if not dry_run:
+                        self.fs.remove_file(self.fs.join(d, n))
+                    out["repaired"] += 1
+                if not dry_run:
+                    live = [(s, n) for s, n in live if s > arch_last]
+            if not dry_run and self._read_floor_seq(d) < arch_last:
+                self._write_floor(d, arch_last, arch_n)
+        # 2. choose the cut
+        if through_seq is not None:
+            if through_seq not in ck_seqs:
+                raise ValueError(
+                    f"through_seq {through_seq} does not name a retained "
+                    "checkpoint cut"
+                )
+            cut = through_seq
+        else:
+            deeper = sorted(ck_seqs, reverse=True)[retain_checkpoints:]
+            cut = deeper[0] if deeper else None
+        if cut is None or (arch_last is not None and cut <= arch_last):
+            return out  # nothing (new) to archive
+        ck = self._checkpoint_body(d, cut)
+        if ck is None or not self._checkpoint_covers_prefix(
+            ck, [s for s, _ in live], arch_last, arch_n
+        ):
+            raise ValueError(
+                f"checkpoint {cut} does not cover the current prefix "
+                "(gap-filled history or corrupt cut) — archive only "
+                "checkpoint-covered prefixes"
+            )
+        to_pack = [(s, n) for s, n in live if s <= cut]
+        if not to_pack:
+            return out
+        out["through_seq"] = cut
+        out["archived"] = len(to_pack)
+        if dry_run:
+            return out
+        # 3. write the artifact (content-unique name: cut, count, crc)
+        import zlib
+
+        entries = [
+            [s, json.loads(self.fs.read_text(self.fs.join(d, n)))]
+            for s, n in to_pack
+        ]
+        body = json.dumps({
+            "format": 1,
+            "first_seq": to_pack[0][0],
+            "last_seq": cut,
+            "n": len(to_pack),
+            "entries": entries,
+        })
+        crc = zlib.crc32(body.encode("utf-8")) & 0xFFFFFFFF
+        name = f"archive_{cut:013d}_{len(to_pack):08d}_{crc:08x}.json"
+        path = self.fs.join(d, name)
+        if self.fs.supports_put_if_absent():
+            # losing the create is benign: same name ⇒ same content (crc)
+            self.fs.write_text_if_absent(path, body)
+        else:
+            self.fs.write_text(path, body)
+        out["archive"] = name
+        # 4. advance the floor BEFORE any delete (writers' post-claim
+        # check depends on this ordering)
+        self._write_floor(d, cut, arch_n + len(to_pack))
+        self._floor_cache[d] = cut
+        # 5. delete the packed commit files, then the checkpoint files
+        # strictly below the cut (unreachable by fast paths now — the
+        # covers-prefix guard rejects any checkpoint below the floor)
+        for _, n in to_pack:
+            self.fs.remove_file(self.fs.join(d, n))
+        for s in ck_seqs:
+            if s < cut:
+                self.fs.remove_file(
+                    self.fs.join(d, f"checkpoint_{s:013d}.json")
+                )
+                out["pruned_checkpoints"] += 1
+        return out
+
+    def _write_floor(self, d: str, seq: int, n_archived: int) -> None:
+        """Advance the archive-floor doc, monotonic on seq (token CAS
+        where the store supports it — mirrors ``_advance_head``)."""
+        path = self.fs.join(d, _ARCHIVE_FLOOR_FILE)
+        doc = json.dumps({"seq": seq, "n_archived": n_archived})
+        if self._use_cas and self.fs.supports_put_if_match():
+            for _ in range(64):
+                try:
+                    cur_text, token = self.fs.read_text_and_token(path)
+                    cur_seq = int(json.loads(cur_text).get("seq", -1))
+                except (FileNotFoundError, ValueError, KeyError, TypeError):
+                    cur_seq, token = -1, None
+                if cur_seq >= seq:
+                    return
+                if self.fs.write_text_if_match(path, doc, token):
+                    return
+            return  # pathological churn: the next archival converges
+        if self._read_floor_seq(d) >= seq:
+            return
+        self.fs.write_text(path, doc)

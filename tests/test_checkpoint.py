@@ -29,12 +29,17 @@ T = TableName("db", "events")
 
 
 class CountingFs(FileSystem):
-    """Facade proxy recording every read_text path — lets tests assert
-    WHICH log files a resolution actually touched."""
+    """Facade proxy recording every read_text path AND every directory
+    listing (call count + dirents returned) — lets tests assert WHICH
+    log files a resolution actually touched and how much LISTING it paid
+    (the round-12 archival work's unit of cost: on an object store a
+    listing is ~one paginated LIST call per 1000 dirents)."""
 
     def __init__(self, inner):
         self.inner = inner
         self.reads = []
+        self.lists = []     # one path per list_dir call
+        self.dirents = 0    # total entries returned across all listings
 
     def exists(self, path):
         return self.inner.exists(path)
@@ -50,7 +55,10 @@ class CountingFs(FileSystem):
         return self.inner.write_text(path, text)
 
     def list_dir(self, path):
-        return self.inner.list_dir(path)
+        out = self.inner.list_dir(path)
+        self.lists.append(path)
+        self.dirents += len(out)
+        return out
 
     def is_dir(self, path):
         return self.inner.is_dir(path)

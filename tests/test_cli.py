@@ -1100,3 +1100,75 @@ def test_changes_verb():
     assert C.run(
         ["changes", "db.ch", "--from", "nope"], client, console, "u"
     ) == 1
+
+
+# -- archive verb (extension; trackers/files.py commit-log archival) ---------
+
+
+def test_archive_parses_and_defaults_to_dry_run():
+    _, action = C.parse_action(["archive", "db.t"])
+    assert action == C.ArchiveAction(TableName("db", "t"), 2, None, False)
+    _, action = C.parse_action(
+        ["archive", "db.t", "--retain-checkpoints", "1",
+         "--through-seq", "42", "--apply"]
+    )
+    assert action == C.ArchiveAction(TableName("db", "t"), 1, 42, True)
+
+
+def test_archive_refuses_non_files_tracker():
+    client, _ = make_client()  # in-memory tracker: nothing to archive
+    with pytest.raises(C.CliError, match="files-backed"):
+        client.archive(C.ArchiveAction(TableName("db", "t"), 2, None, True))
+
+
+def test_archive_dry_run_then_apply(tmp_path):
+    """End-to-end over a real commit-log directory: dry-run reports and
+    deletes nothing; --apply packs the prefix, the current view is
+    unchanged, and the live directory shrank."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    t = TableName("db", "ev")
+    tracker.init_table(t, is_snapshot=False, user_id="u")
+    for i in range(24):
+        tracker.commit(
+            t,
+            TableUpdate(
+                TableUpdateMetadata.new("u", f"w{i}"),
+                (AddPartitionVersion(
+                    Partition.parse(f"date=2019-01-{(i % 9) + 1:02d}"),
+                    generate_version(),
+                ),),
+            ),
+        )
+    before = tracker.current_version(t)
+    d = tracker._table_dir(t)
+    n_live_before = sum(
+        1 for n in tracker.fs.list_dir(d) if n.startswith("table_update_")
+    )
+
+    client.archive(C.ArchiveAction(t, 1, None, False))  # dry run
+    assert "Would archive" in console.out[-1]
+    assert sum(
+        1 for n in tracker.fs.list_dir(d) if n.startswith("table_update_")
+    ) == n_live_before
+
+    client.archive(C.ArchiveAction(t, 1, None, True))  # apply
+    assert "Archived" in console.out[-1]
+    n_live_after = sum(
+        1 for n in tracker.fs.list_dir(d) if n.startswith("table_update_")
+    )
+    assert n_live_after < n_live_before
+    assert tracker.current_version(t) == before

@@ -1,0 +1,425 @@
+"""Commit-log archival (round 12): pack checkpoint-covered commit-file
+prefixes into one immutable artifact so every fast resolution's directory
+LISTING is O(live tail + archives) dirents instead of O(commit history) —
+the last O(history) term on the metadata plane after round 11's O(tail)
+file-read work (docs/scale.md "commit-log archival").
+
+House style: every fast-path answer is differentially compared against a
+checkpoint-free ground-truth tracker over the SAME directory (which reads
+through the archives — the archive is the log relocated, not a derived
+artifact), and the structural costs (listing calls, dirents seen,
+commit-file reads) are pinned with CountingFs."""
+
+import json
+
+import pytest
+
+from chronicles_spark.core import fold
+from chronicles_spark.core.markers import pair_label
+from chronicles_spark.core.model import (
+    Partition,
+    TableName,
+)
+from chronicles_spark.core.ops import (
+    AddPartitionVersion,
+    TableUpdate,
+    TableUpdateMetadata,
+    update_to_json,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.operators.pairing import pair_message, pinned_state
+from chronicles_spark.trackers import FileBackedVersionTracker
+from chronicles_spark.trackers.base import UnknownCommitError
+from chronicles_spark.trackers.files import (
+    _ARCHIVE_FILE_RE,
+    _UPDATE_FILE_RE,
+)
+from tests.test_checkpoint import CountingFs
+
+T = TableName("db", "arch")
+
+
+def _commit(tr, i, marked=True):
+    v = generate_version()
+    msg = pair_message(f"extend {i}", v.label) if marked else f"note {i}"
+    meta = TableUpdateMetadata.new("u", msg)
+    tr.commit(
+        T,
+        TableUpdate(
+            meta, (AddPartitionVersion(Partition.of(("p", str(i % 16))), v),)
+        ),
+    )
+    return meta.commit_id
+
+
+def _build(root, n, interval=10, **kw):
+    tr = FileBackedVersionTracker(root, checkpoint_interval=interval, **kw)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(n):
+        _commit(tr, i)
+    return tr
+
+
+def _truth(root):
+    """Checkpoint-free full-walk tracker over the same directory."""
+    return FileBackedVersionTracker(root, checkpoint_interval=None)
+
+
+def _live_commit_files(tr):
+    d = tr._table_dir(T)
+    return sorted(n for n in tr.fs.list_dir(d) if _UPDATE_FILE_RE.match(n))
+
+
+def _archives(tr):
+    d = tr._table_dir(T)
+    return sorted(n for n in tr.fs.list_dir(d) if _ARCHIVE_FILE_RE.match(n))
+
+
+def test_archive_roundtrip_full_history_preserved(tmp_path):
+    """Archival relocates the log: table_state, update_seqs, update_count,
+    updates_slice and version_at at EVERY commit position are
+    byte-identical before and after, and equal to the ground truth."""
+    tr = _build(str(tmp_path), 60, interval=10)
+    before = tr.table_state(T)
+    seqs_before = tr.update_seqs(T)
+    out = tr.archive_commits(T, retain_checkpoints=2)
+    assert out["archived"] > 0 and out["archive"] is not None
+    assert len(_archives(tr)) == 1
+    # packed files really left the live directory
+    assert len(_live_commit_files(tr)) == len(seqs_before) - out["archived"]
+
+    after = tr.table_state(T)
+    assert after.current_version == before.current_version
+    assert [u.metadata.commit_id for u in after.updates] == [
+        u.metadata.commit_id for u in before.updates
+    ]
+    assert tr.update_seqs(T) == seqs_before
+    assert tr.update_count(T) == len(seqs_before)
+    assert [
+        u.metadata.commit_id for u in tr.updates_slice(T, 3, 9)
+    ] == [u.metadata.commit_id for u in before.updates[3:9]]
+
+    # exhaustive sweep: version_at answers identically at every position,
+    # on the archived tracker AND the checkpoint-free ground truth
+    gt = _truth(str(tmp_path))
+    for u in before.updates:
+        cid = u.metadata.commit_id
+        want = fold.current_version(
+            fold.take_through(before.updates, cid), cid
+        )
+        assert tr.version_at(T, cid) == want
+        assert gt.version_at(T, cid) == want
+    with pytest.raises(UnknownCommitError):
+        tr.version_at(T, "no-such-commit")
+
+
+def test_archive_listing_stays_o_tail(tmp_path):
+    """The round's thesis, in structural units: after archival a
+    pinned_state against a deep log sees O(tail + archives) DIRENTS per
+    listing — not O(commit history) — with commit-file reads still
+    O(checkpoint_interval) and a bounded number of list_dir calls."""
+    interval = 100
+    n = 5_000
+    tr = _build(str(tmp_path), n, interval=interval)
+
+    cfs0 = CountingFs(tr.fs)
+    counted0 = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs0, checkpoint_interval=interval
+    )
+    want = pinned_state(counted0, T)
+    per_list_before = cfs0.dirents / max(1, len(cfs0.lists))
+    assert per_list_before > n  # the pre-archival listing IS O(history)
+
+    out = tr.archive_commits(T, retain_checkpoints=2)
+    assert out["archived"] >= n - 2 * interval - interval
+
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=interval
+    )
+    got = pinned_state(counted, T)
+    assert got == want  # same triple through the archived layout
+    # structural pins: bounded listing calls, O(tail) dirents per call
+    assert len(cfs.lists) <= 2, cfs.lists
+    per_list = cfs.dirents / max(1, len(cfs.lists))
+    assert per_list <= 3 * interval + 16, (
+        f"a post-archival resolution saw {per_list} dirents per listing "
+        f"on a {n}-commit log — the listing is still O(history)"
+    )
+    reads = [p for p in cfs.reads if "table_update_" in p]
+    assert len(reads) <= interval + 5
+    # and no archive body was read on the hot path
+    assert not any(
+        _ARCHIVE_FILE_RE.match(p.rsplit("/", 1)[-1]) for p in cfs.reads
+    )
+
+
+def test_archive_auto_cut_respects_retention(tmp_path):
+    """retain_checkpoints keeps the newest N checkpoint segments live (the
+    O(lag) fast-resolution window); through_seq pins the cut; dry_run
+    reports without mutating."""
+    tr = _build(str(tmp_path), 55, interval=10)
+    d = tr._table_dir(T)
+    ck_seqs = sorted(
+        int(n.split("_")[1].split(".")[0])
+        for n in tr.fs.list_dir(d)
+        if n.startswith("checkpoint_")
+    )
+    assert len(ck_seqs) >= 5
+    cut = sorted(ck_seqs, reverse=True)[2]
+
+    dry = tr.archive_commits(T, retain_checkpoints=2, dry_run=True)
+    assert dry["through_seq"] == cut and dry["archived"] > 0
+    assert _archives(tr) == [] and len(_live_commit_files(tr)) == 56
+
+    with pytest.raises(ValueError, match="retained checkpoint"):
+        tr.archive_commits(T, through_seq=cut + 1)
+
+    out = tr.archive_commits(T, retain_checkpoints=2)
+    assert (out["through_seq"], out["archived"]) == (
+        dry["through_seq"], dry["archived"]
+    )
+    # live files all strictly above the cut; checkpoints below it pruned
+    live = [int(x.split("_")[2].split(".")[0]) for x in _live_commit_files(tr)]
+    assert min(live) > cut
+    remaining_cks = [s for s in ck_seqs if tr.fs.exists(
+        tr.fs.join(d, f"checkpoint_{s:013d}.json")
+    )]
+    assert all(s >= cut for s in remaining_cks)
+    assert out["pruned_checkpoints"] == sum(1 for s in ck_seqs if s < cut)
+
+    # a second call with nothing new below the retention is a no-op
+    again = tr.archive_commits(T, retain_checkpoints=2)
+    assert again["archived"] == 0 and len(_archives(tr)) == 1
+
+
+def test_archive_incremental_second_run(tmp_path):
+    """More commits → a second archival packs only the NEW prefix into a
+    second artifact; merged reads agree with ground truth throughout."""
+    tr = _build(str(tmp_path), 40, interval=10)
+    assert tr.archive_commits(T, retain_checkpoints=1)["archived"] > 0
+    for i in range(40, 80):
+        _commit(tr, i)
+    out2 = tr.archive_commits(T, retain_checkpoints=1)
+    assert out2["archived"] > 0
+    assert len(_archives(tr)) == 2
+    assert tr.update_count(T) == 81
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+    # marker plumbing survives: pinned_state's triple equals full walk
+    st = tr.table_state(T)
+    prefix = list(fold.take_through(st.updates, st.current_version))
+    want_marker = next(
+        (pl for u in reversed(prefix)
+         if (pl := pair_label(u.metadata.message)) is not None),
+        None,
+    )
+    got = pinned_state(tr, T)
+    assert got[1] == st.current_version and got[2] == want_marker
+
+
+def test_archive_crash_between_write_and_deletes_is_repaired(tmp_path):
+    """Crash-safe ordering: if the artifact lands but (some) live-file
+    deletes don't, reads stay correct (identical-duplicate slots dedupe,
+    fast paths degrade), and the next archive_commits call repairs."""
+    tr = _build(str(tmp_path), 45, interval=10)
+    want_state = tr.table_state(T)
+    want_cv = tr.current_version(T)
+
+    calls = {"n": 0}
+    real_remove = tr.fs.remove_file
+
+    def dying_remove(path):
+        if "table_update_" in path and calls["n"] >= 3:
+            raise OSError("injected crash mid-deletes")
+        calls["n"] += 1
+        return real_remove(path)
+
+    tr.fs.remove_file = dying_remove
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(T, retain_checkpoints=1)
+    tr.fs.remove_file = real_remove
+
+    # torn state: artifact + floor written, most dup files still live
+    assert len(_archives(tr)) == 1
+    fresh = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=10)
+    assert fresh.current_version(T) == want_cv  # degrade path, correct
+    st = fresh.table_state(T)
+    assert [u.metadata.commit_id for u in st.updates] == [
+        u.metadata.commit_id for u in want_state.updates
+    ]
+    # checkpoint cuts refuse to bake the ambiguous count while torn
+    # (cadence-only skip) — and repair restores everything
+    out = fresh.archive_commits(T, retain_checkpoints=1)
+    assert out["repaired"] > 0
+    live = [int(x.split("_")[2].split(".")[0]) for x in _live_commit_files(fresh)]
+    floor = fresh._read_floor_seq(fresh._table_dir(T))
+    assert min(live) > floor
+    assert fresh.current_version(T) == want_cv
+    assert fresh.head_resolution(T) is not None  # fast path green again
+
+
+def test_reclaimed_archived_slot_fails_loudly(tmp_path):
+    """A DIFFERENT commit sitting live in an archived sequence slot means
+    a writer bypassed the floor guards: full reads raise rather than pick
+    an order, and archival refuses."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    out = tr.archive_commits(T, retain_checkpoints=1)
+    assert out["archived"] > 0
+    d = tr._table_dir(T)
+    floor = tr._read_floor_seq(d)
+    # forge a foreign commit into an archived slot
+    meta = TableUpdateMetadata.new("evil", "reclaimed slot")
+    forged = TableUpdate(
+        meta, (AddPartitionVersion(Partition.of(("p", "99")), generate_version()),)
+    )
+    tr.fs.write_text(
+        tr.fs.join(d, f"table_update_{floor:013d}.json"), update_to_json(forged)
+    )
+    with pytest.raises(RuntimeError, match="DIFFERENT commits"):
+        tr.table_state(T)
+    with pytest.raises(RuntimeError, match="re-claimed"):
+        tr.archive_commits(T, retain_checkpoints=1)
+    # fast paths refuse too (covers-prefix guard sees a live file at the
+    # floor) and the degrade is the loud error, never a silent answer
+    assert tr.head_resolution(T) is None
+
+
+def test_writer_floor_guards_sequence_slots(tmp_path):
+    """A fresh tracker instance whose clock lags behind the archive floor
+    must claim slots ABOVE it (plain mode: cached floor read; CAS mode:
+    listing seed + post-claim re-check)."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    tr.archive_commits(T, retain_checkpoints=1)
+    d = tr._table_dir(T)
+    floor = tr._read_floor_seq(d)
+    assert floor > 0
+
+    for kw in ({}, {"use_cas": True}):
+        fresh = FileBackedVersionTracker(
+            str(tmp_path), checkpoint_interval=5, **kw
+        )
+        fresh._clock.next_timestamp_ms = lambda: 5  # force a lagging clock
+        before = set(_live_commit_files(fresh))
+        _commit(fresh, 1000)
+        new = set(_live_commit_files(fresh)) - before
+        assert len(new) == 1
+        assert int(new.pop().split("_")[2].split(".")[0]) > floor
+
+    # CAS post-claim re-check: simulate the in-flight-archival race by
+    # blinding the seeding listing (as if the archive landed between the
+    # writer's listing and its claim) — the claim below the floor must be
+    # released and re-made above it
+    cas = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5,
+                                   use_cas=True)
+    cas._clock.next_timestamp_ms = lambda: 5
+    cas._floor_cache[d] = -1
+    real_scan = cas._scan_dir
+
+    def blind_scan(path, with_checkpoints=False):
+        if path == d and not with_checkpoints:
+            return [], []
+        return real_scan(path, with_checkpoints)
+
+    cas._scan_dir = blind_scan
+    before = set(_live_commit_files(tr))
+    _commit(cas, 2000)
+    cas._scan_dir = real_scan
+    new = set(_live_commit_files(tr)) - before
+    assert len(new) == 1
+    assert int(new.pop().split("_")[2].split(".")[0]) > floor
+    # no orphan claim left inside the archived prefix
+    live = [int(x.split("_")[2].split(".")[0]) for x in _live_commit_files(tr)]
+    assert min(live) > floor
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_cdc_offsets_survive_archival(tmp_path):
+    """A CDC consumer's offsets recorded BEFORE an archival cut keep
+    verifying and folding after it: update_seqs still exposes archived
+    seqs, prefix verification counts are stable, and range folds below
+    the floor read through the archive."""
+    from chronicles_spark.sources.datasource import ChroniclesStreamReader
+
+    root = str(tmp_path / "log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    for i in range(24):
+        _commit(tr, i)
+
+    reader = ChroniclesStreamReader(
+        {"root": root, "table": T.fully_qualified, "location": str(tmp_path / "t")},
+        None,
+    )
+    end0 = reader.latestOffset()
+    assert end0["commits"] == 25
+
+    tr.archive_commits(T, retain_checkpoints=1)
+    assert len(_archives(tr)) == 1
+
+    for i in range(24, 30):
+        _commit(tr, i)
+    end1 = reader.latestOffset()
+    assert end1["commits"] == 31
+    # ranges spanning the floor replay identically to a fresh reader
+    parts = reader.partitions({"commits": 0, "last_seq": -1}, end1)
+    fresh = ChroniclesStreamReader(
+        {"root": root, "table": T.fully_qualified, "location": str(tmp_path / "t")},
+        None,
+    )
+    parts2 = fresh.partitions({"commits": 0, "last_seq": -1}, end1)
+    assert sorted(p.path for p in parts) == sorted(p.path for p in parts2)
+    # and the pre-archival offset still verifies as a start
+    tail = reader.partitions(end0, end1)
+    assert len(tail) >= 1
+
+
+def test_timestamp_travel_reaches_archived_history(tmp_path):
+    """commit_at_timestamp below the archive floor resolves through the
+    archive identically to the ground truth (tight-loop commits can share
+    a timestamp, so the pin is parity + archived-depth, not a fixed
+    position)."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    st = tr.table_state(T)
+    ts = st.updates[7].metadata.timestamp
+    tr.archive_commits(T, retain_checkpoints=1)
+    gt = _truth(str(tmp_path))
+    got = tr.commit_at_timestamp(T, ts)
+    assert got == gt.commit_at_timestamp(T, ts)
+    # the resolved commit sits in the ARCHIVED prefix (deep travel)
+    early_ids = [u.metadata.commit_id for u in st.updates[:15]]
+    assert got in early_ids
+
+
+def test_rollback_into_archived_history(tmp_path):
+    """A head rolled back to an ARCHIVED commit still resolves (full fold
+    through the archive), and a later commit re-advances normally."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    st = tr.table_state(T)
+    early = st.updates[4].metadata.commit_id
+    tr.archive_commits(T, retain_checkpoints=1)
+    tr.set_current_version(T, early)
+    want = fold.current_version(
+        fold.take_through(st.updates, early), early
+    )
+    assert tr.current_version(T) == want
+    assert _truth(str(tmp_path)).current_version(T) == want
+    _commit(tr, 999)
+    assert tr.current_version(T) != want
+
+
+def test_archive_on_memory_and_cas_backends(tmp_path):
+    """Backend breadth: archival works over memory:// and a CAS-mode
+    tracker (token-CAS floor advance), with ground-truth equality."""
+    for root, kw in (
+        (f"memory://arch-{tmp_path.name}/log", {}),
+        (str(tmp_path / "cas"), {"use_cas": True}),
+    ):
+        tr = _build(root, 30, interval=5, **kw)
+        want = tr.current_version(T)
+        out = tr.archive_commits(T, retain_checkpoints=1)
+        assert out["archived"] > 0
+        assert tr.current_version(T) == want
+        assert FileBackedVersionTracker(
+            root, checkpoint_interval=None
+        ).current_version(T) == want
+        assert tr.update_count(T) == 31

@@ -659,3 +659,67 @@ def test_sqlite_version_at_exhaustive_every_commit():
         cid = u.metadata.commit_id
         want = fold.current_version(st.updates, cid)
         assert tr.version_at(T, cid) == want, cid
+
+
+def test_hot_path_listing_call_counts_bounded(tmp_path):
+    """Round 12: the LISTING dimension of the metadata plane, pinned in
+    both units.  CountingFs now counts list_dir CALLS and DIRENTS
+    returned; this test pins the CALL count per hot operation to a small
+    constant (each op should list the log directory once or twice, never
+    per-commit), while the DIRENTS-per-listing bound — O(tail) after
+    commit-log archival — is pinned by
+    tests/test_commit_archive.py::test_archive_listing_stays_o_tail."""
+    from chronicles_spark.spark.reader import changed_partitions
+
+    interval = 100
+    tr = _build(str(tmp_path), 1200, interval=interval)
+    tdef = TableDefinition(T, str(tmp_path) + "/data", PartitionSchema(("p",)))
+    recent = tr.table_state(T).updates[-10].metadata.commit_id
+
+    def counted():
+        cfs = CountingFs(tr.fs)
+        return cfs, FileBackedVersionTracker(
+            str(tmp_path), fs=cfs, checkpoint_interval=interval
+        )
+
+    cfs, tr2 = counted()
+    pinned_state(tr2, T)
+    assert len(cfs.lists) <= 2, f"pinned_state listed {len(cfs.lists)}×"
+
+    cfs, tr2 = counted()
+    tr2.current_version(T)
+    assert len(cfs.lists) <= 2, f"current_version listed {len(cfs.lists)}×"
+
+    cfs, tr2 = counted()
+    changed_partitions(tdef, tr2, recent)
+    assert len(cfs.lists) <= 4, (
+        f"a CDC poll listed {len(cfs.lists)}× — once per endpoint is the "
+        "contract"
+    )
+
+    cfs, tr2 = counted()
+    tr2.commit_at_timestamp(T, tr.table_state(T).updates[-5].metadata.timestamp)
+    assert len(cfs.lists) <= 4, (
+        f"near-head timestamp travel listed {len(cfs.lists)}×"
+    )
+
+    # optimistic-commit happy path: the conflict check must not list at
+    # all (head-pointer read only); the append itself lists at most once
+    # for the checkpoint cadence probe
+    st, head, _ = pinned_state(tr, T)
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion as _APV,
+        TableUpdate as _TU,
+        TableUpdateMetadata as _TUM,
+    )
+    from chronicles_spark.core.version import generate_version as _gv
+
+    cfs, tr2 = counted()
+    tr2.commit(
+        T,
+        _TU(_TUM.new("u", "happy"), (_APV(Partition.of(("p", "7")), _gv()),)),
+        expected_head=head,
+    )
+    assert len(cfs.lists) <= 2, (
+        f"an optimistic commit listed {len(cfs.lists)}× on the happy path"
+    )
