@@ -295,6 +295,51 @@ def _wap_restore_gate(spark: SparkSession, sf_dir: str) -> None:
         spark, t2, tracker
     ).count() != 8:
         raise AssertionError("group commit did not publish both tables")
+
+    # round-12 extensions, on the same fixture log:
+    # (1) timestamp time travel: the mid-history good_head commit must
+    #     resolve by ITS OWN timestamp to the same folded state as the
+    #     commit-id read gated above (trackers/base.py
+    #     commit_at_timestamp — backward log-order scan)
+    st = tracker.table_state(table.name)
+    good_meta = next(
+        u.metadata for u in st.updates if u.metadata.commit_id == good_head
+    )
+    want_state = tracker.version_at(table.name, good_head)
+    resolved = tracker.commit_at_timestamp(table.name, good_meta.timestamp)
+    if tracker.version_at(table.name, resolved) != want_state:
+        raise AssertionError(
+            "commit_at_timestamp resolved a different table state than "
+            "the commit-id read"
+        )
+    # (2) commit-log archival (trackers/files.py archive_commits): pack
+    #     the fixture's history behind a checkpoint and every answer
+    #     above must survive byte-identically — the current view, the
+    #     full log, deep commit-id travel AND deep timestamp travel now
+    #     read through the archive artifact
+    ck_tr = FileBackedVersionTracker(tmp + "/_log", checkpoint_interval=2)
+    pre_cv = ck_tr.current_version(table.name)
+    pre_ids = [u.metadata.commit_id for u in st.updates]
+    ck_tr._maybe_checkpoint(ck_tr._table_dir(table.name))  # cut at head
+    out = ck_tr.archive_commits(table.name, retain_checkpoints=0)
+    if not out["archived"]:
+        raise AssertionError("archive_commits packed nothing on a deep log")
+    post = ck_tr.table_state(table.name)
+    if (
+        ck_tr.current_version(table.name) != pre_cv
+        or [u.metadata.commit_id for u in post.updates] != pre_ids
+        or ck_tr.version_at(table.name, good_head) != want_state
+        or ck_tr.version_at(
+            table.name, ck_tr.commit_at_timestamp(table.name, good_meta.timestamp)
+        ) != want_state
+    ):
+        raise AssertionError(
+            "commit-log archival changed an answer (current view, log "
+            "identity, or deep time travel)"
+        )
+    back2 = read_current(spark, table, ck_tr)
+    if back2.count() != 8 or back2.where(F.col("id") >= 100).count() != 0:
+        raise AssertionError("post-archival read diverged from the live view")
     _WAP_GATE_CACHE[sf_dir] = True
 
 
@@ -696,6 +741,78 @@ def _cluster_idx_fixture(spark: SparkSession, sf_dir: str):
     )
     _CLUSTER_IDX_CACHE[sf_dir] = (table, tracker, pairs_all)
     return table, tracker, pairs_all
+
+
+_COMPACT_PAIRS_GATE_CACHE: dict = {}
+
+
+def _compact_pairs_gate(spark: SparkSession, sf_dir: str, pairs_all) -> None:
+    """Round-12 (VERDICT r11 next #2): driver-visible correctness for
+    journal compaction (operators/cluster_index.py compact_dedup_pairs),
+    riding the green q_dedup_clusters_incremental row the house way.  On
+    a dedicated journal + assignment pair (never the row's fixture — its
+    hash must stay byte-identical): land the corpus' verified pairs as
+    three journal batches, fold them all, compact, and assert (a) the
+    journal's pair content is row-identical pre/post consolidation,
+    (b) a subsequent fold_new_dedup_pairs is a no-op (folded- partitions
+    are never fold candidates — the exactly-once contract), and (c) the
+    paired-table audit stays empty.  A compaction regression turns the
+    driver row red.  Memoized per sf_dir."""
+    if sf_dir in _COMPACT_PAIRS_GATE_CACHE:
+        return
+    from chronicles_spark.operators import cluster_index as CX
+    from chronicles_spark.operators.dedup_index import PAIRS_BATCH_COL
+    from chronicles_spark.spark.reader import read_version
+
+    tmp = tempfile.mkdtemp(prefix="chronicles_cpg_")
+    tracker = FileBackedVersionTracker(tmp + "/_log")
+    assign = TableDefinition(
+        TableName("demo", "cpg_assign"), tmp + "/assign",
+        PartitionSchema(("doc_shard",)),
+    )
+    pt = TableDefinition(
+        TableName("demo", "cpg_pairs"), tmp + "/pairs",
+        PartitionSchema((PAIRS_BATCH_COL,)),
+    )
+    tracker.init_table(assign.name, is_snapshot=False, user_id="q")
+    tracker.init_table(pt.name, is_snapshot=False, user_id="q")
+    CX.build_dedup_clusters(
+        None, assign, tracker, doc_shards=4, cluster_shards=4
+    )
+    for i in range(3):
+        rows = pairs_all.where(f"(id_a + id_b) % 3 = {i}").withColumn(
+            PAIRS_BATCH_COL, F.lit(f"b{i}")
+        )
+        versioned_insert_into(rows, pt, tracker, "q", f"land b{i}")
+
+    def journal_pairs():
+        st = tracker.current_version(pt.name)
+        return read_version(
+            spark, pt, st, infer_partition_types=False
+        ).select("id_a", "id_b")
+
+    folded = CX.fold_new_dedup_pairs(spark, pt, assign, tracker)
+    if sorted(folded) != ["b0", "b1", "b2"]:
+        raise AssertionError(f"fold_new_dedup_pairs folded {folded}")
+    pre = journal_pairs().localCheckpoint(eager=True)
+    batch_value = CX.compact_dedup_pairs(spark, pt, assign, tracker)
+    if not batch_value:
+        raise AssertionError("compact_dedup_pairs found nothing to compact")
+    post = journal_pairs()
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise AssertionError(
+            "journal compaction changed the pairs content"
+        )
+    if CX.fold_new_dedup_pairs(spark, pt, assign, tracker):
+        raise AssertionError(
+            "a consolidated (folded-) partition re-entered the fold path "
+            "— exactly-once broken"
+        )
+    if CX.verify_dedup_clusters(spark, assign, tracker).count():
+        raise AssertionError(
+            "paired-table audit non-empty after journal compaction"
+        )
+    _COMPACT_PAIRS_GATE_CACHE[sf_dir] = True
 
 
 _SIMHASH_IDX_GATE_CACHE: dict = {}
@@ -1622,6 +1739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "cluster assignment inconsistent with its members "
                 "companion after fold"
             )
+        # round-12: journal compaction rides this row (the family's only
+        # driver surface) — a compact_dedup_pairs regression reddens it
+        _compact_pairs_gate(spark, sf, pairs_all)
         state = tracker.current_version(table.name)
         return (
             read_version(spark, table, state, infer_partition_types=False)
