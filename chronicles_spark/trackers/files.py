@@ -1155,9 +1155,9 @@ class FileBackedVersionTracker(VersionTracker):
             self.fs.write_text(path, body)
         out["archive"] = name
         # 4. advance the floor BEFORE any delete (writers' post-claim
-        # check depends on this ordering)
+        # check depends on this ordering; _write_floor also moves this
+        # instance's cached floor)
         self._write_floor(d, cut, arch_n + len(to_pack))
-        self._floor_cache[d] = cut
         # 5. delete the packed commit files, then the checkpoint files
         # strictly below the cut (unreachable by fast paths now — the
         # covers-prefix guard rejects any checkpoint below the floor)
@@ -1173,7 +1173,11 @@ class FileBackedVersionTracker(VersionTracker):
 
     def _write_floor(self, d: str, seq: int, n_archived: int) -> None:
         """Advance the archive-floor doc, monotonic on seq (token CAS
-        where the store supports it — mirrors ``_advance_head``)."""
+        where the store supports it — mirrors ``_advance_head``).  The
+        instance floor cache moves with it: a stale cached floor after a
+        repair bump could let THIS instance's next commit claim a slot
+        the repair just deleted."""
+        self._floor_cache[d] = max(self._floor_cache.get(d, -1), seq)
         path = self.fs.join(d, _ARCHIVE_FLOOR_FILE)
         doc = json.dumps({"seq": seq, "n_archived": n_archived})
         if self._use_cas and self.fs.supports_put_if_match():

@@ -223,3 +223,56 @@ def test_payload_bytes_roundtrip_on_object_store(store):
         assert AP.resolve_doc(fs, root, slim) == doc
     finally:
         AP.PAYLOAD_INLINE_MAX = old
+
+
+def test_commit_log_archival_on_object_store(store):
+    """Round-12: archival on a REAL S3 wire protocol — conditional-put
+    archive artifact, token-CAS floor advance, post-claim floor re-check,
+    deletes, and a cold reader folding through the archive identically to
+    the full-walk ground truth."""
+    from chronicles_spark.trackers import FileBackedVersionTracker
+
+    fs, base = store
+    root = base + "/_log_arch"
+    tracker = FileBackedVersionTracker(
+        root, fs=fs, use_cas=True, checkpoint_interval=2
+    )
+    t = TableName("smoke", "arch")
+    tracker.init_table(t, is_snapshot=False, user_id="smoke")
+    commits = []
+    for i in range(8):
+        u = TableUpdate(
+            TableUpdateMetadata.new("smoke", f"c{i}"),
+            (AddPartitionVersion(
+                Partition.parse(f"d=2024-02-0{i + 1}"), generate_version()
+            ),),
+        )
+        tracker.commit(t, u)
+        commits.append(u.metadata.commit_id)
+    want = tracker.current_version(t)
+
+    out = tracker.archive_commits(t, retain_checkpoints=1)
+    assert out["archived"] > 0 and out["archive"] is not None
+    tdir = tracker._table_dir(t)
+    names = fs.list_dir(tdir)
+    assert any(n.startswith("archive_") for n in names)
+    floor = tracker._read_floor_seq(tdir)
+    live = [n for n in names if n.startswith("table_update_")]
+    assert live and all(
+        int(n.split("_")[2].split(".")[0]) > floor for n in live
+    )
+
+    # cold readers agree, fast path and ground truth, incl. deep travel
+    cold = FileBackedVersionTracker(root, fs=fs, use_cas=True)
+    truth = FileBackedVersionTracker(root, fs=fs, checkpoint_interval=None)
+    assert cold.current_version(t) == want == truth.current_version(t)
+    assert cold.version_at(t, commits[1]) == truth.version_at(t, commits[1])
+
+    # a post-archival CAS commit claims above the floor (post-claim
+    # re-check exercised on the wire) and stays readable
+    u = TableUpdate(
+        TableUpdateMetadata.new("smoke", "after-archive"),
+        (AddPartitionVersion(Partition.parse("d=2024-02-28"), generate_version()),),
+    )
+    cold.commit(t, u)
+    assert len(truth.current_version(t).partition_versions) == 9
