@@ -40,8 +40,11 @@ than the sqlite tracker, documented and accepted.  Two opt-in upgrades:
   guarantee matrix: docs/scale.md "Multi-writer commit safety".
 
 The commit-file-per-commit design is the same shape as a Delta log
-directory, so the whole log is also readable distributed via
-``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``.
+directory, so the live log is also readable distributed via
+``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``
+(after :meth:`archive_commits`, archived history lives in
+``archive_*.json`` artifacts whose ``entries`` hold the same update
+documents — the tracker surfaces merge both transparently).
 
 Fold checkpoints (beyond reference parity; Delta-checkpoint-style):
 every ``checkpoint_interval`` commits the tracker persists the folded
