@@ -109,8 +109,11 @@ _ARCHIVE_FLOOR_FILE = "_archive_floor"
 # bytes).  Seqs are kept for every archive ever read (8 bytes/commit —
 # the CDC source's per-poll update_seqs stays O(live listing) after the
 # first poll); full update bodies are only needed on degrade/deep-travel
-# paths, so they ride a small LRU.
+# paths, so they ride a small LRU.  _MERGED keys a SET of archive paths
+# to their union seq tuple, so a poll against many artifacts pays the
+# cross-archive merge once per archive-set, not per poll.
 _ARCHIVE_SEQ_CACHE: dict = {}
+_ARCHIVE_MERGED_CACHE: dict = {}
 _ARCHIVE_BODY_CACHE: "dict[str, list]" = {}
 _ARCHIVE_BODY_CACHE_MAX = 4
 
@@ -563,12 +566,30 @@ class FileBackedVersionTracker(VersionTracker):
     def _merged_seq_list(self, d: str, live, archives) -> list:
         """All commit seqs, archived + live, ascending, deduped (a crash
         between an archive write and its live-file deletes leaves benign
-        identical duplicates until the next archival repairs them)."""
-        seen = set()
-        for _, _, name in archives:
-            seen.update(self._archive_seqs(d, name))
-        seen.update(s for s, _ in live)
-        return sorted(seen)
+        identical duplicates until the next archival repairs them).
+
+        Per-call cost is O(live + one list copy): the archived prefix is
+        immutable per archive-set, so its sorted union is cached process-
+        wide and live seqs (all above the floor on the happy path) are
+        appended without a re-sort.  A 10⁶-commit log would otherwise pay
+        a ~10⁶-element sorted(set()) rebuild on EVERY CDC poll — O(history)
+        CPU hiding under the O(tail) I/O."""
+        if not archives:
+            return [s for s, _ in live]
+        key = tuple(self.fs.join(d, name) for _, _, name in archives)
+        merged = _ARCHIVE_MERGED_CACHE.get(key)
+        if merged is None:
+            seen = set()
+            for _, _, name in archives:
+                seen.update(self._archive_seqs(d, name))
+            merged = _ARCHIVE_MERGED_CACHE[key] = tuple(sorted(seen))
+        live_seqs = [s for s, _ in live]
+        if not live_seqs:
+            return list(merged)
+        if live_seqs[0] > merged[-1]:
+            return list(merged) + live_seqs
+        # crash leftover / gap-fill below the floor: full sort-merge
+        return sorted(set(merged) | set(live_seqs))
 
     def _merged_updates(
         self, d: str, live, archives, lo: "int | None" = None,
