@@ -610,19 +610,36 @@ class FileBackedVersionTracker(VersionTracker):
                     by[s] = u
         for s, n in live:
             if (lo is None or s > lo) and (hi is None or s <= hi):
-                u = update_from_json(self.fs.read_text(self.fs.join(d, n)))
+                path = self.fs.join(d, n)
+                try:
+                    u = update_from_json(self.fs.read_text(path))
+                except FileNotFoundError:
+                    continue  # deleted between listing and read (archival)
                 prev = by.get(s)
                 if (
                     prev is not None
                     and prev.metadata.commit_id != u.metadata.commit_id
                 ):
+                    # a CAS writer that claimed a just-freed slot holds it
+                    # only for the instant between its conditional create
+                    # and its own post-claim floor check (which removes
+                    # the file and re-claims above).  Give that window one
+                    # beat; a claim still present is a writer that
+                    # BYPASSED the floor protocol (pre-archival code
+                    # version) — ambiguous log order, fail loudly.
+                    import time as _t
+
+                    _t.sleep(0.05)
+                    if not self.fs.exists(path):
+                        continue  # transient claim resolved; archived wins
                     raise RuntimeError(
                         f"commit sequence slot {s} holds DIFFERENT commits "
                         f"archived ({prev.metadata.commit_id}) and live "
                         f"({u.metadata.commit_id}) — an archived slot was "
                         "re-claimed by a writer that bypassed the archive "
-                        "floor; the log order is ambiguous and no read can "
-                        "be trusted until repaired"
+                        "floor (all writers must run an archival-aware "
+                        "version); the log order is ambiguous and no read "
+                        "can be trusted until repaired"
                     )
                 by[s] = u
         return [(s, by[s]) for s in sorted(by)]
@@ -1111,8 +1128,20 @@ class FileBackedVersionTracker(VersionTracker):
                     for s, u in self._archive_entries(d, name):
                         ids[s] = u.metadata.commit_id
                 for s, n in below:
-                    u = update_from_json(self.fs.read_text(self.fs.join(d, n)))
+                    path = self.fs.join(d, n)
+                    try:
+                        u = update_from_json(self.fs.read_text(path))
+                    except FileNotFoundError:
+                        continue  # already gone (a racing repair/writer)
                     if ids.get(s) != u.metadata.commit_id:
+                        # same one-beat tolerance as _merged_updates: a CAS
+                        # writer's transient claim of a freed slot removes
+                        # itself; a persistent claim bypassed the protocol
+                        import time as _t
+
+                        _t.sleep(0.05)
+                        if not self.fs.exists(path):
+                            continue
                         raise RuntimeError(
                             f"live commit file at seq {s} inside the archived "
                             "prefix holds a different commit than the archive "
@@ -1120,7 +1149,7 @@ class FileBackedVersionTracker(VersionTracker):
                             "archive (reads degrade loudly on this state)"
                         )
                     if not dry_run:
-                        self.fs.remove_file(self.fs.join(d, n))
+                        self.fs.remove_file(path)
                     out["repaired"] += 1
                 if not dry_run:
                     live = [(s, n) for s, n in live if s > arch_last]
