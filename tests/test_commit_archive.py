@@ -423,3 +423,49 @@ def test_archive_on_memory_and_cas_backends(tmp_path):
             root, checkpoint_interval=None
         ).current_version(T) == want
         assert tr.update_count(T) == 31
+
+
+def test_vacuum_candidates_identical_after_archival(tmp_path):
+    """Vacuum derives its superseded-version candidates from the LOG's
+    full history; archival must not change the doomed set (the archive
+    is the log relocated).  Dry-run doomed lists pre/post archival are
+    identical, and apply still deletes exactly them."""
+    import os as _os
+
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition
+    from chronicles_spark.core.version import generate_version as _gv
+    from chronicles_spark.spark.vacuum import vacuum
+
+    tr = FileBackedVersionTracker(str(tmp_path / "_log"), checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    tdef = TableDefinition(T, str(tmp_path / "data"), PartitionSchema(("p",)))
+    p = Partition.of(("p", "z"))  # outside the noise commits' p=0..15 range
+    versions = [_gv() for _ in range(4)]
+    for v in versions:
+        tr.commit(
+            T,
+            TableUpdate(
+                TableUpdateMetadata.new("u", "w"),
+                (AddPartitionVersion(p, v),),
+            ),
+        )
+        d = _os.path.join(str(tmp_path / "data"), "p=z", f"_version={v.label}")
+        _os.makedirs(d)
+        with open(_os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+    for i in range(20):  # push checkpoints past the writes
+        _commit(tr, i)
+
+    doomed_before = sorted(vacuum(tdef, tr, keep_last=1, dry_run=True))
+    assert len(doomed_before) == 3  # 4 versions, keep_last=1 keeps the live
+    out = tr.archive_commits(T, retain_checkpoints=1)
+    assert out["archived"] > 0
+    doomed_after = sorted(vacuum(tdef, tr, keep_last=1, dry_run=True))
+    assert doomed_after == doomed_before
+    removed = sorted(vacuum(tdef, tr, keep_last=1))
+    assert removed == doomed_before
+    assert all(not _os.path.exists(x) for x in removed)
+    live_dir = _os.path.join(
+        str(tmp_path / "data"), "p=z", f"_version={versions[-1].label}"
+    )
+    assert _os.path.exists(live_dir)
