@@ -239,6 +239,7 @@ class ArchiveAction:
     retain_checkpoints: int
     through_seq: Optional[int]
     apply: bool
+    consolidate: bool = False
 
 
 @dataclass(frozen=True)
@@ -646,6 +647,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--apply", action="store_true",
         help="Actually pack and delete (default: dry-run)",
     )
+    p_arch.add_argument(
+        "--consolidate", action="store_true",
+        help="Also fold existing archive artifacts into the new one "
+        "(one artifact total; O(archived history) bytes this run)",
+    )
 
     p_idx = sub.add_parser(
         "index",
@@ -866,7 +872,7 @@ def parse_action(argv: Sequence[str]):
     if ns.command == "archive":
         return ns, ArchiveAction(
             _table_name(ns.table), ns.retain_checkpoints, ns.through_seq,
-            ns.apply,
+            ns.apply, ns.consolidate,
         )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
@@ -1253,6 +1259,7 @@ class CliClient:
             retain_checkpoints=action.retain_checkpoints,
             through_seq=action.through_seq,
             dry_run=not action.apply,
+            consolidate=action.consolidate,
         )
         verb = "Archived" if action.apply else "Would archive"
         self.console.println(

@@ -118,6 +118,12 @@ _ARCHIVE_BODY_CACHE: "dict[str, list]" = {}
 _ARCHIVE_BODY_CACHE_MAX = 4
 
 
+class _ArchiveVanished(Exception):
+    """An archive artifact listed a moment ago is gone: a consolidation
+    replaced it with a superseding artifact between our listing and our
+    read.  Retryable — a fresh listing sees the superseding artifact."""
+
+
 class FileBackedVersionTracker(VersionTracker):
     def __init__(
         self,
@@ -389,6 +395,27 @@ class FileBackedVersionTracker(VersionTracker):
         d = self._table_dir(table)
         self.fs.write_text(self.fs.join(d, "head_ref"), json.dumps({"head_ref": commit_id}))
 
+    def _retry_vanished(self, fn):
+        """Re-run ``fn`` (which starts from a FRESH directory listing)
+        when an archive artifact vanished mid-read — a consolidation
+        replaced it; the new listing sees the superseding artifact.  The
+        final attempt lets the error surface (a genuinely deleted archive
+        is log corruption and must be loud)."""
+        for _ in range(4):
+            try:
+                return fn()
+            except _ArchiveVanished:
+                continue
+        try:
+            return fn()
+        except _ArchiveVanished as e:
+            raise RuntimeError(
+                f"a listed commit record kept vanishing mid-read across 5 "
+                f"fresh listings ({e}) — a log file was deleted without a "
+                "superseding archive artifact (corruption, not a racing "
+                "consolidation)"
+            ) from None
+
     def table_state(self, table: TableName) -> TableState:
         """Full log state — archived commits included (the archive is the
         log relocated, never a derived artifact), so every full-fold
@@ -396,10 +423,18 @@ class FileBackedVersionTracker(VersionTracker):
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        live, archives = self._scan_dir(d)
-        updates = tuple(u for _, u in self._merged_updates(d, live, archives))
-        head = json.loads(self.fs.read_text(self.fs.join(d, "head_ref")))["head_ref"]
-        return TableState(head, updates)
+
+        def _go():
+            live, archives = self._scan_dir(d)
+            updates = tuple(
+                u for _, u in self._merged_updates(d, live, archives)
+            )
+            head = json.loads(
+                self.fs.read_text(self.fs.join(d, "head_ref"))
+            )["head_ref"]
+            return TableState(head, updates)
+
+        return self._retry_vanished(_go)
 
     # -- tail access (streaming source support) -----------------------------
     # Commit files sort in commit order, so a position in the log maps to a
@@ -408,14 +443,12 @@ class FileBackedVersionTracker(VersionTracker):
     # ONLY the new files — O(new commits) per poll, never O(log).
 
     def update_count(self, table: TableName) -> int:
-        """Number of commits, from a directory listing alone (no file
-        reads/parses — archive names carry their entry counts)."""
-        d = self._table_dir(table)
-        if not self.fs.exists(self.fs.join(d, "table-metadata")):
-            raise UnknownTableError(table)
-        live, archives = self._scan_dir(d)
-        _, arch_n = self._arch_stats(archives)
-        return len(live) + arch_n
+        """Number of commits — one listing plus the (per-process cached)
+        archived seq union, so the count stays DEDUPED and positionally
+        consistent with ``update_seqs``/``updates_slice`` even through a
+        consolidation's transient artifact overlap or a crash leftover
+        (summing archive-name counts would double-count those windows)."""
+        return len(self.update_seqs(table))
 
     def updates_slice(self, table: TableName, start: int, end: int) -> tuple:
         """Updates at log positions [start, end) in commit order, parsing
@@ -424,17 +457,21 @@ class FileBackedVersionTracker(VersionTracker):
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        live, archives = self._scan_dir(d)
-        seqs = self._merged_seq_list(d, live, archives)
-        window = seqs[start:end]
-        if not window:
-            return ()
-        return tuple(
-            u
-            for _, u in self._merged_updates(
-                d, live, archives, lo=window[0] - 1, hi=window[-1]
+
+        def _go():
+            live, archives = self._scan_dir(d)
+            seqs = self._merged_seq_list(d, live, archives)
+            window = seqs[start:end]
+            if not window:
+                return ()
+            return tuple(
+                u
+                for _, u in self._merged_updates(
+                    d, live, archives, lo=window[0] - 1, hi=window[-1]
+                )
             )
-        )
+
+        return self._retry_vanished(_go)
 
     # -- tags: one tiny `tag_<name>` JSON file per tag in the table dir
     # (names are pre-validated to the filesystem-safe TAG_NAME_RE charset)
@@ -482,8 +519,12 @@ class FileBackedVersionTracker(VersionTracker):
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        live, archives = self._scan_dir(d)
-        return self._merged_seq_list(d, live, archives)
+
+        def _go():
+            live, archives = self._scan_dir(d)
+            return self._merged_seq_list(d, live, archives)
+
+        return self._retry_vanished(_go)
 
     def updates_in_seq_range(self, table: TableName, lo: int, hi: int) -> tuple:
         """Updates whose sequence ``s`` satisfies ``lo < s <= hi``, in
@@ -493,10 +534,17 @@ class FileBackedVersionTracker(VersionTracker):
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
-        live, archives = self._scan_dir(d)
-        return tuple(
-            u for _, u in self._merged_updates(d, live, archives, lo=lo, hi=hi)
-        )
+
+        def _go():
+            live, archives = self._scan_dir(d)
+            return tuple(
+                u
+                for _, u in self._merged_updates(
+                    d, live, archives, lo=lo, hi=hi
+                )
+            )
+
+        return self._retry_vanished(_go)
 
     # -- fold checkpoints ----------------------------------------------------
     # A checkpoint is the fold of the full log prefix up to (and including)
@@ -548,7 +596,10 @@ class FileBackedVersionTracker(VersionTracker):
         path = self.fs.join(d, name)
         got = _ARCHIVE_BODY_CACHE.get(path)
         if got is None:
-            body = json.loads(self.fs.read_text(path))
+            try:
+                body = json.loads(self.fs.read_text(path))
+            except FileNotFoundError:
+                raise _ArchiveVanished(path) from None
             got = [(int(s), update_from_dict(o)) for s, o in body["entries"]]
             if len(_ARCHIVE_BODY_CACHE) >= _ARCHIVE_BODY_CACHE_MAX:
                 _ARCHIVE_BODY_CACHE.pop(next(iter(_ARCHIVE_BODY_CACHE)))
@@ -614,7 +665,12 @@ class FileBackedVersionTracker(VersionTracker):
                 try:
                     u = update_from_json(self.fs.read_text(path))
                 except FileNotFoundError:
-                    continue  # deleted between listing and read (archival)
+                    # deleted between listing and read: a racing archival
+                    # PACKED this commit into an artifact our stale
+                    # listing doesn't know — skipping it would silently
+                    # drop a committed update from the merged view, so
+                    # force a retry from a fresh listing instead
+                    raise _ArchiveVanished(path) from None
                 prev = by.get(s)
                 if (
                     prev is not None
@@ -779,9 +835,12 @@ class FileBackedVersionTracker(VersionTracker):
             snapshot_version = ck.get("snapshot_version")
         else:
             # full rebuild must fold the ARCHIVED prefix too
-            updates = tuple(
-                u for _, u in self._merged_updates(d, live, archives)
-            )
+            try:
+                updates = tuple(
+                    u for _, u in self._merged_updates(d, live, archives)
+                )
+            except _ArchiveVanished:
+                return  # consolidation raced the rebuild: skip this cut
             state, snapshot_version = {}, None
         self._apply_to_state(state, updates)
         for u in updates:
@@ -1073,6 +1132,7 @@ class FileBackedVersionTracker(VersionTracker):
         retain_checkpoints: int = 2,
         through_seq: "int | None" = None,
         dry_run: bool = False,
+        consolidate: bool = False,
     ) -> dict:
         """Pack the commit files at-or-below a retained checkpoint into
         one archive artifact; delete the packed files.  Returns a summary
@@ -1085,6 +1145,18 @@ class FileBackedVersionTracker(VersionTracker):
         CDC consumers/time travel near the head; deeper travel degrades
         to the full fold, which reads archives).  ``through_seq`` pins
         the cut to a specific retained checkpoint seq instead.
+
+        Default runs are INCREMENTAL (LSM-style): each packs only the
+        new prefix into its own artifact, O(new commits) bytes per run,
+        artifact count O(runs).  ``consolidate=True`` additionally folds
+        every existing artifact into the new one and deletes them — one
+        artifact total, at O(full archived history) bytes for that run
+        (the OPTIMIZE-cadence companion).  A reader that listed the old
+        artifacts mid-swap retries from a fresh listing
+        (``_retry_vanished``); a crash between the superseding write and
+        the old deletes leaves OVERLAPPING artifacts whose duplicate
+        slots hold identical commits — reads dedupe, fast paths degrade,
+        and the next call's repair step removes the subsumed artifacts.
 
         Crash-safe ordering: archive file → floor doc → deletes; a crash
         anywhere leaves reads correct (duplicate slots hold identical
@@ -1104,17 +1176,47 @@ class FileBackedVersionTracker(VersionTracker):
         if retain_checkpoints < 0:
             raise ValueError("retain_checkpoints must be >= 0")
         with self._commit_guard(d):
-            return self._archive_locked(d, retain_checkpoints, through_seq, dry_run)
+            return self._archive_locked(
+                d, retain_checkpoints, through_seq, dry_run, consolidate
+            )
 
     def _archive_locked(
-        self, d: str, retain_checkpoints: int, through_seq, dry_run: bool
+        self, d: str, retain_checkpoints: int, through_seq, dry_run: bool,
+        consolidate: bool = False,
     ) -> dict:
         live, archives, ck_seqs = self._scan_dir(d, with_checkpoints=True)
-        arch_last, arch_n = self._arch_stats(archives)
         out = {
             "archived": 0, "through_seq": None, "repaired": 0,
             "pruned_checkpoints": 0, "archive": None,
+            "consolidated_artifacts": 0,
         }
+        # 0. repair a crashed consolidation: an artifact fully covered by
+        # another (first_seq/last_seq range ⊆, seqs ⊆ — identical slots
+        # by the immutability invariant) is superseded debris; remove it
+        # so the listing-only guards stop double-counting.
+        if len(archives) > 1:
+            bodies = {}
+            for last, n, name in archives:
+                try:
+                    raw = json.loads(self.fs.read_text(self.fs.join(d, name)))
+                except FileNotFoundError:
+                    continue  # a racing repair got it first
+                bodies[name] = (int(raw.get("first_seq", -1)), last, raw)
+            subsumed = set()
+            for a, (fa, la, _) in bodies.items():
+                for b, (fb, lb, _) in bodies.items():
+                    if a != b and b not in subsumed and fb <= fa and la <= lb:
+                        sa = set(self._archive_seqs(d, a))
+                        if sa <= set(self._archive_seqs(d, b)):
+                            subsumed.add(a)
+                            break
+            for name in sorted(subsumed):
+                if not dry_run:
+                    self.fs.remove_file(self.fs.join(d, name))
+                out["consolidated_artifacts"] += 1
+            if subsumed and not dry_run:
+                archives = [x for x in archives if x[2] not in subsumed]
+        arch_last, arch_n = self._arch_stats(archives)
         # 1. repair a crashed prior run: live files at-or-below the floor
         # must be identical duplicates of archived entries — finish their
         # deletes.  A DIFFERENT commit in an archived slot means a writer
@@ -1166,40 +1268,58 @@ class FileBackedVersionTracker(VersionTracker):
         else:
             deeper = sorted(ck_seqs, reverse=True)[retain_checkpoints:]
             cut = deeper[0] if deeper else None
+        # a consolidating run with several artifacts can proceed even
+        # with nothing NEW below the cut — a pure repack at the current
+        # floor (no checkpoint needed: the artifacts are already
+        # validated prefixes)
+        repack_only = False
         if cut is None or (arch_last is not None and cut <= arch_last):
-            return out  # nothing (new) to archive
-        ck = self._checkpoint_body(d, cut)
-        if ck is None or not self._checkpoint_covers_prefix(
-            ck, [s for s, _ in live], arch_last, arch_n
-        ):
-            raise ValueError(
-                f"checkpoint {cut} does not cover the current prefix "
-                "(gap-filled history or corrupt cut) — archive only "
-                "checkpoint-covered prefixes"
-            )
-        to_pack = [(s, n) for s, n in live if s <= cut]
-        if not to_pack:
-            return out
+            if not (consolidate and len(archives) > 1):
+                return out  # nothing (new) to archive
+            cut, to_pack, repack_only = arch_last, [], True
+        else:
+            ck = self._checkpoint_body(d, cut)
+            if ck is None or not self._checkpoint_covers_prefix(
+                ck, [s for s, _ in live], arch_last, arch_n
+            ):
+                raise ValueError(
+                    f"checkpoint {cut} does not cover the current prefix "
+                    "(gap-filled history or corrupt cut) — archive only "
+                    "checkpoint-covered prefixes"
+                )
+            to_pack = [(s, n) for s, n in live if s <= cut]
+            if not to_pack and not (consolidate and len(archives) > 1):
+                return out
+        absorb = list(archives) if consolidate else []
         out["through_seq"] = cut
         out["archived"] = len(to_pack)
         if dry_run:
+            out["consolidated_artifacts"] += len(absorb)
             return out
-        # 3. write the artifact (content-unique name: cut, count, crc)
+        # 3. write the artifact (content-unique name: cut, count, crc);
+        # a consolidating run folds the existing artifacts' entries in
+        # front of the newly packed live files (raw documents copied
+        # verbatim — no serde round-trip)
         import zlib
 
-        entries = [
+        entries = []
+        for _, _, aname in absorb:
+            raw = json.loads(self.fs.read_text(self.fs.join(d, aname)))
+            entries.extend(raw["entries"])
+        entries += [
             [s, json.loads(self.fs.read_text(self.fs.join(d, n)))]
             for s, n in to_pack
         ]
+        entries.sort(key=lambda e: e[0])
         body = json.dumps({
             "format": 1,
-            "first_seq": to_pack[0][0],
+            "first_seq": entries[0][0],
             "last_seq": cut,
-            "n": len(to_pack),
+            "n": len(entries),
             "entries": entries,
         })
         crc = zlib.crc32(body.encode("utf-8")) & 0xFFFFFFFF
-        name = f"archive_{cut:013d}_{len(to_pack):08d}_{crc:08x}.json"
+        name = f"archive_{cut:013d}_{len(entries):08d}_{crc:08x}.json"
         path = self.fs.join(d, name)
         if self.fs.supports_put_if_absent():
             # losing the create is benign: same name ⇒ same content (crc)
@@ -1209,13 +1329,20 @@ class FileBackedVersionTracker(VersionTracker):
         out["archive"] = name
         # 4. advance the floor BEFORE any delete (writers' post-claim
         # check depends on this ordering; _write_floor also moves this
-        # instance's cached floor)
-        self._write_floor(d, cut, arch_n + len(to_pack))
-        # 5. delete the packed commit files, then the checkpoint files
-        # strictly below the cut (unreachable by fast paths now — the
-        # covers-prefix guard rejects any checkpoint below the floor)
+        # instance's cached floor).  n_archived counts DISTINCT archived
+        # commits: absorbed artifacts moved, they didn't add.
+        if not repack_only:
+            self._write_floor(d, cut, arch_n + len(to_pack))
+        # 5. delete the packed commit files, the absorbed artifacts, then
+        # the checkpoint files strictly below the cut (unreachable by
+        # fast paths now — the covers-prefix guard rejects any checkpoint
+        # below the floor)
         for _, n in to_pack:
             self.fs.remove_file(self.fs.join(d, n))
+        for _, _, aname in absorb:
+            if aname != name:  # never delete the artifact just written
+                self.fs.remove_file(self.fs.join(d, aname))
+                out["consolidated_artifacts"] += 1
         for s in ck_seqs:
             if s < cut:
                 self.fs.remove_file(

@@ -469,3 +469,116 @@ def test_vacuum_candidates_identical_after_archival(tmp_path):
         str(tmp_path / "data"), "p=z", f"_version={versions[-1].label}"
     )
     assert _os.path.exists(live_dir)
+
+
+def test_consolidate_folds_artifacts_into_one(tmp_path):
+    """consolidate=True absorbs every existing artifact into the new one
+    (and a pure repack works with nothing new to pack): one artifact
+    total, full history preserved at every commit position."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    tr.archive_commits(T, retain_checkpoints=1)
+    for i in range(30, 60):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1)
+    for i in range(60, 90):
+        _commit(tr, i)
+    assert len(_archives(tr)) == 2
+    before = tr.table_state(T)
+
+    out = tr.archive_commits(T, retain_checkpoints=1, consolidate=True)
+    assert out["consolidated_artifacts"] == 2 and out["archived"] > 0
+    assert len(_archives(tr)) == 1
+    after = tr.table_state(T)
+    assert [u.metadata.commit_id for u in after.updates] == [
+        u.metadata.commit_id for u in before.updates
+    ]
+    gt = _truth(str(tmp_path))
+    for u in before.updates[::7]:  # sampled exhaustive sweep
+        cid = u.metadata.commit_id
+        assert tr.version_at(T, cid) == gt.version_at(T, cid)
+
+    # pure repack: two artifacts, no new commits below the retention —
+    # consolidate still merges them at the unchanged floor
+    for i in range(90, 120):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1)
+    assert len(_archives(tr)) == 2
+    d = tr._table_dir(T)
+    floor = tr._read_floor_seq(d)
+    out2 = tr.archive_commits(T, retain_checkpoints=6, consolidate=True)
+    assert out2["archived"] == 0 and out2["consolidated_artifacts"] == 2
+    assert len(_archives(tr)) == 1
+    assert tr._read_floor_seq(d) == floor  # repack moves no floor
+    assert tr.current_version(T) == gt.current_version(T)
+    assert tr.update_count(T) == 121
+
+
+def test_consolidation_crash_overlap_repairs(tmp_path):
+    """Crash between the superseding artifact write and the old-artifact
+    deletes: OVERLAPPING artifacts (duplicate slots, identical commits).
+    Reads dedupe and stay correct; the next run's repair step removes the
+    subsumed artifacts."""
+    tr = _build(str(tmp_path), 40, interval=5)
+    tr.archive_commits(T, retain_checkpoints=2)
+    for i in range(40, 70):
+        _commit(tr, i)
+    want = tr.table_state(T)
+
+    real_remove = tr.fs.remove_file
+
+    def dying_remove(path):
+        if "archive_" in path.rsplit("/", 1)[-1]:
+            raise OSError("injected crash before artifact delete")
+        return real_remove(path)
+
+    tr.fs.remove_file = dying_remove
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(T, retain_checkpoints=1, consolidate=True)
+    tr.fs.remove_file = real_remove
+    assert len(_archives(tr)) == 2  # overlapping: old + superseding
+
+    # reads dedupe through the overlap, on a fresh tracker
+    fresh = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    st = fresh.table_state(T)
+    assert [u.metadata.commit_id for u in st.updates] == [
+        u.metadata.commit_id for u in want.updates
+    ]
+    assert fresh.update_count(T) == len(want.updates)
+    assert fresh.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+    # the next run's repair step deletes the subsumed artifact
+    out = fresh.archive_commits(T, retain_checkpoints=1)
+    assert out["consolidated_artifacts"] == 1
+    assert len(_archives(fresh)) == 1
+    assert fresh.table_state(T).updates == st.updates
+
+
+def test_stale_listing_retries_through_consolidation(tmp_path):
+    """A reader whose directory listing predates a consolidation (or an
+    incremental archival that packed live files) retries from a fresh
+    listing instead of serving a view with missing commits."""
+    tr = _build(str(tmp_path), 40, interval=5)
+    tr.archive_commits(T, retain_checkpoints=2)
+    reader = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    d = reader._table_dir(T)
+    stale = reader._scan_dir(d)  # listing BEFORE the consolidation
+    for i in range(40, 60):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1, consolidate=True)
+    want = _truth(str(tmp_path)).table_state(T)
+
+    calls = {"n": 0}
+    real_scan = reader._scan_dir
+
+    def stale_once(path, with_checkpoints=False):
+        if path == d and not with_checkpoints and calls["n"] == 0:
+            calls["n"] += 1
+            return stale
+        return real_scan(path, with_checkpoints)
+
+    reader._scan_dir = stale_once
+    st = reader.table_state(T)
+    assert calls["n"] == 1  # the stale listing really was consumed
+    assert [u.metadata.commit_id for u in st.updates] == [
+        u.metadata.commit_id for u in want.updates
+    ]
