@@ -231,15 +231,17 @@ class VacuumAction:
 class ArchiveAction:
     """Extension beyond the reference CLI verbs: commit-log archival
     (trackers/files.py::archive_commits) — pack checkpoint-covered commit
-    files into one artifact so resolutions list O(tail) dirents.  Dry-run
-    by default, ``--apply`` packs and deletes.  Files-backed logs only
-    (the sqlite tracker has no listing to bound — docs/scale.md)."""
+    files into size-capped chunk artifacts so resolutions list O(tail)
+    dirents.  Dry-run by default, ``--apply`` packs and deletes.
+    Files-backed logs only (the sqlite tracker has no listing to bound —
+    docs/scale.md)."""
 
     table: TableName
     retain_checkpoints: int
     through_seq: Optional[int]
     apply: bool
     consolidate: bool = False
+    max_chunk_bytes: int = 32 * 2**20
 
 
 @dataclass(frozen=True)
@@ -649,8 +651,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_arch.add_argument(
         "--consolidate", action="store_true",
-        help="Also fold existing archive artifacts into the new one "
-        "(one artifact total; O(archived history) bytes this run)",
+        help="Also fold existing archive artifacts into this run's "
+        "chunks (O(archived history) bytes rewritten, O(chunk) memory)",
+    )
+    p_arch.add_argument(
+        "--max-chunk-bytes", type=int, default=32 * 2**20,
+        help="Size cap per archive chunk artifact (default 32 MiB) — "
+        "bounds archival memory and the largest PUT",
     )
 
     p_idx = sub.add_parser(
@@ -872,7 +879,7 @@ def parse_action(argv: Sequence[str]):
     if ns.command == "archive":
         return ns, ArchiveAction(
             _table_name(ns.table), ns.retain_checkpoints, ns.through_seq,
-            ns.apply, ns.consolidate,
+            ns.apply, ns.consolidate, ns.max_chunk_bytes,
         )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
@@ -1260,13 +1267,18 @@ class CliClient:
             through_seq=action.through_seq,
             dry_run=not action.apply,
             consolidate=action.consolidate,
+            max_chunk_bytes=action.max_chunk_bytes,
         )
         verb = "Archived" if action.apply else "Would archive"
+        chunks = out.get("archives") or []
         self.console.println(
             f"{verb} {out['archived']} commit file(s) through seq "
             f"{out['through_seq']} (repaired {out['repaired']}, pruned "
             f"{out['pruned_checkpoints']} checkpoint file(s))"
-            + (f" -> {out['archive']}" if out.get("archive") else "")
+            + (
+                f" -> {len(chunks)} chunk(s), newest {out['archive']}"
+                if chunks else ""
+            )
         )
 
     def ann_index(self, action: AnnIndexAction, user_id: str) -> None:

@@ -64,9 +64,12 @@ truth.
 
 from __future__ import annotations
 
+import heapq
 import json
 import re
 import threading
+import time
+import zlib
 from contextlib import contextmanager
 from typing import List
 
@@ -96,24 +99,43 @@ _TABLE_DIR_RE = re.compile(r"^_chronicles_table_([\w\-]+)\.([\w\-]+)$")
 _UPDATE_FILE_RE = re.compile(r"^table_update_(\d+)\.json$")
 _CHECKPOINT_FILE_RE = re.compile(r"^checkpoint_(\d+)\.json$")
 # commit-log archive: a checkpoint-covered PREFIX of commit files packed
-# into one artifact (docs/scale.md "commit-log archival").  The filename
-# carries (last_seq, n_entries, crc32-of-body): the first two let every
-# fast path count archived commits from the directory LISTING alone (no
-# archive reads on hot paths), and the crc makes the name content-unique
-# so the process-wide parse cache below needs no invalidation I/O.
-_ARCHIVE_FILE_RE = re.compile(r"^archive_(\d{13})_(\d{8})_([0-9a-f]{8})\.json$")
+# into size-capped CHUNK artifacts (docs/scale.md "commit-log archival").
+# The filename carries (first_seq, last_seq, n_entries, crc32-of-body):
+# the middle two let every fast path count archived commits from the
+# directory LISTING alone (no archive reads on hot paths), first/last let
+# ranged reads touch ONLY the chunks overlapping their seq window, and
+# the crc makes the name content-unique so the process-wide parse cache
+# below needs no invalidation I/O.  The legacy round-12 single-blob name
+# (no ``first-`` part) still parses — its bounds are (unknown, last), so
+# it is never range-pruned, only read.
+_ARCHIVE_FILE_RE = re.compile(
+    r"^archive_(?:(?P<first>\d{13})-)?(?P<last>\d{13})"
+    r"_(?P<n>\d{8})_(?P<crc>[0-9a-f]{8})\.json$"
+)
 _ARCHIVE_FLOOR_FILE = "_archive_floor"
+
+
+def _archive_first_seq(name: str) -> "int | None":
+    """Lowest seq in a chunk artifact, from its NAME alone (None for a
+    legacy blob name — callers must then read it rather than prune it)."""
+    m = _ARCHIVE_FILE_RE.match(name)
+    return int(m.group("first")) if m and m.group("first") else None
+
 
 # process-wide archive parse caches.  Sound because archive files are
 # immutable by construction (content-unique names: same path+name ⇒ same
-# bytes).  Seqs are kept for every archive ever read (8 bytes/commit —
-# the CDC source's per-poll update_seqs stays O(live listing) after the
-# first poll); full update bodies are only needed on degrade/deep-travel
-# paths, so they ride a small LRU.  _MERGED keys a SET of archive paths
-# to their union seq tuple, so a poll against many artifacts pays the
-# cross-archive merge once per archive-set, not per poll.
+# bytes).  Seqs ride a FIFO-capped map (8 bytes/commit per chunk — the
+# CDC source's per-poll update_seqs stays O(live listing) after the
+# first poll; the cap keeps a long-lived driver from accumulating one
+# generation of superseded chunks per consolidation); full update bodies
+# are only needed on degrade/deep-travel paths, so they ride a small
+# LRU.  _MERGED holds ONE generation per table directory — the union seq
+# tuple for the CURRENT archive set; a consolidation that changes the
+# set evicts the stale generation on the next poll instead of leaking
+# O(history) ints per archival run.
 _ARCHIVE_SEQ_CACHE: dict = {}
-_ARCHIVE_MERGED_CACHE: dict = {}
+_ARCHIVE_SEQ_CACHE_MAX = 128
+_ARCHIVE_MERGED_CACHE: "dict[str, tuple]" = {}
 _ARCHIVE_BODY_CACHE: "dict[str, list]" = {}
 _ARCHIVE_BODY_CACHE_MAX = 4
 
@@ -572,7 +594,7 @@ class FileBackedVersionTracker(VersionTracker):
             if (m := _UPDATE_FILE_RE.match(n)):
                 live.append((int(m.group(1)), n))
             elif (m := _ARCHIVE_FILE_RE.match(n)):
-                archives.append((int(m.group(1)), int(m.group(2)), n))
+                archives.append((int(m.group("last")), int(m.group("n")), n))
             elif with_checkpoints and (m := _CHECKPOINT_FILE_RE.match(n)):
                 cks.append(int(m.group(1)))
         live.sort()
@@ -604,7 +626,10 @@ class FileBackedVersionTracker(VersionTracker):
             if len(_ARCHIVE_BODY_CACHE) >= _ARCHIVE_BODY_CACHE_MAX:
                 _ARCHIVE_BODY_CACHE.pop(next(iter(_ARCHIVE_BODY_CACHE)))
             _ARCHIVE_BODY_CACHE[path] = got
-            _ARCHIVE_SEQ_CACHE.setdefault(path, tuple(s for s, _ in got))
+            if path not in _ARCHIVE_SEQ_CACHE:
+                if len(_ARCHIVE_SEQ_CACHE) >= _ARCHIVE_SEQ_CACHE_MAX:
+                    _ARCHIVE_SEQ_CACHE.pop(next(iter(_ARCHIVE_SEQ_CACHE)))
+                _ARCHIVE_SEQ_CACHE[path] = tuple(s for s, _ in got)
         return got
 
     def _archive_seqs(self, d: str, name: str) -> tuple:
@@ -628,12 +653,16 @@ class FileBackedVersionTracker(VersionTracker):
         if not archives:
             return [s for s, _ in live]
         key = tuple(self.fs.join(d, name) for _, _, name in archives)
-        merged = _ARCHIVE_MERGED_CACHE.get(key)
+        cached = _ARCHIVE_MERGED_CACHE.get(d)
+        merged = cached[1] if cached is not None and cached[0] == key else None
         if merged is None:
             seen = set()
             for _, _, name in archives:
                 seen.update(self._archive_seqs(d, name))
-            merged = _ARCHIVE_MERGED_CACHE[key] = tuple(sorted(seen))
+            merged = tuple(sorted(seen))
+            # one generation per directory: a consolidation that swaps the
+            # archive set REPLACES the stale union instead of leaking it
+            _ARCHIVE_MERGED_CACHE[d] = (key, merged)
         live_seqs = [s for s, _ in live]
         if not live_seqs:
             return list(merged)
@@ -655,7 +684,10 @@ class FileBackedVersionTracker(VersionTracker):
         by: dict = {}
         for last, _, name in archives:
             if lo is not None and last <= lo:
-                continue  # whole archive below the range: zero reads
+                continue  # whole chunk below the range: zero reads
+            first = _archive_first_seq(name)
+            if hi is not None and first is not None and first > hi:
+                continue  # whole chunk above the range: zero reads
             for s, u in self._archive_entries(d, name):
                 if (lo is None or s > lo) and (hi is None or s <= hi):
                     by[s] = u
@@ -683,9 +715,7 @@ class FileBackedVersionTracker(VersionTracker):
                     # beat; a claim still present is a writer that
                     # BYPASSED the floor protocol (pre-archival code
                     # version) — ambiguous log order, fail loudly.
-                    import time as _t
-
-                    _t.sleep(0.05)
+                    time.sleep(0.05)
                     if not self.fs.exists(path):
                         continue  # transient claim resolved; archived wins
                     raise RuntimeError(
@@ -1116,10 +1146,11 @@ class FileBackedVersionTracker(VersionTracker):
     # the commit log once, O(log length) dirents — ~one paginated LIST
     # per 1000 commits on S3, seconds per resolution at the 10^6-commit
     # design point (docs/scale.md "commit-log archival").  Archival packs
-    # a strictly checkpoint-covered prefix of commit files into ONE
-    # immutable artifact and deletes the packed files (and the checkpoint
-    # files below the cut, unreachable by fast paths afterwards), so the
-    # live listing stays O(tail + archival runs).  The archive is the log
+    # a strictly checkpoint-covered prefix of commit files into immutable
+    # size-capped CHUNK artifacts and deletes the packed files (and the
+    # checkpoint files below the cut, unreachable by fast paths
+    # afterwards), so the live listing stays O(tail + chunks).  The
+    # archive is the log
     # RELOCATED, not a derived artifact: table_state and every full-fold
     # degrade path read through it, commit order and content preserved
     # byte-for-byte, so "commit files are the only source of truth"
@@ -1133,11 +1164,13 @@ class FileBackedVersionTracker(VersionTracker):
         through_seq: "int | None" = None,
         dry_run: bool = False,
         consolidate: bool = False,
+        max_chunk_bytes: int = 32 * 2**20,
     ) -> dict:
         """Pack the commit files at-or-below a retained checkpoint into
-        one archive artifact; delete the packed files.  Returns a summary
-        ``{"archived", "through_seq", "repaired", "pruned_checkpoints",
-        "archive"}``.
+        size-capped archive chunk artifacts; delete the packed files.
+        Returns a summary ``{"archived", "through_seq", "repaired",
+        "pruned_checkpoints", "archive", "archives",
+        "consolidated_artifacts"}``.
 
         The cut is the newest retained checkpoint after skipping
         ``retain_checkpoints`` of them (keeping recent checkpoint
@@ -1147,18 +1180,24 @@ class FileBackedVersionTracker(VersionTracker):
         the cut to a specific retained checkpoint seq instead.
 
         Default runs are INCREMENTAL (LSM-style): each packs only the
-        new prefix into its own artifact, O(new commits) bytes per run,
-        artifact count O(runs).  ``consolidate=True`` additionally folds
-        every existing artifact into the new one and deletes them — one
-        artifact total, at O(full archived history) bytes for that run
-        (the OPTIMIZE-cadence companion).  A reader that listed the old
+        new prefix, O(new commits) bytes per run, artifact count
+        O(runs).  ``consolidate=True`` additionally folds every existing
+        artifact into the new run and deletes them (the OPTIMIZE-cadence
+        companion).  Either way the output is CHUNKED at
+        ``max_chunk_bytes`` (round 13): entries stream through a
+        fixed-size buffer, so archival memory and the largest PUT are
+        O(max_chunk_bytes + one absorbed artifact) — never O(archived
+        history) — and each chunk's name carries its own ``(first_seq,
+        last_seq, n, crc)`` so ranged reads below the floor parse ONLY
+        the chunks overlapping their seq window while listing-only
+        counts keep summing name fields.  A reader that listed the old
         artifacts mid-swap retries from a fresh listing
-        (``_retry_vanished``); a crash between the superseding write and
-        the old deletes leaves OVERLAPPING artifacts whose duplicate
+        (``_retry_vanished``); a crash between the superseding writes
+        and the old deletes leaves OVERLAPPING artifacts whose duplicate
         slots hold identical commits — reads dedupe, fast paths degrade,
         and the next call's repair step removes the subsumed artifacts.
 
-        Crash-safe ordering: archive file → floor doc → deletes; a crash
+        Crash-safe ordering: chunk files → floor doc → deletes; a crash
         anywhere leaves reads correct (duplicate slots hold identical
         commits and every fast path degrades until the next call's
         repair step finishes the deletes).  Concurrency follows the
@@ -1167,66 +1206,140 @@ class FileBackedVersionTracker(VersionTracker):
         any delete and writers re-check it post-claim, so an archived
         slot can never be silently re-claimed; in default mode archival
         is a write operation under the same single-writer stance as
-        commits.  Maintenance cadence, like vacuum — not a per-commit
-        step.  No reference counterpart (the reference has no checkpoint
-        or archival tier; its full-log fold is the only read path)."""
+        commits — two UNserialized archivers racing each other stay
+        safe (each retries from a fresh listing when the other's deletes
+        surface mid-pack).  Maintenance cadence, like vacuum — not a
+        per-commit step.  No reference counterpart (the reference has no
+        checkpoint or archival tier; its full-log fold is the only read
+        path)."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
         if retain_checkpoints < 0:
             raise ValueError("retain_checkpoints must be >= 0")
+        if max_chunk_bytes < 4096:
+            raise ValueError("max_chunk_bytes must be >= 4096")
         with self._commit_guard(d):
             return self._archive_locked(
-                d, retain_checkpoints, through_seq, dry_run, consolidate
+                d, retain_checkpoints, through_seq, dry_run, consolidate,
+                max_chunk_bytes,
             )
 
     def _archive_locked(
         self, d: str, retain_checkpoints: int, through_seq, dry_run: bool,
-        consolidate: bool = False,
+        consolidate: bool = False, max_chunk_bytes: int = 32 * 2**20,
+    ) -> dict:
+        """Retry shell: under CAS/plain mode ``_commit_guard`` is a
+        no-op, so a CONCURRENT archiver's deletes can surface mid-pack as
+        vanished commit files or artifacts.  That is a benign race, not
+        corruption — each retry restarts from a fresh listing, where the
+        racer's superseding artifact (and advanced floor) is visible.
+        Under ``use_lock`` the flock makes this loop one-shot."""
+        last_err = None
+        for _ in range(4):
+            try:
+                return self._archive_attempt(
+                    d, retain_checkpoints, through_seq, dry_run,
+                    consolidate, max_chunk_bytes,
+                )
+            except _ArchiveVanished as e:
+                last_err = e
+        raise RuntimeError(
+            f"archival kept losing listed files mid-pack across 4 fresh "
+            f"listings ({last_err}) — pathological archiver contention; "
+            "rerun, or serialize archival jobs (use_lock / one scheduler)"
+        )
+
+    def _archive_attempt(
+        self, d: str, retain_checkpoints: int, through_seq, dry_run: bool,
+        consolidate: bool, max_chunk_bytes: int,
     ) -> dict:
         live, archives, ck_seqs = self._scan_dir(d, with_checkpoints=True)
         out = {
             "archived": 0, "through_seq": None, "repaired": 0,
-            "pruned_checkpoints": 0, "archive": None,
+            "pruned_checkpoints": 0, "archive": None, "archives": [],
             "consolidated_artifacts": 0,
         }
-        # 0. repair a crashed consolidation: an artifact fully covered by
-        # another (first_seq/last_seq range ⊆, seqs ⊆ — identical slots
-        # by the immutability invariant) is superseded debris; remove it
-        # so the listing-only guards stop double-counting.
+        # 0. repair a crashed/raced consolidation: overlapping artifacts
+        # (duplicate slots hold identical commits by the immutability
+        # invariant) must collapse back to a DISJOINT exact cover of the
+        # archived history — disjointness is what keeps the listing-only
+        # count (sum of name n fields) truthful for the covers-prefix
+        # guard.  Every artifact is a contiguous slice of the archived
+        # seq union (incremental runs pack complete prefix slices;
+        # chunks are consecutive slices of the merged stream), so a
+        # disjoint cover is a chain of slices: pick one by DP over union
+        # positions, preferring the LONGEST artifact at each start — a
+        # completed consolidation beats the generation it replaced, and
+        # a partial (mid-write crash) one loses to the still-complete
+        # old generation because its chain dead-ends.  O(total archived
+        # seqs + artifacts log artifacts), never O(artifacts²) set math.
         if len(archives) > 1:
-            bodies = {}
-            for last, n, name in archives:
+            seqs_by = {}
+            for _, _, name in archives:
                 try:
-                    raw = json.loads(self.fs.read_text(self.fs.join(d, name)))
-                except FileNotFoundError:
+                    t = self._archive_seqs(d, name)
+                except _ArchiveVanished:
                     continue  # a racing repair got it first
-                bodies[name] = (int(raw.get("first_seq", -1)), last, raw)
-            subsumed = set()
-            for a, (fa, la, _) in bodies.items():
-                for b, (fb, lb, _) in bodies.items():
-                    if a != b and b not in subsumed and fb <= fa and la <= lb:
-                        sa = set(self._archive_seqs(d, a))
-                        if sa <= set(self._archive_seqs(d, b)):
-                            subsumed.add(a)
+                if t:
+                    seqs_by[name] = t
+            union = sorted(set().union(*seqs_by.values())) if seqs_by else []
+            pos = {s: i for i, s in enumerate(union)}
+            n_pos = len(union)
+            starts: dict = {}
+            contiguous = True
+            for name, t in seqs_by.items():
+                i, j = pos[t[0]], pos[t[-1]]
+                if len(t) != j - i + 1:
+                    contiguous = False  # foreign/corrupt: repair declines
+                    break
+                starts.setdefault(i, []).append((j, name))
+            kept = set(seqs_by)
+            if contiguous and seqs_by:
+                ok = [False] * (n_pos + 1)
+                ok[n_pos] = True
+                choice: list = [None] * n_pos
+                for i in range(n_pos - 1, -1, -1):
+                    for j, name in sorted(starts.get(i, ()), reverse=True):
+                        if ok[j + 1]:
+                            ok[i], choice[i] = True, (j, name)
                             break
-            for name in sorted(subsumed):
+                if ok[0]:
+                    kept = set()
+                    i = 0
+                    while i < n_pos:
+                        j, name = choice[i]
+                        kept.add(name)
+                        i = j + 1
+            subsumed = sorted(set(seqs_by) - kept)
+            for name in subsumed:
                 if not dry_run:
-                    self.fs.remove_file(self.fs.join(d, name))
+                    try:
+                        self.fs.remove_file(self.fs.join(d, name))
+                    except FileNotFoundError:
+                        pass  # a racing repair got it first
                 out["consolidated_artifacts"] += 1
             if subsumed and not dry_run:
-                archives = [x for x in archives if x[2] not in subsumed]
+                gone = set(subsumed)
+                archives = [x for x in archives if x[2] not in gone]
         arch_last, arch_n = self._arch_stats(archives)
         # 1. repair a crashed prior run: live files at-or-below the floor
         # must be identical duplicates of archived entries — finish their
         # deletes.  A DIFFERENT commit in an archived slot means a writer
         # bypassed the floor guards; refuse loudly (reads are already
-        # failing loudly on it too).
+        # failing loudly on it too).  Only the chunks OVERLAPPING the
+        # leftover seqs are parsed for the identity check.
         if arch_last is not None:
             below = [(s, n) for s, n in live if s <= arch_last]
             if below:
+                lo_need, hi_need = below[0][0], below[-1][0]
                 ids = {}
-                for _, _, name in archives:
+                for last, _, name in archives:
+                    if last < lo_need:
+                        continue
+                    first = _archive_first_seq(name)
+                    if first is not None and first > hi_need:
+                        continue
                     for s, u in self._archive_entries(d, name):
                         ids[s] = u.metadata.commit_id
                 for s, n in below:
@@ -1239,9 +1352,7 @@ class FileBackedVersionTracker(VersionTracker):
                         # same one-beat tolerance as _merged_updates: a CAS
                         # writer's transient claim of a freed slot removes
                         # itself; a persistent claim bypassed the protocol
-                        import time as _t
-
-                        _t.sleep(0.05)
+                        time.sleep(0.05)
                         if not self.fs.exists(path):
                             continue
                         raise RuntimeError(
@@ -1251,10 +1362,15 @@ class FileBackedVersionTracker(VersionTracker):
                             "archive (reads degrade loudly on this state)"
                         )
                     if not dry_run:
-                        self.fs.remove_file(path)
+                        try:
+                            self.fs.remove_file(path)
+                        except FileNotFoundError:
+                            pass  # a racing repair finished this delete
                     out["repaired"] += 1
-                if not dry_run:
-                    live = [(s, n) for s, n in live if s > arch_last]
+                # filter for COUNTING in dry-run too: an apply run would
+                # have deleted these duplicates, so they must not also be
+                # reported as newly archived below (round-12 advice)
+                live = [(s, n) for s, n in live if s > arch_last]
             if not dry_run and self._read_floor_seq(d) < arch_last:
                 self._write_floor(d, arch_last, arch_n)
         # 2. choose the cut
@@ -1296,37 +1412,115 @@ class FileBackedVersionTracker(VersionTracker):
         if dry_run:
             out["consolidated_artifacts"] += len(absorb)
             return out
-        # 3. write the artifact (content-unique name: cut, count, crc);
-        # a consolidating run folds the existing artifacts' entries in
-        # front of the newly packed live files (raw documents copied
-        # verbatim — no serde round-trip)
-        import zlib
+        # 3. stream the entries (absorbed artifacts in seq order, then
+        # the newly packed live files — raw documents copied verbatim, no
+        # serde round-trip) through a fixed-size buffer, flushing a chunk
+        # artifact whenever it fills.  Memory and largest PUT are
+        # O(max_chunk_bytes + one absorbed artifact); a vanished source
+        # mid-stream is a racing archiver → retry from a fresh listing.
+        def _raw_entries(aname: str) -> list:
+            try:
+                raw = json.loads(self.fs.read_text(self.fs.join(d, aname)))
+            except FileNotFoundError:
+                raise _ArchiveVanished(aname) from None
+            return raw["entries"]
 
-        entries = []
-        for _, _, aname in absorb:
-            raw = json.loads(self.fs.read_text(self.fs.join(d, aname)))
-            entries.extend(raw["entries"])
-        entries += [
-            [s, json.loads(self.fs.read_text(self.fs.join(d, n)))]
-            for s, n in to_pack
-        ]
-        entries.sort(key=lambda e: e[0])
-        body = json.dumps({
-            "format": 1,
-            "first_seq": entries[0][0],
-            "last_seq": cut,
-            "n": len(entries),
-            "entries": entries,
-        })
-        crc = zlib.crc32(body.encode("utf-8")) & 0xFFFFFFFF
-        name = f"archive_{cut:013d}_{len(entries):08d}_{crc:08x}.json"
-        path = self.fs.join(d, name)
-        if self.fs.supports_put_if_absent():
-            # losing the create is benign: same name ⇒ same content (crc)
-            self.fs.write_text_if_absent(path, body)
-        else:
-            self.fs.write_text(path, body)
-        out["archive"] = name
+        # absorbed artifacts sorted by their true bounds; overlapping
+        # ranges (crash/race debris the repair above could not collapse)
+        # are clustered and k-way-merged with seq dedup — clusters stay
+        # O(debris), the common case is one artifact per cluster
+        bounds = []
+        for last, _, aname in absorb:
+            first = _archive_first_seq(aname)
+            if first is None:
+                seqs = self._archive_seqs(d, aname)
+                first = seqs[0] if seqs else last
+            bounds.append((first, last, aname))
+        bounds.sort()
+        clusters: list = []
+        cur: list = []
+        cur_max = None
+        for first, last, aname in bounds:
+            if cur and first <= cur_max:
+                cur.append(aname)
+                cur_max = max(cur_max, last)
+            else:
+                if cur:
+                    clusters.append(cur)
+                cur, cur_max = [aname], last
+        if cur:
+            clusters.append(cur)
+
+        def _stream():
+            for cl in clusters:
+                if len(cl) == 1:
+                    yield from _raw_entries(cl[0])
+                else:
+                    its = [iter(_raw_entries(nm)) for nm in cl]
+                    prev = None
+                    for ent in heapq.merge(*its, key=lambda e: e[0]):
+                        if ent[0] == prev:
+                            continue  # duplicate slot: identical commit
+                        prev = ent[0]
+                        yield ent
+            for s, n in to_pack:
+                path = self.fs.join(d, n)
+                try:
+                    yield [s, json.loads(self.fs.read_text(path))]
+                except FileNotFoundError:
+                    # a racing archiver packed this commit after our
+                    # listing — its artifact holds it; restart fresh
+                    raise _ArchiveVanished(path) from None
+
+        chunk_names: list = []
+        buf: list = []  # per-entry JSON strings, ascending seq
+        buf_first = buf_last = None
+        buf_bytes = 0
+
+        def _flush():
+            nonlocal buf, buf_first, buf_last, buf_bytes
+            if not buf:
+                return
+            body = (
+                '{"format": 2, "first_seq": %d, "last_seq": %d, "n": %d,'
+                ' "entries": [%s]}'
+                % (buf_first, buf_last, len(buf), ", ".join(buf))
+            )
+            crc = zlib.crc32(body.encode("utf-8")) & 0xFFFFFFFF
+            cname = (
+                f"archive_{buf_first:013d}-{buf_last:013d}"
+                f"_{len(buf):08d}_{crc:08x}.json"
+            )
+            cpath = self.fs.join(d, cname)
+            if self.fs.supports_put_if_absent():
+                # losing the create is benign: same name ⇒ same bytes (crc)
+                self.fs.write_text_if_absent(cpath, body)
+            else:
+                self.fs.write_text(cpath, body)
+            chunk_names.append(cname)
+            buf, buf_first, buf_last, buf_bytes = [], None, None, 0
+
+        prev_seq = None
+        for ent in _stream():
+            s = int(ent[0])
+            if prev_seq is not None and s <= prev_seq:
+                raise RuntimeError(
+                    f"archive pack saw non-ascending seq {s} after "
+                    f"{prev_seq} — an artifact's name bounds disagree "
+                    "with its contents (corrupt artifact)"
+                )
+            prev_seq = s
+            if buf_first is None:
+                buf_first = s
+            buf_last = s
+            es = json.dumps(ent)
+            buf.append(es)
+            buf_bytes += len(es) + 2
+            if buf_bytes >= max_chunk_bytes:
+                _flush()
+        _flush()
+        out["archives"] = chunk_names
+        out["archive"] = chunk_names[-1] if chunk_names else None
         # 4. advance the floor BEFORE any delete (writers' post-claim
         # check depends on this ordering; _write_floor also moves this
         # instance's cached floor).  n_archived counts DISTINCT archived
@@ -1336,18 +1530,29 @@ class FileBackedVersionTracker(VersionTracker):
         # 5. delete the packed commit files, the absorbed artifacts, then
         # the checkpoint files strictly below the cut (unreachable by
         # fast paths now — the covers-prefix guard rejects any checkpoint
-        # below the floor)
+        # below the floor).  A file a racing archiver already removed is
+        # that racer finishing the same delete — never an error.
+        written = set(chunk_names)
         for _, n in to_pack:
-            self.fs.remove_file(self.fs.join(d, n))
+            try:
+                self.fs.remove_file(self.fs.join(d, n))
+            except FileNotFoundError:
+                pass
         for _, _, aname in absorb:
-            if aname != name:  # never delete the artifact just written
-                self.fs.remove_file(self.fs.join(d, aname))
+            if aname not in written:  # never delete a chunk just written
+                try:
+                    self.fs.remove_file(self.fs.join(d, aname))
+                except FileNotFoundError:
+                    pass
                 out["consolidated_artifacts"] += 1
         for s in ck_seqs:
             if s < cut:
-                self.fs.remove_file(
-                    self.fs.join(d, f"checkpoint_{s:013d}.json")
-                )
+                try:
+                    self.fs.remove_file(
+                        self.fs.join(d, f"checkpoint_{s:013d}.json")
+                    )
+                except FileNotFoundError:
+                    continue
                 out["pruned_checkpoints"] += 1
         return out
 

@@ -38,6 +38,7 @@ class CountingFs(FileSystem):
     def __init__(self, inner):
         self.inner = inner
         self.reads = []
+        self.read_bytes = 0  # total characters returned across all reads
         self.lists = []     # one path per list_dir call
         self.dirents = 0    # total entries returned across all listings
 
@@ -49,7 +50,9 @@ class CountingFs(FileSystem):
 
     def read_text(self, path):
         self.reads.append(path)
-        return self.inner.read_text(path)
+        out = self.inner.read_text(path)
+        self.read_bytes += len(out)
+        return out
 
     def write_text(self, path, text):
         return self.inner.write_text(path, text)

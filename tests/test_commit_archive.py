@@ -582,3 +582,259 @@ def test_stale_listing_retries_through_consolidation(tmp_path):
     assert [u.metadata.commit_id for u in st.updates] == [
         u.metadata.commit_id for u in want.updates
     ]
+
+
+# -- round 13: size-capped chunk artifacts ------------------------------------
+
+
+def _clear_archive_caches():
+    from chronicles_spark.trackers import files as F
+
+    F._ARCHIVE_SEQ_CACHE.clear()
+    F._ARCHIVE_MERGED_CACHE.clear()
+    F._ARCHIVE_BODY_CACHE.clear()
+
+
+def test_chunked_archive_names_carry_bounds_and_counts(tmp_path):
+    """max_chunk_bytes splits the packed prefix into several artifacts;
+    each name carries (first_seq, last_seq, n, crc), the n fields sum to
+    the archived count (listing-only counting intact), ranges are
+    disjoint ascending, every body stays under the cap plus one entry,
+    and the full history is preserved at every position."""
+    tr = _build(str(tmp_path), 120, interval=10)
+    before = tr.table_state(T)
+    seqs_before = tr.update_seqs(T)
+    out = tr.archive_commits(T, retain_checkpoints=2, max_chunk_bytes=4096)
+    assert out["archived"] > 0
+    names = _archives(tr)
+    assert len(names) >= 3  # the cap really chunked
+    assert out["archives"] == sorted(out["archives"]) and set(
+        out["archives"]
+    ) == set(names)
+    d = tr._table_dir(T)
+    total_n, prev_last = 0, -1
+    for n in names:
+        m = _ARCHIVE_FILE_RE.match(n)
+        first, last = int(m.group("first")), int(m.group("last"))
+        assert prev_last < first <= last  # disjoint, ascending
+        prev_last = last
+        total_n += int(m.group("n"))
+        body = tr.fs.read_text(tr.fs.join(d, n))
+        assert len(body) <= 4096 + 2048  # cap + one-entry overshoot
+        parsed = json.loads(body)
+        ss = [int(s) for s, _ in parsed["entries"]]
+        assert (ss[0], ss[-1], len(ss)) == (first, last, parsed["n"])
+    assert total_n == out["archived"]
+
+    after = tr.table_state(T)
+    assert [u.metadata.commit_id for u in after.updates] == [
+        u.metadata.commit_id for u in before.updates
+    ]
+    assert tr.update_seqs(T) == seqs_before
+    gt = _truth(str(tmp_path))
+    for u in before.updates[::11]:
+        cid = u.metadata.commit_id
+        assert tr.version_at(T, cid) == gt.version_at(T, cid)
+
+
+def test_below_floor_slice_reads_only_overlapping_chunks(tmp_path):
+    """The round-13 'done' pin: a bounded seq-range read BELOW the
+    archive floor parses only the chunks overlapping the window —
+    O(slice) archive files and bytes, never the whole archived history."""
+    tr = _build(str(tmp_path), 400, interval=20)
+    out = tr.archive_commits(T, retain_checkpoints=2, max_chunk_bytes=4096)
+    assert len(out["archives"]) >= 8
+    d = tr._table_dir(T)
+    total_archive_bytes = sum(
+        len(tr.fs.read_text(tr.fs.join(d, n))) for n in _archives(tr)
+    )
+    seqs = tr.update_seqs(T)
+    lo, hi = seqs[99], seqs[109]  # 10 commits, deep below the floor
+
+    _clear_archive_caches()
+    cfs = CountingFs(tr.fs)
+    counted = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=20
+    )
+    got = counted.updates_in_seq_range(T, lo - 1, hi)
+    assert len(got) == 11
+    want = [u for u in tr.table_state(T).updates]
+    want_ids = [
+        u.metadata.commit_id for u in want[99:110]
+    ]
+    assert [u.metadata.commit_id for u in got] == want_ids
+
+    chunk_reads = [
+        p for p in cfs.reads
+        if _ARCHIVE_FILE_RE.match(p.rsplit("/", 1)[-1])
+    ]
+    assert len(chunk_reads) <= 3, (
+        f"a 10-commit below-floor slice read {len(chunk_reads)} chunks "
+        f"of {len(_archives(tr))} — ranged reads are not pruning"
+    )
+    assert cfs.read_bytes <= total_archive_bytes / 5, (
+        f"slice read {cfs.read_bytes} of {total_archive_bytes} archived "
+        "bytes — O(history), not O(slice)"
+    )
+
+
+def test_consolidate_rechunks_incremental_runs(tmp_path):
+    """Several incremental chunked runs + growth, then consolidate with a
+    different cap: the artifact set is re-chunked (old generation gone),
+    history identical, floor unmoved by the repack portion."""
+    tr = _build(str(tmp_path), 60, interval=10)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    for i in range(60, 120):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    gen1 = set(_archives(tr))
+    assert len(gen1) >= 4
+    before = tr.table_state(T)
+
+    out = tr.archive_commits(
+        T, retain_checkpoints=1, consolidate=True, max_chunk_bytes=64 * 2**20
+    )
+    assert out["consolidated_artifacts"] == len(gen1)
+    gen2 = set(_archives(tr))
+    assert gen2.isdisjoint(gen1) and len(gen2) == 1
+    after = tr.table_state(T)
+    assert [u.metadata.commit_id for u in after.updates] == [
+        u.metadata.commit_id for u in before.updates
+    ]
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_crash_mid_chunk_writes_rolls_back_partial_generation(tmp_path):
+    """A consolidation that dies BETWEEN chunk writes leaves a partial
+    new generation overlapping the old one: reads dedupe (correct
+    throughout), and the next run's repair removes the partial chunks —
+    the completed old generation wins, a full rerun converges."""
+    tr = _build(str(tmp_path), 80, interval=10)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    old_gen = set(_archives(tr))
+    assert len(old_gen) >= 3
+    want = tr.table_state(T)
+
+    writes = {"n": 0}
+    real_put = tr.fs.write_text_if_absent
+
+    def dying_put(path, text):
+        if "archive_" in path.rsplit("/", 1)[-1]:
+            writes["n"] += 1
+            if writes["n"] >= 2:
+                raise OSError("injected crash between chunk writes")
+        return real_put(path, text)
+
+    tr.fs.write_text_if_absent = dying_put
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(
+            T, retain_checkpoints=1, consolidate=True,
+            max_chunk_bytes=8192,
+        )
+    tr.fs.write_text_if_absent = real_put
+    partial = set(_archives(tr)) - old_gen
+    assert len(partial) == 1  # exactly the one chunk that landed
+
+    # reads dedupe through the overlap on a fresh tracker
+    _clear_archive_caches()
+    fresh = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=10)
+    st = fresh.table_state(T)
+    assert [u.metadata.commit_id for u in st.updates] == [
+        u.metadata.commit_id for u in want.updates
+    ]
+    assert fresh.update_count(T) == len(want.updates)
+
+    # repair: the partial chunk (strictly covered by the old generation)
+    # is removed; the old generation survives intact
+    out = fresh.archive_commits(T, retain_checkpoints=1)
+    assert out["consolidated_artifacts"] == 1
+    assert set(_archives(fresh)) == old_gen
+    assert fresh.table_state(T).updates == st.updates
+
+
+def test_racing_archiver_vanished_files_retry_not_crash(tmp_path):
+    """ADVICE r12: two unserialized archivers — the loser's listing goes
+    stale mid-pack when the winner deletes packed files; it must retry
+    from a fresh listing and finish benignly, never die on a raw
+    FileNotFoundError."""
+    tr = _build(str(tmp_path), 60, interval=10)
+    loser = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=10)
+    d = loser._table_dir(T)
+    stale = loser._scan_dir(d, with_checkpoints=True)
+    # the winner archives (deleting the packed live files)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    want = _truth(str(tmp_path)).table_state(T)
+
+    calls = {"n": 0}
+    real_scan = loser._scan_dir
+
+    def stale_once(path, with_checkpoints=False):
+        if path == d and with_checkpoints and calls["n"] == 0:
+            calls["n"] += 1
+            return stale
+        return real_scan(path, with_checkpoints)
+
+    loser._scan_dir = stale_once
+    out = loser.archive_commits(T, retain_checkpoints=1)
+    assert calls["n"] == 1  # the stale listing really was consumed
+    assert out["archived"] == 0  # fresh listing: nothing new to pack
+    st = loser.table_state(T)
+    assert [u.metadata.commit_id for u in st.updates] == [
+        u.metadata.commit_id for u in want.updates
+    ]
+
+
+def test_dry_run_crash_leftovers_not_double_counted(tmp_path):
+    """ADVICE r12: after a crash-between-artifact-and-deletes, a dry run
+    must report the leftovers as `repaired` only — `archived` must equal
+    what the subsequent apply run NEWLY packs."""
+    tr = _build(str(tmp_path), 45, interval=10)
+    calls = {"n": 0}
+    real_remove = tr.fs.remove_file
+
+    def dying_remove(path):
+        if "table_update_" in path and calls["n"] >= 3:
+            raise OSError("injected crash mid-deletes")
+        calls["n"] += 1
+        return real_remove(path)
+
+    tr.fs.remove_file = dying_remove
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(T, retain_checkpoints=1)
+    tr.fs.remove_file = real_remove
+
+    for i in range(45, 60):
+        _commit(tr, i)
+    dry = tr.archive_commits(T, retain_checkpoints=1, dry_run=True)
+    assert dry["repaired"] > 0  # the crash leftovers, reported
+    assert _archives(tr) and len(_live_commit_files(tr)) > 0
+    apply = tr.archive_commits(T, retain_checkpoints=1)
+    assert apply["archived"] == dry["archived"]
+    assert apply["through_seq"] == dry["through_seq"]
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_archive_caches_stay_bounded_per_generation(tmp_path):
+    """ADVICE r12: the merged-seq cache holds ONE generation per table
+    directory (a consolidation evicts the stale union), and the seq
+    cache rides a FIFO cap — a long-lived CDC driver does not accumulate
+    O(history) ints per archival run."""
+    from chronicles_spark.trackers import files as F
+
+    _clear_archive_caches()
+    tr = _build(str(tmp_path), 40, interval=5)
+    d = tr._table_dir(T)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    tr.update_seqs(T)
+    gen1 = F._ARCHIVE_MERGED_CACHE.get(d)
+    assert gen1 is not None
+    for i in range(40, 80):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    tr.update_seqs(T)
+    gen2 = F._ARCHIVE_MERGED_CACHE.get(d)
+    assert gen2 is not None and gen2[0] != gen1[0]
+    # one generation per directory, not one per archival run
+    assert sum(1 for k in F._ARCHIVE_MERGED_CACHE if k == d) == 1
+    assert len(F._ARCHIVE_MERGED_CACHE) == 1
+    assert len(F._ARCHIVE_SEQ_CACHE) <= F._ARCHIVE_SEQ_CACHE_MAX
