@@ -130,8 +130,9 @@ def _fake_decode_meta(lengths: pd.Series) -> pd.DataFrame:
     """DETERMINISTIC FAKE image decode (the real codec — PIL/libjpeg — is
     not installed in this environment).  Derives plausible dimensions from
     the payload length only, so the result is reproducible anywhere,
-    including in a SQL oracle.  Production swaps this one function for a
-    real decoder; the surrounding plumbing is unchanged."""
+    including in a SQL oracle.  Production passes ``decoder="pil"`` to
+    :func:`decode_image_meta` (same Arrow plumbing, real bytes — smoke-
+    tested wherever PIL exists via ``CHRONICLES_PIL_SMOKE=1``)."""
     width = (16 + lengths % 16).astype("int32")
     height = (16 + (lengths // 7) % 16).astype("int32")
     channels = pd.Series(3, index=lengths.index, dtype="int32")
@@ -146,8 +147,38 @@ def _fake_decode_meta(lengths: pd.Series) -> pd.DataFrame:
     )
 
 
+def _pil_decode_meta(contents: pd.Series) -> pd.DataFrame:
+    """REAL image decode over raw payload bytes via PIL — imported inside
+    the function so it resolves on the EXECUTOR's interpreter (Spark
+    workers are separate Python processes).  Same output columns as the
+    fake; only this one function differs between environments."""
+    import io
+
+    from PIL import Image
+
+    widths, heights, channels, codecs = [], [], [], []
+    for b in contents:
+        with Image.open(io.BytesIO(bytes(b))) as img:
+            widths.append(img.width)
+            heights.append(img.height)
+            channels.append(len(img.getbands()))
+            codecs.append((img.format or "unknown").lower())
+    width = pd.Series(widths, index=contents.index, dtype="int32")
+    height = pd.Series(heights, index=contents.index, dtype="int32")
+    ch = pd.Series(channels, index=contents.index, dtype="int32")
+    return pd.DataFrame(
+        {
+            "width": width,
+            "height": height,
+            "n_channels": ch,
+            "n_pixel_bytes": (width.astype("int64") * height * ch),
+            "codec": pd.Series(codecs, index=contents.index),
+        }
+    )
+
+
 def decode_image_meta(
-    df: DataFrame, passthrough: tuple[str, ...] = ()
+    df: DataFrame, passthrough: tuple[str, ...] = (), decoder: str = "fake"
 ) -> DataFrame:
     """Decode pass over ``(asset_id, content)`` → ``DECODED_META_SCHEMA``.
 
@@ -158,20 +189,30 @@ def decode_image_meta(
     only their own input splits and the payload bytes never cross the
     wire.
 
+    ``decoder``: ``"fake"`` (default — deterministic, oracle-friendly, no
+    codec dependency) or ``"pil"`` (real PNG/JPEG decode where Pillow is
+    installed; env-gated smoke: ``CHRONICLES_PIL_SMOKE=1``).  The plan,
+    schema, partitioning and batch shape are identical in both.
+
     ``passthrough`` names extra input columns carried through the Arrow
     batch unchanged (ingest metadata riding along with the decode), so
     callers never need a post-decode join to reattach them."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"decoder must be 'fake' or 'pil', got {decoder!r}")
     in_fields = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
         [in_fields["asset_id"]]
         + [in_fields[c] for c in passthrough]
         + [f for f in DECODED_META_SCHEMA.fields if f.name != "asset_id"]
     )
+    use_pil = decoder == "pil"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lengths = pdf["content"].map(len)
-            out = _fake_decode_meta(lengths)
+            if use_pil:
+                out = _pil_decode_meta(pdf["content"])
+            else:
+                out = _fake_decode_meta(pdf["content"].map(len))
             for i, c in enumerate(passthrough):
                 out.insert(i, c, pdf[c].values)
             out.insert(0, "asset_id", pdf["asset_id"].values)

@@ -838,3 +838,81 @@ def test_archive_caches_stay_bounded_per_generation(tmp_path):
     assert sum(1 for k in F._ARCHIVE_MERGED_CACHE if k == d) == 1
     assert len(F._ARCHIVE_MERGED_CACHE) == 1
     assert len(F._ARCHIVE_SEQ_CACHE) <= F._ARCHIVE_SEQ_CACHE_MAX
+
+
+def test_branch_merge_rebase_through_archived_history(tmp_path):
+    """Round-13 composition proof: archive BOTH the base table's and the
+    branch's commit logs so the branch-point (the three-way base) sits in
+    ARCHIVED history, then rebase + merge — outcomes must be identical to
+    an unarchived twin directory (the archive is the log relocated, so
+    `version_at` into it must feed branching's three-way exactly)."""
+    import shutil
+
+    from chronicles_spark import branching as B
+    from chronicles_spark.core.model import PartitionSchema, TableDefinition
+
+    pa, pb, pc = (
+        Partition.of(("p", "a")), Partition.of(("p", "b")),
+        Partition.of(("p", "c")),
+    )
+
+    def commit_to(tr, tn, *ops, msg="w"):
+        meta = TableUpdateMetadata.new("u", msg)
+        tr.commit(tn, TableUpdate(meta, tuple(ops)))
+        return meta.commit_id
+
+    root = str(tmp_path / "log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    va, vb = generate_version(), generate_version()
+    commit_to(tr, T, AddPartitionVersion(pa, va))
+    commit_to(tr, T, AddPartitionVersion(pb, vb))
+    btn = B.create_branch(tr, T, "staging", "u")
+    base_commit = tr.tag_commit(btn, B.BRANCH_POINT_TAG)
+
+    # branch changes p=b and adds p=c; main changes p=a (disjoint)
+    vb2, vc, va2 = generate_version(), generate_version(), generate_version()
+    commit_to(tr, btn, AddPartitionVersion(pb, vb2))
+    commit_to(tr, btn, AddPartitionVersion(pc, vc))
+    commit_to(tr, T, AddPartitionVersion(pa, va2))
+    # filler on both logs pushes checkpoints well past the branch point
+    for i in range(25):
+        commit_to(tr, T, AddPartitionVersion(
+            Partition.of(("p", f"m{i % 7}")), generate_version()))
+        commit_to(tr, btn, AddPartitionVersion(
+            Partition.of(("p", f"s{i % 7}")), generate_version()))
+
+    # twin BEFORE archival: same commit ids, same versions, never archived
+    twin_root = str(tmp_path / "log_twin")
+    shutil.copytree(root, twin_root)
+    tw = FileBackedVersionTracker(twin_root, checkpoint_interval=5)
+
+    for tn in (T, btn):
+        out = tr.archive_commits(tn, retain_checkpoints=1,
+                                 max_chunk_bytes=4096)
+        assert out["archived"] > 0
+    # the branch point really sits in archived history
+    d_btn = tr._table_dir(btn)
+    seq_of = dict(zip(
+        (u.metadata.commit_id for u in tr.table_state(btn).updates),
+        tr.update_seqs(btn),
+    ))
+    assert seq_of[base_commit] <= tr._read_floor_seq(d_btn)
+
+    tdef = TableDefinition(T, str(tmp_path / "data"), PartitionSchema(("p",)))
+
+    # rebase reads the archived branch point for its three-way base
+    st_a, conf_a = B.rebase_branch(tdef, tr, "staging", "u")
+    st_u, conf_u = B.rebase_branch(tdef, tw, "staging", "u")
+    assert conf_a == conf_u == []
+    assert st_a.partition_versions == st_u.partition_versions
+    assert st_a.partition_versions[pa] == va2  # picked up main's progress
+    assert st_a.partition_versions[pb] == vb2  # kept the branch change
+
+    # merge publishes identically through the archived logs
+    main_a, _ = B.merge_branch(tdef, tr, "staging", "u", "publish")
+    main_u, _ = B.merge_branch(tdef, tw, "staging", "u", "publish")
+    assert main_a.partition_versions == main_u.partition_versions
+    assert main_a.partition_versions[pb] == vb2
+    assert main_a.partition_versions[pc] == vc
+    assert main_a.partition_versions[pa] == va2

@@ -73,3 +73,54 @@ def test_frame_sample_strides_payload(assets):
     assert [(r["frame_index"], r["frame_offset"]) for r in by_asset[1]] == [(0, 0)]
     # 10000-byte payload: 10000 // 4096 + 1 = 3 frames
     assert sorted(r["frame_offset"] for r in by_asset[4]) == [0, 4096, 8192]
+
+
+# -- round 13: env-gated REAL-codec smoke (the moto pattern) ------------------
+# Retires the deterministic-fake caveat wherever the dependency exists:
+# with CHRONICLES_PIL_SMOKE=1 and Pillow importable, decode_image_meta's
+# decoder="pil" path must decode REAL PNG bytes through the identical
+# Arrow/mapInPandas plumbing and agree with the declared schema.
+
+
+def test_pil_real_codec_smoke(spark):
+    import os
+
+    if os.environ.get("CHRONICLES_PIL_SMOKE") != "1":
+        pytest.skip("set CHRONICLES_PIL_SMOKE=1 (and install Pillow) to "
+                    "run the real-codec decode smoke")
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, mode="RGB"):
+        buf = io.BytesIO()
+        color = 7 if mode == "L" else (7, 8, 9)
+        Image.new(mode, (w, h), color=color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        Row(asset_id=1, content=bytearray(png_bytes(20, 10)),
+            media_type="image/png"),
+        Row(asset_id=2, content=bytearray(png_bytes(3, 5)),
+            media_type="image/png"),
+        Row(asset_id=3, content=bytearray(png_bytes(8, 8, mode="L")),
+            media_type="image/png"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = MM.decode_image_meta(df, passthrough=("media_type",),
+                               decoder="pil")
+    assert out.schema == MM.decode_image_meta(
+        df, passthrough=("media_type",)
+    ).schema  # identical plumbing, decoder-independent schema
+    got = {r["asset_id"]: r for r in out.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (
+        20, 10, 3)
+    assert got[1]["codec"] == "png"
+    assert got[1]["n_pixel_bytes"] == 20 * 10 * 3
+    assert (got[2]["width"], got[2]["height"]) == (3, 5)
+    assert got[3]["n_channels"] == 1  # grayscale
+    assert got[3]["media_type"] == "image/png"
+
+
+def test_decode_rejects_unknown_decoder(assets):
+    with pytest.raises(ValueError, match="decoder"):
+        MM.decode_image_meta(assets, decoder="ffmpeg")
