@@ -316,14 +316,29 @@ def _wap_restore_gate(spark: SparkSession, sf_dir: str) -> None:
     #     the fixture's history behind a checkpoint and every answer
     #     above must survive byte-identically — the current view, the
     #     full log, deep commit-id travel AND deep timestamp travel now
-    #     read through the archive artifact
+    #     read through the archive.  Round 13: the tiny max_chunk_bytes
+    #     forces MULTIPLE size-capped chunk artifacts, so the chunked
+    #     format (name-carried bounds, ranged chunk pruning, summed
+    #     listing counts) is what this gate reads through.
     ck_tr = FileBackedVersionTracker(tmp + "/_log", checkpoint_interval=2)
     pre_cv = ck_tr.current_version(table.name)
     pre_ids = [u.metadata.commit_id for u in st.updates]
     ck_tr._maybe_checkpoint(ck_tr._table_dir(table.name))  # cut at head
-    out = ck_tr.archive_commits(table.name, retain_checkpoints=0)
+    out = ck_tr.archive_commits(
+        table.name, retain_checkpoints=0, max_chunk_bytes=4096
+    )
     if not out["archived"]:
         raise AssertionError("archive_commits packed nothing on a deep log")
+    import re as _re
+
+    if not out["archives"] or not all(
+        _re.match(r"^archive_\d{13}-\d{13}_\d{8}_[0-9a-f]{8}\.json$", a)
+        for a in out["archives"]
+    ):
+        raise AssertionError(
+            "archive artifacts must carry (first_seq-last_seq, n, crc) "
+            f"chunk names, got {out['archives']}"
+        )
     post = ck_tr.table_state(table.name)
     if (
         ck_tr.current_version(table.name) != pre_cv
@@ -1184,9 +1199,11 @@ WHERE cosine >= {threshold}
 #     ordering / dtype stability / CLI rebuild guards → pytest
 #     (tests/test_cluster_index.py, tests/test_dedup_index.py,
 #     tests/test_cli.py) — no rows.
-# If a FUTURE family truly needs a new row, merge these nearest
-# duplicates first: q_ann_cosine_topk + q_ann_ivf (same embeddings
-# fixture, the IVF row already contains the brute-force contract).
+# Round 13 executed the standing merge (q_ann_cosine_topk now carries
+# both the brute-force and IVF contracts, tagged by `method`), so ONE
+# driver slot is free.  If a future family needs a second row, the next
+# nearest duplicates are q_top_ngrams + q_contamination (both n-gram
+# fixtures over documents).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1845,16 +1862,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- training-data pipeline: similarity search -------------------------
 
     def q_ann_cosine_topk(spark, sf):
+        # merged row (round-13 driver-cap curation, round-4 precedent):
+        # brute-force exact cosine top-k AND the IVF-probed variant
+        # (formerly q_ann_ivf — same embeddings fixture, same ranked
+        # contract) union into one hash-checked row tagged by `method`,
+        # so BOTH operators stay value-checked while freeing a driver
+        # slot for future families.
         emb = load_table(spark, sf, "embeddings")
         qids = emb.select("vec_id").where(F.col("vec_id") < 5)
-        return _longify(SIM.brute_topk(emb, qids, k=10).withColumnRenamed("rank", "rnk"))
-
-    def q_ann_ivf(spark, sf):
-        emb = load_table(spark, sf, "embeddings")
-        qids = emb.select("vec_id").where(F.col("vec_id") < 5)
-        return _longify(
-            SIM.ivf_topk(emb, qids, k=10, n_probe=2).withColumnRenamed("rank", "rnk")
+        brute = (
+            SIM.brute_topk(emb, qids, k=10)
+            .withColumnRenamed("rank", "rnk")
+            .withColumn("method", F.lit("brute"))
         )
+        ivf = (
+            SIM.ivf_topk(emb, qids, k=10, n_probe=2)
+            .withColumnRenamed("rank", "rnk")
+            .withColumn("method", F.lit("ivf"))
+        )
+        return _longify(brute.unionByName(ivf))
 
     def q_emb_transform(spark, sf):
         # merged embedding-transform row (round-4 driver-cap curation):
@@ -2562,30 +2588,28 @@ SELECT user_id, min(ts) AS session_start,
 FROM sess
 GROUP BY user_id, sid
 """,
+        # merged brute + IVF oracle (round 13): both methods share the
+        # query set; the IVF leg re-derives the probed buckets exactly
+        # like the Spark operator (first-vector-per-label centroids)
         "q_ann_cosine_topk": _EMB_V_CTE
         + f"""
 , q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
-scored AS (
+scored_b AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          {_COS_SQL.format(a="q.qv", b="v.v")} AS cosine
   FROM q, v WHERE v.vec_id <> q.query_id
 ),
-r AS (
+rb AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
-""",
-        "q_ann_ivf": _EMB_V_CTE
-        + f"""
-, cents AS (
+  FROM scored_b
+),
+cents AS (
   SELECT label AS centroid_id, v AS cv
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v) z
   WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
 qc AS (
   SELECT q.query_id, q.qv, cents.centroid_id,
          {_COS_SQL.format(a="q.qv", b="cents.cv")} AS ccos
@@ -2598,18 +2622,22 @@ probes AS (
         FROM qc) z
   WHERE crank <= 2
 ),
-scored AS (
+scored_i AS (
   SELECT p.query_id, v.vec_id AS neighbor_id,
          {_COS_SQL.format(a="p.qv", b="v.v")} AS cosine
   FROM probes p JOIN v ON v.label = p.bucket AND v.vec_id <> p.query_id
 ),
-r AS (
+ri AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-  FROM scored
+  FROM scored_i
 )
-SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
+SELECT query_id, rnk, neighbor_id, cosine, 'brute' AS method
+FROM rb WHERE rnk <= 10
+UNION ALL
+SELECT query_id, rnk, neighbor_id, cosine, 'ivf' AS method
+FROM ri WHERE rnk <= 10
 """,
         # materialized ANN index search (round 7): deterministic iters=0
         # artifacts — centroids = the 4 lowest-id vectors, codebooks =
