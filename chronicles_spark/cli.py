@@ -245,6 +245,30 @@ class ArchiveAction:
 
 
 @dataclass(frozen=True)
+class MaintainAction:
+    """Extension beyond the reference CLI verbs: ONE lake-wide
+    maintenance sweep (round 13) — enumerate every tracked table and
+    apply the cadence policies the per-table verbs expose individually:
+    commit-log archival past ``--retain-checkpoints`` (files-backed
+    trackers), version-directory vacuum + artifact-sidecar sweeps for
+    tables whose storage root is given via repeatable
+    ``--location db.t=/path``, and (apply-only, Spark required)
+    folded-journal compaction for ``--compact-pairs db.pairs=db.assign``
+    mappings.  Dry-run by default; ``--apply`` mutates.  The sweep is
+    per-table fail-soft: one table's error is reported and the sweep
+    continues (a fleet cron must not stop at the first torn log)."""
+
+    apply: bool
+    retain_checkpoints: int = 2
+    keep_last: int = 1
+    locations: tuple = ()       # ((fq_table, path), ...)
+    compact_pairs: tuple = ()   # ((fq_pairs, fq_primary), ...)
+    skip_archive: bool = False
+    skip_vacuum: bool = False
+    max_chunk_bytes: int = 32 * 2**20
+
+
+@dataclass(frozen=True)
 class AnnIndexAction:
     """Ops surface for the materialized ANN index family
     (operators/ann_index.py) — the one lifecycle family a pipeline
@@ -660,6 +684,47 @@ def build_parser() -> argparse.ArgumentParser:
         "bounds archival memory and the largest PUT",
     )
 
+    p_mt = sub.add_parser(
+        "maintain",
+        help="Lake-wide maintenance sweep over every tracked table: "
+        "archive old commit logs, vacuum superseded versions and "
+        "sidecars (for tables with --location), compact folded dedup "
+        "journals (--compact-pairs, apply-only).  Dry-run by default",
+    )
+    p_mt.add_argument(
+        "--apply", action="store_true",
+        help="Actually archive/delete/compact (default: dry-run report)",
+    )
+    p_mt.add_argument(
+        "--retain-checkpoints", type=int, default=2,
+        help="Archive policy: newest N checkpoint segments kept live "
+        "(default 2)",
+    )
+    p_mt.add_argument(
+        "--keep-last", type=int, default=1,
+        help="Vacuum policy: newest N superseded versions kept per "
+        "partition besides the live one (default 1)",
+    )
+    p_mt.add_argument(
+        "--location", action="append", default=[], metavar="TABLE=PATH",
+        help="Storage root for a table (repeatable) — enables the vacuum "
+        "and sidecar sweeps for it; tables without one are archive-only",
+    )
+    p_mt.add_argument(
+        "--compact-pairs", action="append", default=[],
+        metavar="PAIRS=PRIMARY",
+        help="Folded-journal compaction mapping (repeatable): the pairs "
+        "journal table and its primary assignment table, both of which "
+        "need --location entries.  Runs only with --apply (it is a "
+        "commit, not a delete) and needs a SparkSession",
+    )
+    p_mt.add_argument("--skip-archive", action="store_true")
+    p_mt.add_argument("--skip-vacuum", action="store_true")
+    p_mt.add_argument(
+        "--max-chunk-bytes", type=int, default=32 * 2**20,
+        help="Archive chunk size cap (default 32 MiB)",
+    )
+
     p_idx = sub.add_parser(
         "index",
         help="Maintain a materialized ANN index "
@@ -881,6 +946,30 @@ def parse_action(argv: Sequence[str]):
             _table_name(ns.table), ns.retain_checkpoints, ns.through_seq,
             ns.apply, ns.consolidate, ns.max_chunk_bytes,
         )
+    if ns.command == "maintain":
+        def _pairs(spec, flag):
+            if "=" not in spec:
+                raise CliError(
+                    f"{flag} expects NAME=VALUE, got {spec!r}"
+                )
+            k, v = spec.split("=", 1)
+            return k, v
+
+        locations = tuple(_pairs(s, "--location") for s in ns.location)
+        compact = tuple(_pairs(s, "--compact-pairs") for s in ns.compact_pairs)
+        loc_names = {k for k, _ in locations}
+        for pairs_fq, primary_fq in compact:
+            missing = {pairs_fq, primary_fq} - loc_names
+            if missing:
+                raise CliError(
+                    "--compact-pairs needs --location entries for "
+                    f"{sorted(missing)}"
+                )
+        return ns, MaintainAction(
+            ns.apply, ns.retain_checkpoints, ns.keep_last,
+            locations, compact, ns.skip_archive, ns.skip_vacuum,
+            ns.max_chunk_bytes,
+        )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
             raise CliError(f"index {ns.operation} needs --input <parquet path>")
@@ -983,6 +1072,8 @@ class CliClient:
             self.vacuum(action)
         elif isinstance(action, ArchiveAction):
             self.archive(action)
+        elif isinstance(action, MaintainAction):
+            self.maintain(action, user_id)
         elif isinstance(action, AnnIndexAction):
             self.ann_index(action, user_id)
         elif isinstance(action, DedupIndexAction):
@@ -1280,6 +1371,114 @@ class CliClient:
                 if chunks else ""
             )
         )
+
+    def maintain(self, action: MaintainAction, user_id: str) -> None:
+        """Lake-wide maintenance sweep: the fleet-cadence driver for the
+        per-table verbs.  Policies per tracked table, fail-soft (one torn
+        table must not stop the fleet's cron): commit-log archival (files
+        trackers), then — for tables with a ``--location`` mapping —
+        version-directory vacuum plus the index families' artifact-sidecar
+        sweeps, then (apply-only) folded-journal compaction for declared
+        pairs mappings.  Everything dry-runs by default and prints one
+        summary line per table."""
+        tracker = self.delegate.tracker
+        dry = not action.apply
+        locations = dict(action.locations)
+        can_archive = hasattr(tracker, "archive_commits")
+        if not can_archive and not action.skip_archive:
+            self.console.println(
+                "archive: skipped (tracker keeps no listing to bound — "
+                "files-backed logs only)"
+            )
+        errors = 0
+        for t in tracker.tables():
+            fq = t.fully_qualified
+            parts = []
+            try:
+                if can_archive and not action.skip_archive:
+                    out = tracker.archive_commits(
+                        t,
+                        retain_checkpoints=action.retain_checkpoints,
+                        dry_run=dry,
+                        max_chunk_bytes=action.max_chunk_bytes,
+                    )
+                    parts.append(
+                        f"archive {out['archived']} commit(s)"
+                        + (f" [repair {out['repaired']}]"
+                           if out["repaired"] else "")
+                    )
+                loc = locations.get(fq)
+                if loc and not action.skip_vacuum:
+                    from datetime import timedelta
+
+                    from .operators.ann_index import vacuum_ann_artifacts
+                    from .spark.vacuum import vacuum as run_vacuum
+
+                    is_snapshot = tracker.is_snapshot_table(t)
+                    tdef = TableDefinition(
+                        t, location=loc,
+                        partition_schema=PartitionSchema(
+                            () if is_snapshot else ("p",)
+                        ),
+                    )
+                    doomed = run_vacuum(
+                        tdef, tracker, keep_last=action.keep_last,
+                        dry_run=dry,
+                        orphan_min_age=timedelta(days=7.0),
+                    )
+                    sidecars = vacuum_ann_artifacts(tdef, tracker, dry_run=dry)
+                    parts.append(
+                        f"vacuum {len(doomed)} version dir(s), "
+                        f"{len(sidecars)} sidecar(s)"
+                    )
+            except Exception as e:  # fail-soft: report, keep sweeping
+                errors += 1
+                parts.append(f"ERROR {type(e).__name__}: {e}")
+            verb = "maintained" if action.apply else "would maintain"
+            self.console.println(
+                f"{fq}: {verb} — " + ("; ".join(parts) if parts else "no-op")
+            )
+        for pairs_fq, primary_fq in action.compact_pairs:
+            if dry:
+                self.console.println(
+                    f"{pairs_fq}: compact-pairs skipped in dry-run (a "
+                    "compaction is a commit, not a delete — rerun with "
+                    "--apply)"
+                )
+                continue
+            try:
+                from pyspark.sql import SparkSession
+
+                from .operators import cluster_index as CX
+
+                spark = SparkSession.builder.getOrCreate()
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                pt = _table_name(pairs_fq)
+                mt = _table_name(primary_fq)
+                label = CX.compact_dedup_pairs(
+                    spark,
+                    TableDefinition(pt, locations[pairs_fq],
+                                    PartitionSchema((CX.PAIRS_BATCH_COL,))),
+                    TableDefinition(mt, locations[primary_fq],
+                                    PartitionSchema((CX.DOC_SHARD_COL,))),
+                    tracker,
+                    user_id=user_id,
+                )
+                self.console.println(
+                    f"{pairs_fq}: compacted folded journal"
+                    + (f" -> batch={label}" if label
+                       else " (nothing to compact)")
+                )
+            except Exception as e:  # fail-soft, same stance
+                errors += 1
+                self.console.println(
+                    f"{pairs_fq}: compact-pairs ERROR "
+                    f"{type(e).__name__}: {e}"
+                )
+        if errors:
+            raise CliError(f"maintain finished with {errors} error(s)")
 
     def ann_index(self, action: AnnIndexAction, user_id: str) -> None:
         """The ANN family's shell surface.  build/extend read the input

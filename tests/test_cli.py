@@ -1172,3 +1172,234 @@ def test_archive_dry_run_then_apply(tmp_path):
     )
     assert n_live_after < n_live_before
     assert tracker.current_version(t) == before
+
+
+# -- maintain verb (round 13: lake-wide maintenance sweep) --------------------
+
+
+def test_maintain_parses_and_validates():
+    _, action = C.parse_action(["maintain"])
+    assert action == C.MaintainAction(False)
+    _, action = C.parse_action(
+        ["maintain", "--apply", "--retain-checkpoints", "1",
+         "--keep-last", "2", "--location", "db.t=/data/t",
+         "--skip-vacuum"]
+    )
+    assert action.apply and action.retain_checkpoints == 1
+    assert action.keep_last == 2 and action.skip_vacuum
+    assert action.locations == (("db.t", "/data/t"),)
+    with pytest.raises(C.CliError, match="NAME=VALUE"):
+        C.parse_action(["maintain", "--location", "no-equals-sign"])
+    # compact mappings need locations for BOTH sides
+    with pytest.raises(C.CliError, match="--location entries"):
+        C.parse_action(
+            ["maintain", "--compact-pairs", "db.p=db.a",
+             "--location", "db.p=/data/p"]
+        )
+
+
+def test_maintain_memory_tracker_notes_archive_unsupported():
+    client, console = make_client()
+    client.delegate.init_table(TableName("db", "x"), False, "u", "init")
+    client.maintain(C.MaintainAction(False), "u")
+    assert any("archive: skipped" in line for line in console.out)
+    assert any("db.x: would maintain" in line for line in console.out)
+
+
+def test_maintain_dry_run_then_apply_sweeps_lake(tmp_path):
+    """End-to-end over two real commit-log tables, one with a storage
+    location: dry-run mutates nothing and reports; apply archives both
+    logs and vacuums the located table's superseded version dirs."""
+    import os
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    ta, tb = TableName("db", "a"), TableName("db", "b")
+    data_root = str(tmp_path / "data_a")
+    p = Partition.of(("p", "z"))
+    versions = [generate_version() for _ in range(3)]
+    tracker.init_table(ta, is_snapshot=False, user_id="u")
+    tracker.init_table(tb, is_snapshot=False, user_id="u")
+    for v in versions:  # superseded versions with real dirs (vacuum bait)
+        tracker.commit(
+            ta,
+            TableUpdate(
+                TableUpdateMetadata.new("u", "w"),
+                (AddPartitionVersion(p, v),),
+            ),
+        )
+        vd = os.path.join(data_root, "p=z", f"_version={v.label}")
+        os.makedirs(vd)
+        with open(os.path.join(vd, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+    for i in range(20):  # push checkpoints past the writes, both tables
+        for t in (ta, tb):
+            tracker.commit(
+                t,
+                TableUpdate(
+                    TableUpdateMetadata.new("u", f"w{i}"),
+                    (AddPartitionVersion(
+                        Partition.of(("p", str(i % 4))), generate_version()
+                    ),),
+                ),
+            )
+    before_a = tracker.current_version(ta)
+    before_b = tracker.current_version(tb)
+    d_a = tracker._table_dir(ta)
+    n_live = sum(
+        1 for n in tracker.fs.list_dir(d_a) if n.startswith("table_update_")
+    )
+
+    dry = C.MaintainAction(
+        False, retain_checkpoints=1, keep_last=1,
+        locations=(("db.a", data_root),),
+    )
+    client.maintain(dry, "u")
+    assert sum(
+        1 for n in tracker.fs.list_dir(d_a) if n.startswith("table_update_")
+    ) == n_live  # nothing deleted
+    assert os.path.exists(
+        os.path.join(data_root, "p=z", f"_version={versions[0].label}")
+    )
+    out = "\n".join(console.out)
+    assert "db.a: would maintain" in out and "db.b: would maintain" in out
+    assert "vacuum 2 version dir(s)" in out  # 3 versions, keep_last=1
+
+    console.out.clear()
+    client.maintain(
+        C.MaintainAction(
+            True, retain_checkpoints=1, keep_last=1,
+            locations=(("db.a", data_root),),
+        ),
+        "u",
+    )
+    out = "\n".join(console.out)
+    assert "db.a: maintained" in out and "db.b: maintained" in out
+    assert sum(
+        1 for n in tracker.fs.list_dir(d_a) if n.startswith("table_update_")
+    ) < n_live  # archived
+    assert not os.path.exists(
+        os.path.join(data_root, "p=z", f"_version={versions[0].label}")
+    )  # vacuumed
+    assert os.path.exists(
+        os.path.join(data_root, "p=z", f"_version={versions[-1].label}")
+    )  # live version kept
+    assert tracker.current_version(ta) == before_a
+    assert tracker.current_version(tb) == before_b
+
+
+def test_maintain_is_fail_soft_per_table(tmp_path):
+    """One torn table reports an ERROR line but the sweep continues to
+    the remaining tables; the verb exits non-zero at the end."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    ta, tb = TableName("db", "bad"), TableName("db", "good")
+    for t in (ta, tb):
+        tracker.init_table(t, is_snapshot=False, user_id="u")
+        for i in range(12):
+            tracker.commit(
+                t,
+                TableUpdate(
+                    TableUpdateMetadata.new("u", f"w{i}"),
+                    (AddPartitionVersion(
+                        Partition.of(("p", str(i % 4))), generate_version()
+                    ),),
+                ),
+            )
+
+    real = tracker.archive_commits
+
+    def exploding(table, **kw):
+        if table == ta:
+            raise RuntimeError("torn log (injected)")
+        return real(table, **kw)
+
+    tracker.archive_commits = exploding
+    with pytest.raises(C.CliError, match="1 error"):
+        client.maintain(C.MaintainAction(True, retain_checkpoints=1), "u")
+    out = "\n".join(console.out)
+    assert "db.bad: maintained — ERROR RuntimeError" in out
+    assert "db.good: maintained — archive" in out  # sweep continued
+
+
+def test_maintain_compact_pairs_dry_run_reports_skip():
+    client, console = make_client()
+    action = C.MaintainAction(
+        False, locations=(("db.p", "/x"), ("db.a", "/y")),
+        compact_pairs=(("db.p", "db.a"),), skip_archive=True,
+    )
+    client.maintain(action, "u")
+    assert any("compact-pairs skipped in dry-run" in line
+               for line in console.out)
+
+
+def test_maintain_compact_pairs_apply_dispatch(spark, tmp_path, monkeypatch):
+    """The apply-path compact leg hands compact_dedup_pairs the right
+    TableDefinitions (journal partitioned by batch, assignment by
+    doc_shard, locations from the --location map) and reports the
+    consolidated label; the heavy end-to-end compaction semantics live
+    in tests/test_cluster_index.py."""
+    from chronicles_spark.operators import cluster_index as CX
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(str(tmp_path / "log"))
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    seen = {}
+
+    def fake_compact(spark_, pairs_table, table, tracker_, user_id="x", **kw):
+        seen["pairs"] = pairs_table
+        seen["assign"] = table
+        seen["user"] = user_id
+        return "folded-v123"
+
+    monkeypatch.setattr(CX, "compact_dedup_pairs", fake_compact)
+    client.maintain(
+        C.MaintainAction(
+            True,
+            locations=(("db.p", str(tmp_path / "p")),
+                       ("db.a", str(tmp_path / "a"))),
+            compact_pairs=(("db.p", "db.a"),),
+            skip_archive=True, skip_vacuum=True,
+        ),
+        "maintainer",
+    )
+    assert seen["pairs"].name == TableName("db", "p")
+    assert seen["pairs"].partition_schema.columns == (CX.PAIRS_BATCH_COL,)
+    assert seen["assign"].name == TableName("db", "a")
+    assert seen["assign"].partition_schema.columns == (CX.DOC_SHARD_COL,)
+    assert seen["user"] == "maintainer"
+    assert any("batch=folded-v123" in line for line in console.out)
