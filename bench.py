@@ -254,8 +254,7 @@ def main():
         "q_dedup_embedding",
         "q_dedup_clusters",
         "q_dedup_clusters_incremental",  # r10: journal-fold cluster row
-        "q_ann_cosine_topk",
-        "q_ann_ivf",
+        "q_ann_cosine_topk",  # r13: carries the former q_ann_ivf leg too
         "q_mm_decode_meta",
         "q_mm_dedup_binary",
         "q_stream_windowed_agg",
