@@ -251,8 +251,16 @@ def test_commit_log_archival_on_object_store(store):
         commits.append(u.metadata.commit_id)
     want = tracker.current_version(t)
 
-    out = tracker.archive_commits(t, retain_checkpoints=1)
+    out = tracker.archive_commits(t, retain_checkpoints=1,
+                                  max_chunk_bytes=4096)
     assert out["archived"] > 0 and out["archive"] is not None
+    # round 13: chunk names on the wire carry (first-last, n, crc)
+    import re as _re
+
+    assert all(
+        _re.match(r"^archive_\d{13}-\d{13}_\d{8}_[0-9a-f]{8}\.json$", a)
+        for a in out["archives"]
+    )
     tdir = tracker._table_dir(t)
     names = fs.list_dir(tdir)
     assert any(n.startswith("archive_") for n in names)
