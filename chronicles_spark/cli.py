@@ -266,6 +266,7 @@ class MaintainAction:
     skip_archive: bool = False
     skip_vacuum: bool = False
     max_chunk_bytes: int = 32 * 2**20
+    consolidate: bool = False
 
 
 @dataclass(frozen=True)
@@ -724,6 +725,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-chunk-bytes", type=int, default=32 * 2**20,
         help="Archive chunk size cap (default 32 MiB)",
     )
+    p_mt.add_argument(
+        "--consolidate", action="store_true",
+        help="Archive policy: also re-chunk existing archive artifacts "
+        "(the OPTIMIZE cadence — O(archived history) bytes rewritten "
+        "per table at O(chunk) memory)",
+    )
 
     p_idx = sub.add_parser(
         "index",
@@ -968,7 +975,7 @@ def parse_action(argv: Sequence[str]):
         return ns, MaintainAction(
             ns.apply, ns.retain_checkpoints, ns.keep_last,
             locations, compact, ns.skip_archive, ns.skip_vacuum,
-            ns.max_chunk_bytes,
+            ns.max_chunk_bytes, ns.consolidate,
         )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
@@ -1400,6 +1407,7 @@ class CliClient:
                         t,
                         retain_checkpoints=action.retain_checkpoints,
                         dry_run=dry,
+                        consolidate=action.consolidate,
                         max_chunk_bytes=action.max_chunk_bytes,
                     )
                     parts.append(

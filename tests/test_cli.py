@@ -1403,3 +1403,56 @@ def test_maintain_compact_pairs_apply_dispatch(spark, tmp_path, monkeypatch):
     assert seen["assign"].partition_schema.columns == (CX.DOC_SHARD_COL,)
     assert seen["user"] == "maintainer"
     assert any("batch=folded-v123" in line for line in console.out)
+
+
+def test_maintain_consolidate_rechunks_archives(tmp_path):
+    """--consolidate re-chunks each table's existing archive generation
+    in the sweep (the OPTIMIZE cadence at fleet scope)."""
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    t = TableName("db", "ev")
+    tracker.init_table(t, is_snapshot=False, user_id="u")
+
+    def grow(n):
+        for i in range(n):
+            tracker.commit(
+                t,
+                TableUpdate(
+                    TableUpdateMetadata.new("u", f"w{i}"),
+                    (AddPartitionVersion(
+                        Partition.of(("p", str(i % 4))), generate_version()
+                    ),),
+                ),
+            )
+
+    grow(30)
+    tracker.archive_commits(t, retain_checkpoints=1, max_chunk_bytes=4096)
+    grow(30)
+    tracker.archive_commits(t, retain_checkpoints=1, max_chunk_bytes=4096)
+    d = tracker._table_dir(t)
+    gen1 = {n for n in tracker.fs.list_dir(d) if n.startswith("archive_")}
+    assert len(gen1) >= 2
+    before = tracker.current_version(t)
+
+    client.maintain(
+        C.MaintainAction(True, retain_checkpoints=1, consolidate=True),
+        "u",
+    )
+    gen2 = {n for n in tracker.fs.list_dir(d) if n.startswith("archive_")}
+    assert gen2.isdisjoint(gen1) and len(gen2) == 1  # re-chunked at 32 MiB
+    assert tracker.current_version(t) == before
