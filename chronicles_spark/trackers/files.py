@@ -122,6 +122,17 @@ def _archive_first_seq(name: str) -> "int | None":
     return int(m.group("first")) if m and m.group("first") else None
 
 
+def _entry_pair(e) -> tuple:
+    """One archive entry → ``(seq, update doc)``.  Format 3 entries are
+    ``{"s": seq, "u": doc}`` objects — a uniform struct Spark's JSON
+    reader can type, which is what makes the archived log distributed-
+    readable (spark/log_reader.py); format ≤2 wrote ``[seq, doc]``
+    tuples, still parsed here so a consolidation absorbs them."""
+    if isinstance(e, dict):
+        return int(e["s"]), e["u"]
+    return int(e[0]), e[1]
+
+
 # process-wide archive parse caches.  Sound because archive files are
 # immutable by construction (content-unique names: same path+name ⇒ same
 # bytes).  Seqs ride a FIFO-capped map (8 bytes/commit per chunk — the
@@ -622,7 +633,10 @@ class FileBackedVersionTracker(VersionTracker):
                 body = json.loads(self.fs.read_text(path))
             except FileNotFoundError:
                 raise _ArchiveVanished(path) from None
-            got = [(int(s), update_from_dict(o)) for s, o in body["entries"]]
+            got = [
+                (s, update_from_dict(o))
+                for s, o in map(_entry_pair, body["entries"])
+            ]
             if len(_ARCHIVE_BODY_CACHE) >= _ARCHIVE_BODY_CACHE_MAX:
                 _ARCHIVE_BODY_CACHE.pop(next(iter(_ARCHIVE_BODY_CACHE)))
             _ARCHIVE_BODY_CACHE[path] = got
@@ -1173,11 +1187,15 @@ class FileBackedVersionTracker(VersionTracker):
         "consolidated_artifacts"}``.
 
         The cut is the newest retained checkpoint after skipping
-        ``retain_checkpoints`` of them (keeping recent checkpoint
-        segments live preserves the O(lag) fast resolution window for
-        CDC consumers/time travel near the head; deeper travel degrades
-        to the full fold, which reads archives).  ``through_seq`` pins
-        the cut to a specific retained checkpoint seq instead.
+        ``retain_checkpoints`` of them that COVERS its prefix (keeping
+        recent checkpoint segments live preserves the O(lag) fast
+        resolution window for CDC consumers/time travel near the head;
+        deeper travel degrades to the full fold, which reads archives).
+        A checkpoint a racing CAS writer gap-filled under is skipped in
+        favour of a deeper covered one — archiving less this run, never
+        erroring (round 13: a maintenance cron racing live writers).
+        ``through_seq`` pins the cut to a specific retained checkpoint
+        seq instead, and THAT raises when it cannot cover.
 
         Default runs are INCREMENTAL (LSM-style): each packs only the
         new prefix, O(new commits) bytes per run, artifact count
@@ -1373,7 +1391,17 @@ class FileBackedVersionTracker(VersionTracker):
                 live = [(s, n) for s, n in live if s > arch_last]
             if not dry_run and self._read_floor_seq(d) < arch_last:
                 self._write_floor(d, arch_last, arch_n)
-        # 2. choose the cut
+        # 2. choose the cut.  Auto mode walks the retained checkpoints
+        # newest-first (below the retention window) and takes the FIRST
+        # one that covers its prefix: a racing CAS writer whose commit
+        # gap-filled below the newest cut makes that checkpoint
+        # transiently unusable (n_folded undercounts — readers degrade
+        # by design until the next cut supersedes it), which for a
+        # maintenance op means "archive a little less this run", never
+        # an error.  An EXPLICIT through_seq that cannot cover still
+        # raises — the caller pinned that exact cut.
+        live_seqs = [s for s, _ in live]
+        repack_only = False
         if through_seq is not None:
             if through_seq not in ck_seqs:
                 raise ValueError(
@@ -1382,21 +1410,28 @@ class FileBackedVersionTracker(VersionTracker):
                 )
             cut = through_seq
         else:
-            deeper = sorted(ck_seqs, reverse=True)[retain_checkpoints:]
-            cut = deeper[0] if deeper else None
+            cut = None
+            for cand in sorted(ck_seqs, reverse=True)[retain_checkpoints:]:
+                if arch_last is not None and cand <= arch_last:
+                    break  # already archived past here: nothing deeper
+                body = self._checkpoint_body(d, cand)
+                if body is not None and self._checkpoint_covers_prefix(
+                    body, live_seqs, arch_last, arch_n
+                ):
+                    cut = cand
+                    break
         # a consolidating run with several artifacts can proceed even
         # with nothing NEW below the cut — a pure repack at the current
         # floor (no checkpoint needed: the artifacts are already
         # validated prefixes)
-        repack_only = False
         if cut is None or (arch_last is not None and cut <= arch_last):
             if not (consolidate and len(archives) > 1):
-                return out  # nothing (new) to archive
+                return out  # nothing (new) safely archivable right now
             cut, to_pack, repack_only = arch_last, [], True
         else:
             ck = self._checkpoint_body(d, cut)
             if ck is None or not self._checkpoint_covers_prefix(
-                ck, [s for s, _ in live], arch_last, arch_n
+                ck, live_seqs, arch_last, arch_n
             ):
                 raise ValueError(
                     f"checkpoint {cut} does not cover the current prefix "
@@ -1423,7 +1458,8 @@ class FileBackedVersionTracker(VersionTracker):
                 raw = json.loads(self.fs.read_text(self.fs.join(d, aname)))
             except FileNotFoundError:
                 raise _ArchiveVanished(aname) from None
-            return raw["entries"]
+            # normalized (seq, doc) tuples either input format
+            return [_entry_pair(e) for e in raw["entries"]]
 
         # absorbed artifacts sorted by their true bounds; overlapping
         # ranges (crash/race debris the repair above could not collapse)
@@ -1466,7 +1502,7 @@ class FileBackedVersionTracker(VersionTracker):
             for s, n in to_pack:
                 path = self.fs.join(d, n)
                 try:
-                    yield [s, json.loads(self.fs.read_text(path))]
+                    yield s, json.loads(self.fs.read_text(path))
                 except FileNotFoundError:
                     # a racing archiver packed this commit after our
                     # listing — its artifact holds it; restart fresh
@@ -1482,7 +1518,7 @@ class FileBackedVersionTracker(VersionTracker):
             if not buf:
                 return
             body = (
-                '{"format": 2, "first_seq": %d, "last_seq": %d, "n": %d,'
+                '{"format": 3, "first_seq": %d, "last_seq": %d, "n": %d,'
                 ' "entries": [%s]}'
                 % (buf_first, buf_last, len(buf), ", ".join(buf))
             )
@@ -1513,7 +1549,7 @@ class FileBackedVersionTracker(VersionTracker):
             if buf_first is None:
                 buf_first = s
             buf_last = s
-            es = json.dumps(ent)
+            es = json.dumps({"s": s, "u": ent[1]})
             buf.append(es)
             buf_bytes += len(es) + 2
             if buf_bytes >= max_chunk_bytes:
