@@ -161,6 +161,50 @@ def _mk_lbl_paths_sql(path_prefix: str) -> str:
 
 
 _VERSIONED_EVENTS_CACHE: dict = {}
+_LOG_READ_CACHE: dict = {}
+
+
+def _log_read_fixture(sf_dir: str):
+    """Tracker-only fixture for q_log_json_read: a 40-commit log whose
+    older half is archived into several size-capped chunk artifacts
+    (4 KiB cap), so the distributed read exercises BOTH the live-glob
+    and the archived-chunk legs.  Memoized per sf_dir (bench times the
+    read, not fixture construction); independent of the shared
+    `_write_versioned_events` fixture so archiving here never perturbs
+    the other lifecycle rows' memoized state."""
+    if sf_dir in _LOG_READ_CACHE:
+        return _LOG_READ_CACHE[sf_dir]
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+
+    tmp = tempfile.mkdtemp(prefix="chronicles_logread_")
+    tracker = FileBackedVersionTracker(tmp, checkpoint_interval=5)
+    table = TableName("demo", "logread")
+    tracker.init_table(table, is_snapshot=False, user_id="q")
+    for i in range(40):
+        tracker.commit(
+            table,
+            TableUpdate(
+                TableUpdateMetadata.new("q", f"w{i}"),
+                (AddPartitionVersion(
+                    Partition.of(("p", str(i % 8))), generate_version()
+                ),),
+            ),
+        )
+    out = tracker.archive_commits(
+        table, retain_checkpoints=1, max_chunk_bytes=4096
+    )
+    if len(out["archives"]) < 2:
+        raise AssertionError(
+            "log-read fixture expected several archive chunks, got "
+            f"{out['archives']}"
+        )
+    _LOG_READ_CACHE[sf_dir] = (table, tracker)
+    return table, tracker
 
 
 def _write_versioned_events(spark: SparkSession, sf_dir: str):
@@ -1333,47 +1377,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_log_json_read(spark, sf):
         # V15 (rows-only): the commit log is itself distributed-readable —
         # one JSON file per commit, Delta-log style (JsonCodecs.scala:18-135,
-        # FileBackedVersionTracker.scala:157-175). Read with an explicit
-        # schema (never inferSchema at 100 TB), explode the ops array.
-        from pyspark.sql.types import (
-            ArrayType,
-            BooleanType,
-            StringType,
-            StructField,
-            StructType,
-        )
+        # FileBackedVersionTracker.scala:157-175).  Round 13: the read goes
+        # through spark/log_reader.py::commit_log_df, which merges LIVE
+        # commit files with ARCHIVED chunk artifacts (explicit schemas,
+        # executor-side entry explode) — "the archive is the log
+        # relocated" now holds for the distributed read path too.  The
+        # fixture archives half its log into several size-capped chunks,
+        # and an in-query gate asserts the distributed rows equal the
+        # driver-side tracker fold (ids in seq order, archived split).
+        from chronicles_spark.spark.log_reader import commit_log_df
 
-        table, tracker, _ = _write_versioned_events(spark, sf)
-        log_glob = tracker.fs.join(
-            tracker.root, f"_chronicles_table_{table.name.fully_qualified}",
-            "table_update_*.json",
-        )
-        op_t = StructType(
-            [
-                StructField("type", StringType()),
-                StructField("partition", StringType()),
-                StructField("version", StringType()),
-                StructField("table_name", StringType()),
-                StructField("is_snapshot", BooleanType()),
-            ]
-        )
-        schema = StructType(
-            [
-                StructField("commit_id", StringType()),
-                StructField("user_id", StringType()),
-                StructField("message", StringType()),
-                StructField("timestamp", StringType()),
-                StructField("operations", ArrayType(op_t)),
-            ]
-        )
-        log = spark.read.schema(schema).json(log_glob)
+        table, tracker = _log_read_fixture(sf)
+        df = commit_log_df(spark, tracker, table)
+
+        rows = df.select("seq", "commit_id", "archived").orderBy("seq").collect()
+        st = tracker.table_state(table)
+        want = list(zip(
+            tracker.update_seqs(table),
+            (u.metadata.commit_id for u in st.updates),
+        ))
+        if [(r["seq"], r["commit_id"]) for r in rows] != want:
+            raise AssertionError(
+                "distributed commit-log read diverged from the tracker fold"
+            )
+        d = tracker._table_dir(table)
+        floor = tracker._read_floor_seq(d)
+        if not any(r["archived"] for r in rows) or any(
+            r["archived"] != (r["seq"] <= floor) for r in rows
+        ):
+            raise AssertionError(
+                "archived/live split does not match the archive floor"
+            )
         return (
-            log.select(
-                "commit_id", "user_id", "message",
+            df.select(
+                "commit_id", "user_id", "message", "archived",
                 F.posexplode("operations").alias("op_index", "op"),
             )
             .select(
-                "commit_id", "user_id", "message", "op_index",
+                "commit_id", "user_id", "message", "archived", "op_index",
                 F.col("op.type").alias("op_type"),
                 F.col("op.partition").alias("partition"),
             )

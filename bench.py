@@ -1015,8 +1015,8 @@ def main():
     b13_tbl_name = TableName("bench", "b13log")
     b13_trk.init_table(b13_tbl_name, is_snapshot=False, user_id="bench")
     b13_d = b13_trk._table_dir(b13_tbl_name)
-    b13_stages = [max(200, round(f * b13_total)) for f in
-                  (0.1, 0.2, 0.4, 0.7, 1.0)]
+    b13_stages = sorted({max(200, round(f * b13_total)) for f in
+                         (0.1, 0.2, 0.4, 0.7, 1.0)})
     b13_commits_curve, b13_resolve_curve = [], []
     b13_dirents_curve, b13_chunks_curve = [], []
     b13_done = 0

@@ -12,6 +12,7 @@ from .reader import (
     read_version,
 )
 from .compact import compact_partitions, zorder_column
+from .log_reader import UPDATE_JSON_SCHEMA, commit_log_df
 from .manifest import generate_manifest
 from .restore import restore_partitions
 from .schema_guard import SchemaDriftError, schema_history, stored_schema
@@ -29,6 +30,8 @@ __all__ = [
     "read_changes",
     "changed_partitions",
     "live_paths",
+    "commit_log_df",
+    "UPDATE_JSON_SCHEMA",
     "compact_partitions",
     "zorder_column",
     "generate_manifest",

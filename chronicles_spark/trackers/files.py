@@ -1425,7 +1425,11 @@ class FileBackedVersionTracker(VersionTracker):
         # floor (no checkpoint needed: the artifacts are already
         # validated prefixes)
         if cut is None or (arch_last is not None and cut <= arch_last):
-            if not (consolidate and len(archives) > 1):
+            # a consolidating repack proceeds even for a SINGLE artifact:
+            # rewriting it migrates entry formats / applies a new chunk
+            # cap, and an already-current artifact round-trips to the
+            # same content-unique name (a free no-op)
+            if not (consolidate and archives):
                 return out  # nothing (new) safely archivable right now
             cut, to_pack, repack_only = arch_last, [], True
         else:
@@ -1439,7 +1443,7 @@ class FileBackedVersionTracker(VersionTracker):
                     "checkpoint-covered prefixes"
                 )
             to_pack = [(s, n) for s, n in live if s <= cut]
-            if not to_pack and not (consolidate and len(archives) > 1):
+            if not to_pack and not (consolidate and archives):
                 return out
         absorb = list(archives) if consolidate else []
         out["through_seq"] = cut
