@@ -1337,7 +1337,10 @@ class FileBackedVersionTracker(VersionTracker):
                     except FileNotFoundError:
                         pass  # a racing repair got it first
                 out["consolidated_artifacts"] += 1
-            if subsumed and not dry_run:
+            if subsumed:
+                # filter for COUNTING in dry-run too (only the deletes are
+                # gated): the downstream arch stats, cut choice and
+                # archived counts must report what an apply run would do
                 gone = set(subsumed)
                 archives = [x for x in archives if x[2] not in gone]
         arch_last, arch_n = self._arch_stats(archives)

@@ -749,8 +749,12 @@ def test_crash_mid_chunk_writes_rolls_back_partial_generation(tmp_path):
     # (old gen survives); when byte-size caps happen to align it may
     # instead displace exactly the old chunks it covers — either end
     # state is a valid disjoint cover, and that is the invariant.
+    # Dry-run reports exactly what the apply run then does.
+    dry = fresh.archive_commits(T, retain_checkpoints=1, dry_run=True)
     out = fresh.archive_commits(T, retain_checkpoints=1)
     assert out["consolidated_artifacts"] >= 1
+    assert dry["consolidated_artifacts"] == out["consolidated_artifacts"]
+    assert dry["archived"] == out["archived"]
     bounds = []
     for n in _archives(fresh):
         m = _ARCHIVE_FILE_RE.match(n)
