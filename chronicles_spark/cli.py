@@ -267,6 +267,8 @@ class MaintainAction:
     skip_vacuum: bool = False
     max_chunk_bytes: int = 32 * 2**20
     consolidate: bool = False
+    sweep_orphans: bool = False
+    orphan_min_age_days: float = 7.0
 
 
 @dataclass(frozen=True)
@@ -731,6 +733,17 @@ def build_parser() -> argparse.ArgumentParser:
         "(the OPTIMIZE cadence — O(archived history) bytes rewritten "
         "per table at O(chunk) memory)",
     )
+    p_mt.add_argument(
+        "--sweep-orphans", action="store_true",
+        help="Vacuum policy: also reclaim version directories no commit "
+        "ever recorded (crashed-write debris), once older than "
+        "--orphan-min-age-days",
+    )
+    p_mt.add_argument(
+        "--orphan-min-age-days", type=float, default=7.0,
+        help="Minimum age before an unrecorded version directory is "
+        "considered abandoned rather than in-flight (default 7)",
+    )
 
     p_idx = sub.add_parser(
         "index",
@@ -975,7 +988,8 @@ def parse_action(argv: Sequence[str]):
         return ns, MaintainAction(
             ns.apply, ns.retain_checkpoints, ns.keep_last,
             locations, compact, ns.skip_archive, ns.skip_vacuum,
-            ns.max_chunk_bytes, ns.consolidate,
+            ns.max_chunk_bytes, ns.consolidate, ns.sweep_orphans,
+            ns.orphan_min_age_days,
         )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
@@ -1432,7 +1446,10 @@ class CliClient:
                     doomed = run_vacuum(
                         tdef, tracker, keep_last=action.keep_last,
                         dry_run=dry,
-                        orphan_min_age=timedelta(days=7.0),
+                        sweep_orphans=action.sweep_orphans,
+                        orphan_min_age=timedelta(
+                            days=action.orphan_min_age_days
+                        ),
                     )
                     sidecars = vacuum_ann_artifacts(tdef, tracker, dry_run=dry)
                     parts.append(

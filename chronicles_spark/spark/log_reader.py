@@ -53,6 +53,7 @@ from ..trackers.files import (
     _ARCHIVE_FILE_RE,
     _UPDATE_FILE_RE,
     FileBackedVersionTracker,
+    _archive_first_seq,
 )
 
 #: One operation inside a commit document (ops.py to_dict shapes: the
@@ -110,12 +111,23 @@ def commit_log_df(
     operations)``, one row per commit, ordered by ``seq`` when sorted.
 
     Requires a files-backed tracker over a Spark-visible store; raises
-    ``ValueError`` for other trackers / process-local stores, and raises
-    on pre-round-13 archive artifacts (tuple-shaped entries parse as
-    NULL under the struct schema — dropping them silently would hide
-    committed history; run ``archive_commits(consolidate=True)`` once to
-    rewrite them).  One directory listing decides which side(s) exist;
-    both sides read with explicit schemas."""
+    ``ValueError`` for other trackers / process-local stores, and for
+    pre-round-13 archive artifacts (legacy blob names: their
+    tuple-shaped entries would parse as NULL under the struct schema —
+    dropping them silently would hide committed history; run
+    ``archive_commits(consolidate=True)`` once to rewrite them).  One
+    directory listing decides which side(s) exist; both sides read with
+    explicit schemas.
+
+    Concurrency: the returned plan snapshots the directory at call time.
+    An ``archive_commits`` run racing a later ACTION on it can delete a
+    listed file mid-scan — Spark then fails that action loudly
+    (``ignoreMissingFiles`` is pinned false on both reads precisely so a
+    session-level true cannot turn the race into silently missing
+    commits); re-call this function for a fresh snapshot, the same
+    retry-from-a-fresh-listing rule as the driver-side surfaces.  Run
+    log analytics outside the archival maintenance window, or on a
+    tracker nobody is archiving."""
     if not isinstance(tracker, FileBackedVersionTracker):
         raise ValueError(
             "commit_log_df reads the files-backed log layout; the "
@@ -131,11 +143,24 @@ def commit_log_df(
     d = tracker._table_dir(table)
     names = tracker.fs.list_dir(d)
     has_live = any(_UPDATE_FILE_RE.match(n) for n in names)
-    has_arch = any(_ARCHIVE_FILE_RE.match(n) for n in names)
+    arch_names = [n for n in names if _ARCHIVE_FILE_RE.match(n)]
+    # pre-format-3 artifacts are exactly the legacy blob names (no
+    # first- part) — decidable from the listing already in hand, no
+    # archive bytes read (a Spark pass just to check `format` would
+    # scan O(archived history) twice per call)
+    stale = [n for n in arch_names if _archive_first_seq(n) is None]
+    if stale:
+        raise ValueError(
+            f"{len(stale)} archive artifact(s) predate the "
+            "Spark-readable entry format — run "
+            "archive_commits(consolidate=True) once to rewrite them, "
+            "then re-read"
+        )
     parts = []
     if has_live:
         parts.append(
             spark.read.schema(UPDATE_JSON_SCHEMA)
+            .option("ignoreMissingFiles", "false")
             .json(tracker.fs.join(d, "table_update_*.json"))
             .withColumn(
                 "seq",
@@ -145,32 +170,43 @@ def commit_log_df(
             )
             .withColumn("archived", F.lit(False))
         )
-    if has_arch:
-        raw = spark.read.schema(_ARCHIVE_BODY_SCHEMA).json(
-            tracker.fs.join(d, "archive_*.json")
+    if arch_names:
+        raw = (
+            spark.read.schema(_ARCHIVE_BODY_SCHEMA)
+            .option("ignoreMissingFiles", "false")
+            .json(tracker.fs.join(d, "archive_*.json"))
         )
-        # a pre-object-entries artifact (format <= 2) would explode to
-        # NULL rows — refuse loudly instead of silently dropping history
-        stale = raw.where(
-            F.col("format").isNull() | (F.col("format") < 3)
-        ).count()
-        if stale:
-            raise ValueError(
-                f"{stale} archive artifact(s) predate the Spark-readable "
-                "entry format — run archive_commits(consolidate=True) "
-                "once to rewrite them, then re-read"
-            )
         parts.append(
             raw.select(F.explode("entries").alias("e"))
             .select(
-                F.col("e.u.*"),
+                # belt to the name check above: an entry that fails the
+                # struct parse (a tuple-shaped body under a ranged name
+                # — no released writer produced one) must fail the scan,
+                # never explode into a silently absent commit
+                F.when(
+                    F.col("e.u.commit_id").isNull(),
+                    F.raise_error(F.lit(
+                        "archive entry failed the struct parse — "
+                        "non-format-3 body; consolidate to rewrite"
+                    )),
+                ).otherwise(F.col("e.u.commit_id")).alias("commit_id"),
+                F.col("e.u.user_id").alias("user_id"),
+                F.col("e.u.message").alias("message"),
+                F.col("e.u.timestamp").alias("timestamp"),
+                F.col("e.u.operations").alias("operations"),
                 F.col("e.s").alias("seq"),
                 F.lit(True).alias("archived"),
             )
         )
     if not parts:
-        empty = UPDATE_JSON_SCHEMA.add("seq", LongType()).add(
-            "archived", BooleanType()
+        # fresh StructType: StructType.add MUTATES in place, so extending
+        # the exported schema constant here would corrupt every later read
+        empty = StructType(
+            UPDATE_JSON_SCHEMA.fields
+            + [
+                StructField("seq", LongType()),
+                StructField("archived", BooleanType()),
+            ]
         )
         return spark.createDataFrame([], empty)
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])

@@ -618,10 +618,34 @@ class FileBackedVersionTracker(VersionTracker):
     @staticmethod
     def _arch_stats(archives) -> "tuple[int | None, int]":
         """(highest archived seq | None, total archived commit count) —
-        from archive NAMES alone."""
+        from archive NAMES alone.  The count is truthful only while the
+        artifact set is DISJOINT (see :meth:`_archives_overlap`)."""
         if not archives:
             return None, 0
         return archives[-1][0], sum(n for _, n, _ in archives)
+
+    @staticmethod
+    def _archives_overlap(archives) -> bool:
+        """True when any two artifacts' seq ranges overlap (a crash
+        between a consolidation's chunk writes and its deletes) — the
+        window where summing name-carried counts double-counts, so
+        nothing derived from that sum may be PERSISTED.  From names
+        alone; a legacy blob name (unknown first seq) is conservatively
+        treated as starting at 0 (a cadence-only delay: the next
+        archival's repair collapses the overlap)."""
+        prev_last = None
+        spans = sorted(
+            (
+                (f if (f := _archive_first_seq(name)) is not None else -1),
+                last,
+            )
+            for last, _, name in archives
+        )
+        for first, last in spans:
+            if prev_last is not None and first <= prev_last:
+                return True
+            prev_last = last
+        return False
 
     def _archive_entries(self, d: str, name: str) -> list:
         """[(seq, TableUpdate)] of one archive artifact, via the process
@@ -856,9 +880,15 @@ class FileBackedVersionTracker(VersionTracker):
         live, archives = self._scan_dir(d)
         arch_last, arch_n = self._arch_stats(archives)
         live_seqs = [s for s, _ in live]
-        if arch_last is not None and live_seqs and live_seqs[0] <= arch_last:
-            # crash leftover / gap-fill below the archive floor: a cut
-            # here would bake an ambiguous count into n_folded — skip
+        if arch_last is not None and (
+            (live_seqs and live_seqs[0] <= arch_last)
+            or self._archives_overlap(archives)
+        ):
+            # crash leftover / gap-fill below the archive floor, or an
+            # OVERLAPPING artifact set (consolidation crash window —
+            # summed name counts double-count): a cut here would bake an
+            # ambiguous count into n_folded and park every fast path on
+            # the full fold until a later cut supersedes it — skip
             # (cadence only; archive_commits repairs, reads stay correct
             # via the full fold)
             self._ck_pending[d] = 0
@@ -1587,7 +1617,10 @@ class FileBackedVersionTracker(VersionTracker):
                     self.fs.remove_file(self.fs.join(d, aname))
                 except FileNotFoundError:
                     pass
-                out["consolidated_artifacts"] += 1
+            # counted either way: an artifact that round-tripped to the
+            # same content-unique name was still absorbed — dry-run
+            # (which counts len(absorb)) and apply must report alike
+            out["consolidated_artifacts"] += 1
         for s in ck_seqs:
             if s < cut:
                 try:

@@ -994,3 +994,56 @@ def test_gap_filled_newest_checkpoint_archives_deeper_cut(tmp_path):
     out2 = tr.archive_commits(T, retain_checkpoints=0)
     assert out2["archived"] > 0 and out2["through_seq"] > slot
     assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_no_checkpoint_cut_while_artifacts_overlap(tmp_path):
+    """A consolidation crash leaves OVERLAPPING artifacts whose summed
+    name counts double-count; a checkpoint cut in that window would bake
+    the inflated count into n_folded and park every fast path on the
+    full fold until a later cut supersedes it.  The cut must be skipped
+    (cadence-only) while overlapped, and the fast path must answer
+    immediately after the repair."""
+    tr = _build(str(tmp_path), 40, interval=10)
+    tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+    d = tr._table_dir(T)
+
+    real_remove = tr.fs.remove_file
+
+    def dying_remove(path):
+        if "archive_" in path.rsplit("/", 1)[-1]:
+            raise OSError("injected crash before artifact delete")
+        return real_remove(path)
+
+    tr.fs.remove_file = dying_remove
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(
+            T, retain_checkpoints=1, consolidate=True,
+            max_chunk_bytes=64 * 2**20,
+        )
+    tr.fs.remove_file = real_remove
+    assert tr._archives_overlap(
+        [a for a in tr._scan_dir(d)[1]]
+    )
+
+    cks_before = {
+        n for n in tr.fs.list_dir(d) if n.startswith("checkpoint_")
+    }
+    for i in range(40, 55):  # well past the interval: would normally cut
+        _commit(tr, i)
+    cks_after = {
+        n for n in tr.fs.list_dir(d) if n.startswith("checkpoint_")
+    }
+    assert cks_after == cks_before  # no cut baked the inflated count
+
+    # repair collapses the overlap; the very next interval cuts again
+    # and the fast path answers without waiting out a poisoned cut
+    out = tr.archive_commits(T, retain_checkpoints=1)
+    assert out["consolidated_artifacts"] >= 1
+    assert not tr._archives_overlap([a for a in tr._scan_dir(d)[1]])
+    for i in range(55, 66):
+        _commit(tr, i)
+    assert len({
+        n for n in tr.fs.list_dir(d) if n.startswith("checkpoint_")
+    }) > len(cks_before)
+    assert tr.head_resolution(T) is not None
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)

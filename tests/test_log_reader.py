@@ -172,3 +172,24 @@ def test_commit_log_df_empty_log_shape(spark, tmp_path):
         "commit_id", "user_id", "message", "timestamp", "operations",
         "seq", "archived",
     }
+
+
+def test_empty_log_branch_does_not_mutate_schema_constant(spark, tmp_path):
+    """StructType.add mutates in place — the empty-log branch must build
+    a FRESH schema, or one call corrupts the module constant and every
+    later read (duplicate seq/archived columns)."""
+    from chronicles_spark.spark.log_reader import UPDATE_JSON_SCHEMA
+
+    n_before = len(UPDATE_JSON_SCHEMA.fields)
+    tr = FileBackedVersionTracker(str(tmp_path))
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    d = tr._table_dir(T)
+    for n in tr.fs.list_dir(d):  # strip to a truly fileless log dir
+        if n.startswith("table_update_"):
+            tr.fs.remove_file(tr.fs.join(d, n))
+    df = commit_log_df(spark, tr, T)
+    assert df.count() == 0
+    assert len(UPDATE_JSON_SCHEMA.fields) == n_before
+    assert df.columns.count("seq") == 1 and df.columns.count("archived") == 1
+    # and a second call still reads clean
+    assert commit_log_df(spark, tr, T).count() == 0
