@@ -45,9 +45,12 @@ print("DONE " + " ".join(ids))
 """
 
 
-def _race_with_archiver(mode, path, monkey_sleep=0.02):
-    """Two writer processes commit while the parent archives in a loop.
-    Returns (committed ids per worker, archival summaries)."""
+def _race_with_archiver(mode, path, monkey_sleep=0.02, consolidate=False):
+    """Two writer processes commit while the parent archives in a loop
+    (round 13: every other loop optionally CONSOLIDATES with a tiny
+    chunk cap, so chunk rewrites + old-generation deletes race the
+    writers too).  Returns (committed ids per worker, archival
+    summaries)."""
     tracker = FileBackedVersionTracker(
         path, checkpoint_interval=3,
         **({"use_cas": True} if mode == "cas" else {"use_lock": True}),
@@ -65,8 +68,14 @@ def _race_with_archiver(mode, path, monkey_sleep=0.02):
         for i in range(2)
     ]
     summaries = []
+    loop_i = 0
     while any(p.poll() is None for p in procs):
-        out = tracker.archive_commits(T, retain_checkpoints=1)
+        loop_i += 1
+        out = tracker.archive_commits(
+            T, retain_checkpoints=1,
+            consolidate=consolidate and loop_i % 2 == 0,
+            max_chunk_bytes=4096 if consolidate else 32 * 2**20,
+        )
         if out["archived"] or out["repaired"]:
             summaries.append(out)  # mid-race archivals only, by construction
         time.sleep(monkey_sleep)
@@ -149,3 +158,31 @@ def test_cas_race_exhaustive_version_at_after_race(tmp_path):
             fold.take_through(st.updates, cid), cid
         )
         assert fast.version_at(T, cid) == want, cid
+
+
+def test_cas_writers_race_consolidating_archiver(tmp_path):
+    """Round 13: the archiver CONSOLIDATES every other loop with a tiny
+    chunk cap — chunk rewrites and old-generation deletes race the CAS
+    writers' claims and each other's repair.  No commit lost, every
+    sequence slot single-owner, exhaustive integrity after the churn."""
+    path = str(tmp_path / "log")
+    worker_ids, mid_race_archived = _race_with_archiver(
+        "cas", path, consolidate=True
+    )
+    assert mid_race_archived > 0
+    _assert_log_integrity(path, worker_ids)
+    # the surviving artifact set is a DISJOINT chunked cover
+    from chronicles_spark.trackers.files import (
+        _ARCHIVE_FILE_RE,
+        _archive_first_seq,
+    )
+
+    truth = FileBackedVersionTracker(path, checkpoint_interval=None)
+    d = truth._table_dir(T)
+    spans = sorted(
+        (_archive_first_seq(n), int(_ARCHIVE_FILE_RE.match(n).group("last")))
+        for n in truth.fs.list_dir(d)
+        if _ARCHIVE_FILE_RE.match(n)
+    )
+    assert spans and all(f is not None for f, _ in spans)
+    assert all(b[0] > a[1] for a, b in zip(spans, spans[1:]))
