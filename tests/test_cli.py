@@ -1456,3 +1456,63 @@ def test_maintain_consolidate_rechunks_archives(tmp_path):
     gen2 = {n for n in tracker.fs.list_dir(d) if n.startswith("archive_")}
     assert gen2.isdisjoint(gen1) and len(gen2) == 1  # re-chunked at 32 MiB
     assert tracker.current_version(t) == before
+
+
+def test_maintain_sweep_orphans_end_to_end(tmp_path):
+    """--sweep-orphans extends the vacuum leg to crashed-write debris
+    (version directories no commit ever recorded) once aged past
+    --orphan-min-age-days; without the flag they are left alone."""
+    import os
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    t = TableName("db", "ev")
+    data_root = str(tmp_path / "data")
+    tracker.init_table(t, is_snapshot=False, user_id="u")
+    v_live = generate_version()
+    tracker.commit(
+        t,
+        TableUpdate(
+            TableUpdateMetadata.new("u", "w"),
+            (AddPartitionVersion(Partition.of(("p", "z")), v_live),),
+        ),
+    )
+    live_dir = os.path.join(data_root, "p=z", f"_version={v_live.label}")
+    os.makedirs(live_dir)
+    # crashed-write debris: a version directory no commit ever recorded
+    orphan = os.path.join(
+        data_root, "p=z", f"_version={generate_version().label}"
+    )
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+
+    base = dict(
+        locations=(("db.ev", data_root),), skip_archive=True,
+    )
+    client.maintain(C.MaintainAction(True, **base), "u")
+    assert os.path.exists(orphan)  # no flag: debris untouched
+
+    client.maintain(
+        C.MaintainAction(
+            True, **base, sweep_orphans=True, orphan_min_age_days=0.0
+        ),
+        "u",
+    )
+    assert not os.path.exists(orphan)  # swept
+    assert os.path.exists(live_dir)  # the committed version survives
