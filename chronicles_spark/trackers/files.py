@@ -133,6 +133,52 @@ def _entry_pair(e) -> tuple:
     return int(e[0]), e[1]
 
 
+def _select_disjoint_cover(seqs_by: dict) -> set:
+    """Names of the artifacts to KEEP so the set is a DISJOINT exact
+    cover of the archived seq union — the crash/race repair's core
+    (hypothesis-fuzzed in tests/test_commit_archive.py).
+
+    Every artifact is a contiguous slice of the union (incremental runs
+    pack complete prefix slices; chunks are consecutive slices of the
+    merged stream), so a disjoint cover is a CHAIN of slices: pick one
+    by DP over union positions, preferring the LONGEST artifact at each
+    start — a completed consolidation beats the generation it replaced,
+    and a partial (mid-write crash) one loses to the still-complete old
+    generation because its chain dead-ends.  Degrades to keep-everything
+    when an artifact is not a contiguous slice (foreign/corrupt) or no
+    chain covers the union (should not happen: at least one complete
+    generation always exists).  O(total archived seqs +
+    artifacts·log(artifacts)), never O(artifacts²) set math."""
+    if not seqs_by:
+        return set()
+    union = sorted(set().union(*seqs_by.values()))
+    pos = {s: i for i, s in enumerate(union)}
+    n_pos = len(union)
+    starts: dict = {}
+    for name, t in seqs_by.items():
+        i, j = pos[t[0]], pos[t[-1]]
+        if len(t) != j - i + 1:
+            return set(seqs_by)  # foreign/corrupt: repair declines
+        starts.setdefault(i, []).append((j, name))
+    ok = [False] * (n_pos + 1)
+    ok[n_pos] = True
+    choice: list = [None] * n_pos
+    for i in range(n_pos - 1, -1, -1):
+        for j, name in sorted(starts.get(i, ()), reverse=True):
+            if ok[j + 1]:
+                ok[i], choice[i] = True, (j, name)
+                break
+    if not ok[0]:
+        return set(seqs_by)  # no disjoint chain: keep everything
+    kept = set()
+    i = 0
+    while i < n_pos:
+        j, name = choice[i]
+        kept.add(name)
+        i = j + 1
+    return kept
+
+
 # process-wide archive parse caches.  Sound because archive files are
 # immutable by construction (content-unique names: same path+name ⇒ same
 # bytes).  Seqs ride a FIFO-capped map (8 bytes/commit per chunk — the
@@ -1313,15 +1359,8 @@ class FileBackedVersionTracker(VersionTracker):
         # invariant) must collapse back to a DISJOINT exact cover of the
         # archived history — disjointness is what keeps the listing-only
         # count (sum of name n fields) truthful for the covers-prefix
-        # guard.  Every artifact is a contiguous slice of the archived
-        # seq union (incremental runs pack complete prefix slices;
-        # chunks are consecutive slices of the merged stream), so a
-        # disjoint cover is a chain of slices: pick one by DP over union
-        # positions, preferring the LONGEST artifact at each start — a
-        # completed consolidation beats the generation it replaced, and
-        # a partial (mid-write crash) one loses to the still-complete
-        # old generation because its chain dead-ends.  O(total archived
-        # seqs + artifacts log artifacts), never O(artifacts²) set math.
+        # guard.  Cover selection: _select_disjoint_cover (module level,
+        # hypothesis-fuzzed).
         if len(archives) > 1:
             seqs_by = {}
             for _, _, name in archives:
@@ -1331,34 +1370,7 @@ class FileBackedVersionTracker(VersionTracker):
                     continue  # a racing repair got it first
                 if t:
                     seqs_by[name] = t
-            union = sorted(set().union(*seqs_by.values())) if seqs_by else []
-            pos = {s: i for i, s in enumerate(union)}
-            n_pos = len(union)
-            starts: dict = {}
-            contiguous = True
-            for name, t in seqs_by.items():
-                i, j = pos[t[0]], pos[t[-1]]
-                if len(t) != j - i + 1:
-                    contiguous = False  # foreign/corrupt: repair declines
-                    break
-                starts.setdefault(i, []).append((j, name))
-            kept = set(seqs_by)
-            if contiguous and seqs_by:
-                ok = [False] * (n_pos + 1)
-                ok[n_pos] = True
-                choice: list = [None] * n_pos
-                for i in range(n_pos - 1, -1, -1):
-                    for j, name in sorted(starts.get(i, ()), reverse=True):
-                        if ok[j + 1]:
-                            ok[i], choice[i] = True, (j, name)
-                            break
-                if ok[0]:
-                    kept = set()
-                    i = 0
-                    while i < n_pos:
-                        j, name = choice[i]
-                        kept.add(name)
-                        i = j + 1
+            kept = _select_disjoint_cover(seqs_by)
             subsumed = sorted(set(seqs_by) - kept)
             for name in subsumed:
                 if not dry_run:

@@ -1047,3 +1047,72 @@ def test_no_checkpoint_cut_while_artifacts_overlap(tmp_path):
     }) > len(cks_before)
     assert tr.head_resolution(T) is not None
     assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+# -- property fuzz of the repair's cover selection ----------------------------
+
+
+def test_disjoint_cover_selection_properties():
+    """Hypothesis fuzz of `_select_disjoint_cover`: for ANY crash/race
+    overlap state whose artifacts are contiguous slices of the union and
+    that contains at least one complete generation (always true — a
+    crash never deletes a generation before its replacement is fully
+    written), the kept set is (a) an EXACT cover of every archived seq
+    and (b) DISJOINT.  Losing a seq here would lose a committed update;
+    overlap here would poison sum-of-name-counts forever."""
+    from hypothesis import given, settings, strategies as st
+
+    from chronicles_spark.trackers.files import _select_disjoint_cover
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=3, max_value=40))
+        seqs = sorted(data.draw(st.sets(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=n, max_size=n,
+        )))
+        arts = {}
+        n_gens = data.draw(st.integers(min_value=1, max_value=4))
+        for g in range(n_gens):
+            cuts = sorted(data.draw(st.sets(
+                st.integers(min_value=1, max_value=n - 1), max_size=8
+            ))) + [n]
+            chunks, lo = [], 0
+            for c in cuts:
+                if c > lo:
+                    chunks.append(tuple(seqs[lo:c]))
+                    lo = c
+            # generation 0 stays COMPLETE; later ones may be partial
+            # (mid-write crash) — drop a suffix of their chunks
+            if g > 0 and len(chunks) > 1 and data.draw(st.booleans()):
+                chunks = chunks[: data.draw(
+                    st.integers(min_value=1, max_value=len(chunks) - 1)
+                )]
+            for i, ch in enumerate(chunks):
+                arts[f"g{g}c{i}"] = ch
+
+        kept = _select_disjoint_cover(arts)
+        assert kept and kept <= set(arts)
+        union = sorted(set().union(*arts.values()))
+        covered = sorted(set().union(*(arts[k] for k in kept)))
+        assert covered == union  # exact cover: no committed seq lost
+        spans = sorted((arts[k][0], arts[k][-1]) for k in kept)
+        assert all(
+            b[0] > a[1] for a, b in zip(spans, spans[1:])
+        ), f"kept set overlaps: {spans}"
+
+    run()
+
+
+def test_disjoint_cover_degrades_on_non_slice_artifact():
+    """An artifact that is NOT a contiguous slice of the union (foreign
+    or corrupt) makes the repair decline — keep everything, never guess
+    a removal."""
+    from chronicles_spark.trackers.files import _select_disjoint_cover
+
+    arts = {"a": (1, 2, 3), "b": (4, 6)}  # b skips 5... but 5 not in union
+    # union = {1,2,3,4,6}: b IS a slice of the union -> normal selection
+    assert _select_disjoint_cover(arts) == {"a", "b"}
+    arts = {"a": (1, 2, 3, 4, 5), "b": (2, 4)}  # b skips 3 (in union)
+    assert _select_disjoint_cover(arts) == {"a", "b"}  # declined: keep all
