@@ -113,6 +113,7 @@ _ARCHIVE_FILE_RE = re.compile(
     r"_(?P<n>\d{8})_(?P<crc>[0-9a-f]{8})\.json$"
 )
 _ARCHIVE_FLOOR_FILE = "_archive_floor"
+_ARCHIVE_LEASE_FILE = "_archive_lease"
 
 
 def _archive_first_seq(name: str) -> "int | None":
@@ -670,24 +671,29 @@ class FileBackedVersionTracker(VersionTracker):
             return None, 0
         return archives[-1][0], sum(n for _, n, _ in archives)
 
-    @staticmethod
-    def _archives_overlap(archives) -> bool:
+    def _archives_overlap(self, d: str, archives) -> bool:
         """True when any two artifacts' seq ranges overlap (a crash
         between a consolidation's chunk writes and its deletes) — the
         window where summing name-carried counts double-counts, so
-        nothing derived from that sum may be PERSISTED.  From names
-        alone; a legacy blob name (unknown first seq) is conservatively
-        treated as starting at 0 (a cadence-only delay: the next
-        archival's repair collapses the overlap)."""
+        nothing derived from that sum may be PERSISTED.  Chunk names
+        carry their bounds; a legacy round-12 blob name (no first part)
+        resolves its true first seq through the per-process seq cache
+        (one body read per legacy artifact per process — treating it as
+        unbounded instead would flag two DISJOINT legacy blobs as
+        permanently overlapping and stall checkpoint cuts forever on an
+        upgraded table)."""
         prev_last = None
-        spans = sorted(
-            (
-                (f if (f := _archive_first_seq(name)) is not None else -1),
-                last,
-            )
-            for last, _, name in archives
-        )
-        for first, last in spans:
+        spans = []
+        for last, _, name in archives:
+            first = _archive_first_seq(name)
+            if first is None:
+                try:
+                    seqs = self._archive_seqs(d, name)
+                except _ArchiveVanished:
+                    continue  # a racing consolidation replaced it
+                first = seqs[0] if seqs else last
+            spans.append((first, last))
+        for first, last in sorted(spans):
             if prev_last is not None and first <= prev_last:
                 return True
             prev_last = last
@@ -928,7 +934,7 @@ class FileBackedVersionTracker(VersionTracker):
         live_seqs = [s for s, _ in live]
         if arch_last is not None and (
             (live_seqs and live_seqs[0] <= arch_last)
-            or self._archives_overlap(archives)
+            or self._archives_overlap(d, archives)
         ):
             # crash leftover / gap-fill below the archive floor, or an
             # OVERLAPPING artifact set (consolidation crash window —
@@ -1255,6 +1261,7 @@ class FileBackedVersionTracker(VersionTracker):
         dry_run: bool = False,
         consolidate: bool = False,
         max_chunk_bytes: int = 32 * 2**20,
+        lease_ttl_seconds: float = 900.0,
     ) -> dict:
         """Pack the commit files at-or-below a retained checkpoint into
         size-capped archive chunk artifacts; delete the packed files.
@@ -1298,14 +1305,17 @@ class FileBackedVersionTracker(VersionTracker):
         tracker's commit discipline: under ``use_lock`` the table flock
         is held; under CAS the floor doc advances monotonically BEFORE
         any delete and writers re-check it post-claim, so an archived
-        slot can never be silently re-claimed; in default mode archival
-        is a write operation under the same single-writer stance as
-        commits — two UNserialized archivers racing each other stay
-        safe (each retries from a fresh listing when the other's deletes
-        surface mid-pack).  Maintenance cadence, like vacuum — not a
-        per-commit step.  No reference counterpart (the reference has no
-        checkpoint or archival tier; its full-log fold is the only read
-        path)."""
+        slot can never be silently re-claimed.  Archiver-vs-ARCHIVER,
+        apply-mode runs additionally serialize on a per-table lease
+        (conditional create + ``lease_ttl_seconds`` staleness break —
+        see :meth:`_acquire_archival_lease` for why two unserialized
+        artifact mutators can lose history): a run that finds a live
+        competitor returns a no-op summary with ``"skipped_lease":
+        True`` — rerun later.  Readers whose listing goes stale under an
+        archiver retry from fresh listings as before.  Maintenance
+        cadence, like vacuum — not a per-commit step.  No reference
+        counterpart (the reference has no checkpoint or archival tier;
+        its full-log fold is the only read path)."""
         d = self._table_dir(table)
         if not self.fs.exists(self.fs.join(d, "table-metadata")):
             raise UnknownTableError(table)
@@ -1314,10 +1324,25 @@ class FileBackedVersionTracker(VersionTracker):
         if max_chunk_bytes < 4096:
             raise ValueError("max_chunk_bytes must be >= 4096")
         with self._commit_guard(d):
-            return self._archive_locked(
-                d, retain_checkpoints, through_seq, dry_run, consolidate,
-                max_chunk_bytes,
-            )
+            if dry_run:  # read-only: no artifact mutation to serialize
+                return self._archive_locked(
+                    d, retain_checkpoints, through_seq, dry_run,
+                    consolidate, max_chunk_bytes,
+                )
+            if not self._acquire_archival_lease(d, lease_ttl_seconds):
+                return {
+                    "archived": 0, "through_seq": None, "repaired": 0,
+                    "pruned_checkpoints": 0, "archive": None,
+                    "archives": [], "consolidated_artifacts": 0,
+                    "skipped_lease": True,
+                }
+            try:
+                return self._archive_locked(
+                    d, retain_checkpoints, through_seq, dry_run,
+                    consolidate, max_chunk_bytes,
+                )
+            finally:
+                self._release_archival_lease(d)
 
     def _archive_locked(
         self, d: str, retain_checkpoints: int, through_seq, dry_run: bool,
@@ -1643,6 +1668,58 @@ class FileBackedVersionTracker(VersionTracker):
                     continue
                 out["pruned_checkpoints"] += 1
         return out
+
+    def _acquire_archival_lease(self, d: str, ttl_seconds: float) -> bool:
+        """Claim the per-table ARCHIVAL lease (conditional create) that
+        serializes artifact-set MUTATORS across unserialized archivers.
+        Two concurrent apply-mode archivers are not merely racy — one's
+        step-0 repair can delete the other's partially-written chunk
+        generation, after which the other's absorb deletes remove the
+        old generation too and committed history is LOST (round-13
+        review finding).  The floor protocol protects writers-vs-
+        archiver; this lease protects archiver-vs-archiver.
+
+        Returns False when another archiver holds a live lease (the
+        caller no-ops — maintenance can rerun any time).  A lease older
+        than ``ttl_seconds`` is a crashed archiver: broken via token CAS
+        where the store has it (an unconditional remove could delete a
+        FRESH competitor's claim), best-effort remove+recreate
+        otherwise.  Under ``use_lock`` the table flock already
+        serializes archivers; a backend without conditional create keeps
+        the documented single-archiver stance."""
+        if self._use_lock or not self.fs.supports_put_if_absent():
+            return True
+        path = self.fs.join(d, _ARCHIVE_LEASE_FILE)
+        doc = json.dumps({"ts": time.time()})
+        if self.fs.write_text_if_absent(path, doc):
+            return True
+        token = None
+        try:
+            if self.fs.supports_put_if_match():
+                cur, token = self.fs.read_text_and_token(path)
+            else:
+                cur = self.fs.read_text(path)
+            ts = float(json.loads(cur).get("ts", 0.0))
+        except FileNotFoundError:
+            # freed between the claim and the read: one more attempt
+            return self.fs.write_text_if_absent(path, doc)
+        except (ValueError, TypeError, KeyError):
+            ts = 0.0  # corrupt lease: treat as stale
+        if time.time() - ts <= ttl_seconds:
+            return False  # live competitor
+        if token is not None:
+            return self.fs.write_text_if_match(path, doc, token)
+        try:
+            self.fs.remove_file(path)
+        except FileNotFoundError:
+            pass
+        return self.fs.write_text_if_absent(path, doc)
+
+    def _release_archival_lease(self, d: str) -> None:
+        try:
+            self.fs.remove_file(self.fs.join(d, _ARCHIVE_LEASE_FILE))
+        except FileNotFoundError:
+            pass
 
     def _write_floor(self, d: str, seq: int, n_archived: int) -> None:
         """Advance the archive-floor doc, monotonic on seq (token CAS

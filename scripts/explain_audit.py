@@ -30,7 +30,7 @@ HEADLINE = [
     "q_tpch_q3", "q_token_count", "q_repetition_signals",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
     "q_dedup_simhash_pairs", "q_dedup_embedding", "q_dedup_clusters",
-    "q_ann_cosine_topk", "q_ann_ivf", "q_ann_index_search", "q_mm_decode_meta",
+    "q_ann_cosine_topk", "q_ann_index_search", "q_mm_decode_meta",
     "q_asof_join", "q_range_join", "q_sessionize", "q_curate_corpus",
     "q_pack_sequences", "q_training_shards", "q_stratified_sample",
     # round 8 (the q_updates_log adjudication): the log-algebra rows are
@@ -58,7 +58,7 @@ PYTHON_OK = {"q_mm_decode_meta"}  # frame-sample merged in (round 10)
 # queries whose scans MUST show pushed filters (a selective predicate on a
 # parquet source); pushed_filter_scans == 0 here means pushdown broke
 EXPECT_PUSHDOWN = {"q_partition_filter", "q_tpch_q3", "q_ann_cosine_topk",
-                   "q_ann_ivf", "q_ann_index_search", "q_asof_join",
+                   "q_ann_index_search", "q_asof_join",
                    "q_range_join"}
 
 

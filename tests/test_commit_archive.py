@@ -527,7 +527,7 @@ def test_consolidation_crash_overlap_repairs(tmp_path):
     real_remove = tr.fs.remove_file
 
     def dying_remove(path):
-        if "archive_" in path.rsplit("/", 1)[-1]:
+        if path.rsplit("/", 1)[-1].startswith("archive_"):
             raise OSError("injected crash before artifact delete")
         return real_remove(path)
 
@@ -719,7 +719,7 @@ def test_crash_mid_chunk_writes_rolls_back_partial_generation(tmp_path):
     real_put = tr.fs.write_text_if_absent
 
     def dying_put(path, text):
-        if "archive_" in path.rsplit("/", 1)[-1]:
+        if path.rsplit("/", 1)[-1].startswith("archive_"):
             writes["n"] += 1
             if writes["n"] >= 2:
                 raise OSError("injected crash between chunk writes")
@@ -1010,7 +1010,7 @@ def test_no_checkpoint_cut_while_artifacts_overlap(tmp_path):
     real_remove = tr.fs.remove_file
 
     def dying_remove(path):
-        if "archive_" in path.rsplit("/", 1)[-1]:
+        if path.rsplit("/", 1)[-1].startswith("archive_"):
             raise OSError("injected crash before artifact delete")
         return real_remove(path)
 
@@ -1022,7 +1022,7 @@ def test_no_checkpoint_cut_while_artifacts_overlap(tmp_path):
         )
     tr.fs.remove_file = real_remove
     assert tr._archives_overlap(
-        [a for a in tr._scan_dir(d)[1]]
+        d, [a for a in tr._scan_dir(d)[1]]
     )
 
     cks_before = {
@@ -1039,7 +1039,7 @@ def test_no_checkpoint_cut_while_artifacts_overlap(tmp_path):
     # and the fast path answers without waiting out a poisoned cut
     out = tr.archive_commits(T, retain_checkpoints=1)
     assert out["consolidated_artifacts"] >= 1
-    assert not tr._archives_overlap([a for a in tr._scan_dir(d)[1]])
+    assert not tr._archives_overlap(d, [a for a in tr._scan_dir(d)[1]])
     for i in range(55, 66):
         _commit(tr, i)
     assert len({
@@ -1116,3 +1116,100 @@ def test_disjoint_cover_degrades_on_non_slice_artifact():
     assert _select_disjoint_cover(arts) == {"a", "b"}
     arts = {"a": (1, 2, 3, 4, 5), "b": (2, 4)}  # b skips 3 (in union)
     assert _select_disjoint_cover(arts) == {"a", "b"}  # declined: keep all
+
+
+def test_disjoint_legacy_blobs_do_not_stall_checkpoints(tmp_path):
+    """Round-13 review finding: two DISJOINT legacy round-12 blob names
+    (no first- part) must NOT read as permanently overlapping — an
+    upgraded table would otherwise never cut another checkpoint.  The
+    overlap check resolves a legacy name's true first seq through the
+    seq cache instead."""
+    tr = _build(str(tmp_path), 30, interval=5)
+    tr.archive_commits(T, retain_checkpoints=1)
+    for i in range(30, 60):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=1)
+    d = tr._table_dir(T)
+    # rewrite both chunk artifacts under legacy (bound-less) names
+    import zlib
+
+    for name in _archives(tr):
+        body = tr.fs.read_text(tr.fs.join(d, name))
+        parsed = json.loads(body)
+        crc = zlib.crc32(body.encode()) & 0xFFFFFFFF
+        lname = (
+            f"archive_{parsed['last_seq']:013d}"
+            f"_{parsed['n']:08d}_{crc:08x}.json"
+        )
+        tr.fs.write_text(tr.fs.join(d, lname), body)
+        tr.fs.remove_file(tr.fs.join(d, name))
+    legacy = _archives(tr)
+    assert all(n.count("-") == 0 for n in legacy)
+
+    from tests.test_commit_archive import _ARCHIVE_FILE_RE  # self-import ok
+
+    fresh = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    archives = fresh._scan_dir(d)[1]
+    assert not fresh._archives_overlap(d, archives)  # disjoint: no flag
+    # checkpoints keep cutting on an upgraded table
+    cks_before = {
+        n for n in fresh.fs.list_dir(d) if n.startswith("checkpoint_")
+    }
+    for i in range(60, 72):
+        _commit(fresh, i)
+    cks_after = {
+        n for n in fresh.fs.list_dir(d) if n.startswith("checkpoint_")
+    }
+    assert len(cks_after) > len(cks_before)
+    assert fresh.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_archival_lease_serializes_apply_runs(tmp_path):
+    """Round-13 review finding (archiver-vs-archiver history loss): an
+    apply-mode archive_commits that finds another archiver's LIVE lease
+    no-ops with skipped_lease=True and mutates nothing; a STALE lease
+    (crashed archiver past the TTL) is broken and the run proceeds; the
+    lease is released even when the run dies mid-flight."""
+    tr = _build(str(tmp_path), 40, interval=5)
+    d = tr._table_dir(T)
+    lease = tr.fs.join(d, "_archive_lease")
+
+    # live competitor: no-op, nothing mutated
+    tr.fs.write_text(lease, json.dumps({"ts": __import__("time").time()}))
+    before_files = sorted(tr.fs.list_dir(d))
+    out = tr.archive_commits(T, retain_checkpoints=1)
+    assert out.get("skipped_lease") is True and out["archived"] == 0
+    assert sorted(tr.fs.list_dir(d)) == before_files
+    # dry-run is read-only: allowed through a held lease
+    dry = tr.archive_commits(T, retain_checkpoints=1, dry_run=True)
+    assert dry["archived"] > 0 and "skipped_lease" not in dry
+
+    # stale competitor: broken, run proceeds, lease cleaned up
+    tr.fs.write_text(lease, json.dumps({"ts": 12345.0}))
+    out2 = tr.archive_commits(
+        T, retain_checkpoints=1, lease_ttl_seconds=60.0
+    )
+    assert out2["archived"] > 0
+    assert not tr.fs.exists(lease)
+
+    # a crash mid-run still releases the in-process lease (try/finally)
+    for i in range(40, 60):
+        _commit(tr, i)
+    real_remove = tr.fs.remove_file
+    calls = {"n": 0}
+
+    def dying(path):
+        if "table_update_" in path and calls["n"] >= 1:
+            raise OSError("injected")
+        calls["n"] += 1
+        return real_remove(path)
+
+    tr.fs.remove_file = dying
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(T, retain_checkpoints=1)
+    tr.fs.remove_file = real_remove
+    assert not tr.fs.exists(lease)
+    # and the next run repairs as usual
+    out3 = tr.archive_commits(T, retain_checkpoints=1)
+    assert out3["repaired"] > 0 or out3["archived"] >= 0
+    assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
