@@ -141,8 +141,17 @@ def commit_log_df(
             "cannot see them; use a local path or an object store"
         )
     d = tracker._table_dir(table)
+    # Spark's Hadoop layer has no handler for the bare "s3" scheme the
+    # tracker's object-store backends use — map to s3a (the standard
+    # hadoop-aws connector scheme) so the same tracker config serves
+    # both the driver-side log and the distributed read; executors still
+    # need hadoop-aws on the classpath, which fails loudly if absent
+    spark_d = "s3a://" + d[len("s3://"):] if d.startswith("s3://") else d
     names = tracker.fs.list_dir(d)
-    has_live = any(_UPDATE_FILE_RE.match(n) for n in names)
+    live_seqs = sorted(
+        int(m.group(1)) for n in names if (m := _UPDATE_FILE_RE.match(n))
+    )
+    has_live = bool(live_seqs)
     arch_names = [n for n in names if _ARCHIVE_FILE_RE.match(n)]
     # pre-format-3 artifacts are exactly the legacy blob names (no
     # first- part) — decidable from the listing already in hand, no
@@ -161,7 +170,7 @@ def commit_log_df(
         parts.append(
             spark.read.schema(UPDATE_JSON_SCHEMA)
             .option("ignoreMissingFiles", "false")
-            .json(tracker.fs.join(d, "table_update_*.json"))
+            .json(tracker.fs.join(spark_d, "table_update_*.json"))
             .withColumn(
                 "seq",
                 F.regexp_extract(
@@ -174,7 +183,7 @@ def commit_log_df(
         raw = (
             spark.read.schema(_ARCHIVE_BODY_SCHEMA)
             .option("ignoreMissingFiles", "false")
-            .json(tracker.fs.join(d, "archive_*.json"))
+            .json(tracker.fs.join(spark_d, "archive_*.json"))
         )
         parts.append(
             raw.select(F.explode("entries").alias("e"))
@@ -209,17 +218,31 @@ def commit_log_df(
             ]
         )
         return spark.createDataFrame([], empty)
-    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if len(parts) == 1:
-        return out
+        return parts[0]
+    out = parts[0].unionByName(parts[1])
     # crash-leftover duplicate slots hold IDENTICAL commits (floor
-    # protocol); keep one per seq, preferring the live copy — the same
-    # rule as the driver-side merge (_merged_updates: live wins)
+    # protocol) and can only be LIVE files at-or-below the highest
+    # archived seq — a set the directory listing already names.  The
+    # common no-crash case has none: plain union, no shuffle.  With
+    # leftovers, only the rows in those few seqs ride the dedup window
+    # (live wins, the driver-side _merged_updates rule); shuffling the
+    # whole 10⁶-commit log by seq to dedup a handful of slots would put
+    # a full-log Exchange on every read.
+    arch_last = max(
+        int(_ARCHIVE_FILE_RE.match(n).group("last")) for n in arch_names
+    )
+    dup_seqs = [s for s in live_seqs if s <= arch_last]
+    if not dup_seqs:
+        return out
     from pyspark.sql.window import Window
 
+    clean = out.where(~F.col("seq").isin(dup_seqs))
+    dups = out.where(F.col("seq").isin(dup_seqs))
     w = Window.partitionBy("seq").orderBy(F.col("archived").asc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        dups.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return clean.unionByName(deduped)
