@@ -43,8 +43,10 @@ The commit-file-per-commit design is the same shape as a Delta log
 directory, so the live log is also readable distributed via
 ``spark.read.json(<root>/_chronicles_table_*/table_update_*.json)``
 (after :meth:`archive_commits`, archived history lives in
-``archive_*.json`` artifacts whose ``entries`` hold the same update
-documents — the tracker surfaces merge both transparently).
+``archive_*.json`` chunk artifacts whose ``entries`` hold the same
+update documents — the tracker surfaces merge both transparently, and
+``spark/log_reader.py::commit_log_df`` is the distributed read that
+merges live files + archived chunks into one DataFrame).
 
 Fold checkpoints (beyond reference parity; Delta-checkpoint-style):
 every ``checkpoint_interval`` commits the tracker persists the folded
