@@ -1213,3 +1213,89 @@ def test_archival_lease_serializes_apply_runs(tmp_path):
     out3 = tr.archive_commits(T, retain_checkpoints=1)
     assert out3["repaired"] > 0 or out3["archived"] >= 0
     assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_consolidation_crash_sweep_every_mutation_point(tmp_path):
+    """Systematic crash sweep: inject a failure at the k-th MUTATING
+    filesystem op (chunk write / any delete) of a consolidating run, for
+    every k until a run completes uninjected.  After every crash point:
+    reads equal the ground truth (nothing lost, nothing duplicated), the
+    next run's repair converges to a disjoint cover, and a second repair
+    is a no-op — the hand-picked crash tests, generalized."""
+    k = 1
+    while True:
+        root = str(tmp_path / f"sweep{k}")
+        tr = FileBackedVersionTracker(root, checkpoint_interval=10)
+        tr.init_table(T, is_snapshot=False, user_id="u")
+        for i in range(60):
+            _commit(tr, i)
+        tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+        for i in range(60, 90):
+            _commit(tr, i)
+        tr.archive_commits(T, retain_checkpoints=1, max_chunk_bytes=4096)
+        want_ids = [
+            u.metadata.commit_id for u in tr.table_state(T).updates
+        ]
+
+        ops = {"n": 0}
+        real_put = tr.fs.write_text_if_absent
+        real_remove = tr.fs.remove_file
+
+        def _tick():
+            ops["n"] += 1
+            if ops["n"] == k:
+                raise OSError(f"injected at mutation {k}")
+
+        def put(path, text):
+            if path.rsplit("/", 1)[-1].startswith("archive_"):
+                _tick()
+            return real_put(path, text)
+
+        def remove(path):
+            bn = path.rsplit("/", 1)[-1]
+            if bn != "_archive_lease":
+                _tick()
+            return real_remove(path)
+
+        tr.fs.write_text_if_absent = put
+        tr.fs.remove_file = remove
+        crashed = True
+        try:
+            tr.archive_commits(
+                T, retain_checkpoints=1, consolidate=True,
+                max_chunk_bytes=8192,
+            )
+            crashed = False
+        except OSError:
+            pass
+        finally:
+            tr.fs.write_text_if_absent = real_put
+            tr.fs.remove_file = real_remove
+
+        # reads correct at EVERY crash point, on a cold tracker
+        _clear_archive_caches()
+        fresh = FileBackedVersionTracker(root, checkpoint_interval=10)
+        got = [u.metadata.commit_id for u in fresh.table_state(T).updates]
+        assert got == want_ids, f"crash point {k} corrupted reads"
+        assert fresh.update_count(T) == len(want_ids)
+
+        # repair converges: disjoint cover, idempotent second pass
+        fresh.archive_commits(T, retain_checkpoints=1)
+        spans = []
+        for n in _archives(fresh):
+            m = _ARCHIVE_FILE_RE.match(n)
+            spans.append((int(m.group("first")), int(m.group("last"))))
+        spans.sort()
+        assert all(
+            b[0] > a[1] for a, b in zip(spans, spans[1:])
+        ), f"crash point {k}: overlapping artifacts after repair"
+        again = fresh.archive_commits(T, retain_checkpoints=1)
+        assert again["consolidated_artifacts"] == 0
+        assert [
+            u.metadata.commit_id for u in fresh.table_state(T).updates
+        ] == want_ids
+
+        if not crashed:
+            break  # k exceeded the run's mutation count: sweep complete
+        k += 1
+    assert k >= 8, f"sweep covered only {k} mutation points"
