@@ -164,16 +164,27 @@ _VERSIONED_EVENTS_CACHE: dict = {}
 _LOG_READ_CACHE: dict = {}
 
 
-def _log_read_fixture(sf_dir: str):
+def _log_read_fixture(sf_dir: str = "shared"):
     """Tracker-only fixture for q_log_json_read: a 40-commit log whose
     older half is archived into several size-capped chunk artifacts
     (4 KiB cap), so the distributed read exercises BOTH the live-glob
-    and the archived-chunk legs.  Memoized per sf_dir (bench times the
-    read, not fixture construction); independent of the shared
+    and the archived-chunk legs.  Independent of the shared
     `_write_versioned_events` fixture so archiving here never perturbs
-    the other lifecycle rows' memoized state."""
-    if sf_dir in _LOG_READ_CACHE:
-        return _LOG_READ_CACHE[sf_dir]
+    the other lifecycle rows' memoized state.
+
+    Round 14 (VERDICT r13 #2 — the row gained a DuckDB oracle): the
+    fixture is sf-INDEPENDENT (purely synthetic log), so it is built
+    ONCE at a fixed path and published atomically via rename — the
+    oracle SQL embeds this path in its ``read_json`` calls, and the
+    atomic publish guarantees the Spark query and the DuckDB oracle
+    read the SAME bytes even when evaluated by different processes
+    (the loser of a concurrent-build rename race discards its staging
+    copy and reuses the winner's)."""
+    import os
+    import shutil
+
+    if _LOG_READ_CACHE:
+        return next(iter(_LOG_READ_CACHE.values()))
     from chronicles_spark.core.ops import (
         AddPartitionVersion,
         TableUpdate,
@@ -181,29 +192,38 @@ def _log_read_fixture(sf_dir: str):
     )
     from chronicles_spark.core.version import generate_version
 
-    tmp = tempfile.mkdtemp(prefix="chronicles_logread_")
-    tracker = FileBackedVersionTracker(tmp, checkpoint_interval=5)
     table = TableName("demo", "logread")
-    tracker.init_table(table, is_snapshot=False, user_id="q")
-    for i in range(40):
-        tracker.commit(
-            table,
-            TableUpdate(
-                TableUpdateMetadata.new("q", f"w{i}"),
-                (AddPartitionVersion(
-                    Partition.of(("p", str(i % 8))), generate_version()
-                ),),
-            ),
+    base = os.path.join(tempfile.gettempdir(), "chronicles_logread_f3")
+    if not os.path.isdir(base):
+        stage_root = tempfile.mkdtemp(prefix="chronicles_logread_build_")
+        stage = os.path.join(stage_root, "log")
+        tracker = FileBackedVersionTracker(stage, checkpoint_interval=5)
+        tracker.init_table(table, is_snapshot=False, user_id="q")
+        for i in range(40):
+            tracker.commit(
+                table,
+                TableUpdate(
+                    TableUpdateMetadata.new("q", f"w{i}"),
+                    (AddPartitionVersion(
+                        Partition.of(("p", str(i % 8))), generate_version()
+                    ),),
+                ),
+            )
+        out = tracker.archive_commits(
+            table, retain_checkpoints=1, max_chunk_bytes=4096
         )
-    out = tracker.archive_commits(
-        table, retain_checkpoints=1, max_chunk_bytes=4096
-    )
-    if len(out["archives"]) < 2:
-        raise AssertionError(
-            "log-read fixture expected several archive chunks, got "
-            f"{out['archives']}"
-        )
-    _LOG_READ_CACHE[sf_dir] = (table, tracker)
+        if len(out["archives"]) < 2:
+            raise AssertionError(
+                "log-read fixture expected several archive chunks, got "
+                f"{out['archives']}"
+            )
+        try:
+            os.rename(stage, base)
+        except OSError:
+            pass  # a concurrent build won the publish: use theirs
+        shutil.rmtree(stage_root, ignore_errors=True)
+    tracker = FileBackedVersionTracker(base, checkpoint_interval=5)
+    _LOG_READ_CACHE["shared"] = (table, tracker)
     return table, tracker
 
 
@@ -1067,6 +1087,7 @@ _SIMHASH_MAX_BAND_FREQ = 200  # same guard for simhash band pieces
 _COSINE_DEDUP_THRESHOLD = 0.4
 _EMB_DIM = 64
 _EMB_LSH_PLANES = 16
+_SEMD_K = 8  # q_semantic_dedup: injected centroids = embeddings of vec_id < k
 _EMB_LSH_BANDS = 4
 
 
@@ -1178,6 +1199,87 @@ SELECT id_a, id_b, cosine FROM (
   FROM cand c
   JOIN v va ON va.vec_id = c.id_a
   JOIN v vb ON vb.vec_id = c.id_b
+) s
+WHERE cosine >= {threshold}
+"""
+    )
+
+
+def _log_json_oracle_sql() -> str:
+    """DuckDB twin of q_log_json_read (VERDICT r13 #2): ``read_json``
+    over the SAME live ``table_update_*.json`` files and ``archive_*``
+    chunk artifacts the distributed ``commit_log_df`` read scans —
+    column-for-column the schemas of spark/log_reader.py, with the
+    archived/live split decided by which glob a row came from (exactly
+    the reader's rule; the fixture has no crash-leftover duplicate
+    slots, so plain UNION ALL mirrors the reader's no-dedup fast path).
+    Building the SQL constructs (or reuses) the fixed-path fixture, so
+    the text is valid whenever it runs."""
+    table, tracker = _log_read_fixture()
+    d = tracker._table_dir(table)
+    op = (
+        'STRUCT("type" VARCHAR, "partition" VARCHAR, version VARCHAR, '
+        "table_name VARCHAR, is_snapshot BOOLEAN)"
+    )
+    return f"""
+WITH live AS (
+  SELECT commit_id, user_id, message, operations, FALSE AS archived
+  FROM read_json('{d}/table_update_*.json',
+    columns={{commit_id: 'VARCHAR', user_id: 'VARCHAR', message: 'VARCHAR',
+             timestamp: 'VARCHAR', operations: '{op}[]'}})
+),
+arch0 AS (
+  SELECT unnest(entries) AS e
+  FROM read_json('{d}/archive_*.json',
+    columns={{entries: 'STRUCT(s BIGINT, u STRUCT(commit_id VARCHAR,
+             user_id VARCHAR, message VARCHAR, timestamp VARCHAR,
+             operations {op}[]))[]'}})
+),
+arch AS (
+  SELECT e.u.commit_id AS commit_id, e.u.user_id AS user_id,
+         e.u.message AS message, e.u.operations AS operations,
+         TRUE AS archived
+  FROM arch0
+),
+allc AS (SELECT * FROM live UNION ALL SELECT * FROM arch)
+SELECT commit_id, user_id, message, archived,
+       CAST(i - 1 AS BIGINT) AS op_index,
+       operations[i]."type" AS op_type,
+       operations[i]."partition" AS "partition"
+FROM allc, UNNEST(range(1, len(operations) + 1)) AS u(i)
+"""
+
+
+def _semantic_dedup_sql(k: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of DD.semantic_dedup under injected centroids
+    (= the embeddings of the k lowest vec_ids): squared-L2 argmin
+    assignment with ties to the lowest centroid id (_assign_nearest's
+    exact tie-break), in-cluster pairs, round-6 cosine verify."""
+    return (
+        _EMB_V_CTE
+        + f""",
+c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {k}),
+d AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(range(1, {dim + 1}),
+           i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS dist
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM d
+  ) r WHERE rn = 1
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, """
+        + _COS_SQL.format(a="va.v", b="vb.v")
+        + f""" AS cosine
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
 ) s
 WHERE cosine >= {threshold}
 """
@@ -1375,7 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_log_json_read(spark, sf):
-        # V15 (rows-only): the commit log is itself distributed-readable —
+        # V15: the commit log is itself distributed-readable —
         # one JSON file per commit, Delta-log style (JsonCodecs.scala:18-135,
         # FileBackedVersionTracker.scala:157-175).  Round 13: the read goes
         # through spark/log_reader.py::commit_log_df, which merges LIVE
@@ -1414,7 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.posexplode("operations").alias("op_index", "op"),
             )
             .select(
-                "commit_id", "user_id", "message", "archived", "op_index",
+                "commit_id", "user_id", "message", "archived",
+                F.col("op_index").cast("long").alias("op_index"),
                 F.col("op.type").alias("op_type"),
                 F.col("op.partition").alias("partition"),
             )
@@ -1578,8 +1681,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_top_ngrams(spark, sf):
+        # round-14 merge (the CLAUDE-named next candidate, executed to
+        # free the slot for q_semantic_dedup): corpus top-ngrams AND
+        # benchmark decontamination share the documents n-gram fixture —
+        # union tagged by `kind` (the q_ann_cosine_topk precedent), with
+        # each leg's columns aliased to one (key, metric_a, metric_b)
+        # shape so EVERY column of both former rows stays hash-checked:
+        # top_ngrams → (ngram, rnk, doc_freq); contamination →
+        # (doc_id, n_hits, NULL).
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        return _longify(TX.top_ngrams(docs, n=2, k=50))
+        top = _longify(TX.top_ngrams(docs, n=2, k=50)).select(
+            F.lit("top_ngrams").alias("kind"),
+            F.col("ngram").alias("key"),
+            F.col("rnk").alias("metric_a"),
+            F.col("doc_freq").alias("metric_b"),
+        )
+        benchmark = docs.where("doc_id < 5")
+        cont = _longify(
+            TX.flag_contaminated(
+                docs.where("doc_id >= 5"), benchmark, n=3, min_hits=2
+            )
+        ).select(
+            F.lit("contamination").alias("kind"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_hits").alias("metric_a"),
+            F.lit(None).cast("long").alias("metric_b"),
+        )
+        return top.unionByName(cont)
 
     def q_stratified_sample(spark, sf):
         # deterministic language-mix reweighting: keep all de/zh, half en,
@@ -1592,15 +1720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pack_sequences(spark, sf):
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         return _longify(TX.pack_sequences(docs, token_budget=2048, n_shards=64))
-
-    def q_contamination(spark, sf):
-        # benchmark decontamination: docs sharing >= 2 distinct 3-grams with
-        # the "eval set" (deterministically: doc_id < 5)
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        benchmark = docs.where("doc_id < 5")
-        return TX.flag_contaminated(
-            docs.where("doc_id >= 5"), benchmark, n=3, min_hits=2
-        )
 
     def q_curate_corpus(spark, sf):
         # the end-to-end composition: quality filter + near-dup cluster
@@ -1740,6 +1859,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "after extend"
             )
         return pairs
+
+    def q_semantic_dedup(spark, sf):
+        # round-14 (VERDICT r13 #5): the SemDeDup family's own
+        # HASH-CHECKED row.  The one-shot semantic_dedup runs under
+        # INJECTED deterministic centroids — the embeddings of the k
+        # lowest vec_ids, pure selection, no learning (the pq_fit
+        # iters=0 pattern) — which makes the whole recipe
+        # SQL-expressible: assignment is an argmin of squared-L2 over
+        # literal centroids (ties to the lowest centroid id, exactly
+        # _assign_nearest's tie-break), pairs are the in-cluster
+        # self-join, cosine is the house round-6 expression.  The
+        # LEARNED-centroid members (kmeans_fit + the incremental index)
+        # stay under the q_ann_ivf_kmeans gates, which ALSO pin that an
+        # extend equals this one-shot under pinned centroids.
+        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < _SEMD_K)
+            .orderBy("vec_id")
+            .collect()  # k centroid rows — metadata-scale, never the corpus
+        ]
+        return DD.semantic_dedup(
+            emb,
+            dim=_EMB_DIM,
+            n_clusters=_SEMD_K,
+            threshold=_COSINE_DEDUP_THRESHOLD,
+            centroids=cents,
+            max_cluster_size=10**9,  # skew sub-buckets off: exact contract
+        )
 
     # --- training-data pipeline: multimodal (binary) columns ---------------
 
@@ -2075,6 +2223,10 @@ GROUP BY event_type
         "q_time_travel_read": _EVENTS_ORACLE,
         # compaction rewrites the file layout, never the values
         "q_compact_roundtrip": _EVENTS_ORACLE,
+        # V15: the distributed commit-log read vs DuckDB read_json over
+        # the SAME live files + archive chunk artifacts (round 14 — the
+        # row's first value oracle; the floor-split gate stays in-query)
+        "q_log_json_read": _log_json_oracle_sql(),
         # the only partition whose version changed after the first commit
         "q_read_changes": """
 SELECT event_id, user_id, event_type, value,
@@ -2382,18 +2534,41 @@ SELECT doc_id,
 FROM documents
 """,
         "q_top_ngrams": """
-WITH grams AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS ngram
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
-        FROM documents) x,
-       UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
+  FROM documents
 ),
-counts AS (SELECT ngram, count(*) AS doc_freq FROM grams GROUP BY ngram)
-SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
-       ngram, doc_freq
-FROM counts
-ORDER BY doc_freq DESC, ngram ASC
-LIMIT 50
+grams2 AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS ngram
+  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+counts AS (SELECT ngram, count(*) AS doc_freq FROM grams2 GROUP BY ngram),
+top AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk,
+         ngram, doc_freq
+  FROM counts
+  ORDER BY doc_freq DESC, ngram ASC
+  LIMIT 50
+),
+grams3 AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+bench AS (SELECT DISTINCT ngram FROM grams3 WHERE doc_id < 5),
+cont AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams3 g JOIN bench b ON g.ngram = b.ngram
+  WHERE g.doc_id >= 5
+  GROUP BY g.doc_id
+  HAVING count(*) >= 2
+)
+SELECT 'top_ngrams' AS kind, ngram AS key,
+       CAST(rnk AS BIGINT) AS metric_a, CAST(doc_freq AS BIGINT) AS metric_b
+FROM top
+UNION ALL
+SELECT 'contamination' AS kind, doc_id::VARCHAR AS key,
+       CAST(n_hits AS BIGINT) AS metric_a, NULL::BIGINT AS metric_b
+FROM cont
 """,
         "q_stratified_sample": """
 SELECT doc_id, lang
@@ -2423,22 +2598,6 @@ SELECT doc_id, n_tokens, shard,
        CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
        CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
 FROM cums
-""",
-        "q_contamination": """
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
-  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
-),
-bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 5)
-SELECT g.doc_id, count(*) AS n_hits
-FROM grams g JOIN bench b ON g.ngram = b.ngram
-WHERE g.doc_id >= 5
-GROUP BY g.doc_id
-HAVING count(*) >= 2
 """,
         "q_curate_corpus": _MINHASH_CTES.replace("WITH docs", "WITH RECURSIVE docs", 1)
         + f""",
@@ -2526,6 +2685,9 @@ WHERE len(list_filter(range(1, 33), i -> substr(sa, CAST(i AS INT), 1)
         + "  AND (id_a % 5 = 0 OR id_b % 5 = 0)\n",
         "q_dedup_embedding": _emb_lsh_sql(
             _EMB_LSH_PLANES, _EMB_LSH_BANDS, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
+        ),
+        "q_semantic_dedup": _semantic_dedup_sql(
+            _SEMD_K, _EMB_DIM, _COSINE_DEDUP_THRESHOLD
         ),
         # binary metadata (formerly q_mm_binary_meta) + decode pass +
         # frame sampling (formerly q_mm_frame_sample, merged round 10):
