@@ -443,12 +443,45 @@ class ChroniclesStreamReader(DataSourceStreamReader):
         commit is served once the head advances.  A head parked BELOW an
         offset this stream already served is the genuine rollback case,
         handled in :meth:`latestOffset`.  ``rollback="ignore"`` keeps the
-        old tail-the-file-order behavior (serve everything)."""
+        old tail-the-file-order behavior (serve everything).
+
+        The MIRROR race also exists (round-14 fix): the caller takes its
+        listing FIRST and this method reads the head SECOND, so a writer
+        landing commit N+1 and advancing the head in that window hands us
+        a head that matches no listed seq — the head ran AHEAD of a stale
+        listing, which is an append in progress too, never corruption.
+        The head's commit file is always written before the head
+        advances, so one FRESH listing taken after our head read must
+        contain it: we locate the head there and count how many of the
+        caller's seqs sit at or below it (all of them, in the common
+        case).  Only a head matching nothing in a fresh listing is
+        corruption (the house ``_retry_vanished`` stance: retry once from
+        fresh state, then fail loudly)."""
         if not seqs:
             return 0
         if self._rollback == "ignore":
             return len(seqs)
         head = tracker.head_commit_id(name)
+        n = self._scan_for_head(tracker, name, seqs, head)
+        if n is not None:
+            return n
+        import bisect
+
+        fresh = tracker.update_seqs(name)
+        m = self._scan_for_head(tracker, name, fresh, head)
+        if m is not None:
+            return bisect.bisect_right(seqs, fresh[m - 1])
+        raise RuntimeError(
+            f"table head ({head}) does not match any commit in the log — "
+            "the log root is corrupted or points at a different table"
+        )
+
+    def _scan_for_head(self, tracker, name, seqs, head):
+        """Newest-first scan for the commit file carrying ``head``;
+        returns the 1-based count of leading seqs at or below it, or
+        ``None`` when no listed file carries the head (the caller decides
+        whether that is a stale listing or corruption).  Memoizes the
+        newest file's commit id so a steady-state poll re-parses nothing."""
         i = len(seqs) - 1
         while i >= 0:
             seq = seqs[i]
@@ -463,10 +496,7 @@ class ChroniclesStreamReader(DataSourceStreamReader):
             if cid == head:
                 return i + 1
             i -= 1
-        raise RuntimeError(
-            f"table head ({head}) does not match any commit in the log — "
-            "the log root is corrupted or points at a different table"
-        )
+        return None
 
     # -- DataSourceStreamReader API ----------------------------------------
 

@@ -22,10 +22,12 @@ glob):
 * the archived side reads O(history/max_chunk_bytes) chunk files whose
   entries explode executor-side (no driver materialization; a 300 MB
   log never touches the driver);
-* crash-leftover duplicate slots (a commit both live and archived for
-  the instant between an archive write and its deletes) hold identical
-  commits by the floor protocol — deduped by seq preferring the live
-  copy, the same rule as the driver-side ``_merged_updates``;
+* crash-leftover duplicate slots hold identical commits by the floor
+  protocol and are named by the LISTING alone — a commit both live and
+  archived (the instant between an archive write and its deletes), or
+  in two OVERLAPPING chunk artifacts (a consolidation crash before its
+  deletes) — deduped by seq preferring the live copy, the same rule as
+  the driver-side ``_merged_updates``;
 * ``seq`` (the commit-file sequence / filename timestamp) rides along,
   so incremental consumers can filter ``seq > last_seen`` and commit
   order is a plain ``ORDER BY seq``.
@@ -218,27 +220,54 @@ def commit_log_df(
             ]
         )
         return spark.createDataFrame([], empty)
-    if len(parts) == 1:
-        return parts[0]
-    out = parts[0].unionByName(parts[1])
-    # crash-leftover duplicate slots hold IDENTICAL commits (floor
-    # protocol) and can only be LIVE files at-or-below the highest
-    # archived seq — a set the directory listing already names.  The
-    # common no-crash case has none: plain union, no shuffle.  With
-    # leftovers, only the rows in those few seqs ride the dedup window
-    # (live wins, the driver-side _merged_updates rule); shuffling the
-    # whole 10⁶-commit log by seq to dedup a handful of slots would put
-    # a full-log Exchange on every read.
-    arch_last = max(
-        int(_ARCHIVE_FILE_RE.match(n).group("last")) for n in arch_names
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if not arch_names:
+        return out
+    # Crash-leftover duplicates hold IDENTICAL commits (commit files and
+    # archive entries are immutable copies of the same doc) and occupy a
+    # seq set the directory LISTING already names — two classes:
+    #  * a commit both live and archived, for the instant between an
+    #    archive's chunk writes and its deletes: exactly the live seqs
+    #    at-or-below the highest archived seq;
+    #  * a commit in TWO chunk artifacts, left by a consolidation crash
+    #    (new chunks written, old generation not yet deleted — the state
+    #    archive_commits' step-0 disjoint-cover repair removes): exactly
+    #    the intervals where two name-carried [first, last] spans
+    #    intersect (the _archives_overlap rule; legacy unbounded names
+    #    were refused above, so every span is known from its name).
+    # The common no-crash case has neither: plain union, no shuffle.
+    # With leftovers, only the rows in those seqs ride the dedup window
+    # (live wins, then any archived copy — rows are identical); shuffling
+    # the whole 10⁶-commit log by seq to dedup a handful of slots would
+    # put a full-log Exchange on every read.
+    bounds = sorted(
+        (int(m.group("first")), int(m.group("last")))
+        for n in arch_names
+        if (m := _ARCHIVE_FILE_RE.match(n))
     )
+    arch_last = bounds[-1][1] if bounds else None
+    overlaps = []  # merged intervals covered by >= 2 artifacts
+    reach = None  # furthest last-seq among spans started so far
+    for first, last in bounds:
+        if reach is not None and first <= reach:
+            lo, hi = first, min(last, reach)
+            if overlaps and lo <= overlaps[-1][1]:
+                overlaps[-1] = (overlaps[-1][0], max(overlaps[-1][1], hi))
+            else:
+                overlaps.append((lo, hi))
+        reach = last if reach is None else max(reach, last)
     dup_seqs = [s for s in live_seqs if s <= arch_last]
-    if not dup_seqs:
+    if not dup_seqs and not overlaps:
         return out
     from pyspark.sql.window import Window
 
-    clean = out.where(~F.col("seq").isin(dup_seqs))
-    dups = out.where(F.col("seq").isin(dup_seqs))
+    dup_pred = F.lit(False)
+    if dup_seqs:
+        dup_pred = dup_pred | F.col("seq").isin(dup_seqs)
+    for lo, hi in overlaps:
+        dup_pred = dup_pred | F.col("seq").between(lo, hi)
+    clean = out.where(~dup_pred)
+    dups = out.where(dup_pred)
     w = Window.partitionBy("seq").orderBy(F.col("archived").asc())
     deduped = (
         dups.withColumn("_rn", F.row_number().over(w))

@@ -125,6 +125,41 @@ def test_commit_log_df_duplicate_slot_prefers_live(spark, tmp_path):
     )["archived"] - 100  # sanity; precise split asserted via seq dedup
 
 
+def test_commit_log_df_overlapping_artifacts_dedupe(spark, tmp_path):
+    """A consolidation crash (superseding chunks written, old generation
+    not yet deleted) leaves OVERLAPPING archive artifacts — duplicate
+    slots that are archived on BOTH sides, which the live-only dedup
+    window missed (r13 advice: 46 rows served for 31 distinct commits).
+    The distributed read must detect the overlap from name-carried
+    bounds alone and serve one row per seq, equal to the driver fold."""
+    tr = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    _grow(tr, 40)
+    tr.archive_commits(T, retain_checkpoints=2, max_chunk_bytes=4096)
+    _grow(tr, 30, start=40)
+    want = _truth_rows(tr)
+
+    real_remove = tr.fs.remove_file
+
+    def dying(path):
+        # startswith, not substring: the lease/floor docs share the prefix
+        if path.rsplit("/", 1)[-1].startswith("archive_"):
+            raise OSError("injected crash before artifact delete")
+        return real_remove(path)
+
+    tr.fs.remove_file = dying
+    with pytest.raises(OSError, match="injected"):
+        tr.archive_commits(T, retain_checkpoints=1, consolidate=True)
+    tr.fs.remove_file = real_remove
+
+    df = commit_log_df(spark, tr, T)
+    rows = _df_rows(df)
+    seqs = [s for s, _ in rows]
+    assert len(seqs) == len(set(seqs))  # one row per seq through the overlap
+    assert rows == want  # equals the driver-side fold exactly
+    assert df.count() == len(want)
+
+
 def test_commit_log_df_refuses_wrong_backends(spark, tmp_path):
     with pytest.raises(ValueError, match="files-backed"):
         commit_log_df(spark, InMemoryVersionTracker(), T)
