@@ -1381,6 +1381,12 @@ class CliClient:
             consolidate=action.consolidate,
             max_chunk_bytes=action.max_chunk_bytes,
         )
+        if out.get("skipped_lease"):
+            self.console.println(
+                "Archive skipped: a competing archiver holds the lease "
+                "(rerun after it finishes, or after the TTL if it crashed)"
+            )
+            return
         verb = "Archived" if action.apply else "Would archive"
         chunks = out.get("archives") or []
         self.console.println(
@@ -1424,11 +1430,17 @@ class CliClient:
                         consolidate=action.consolidate,
                         max_chunk_bytes=action.max_chunk_bytes,
                     )
-                    parts.append(
-                        f"archive {out['archived']} commit(s)"
-                        + (f" [repair {out['repaired']}]"
-                           if out["repaired"] else "")
-                    )
+                    if out.get("skipped_lease"):
+                        # NOT a no-op: a competing archiver holds the
+                        # lease (possibly crashed and not yet stale) —
+                        # the operator must see the sweep was blocked
+                        parts.append("archive skipped (lease held)")
+                    else:
+                        parts.append(
+                            f"archive {out['archived']} commit(s)"
+                            + (f" [repair {out['repaired']}]"
+                               if out["repaired"] else "")
+                        )
                 loc = locations.get(fq)
                 if loc and not action.skip_vacuum:
                     from datetime import timedelta

@@ -71,6 +71,7 @@ import json
 import re
 import threading
 import time
+import uuid as _uuid
 import zlib
 from contextlib import contextmanager
 from typing import List
@@ -245,6 +246,7 @@ class FileBackedVersionTracker(VersionTracker):
         # the CAS post-claim check — keeps the plain-mode commit path at
         # one extra small read per DIRECTORY, not per commit
         self._floor_cache: dict = {}
+        self._lease_owner: dict = {}  # table dir → our live lease token
         # per-table-dir count of commits since the last EXACT checkpoint
         # check (the exact check lists the dir — see _maybe_checkpoint's
         # O(1) fast path); cadence hint only, never a correctness input
@@ -672,6 +674,29 @@ class FileBackedVersionTracker(VersionTracker):
         if not archives:
             return None, 0
         return archives[-1][0], sum(n for _, n, _ in archives)
+
+    @staticmethod
+    def _names_prove_disjoint(archives) -> bool:
+        """True when every artifact carries name bounds (format 3) and the
+        spans are pairwise disjoint — provable with ZERO body reads.  A
+        legacy name (no ``first-`` part) returns False: the caller must
+        resolve its true span through the body/seq cache.  This is the
+        read-free fast path of :meth:`_archives_overlap`, used by the
+        archival repair step so a healthy incremental run stays O(new
+        commits) bytes even in a fresh process."""
+        spans = []
+        for _, _, name in archives:
+            first = _archive_first_seq(name)
+            if first is None:
+                return False
+            spans.append((first, int(_ARCHIVE_FILE_RE.match(name).group("last"))))
+        spans.sort()
+        reach = None
+        for first, last in spans:
+            if reach is not None and first <= reach:
+                return False
+            reach = last if reach is None else max(reach, last)
+        return True
 
     def _archives_overlap(self, d: str, archives) -> bool:
         """True when any two artifacts' seq ranges overlap (a crash
@@ -1387,8 +1412,14 @@ class FileBackedVersionTracker(VersionTracker):
         # archived history — disjointness is what keeps the listing-only
         # count (sum of name n fields) truthful for the covers-prefix
         # guard.  Cover selection: _select_disjoint_cover (module level,
-        # hypothesis-fuzzed).
-        if len(archives) > 1:
+        # hypothesis-fuzzed).  The healthy steady state (every artifact
+        # a format-3 name whose span is disjoint from the others) is
+        # PROVEN from the listing alone — reading every artifact body
+        # here would make each incremental cron run O(archived history)
+        # bytes in a fresh process, undercutting the O(new commits)
+        # claim (r13 advice); bodies are read only when a name lacks
+        # bounds (legacy blob) or two name spans overlap.
+        if len(archives) > 1 and not self._names_prove_disjoint(archives):
             seqs_by = {}
             for _, _, name in archives:
                 try:
@@ -1692,8 +1723,10 @@ class FileBackedVersionTracker(VersionTracker):
         if self._use_lock or not self.fs.supports_put_if_absent():
             return True
         path = self.fs.join(d, _ARCHIVE_LEASE_FILE)
-        doc = json.dumps({"ts": time.time()})
+        owner = _uuid.uuid4().hex  # release matches on THIS, never blind
+        doc = json.dumps({"ts": time.time(), "owner": owner})
         if self.fs.write_text_if_absent(path, doc):
+            self._lease_owner[d] = owner
             return True
         token = None
         try:
@@ -1704,22 +1737,60 @@ class FileBackedVersionTracker(VersionTracker):
             ts = float(json.loads(cur).get("ts", 0.0))
         except FileNotFoundError:
             # freed between the claim and the read: one more attempt
-            return self.fs.write_text_if_absent(path, doc)
+            if self.fs.write_text_if_absent(path, doc):
+                self._lease_owner[d] = owner
+                return True
+            return False
         except (ValueError, TypeError, KeyError):
             ts = 0.0  # corrupt lease: treat as stale
         if time.time() - ts <= ttl_seconds:
             return False  # live competitor
         if token is not None:
-            return self.fs.write_text_if_match(path, doc, token)
+            if self.fs.write_text_if_match(path, doc, token):
+                self._lease_owner[d] = owner
+                return True
+            return False
         try:
             self.fs.remove_file(path)
         except FileNotFoundError:
             pass
-        return self.fs.write_text_if_absent(path, doc)
+        if self.fs.write_text_if_absent(path, doc):
+            self._lease_owner[d] = owner
+            return True
+        return False
 
     def _release_archival_lease(self, d: str) -> None:
+        """Release only OUR lease.  An archiver that overran its TTL and
+        was staleness-broken by a competitor must not, in its finally
+        block, delete the competitor's LIVE claim — an unconditional
+        remove here would admit a third concurrent artifact mutator,
+        exactly the history-loss scenario the lease exists to prevent
+        (r13 advice).  Ownership is the ``owner`` token stamped at
+        acquire time: token-CAS replace with an already-stale doc where
+        the store supports conditional puts (a racer re-claiming between
+        our read and the write mismatches the token and we no-op);
+        read-check-remove best effort otherwise."""
+        owner = self._lease_owner.pop(d, None)
+        if owner is None:
+            return  # never acquired (flock mode / no conditional create)
+        path = self.fs.join(d, _ARCHIVE_LEASE_FILE)
+        token = None
         try:
-            self.fs.remove_file(self.fs.join(d, _ARCHIVE_LEASE_FILE))
+            if self.fs.supports_put_if_match():
+                cur, token = self.fs.read_text_and_token(path)
+            else:
+                cur = self.fs.read_text(path)
+            if json.loads(cur).get("owner") != owner:
+                return  # a competitor staleness-broke us: their lease now
+        except FileNotFoundError:
+            return
+        except (ValueError, TypeError, KeyError):
+            pass  # corrupt doc: clearing it is safe either way
+        if token is not None:
+            self.fs.write_text_if_match(path, json.dumps({"ts": 0.0}), token)
+            return
+        try:
+            self.fs.remove_file(path)
         except FileNotFoundError:
             pass
 

@@ -1303,6 +1303,65 @@ def test_maintain_dry_run_then_apply_sweeps_lake(tmp_path):
     assert tracker.current_version(tb) == before_b
 
 
+def test_maintain_and_archive_report_lease_skip(tmp_path):
+    """A sweep blocked by a competing archiver's live lease must say so —
+    'archive 0 commit(s)' is indistinguishable from a genuine no-op, and
+    an operator cannot tell the fleet cron was blocked by a (possibly
+    crashed-and-not-yet-stale) competitor (r13 advice)."""
+    import json as _json
+    import time as _time
+
+    from chronicles_spark.core.model import Partition
+    from chronicles_spark.core.ops import (
+        AddPartitionVersion,
+        TableUpdate,
+        TableUpdateMetadata,
+    )
+    from chronicles_spark.core.version import generate_version
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    t = TableName("db", "busy")
+    tracker.init_table(t, is_snapshot=False, user_id="u")
+    for i in range(12):
+        tracker.commit(
+            t,
+            TableUpdate(
+                TableUpdateMetadata.new("u", f"w{i}"),
+                (AddPartitionVersion(
+                    Partition.of(("p", str(i % 4))), generate_version()
+                ),),
+            ),
+        )
+    lease = tracker.fs.join(tracker._table_dir(t), "_archive_lease")
+    tracker.fs.write_text(
+        lease, _json.dumps({"ts": _time.time(), "owner": "competitor"})
+    )
+
+    client.maintain(C.MaintainAction(True, retain_checkpoints=1), "u")
+    out = "\n".join(console.out)
+    assert "archive skipped (lease held)" in out
+    assert "archive 0 commit(s)" not in out
+
+    console.out.clear()
+    client.archive(C.ArchiveAction(t, 1, None, apply=True))
+    assert any("Archive skipped" in line and "lease" in line
+               for line in console.out)
+
+    # once the competitor releases, the same sweep archives for real
+    tracker.fs.remove_file(lease)
+    console.out.clear()
+    client.maintain(C.MaintainAction(True, retain_checkpoints=1), "u")
+    assert "archive skipped" not in "\n".join(console.out)
+
+
 def test_maintain_is_fail_soft_per_table(tmp_path):
     """One torn table reports an ERROR line but the sweep continues to
     the remaining tables; the verb exits non-zero at the end."""

@@ -1174,6 +1174,15 @@ def test_archival_lease_serializes_apply_runs(tmp_path):
     d = tr._table_dir(T)
     lease = tr.fs.join(d, "_archive_lease")
 
+    def lease_free():
+        # released = absent, or token-CAS tombstoned to ts=0 (the
+        # owner-scoped release on conditional-put stores, r14): either
+        # way the next acquirer claims without waiting out a TTL
+        try:
+            return float(json.loads(tr.fs.read_text(lease))["ts"]) == 0.0
+        except FileNotFoundError:
+            return True
+
     # live competitor: no-op, nothing mutated
     tr.fs.write_text(lease, json.dumps({"ts": __import__("time").time()}))
     before_files = sorted(tr.fs.list_dir(d))
@@ -1190,7 +1199,7 @@ def test_archival_lease_serializes_apply_runs(tmp_path):
         T, retain_checkpoints=1, lease_ttl_seconds=60.0
     )
     assert out2["archived"] > 0
-    assert not tr.fs.exists(lease)
+    assert lease_free()
 
     # a crash mid-run still releases the in-process lease (try/finally)
     for i in range(40, 60):
@@ -1208,11 +1217,77 @@ def test_archival_lease_serializes_apply_runs(tmp_path):
     with pytest.raises(OSError, match="injected"):
         tr.archive_commits(T, retain_checkpoints=1)
     tr.fs.remove_file = real_remove
-    assert not tr.fs.exists(lease)
+    assert lease_free()
     # and the next run repairs as usual
     out3 = tr.archive_commits(T, retain_checkpoints=1)
     assert out3["repaired"] > 0 or out3["archived"] >= 0
     assert tr.current_version(T) == _truth(str(tmp_path)).current_version(T)
+
+
+def test_lease_release_is_owner_scoped(tmp_path):
+    """An archiver that overruns its TTL and is staleness-broken by a
+    competitor must NOT, on release, clear the competitor's LIVE lease —
+    the old unconditional finally-block remove admitted a third
+    concurrent artifact mutator, exactly the history-loss scenario the
+    lease exists to prevent (r13 advice).  Ownership is the token
+    stamped at acquire time."""
+    tr_a = _build(str(tmp_path), 10, interval=5)
+    tr_b = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    d = tr_a._table_dir(T)
+    lease = tr_a.fs.join(d, "_archive_lease")
+
+    assert tr_a._acquire_archival_lease(d, ttl_seconds=3600.0)
+    # B sees A's lease as overrun (ttl=0 → instantly stale) and breaks it
+    assert tr_b._acquire_archival_lease(d, ttl_seconds=0.0)
+    b_doc = json.loads(tr_b.fs.read_text(lease))
+    assert b_doc["owner"] == tr_b._lease_owner[d]
+
+    # A's late release is a no-op on B's live claim...
+    tr_a._release_archival_lease(d)
+    assert json.loads(tr_a.fs.read_text(lease)) == b_doc
+    # ...so a third archiver still sees a LIVE lease
+    tr_c = FileBackedVersionTracker(str(tmp_path), checkpoint_interval=5)
+    assert not tr_c._acquire_archival_lease(d, ttl_seconds=3600.0)
+
+    # B's own release frees it: the next acquirer claims immediately
+    tr_b._release_archival_lease(d)
+    assert tr_c._acquire_archival_lease(d, ttl_seconds=3600.0)
+    tr_c._release_archival_lease(d)
+
+
+def test_incremental_archival_reads_no_archive_bodies(tmp_path):
+    """The steady-state incremental cron (disjoint format-3 artifacts on
+    disk) must prove step-0 disjointness from NAME bounds alone: reading
+    every artifact body per run is O(archived history) bytes in a fresh
+    process, undercutting the documented O(new commits) incremental
+    claim (r13 advice).  Bodies are read only on an actual overlap or a
+    legacy blob name."""
+    tr = _build(str(tmp_path), 60, interval=5)
+    tr.archive_commits(T, retain_checkpoints=2, max_chunk_bytes=4096)
+    for i in range(60, 120):
+        _commit(tr, i)
+    tr.archive_commits(T, retain_checkpoints=2, max_chunk_bytes=4096)
+    assert len(_archives(tr)) >= 3  # several disjoint artifacts on disk
+    for i in range(120, 150):
+        _commit(tr, i)
+
+    _clear_archive_caches()  # a FRESH cron process: no warm seq cache
+    cfs = CountingFs(tr.fs)
+    fresh = FileBackedVersionTracker(
+        str(tmp_path), fs=cfs, checkpoint_interval=5
+    )
+    out = fresh.archive_commits(
+        T, retain_checkpoints=2, max_chunk_bytes=4096
+    )
+    assert out["archived"] > 0
+    arch_reads = [
+        p for p in cfs.reads
+        if _ARCHIVE_FILE_RE.match(p.rsplit("/", 1)[-1])
+    ]
+    assert arch_reads == [], arch_reads  # zero archived bytes re-read
+    # and the archived log is still the full history
+    assert fresh.update_count(T) == 151
+    assert fresh.current_version(T) == _truth(str(tmp_path)).current_version(T)
 
 
 def test_consolidation_crash_sweep_every_mutation_point(tmp_path):
