@@ -250,10 +250,13 @@ class MaintainAction:
     maintenance sweep (round 13) — enumerate every tracked table and
     apply the cadence policies the per-table verbs expose individually:
     commit-log archival past ``--retain-checkpoints`` (files-backed
-    trackers), version-directory vacuum + artifact-sidecar sweeps for
-    tables whose storage root is given via repeatable
-    ``--location db.t=/path``, and (apply-only, Spark required)
-    folded-journal compaction for ``--compact-pairs db.pairs=db.assign``
+    trackers), version-directory vacuum + BOTH artifact-sidecar sweeps
+    (ANN and dedup families) for tables whose storage root is given via
+    repeatable ``--location db.t=/path``, journal fold catch-up for
+    ``--fold-clusters db.pairs=db.assign`` mappings (dry-run reports
+    the pending backlog from metadata alone; apply folds), and
+    (apply-only, Spark required) folded-journal compaction for
+    ``--compact-pairs db.pairs=db.assign``
     mappings.  Dry-run by default; ``--apply`` mutates.  The sweep is
     per-table fail-soft: one table's error is reported and the sweep
     continues (a fleet cron must not stop at the first torn log)."""
@@ -269,6 +272,7 @@ class MaintainAction:
     consolidate: bool = False
     sweep_orphans: bool = False
     orphan_min_age_days: float = 7.0
+    fold_clusters: tuple = ()   # ((fq_pairs, fq_assign), ...) catch-up
 
 
 @dataclass(frozen=True)
@@ -721,6 +725,14 @@ def build_parser() -> argparse.ArgumentParser:
         "need --location entries.  Runs only with --apply (it is a "
         "commit, not a delete) and needs a SparkSession",
     )
+    p_mt.add_argument(
+        "--fold-clusters", action="append", default=[],
+        metavar="PAIRS=ASSIGN",
+        help="Fold-catch-up mapping (repeatable): fold the pairs "
+        "journal's unfolded batches into its assignment table; both "
+        "need --location entries.  Dry-run reports the pending backlog "
+        "(pure metadata); --apply folds (a commit, Spark required)",
+    )
     p_mt.add_argument("--skip-archive", action="store_true")
     p_mt.add_argument("--skip-vacuum", action="store_true")
     p_mt.add_argument(
@@ -977,19 +989,23 @@ def parse_action(argv: Sequence[str]):
 
         locations = tuple(_pairs(s, "--location") for s in ns.location)
         compact = tuple(_pairs(s, "--compact-pairs") for s in ns.compact_pairs)
+        fold = tuple(_pairs(s, "--fold-clusters") for s in ns.fold_clusters)
         loc_names = {k for k, _ in locations}
-        for pairs_fq, primary_fq in compact:
-            missing = {pairs_fq, primary_fq} - loc_names
-            if missing:
-                raise CliError(
-                    "--compact-pairs needs --location entries for "
-                    f"{sorted(missing)}"
-                )
+        for flag, mappings in (
+            ("--compact-pairs", compact), ("--fold-clusters", fold)
+        ):
+            for pairs_fq, primary_fq in mappings:
+                missing = {pairs_fq, primary_fq} - loc_names
+                if missing:
+                    raise CliError(
+                        f"{flag} needs --location entries for "
+                        f"{sorted(missing)}"
+                    )
         return ns, MaintainAction(
             ns.apply, ns.retain_checkpoints, ns.keep_last,
             locations, compact, ns.skip_archive, ns.skip_vacuum,
             ns.max_chunk_bytes, ns.consolidate, ns.sweep_orphans,
-            ns.orphan_min_age_days,
+            ns.orphan_min_age_days, fold_clusters=fold,
         )
     if ns.command == "index":
         if ns.operation in ("build", "extend") and not ns.input:
@@ -1404,9 +1420,13 @@ class CliClient:
         per-table verbs.  Policies per tracked table, fail-soft (one torn
         table must not stop the fleet's cron): commit-log archival (files
         trackers), then — for tables with a ``--location`` mapping —
-        version-directory vacuum plus the index families' artifact-sidecar
-        sweeps, then (apply-only) folded-journal compaction for declared
-        pairs mappings.  Everything dry-runs by default and prints one
+        version-directory vacuum plus BOTH index families' artifact-
+        sidecar sweeps (ANN and dedup — each mints one geometry sidecar
+        per micro-batch at streaming cadence), then journal fold
+        catch-up for ``--fold-clusters`` mappings (dry-run counts the
+        backlog via :func:`pending_fold_labels`, no Spark), then
+        (apply-only) folded-journal compaction for ``--compact-pairs``
+        mappings.  Everything dry-runs by default and prints one
         summary line per table."""
         tracker = self.delegate.tracker
         dry = not action.apply
@@ -1446,6 +1466,9 @@ class CliClient:
                     from datetime import timedelta
 
                     from .operators.ann_index import vacuum_ann_artifacts
+                    from .operators.dedup_index import (
+                        vacuum_dedup_artifacts,
+                    )
                     from .spark.vacuum import vacuum as run_vacuum
 
                     is_snapshot = tracker.is_snapshot_table(t)
@@ -1463,7 +1486,17 @@ class CliClient:
                             days=action.orphan_min_age_days
                         ),
                     )
+                    # BOTH sidecar families: at streaming cadence the
+                    # dedup indexes mint one geometry sidecar per
+                    # micro-batch too — a fleet running only `maintain`
+                    # must not re-accumulate exactly those orphans
                     sidecars = vacuum_ann_artifacts(tdef, tracker, dry_run=dry)
+                    sidecars += vacuum_dedup_artifacts(
+                        tdef, tracker, dry_run=dry,
+                        orphan_min_age=timedelta(
+                            days=action.orphan_min_age_days
+                        ),
+                    )
                     parts.append(
                         f"vacuum {len(doomed)} version dir(s), "
                         f"{len(sidecars)} sidecar(s)"
@@ -1475,6 +1508,51 @@ class CliClient:
             self.console.println(
                 f"{fq}: {verb} — " + ("; ".join(parts) if parts else "no-op")
             )
+        for pairs_fq, assign_fq in action.fold_clusters:
+            # fold BEFORE compact: a sweep's fresh folds become folded
+            # partitions the same sweep's compaction may consolidate
+            try:
+                from .operators import cluster_index as CX
+
+                pt = TableDefinition(
+                    _table_name(pairs_fq), locations[pairs_fq],
+                    PartitionSchema((CX.PAIRS_BATCH_COL,)),
+                )
+                at = TableDefinition(
+                    _table_name(assign_fq), locations[assign_fq],
+                    PartitionSchema((CX.DOC_SHARD_COL,)),
+                )
+                pending = CX.pending_fold_labels(tracker, pt, at)
+                if dry:
+                    # pure metadata: the backlog an apply run would fold
+                    self.console.println(
+                        f"{pairs_fq}: would fold {len(pending)} pending "
+                        f"journal batch(es) into {assign_fq}"
+                    )
+                    continue
+                if not pending:
+                    self.console.println(
+                        f"{pairs_fq}: no pending journal batches"
+                    )
+                    continue
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.builder.getOrCreate()
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                folded = CX.fold_new_dedup_pairs(
+                    spark, pt, at, tracker, user_id=user_id
+                )
+                self.console.println(
+                    f"{pairs_fq}: folded {len(folded)} journal "
+                    f"batch(es) into {assign_fq}"
+                )
+            except Exception as e:  # fail-soft, same stance
+                errors += 1
+                self.console.println(
+                    f"{pairs_fq}: ERROR {type(e).__name__}: {e}"
+                )
         for pairs_fq, primary_fq in action.compact_pairs:
             if dry:
                 self.console.println(

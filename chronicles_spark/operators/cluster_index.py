@@ -858,6 +858,36 @@ def _fold_batch(
     return changed, new_state, new_arts
 
 
+def pending_fold_labels(
+    tracker,
+    pairs_table: TableDefinition,
+    table: TableDefinition,
+    _pstate=None,
+) -> list:
+    """Journal ``batch=<label>`` partitions not yet stamped
+    ``[folds:<label>]`` on the assignment table, in label order — the
+    fold BACKLOG.  Pure metadata (two O(tail) log reads, no Spark), so
+    a maintenance sweep's dry-run can report what an apply run would
+    fold without starting a session; :func:`fold_new_dedup_pairs` folds
+    exactly this list (dry-run/apply parity by construction).
+    Consolidated partitions (``folded-`` prefix) hold only
+    already-folded pairs by construction — never fold candidates."""
+    pstate = _pstate if _pstate is not None else tracker.current_version(
+        pairs_table.name
+    )
+    if not isinstance(pstate, PartitionedTableVersion):
+        raise ValueError("pairs journal is partitioned by batch")
+    labels = sorted(
+        dict(p.column_values)[PAIRS_BATCH_COL]
+        for p in pstate.partition_versions
+    )
+    done = folded_batch_labels(tracker, table)
+    return [
+        l for l in labels
+        if l not in done and not l.startswith(FOLDED_BATCH_PREFIX)
+    ]
+
+
 def fold_new_dedup_pairs(
     spark: SparkSession,
     pairs_table: TableDefinition,
@@ -892,19 +922,7 @@ def fold_new_dedup_pairs(
     if coalesce_batches < 1:
         raise ValueError("coalesce_batches must be >= 1")
     pstate = tracker.current_version(pairs_table.name)
-    if not isinstance(pstate, PartitionedTableVersion):
-        raise ValueError("pairs journal is partitioned by batch")
-    labels = sorted(
-        dict(p.column_values)[PAIRS_BATCH_COL]
-        for p in pstate.partition_versions
-    )
-    done = folded_batch_labels(tracker, table)
-    # consolidated partitions (compact_dedup_pairs) hold only
-    # already-folded pairs by construction — never fold candidates
-    todo = [
-        l for l in labels
-        if l not in done and not l.startswith(FOLDED_BATCH_PREFIX)
-    ]
+    todo = pending_fold_labels(tracker, pairs_table, table, _pstate=pstate)
     folded = []
     for i in range(0, len(todo), coalesce_batches):
         chunk = todo[i:i + coalesce_batches]

@@ -1303,6 +1303,130 @@ def test_maintain_dry_run_then_apply_sweeps_lake(tmp_path):
     assert tracker.current_version(tb) == before_b
 
 
+def test_maintain_sweeps_dedup_sidecars_and_folds_journal(spark, tmp_path):
+    """Round-14 directive #3: the fleet cron must also reclaim the DEDUP
+    families' aged sidecars (one geometry sidecar per micro-batch at
+    streaming cadence — running only `maintain` re-accumulated exactly
+    those orphans) and catch the assignment table up with pending
+    journal batches via --fold-clusters.  Dry-run reports the fold
+    backlog from metadata alone and mutates nothing; apply folds
+    exactly that backlog and sweeps the superseded build's sidecar."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.core.model import (
+        PartitionSchema,
+        TableDefinition,
+    )
+    from chronicles_spark.operators import cluster_index as CX
+    from chronicles_spark.operators import dedup_index as DX
+    from chronicles_spark.trackers import FileBackedVersionTracker
+    from chronicles_spark.versioned_metastore import VersionedMetastore
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    console = C.CapturingConsole()
+    tracker = FileBackedVersionTracker(
+        str(tmp_path / "log"), checkpoint_interval=5
+    )
+    client = C.CliClient(
+        VersionedMetastore(tracker, C.StubMetastore()), console
+    )
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 97).cast(
+                "string"
+            ),
+        )
+        for j in range(20)
+    ]
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    idx = TableDefinition(
+        TableName("db", "mdd"), str(tmp_path / "mdd"),
+        PartitionSchema((DX.BAND_SHARD_COL,)),
+    )
+    tracker.init_table(idx.name, is_snapshot=False, user_id="u")
+    pt = DX.dedup_pairs_table(idx)
+    _, a1 = DX.build_dedup_index(
+        docs.where("doc_id < 20"), idx, tracker,
+        band_shards=8, doc_shards=4,
+    )
+    _, _ = DX.build_dedup_index(  # supersedes a1: its sidecar becomes bait
+        docs.where("doc_id < 20"), idx, tracker,
+        band_shards=8, doc_shards=4, message="rebuild",
+    )
+    batch2 = docs.where("doc_id >= 20").unionByName(
+        docs.where("doc_id = 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )  # a real near-dup so the journal batch is non-empty
+    )
+    DX.extend_dedup_index(  # lands ONE pending journal batch
+        batch2, idx, tracker, threshold=0.5, pairs_table=pt,
+    )
+    assign = TableDefinition(
+        TableName("db", "massign"), str(tmp_path / "massign"),
+        PartitionSchema((CX.DOC_SHARD_COL,)),
+    )
+    tracker.init_table(assign.name, is_snapshot=False, user_id="u")
+    CX.build_dedup_clusters(
+        None, assign, tracker, doc_shards=4, cluster_shards=4
+    )
+    fs, p1 = DX._artifact_path(idx, a1.version_label)
+    assert fs.exists(p1)
+    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 1
+
+    locs = (
+        ("db.mdd", idx.location),
+        ("db.mdd_pairs", pt.location),
+        ("db.massign", assign.location),
+    )
+    fold = (("db.mdd_pairs", "db.massign"),)
+
+    client.maintain(
+        C.MaintainAction(
+            False, retain_checkpoints=1, keep_last=1,
+            locations=locs, fold_clusters=fold,
+        ),
+        "u",
+    )
+    out = "\n".join(console.out)
+    assert (
+        "db.mdd_pairs: would fold 1 pending journal batch(es) "
+        "into db.massign"
+    ) in out
+    # dry-run mutated nothing: backlog still pending, sidecar still there
+    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 1
+    assert fs.exists(p1)
+
+    console.out.clear()
+    client.maintain(
+        C.MaintainAction(
+            True, retain_checkpoints=1, keep_last=1,
+            locations=locs, fold_clusters=fold,
+        ),
+        "u",
+    )
+    out = "\n".join(console.out)
+    assert "db.mdd_pairs: folded 1 journal batch(es) into db.massign" in out
+    assert not fs.exists(p1)  # superseded build's dedup sidecar reclaimed
+    assert CX.pending_fold_labels(tracker, pt, assign) == []
+    assert CX.verify_dedup_clusters(spark, assign, tracker).count() == 0
+
+    # steady state: the next sweep has nothing to fold or reclaim
+    console.out.clear()
+    client.maintain(
+        C.MaintainAction(
+            True, retain_checkpoints=1, keep_last=1,
+            locations=locs, fold_clusters=fold,
+        ),
+        "u",
+    )
+    assert "db.mdd_pairs: no pending journal batches" in "\n".join(
+        console.out
+    )
+
+
 def test_maintain_and_archive_report_lease_skip(tmp_path):
     """A sweep blocked by a competing archiver's live lease must say so —
     'archive 0 commit(s)' is indistinguishable from a genuine no-op, and
