@@ -36,7 +36,8 @@ from ..core.markers import PAIR_MARKER_PREFIX, pair_label, pair_message
 
 __all__ = [
     "PAIR_MARKER_PREFIX", "pair_label", "pair_message", "TornPairError",
-    "check_pair", "pinned_state", "publish_group",
+    "TornGroupError", "check_pair", "pinned_state", "publish_group",
+    "read_group_states",
 ]
 
 
@@ -132,6 +133,121 @@ def pinned_state(tracker, table_name):
         None,
     )
     return fold.current_version(st.updates, base_head), base_head, found
+
+
+class TornGroupError(TornPairError):
+    """A group publication's members could not be resolved to one
+    mutually consistent generation — a member has no marker at the
+    common generation (histories diverged, a member was rolled back
+    past it, or a non-group table was passed)."""
+
+
+def _consistent_full_state(tracker, table_name):
+    """A SELF-CONSISTENT full table_state (the head's commit present in
+    the update listing) — the same race guard as :func:`pinned_state`'s
+    degrade path, for callers that need the update list itself."""
+    import random
+    import time as _t
+
+    for attempt in range(8):
+        if attempt:
+            _t.sleep(
+                min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random())
+            )
+        st = tracker.table_state(table_name)
+        if any(
+            u.metadata.commit_id == st.current_version for u in st.updates
+        ):
+            return st
+    raise RuntimeError(
+        f"could not obtain a self-consistent log read for {table_name} "
+        "after 8 attempts (head kept outrunning the commit listing)"
+    )
+
+
+def read_group_states(tracker, table_names, retries: int = 8) -> dict:
+    """ONE mutually consistent snapshot across the member tables of a
+    ``commit_group`` publication (round 14 — the pairing protocol's
+    pinned read, generalized from two fixed roles to N generic tables).
+    Returns ``{table_name: (folded_state, commit_id, group_label)}``;
+    feed each ``folded_state`` to ``spark.reader.read_version`` (or use
+    :func:`chronicles_spark.spark.read_group`).
+
+    Why: ``commit_group`` is all-or-nothing on sqlite and lock-held
+    in-memory, but the files backend appends per table in sorted order —
+    a reader resolving each member independently mid-group sees
+    A-new/B-old.  Every group publication stamps ONE shared marker label
+    on all member commits (``versioned_insert_group`` /
+    :func:`publish_group`), so consistency is decidable from the
+    metadata plane alone:
+
+    * each member resolves via :func:`pinned_state` (O(tail)); when
+      every member's newest marker label in its folded prefix AGREES,
+      that is one generation — done.  Unmarked individual commits after
+      the group commit ride along (they are per-table state, not group
+      state);
+    * disagreement means a group publish is IN FLIGHT — retry with
+      jittered backoff until the trailing members catch up (the common
+      case: the window is one commit append);
+    * if it never converges (a writer crashed mid-group), pin BACKWARD:
+      the newest generation present in EVERY member's history is the
+      min of the newest labels (labels sort by generation time), and
+      each member resolves AT its commit carrying that label — the
+      newest fully-published snapshot.  A member with no such commit
+      raises :class:`TornGroupError` (fix the lagging table by
+      re-publishing the group, the same repair stance as
+      :func:`check_pair`).
+
+    All-None labels (no member ever group-published) are trivially
+    consistent — the current pinned states are returned as-is."""
+    from ..core import fold
+
+    names = list(table_names)
+    if not names:
+        raise ValueError("read_group_states needs at least one table")
+    import random
+    import time as _t
+
+    pinned = {}
+    for attempt in range(retries):
+        if attempt:
+            _t.sleep(
+                min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random())
+            )
+        pinned = {n: pinned_state(tracker, n) for n in names}
+        if len({lbl for _, _, lbl in pinned.values()}) == 1:
+            return dict(pinned)
+    newest = {n: lbl for n, (_, _, lbl) in pinned.items()}
+    if any(lbl is None for lbl in newest.values()):
+        unmarked = sorted(
+            str(n) for n, lbl in newest.items() if lbl is None
+        )
+        raise TornGroupError(
+            f"group members {unmarked} have no group marker while others "
+            "do — they were never group-published with the rest (pass "
+            "only tables published together, or re-publish the group)"
+        )
+    target = min(newest.values())  # newest generation EVERY member has
+    out = {}
+    for n in names:
+        st = _consistent_full_state(tracker, n)
+        cid = next(
+            (
+                u.metadata.commit_id
+                for u in reversed(st.updates)
+                if pair_label(u.metadata.message) == target
+            ),
+            None,
+        )
+        if cid is None:
+            raise TornGroupError(
+                f"{n} has no commit at group generation {target!r} — the "
+                "members' histories diverged (a rollback past the common "
+                "generation, or tables from different groups); re-publish "
+                "the group to converge them"
+            )
+        out[n] = (fold.current_version(st.updates, cid), cid, target)
+    return out
 
 
 def publish_group(

@@ -9,6 +9,7 @@ from .reader import (
     read_at_timestamp,
     read_changes,
     read_current,
+    read_group,
     read_version,
 )
 from .compact import compact_partitions, zorder_column
@@ -23,6 +24,7 @@ __all__ = [
     "versioned_insert_into",
     "versioned_insert_group",
     "read_current",
+    "read_group",
     "read_version",
     "read_at_commit",
     "read_at_tag",

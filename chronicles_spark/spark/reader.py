@@ -138,6 +138,32 @@ def read_current(
     )
 
 
+def read_group(
+    spark: SparkSession,
+    tables,
+    tracker: VersionTracker,
+    keep_version_column: bool = False,
+) -> dict:
+    """DataFrames over ONE mutually consistent snapshot of a
+    ``commit_group`` publication's member tables (round 14) — a reader
+    resolving each member independently mid-group on the files backend
+    sees A-new/B-old; this resolves all members to one group generation
+    first (``operators.pairing.read_group_states``: O(tail) per member,
+    retry-forward through an in-flight group, pin-backward past a
+    crashed one).  ``tables``: TableDefinitions published together via
+    ``versioned_insert_group`` / ``publish_group``.  Returns
+    ``{table_name: DataFrame}``."""
+    from ..operators.pairing import read_group_states
+
+    states = read_group_states(tracker, [t.name for t in tables])
+    return {
+        t.name: read_version(
+            spark, t, states[t.name][0], keep_version_column
+        )
+        for t in tables
+    }
+
+
 def read_at_commit(
     spark: SparkSession,
     table: TableDefinition,

@@ -338,6 +338,15 @@ def versioned_insert_group(
 
     group: dict = {}
     meta_ts = datetime.now(timezone.utc)
+    # one GROUP marker label shared by every member commit (the pairing
+    # protocol generalized, round 14): read_group_states resolves a
+    # mutually consistent snapshot across the members by comparing the
+    # newest marker in each table's folded prefix — without it, a reader
+    # resolving each table independently mid-group sees A-new/B-old on
+    # the files backend (ordered per-table appends)
+    from ..core.markers import pair_message
+
+    stamped = pair_message(message, generate_version().label)
     for df, table in writes:
         version = generate_version()
         write_versioned(df, table, version)
@@ -349,7 +358,7 @@ def versioned_insert_group(
                 AddPartitionVersion(p, version)
                 for p in sorted(parts, key=lambda p: p.path)
             ]
-        meta = TableUpdateMetadata.new(user_id, message, meta_ts)
+        meta = TableUpdateMetadata.new(user_id, stamped, meta_ts)
         group[table.name] = TableUpdate(meta, tuple(ops))
 
     tracker.commit_group(

@@ -124,9 +124,15 @@ def test_versioned_insert_group_end_to_end(spark, tmp_path):
     assert set(states) == {docs.name, embs.name}
     assert read_current(spark, docs, tracker).count() == 4
     assert read_current(spark, embs, tracker).count() == 4
-    # both tables carry the SAME commit message = one logical batch
-    assert tracker.updates(docs.name)[0].message == "batch 7"
-    assert tracker.updates(embs.name)[0].message == "batch 7"
+    # both tables carry the SAME commit message = one logical batch,
+    # stamped with ONE shared group marker (round 14: what makes
+    # read_group_states able to resolve a consistent snapshot)
+    from chronicles_spark.core.markers import pair_label
+
+    ma = tracker.updates(docs.name)[0].message
+    mb = tracker.updates(embs.name)[0].message
+    assert ma == mb and ma.startswith("batch 7")
+    assert pair_label(ma) is not None and pair_label(ma) == pair_label(mb)
 
     # unknown table fails the whole group before any bytes are written
     ghost = TableDefinition(
@@ -269,3 +275,241 @@ def test_versioned_insert_group_optimistic(spark, tmp_path):
         [(df2, ta), (df2, tb)], tracker, "t", "grp2", expected_heads=heads
     )
     assert set(out) == {ta.name, tb.name}
+
+
+# -- round 14: group-consistent cross-table READS ----------------------------
+
+
+def _marked_group(tables, i, label=None):
+    """A group update dict stamped with ONE shared marker label — what
+    versioned_insert_group / publish_group land (metadata-only here)."""
+    from chronicles_spark.core.markers import pair_message
+
+    label = label or generate_version().label
+    msg = pair_message(f"gen {i}", label)
+    return {
+        t: TableUpdate(
+            TableUpdateMetadata.new("w", msg),
+            (AddPartitionVersion(
+                Partition.of(("p", str(i % 4))), generate_version()
+            ),),
+        )
+        for t in tables
+    }, label
+
+
+def test_read_group_states_consistent_and_backward_pin(tmp_path):
+    """read_group_states resolves every member to ONE group generation:
+    the agree fast path (unmarked individual commits ride along), the
+    pin-backward path past a crashed mid-group writer (newest generation
+    EVERY member has), convergence once the group completes, and the
+    loud mixed-marker refusal."""
+    from chronicles_spark.core import fold
+    from chronicles_spark.operators.pairing import (
+        TornGroupError,
+        read_group_states,
+    )
+
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=3)
+    for t in (TA, TB):
+        tr.init_table(t, is_snapshot=False, user_id="u")
+
+    g1, l1 = _marked_group((TA, TB), 1)
+    tr.commit_group(g1)
+    out = read_group_states(tr, [TA, TB])
+    assert {lbl for _, _, lbl in out.values()} == {l1}
+    assert out[TA][0] == tr.current_version(TA)
+
+    # an unmarked individual commit on A is per-table state: still one
+    # generation, and A's snapshot INCLUDES it
+    solo_v = generate_version()
+    tr.commit(
+        TA,
+        TableUpdate(
+            TableUpdateMetadata.new("u", "solo"),
+            (AddPartitionVersion(Partition.of(("p", "solo")), solo_v),),
+        ),
+    )
+    out = read_group_states(tr, [TA, TB])
+    assert {lbl for _, _, lbl in out.values()} == {l1}
+    assert out[TA][0].partition_versions[Partition.of(("p", "solo"))] == solo_v
+
+    # crashed mid-group: generation 2 landed only on A → pin BACKWARD at
+    # g1 (the newest generation both members have); A resolves AT its g1
+    # commit (retries kept small: the in-flight window cannot close here)
+    g2, l2 = _marked_group((TA, TB), 2)
+    tr.commit(TA, g2[TA])
+    out = read_group_states(tr, [TA, TB], retries=2)
+    assert {lbl for _, _, lbl in out.values()} == {l1}
+    g1_cid = g1[TA].metadata.commit_id
+    st = tr.table_state(TA)
+    assert out[TA][1] == g1_cid
+    assert out[TA][0] == fold.current_version(st.updates, g1_cid)
+    assert out[TB][0] == tr.current_version(TB)
+
+    # the group completes on B → converges forward to generation 2
+    tr.commit(TB, g2[TB])
+    out = read_group_states(tr, [TA, TB])
+    assert {lbl for _, _, lbl in out.values()} == {l2}
+    assert out[TA][0] == tr.current_version(TA)
+
+    # a member that was never group-published cannot be reconciled
+    tc = TableName("db", "lonely")
+    tr.init_table(tc, is_snapshot=False, user_id="u")
+    tr.commit(
+        tc,
+        TableUpdate(
+            TableUpdateMetadata.new("u", "unmarked"),
+            (AddPartitionVersion(Partition.of(("p", "0")), generate_version()),),
+        ),
+    )
+    with pytest.raises(TornGroupError, match="no group marker"):
+        read_group_states(tr, [TA, tc], retries=2)
+
+
+def test_spark_read_group_returns_one_generation(spark, tmp_path):
+    """The Spark surface: read_group hands back DataFrames resolved at
+    one shared group generation (and versioned_insert_group's stamped
+    marker is what it keys on)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_group, versioned_insert_group
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    docs = TableDefinition(
+        TableName("db", "docs"), str(tmp_path / "docs"), PartitionSchema(("d",))
+    )
+    embs = TableDefinition(
+        TableName("db", "embs"), str(tmp_path / "embs"), PartitionSchema(("d",))
+    )
+    for t in (docs, embs):
+        tracker.init_table(t.name, is_snapshot=False, user_id="u")
+    ddf = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_group([(ddf, docs), (ddf, embs)], tracker, "u", "b1")
+    out = read_group(spark, [docs, embs], tracker)
+    assert set(out) == {docs.name, embs.name}
+    assert out[docs.name].count() == 4 and out[embs.name].count() == 4
+
+    # generation 2 torn after the first member (simulated crash):
+    # read_group still serves generation 1 for BOTH
+    from chronicles_spark.core.markers import pair_message
+    from chronicles_spark.spark.writer import write_versioned
+
+    v = generate_version()
+    ddf2 = spark.range(8).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    write_versioned(ddf2, docs, v)
+    tracker.commit(
+        docs.name,
+        TableUpdate(
+            TableUpdateMetadata.new("u", pair_message("b2", generate_version().label)),
+            tuple(
+                AddPartitionVersion(Partition.of(("d", str(i))), v)
+                for i in (0, 1)
+            ),
+        ),
+    )
+    from chronicles_spark.operators.pairing import read_group_states
+
+    states = read_group_states(tracker, [docs.name, embs.name], retries=2)
+    out2 = read_group(spark, [docs, embs], tracker)
+    assert out2[docs.name].count() == 4  # NOT the torn generation's 8
+    assert out2[embs.name].count() == 4
+    assert len({lbl for _, _, lbl in states.values()}) == 1
+
+
+_GROUP_RACE_WRITER = """
+import sys
+from chronicles_spark.core.markers import pair_message
+from chronicles_spark.core.model import Partition, TableName
+from chronicles_spark.core.ops import (
+    AddPartitionVersion, TableUpdate, TableUpdateMetadata,
+)
+from chronicles_spark.core.version import generate_version
+from chronicles_spark.trackers import FileBackedVersionTracker
+
+root, n = sys.argv[1], int(sys.argv[2])
+tr = FileBackedVersionTracker(root, checkpoint_interval=3)
+a, b = TableName("db", "gdocs"), TableName("db", "gembs")
+for i in range(1, n + 1):
+    label = generate_version().label
+    msg = pair_message(f"gen {i}", label)
+    tr.commit_group({
+        t: TableUpdate(
+            TableUpdateMetadata.new("w", msg),
+            (AddPartitionVersion(
+                Partition.of(("p", str(i % 4))), generate_version()
+            ),),
+        )
+        for t in (a, b)
+    })
+print(f"DONE {n}", flush=True)
+"""
+
+
+def test_read_group_never_observes_torn_pair_across_processes(tmp_path):
+    """Round-14 directive #4's race: a reader polling read_group_states
+    while a REAL OS process publishes group generations never observes
+    a torn pair — every poll resolves both members to ONE generation,
+    and the observed generation sequence is non-decreasing."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from chronicles_spark.core.markers import pair_label, pair_message
+    from chronicles_spark.operators.pairing import read_group_states
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "_log")
+    tr = FileBackedVersionTracker(root, checkpoint_interval=3)
+    a, b = TableName("db", "gdocs"), TableName("db", "gembs")
+    for t in (a, b):
+        tr.init_table(t, is_snapshot=False, user_id="u")
+    # generation 0 so every poll has at least one complete group
+    g0 = pair_message("gen 0", generate_version().label)
+    tr.commit_group({
+        t: TableUpdate(
+            TableUpdateMetadata.new("u", g0),
+            (AddPartitionVersion(Partition.of(("p", "0")), generate_version()),),
+        )
+        for t in (a, b)
+    })
+
+    n_gens = 25
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _GROUP_RACE_WRITER, root, str(n_gens)],
+        env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    reader = FileBackedVersionTracker(root, checkpoint_interval=3)
+    seen = []
+    polls = 0
+    try:
+        while proc.poll() is None or polls == 0:
+            out = read_group_states(reader, [a, b])  # never raises mid-race
+            labels = {lbl for _, _, lbl in out.values()}
+            assert len(labels) == 1, f"torn pair observed: {out}"
+            (lbl,) = labels
+            assert lbl is not None
+            if seen:
+                assert lbl >= seen[-1], "generation went backward"
+            if not seen or lbl != seen[-1]:
+                seen.append(lbl)
+            polls += 1
+            time.sleep(0.01)
+    finally:
+        sout, serr = proc.communicate(timeout=600)
+    assert proc.returncode == 0, serr[-2000:]
+    assert f"DONE {n_gens}" in sout
+    assert polls > 1  # the loop really raced the writer
+
+    # final state: both members at the writer's last generation
+    out = read_group_states(reader, [a, b])
+    final = {lbl for _, _, lbl in out.values()}
+    assert len(final) == 1
+    last = tr.table_state(a).updates[-1].metadata.message
+    assert final == {pair_label(last)}
