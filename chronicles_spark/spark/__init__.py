@@ -13,7 +13,7 @@ from .reader import (
     read_version,
 )
 from .compact import compact_partitions, zorder_column
-from .log_reader import UPDATE_JSON_SCHEMA, commit_log_df
+from .log_reader import UPDATE_JSON_SCHEMA, commit_log_df, export_commit_log
 from .manifest import generate_manifest
 from .restore import restore_partitions
 from .schema_guard import SchemaDriftError, schema_history, stored_schema
@@ -33,6 +33,7 @@ __all__ = [
     "changed_partitions",
     "live_paths",
     "commit_log_df",
+    "export_commit_log",
     "UPDATE_JSON_SCHEMA",
     "compact_partitions",
     "zorder_column",

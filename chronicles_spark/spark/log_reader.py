@@ -103,17 +103,116 @@ _ARCHIVE_BODY_SCHEMA = StructType(
 )
 
 
+#: commit_log_df's full output schema (the JSON doc columns + seq +
+#: archived) — also the exact shape :func:`export_commit_log` spools.
+def _full_schema() -> StructType:
+    # fresh StructType per call: StructType.add mutates in place
+    return StructType(
+        UPDATE_JSON_SCHEMA.fields
+        + [
+            StructField("seq", LongType()),
+            StructField("archived", BooleanType()),
+        ]
+    )
+
+
+def export_commit_log(
+    tracker,
+    table: TableName,
+    dest_dir: str,
+    batch_commits: int = 5000,
+) -> int:
+    """Spool a tracker's commit log to PARQUET files shaped exactly like
+    :func:`commit_log_df`'s output, returning the commit count.
+
+    The sqlite backend's answer to distributed log analytics (round-14
+    decision): a serializable single-file DB lives on ONE node, so
+    executors cannot scan it in place — no JDBC driver ships here, and
+    even with one the file is driver-local.  Instead, ONE streamed
+    driver-side pass (``batch_commits`` commits of memory at a time,
+    never the whole log) relocates the log to a Spark-visible store;
+    every later analytics run over the spool is fully distributed.
+    Backend-agnostic: works for any tracker with seq-range reads (on the
+    files tracker it reads transparently through archive chunks), though
+    the files layout is better served by :func:`commit_log_df` directly
+    (zero relocation).  ``archived`` is spooled as False throughout —
+    the spool IS one relocated log; the column exists for schema parity.
+
+    ``dest_dir`` must not already contain files (a stale half-spool
+    must never silently mix with a fresh one)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..core.ops import update_to_dict
+
+    if os.path.isdir(dest_dir) and os.listdir(dest_dir):
+        raise ValueError(
+            f"export_commit_log dest_dir {dest_dir!r} is not empty — "
+            "spool to a fresh directory (stale spools must not mix)"
+        )
+    os.makedirs(dest_dir, exist_ok=True)
+    op_t = pa.struct(
+        [
+            ("type", pa.string()),
+            ("partition", pa.string()),
+            ("version", pa.string()),
+            ("table_name", pa.string()),
+            ("is_snapshot", pa.bool_()),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [
+            ("commit_id", pa.string()),
+            ("user_id", pa.string()),
+            ("message", pa.string()),
+            ("timestamp", pa.string()),
+            ("operations", pa.list_(op_t)),
+            ("seq", pa.int64()),
+            ("archived", pa.bool_()),
+        ]
+    )
+    op_keys = ("type", "partition", "version", "table_name", "is_snapshot")
+    seqs = tracker.update_seqs(table)
+    total = 0
+    for chunk_no, i in enumerate(range(0, len(seqs), batch_commits)):
+        chunk = seqs[i:i + batch_commits]
+        lo = chunk[0] - 1 if i == 0 else seqs[i - 1]
+        updates = tracker.updates_in_seq_range(table, lo, chunk[-1])
+        rows = []
+        for seq, u in zip(chunk, updates):
+            d = update_to_dict(u)
+            d["operations"] = [
+                {k: op.get(k) for k in op_keys} for op in d["operations"]
+            ]
+            d["seq"] = seq
+            d["archived"] = False
+            rows.append(d)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=arrow_schema),
+            os.path.join(dest_dir, f"commits_{chunk_no:06d}.parquet"),
+        )
+        total += len(rows)
+    return total
+
+
 def commit_log_df(
     spark: SparkSession,
     tracker: FileBackedVersionTracker,
     table: TableName,
+    spool_dir: "str | None" = None,
 ) -> DataFrame:
     """The table's FULL commit log — archived chunks + live files — as a
     DataFrame ``(seq, archived, commit_id, user_id, message, timestamp,
     operations)``, one row per commit, ordered by ``seq`` when sorted.
 
-    Requires a files-backed tracker over a Spark-visible store; raises
-    ``ValueError`` for other trackers / process-local stores, and for
+    Requires a files-backed tracker over a Spark-visible store — or a
+    sqlite tracker WITH ``spool_dir`` (one streamed driver-side export
+    relocates the driver-local DB's log to parquet the executors can
+    scan; see :func:`export_commit_log`).  Raises ``ValueError`` for
+    other trackers / process-local stores / a sqlite tracker without a
+    spool target, and for
     pre-round-13 archive artifacts (legacy blob names: their
     tuple-shaped entries would parse as NULL under the struct schema —
     dropping them silently would hide committed history; run
@@ -131,6 +230,28 @@ def commit_log_df(
     log analytics outside the archival maintenance window, or on a
     tracker nobody is archiving."""
     if not isinstance(tracker, FileBackedVersionTracker):
+        from ..trackers.sqlite import SqliteVersionTracker
+
+        if isinstance(tracker, SqliteVersionTracker):
+            # round-14 decision (docs/scale.md "sqlite log analytics"):
+            # the serializable single-file DB is driver-local — no
+            # in-place distributed scan exists.  One streamed spool
+            # relocates it; the read over the spool is distributed.
+            if spool_dir is None:
+                raise ValueError(
+                    "the sqlite log is a driver-local single-file DB — "
+                    "executors cannot scan it in place.  Pass "
+                    "spool_dir=<Spark-visible dir> to relocate it via "
+                    "ONE streamed export (export_commit_log) and read "
+                    "the spool distributed (docs/scale.md, 'sqlite log "
+                    "analytics')"
+                )
+            export_commit_log(tracker, table, spool_dir)
+            return (
+                spark.read.schema(_full_schema())
+                .option("ignoreMissingFiles", "false")
+                .parquet(spool_dir)
+            )
         raise ValueError(
             "commit_log_df reads the files-backed log layout; the "
             f"{type(tracker).__name__} has no file log to scan"
@@ -210,16 +331,7 @@ def commit_log_df(
             )
         )
     if not parts:
-        # fresh StructType: StructType.add MUTATES in place, so extending
-        # the exported schema constant here would corrupt every later read
-        empty = StructType(
-            UPDATE_JSON_SCHEMA.fields
-            + [
-                StructField("seq", LongType()),
-                StructField("archived", BooleanType()),
-            ]
-        )
-        return spark.createDataFrame([], empty)
+        return spark.createDataFrame([], _full_schema())
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if not arch_names:
         return out
