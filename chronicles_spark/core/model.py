@@ -13,6 +13,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
+from .paths import escape_path_name
 from .version import Version
 
 # reference: core/.../model.scala:45-50 — column names are lowercase identifiers
@@ -68,12 +69,13 @@ class Partition:
 
         Values are Hive-escaped here — this is the value→directory-name
         boundary, matching what Spark's partitionBy writes on disk; the
-        ``path`` property (used in the commit log) stays raw."""
-        from . import paths as _vp
-
+        ``path`` property (used in the commit log) stays raw.  Module-
+        level import + the escape fast path keep this ~O(µs): it runs
+        once per partition per current-view read, 10⁶ times for a wide
+        table (scripts/measure_read_current.py)."""
         base = table_location.rstrip("/")
         frag = "/".join(
-            f"{k}={_vp.escape_path_name(v)}" for k, v in self.column_values
+            f"{k}={escape_path_name(v)}" for k, v in self.column_values
         )
         return f"{base}/{frag}"
 

@@ -60,7 +60,13 @@ _ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
 
 
 def escape_path_name(value: str) -> str:
-    """Raw partition value → Hive-escaped directory-name fragment."""
+    """Raw partition value → Hive-escaped directory-name fragment.
+
+    Fast path first: almost every real value is clean, and this runs
+    once per partition per current-view read (10⁶ times on a wide
+    table) — one C-speed disjoint check beats the per-char loop."""
+    if _ESCAPE_CHARS.isdisjoint(value):
+        return value
     out = []
     for ch in value:
         if ch in _ESCAPE_CHARS:

@@ -11,6 +11,7 @@ from .reader import (
     read_current,
     read_group,
     read_version,
+    restrict_partitions,
 )
 from .compact import compact_partitions, zorder_column
 from .log_reader import UPDATE_JSON_SCHEMA, commit_log_df, export_commit_log
@@ -26,6 +27,7 @@ __all__ = [
     "read_current",
     "read_group",
     "read_version",
+    "restrict_partitions",
     "read_at_commit",
     "read_at_tag",
     "read_at_timestamp",
