@@ -1117,6 +1117,67 @@ def main():
         4,
     )
 
+    _progress("b14: wide-table metadata plane + group-consistent resolve")
+    # round 14: (a) the driver-side O(partitions) term of a current-view
+    # read, tracked as µs/partition at 200k synthetic partitions (pure
+    # metadata, no Spark action — the docs/scale.md 'wide-table reads'
+    # bound's tracked proxy); (b) read_group_states (group-consistent
+    # 2-table resolve) vs two independent pinned_state resolves on the
+    # SAME log — interleaved pair; ≈1.0 means group consistency is free.
+    from chronicles_spark.core.model import PartitionedTableVersion
+    from chronicles_spark.operators.pairing import (
+        pair_message,
+        pinned_state,
+        read_group_states,
+    )
+    from chronicles_spark.spark.reader import live_paths
+
+    _b14_tbl = TableDefinition(
+        TableName("bench", "wide"), tmp + "/b14_wide", PartitionSchema(("p",))
+    )
+    _b14_v = generate_version()
+    _b14_state = PartitionedTableVersion(
+        {Partition.of(("p", str(i))): _b14_v for i in range(200_000)}
+    )
+    results["b14_live_paths_200k"] = timed_min(
+        lambda: live_paths(_b14_tbl, _b14_state), n=3, clear=False
+    )
+    b14_us_per_partition = round(
+        results["b14_live_paths_200k"] / 200_000 * 1e6, 2
+    )
+
+    _b14_root = tmp + "/b14_group_log"
+    _b14_trk = FileBackedVersionTracker(_b14_root, checkpoint_interval=5)
+    _b14_a = TableName("bench", "gdocs")
+    _b14_b = TableName("bench", "gembs")
+    for _t in (_b14_a, _b14_b):
+        _b14_trk.init_table(_t, is_snapshot=False, user_id="b")
+    for _i in range(40):
+        _lbl = generate_version().label
+        _b14_trk.commit_group({
+            _t: TableUpdate(
+                TableUpdateMetadata.new("b", pair_message(f"g{_i}", _lbl)),
+                (AddPartitionVersion(
+                    Partition.of(("p", str(_i % 8))), generate_version()
+                ),),
+            )
+            for _t in (_b14_a, _b14_b)
+        })
+
+    def _b14_group_resolve():
+        read_group_states(_b14_trk, [_b14_a, _b14_b])
+
+    def _b14_independent_resolve():
+        pinned_state(_b14_trk, _b14_a)
+        pinned_state(_b14_trk, _b14_b)
+
+    (
+        results["b14_read_group_resolve"],
+        results["b14_independent_resolve"],
+        b14_group_ratio,
+        b14_group_ratios,
+    ) = timed_pair(_b14_group_resolve, _b14_independent_resolve, n=3)
+
     _progress("fold incremental + headline")
     # incremental (checkpointed) fold — kept here after its queries() entry
     # was merged into q_current_version_fold, so the plan stays benchmarked
@@ -1219,6 +1280,13 @@ def main():
                     "b13_resolve_curve": b13_resolve_curve,
                     "b13_dirents_curve": b13_dirents_curve,
                     "b13_chunks_curve": b13_chunks_curve,
+                    # r14: wide-table metadata plane (docs/scale.md
+                    # 'wide-table reads') and group-consistent resolve
+                    # overhead vs two independent pinned resolves
+                    # (interleaved pair; ~1.0 = group consistency free)
+                    "b14_live_paths_us_per_partition": b14_us_per_partition,
+                    "b14_group_over_independent_resolve": b14_group_ratio,
+                    "b14_group_resolve_pair_ratios": b14_group_ratios,
                 },
                 "ann_probe_read_fraction": ann_probe_read_fraction,
                 "ann_locate_read_fraction": ann_locate_read_fraction,

@@ -50,6 +50,10 @@ HEADLINE = [
     # session-floor wobble (plans byte-identical; BASELINE.md r11 note);
     # audited from now on so future drift is a diff
     "q_version_paths", "q_partition_expr_render",
+    # round 14: the merged top-ngrams+contamination union row (its plan
+    # changed by construction) and the SemDeDup family's new
+    # hash-checked row — audited from day one
+    "q_top_ngrams", "q_semantic_dedup",
 ]
 
 # Python appears legitimately only where Python IS the payload
