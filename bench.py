@@ -263,8 +263,8 @@ def main():
         "q_range_join",
         "q_curate_corpus",
         "q_redact_pii",
-        "q_top_ngrams",
-        "q_contamination",
+        "q_top_ngrams",  # r14: carries the former q_contamination leg too
+        "q_semantic_dedup",  # r14: SemDeDup's own hash-checked row
         # round 5: every non-lifecycle queries() entry is timed, so a plan
         # regression in ANY family shows up in the per-round ratios
         "q_running_totals",
@@ -1165,11 +1165,13 @@ def main():
         })
 
     def _b14_group_resolve():
-        read_group_states(_b14_trk, [_b14_a, _b14_b])
+        for _ in range(20):  # sub-ms single resolves: loop above clock res
+            read_group_states(_b14_trk, [_b14_a, _b14_b])
 
     def _b14_independent_resolve():
-        pinned_state(_b14_trk, _b14_a)
-        pinned_state(_b14_trk, _b14_b)
+        for _ in range(20):
+            pinned_state(_b14_trk, _b14_a)
+            pinned_state(_b14_trk, _b14_b)
 
     (
         results["b14_read_group_resolve"],
