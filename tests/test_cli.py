@@ -1356,13 +1356,21 @@ def test_maintain_sweeps_dedup_sidecars_and_folds_journal(spark, tmp_path):
         docs.where("doc_id < 20"), idx, tracker,
         band_shards=8, doc_shards=4, message="rebuild",
     )
-    batch2 = docs.where("doc_id >= 20").unionByName(
+    batch2 = docs.where("doc_id >= 20 AND doc_id < 25").unionByName(
         docs.where("doc_id = 3").select(
             (F.col("doc_id") + 100).alias("doc_id"), "text"
         )  # a real near-dup so the journal batch is non-empty
     )
-    DX.extend_dedup_index(  # lands ONE pending journal batch
+    batch3 = docs.where("doc_id >= 25").unionByName(
+        docs.where("doc_id = 7").select(
+            (F.col("doc_id") + 200).alias("doc_id"), "text"
+        )
+    )
+    DX.extend_dedup_index(  # lands TWO pending journal batches (the
         batch2, idx, tracker, threshold=0.5, pairs_table=pt,
+    )  # second also feeds the same-sweep compaction below)
+    DX.extend_dedup_index(
+        batch3, idx, tracker, threshold=0.5, pairs_table=pt,
     )
     assign = TableDefinition(
         TableName("db", "massign"), str(tmp_path / "massign"),
@@ -1374,7 +1382,7 @@ def test_maintain_sweeps_dedup_sidecars_and_folds_journal(spark, tmp_path):
     )
     fs, p1 = DX._artifact_path(idx, a1.version_label)
     assert fs.exists(p1)
-    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 1
+    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 2
 
     locs = (
         ("db.mdd", idx.location),
@@ -1392,26 +1400,35 @@ def test_maintain_sweeps_dedup_sidecars_and_folds_journal(spark, tmp_path):
     )
     out = "\n".join(console.out)
     assert (
-        "db.mdd_pairs: would fold 1 pending journal batch(es) "
+        "db.mdd_pairs: would fold 2 pending journal batch(es) "
         "into db.massign"
     ) in out
     # dry-run mutated nothing: backlog still pending, sidecar still there
-    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 1
+    assert len(CX.pending_fold_labels(tracker, pt, assign)) == 2
     assert fs.exists(p1)
 
+    # ONE apply sweep: fold runs BEFORE compact, so the two batches it
+    # folds are exactly what the same sweep's compaction consolidates
     console.out.clear()
     client.maintain(
         C.MaintainAction(
             True, retain_checkpoints=1, keep_last=1,
-            locations=locs, fold_clusters=fold,
+            locations=locs, fold_clusters=fold, compact_pairs=fold,
         ),
         "u",
     )
     out = "\n".join(console.out)
-    assert "db.mdd_pairs: folded 1 journal batch(es) into db.massign" in out
+    assert "db.mdd_pairs: folded 2 journal batch(es) into db.massign" in out
+    assert "db.mdd_pairs: compacted folded journal" in out
     assert not fs.exists(p1)  # superseded build's dedup sidecar reclaimed
     assert CX.pending_fold_labels(tracker, pt, assign) == []
     assert CX.verify_dedup_clusters(spark, assign, tracker).count() == 0
+    # the journal is now ONE consolidated folded- partition
+    jstate = tracker.current_version(pt.name)
+    jvals = sorted(
+        dict(p.column_values)["batch"] for p in jstate.partition_versions
+    )
+    assert len(jvals) == 1 and jvals[0].startswith(CX.FOLDED_BATCH_PREFIX)
 
     # steady state: the next sweep has nothing to fold or reclaim
     console.out.clear()
