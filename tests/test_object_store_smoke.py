@@ -284,3 +284,20 @@ def test_commit_log_archival_on_object_store(store):
     )
     cold.commit(t, u)
     assert len(truth.current_version(t).partition_versions) == 9
+
+    # round 14: the apply run above CYCLED the archival lease on the wire
+    # (conditional-create claim + owner-token release).  Released state is
+    # absent or token-CAS tombstoned to ts=0 — either way a fresh archiver
+    # claims immediately, and its own release frees it again.
+    import json as _json
+
+    lease = fs.join(tdir, "_archive_lease")
+    try:
+        assert float(_json.loads(fs.read_text(lease))["ts"]) == 0.0
+    except FileNotFoundError:
+        pass
+    assert cold._acquire_archival_lease(tdir, ttl_seconds=3600.0)
+    assert not truth._acquire_archival_lease(tdir, ttl_seconds=3600.0)
+    cold._release_archival_lease(tdir)
+    assert truth._acquire_archival_lease(tdir, ttl_seconds=3600.0)
+    truth._release_archival_lease(tdir)
