@@ -298,6 +298,24 @@ def _marked_group(tables, i, label=None):
     }, label
 
 
+def test_read_group_states_on_every_backend(tracker):
+    """The group-consistent resolve is backend-generic: after marked
+    group publications on ANY tracker (sqlite's all-or-nothing txn makes
+    it trivially consistent; files needs the marker protocol), every
+    member resolves to the newest shared generation."""
+    from chronicles_spark.operators.pairing import read_group_states
+
+    for t in (TA, TB):
+        tracker.init_table(t, is_snapshot=False, user_id="u")
+    for i in range(3):
+        g, lbl = _marked_group((TA, TB), i)
+        tracker.commit_group(g)
+    out = read_group_states(tracker, [TA, TB])
+    assert {l for _, _, l in out.values()} == {lbl}
+    assert out[TA][0] == tracker.current_version(TA)
+    assert out[TB][0] == tracker.current_version(TB)
+
+
 def test_read_group_states_consistent_and_backward_pin(tmp_path):
     """read_group_states resolves every member to ONE group generation:
     the agree fast path (unmarked individual commits ride along), the
