@@ -531,3 +531,96 @@ def test_read_group_never_observes_torn_pair_across_processes(tmp_path):
     assert len(final) == 1
     last = tr.table_state(a).updates[-1].metadata.message
     assert final == {pair_label(last)}
+
+
+def test_read_group_states_matches_model_under_random_interleavings():
+    """Property differential (house style): random sequences of complete
+    group publications, PREFIX-crashed groups (a writer dying after the
+    first k members), and unmarked solo commits.  A pure-python model
+    predicts the resolution: all-None → trivial; mixed marked/unmarked →
+    TornGroupError; all-agree → current states; else pin-backward at the
+    newest generation every member has, each member's state equal to the
+    tracker's own version_at that commit.  Hypothesis shrinks any
+    divergence to a minimal event sequence."""
+    from hypothesis import given, settings, strategies as st
+
+    from chronicles_spark.core.markers import pair_message
+    from chronicles_spark.operators.pairing import (
+        TornGroupError,
+        read_group_states,
+    )
+
+    names = [TableName("db", n) for n in ("ga", "gb", "gc")]  # sorted order
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        events=st.lists(
+            st.one_of(
+                st.tuples(st.just("group"), st.integers(1, 3)),
+                st.tuples(st.just("solo"), st.integers(0, 2)),
+            ),
+            max_size=12,
+        )
+    )
+    def run(events):
+        tr = InMemoryVersionTracker()
+        for n in names:
+            tr.init_table(n, is_snapshot=False, user_id="u")
+        history = {n: [] for n in names}  # [(commit_id, label|None)]
+        for kind, k in events:
+            if kind == "group":
+                label = generate_version().label
+                msg = pair_message("g", label)
+                for n in names[:k]:  # k<3 = the writer died mid-group
+                    u = TableUpdate(
+                        TableUpdateMetadata.new("u", msg),
+                        (AddPartitionVersion(
+                            Partition.of(("p", "x")), generate_version()
+                        ),),
+                    )
+                    tr.commit(n, u)
+                    history[n].append((u.metadata.commit_id, label))
+            else:
+                n = names[k]
+                u = TableUpdate(
+                    TableUpdateMetadata.new("u", "solo"),
+                    (AddPartitionVersion(
+                        Partition.of(("p", f"s{k}")), generate_version()
+                    ),),
+                )
+                tr.commit(n, u)
+                history[n].append((u.metadata.commit_id, None))
+
+        newest = {
+            n: next((l for _, l in reversed(history[n]) if l), None)
+            for n in names
+        }
+        labels = set(newest.values())
+        if labels == {None}:  # no member ever group-published
+            out = read_group_states(tr, names, retries=1)
+            assert {l for _, _, l in out.values()} == {None}
+            return
+        if None in labels:  # mixed marked/unmarked members
+            with pytest.raises(TornGroupError):
+                read_group_states(tr, names, retries=1)
+            return
+        out = read_group_states(tr, names, retries=1)
+        if len(labels) == 1:  # agree: current states, solos included
+            (lbl,) = labels
+            for n in names:
+                state, cid, got = out[n]
+                assert got == lbl
+                assert state == tr.current_version(n)
+                assert cid == tr.table_state(n).current_version
+        else:  # pin-backward at the newest generation EVERY member has
+            target = min(labels)
+            for n in names:
+                state, cid, got = out[n]
+                assert got == target
+                want_cid = next(
+                    c for c, l in reversed(history[n]) if l == target
+                )
+                assert cid == want_cid
+                assert state == tr.version_at(n, cid)
+
+    run()
