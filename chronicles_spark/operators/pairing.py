@@ -105,21 +105,8 @@ def pinned_state(tracker, table_name):
         if out is not None:
             return out
 
-    for attempt in range(8):
-        if attempt:
-            import random
-            import time as _t
-
-            _t.sleep(min(0.01 * (2 ** attempt), 0.1) * (0.5 + random.random()))
-        st = tracker.table_state(table_name)
-        base_head = st.current_version
-        if any(u.metadata.commit_id == base_head for u in st.updates):
-            break
-    else:
-        raise RuntimeError(
-            f"could not obtain a self-consistent log read for {table_name} "
-            "after 8 attempts (head kept outrunning the commit listing)"
-        )
+    st = _consistent_full_state(tracker, table_name)
+    base_head = st.current_version
     # newest pair marker within the folded prefix — what the RMW base
     # actually contains (the head itself may be an out-of-band unmarked
     # commit; commits AFTER a rolled-back head must not count)
@@ -190,16 +177,28 @@ def read_group_states(tracker, table_names, retries: int = 8) -> dict:
       jittered backoff until the trailing members catch up (the common
       case: the window is one commit append);
     * if it never converges (a writer crashed mid-group), pin BACKWARD:
-      the newest generation present in EVERY member's history is the
-      min of the newest labels (labels sort by generation time), and
-      each member resolves AT its commit carrying that label — the
-      newest fully-published snapshot.  A member with no such commit
-      raises :class:`TornGroupError` (fix the lagging table by
-      re-publishing the group, the same repair stance as
-      :func:`check_pair`).
+      the newest generation present in EVERY member's history — newest
+      by COMMIT ORDER, never by label sort (labels are wall-clock
+      strings and commit order is authoritative, core/version.py; a
+      skewed writer clock must not steer the pin) — and each member
+      resolves AT its commit carrying that label: the newest
+      fully-published snapshot.  Members sharing NO generation raise
+      :class:`TornGroupError` (fix the lagging table by re-publishing
+      the group, the same repair stance as :func:`check_pair`).
 
     All-None labels (no member ever group-published) are trivially
-    consistent — the current pinned states are returned as-is."""
+    consistent — the current pinned states are returned as-is.
+
+    Precondition: pass tables published together as ONE group set.  A
+    table belonging to two different groups (B in ``{A, B}`` and in
+    ``{B, C}``) keeps its newest marker permanently ahead of the other
+    group's members, so every ``read_group_states([A, B])`` pays the
+    full retry backoff before resolving to the newest generation A and
+    B actually SHARE — correct for the ``{A, B}`` group, but B's newer
+    ``{B, C}`` data is (rightly) not visible through this read.  For
+    the same reason, do not publish an index family's primary table
+    through ``versioned_insert_group`` — the family's companion
+    pairing protocol owns that table's marker."""
     from ..core import fold
 
     names = list(table_names)
@@ -227,25 +226,46 @@ def read_group_states(tracker, table_names, retries: int = 8) -> dict:
             "do — they were never group-published with the rest (pass "
             "only tables published together, or re-publish the group)"
         )
-    target = min(newest.values())  # newest generation EVERY member has
-    out = {}
+    # the newest generation EVERY member has, by COMMIT ORDER: walk the
+    # first member's marked prefix newest-first and take the first label
+    # the other members also carry.  Label sort order is wall-clock and
+    # must play no part — a writer with a lagging clock publishing the
+    # newer generation would otherwise steer the pin to the wrong one
+    # (or a spurious TornGroupError) under min(label).
+    prefixes = {}
     for n in names:
         st = _consistent_full_state(tracker, n)
-        cid = next(
-            (
-                u.metadata.commit_id
-                for u in reversed(st.updates)
-                if pair_label(u.metadata.message) == target
-            ),
-            None,
+        prefixes[n] = (st, fold.take_through(st.updates, st.current_version))
+    labels_of = {
+        n: [
+            lbl
+            for u in prefix
+            if (lbl := pair_label(u.metadata.message)) is not None
+        ]
+        for n, (_, prefix) in prefixes.items()
+    }
+    common = set(labels_of[names[0]])
+    for n in names[1:]:
+        common &= set(labels_of[n])
+    target = next(
+        (lbl for lbl in reversed(labels_of[names[0]]) if lbl in common),
+        None,
+    )
+    if target is None:
+        raise TornGroupError(
+            f"group members {sorted(str(n) for n in names)} share no "
+            "group generation — their histories diverged (a rollback "
+            "past every common generation, or tables from different "
+            "groups); re-publish the group to converge them"
         )
-        if cid is None:
-            raise TornGroupError(
-                f"{n} has no commit at group generation {target!r} — the "
-                "members' histories diverged (a rollback past the common "
-                "generation, or tables from different groups); re-publish "
-                "the group to converge them"
-            )
+    out = {}
+    for n in names:
+        st, prefix = prefixes[n]
+        cid = next(
+            u.metadata.commit_id
+            for u in reversed(prefix)
+            if pair_label(u.metadata.message) == target
+        )
         out[n] = (fold.current_version(st.updates, cid), cid, target)
     return out
 

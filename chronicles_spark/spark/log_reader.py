@@ -138,15 +138,29 @@ def export_commit_log(
     (zero relocation).  ``archived`` is spooled as False throughout —
     the spool IS one relocated log; the column exists for schema parity.
 
-    ``dest_dir`` must not already contain files (a stale half-spool
-    must never silently mix with a fresh one)."""
+    ``dest_dir`` must be a LOCAL/shared-POSIX path the executors can
+    also read (NFS, a mounted lakehouse volume) — the writer uses plain
+    ``os``/pyarrow file APIs, so object-store URIs are refused loudly
+    rather than half-working (``os.makedirs('s3://…')`` would create a
+    bogus local directory while the Spark read needs the s3a scheme;
+    spool to shared POSIX storage, or distcp the spool afterwards).  It
+    must also not already contain files (a stale half-spool must never
+    silently mix with a fresh one)."""
     import os
+    import re as _re
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..core.ops import update_to_dict
 
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", dest_dir):
+        raise ValueError(
+            f"export_commit_log writes with local file APIs; dest_dir "
+            f"{dest_dir!r} is a URI — spool to a shared-POSIX path the "
+            "executors can read (NFS/mounted volume), then read it "
+            "there (or copy the spool to the object store yourself)"
+        )
     if os.path.isdir(dest_dir) and os.listdir(dest_dir):
         raise ValueError(
             f"export_commit_log dest_dir {dest_dir!r} is not empty — "

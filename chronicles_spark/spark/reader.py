@@ -184,6 +184,7 @@ def read_group(
     ``{table_name: DataFrame}``."""
     from ..operators.pairing import read_group_states
 
+    tables = list(tables)  # a generator must survive both passes below
     states = read_group_states(tracker, [t.name for t in tables])
     return {
         t.name: read_version(

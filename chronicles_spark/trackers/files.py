@@ -1741,8 +1741,10 @@ class FileBackedVersionTracker(VersionTracker):
                 self._lease_owner[d] = owner
                 return True
             return False
-        except (ValueError, TypeError, KeyError):
-            ts = 0.0  # corrupt lease: treat as stale
+        except (ValueError, TypeError, KeyError, AttributeError):
+            # corrupt lease (bad JSON, or valid JSON that is not an
+            # object — .get would raise AttributeError): treat as stale
+            ts = 0.0
         if time.time() - ts <= ttl_seconds:
             return False  # live competitor
         if token is not None:
@@ -1784,8 +1786,8 @@ class FileBackedVersionTracker(VersionTracker):
                 return  # a competitor staleness-broke us: their lease now
         except FileNotFoundError:
             return
-        except (ValueError, TypeError, KeyError):
-            pass  # corrupt doc: clearing it is safe either way
+        except (ValueError, TypeError, KeyError, AttributeError):
+            pass  # corrupt doc (incl. valid non-object JSON): clear it
         if token is not None:
             self.fs.write_text_if_match(path, json.dumps({"ts": 0.0}), token)
             return

@@ -1255,6 +1255,30 @@ def test_lease_release_is_owner_scoped(tmp_path):
     tr_c._release_archival_lease(d)
 
 
+def test_lease_survives_valid_non_object_json_doc(tmp_path):
+    """Review finding (r14): a lease file overwritten with VALID JSON
+    that is not an object ('0', '[]') raised AttributeError out of the
+    apply run's finally-block release, replacing a successful archival
+    result with a crash.  Acquire must treat it as stale; release must
+    clear it without raising."""
+    tr = _build(str(tmp_path), 10, interval=5)
+    d = tr._table_dir(T)
+    lease = tr.fs.join(d, "_archive_lease")
+
+    for doc in ("0", "[]", '"x"'):
+        tr.fs.write_text(lease, doc)
+        assert tr._acquire_archival_lease(d, ttl_seconds=3600.0)  # stale
+        tr._release_archival_lease(d)  # no AttributeError
+        # and an apply-mode archival over a corrupt lease completes
+        tr.fs.write_text(lease, doc)
+        out = tr.archive_commits(T, retain_checkpoints=1)
+        assert "skipped_lease" not in out
+        try:
+            tr.fs.remove_file(lease)
+        except FileNotFoundError:
+            pass
+
+
 def test_incremental_archival_reads_no_archive_bodies(tmp_path):
     """The steady-state incremental cron (disjoint format-3 artifacts on
     disk) must prove step-0 disjointness from NAME bounds alone: reading

@@ -624,3 +624,65 @@ def test_read_group_states_matches_model_under_random_interleavings():
                 assert state == tr.version_at(n, cid)
 
     run()
+
+
+def test_backward_pin_is_commit_order_not_label_order(tmp_path):
+    """Review finding (r14): labels are wall-clock strings — a writer
+    with a LAGGING clock publishing the newer generation must not steer
+    the backward pin.  Complete generation G1 carries a lexicographically
+    HIGH label; a crashed G2 (first member only) carries a SMALLER one.
+    The pin must land on G1 — the newest generation both members share
+    by COMMIT order — never raise, and never pick G2."""
+    from chronicles_spark.core.markers import pair_message
+    from chronicles_spark.operators.pairing import read_group_states
+
+    tr = FileBackedVersionTracker(str(tmp_path / "log"), checkpoint_interval=3)
+    for t in (TA, TB):
+        tr.init_table(t, is_snapshot=False, user_id="u")
+
+    hi = "20300101-000000.000000000-aaaaaaaa-0000-0000-0000-000000000000"
+    lo = "20200101-000000.000000000-bbbbbbbb-0000-0000-0000-000000000000"
+    g1 = {
+        t: TableUpdate(
+            TableUpdateMetadata.new("u", pair_message("g1", hi)),
+            (AddPartitionVersion(Partition.of(("p", "1")), generate_version()),),
+        )
+        for t in (TA, TB)
+    }
+    tr.commit_group(g1)
+    tr.commit(  # skewed writer's crashed G2: smaller label, LATER commit
+        TA,
+        TableUpdate(
+            TableUpdateMetadata.new("u", pair_message("g2", lo)),
+            (AddPartitionVersion(Partition.of(("p", "2")), generate_version()),),
+        ),
+    )
+    out = read_group_states(tr, [TA, TB], retries=2)
+    assert {lbl for _, _, lbl in out.values()} == {hi}
+    assert out[TA][1] == g1[TA].metadata.commit_id
+    assert out[TB][0] == tr.current_version(TB)
+
+
+def test_read_group_accepts_a_generator(spark, tmp_path):
+    """Review finding (r14): a generator `tables` argument was consumed
+    by the name pass and the result pass returned {} silently."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.spark import read_group, versioned_insert_group
+
+    tracker = FileBackedVersionTracker(str(tmp_path / "_log"))
+    defs = [
+        TableDefinition(
+            TableName("db", n), str(tmp_path / n), PartitionSchema(("d",))
+        )
+        for n in ("docs", "embs")
+    ]
+    for t in defs:
+        tracker.init_table(t.name, is_snapshot=False, user_id="u")
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    versioned_insert_group([(df, t) for t in defs], tracker, "u", "b")
+    out = read_group(spark, (t for t in defs), tracker)
+    assert set(out) == {t.name for t in defs}
+    assert out[defs[0].name].count() == 4

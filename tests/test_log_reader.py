@@ -268,6 +268,22 @@ def test_commit_log_df_sqlite_spools_then_reads_distributed(spark, tmp_path):
         commit_log_df(spark, tr, T, spool_dir=spool)
 
 
+def test_export_commit_log_refuses_uri_destinations(tmp_path):
+    """Review finding (r14): the exporter writes with local file APIs —
+    an object-store URI dest would create a bogus local 's3:/...' dir
+    while the Spark read needs s3a.  Refuse loudly instead."""
+    from chronicles_spark.spark.log_reader import export_commit_log
+    from chronicles_spark.trackers import SqliteVersionTracker
+
+    tr = SqliteVersionTracker(str(tmp_path / "log.db"))
+    tr.init_table(T, is_snapshot=False, user_id="u")
+    _grow(tr, 3)
+    with pytest.raises(ValueError, match="shared-POSIX"):
+        export_commit_log(tr, T, "s3://bucket/spool")
+    with pytest.raises(ValueError, match="shared-POSIX"):
+        commit_log_df(None, tr, T, spool_dir="s3a://bucket/spool")
+
+
 def test_export_commit_log_reads_through_archives(tmp_path):
     """The exporter is backend-agnostic and streams in bounded batches:
     on a files tracker it reads transparently through archive chunks,
