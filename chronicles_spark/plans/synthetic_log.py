@@ -24,12 +24,20 @@ Spark SQL).
 """
 
 # CTE block: defines dates, nn, ops_log, head_ref. Compose queries after it.
-LOG_CTE = """
-WITH dates AS (
+# The dates/nn bodies are template parameters: the oracle (DuckDB) keeps the
+# self-contained inline form (LOG_CTE below, unchanged semantics), while the
+# Spark side substitutes a checkpointed 30-row view — Spark inlines CTEs, so
+# the inline form re-scans `events` and re-runs the DISTINCT + global window
+# once per UNION ALL leg (9 legs → ~34-60 Exchanges in every downstream
+# fold/diff plan).  One scan suffices; see ``_spark_log_cte``.
+_DATES_BODY = """
   SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
   FROM (SELECT DISTINCT CAST(CAST(ts AS DATE) AS STRING) AS d FROM events) x
-),
-nn AS (SELECT MAX(rn) AS n FROM dates),
+"""
+_NN_BODY = "SELECT MAX(rn) AS n FROM dates"
+_LOG_CTE_TEMPLATE = """
+WITH dates AS ({dates}),
+nn AS ({nn}),
 ops_log AS (
   SELECT CAST(0 AS BIGINT) AS sequence_id, 'c0000' AS commit_id,
          'demo.events' AS table_name, 'alice' AS user_id, 'init table' AS message,
@@ -90,20 +98,40 @@ head_ref AS (
 )
 """
 
+LOG_CTE = _LOG_CTE_TEMPLATE.format(dates=_DATES_BODY, nn=_NN_BODY)
+
 OPS_LOG_SQL = LOG_CTE + "SELECT * FROM ops_log"
 HEAD_REF_SQL = LOG_CTE + "SELECT * FROM head_ref"
+
+_DATES_VIEW = "_chronicles_synth_log_dates"
+
+
+def _spark_log_cte(spark, sf_dir: str) -> str:
+    """Spark-side LOG_CTE: compute ``dates`` ONCE (one events scan + one
+    DISTINCT + one 30-row global window), pin the result with
+    ``localCheckpoint`` (blocks freed when the plan is GC'd — the house
+    pattern for relations consumed by a RETURNED plan), and splice a view
+    reference into the template.  ``n`` is inlined as a literal (max(rn) ==
+    count(dates) by row_number construction — one 30-row action, metadata
+    scale).  Everything is recomputed from the parquet inputs on every call;
+    nothing is memoized across invocations."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    dates = spark.sql(_DATES_BODY)
+    ckpt = dates.localCheckpoint(eager=True)
+    ckpt.createOrReplaceTempView(_DATES_VIEW)
+    n = ckpt.count()
+    return _LOG_CTE_TEMPLATE.format(
+        dates=f"SELECT d, rn FROM {_DATES_VIEW}",
+        nn=f"SELECT CAST({n} AS BIGINT) AS n",
+    )
 
 
 def ops_log_df(spark, sf_dir: str):
     """Build the synthetic ops-log DataFrame (requires the ``events`` view)."""
-    from ..sources import register_views
-
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(OPS_LOG_SQL)
+    return spark.sql(_spark_log_cte(spark, sf_dir) + "SELECT * FROM ops_log")
 
 
 def head_ref_df(spark, sf_dir: str):
-    from ..sources import register_views
-
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(HEAD_REF_SQL)
+    return spark.sql(_spark_log_cte(spark, sf_dir) + "SELECT * FROM head_ref")
