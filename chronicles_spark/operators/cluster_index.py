@@ -728,13 +728,33 @@ def _fold_batch(
         .select(id_col, "cluster_id")
     )
 
-    if not changed.take(1):
+    # ONE job over the (checkpointed, O(batch)) changed frame yields the
+    # emptiness probe, the relabel count and both touched-shard sets —
+    # these were four separate actions, each paying full job-launch
+    # overhead on a frame this small
+    _stats = (
+        changed.join(
+            endpoints.withColumn("_ep", F.lit(1)), id_col, "left"
+        )
+        .agg(
+            F.count(F.when(F.col("_ep").isNull(), 1)).alias("n_relabel"),
+            F.collect_set(
+                _doc_shard_col(id_col, arts.doc_shards)
+            ).alias("a_shards"),
+            F.collect_set(
+                _cluster_shard_col("cluster_id", arts.cluster_shards)
+            ).alias("c_shards"),
+        )
+        .collect()[0]
+    )
+    if not _stats["a_shards"]:
+        # no changed rows (every changed row carries a doc shard)
         return _marker_only_publish()
 
     if relabel_warn_rows is not None:
-        # changed is pre-materialized; rows that are NOT batch endpoints
-        # are exactly the relabeled members of merged clusters
-        n_relabel = changed.join(endpoints, id_col, "left_anti").count()
+        # rows that are NOT batch endpoints are exactly the relabeled
+        # members of merged clusters
+        n_relabel = _stats["n_relabel"]
         if n_relabel > relabel_warn_rows:
             import warnings
 
@@ -753,12 +773,7 @@ def _fold_batch(
             )
 
     # -- assign-table RMW: exactly the changed docs' shards -------------
-    a_shards = sorted(
-        r["_s"]
-        for r in changed.select(
-            _doc_shard_col(id_col, arts.doc_shards).alias("_s")
-        ).distinct().collect()
-    )
+    a_shards = sorted(_stats["a_shards"])
     asub = _restrict_to_values(state, DOC_SHARD_COL, a_shards)
     assign_out = changed.withColumn(
         DOC_SHARD_COL, _doc_shard_col(id_col, arts.doc_shards)
@@ -772,12 +787,7 @@ def _fold_batch(
         )
 
     # -- members-table RMW: losers' shards + winners' shards ------------
-    new_label_shards = {
-        r["_s"]
-        for r in changed.select(
-            _cluster_shard_col("cluster_id", arts.cluster_shards).alias("_s")
-        ).distinct().collect()
-    }
+    new_label_shards = set(_stats["c_shards"])
     m_touched = sorted(set(r_shards) | new_label_shards)
     msub = _restrict_to_values(mstate, CLUSTER_SHARD_COL, m_touched)
     members_out = changed.withColumn(
@@ -797,6 +807,10 @@ def _fold_batch(
     # counts for the geometry-drift guard (members rows == assignment
     # rows overall, so observing the members side covers both tables
     # without an extra evaluation of assign_out).
+    # Lineage barrier first: the frame is consumed TWICE (this count and
+    # the data write below) and each full evaluation re-reads the touched
+    # member shards from the table — the barrier reads them once.
+    members_out = DD.lineage_barrier(members_out)
     m_counts = members_out.groupBy(
         F.col(CLUSTER_SHARD_COL).alias("_s")
     ).agg(F.count(F.lit(1)).alias("_n")).collect()
