@@ -966,11 +966,14 @@ def _extend_publish(
     # which physical buckets the rewrite lands — ONE small aggregation
     # over the touched slice (never an FS walk over every bucket
     # directory of the index; at n_clusters in the tens of thousands a
-    # per-batch walk would dwarf the batch itself).  `out` is evaluated
+    # per-batch walk would dwarf the batch itself).  `out` is consumed
     # twice (this count + the write) — plus two more bounded passes in
-    # the rare re-split case — all bounded by the touched slice.
+    # the rare re-split case — so a lineage barrier first reads the
+    # touched live buckets ONCE instead of once per consumer.
     from ..core.model import Partition
+    from .dedup import lineage_barrier as _lb
 
+    out = _lb(out)
     written_counts = {
         r[BUCKET_COL]: r["n"]
         for r in out.groupBy(BUCKET_COL)

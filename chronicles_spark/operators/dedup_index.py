@@ -1004,6 +1004,10 @@ def _extend_publish(
     # geometry-drift guard: the sizing rule (docs/scale.md) is only
     # enforced by rebuilds the operator remembers to run, so an extend
     # that OBSERVES a touched shard beyond the target warns loudly.
+    # Lineage barrier first: the frame is consumed TWICE (this count and
+    # the data write below) and each full evaluation re-reads the touched
+    # live band shards — the barrier reads them once.
+    bands_out = DD.lineage_barrier(bands_out)
     shard_counts = bands_out.groupBy(
         F.col(BAND_SHARD_COL).alias("s")
     ).agg(F.count(F.lit(1)).alias("n")).collect()
