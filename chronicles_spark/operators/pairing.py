@@ -309,15 +309,32 @@ def publish_group(
             "The Spark configuration must have spark.sql.sources."
             "partitionOverwriteMode set to 'dynamic'"
         )
-    resolved = []
-    for table, df, partitions, removes in writes:
+    def _write_one(entry):
+        table, df, partitions, removes = entry
         if df is not None:
             write_versioned(df, table, version)
             if partitions is None:
                 partitions = partitions_written(table, version, spark=spark)
         else:
             partitions = list(partitions or ())
-        resolved.append((table, partitions, removes))
+        return (table, partitions, removes)
+
+    data_writes = sum(1 for _, df, _, _ in writes if df is not None)
+    if data_writes > 1:
+        # The per-table data writes are independent Spark jobs targeting
+        # different directories; submitting them from a small thread pool
+        # lets the next write's tasks back-fill executors freed by the
+        # previous write's straggler tail (Spark's scheduler runs jobs
+        # concurrently — actions are only sequential when the driver calls
+        # them sequentially).  Any failure propagates before commit_group,
+        # so the crash-ordering contract (data invisible until the group
+        # commit) is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, data_writes)) as pool:
+            resolved = list(pool.map(_write_one, writes))
+    else:
+        resolved = [_write_one(w) for w in writes]
 
     meta_ts = datetime.now(timezone.utc)
     stamped = pair_message(message, version.label)
