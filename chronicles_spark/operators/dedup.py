@@ -39,27 +39,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .text import tokens_of
+from .text import bind_once, tokens_of
 
 SHINGLE_WIDTH = 3
 
 
 def shingles_of(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     """Distinct word-``width``-gram shingles (array<string>), computed with
-    array lambdas — no explode."""
-    toks = tokens_of(text)
-    n = F.size(toks)
-    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
-    idx = F.when(n >= width, F.sequence(F.lit(1), n - F.lit(width - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(width)]
-        ),
-    )
-    return F.array_distinct(grams)
+    array lambdas — no explode.
+
+    The token array is bound ONCE per row (:func:`~.text.bind_once`): the
+    gram lambda reads it as an O(1) lambda variable.  The former inline
+    capture re-ran the token regex once per shingle element — O(tokens²)
+    regex work per document, paid on every corpus scan of every MinHash
+    build/extend/verify."""
+
+    def _grams(toks: Column) -> Column:
+        n = F.size(toks)
+        # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+        idx = F.when(
+            n >= width, F.sequence(F.lit(1), n - F.lit(width - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(width)]
+                ),
+            )
+        )
+
+    return bind_once(tokens_of(text), _grams)
 
 
 def materialize(df: DataFrame, scratch_dir: str | None = None, name: str = "mat") -> DataFrame:

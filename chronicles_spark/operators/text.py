@@ -31,6 +31,24 @@ def tokens_of(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` exactly once per row and hand it to ``body`` as a
+    lambda VARIABLE (an O(1) bound-value read).
+
+    An expression captured inside a higher-order-function lambda is
+    re-evaluated per element (HOFs sit outside codegen and subexpression
+    elimination does not reach lambda bodies) — ``transform(idx, i ->
+    element_at(tokens_of(text), i))`` re-tokenizes the document once per
+    element, going quadratic.  When the caller has a DataFrame, the fix is
+    staging the array as a real column; for Column-level helpers that
+    cannot stage, this binder gets the same effect: the single-element
+    ``transform`` evaluates ``expr`` once as HOF input, and the lambda
+    variable it binds is attribute-like inside ``body`` (nested lambdas
+    referencing an OUTER lambda variable read the bound value, they do not
+    re-evaluate anything)."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, alnum tokens, BPE-ish pieces,
     distinct tokens, chars. One projection, no shuffle."""
@@ -58,33 +76,51 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     score = (len_norm + stopword_ratio + distinct_ratio) / 3, rounded to 4
     decimals; every component is an exact int/int division so the value is
-    engine-reproducible bit-for-bit."""
-    toks = tokens_of(F.col(text_col))
+    engine-reproducible bit-for-bit.
+
+    The token array is staged as a real column first: the score references
+    it six times, and higher-order expressions sit outside codegen's
+    subexpression elimination, so inline copies would each re-run the
+    token regex per row."""
+    toks = F.col("_toks")
     n = F.size(toks)
     stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
     n_distinct = F.size(F.array_distinct(toks))
     len_norm = F.least(n, F.lit(100)) / F.lit(100.0)
     stop_ratio = stop_hits / n
     distinct_ratio = n_distinct / n
-    return df.select(
-        "*",
-        F.size(toks).alias("n_tokens"),
-        F.round((len_norm + stop_ratio + distinct_ratio) / F.lit(3), 4).alias(
-            "quality_score"
-        ),
+    return (
+        df.withColumn("_toks", tokens_of(F.col(text_col)))
+        .select(
+            "*",
+            F.size(toks).alias("n_tokens"),
+            F.round((len_norm + stop_ratio + distinct_ratio) / F.lit(3), 4).alias(
+                "quality_score"
+            ),
+        )
+        .drop("_toks")
     )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID by function-word frequency (n-gram heuristic): count
     stopword occurrences per language, argmax with fixed tie-break order,
-    'und' when nothing matches."""
-    toks = tokens_of(F.col(text_col))
+    'und' when nothing matches.
+
+    One staged tokenization feeds all five language filters (each filter
+    is a higher-order expression outside codegen subexpression
+    elimination — inline copies would tokenize the document five times
+    per row)."""
+    toks = F.col("_toks")
     scores = {
         lang: _stopword_hits(toks, words).alias(f"score_{lang}")
         for lang, words in LANG_STOPWORDS.items()
     }
-    with_scores = df.select("*", *scores.values())
+    with_scores = (
+        df.withColumn("_toks", tokens_of(F.col(text_col)))
+        .select("*", *scores.values())
+        .drop("_toks")
+    )
     all_scores = [F.col(f"score_{lang}") for lang in LANG_ORDER]
     pred = F.when(F.greatest(*all_scores) == 0, F.lit("und"))
     remaining = list(LANG_ORDER)
@@ -150,16 +186,13 @@ def top_ngrams(
     checks."""
     from pyspark.sql import Window as W
 
-    toks = tokens_of(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
-    exploded = df.select(F.explode(grams).alias("ngram"))
+    # STAGE the token array as a real column before the gram lambda
+    # references it: element_at over an attribute is O(1); a captured
+    # tokens_of(text) expression would re-tokenize the document per gram
+    # (the lambda-capture trap — see bind_once / repetition_signals)
+    staged = df.select(tokens_of(F.col(text_col)).alias("_toks"))
+    grams = _ngrams_of_tokens(F.col("_toks"), n)
+    exploded = staged.select(F.explode(grams).alias("ngram"))
     counts = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     # partial top-k, no single-partition global window bottleneck); the
@@ -230,8 +263,14 @@ def repetition_signals(
     narrow whole-stage-codegen projection.  The obvious alternative
     (explode → groupBy(doc, gram)) shuffles every token occurrence of the
     corpus; this shuffles nothing.  Docs too short for an n level get
-    0.0.  Fractions rounded to 6 decimals for engine parity."""
-    toks = tokens_of(F.col(text_col))
+    0.0.  Fractions rounded to 6 decimals for engine parity.
+
+    The token array is STAGED as a real column (``_toks``) before any
+    gram lambda references it: element_at over an attribute is an O(1)
+    read, while the former inline ``tokens_of(text)`` capture re-ran the
+    token regex once per gram element — O(tokens²) regex work per
+    document (the lambda-capture trap, see :func:`bind_once`)."""
+    toks = F.col("_toks")
 
     def _grams(n: int) -> Column:
         # closure, not a defaulted lambda arg: F.transform treats a 2-arg
@@ -254,7 +293,7 @@ def repetition_signals(
     base = list(df.columns) if keep_input_cols else [id_col]
     if keep_input_cols:
         out_names = {f"top{n}_frac" for n in ns} | {f"dup{n}_frac" for n in ns}
-        tmp_names = {f"_{p}{n}" for n in ns for p in "gts"}
+        tmp_names = {f"_{p}{n}" for n in ns for p in "gts"} | {"_toks"}
         clash = [c for c in base if c in out_names | tmp_names]
         if clash:
             raise ValueError(
@@ -263,6 +302,9 @@ def repetition_signals(
                 "re-audited after an earlier signals pass)"
             )
     staged = df.select(
+        *[F.col(c) for c in base],
+        tokens_of(F.col(text_col)).alias("_toks"),
+    ).select(
         *[F.col(c) for c in base], *[_grams(n).alias(f"_g{n}") for n in ns]
     ).select(
         *[F.col(c) for c in base],
@@ -283,15 +325,26 @@ def repetition_signals(
     return staged.select(*[F.col(c) for c in base], *out_cols)
 
 
-def ngrams_of(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column (shared by corpus stats and
-    contamination checks)."""
-    toks = tokens_of(text_col)
+def _ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from a token ARRAY.  ``toks`` must be an
+    attribute / lambda variable (O(1) reads inside the gram lambda), never
+    an inline tokenization expression — a captured expression re-evaluates
+    per element and the gram pass goes quadratic per document."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         )
+    )
+
+
+def ngrams_of(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column (shared by corpus stats and
+    contamination checks).  Tokenizes ONCE per row via :func:`bind_once`
+    (the gram lambda then reads a bound variable, not a re-evaluated
+    capture)."""
+    return bind_once(
+        tokens_of(text_col), lambda toks: _ngrams_of_tokens(toks, n)
     )
 
 
@@ -667,14 +720,18 @@ def gopher_quality_filter(
     # only the EXACT output names clash (the inner repetition_signals call
     # guards its own outputs and _g1.._s3 temps; a prefix test would
     # spuriously reject benign metadata columns like _source or _score)
-    reserved = _GOPHER_RULE_COLS + ("gopher_keep", "_lines", "_words")
+    reserved = _GOPHER_RULE_COLS + ("gopher_keep", "_lines", "_words", "_toks")
     clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
             f"input columns {clash} collide with gopher_quality_filter "
             "outputs/temporaries — rename or drop them first"
         )
-    toks = tokens_of(F.col(text_col))
+    # STAGED as a real column below (the _lines/_words pattern): the token
+    # regex is expensive and referenced by six rules — and one of them
+    # (mean word length) folds over the array with lambdas, where a
+    # captured inline expression would re-evaluate per element
+    toks = F.col("_toks")
     n = F.size(toks)
     mean_wlen = F.when(
         n > 0,
@@ -743,6 +800,7 @@ def gopher_quality_filter(
         repetition_signals(
             df, id_col=id_col, text_col=text_col, keep_input_cols=True
         )
+        .withColumn("_toks", tokens_of(F.col(text_col)))
         .withColumn("_lines", lines)
         .withColumn("_words", words)
     )
@@ -761,7 +819,7 @@ def gopher_quality_filter(
         (ellipsis_frac <= max_ellipsis_frac).alias("pass_ellipsis_lines"),
         (alpha_frac >= min_alpha_word_frac).alias("pass_alpha_words"),
         (dup_line_frac <= max_dup_line_frac).alias("pass_dup_lines"),
-    ).drop("_lines", "_words")
+    ).drop("_toks", "_lines", "_words")
     # the rule list is static — a dynamic prefix scan would silently AND
     # in any caller column that happens to start with "pass_"
     expr = F.col(_GOPHER_RULE_COLS[0])
