@@ -1430,15 +1430,19 @@ def ann_recall_at_k(
         shortlist_k = 4 * k
     from pyspark.sql import Window as W
 
+    # norms once per query/vector, not once per crossJoin pair —
+    # bit-equal cosine (the brute_topk note in similarity.py)
     q = queries.select(
         F.col(query_id_col), SIM.as_double(F.col(query_vec_col)).alias("qv")
-    )
+    ).select(F.col(query_id_col), "qv", SIM.norm(F.col("qv")).alias("nq"))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         SIM.as_double(F.col(vec_col)).alias("v"),
-    )
+    ).select(F.col("neighbor_id"), "v", SIM.norm(F.col("v")).alias("nv"))
     if metric == "cosine":
-        score = SIM.cosine(F.col("qv"), F.col("v"))
+        score = F.round(
+            SIM.dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        )
         order = [F.col("s").desc(), F.col("neighbor_id").asc()]
     elif metric == "l2":
         score = F.round(

@@ -255,35 +255,38 @@ def jaccard_verify(
     the SAME materialized shingle base as candidate generation (no second
     tokenization of the corpus).
 
-    Intersection via the inverted-index join restricted to candidates
-    (semi-joined first so only candidate docs explode)."""
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select("id_b"))
-        .distinct()
+    Intersection via per-pair ``array_intersect`` on the two attached
+    shingle arrays (shingle arrays are distinct sets, so its size IS the
+    set-intersection count): two equi-joins attach each endpoint's array
+    and a map-side JVM set-intersection scores the pair.  The former
+    inverted-index shape (semi-join → explode → double join → groupBy)
+    shuffled every candidate pair once per shingle (~S× the rows) plus a
+    count aggregation; this moves the same bytes in P rows instead of
+    P·S and drops two exchanges.  The ``n_inter > 0`` guard reproduces
+    the inverted index's only-matching-pairs-surface semantics exactly
+    (a zero-overlap pair never appeared in the joined counts), keeping
+    the result identical for ANY threshold."""
+    sa = base.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
     )
-    sh = base.join(cand_ids, id_col, "left_semi")
-    exploded = sh.select(
-        id_col, F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    sb = base.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
     )
-    a = exploded.alias("sa")
-    b = exploded.alias("sb")
-    inter = (
-        pairs.join(a, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(
-            b,
-            (F.col("id_b") == F.col(f"sb.{id_col}")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("sa.n_sh").alias("n_a"),
-            F.first("sb.n_sh").alias("n_b"),
+    counted = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("n_inter"),
+            F.size("_sh_a").alias("n_a"),
+            F.size("_sh_b").alias("n_b"),
         )
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        counted.where(F.col("n_inter") > 0)
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -591,16 +594,36 @@ def cosine_verify(
     :func:`jaccard_verify`: joins each endpoint's vector from ``base``
     and keeps pairs at or above ``threshold``.  Same arithmetic as
     :func:`embedding_cosine_pairs` (float→double cast, sequential fold,
-    round 6) so DuckDB oracles reproduce values bit-for-bit."""
-    from .similarity import as_double, cosine as cos_fn
+    round 6) so DuckDB oracles reproduce values bit-for-bit.
 
-    vd = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    va = vd.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = vd.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    Each vector's NORM is computed once per vector and carried through
+    the join, instead of once per candidate pair: the norm fold over the
+    same double array yields the identical float64, so
+    ``round(dot/(na*nb), 6)`` is bit-equal to the inline form while a
+    pair list that squares within hot LSH buckets pays 1 fold per pair
+    instead of 3."""
+    from .similarity import as_double, dot as dot_fn, norm as norm_fn
+
+    vd = base.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).select(F.col(id_col), "v", norm_fn(F.col("v")).alias("n"))
+    va = vd.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    vb = vd.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    cos = F.round(
+        dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -787,7 +810,6 @@ def semantic_dedup(
     from .similarity import (
         _assign_nearest,
         as_double,
-        cosine as cos_fn,
         hyperplane_signs,
         kmeans_fit,
     )
@@ -851,15 +873,26 @@ def semantic_dedup(
         ),
         name="semdedup_keys",
     )
-    a = keyed.join(vd, id_col).select(
-        F.col(id_col).alias("id_a"), F.col("bucket_key"), F.col("v").alias("va")
+    # per-vector norms computed once and carried through the bucket
+    # self-join (bit-equal cosine — see cosine_verify): in-cluster pair
+    # counts square within buckets, norms must not square with them
+    from .similarity import dot as dot_fn, norm as norm_fn
+
+    vn = vd.select(F.col(id_col), "v", norm_fn(F.col("v")).alias("n"))
+    a = keyed.join(vn, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("bucket_key"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
     )
-    b = keyed.join(vd, id_col).select(
-        F.col(id_col).alias("id_b"), F.col("bucket_key"), F.col("v").alias("vb")
+    b = keyed.join(vn, id_col).select(
+        F.col(id_col).alias("id_b"), F.col("bucket_key"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    cos = F.round(
+        dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, ["bucket_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos_fn(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -64,10 +64,20 @@ def brute_topk(
     corpus×corpus similarity use ``ivf_topk(..., broadcast_queries=False)``
     or ``dedup.embedding_lsh_dedup``), but no single node ever needs to
     hold the query set."""
-    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # per-vector norms ride the (small) per-row state instead of being
+    # re-folded once per (query, neighbor) pair: round(dot/(nq*nv), 6)
+    # is bit-equal to the inline cosine (same fold over the same array)
+    # while the O(N·Q) product pays 1 fold per pair instead of 3
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).select(
+        F.col(id_col), "v", norm(F.col("v")).alias("nv")
+    )
     q = (
         v.join(query_ids, id_col, "left_semi")
-        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
     )
     if broadcast_queries:
         joined = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
@@ -76,7 +86,9 @@ def brute_topk(
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -125,22 +137,29 @@ def ivf_topk(
     as the corpus itself is co-partitioned with its probed buckets instead
     of being replicated to every executor."""
     cents = representative_centroids(df, label_col, id_col, vec_col)
+    # norms once per vector/query, not once per scored pair (bit-equal
+    # cosine — the brute_topk note); centroid cosines stay inline (Q·k
+    # rows, never bucket-squared)
     v = df.select(
         F.col(id_col), F.col(label_col).alias("bucket"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).select(F.col(id_col), "bucket", "v", norm(F.col("v")).alias("nv"))
     q = (
         v.join(query_ids, id_col, "left_semi")
-        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
     )
     # stage 1: nearest centroids (centroid side broadcast — always tiny)
     qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+        "query_id", "qv", "nq", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
     )
     wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
     probes = (
         qc.withColumn("crank", F.row_number().over(wq))
         .where(F.col("crank") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
+        .select("query_id", "qv", "nq", F.col("centroid_id").alias("probe_bucket"))
     )
     # stage 2: exact search inside probed buckets (bucket-equi join prunes;
     # without the broadcast hint Catalyst shuffles both sides on the bucket)
@@ -152,7 +171,9 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -352,32 +373,42 @@ def ivf_topk_kmeans(
     )
     v = _assign_nearest(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), centroids
-    ).select(id_col, F.col("cluster").alias("bucket"), "v")
+    ).select(
+        id_col, F.col("cluster").alias("bucket"), "v",
+        norm(F.col("v")).alias("nv"),
+    )
     cents = df.sparkSession.createDataFrame(
         [(cid, c) for cid, c in centroids], ["centroid_id", "cv"]
     )
     q = (
         v.join(query_ids, id_col, "left_semi")
-        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
     )
     qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+        "query_id", "qv", "nq", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
     )
     wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
     probes = (
         qc.withColumn("crank", F.row_number().over(wq))
         .where(F.col("crank") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("probe_bucket"))
+        .select("query_id", "qv", "nq", F.col("centroid_id").alias("probe_bucket"))
     )
     probe_side = F.broadcast(probes) if broadcast_queries else probes
     joined = v.join(
         probe_side,
         (F.col("bucket") == F.col("probe_bucket")) & (F.col(id_col) != F.col("query_id")),
     )
+    # norms once per vector/query (bit-equal cosine — the brute_topk note)
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
