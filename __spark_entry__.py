@@ -454,13 +454,16 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
         F.lit(0.0), lambda acc, x: acc + x,
     )
     dim = len(books[0][0]) * m
-    gmean = [
-        r["mv"] for r in (
-            v.select(F.posexplode("v").alias("pos", "x"))
-            .groupBy("pos").agg(F.avg("x").alias("mv")).orderBy("pos").collect()
-        )
-    ]
-    if len(gmean) != dim:
+    # per-dim aggregate columns instead of posexplode (the _lloyd_step
+    # shape); min/max(size) ride the same job to keep the old
+    # dimension-mismatch strictness
+    grow = v.agg(
+        F.min(F.size("v")).alias("dmin"),
+        F.max(F.size("v")).alias("dmax"),
+        *[F.avg(F.element_at("v", p + 1)).alias(f"m{p}") for p in range(dim)],
+    ).collect()[0]
+    gmean = [grow[f"m{p}"] for p in range(dim)]
+    if grow["dmin"] != dim or grow["dmax"] != dim or any(x is None for x in gmean):
         raise AssertionError("dimension mismatch in PQ gate")
     gl = F.array(*[F.lit(x) for x in gmean])
     errs = joined.agg(

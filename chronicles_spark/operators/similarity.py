@@ -257,8 +257,34 @@ def _lloyd_step(
     v: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> list[tuple[int, list[float]]]:
     """One Lloyd iteration: assign to broadcast centroid literals, mean
-    per (cluster, dim_pos), collect the k·dim matrix."""
+    per (cluster, dim_pos), collect the k·dim matrix.
+
+    The mean update aggregates per-dim COLUMNS (avg(v[pos]) × dim,
+    grouped by cluster) instead of posexploding every vector into dim
+    rows: the same Average aggregate sees the same values in the same
+    per-partition order, but the dim× row blow-up and the (cluster, pos)
+    shuffle key disappear — k rows × dim partial-agg cells cross the
+    exchange either way, the explode's per-row work does not.  Past
+    ``_PER_DIM_AGG_CEILING`` dims the aggregate-column list itself would
+    bloat analysis/codegen, so the explode shape stays as the wide-dim
+    fallback."""
     assigned = _assign_nearest(v, centroids)
+    dim = len(centroids[0][1]) if centroids else 0
+    if 0 < dim <= _PER_DIM_AGG_CEILING:
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", p + 1)).alias(f"m{p}")
+                    for p in range(dim)
+                ]
+            )
+            .collect()
+        )
+        found = {r["cluster"]: [r[f"m{p}"] for p in range(dim)] for r in rows}
+        # a cluster that lost every member keeps its previous centroid
+        # (standard Lloyd behavior; dropping it would renumber buckets)
+        return [(cid, found.get(cid, prev)) for cid, prev in centroids]
     cell = (
         assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
@@ -268,8 +294,6 @@ def _lloyd_step(
     by_cluster: dict[int, dict[int, float]] = {}
     for r in cell:
         by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-    # a cluster that lost every member keeps its previous centroid
-    # (standard Lloyd behavior; dropping it would renumber buckets)
     return [
         (
             cid,
@@ -286,6 +310,12 @@ def _lloyd_step(
 # huge literal trees slow analysis and fall out of codegen, while k·dim
 # centroid ROWS broadcast fine at any k an IVF index realistically uses
 _ASSIGN_LITERAL_CEILING = 16_384
+
+# above this many vector dims, the Lloyd mean update falls back from
+# per-dim aggregate columns (one avg(v[pos]) per dim) to the posexplode
+# shape: thousands of aggregate expressions in one job slow analysis and
+# overflow codegen method limits, while the explode handles any dim
+_PER_DIM_AGG_CEILING = 2_048
 
 
 def _assign_nearest(
@@ -588,6 +618,33 @@ def pq_fit(
                 )
             else:
                 assigned = t.withColumn("code", _pq_assign_expr(codebooks))
+            # mean update by per-dim aggregate columns, not posexplode —
+            # the _lloyd_step shape (sub_d = dim/m is always narrow, so
+            # no wide-dim fallback is needed here)
+            if sub_d <= _PER_DIM_AGG_CEILING:
+                rows = (
+                    assigned.groupBy("sub", "code")
+                    .agg(
+                        *[
+                            F.avg(F.element_at("sv", p + 1)).alias(f"m{p}")
+                            for p in range(sub_d)
+                        ]
+                    )
+                    .collect()
+                )
+                means2 = {
+                    (r["sub"], r["code"]): [r[f"m{p}"] for p in range(sub_d)]
+                    for r in rows
+                }
+                codebooks = [
+                    [
+                        # empty cluster keeps its centroid
+                        means2.get((s, c), codebooks[s][c])
+                        for c in range(k_sub)
+                    ]
+                    for s in range(m)
+                ]
+                continue
             cell = (
                 assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
                 .groupBy("sub", "code", "pos")
@@ -908,18 +965,28 @@ def rerank_topk(
     pairs = shortlist.select(
         F.col(query_id_col), F.col(neighbor_col)
     ).distinct()
+    # norms once per candidate/query vector, carried through the joins,
+    # not re-folded per (query, neighbor) pair: round(dot/(nq*nv), 6) is
+    # bit-equal to the inline cosine (same fold over the same array) —
+    # the brute_topk/ivf_topk note applied to the refine leg
     v = df.select(
         F.col(id_col).alias(neighbor_col), as_double(F.col(vec_col)).alias("v")
     )
+    if metric == "cosine":
+        v = v.select(neighbor_col, "v", norm(F.col("v")).alias("_nv"))
     pair_side = F.broadcast(pairs) if broadcast_shortlist else pairs
     cand = v.join(pair_side, neighbor_col)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(query_vec_col)).alias("qv")
     )
+    if metric == "cosine":
+        q = q.select(query_id_col, "qv", norm(F.col("qv")).alias("_nq"))
     q_side = F.broadcast(q) if broadcast_shortlist else q
     joined = cand.join(q_side, query_id_col)
     if metric == "cosine":
-        score = cosine(F.col("qv"), F.col("v")).alias("cosine")
+        score = F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("_nq") * F.col("_nv")), 6
+        ).alias("cosine")
         order = [F.col("cosine").desc(), F.col(neighbor_col).asc()]
     else:
         score = F.round(
