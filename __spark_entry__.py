@@ -2031,8 +2031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.date_add("d", 2).cast("timestamp_ntz").alias("end_ts"),
             )
         )
+        # intervals = distinct (event_type, date) — provably dimension-
+        # sized (types × days), so the exploded interval side broadcasts
+        # and the corpus-scale point side is never shuffled (guide §3.1)
         return range_join(
-            points, intervals, "event_type", "ts", "start_ts", "end_ts"
+            points, intervals, "event_type", "ts", "start_ts", "end_ts",
+            broadcast_intervals=True,
         ).select("event_id", "event_type", "ts", "start_ts", "end_ts")
 
     # --- streaming aggregates (batch mode of the dual-mode plans) ----------

@@ -192,6 +192,7 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_seconds: int = 86400,
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Point-in-interval join (``start <= point < end``, same ``key``)
     without the cartesian blow-up of a naive non-equi join.
@@ -201,7 +202,14 @@ def range_join(
     join becomes an EQUI-join on (key, bucket) followed by the exact range
     filter.  Shuffle volume is O(points + intervals · buckets_per_interval)
     instead of O(points · intervals); pick ``bucket_seconds`` near the
-    typical interval length so intervals explode into ~1-2 buckets."""
+    typical interval length so intervals explode into ~1-2 buckets.
+
+    ``broadcast_intervals=True`` is for PROVABLY dimension-sized interval
+    sets (calendars, maintenance windows, per-key config epochs): the
+    exploded interval side broadcasts and the corpus-scale point side is
+    never shuffled at all (guide §3.1 — size estimates after a distinct/
+    derive are unreliable, so the caller's knowledge beats the planner's).
+    Leave False when the interval set can scale with the corpus."""
     bucket_of = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)
     p = points.withColumn("_b", bucket_of(F.col(point_col)))
     # an inverted interval (end <= start) can never match, and would make
@@ -218,6 +226,8 @@ def range_join(
             )
         ),
     )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     return (
         p.join(iv, [key, "_b"])
         .where(
