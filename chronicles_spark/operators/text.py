@@ -51,17 +51,26 @@ def bind_once(expr: Column, body) -> Column:
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, alnum tokens, BPE-ish pieces,
-    distinct tokens, chars. One projection, no shuffle."""
-    toks = tokens_of(F.col(text_col))
-    return df.select(
-        "*",
-        F.length(F.col(text_col)).alias("n_chars_computed"),
-        F.size(F.split(F.trim(F.col(text_col)), " +")).alias("n_ws_tokens"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)).alias(
-            "n_bpe_pieces"
-        ),
+    distinct tokens, chars. One projection, no shuffle.
+
+    The token array is staged as a real column (the with_quality_score
+    pattern): two count columns reference it, and staging guarantees one
+    regex pass per row on interpreted paths too (codegen subexpression
+    elimination only covers the compiled case)."""
+    toks = F.col("_toks")
+    return (
+        df.withColumn("_toks", tokens_of(F.col(text_col)))
+        .select(
+            "*",
+            F.length(F.col(text_col)).alias("n_chars_computed"),
+            F.size(F.split(F.trim(F.col(text_col)), " +")).alias("n_ws_tokens"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+            ).alias("n_bpe_pieces"),
+        )
+        .drop("_toks")
     )
 
 
