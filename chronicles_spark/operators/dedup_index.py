@@ -58,6 +58,7 @@ protocol with this repo's LLM-pipeline operators.
 from __future__ import annotations
 
 import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -745,30 +746,6 @@ def _extend_index(
                 "repair_dedup_pairs to re-land the torn batch partition"
             )
 
-    # ONE aggregation yields the batch's row/dup/null counts plus its
-    # doc-shard set (≤ doc_shards values)
-    counts = base_new.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.col(id_col)).alias("nd"),
-        F.count(F.when(F.col(id_col).isNull(), 1)).alias("nn"),
-        F.collect_set(_doc_shard_col(id_col, artifacts.doc_shards)).alias("ds"),
-    ).collect()[0]
-    if counts["nn"]:
-        raise ValueError(
-            f"df_new contains {counts['nn']} NULL {id_col} value(s) — "
-            "every row needs a concrete id"
-        )
-    if counts["n"] != counts["nd"]:
-        raise ValueError(
-            f"df_new contains duplicate {id_col} values ({counts['n']} rows, "
-            f"{counts['nd']} distinct ids) — deduplicate the batch first "
-            "(exact_duplicate_groups)"
-        )
-    if not counts["n"]:
-        raise ValueError(f"extend_{family.kind}_index got an empty batch")
-    batch_doc_shards = sorted(counts["ds"])
-    new_ids = base_new.select(id_col).distinct()
-
     # batch band rows (payloads the family's bander drops — e.g. empty
     # shingle sets — excluded) with their shard routes; bounded: b rows
     # per batch doc
@@ -777,41 +754,85 @@ def _extend_index(
         .withColumn(BAND_SHARD_COL, _band_shard_col(artifacts.band_shards))
         .persist()
     )
+    # the batch-stats agg and the band-key sample are independent bounded
+    # jobs over the persisted batch frames — overlap them (guide §2.6)
+    # instead of paying two serial job launches
+    counts_plan = base_new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(id_col)).alias("nd"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("nn"),
+        F.collect_set(_doc_shard_col(id_col, artifacts.doc_shards)).alias("ds"),
+    )
+    band_sample_plan = (
+        banded_new.select(F.col(BAND_SHARD_COL), "band_id", "band_key")
+        .distinct()
+        .limit(_FETCH_PUSHDOWN_MAX_IDS + 1)
+    )
+    pool = ThreadPoolExecutor(max_workers=2)
     try:
+        counts_f = pool.submit(counts_plan.collect)
+        band_sample_f = pool.submit(band_sample_plan.collect)
+        # ONE aggregation yields the batch's row/dup/null counts plus its
+        # doc-shard set (≤ doc_shards values)
+        counts = counts_f.result()[0]
+        if counts["nn"]:
+            raise ValueError(
+                f"df_new contains {counts['nn']} NULL {id_col} value(s) — "
+                "every row needs a concrete id"
+            )
+        if counts["n"] != counts["nd"]:
+            raise ValueError(
+                f"df_new contains duplicate {id_col} values ({counts['n']} rows, "
+                f"{counts['nd']} distinct ids) — deduplicate the batch first "
+                "(exact_duplicate_groups)"
+            )
+        if not counts["n"]:
+            raise ValueError(f"extend_{family.kind}_index got an empty batch")
+        batch_doc_shards = sorted(counts["ds"])
+        new_ids = base_new.select(id_col).distinct()
+        band_sample = band_sample_f.result()
         return _extend_publish(
             spark, table, docs_table, tracker, family, state, docs_state,
             base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
-            batch_doc_shards, artifacts, mode, concurrency,
+            batch_doc_shards, band_sample, artifacts, mode, concurrency,
             user_id, message, id_col, metastore, pairs_table,
             drift_shard_rows,
         )
     finally:
+        pool.shutdown(wait=True)
         banded_new.unpersist()
+
+
+def _consume_future(future, pool):
+    """Join an overlapped single-job worker: propagate its error/result
+    and always release the pool.  (If the MAIN chain raises before this
+    is reached, the worker's bounded read-only jobs finish in the
+    background and the executor's threads exit when it is collected —
+    nothing is written by either side until after this join.)"""
+    try:
+        return future.result()
+    finally:
+        pool.shutdown(wait=True)
 
 
 def _extend_publish(
     spark, table, docs_table, tracker, family, state, docs_state,
     base_head, docs_head, pairs_head, base_new, banded_new, new_ids,
-    batch_doc_shards, artifacts, mode, concurrency,
+    batch_doc_shards, band_sample, artifacts, mode, concurrency,
     user_id, message, id_col, metastore, pairs_table,
     drift_shard_rows: "int | None" = DRIFT_MAX_BAND_SHARD_ROWS,
 ):
     from ..spark.reader import read_version
 
     payload = family.payload_col
-    # ONE capped collect yields both the batch's band-shard set (the
+    # ONE capped collect (overlapped with the batch-stats agg by
+    # _extend_index) yields both the batch's band-shard set (the
     # structural partition prune) and, for normal-size batches, its
     # (band_id, band_key) pairs — pushed at the candidate read as a
     # row-group prune over the sorted band files (the doc store's
     # IN-list move applied to the band table).  Above the cap only the
     # DISTINCT shard values are collected (bounded ≤ band_shards) and
     # shard pruning alone bounds the read.
-    band_sample = (
-        banded_new.select(F.col(BAND_SHARD_COL), "band_id", "band_key")
-        .distinct()
-        .limit(_FETCH_PUSHDOWN_MAX_IDS + 1)
-        .collect()
-    )
     if len(band_sample) <= _FETCH_PUSHDOWN_MAX_IDS:
         batch_band_shards = sorted({r[BAND_SHARD_COL] for r in band_sample})
         band_filter = _band_key_filter(band_sample)
@@ -829,50 +850,87 @@ def _extend_publish(
     # shard), so the lookup reads only those; band keys recompute
     # deterministically from the stored payloads, locating the stale
     # band rows WITHOUT any band-table scan.
-    replaced_band_shards: "list[str]" = []
+    #
+    # The lookup and the touched-shard RMW union it feeds are independent
+    # of the candidate/verify chain (candidates read only the BATCH's
+    # band shards; replaced shards matter only to the write set), so the
+    # whole chain runs on a worker thread OVERLAPPED with the verify
+    # (guide §2.6) — its result is consumed, and any error it raises
+    # surfaces, strictly before anything is written.
     dsub = _restrict_to_values(docs_state, DOC_SHARD_COL, batch_doc_shards)
-    if mode == "append" and dsub.partition_versions:
-        # append promises every id is NEW — enforce it (a silent hit
-        # would write duplicate id rows into both tables, and the
-        # offline verify can't flag it because the duplicated band rows
-        # still re-derive from the duplicated payload rows).  One
-        # column-pruned read of the batch's own doc shards — strictly
-        # cheaper than upsert's replacement lookup.
-        # no forced broadcast on new_ids anywhere in this function: it
-        # is the whole batch's id set — small for a daily delta (AQE
-        # broadcasts it then) but not provably small for a bulk
-        # backfill, where a forced hint would push a multi-GB set
-        # through the driver; every join it feeds is against an
-        # already-shard-restricted read, so AQE's runtime choice is
-        # safe on both ends
-        hit = (
-            read_version(spark, docs_table, dsub, infer_partition_types=False)
-            .select(F.col(id_col))
-            .join(new_ids, id_col, "left_semi")
-            .limit(1)
-            .collect()
-        )
-        if hit:
-            raise ValueError(
-                f"mode='append' but {id_col}={hit[0][id_col]!r} already "
-                "exists in the index — use mode='upsert' to replace "
-                "re-submitted ids"
+
+    def _lookup_and_rmw_bands():
+        replaced: "list[str]" = []
+        if mode == "append" and dsub.partition_versions:
+            # append promises every id is NEW — enforce it (a silent hit
+            # would write duplicate id rows into both tables, and the
+            # offline verify can't flag it because the duplicated band rows
+            # still re-derive from the duplicated payload rows).  One
+            # column-pruned read of the batch's own doc shards — strictly
+            # cheaper than upsert's replacement lookup.
+            # no forced broadcast on new_ids anywhere in this function: it
+            # is the whole batch's id set — small for a daily delta (AQE
+            # broadcasts it then) but not provably small for a bulk
+            # backfill, where a forced hint would push a multi-GB set
+            # through the driver; every join it feeds is against an
+            # already-shard-restricted read, so AQE's runtime choice is
+            # safe on both ends
+            hit = (
+                read_version(spark, docs_table, dsub, infer_partition_types=False)
+                .select(F.col(id_col))
+                .join(new_ids, id_col, "left_semi")
+                .limit(1)
+                .collect()
             )
-    if mode == "upsert" and dsub.partition_versions:
-        old_docs = (
-            read_version(spark, docs_table, dsub, infer_partition_types=False)
-            .select(F.col(id_col), F.col(payload))
-            .join(new_ids, id_col, "left_semi")
-        )
-        old_banded = family.band_fn(old_docs).withColumn(
-            BAND_SHARD_COL, _band_shard_col(artifacts.band_shards)
-        )
-        replaced_band_shards = sorted(
-            r["s"]
-            for r in old_banded.select(
-                F.col(BAND_SHARD_COL).alias("s")
-            ).distinct().collect()
-        )
+            if hit:
+                raise ValueError(
+                    f"mode='append' but {id_col}={hit[0][id_col]!r} already "
+                    "exists in the index — use mode='upsert' to replace "
+                    "re-submitted ids"
+                )
+        if mode == "upsert" and dsub.partition_versions:
+            old_docs = (
+                read_version(spark, docs_table, dsub, infer_partition_types=False)
+                .select(F.col(id_col), F.col(payload))
+                .join(new_ids, id_col, "left_semi")
+            )
+            old_banded = family.band_fn(old_docs).withColumn(
+                BAND_SHARD_COL, _band_shard_col(artifacts.band_shards)
+            )
+            replaced = sorted(
+                r["s"]
+                for r in old_banded.select(
+                    F.col(BAND_SHARD_COL).alias("s")
+                ).distinct().collect()
+            )
+        # -- RMW of exactly the touched band shards (the write set) --
+        touched = sorted(set(batch_band_shards) | set(replaced))
+        wsub_ = _restrict_to_values(state, BAND_SHARD_COL, touched)
+        bands_out_ = banded_new
+        if wsub_.partition_versions:
+            live = read_version(
+                spark, table, wsub_, infer_partition_types=False
+            ).select(F.col(id_col), "band_id", "band_key", BAND_SHARD_COL)
+            if mode == "upsert":
+                live = live.join(new_ids, id_col, "left_anti")
+            bands_out_ = banded_new.unionByName(live)
+        # which touched band shards still hold rows (a replaced doc's
+        # removal can empty one); doc shards never empty (the batch
+        # writes into every shard it touches).  The same pass (the extend
+        # already scans bands_out here — a count costs nothing extra over
+        # the old distinct) yields per-shard row counts for the
+        # geometry-drift guard.  Lineage barrier first: the frame is
+        # consumed TWICE (this count and the data write) and each full
+        # evaluation re-reads the touched live band shards — the barrier
+        # reads them once.
+        bands_out_ = DD.lineage_barrier(bands_out_)
+        shard_counts_ = bands_out_.groupBy(
+            F.col(BAND_SHARD_COL).alias("s")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+        return replaced, wsub_, bands_out_, shard_counts_
+
+    rmw_pool = ThreadPoolExecutor(max_workers=1)
+    rmw_future = rmw_pool.submit(_lookup_and_rmw_bands)
 
     # -- candidates: batch band keys vs ONLY the batch's band shards --
     bsub = _restrict_to_values(state, BAND_SHARD_COL, batch_band_shards)
@@ -968,18 +1026,11 @@ def _extend_publish(
     verified = DD.lineage_barrier(family.verify_fn(verify_base, cand))
 
     # -- publish: RMW of exactly the touched shards, one pair commit --
-    touched_band_shards = sorted(
-        set(batch_band_shards) | set(replaced_band_shards)
+    # join the overlapped lookup+RMW worker: its append-hit ValueError /
+    # any read error surfaces HERE, before anything is written
+    replaced_band_shards, wsub, bands_out, shard_counts = _consume_future(
+        rmw_future, rmw_pool
     )
-    wsub = _restrict_to_values(state, BAND_SHARD_COL, touched_band_shards)
-    bands_out = banded_new
-    if wsub.partition_versions:
-        live = read_version(
-            spark, table, wsub, infer_partition_types=False
-        ).select(F.col(id_col), "band_id", "band_key", BAND_SHARD_COL)
-        if mode == "upsert":
-            live = live.join(new_ids, id_col, "left_anti")
-        bands_out = banded_new.unionByName(live)
     docs_out = base_new.select(F.col(id_col), payload).withColumn(
         DOC_SHARD_COL, _doc_shard_col(id_col, artifacts.doc_shards)
     )
@@ -996,21 +1047,9 @@ def _extend_publish(
         DOC_SHARD_COL, id_col
     )
 
-    # which touched band shards still hold rows (a replaced doc's
-    # removal can empty one); doc shards never empty (the batch
-    # writes into every shard it touches).  The same pass (the extend
-    # already scans bands_out here — a count costs nothing extra over
-    # the old distinct) yields per-shard row counts for the
-    # geometry-drift guard: the sizing rule (docs/scale.md) is only
+    # the geometry-drift guard: the sizing rule (docs/scale.md) is only
     # enforced by rebuilds the operator remembers to run, so an extend
-    # that OBSERVES a touched shard beyond the target warns loudly.
-    # Lineage barrier first: the frame is consumed TWICE (this count and
-    # the data write below) and each full evaluation re-reads the touched
-    # live band shards — the barrier reads them once.
-    bands_out = DD.lineage_barrier(bands_out)
-    shard_counts = bands_out.groupBy(
-        F.col(BAND_SHARD_COL).alias("s")
-    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    # that OBSERVES a touched shard beyond the target warns loudly
     written_band_shards = {r["s"] for r in shard_counts}
     if drift_shard_rows is not None and shard_counts:
         worst = max(shard_counts, key=lambda r: r["n"])
