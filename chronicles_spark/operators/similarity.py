@@ -490,14 +490,26 @@ def normalize_l2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize the embedding column (unit vectors, 6-decimal rounding
     for engine-reproducible values); cosine then reduces to a dot product.
     Map-side only.  A zero vector has no direction — its ``embedding_unit``
-    is NULL (explicit, instead of a divide-by-zero NaN array)."""
-    v = as_double(F.col(vec_col))
-    n = norm(v)
-    return df.withColumn(
-        "embedding_unit",
-        F.when(n == 0.0, F.lit(None)).otherwise(
-            F.transform(v, lambda x: F.round(x / n, 6))
-        ),
+    is NULL (explicit, instead of a divide-by-zero NaN array).
+
+    The cast vector and its norm are STAGED as real columns before the
+    per-element lambda references them: an expression captured inside a
+    higher-order-function lambda is re-evaluated once per ELEMENT (HOFs
+    sit outside codegen subexpression elimination), so the inline norm
+    was an O(dim) fold re-run dim times per row — O(dim²).  Staged
+    columns bind as O(1) attribute reads; round(x / n, 6) over identical
+    values is bit-equal."""
+    n = F.col("_l2_n")
+    return (
+        df.withColumn("_l2_v", as_double(F.col(vec_col)))
+        .withColumn("_l2_n", norm(F.col("_l2_v")))
+        .withColumn(
+            "embedding_unit",
+            F.when(n == 0.0, F.lit(None)).otherwise(
+                F.transform(F.col("_l2_v"), lambda x: F.round(x / n, 6))
+            ),
+        )
+        .drop("_l2_v", "_l2_n")
     )
 
 
@@ -508,17 +520,32 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     embedding storage 4x; dequantize with q/scale.  Map-side only.
     An all-zero vector gets scale 0 and all-zero codes (instead of an
     infinite scale overflowing the codes); dequantizers must treat
-    ``q_scale = 0`` as the zero vector."""
-    v = as_double(F.col(vec_col))
-    amax = F.aggregate(
-        F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
+    ``q_scale = 0`` as the zero vector.
+
+    The cast vector and the scale (an O(dim) max-abs fold) are staged as
+    real columns — the normalize_l2 note: captured inside the quantize
+    lambda, the inline scale was re-folded per element, O(dim²) per row."""
+    scale = F.col("_q8_scale")
+    staged = (
+        df.withColumn("_q8_v", as_double(F.col(vec_col)))
+        .withColumn(
+            "_q8_amax",
+            F.aggregate(
+                F.transform(F.col("_q8_v"), lambda x: F.abs(x)), F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+        )
+        .withColumn(
+            "_q8_scale",
+            F.when(F.col("_q8_amax") == 0.0, F.lit(0.0)).otherwise(
+                F.lit(127.0) / F.col("_q8_amax")
+            ),
+        )
     )
-    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.transform(
-            v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+            F.col("_q8_v"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
         ).alias("q_codes"),
         F.round(scale, 6).alias("q_scale"),
     )
@@ -754,34 +781,31 @@ def pq_encode(
     sub_d = len(codebooks[0][0])
     v = as_double(F.col(vec_col))
     base = [F.col(c) for c in df.columns] if keep_cols else [F.col(id_col)]
+    # STAGE the cast vector and its m subvector slices as real columns
+    # before the per-code distance expressions reference them: an
+    # expression captured inside a higher-order-function lambda is
+    # re-evaluated once per element (HOFs sit outside codegen;
+    # subexpression elimination doesn't reach lambda bodies), and even
+    # on the literal path each of the m·k_sub distance folds re-ran the
+    # O(D) cast+slice chain — staged columns bind as O(1) attribute
+    # reads (the remove_repeated_spans / _assign_nearest "v" staging
+    # pattern), leaving only the O(m·k_sub·sub_d) distance arithmetic.
+    clash = [c for c in df.columns if c in ("_pq_v", "_pq_subs", "cbs")]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with pq_encode temporaries "
+            "— rename or drop them first"
+        )
+    staged = df.withColumn("_pq_v", v).withColumn(
+        "_pq_subs",
+        F.array(*[
+            F.slice("_pq_v", s * sub_d + 1, sub_d) for s in range(m)
+        ]),
+    )
     # total literal doubles across the m argmin expressions = k_sub · D
     if len(codebooks[0]) * sub_d * m > _ASSIGN_LITERAL_CEILING:
-        # STAGE the cast vector and its m subvector slices as real columns
-        # before any lambda references them: an expression captured inside
-        # a higher-order-function lambda is re-evaluated once per element
-        # (HOFs sit outside codegen; subexpression elimination doesn't
-        # reach lambda bodies), so slicing `v` inside the per-codebook
-        # argmin would redo the O(D) cast+slice ~m·k_sub times per row —
-        # at exactly the large-k_sub·D sizes this path exists for.  Staged
-        # columns bind as O(1) attribute reads (the remove_repeated_spans
-        # / _assign_nearest "v" staging pattern).
-        clash = [c for c in df.columns if c in ("_pq_v", "_pq_subs", "cbs")]
-        if clash:
-            raise ValueError(
-                f"input columns {clash} collide with pq_encode temporaries "
-                "— rename or drop them first"
-            )
-        staged = (
-            df.withColumn("_pq_v", v)
-            .withColumn(
-                "_pq_subs",
-                F.array(*[
-                    F.slice("_pq_v", s * sub_d + 1, sub_d) for s in range(m)
-                ]),
-            )
-            .crossJoin(
-                F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
-            )
+        staged = staged.crossJoin(
+            F.broadcast(_codebook_matrix_df(df.sparkSession, codebooks))
         )
         return staged.select(
             *base,
@@ -793,11 +817,11 @@ def pq_encode(
                 ),
             ).alias("pq_codes"),
         )
-    return df.select(
+    return staged.select(
         *base,
         F.array(*[
             _argmin_code(
-                F.slice(v, s * sub_d + 1, sub_d),
+                F.col("_pq_subs")[s],
                 codebooks[s],
             )
             for s in range(m)
