@@ -1416,8 +1416,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assert on a tiny side table — same correctness-gate pattern as
         # q_time_travel_read — so a regression in any of them turns this
         # driver row red while the returned values stay byte-identical.
-        _wap_restore_gate(spark, sf)
-        table, tracker, _ = _write_versioned_events(spark, sf)
+        #
+        # The gate and the events fixture are INDEPENDENT (own tmp dirs,
+        # own trackers, no shared table) and each is a chain of small
+        # serial driver actions — overlap them (guide §2.6) so the row
+        # costs max(gate, fixture) + read instead of their sum.  Both
+        # results are consumed (and both error paths surface) before the
+        # read; the returned values are byte-identical either way.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            gate_f = pool.submit(_wap_restore_gate, spark, sf)
+            fixture_f = pool.submit(_write_versioned_events, spark, sf)
+            table, tracker, _ = fixture_f.result()
+            gate_f.result()
         return read_current(spark, table, tracker).select(*_EVENTS_VIEW_COLS)
 
     def q_time_travel_read(spark, sf):
