@@ -48,6 +48,7 @@ def _contents(spark, table, tracker):
     )
 
 
+@pytest.mark.slow
 def test_mapped_and_unmapped_extends_land_identical_indexes(spark, tmp_path):
     """Seeded fuzz: the same build + mixed upsert/append sequence through
     (a) an index WITH the id map (bounded locate) and (b) one WITHOUT
@@ -149,6 +150,7 @@ def test_locate_reads_only_batch_shards(spark, tmp_path):
     assert len(pruned) < len(all_shards)  # strict pruning
 
 
+@pytest.mark.slow
 def test_skew_guard_caps_partitions_and_keeps_search_identical(spark, tmp_path):
     """max_bucket_rows: a deliberately skewed corpus (every vector near
     one centroid) keeps every physical partition at or under the cap,
@@ -430,6 +432,7 @@ def test_ann_recall_at_k_matches_numpy(spark, tmp_path):
         assert got[np_] == pytest.approx(hits / total, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_sustained_hot_bucket_extends_keep_cap_without_rebuild(spark, tmp_path):
     """The round-7 `weak` closed: a sustained hot-bucket stream of
     extends keeps EVERY physical partition at or under the cap with NO

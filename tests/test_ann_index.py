@@ -212,6 +212,7 @@ def test_extend_upserts_new_vectors_and_matches_full_build(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_extend_replaces_same_id_and_keeps_untouched_buckets(spark, tmp_path):
     from chronicles_spark.spark import read_current
 
@@ -644,6 +645,7 @@ def test_vacuum_artifacts_protects_branch_committed_labels(spark, tmp_path):
         AX.vacuum_ann_artifacts(bdef, tracker)
 
 
+@pytest.mark.slow
 def test_ann_stream_sink_maintains_index(spark, tmp_path):
     """A real embedding stream (file source, several micro-batches) keeps
     the index current: after the drain, the indexed search equals the

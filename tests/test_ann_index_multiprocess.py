@@ -11,6 +11,7 @@ test_ann_index.py pins the conflict/auto-merge SEMANTICS; this pins the
 end-to-end OUTCOME across real processes and real flock serialization.)
 """
 
+import pytest
 import json
 import os
 import subprocess
@@ -24,6 +25,9 @@ from chronicles_spark.core.model import (
 from chronicles_spark.operators import ann_index as AX
 from chronicles_spark.trackers import FileBackedVersionTracker
 
+# slow tier: real OS-process extend race (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = """
@@ -32,6 +36,9 @@ from pyspark.sql import SparkSession
 from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
 from chronicles_spark.operators import ann_index as AX
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+import pytest
+
 
 root, loc, wid = sys.argv[1], sys.argv[2], int(sys.argv[3])
 spark = (SparkSession.builder.master("local[2]")

@@ -8,6 +8,7 @@ Invariant pinned for both modes: NO COMMITTED UPDATE IS EVER LOST and no
 sequence slot ever holds two different commits — while the parent
 archives the log repeatedly mid-race."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -15,6 +16,9 @@ import time
 
 from chronicles_spark.core.model import TableName
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+# slow tier: real OS-process archival races (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 T = TableName("db", "archrace")
@@ -192,6 +196,9 @@ _ARCHIVER = """
 import json, sys, time
 from chronicles_spark.core.model import TableName
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+import pytest
+
 
 path, seconds = sys.argv[1], float(sys.argv[2])
 tracker = FileBackedVersionTracker(path, checkpoint_interval=3, use_cas=True)

@@ -94,6 +94,7 @@ def test_folds_equal_one_shot_over_real_pairs(spark, tmp_path):
     assert _assignments(spark, table, tracker) == _want(all_pairs)
 
 
+@pytest.mark.slow
 def test_cross_batch_merge_and_new_min(spark, tmp_path):
     """Explicit merge choreography: two separate clusters, a bridging
     pair (union), then a NEW smallest id joining one end — every member
@@ -131,6 +132,7 @@ def test_cross_batch_merge_and_new_min(spark, tmp_path):
     assert moved == [(20, 0), (21, 0)]  # smaller cluster joined 0's
 
 
+@pytest.mark.slow
 def test_fold_order_is_confluent(spark, tmp_path):
     """Min-label components are order-independent: folding the same
     batches in reverse yields the identical assignment table."""
@@ -395,6 +397,7 @@ def test_fold_drift_warning(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_seeded_fuzz_folds_match_one_shot(spark, tmp_path):
     """Seeded random pair batches (duplicate pairs within and across
     batches, chains, re-touched clusters, singletons) folded in sequence
@@ -632,6 +635,7 @@ def test_giant_relabel_warning(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_dedup_pairs_preserves_journal_and_folds(spark, tmp_path):
     """Journal compaction (round 11): consolidating the FOLDED batch
     partitions into one ``batch=folded-<v>`` partition preserves the
@@ -755,6 +759,7 @@ def test_compact_dedup_pairs_preserves_journal_and_folds(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
     """The compaction commit's optimistic pin behaves as documented: a
     racing EXTEND's new batch partition is disjoint (auto-merge — the
@@ -989,6 +994,7 @@ def test_compact_dedup_pairs_exclusive_contract(spark, tmp_path):
     ) is None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [20260816, 7])
 def test_seeded_fuzz_compaction_interleave(spark, tmp_path, seed):
     """Seeded random interleave of journal-batch lands, folds (with

@@ -13,6 +13,7 @@ batch label is recorded exactly once — the dedup/ANN multiprocess
 contract, cluster flavor.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -24,6 +25,9 @@ from chronicles_spark.core.model import (
 )
 from chronicles_spark.operators import cluster_index as CX, dedup as DD
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+# slow tier: real OS-process fold/compact races (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -156,6 +160,9 @@ from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableN
 from chronicles_spark.operators import cluster_index as CX
 from chronicles_spark.operators import dedup_index as DX
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+import pytest
+
 
 root, ploc, aloc, rounds = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 spark = (SparkSession.builder.master("local[2]")

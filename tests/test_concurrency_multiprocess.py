@@ -23,6 +23,9 @@ import pytest
 from chronicles_spark.core.model import TableName
 from chronicles_spark.trackers import FileBackedVersionTracker, SqliteVersionTracker
 
+# slow tier: real OS-process commit races (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 T = TableName("db", "race")
 N_PER_PROC = 20
@@ -379,6 +382,7 @@ from chronicles_spark.core.ops import (
 )
 from chronicles_spark.core.version import generate_version
 from chronicles_spark.trackers import FileBackedVersionTracker
+
 
 path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
 tracker = FileBackedVersionTracker(path, use_lock=True)

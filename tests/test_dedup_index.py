@@ -48,6 +48,7 @@ def _full_pairs(docs, where):
     return _pairs(DD.minhash_dedup(docs, threshold=0.5).where(where))
 
 
+@pytest.mark.slow
 def test_incremental_equals_full_rerun(spark, tmp_path):
     """build(corpus) + extend(B1) + extend(B2) finds, across the base
     run and the two extends, exactly the pairs one full minhash_dedup
@@ -233,6 +234,7 @@ def test_append_mode_rejects_existing_id(spark, tmp_path):
     assert DX.verify_dedup_index(spark, table, tracker).count() == 0
 
 
+@pytest.mark.slow
 def test_torn_pair_refused_and_rebuild_repairs(spark, tmp_path):
     """Crash injection between the pair's two appends (bands commit
     lands, docs' doesn't): the next extend refuses loudly; a fresh
@@ -534,6 +536,7 @@ def test_vacuum_dedup_artifacts_follows_data_vacuum(spark, tmp_path):
     assert fs.exists(p2)
 
 
+@pytest.mark.slow
 def test_dedup_stream_sink_and_epoch_replay(spark, tmp_path):
     """A real document stream (file source, several micro-batches) keeps
     the dedup index current and surfaces each batch's verified pairs via

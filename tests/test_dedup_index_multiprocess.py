@@ -16,6 +16,7 @@ real processes and real flock serialization — the ANN family's
 test_ann_index_multiprocess contract, dedup flavor.)
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -27,6 +28,9 @@ from chronicles_spark.core.model import (
 )
 from chronicles_spark.operators import dedup_index as DX
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+# slow tier: real OS-process extend race (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,6 +47,9 @@ from pyspark.sql import SparkSession
 from chronicles_spark.core.model import PartitionSchema, TableDefinition, TableName
 from chronicles_spark.operators import dedup_index as DX
 from chronicles_spark.trackers import FileBackedVersionTracker
+
+import pytest
+
 
 root, loc, wid = sys.argv[1], sys.argv[2], int(sys.argv[3])
 spark = (SparkSession.builder.master("local[2]")

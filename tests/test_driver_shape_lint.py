@@ -20,6 +20,9 @@ sys.path.insert(
 
 from check_oracle import complex_top_level_cols  # noqa: E402
 
+# slow tier: re-runs every hash-checked query; scripts/check_oracle.py covers the same surface more strictly (run via -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 
 def test_lint_rejects_synthetic_array_map_struct(spark):
     from pyspark.sql import functions as F

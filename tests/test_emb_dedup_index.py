@@ -64,6 +64,7 @@ def _emb(spark):
     return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
 
 
+@pytest.mark.slow
 def test_incremental_equals_full_rerun(spark, tmp_path):
     """build(corpus) + extend(B1) + extend(B2) finds, across the base
     run and the two extends, exactly the pairs one full
@@ -149,6 +150,7 @@ def test_resubmission_replaces_vector(spark, tmp_path):
     assert contents(table, tracker) == contents(table2, tracker2)
 
 
+@pytest.mark.slow
 def test_rebuild_regeometry(spark, tmp_path):
     """rebuild_embedding_dedup_index re-shards (and re-bands) in place:
     after the rebuild the index equals a from-scratch build under the
@@ -302,6 +304,7 @@ def test_pairs_table_lands_in_extend_commit(spark, tmp_path):
     assert (11, 900, 1.0) in _pairs(pairs)
 
 
+@pytest.mark.slow
 def test_embedding_stream_sink_and_epoch_replay(spark, tmp_path):
     """A real embedding stream keeps the index current with one O(batch)
     extend per micro-batch; with a pairs_table the streamed pairs land

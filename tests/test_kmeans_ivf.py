@@ -67,6 +67,7 @@ def test_assignment_matches_numpy(spark, emb):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_topk_shape_and_recall(spark, emb):
     df, ids, vecs = emb
     queries = df.selectExpr("vec_id").where("vec_id < 3")
@@ -158,6 +159,7 @@ def test_brute_topk_shuffle_variant_matches_broadcast(spark, emb):
     assert a == b and len(a) == 25
 
 
+@pytest.mark.slow
 def test_ivf_topk_large_query_set_not_broadcast(spark, emb):
     """1k-query workload: with broadcast_queries=False the stage-2 join must
     be a shuffle join — the query/probe side never appears under a
@@ -195,6 +197,7 @@ def test_ivf_topk_large_query_set_not_broadcast(spark, emb):
     assert a == b
 
 
+@pytest.mark.slow
 def test_kmeans_train_fraction_matches_numpy_on_same_sample(spark, emb):
     """train_fraction fits centroids on the deterministic md5-uniform
     sample — differential: numpy k-means over the SAME sample (recomputed
@@ -222,6 +225,7 @@ def test_kmeans_train_fraction_validation(spark, emb):
         SIM.kmeans_fit(df, k=4, iters=1, train_fraction=1e-9)
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_with_train_fraction_still_searches_full_corpus(spark, emb):
     """Sampled training only affects centroid QUALITY: the bucket
     assignment and search still cover every corpus vector, so results

@@ -88,6 +88,7 @@ def test_fast_triple_equals_full_walk(tmp_path):
     assert tr.head_resolution(T) == want
 
 
+@pytest.mark.slow
 def test_commit_file_reads_bounded_by_interval_not_log(tmp_path):
     """The structural O(tail) guarantee at the VERDICT r10 scale: one
     pinned_state against a 20k-commit log reads at most
