@@ -465,7 +465,7 @@ def _pq_gate(spark: SparkSession, sf_dir: str) -> None:
     gmean = [grow[f"m{p}"] for p in range(dim)]
     if grow["dmin"] != dim or grow["dmax"] != dim or any(x is None for x in gmean):
         raise AssertionError("dimension mismatch in PQ gate")
-    gl = F.array(*[F.lit(x) for x in gmean])
+    gl = SIM._lit_array(gmean)  # one parsed array-literal node
     errs = joined.agg(
         F.sum(sq(F.col("v"), F.col("v_approx"))).alias("e_pq"),
         F.sum(sq(F.col("v"), gl)).alias("e_mean"),

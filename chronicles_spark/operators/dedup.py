@@ -556,14 +556,19 @@ def sign_lsh_banded(
     vector with band_key = the band's concatenated bit string.
     Deterministic across sessions/invocations given (n_planes, dim) —
     the same contract :func:`minhash_signature` keeps for text."""
-    from .similarity import hyperplane_signs
+    from .similarity import _lit_array, hyperplane_signs
 
     planes = hyperplane_signs(n_planes, dim)
     r = n_planes // bands
     v = df.select(F.col(id_col), F.col(vec_col))
 
     def bit(plane: list[float]) -> Column:
-        p = F.array(*[F.lit(x) for x in plane])
+        # ONE parsed array-literal per plane (similarity._lit_array):
+        # n_planes × dim unrolled literals made plan CONSTRUCTION the
+        # dominant cost of every sign-LSH caller at toy scale (round-15
+        # profile: a 19 s driver-side gap on the 4-vector emb extend);
+        # zip_with sees the identical doubles — bit-equal band keys
+        p = _lit_array(plane)
         d = F.aggregate(
             F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -809,6 +814,7 @@ def semantic_dedup(
     state is wanted; ``docs/usage.md`` §8f says which applies when."""
     from .similarity import (
         _assign_nearest,
+        _lit_array,
         as_double,
         hyperplane_signs,
         kmeans_fit,
@@ -850,7 +856,8 @@ def semantic_dedup(
     planes = hyperplane_signs(sub_planes, dim)
 
     def bit(plane: list[float]) -> Column:
-        p = F.array(*[F.lit(x) for x in plane])
+        # one parsed array-literal per plane (see sign_lsh_banded)
+        p = _lit_array(plane)
         d = F.aggregate(
             F.zip_with(F.col("v"), p, lambda x, y: x * y),
             F.lit(0.0),

@@ -21,8 +21,52 @@ and engine-reproducible.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+class _NonFiniteLiteral(Exception):
+    """A vector literal holds NaN/Inf — SQL text can't render it."""
+
+
+def _render_double_array_sql(x) -> str:
+    """Nested float list → one SQL ``array(...)`` literal string.
+
+    ``repr(float)`` is the shortest exact round-trip and Spark's parser
+    reads ``...D`` suffixed literals with ``Double.parseDouble`` (correct
+    rounding), so the parsed Literal is bit-equal to the Python doubles
+    — pinned by tests/test_kmeans_ivf.py's path-equality checks."""
+    if isinstance(x, (list, tuple)):
+        return "array(" + ",".join(_render_double_array_sql(e) for e in x) + ")"
+    v = float(x)
+    if not math.isfinite(v):
+        raise _NonFiniteLiteral()
+    return repr(v) + "D"
+
+
+def _lit_array(x) -> Column:
+    """ONE Column for a (nested) float-vector literal, built from a single
+    SQL-text parse instead of per-element ``F.lit`` calls.
+
+    Why: plan CONSTRUCTION, not execution, dominated every centroid/
+    codebook/hyperplane consumer at bench scale (round-15 profile —
+    8-14 s per pq_fit iteration, a 19 s gap before the first job of a
+    4-vector LSH extend).  ``F.lit(list)`` recurses into
+    ``array(*[lit(x) ...])``: one py4j round-trip and one AST node per
+    element; ndarray literals transfer element-wise too (~0.28 ms/elem).
+    ``F.expr`` ships one string and parses ~1000 doubles in ~10 ms into
+    a single Literal node, so both the py4j chatter and the analyzer
+    tree collapse.  Bit-equality with the unrolled form is pinned in
+    tests (repr round-trip + Double.parseDouble).  Non-finite values
+    (NaN/Inf — never produced by the fits, but accepted by the old
+    form) fall back to the unrolled per-element build."""
+    try:
+        return F.expr(_render_double_array_sql(x))
+    except _NonFiniteLiteral:
+        if isinstance(x, (list, tuple)) and x and isinstance(x[0], (list, tuple)):
+            return F.array(*[_lit_array(e) for e in x])
+        return F.array(*[F.lit(float(e)) for e in x])
 
 
 def as_double(vec: Column) -> Column:
@@ -345,7 +389,13 @@ def _assign_nearest(
         pos = _argmin_code(F.col("v"), [c for _, c in centroids])
         cids = [cid for cid, _ in centroids]
         if cids != list(range(k)):
-            pos = F.element_at(F.array(*[F.lit(c) for c in cids]), pos + 1)
+            # one parsed array literal (see _lit_array); the cast pins
+            # the element type the unrolled int literals used to carry
+            pos = F.element_at(
+                F.expr("array(" + ",".join(str(int(c)) for c in cids) + ")")
+                .cast("array<int>"),
+                pos + 1,
+            )
         return v.withColumn("cluster", pos)
     spark = v.sparkSession
     matrix = spark.createDataFrame(
@@ -481,7 +531,10 @@ def sign_lsh_buckets(
     v = as_double(F.col(vec_col))
     bits = []
     for row in planes:
-        plane = F.array(*[F.lit(x) for x in row])
+        # ONE parsed array-literal per plane (see _lit_array): unrolled
+        # per-float literals made plan CONSTRUCTION dominate LSH callers
+        # at toy scale; zip_with sees identical doubles (bit-equal)
+        plane = _lit_array(row)
         bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket_key"))
 
@@ -696,40 +749,34 @@ def pq_fit(
     return codebooks
 
 
-def _sqdist_to_lit(sv: Column, c: list[float]) -> Column:
-    """Squared L2 of a subvector column against one literal centroid."""
-    lit = F.array(*[F.lit(x) for x in c])
-    return F.aggregate(
-        F.zip_with(sv, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _argmin_code(sv: Column, codebook: list[list[float]]) -> Column:
     """argmin squared-L2 of ``sv`` against the codebook literals, ties to
     the lowest code — THE deterministic assignment rule (shared by fit,
     encode, and the plain k-means `_assign_nearest`, so the tie-break
-    contract the numpy differential tests pin lives in one place)."""
-    return F.array_min(
-        F.array(*[
-            F.struct(_sqdist_to_lit(sv, c).alias("d"), F.lit(i).alias("code"))
-            for i, c in enumerate(codebook)
-        ])
-    )["code"]
+    contract the numpy differential tests pin lives in one place).
+
+    The codebook rides ONE nested array-literal node
+    (:func:`_lit_array`) and the per-code distances come from the same
+    ``transform`` fold as the broadcast matrix path
+    (:func:`_argmin_code_from_matrix` — the two shapes are pinned equal
+    in tests/test_kmeans_ivf.py).  The old unrolled per-code expression
+    array cost O(k_sub·dim) py4j round-trips — PYTHON-side plan
+    construction, not Spark execution, was 8-14 s per pq_fit iteration
+    in the round-15 profile."""
+    return _argmin_code_from_matrix(sv, _lit_array(codebook))
 
 
 def _pq_assign_expr(codebooks: list[list[list[float]]]) -> Column:
     """code = argmin squared-L2 of `sv` against this row's `sub` codebook
-    (broadcast literals; ties to the lowest code).  Pure JVM exprs.
-    Literal-tree path — callers switch to the matrix shape past
-    ``_ASSIGN_LITERAL_CEILING`` (see :func:`_codebook_matrix_df`)."""
-    expr = _argmin_code(F.col("sv"), codebooks[-1])
-    for s in range(len(codebooks) - 2, -1, -1):
-        expr = F.when(
-            F.col("sub") == s, _argmin_code(F.col("sv"), codebooks[s])
-        ).otherwise(expr)
-    return expr
+    (one nested literal; ties to the lowest code).  Pure JVM exprs.
+    Literal path — callers switch to the broadcast matrix shape past
+    ``_ASSIGN_LITERAL_CEILING`` (see :func:`_codebook_matrix_df`); both
+    index the same per-sub codebook and share the
+    :func:`_argmin_code_from_matrix` fold, so the assignments agree
+    bit-for-bit."""
+    return _argmin_code_from_matrix(
+        F.col("sv"), F.element_at(_lit_array(codebooks), F.col("sub") + F.lit(1))
+    )
 
 
 def _codebook_matrix_df(spark, codebooks: list[list[list[float]]]):
@@ -840,9 +887,8 @@ def pq_decode(
     m = len(codebooks)
     parts = []
     for s in range(m):
-        cb = F.array(*[
-            F.array(*[F.lit(x) for x in c]) for c in codebooks[s]
-        ])
+        # one nested array-literal node per subspace (see _lit_array)
+        cb = _lit_array(codebooks[s])
         parts.append(F.element_at(cb, F.col(codes_col)[s] + 1))
     return codes_df.select(
         F.col(id_col), F.concat(*parts).alias("v_approx")
