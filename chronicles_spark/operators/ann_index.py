@@ -437,6 +437,30 @@ def build_ann_index(
         # only injected artifacts need the dim probe; the fit-here path
         # derives dims from the data and raises its own clearer errors
         SIM.validate_ann_artifacts(df, vec_col, centroids, codebooks)
+    if centroids is None and codebooks is None:
+        # the two fits are INDEPENDENT (PQ codebooks fit on raw vector
+        # subspaces, not residuals against the coarse centroids), and
+        # each is a short serial chain of driver actions — run them on
+        # two driver threads so one fit's job tails back-fill the
+        # other's (guide §2.6 overlap; same pattern as publish_group).
+        # Results are identical to the sequential calls (same functions,
+        # same deterministic inputs); errors surface at .result().
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            cent_f = pool.submit(
+                SIM.kmeans_fit, df, n_clusters, iters, id_col, vec_col,
+                train_fraction=train_fraction,
+            )
+            book_f = pool.submit(
+                SIM.pq_fit, df, m, k_sub, iters, id_col, vec_col,
+                train_fraction=train_fraction,
+            )
+            centroids = cent_f.result()
+            codebooks = book_f.result()
+        finally:
+            pool.shutdown(wait=True)
     if centroids is None:
         centroids = SIM.kmeans_fit(
             df, n_clusters, iters, id_col, vec_col, train_fraction=train_fraction
@@ -973,7 +997,9 @@ def _extend_publish(
     from ..core.model import Partition
     from .dedup import lineage_barrier as _lb
 
-    out = _lb(out)
+    # eager=False: the bucket-count job right below is the first action
+    # and materializes the checkpoint in the same job (one job, not two)
+    out = _lb(out, eager=False)
     written_counts = {
         r[BUCKET_COL]: r["n"]
         for r in out.groupBy(BUCKET_COL)

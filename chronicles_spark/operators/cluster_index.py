@@ -590,10 +590,14 @@ def _fold_batch(
     # bounded: one batch's distinct pairs (self-pairs carry no edge;
     # null-safe so a NULL endpoint survives into the loud check below
     # instead of being silently dropped by three-valued logic)
+    # eager=False: the counts agg right below is the barrier's first
+    # action — it materializes the checkpoint while computing the batch
+    # stats, one job instead of two (lineage_barrier docstring)
     pairs = DD.lineage_barrier(
         pairs_new.select(F.col("id_a"), F.col("id_b"))
         .where(~F.col("id_a").eqNullSafe(F.col("id_b")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     counts = pairs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -663,7 +667,9 @@ def _fold_batch(
             # superset of the semi-join keys — pure row-group pruning
             live = live.where(F.col(id_col).isin(e_ids))
         known = live.join(endpoints, id_col, "left_semi")
-    known = DD.lineage_barrier(known)
+    # eager=False: dedup_clusters' eager edges checkpoint (the next
+    # action) materializes this one in the same job
+    known = DD.lineage_barrier(known, eager=False)
 
     # -- local components over {new pairs} ∪ {endpoint → current rep} ---
     # every node is a batch endpoint or a touched cluster's min-member
@@ -673,16 +679,21 @@ def _fold_batch(
             F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
         )
     )
-    local = DD.lineage_barrier(
-        DD.dedup_clusters(edges, id_col).select(F.col(id_col), "cluster_id")
-    )
+    # dedup_clusters' result is already a projection over ITS OWN
+    # checkpointed label frame — a second barrier here would only copy
+    # a bounded frame for one extra job; consumers re-project the
+    # checkpoint blocks instead
+    local = DD.dedup_clusters(edges, id_col).select(F.col(id_col), "cluster_id")
 
     # -- relabel map: touched clusters whose representative changed -----
     touched = known.select(F.col("cluster_id").alias("old_cluster")).distinct()
+    # eager=False: _collect_shards_and_ids' capped collect is the first
+    # action — barrier and collect fuse into one job
     relabel = DD.lineage_barrier(
         touched.join(local, touched.old_cluster == local[id_col])
         .where(F.col("old_cluster") != F.col("cluster_id"))
-        .select("old_cluster", F.col("cluster_id").alias("new_cluster"))
+        .select("old_cluster", F.col("cluster_id").alias("new_cluster")),
+        eager=False,
     )
     r_shards, r_ids = _collect_shards_and_ids(
         relabel,
@@ -714,7 +725,8 @@ def _fold_batch(
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
     # drop no-op rows (endpoint already holding its final label): the
-    # RMW then touches only shards something actually changed in
+    # RMW then touches only shards something actually changed in.
+    # eager=False: the fused _stats job below is the first action
     changed = DD.lineage_barrier(
         changed.join(
             known.withColumnRenamed("cluster_id", "_old_label"),
@@ -725,7 +737,8 @@ def _fold_batch(
             F.col("_old_label").isNull()
             | (F.col("_old_label") != F.col("cluster_id"))
         )
-        .select(id_col, "cluster_id")
+        .select(id_col, "cluster_id"),
+        eager=False,
     )
 
     # ONE job over the (checkpointed, O(batch)) changed frame yields the
@@ -810,7 +823,8 @@ def _fold_batch(
     # Lineage barrier first: the frame is consumed TWICE (this count and
     # the data write below) and each full evaluation re-reads the touched
     # member shards from the table — the barrier reads them once.
-    members_out = DD.lineage_barrier(members_out)
+    # eager=False: the m_counts job right below materializes it.
+    members_out = DD.lineage_barrier(members_out, eager=False)
     m_counts = members_out.groupBy(
         F.col(CLUSTER_SHARD_COL).alias("_s")
     ).agg(F.count(F.lit(1)).alias("_n")).collect()

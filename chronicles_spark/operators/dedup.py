@@ -86,7 +86,10 @@ def materialize(df: DataFrame, scratch_dir: str | None = None, name: str = "mat"
 
 
 def lineage_barrier(
-    df: DataFrame, scratch_dir: str | None = None, name: str = "barrier"
+    df: DataFrame,
+    scratch_dir: str | None = None,
+    name: str = "barrier",
+    eager: bool = True,
 ) -> DataFrame:
     """Materialize AND truncate the logical plan.
 
@@ -96,10 +99,18 @@ def lineage_barrier(
     composed query explodes — measured 135s analyzer-dominated vs 12s with
     the lineage cut, same data.  Use this for small re-referenced
     intermediates (candidate pairs); keep ``materialize`` (columnar cache)
-    for bases that big column expressions re-scan."""
+    for bases that big column expressions re-scan.
+
+    ``eager=False`` defers materialization to the barrier's FIRST action:
+    when the very next statement aggregates/collects over the barriered
+    frame anyway, that action computes the plan once AND lands the
+    checkpoint blocks every later consumer reads — fusing what used to be
+    two serial driver jobs (eager-ckpt + aggregate) into one.  Only use
+    it when exactly one action runs before other consumers touch the
+    frame (a concurrent first-touch would race the materialization)."""
     if scratch_dir is not None:
         return materialize(df, scratch_dir, name)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def shingle_base(
@@ -723,6 +734,10 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the round's STARTING label alongside the update: the
+        # convergence check is then a map-side filter over the (about to
+        # be checkpointed) result instead of a join of the new frame back
+        # against the old one — one action per round, no extra shuffle
         propagated = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
@@ -730,6 +745,7 @@ def dedup_clusters(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_prev"),
         )
         # pointer doubling: jump each label to its label's label — path
         # lengths halve every round (every label is itself a vertex id).
@@ -747,15 +763,15 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                 ).alias("label"),
+                "_prev",
             )
-        new_labels = propagated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # non-eager checkpoint: the convergence count below is the round's
+        # ONE action — it materializes the checkpoint while computing the
+        # changed-row count (the old shape paid a separate eager-ckpt job
+        # PLUS a join-shaped count job per round)
+        new_labels = propagated.localCheckpoint(eager=False)
+        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if changed != 0:

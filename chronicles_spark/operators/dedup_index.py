@@ -923,7 +923,10 @@ def _extend_publish(
         # consumed TWICE (this count and the data write) and each full
         # evaluation re-reads the touched live band shards — the barrier
         # reads them once.
-        bands_out_ = DD.lineage_barrier(bands_out_)
+        # eager=False: the shard-count job right below materializes it
+        # (this worker thread is the frame's only toucher until the
+        # publish joins the future)
+        bands_out_ = DD.lineage_barrier(bands_out_, eager=False)
         shard_counts_ = bands_out_.groupBy(
             F.col(BAND_SHARD_COL).alias("s")
         ).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -979,15 +982,20 @@ def _extend_publish(
     )
     cand = cand_new if cand is None else cand.unionByName(cand_new)
     # lineage cut: the pair set is referenced three times by verify
-    # (minhash_dedup's measured Catalyst-analysis blowup otherwise)
-    cand = DD.lineage_barrier(cand.distinct())
+    # (minhash_dedup's measured Catalyst-analysis blowup otherwise).
+    # Both barriers are eager=False: the capped `sample` collect below is
+    # the first action on this chain and materializes old_cand_ids AND
+    # (transitively) cand in ONE job — the eager shape paid two serial
+    # checkpoint jobs before that collect (lineage_barrier docstring)
+    cand = DD.lineage_barrier(cand.distinct(), eager=False)
 
     # -- exact verify: payloads from base_new + ONLY candidate shards --
     old_cand_ids = DD.lineage_barrier(
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select("id_b"))
         .distinct()
-        .join(new_ids, id_col, "left_anti")
+        .join(new_ids, id_col, "left_anti"),
+        eager=False,
     )
     # small candidate sets (the normal case) collect their ids for an
     # IN-list row-group prune over the sorted shard files; above the
@@ -1023,7 +1031,12 @@ def _extend_publish(
                 old_cand_ids, id_col, "left_semi"
             )
             verify_base = verify_base.unionByName(old_payloads)
-    verified = DD.lineage_barrier(family.verify_fn(verify_base, cand))
+    # eager=False: the publish's pairs-table write (or, without a pairs
+    # journal, the caller's first action on the returned frame) is the
+    # single next toucher and materializes the checkpoint
+    verified = DD.lineage_barrier(
+        family.verify_fn(verify_base, cand), eager=False
+    )
 
     # -- publish: RMW of exactly the touched shards, one pair commit --
     # join the overlapped lookup+RMW worker: its append-hit ValueError /

@@ -676,3 +676,25 @@ def test_gopher_row_oracle_parity_on_adversarial_text(spark, tmp_path):
     assert len(sn) == len(dn) == 60
     for a, b in zip(sn, dn):
         assert a == b, (a, b)
+
+
+# -- lineage_barrier deferred materialization ---------------------------------
+
+
+def test_deferred_barrier_materializes_once_on_first_action(spark):
+    """eager=False fuses the barrier with its first action: that action
+    must land the checkpoint blocks, so every LATER consumer reads the
+    SAME materialized rows — pinned with a nondeterministic column (two
+    evaluations of an unmaterialized rand() would disagree)."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.operators.dedup import lineage_barrier
+
+    df = lineage_barrier(
+        spark.range(100).select("id", F.rand(seed=None).alias("u")),
+        eager=False,
+    )
+    assert df.count() == 100            # the fused first action
+    first = {r["id"]: r["u"] for r in df.collect()}
+    second = {r["id"]: r["u"] for r in df.collect()}
+    assert first == second              # later consumers read the blocks
