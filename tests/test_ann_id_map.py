@@ -115,6 +115,7 @@ def test_mapped_and_unmapped_extends_land_identical_indexes(spark, tmp_path):
         assert dup == 0
 
 
+@pytest.mark.slow
 def test_locate_reads_only_batch_shards(spark, tmp_path):
     """The O(batch) claim, pinned on real paths: the map partitions an
     upsert's locate COULD read are exactly the batch's shard partitions
@@ -255,6 +256,7 @@ def test_skew_guard_caps_partitions_and_keeps_search_identical(spark, tmp_path):
     assert nested
 
 
+@pytest.mark.slow
 def test_rebuild_ann_id_map_repairs_divergence(spark, tmp_path):
     """Simulated files-backend crash (map head rolled back one commit):
     verify_ann_id_map flags the divergence, rebuild_ann_id_map repairs

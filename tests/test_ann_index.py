@@ -340,6 +340,7 @@ def test_extend_removes_emptied_bucket_from_live_view(spark, tmp_path):
         AX.extend_ann_index(dup, table, tracker, mode="merge")
 
 
+@pytest.mark.slow
 def test_random_extend_sequence_equals_fresh_build(spark, tmp_path):
     """Seeded fuzz differential: after a random sequence of extends
     (fresh ids, re-submitted ids with changed embeddings), the index
@@ -483,6 +484,7 @@ def test_vacuum_ann_artifacts_follows_data_vacuum(spark, tmp_path):
     assert fs.exists(p2)
 
 
+@pytest.mark.slow
 def test_extend_optimistic_conflict_on_racing_commit(spark, tmp_path, monkeypatch):
     """An extend is a read-modify-write: a racer committing to one of ITS
     buckets between write and commit must raise CommitConflictError
@@ -578,6 +580,7 @@ def test_extend_optimistic_conflict_on_racing_commit(spark, tmp_path, monkeypatc
         AX.extend_ann_index(nulled, table, tracker, artifacts=arts0)
 
 
+@pytest.mark.slow
 def test_probe_of_empty_cluster_returns_empty_like_in_memory(spark, tmp_path):
     """A memberless k-means cluster has no partition; probing it must
     yield the in-memory contract (zero rows, same schema), not an error."""
@@ -615,6 +618,7 @@ def test_probe_of_empty_cluster_returns_empty_like_in_memory(spark, tmp_path):
     ).schema == nonempty.schema
 
 
+@pytest.mark.slow
 def test_vacuum_artifacts_protects_branch_committed_labels(spark, tmp_path):
     from datetime import timedelta
 
@@ -699,6 +703,7 @@ def test_ann_stream_sink_maintains_index(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_ann_stream_epoch_replay_and_regression_guard(spark, tmp_path):
     from chronicles_spark.spark import read_current
 

@@ -431,6 +431,7 @@ def test_seeded_fuzz_folds_match_one_shot(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_coalesced_backlog_fold(spark, tmp_path):
     """The backlog knob: three journal batches fold in TWO commits
     (coalesce_batches=2), every label recorded, result == one-shot over
@@ -602,6 +603,7 @@ def test_vacuum_sidecars_protects_head_pair_label(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_giant_relabel_warning(spark, tmp_path):
     """Round-11: a fold that relabels more member rows than
     relabel_warn_rows warns (the min-member contract's semantic rewrite,
@@ -879,6 +881,7 @@ def test_compact_dedup_pairs_race_semantics(spark, tmp_path, monkeypatch):
     assert journal_rows() == after_extend
 
 
+@pytest.mark.slow
 def test_compact_dedup_pairs_max_batches_incremental(spark, tmp_path):
     """``max_batches`` caps one call's rewrite to the OLDEST candidates
     (raw labels sort before consolidations): with three folded batches a

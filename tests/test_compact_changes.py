@@ -89,6 +89,7 @@ def test_compact_selected_partition_only(spark, tmp_path):
     assert live_after[target] != live_before[target]    # fresh version
 
 
+@pytest.mark.slow
 def test_read_changes_incremental(spark, tmp_path):
     table, tracker, _ = _mk(spark, tmp_path)
     c1 = tracker.table_state(table.name).current_version
@@ -363,6 +364,7 @@ def test_zorder_column_quantile_path_properties(spark):
         assert ys == sorted(ys)
 
 
+@pytest.mark.slow
 def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
     """End-to-end: zorder_by-compacted file is ordered by the Morton code
     (verified against recomputing z from the written rows), values are

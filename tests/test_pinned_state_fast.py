@@ -630,6 +630,7 @@ def test_checkpoint_walk_skips_corrupt_older_checkpoints(tmp_path):
     assert tr.version_at(T, lagged) == want
 
 
+@pytest.mark.slow
 def test_version_at_walk_exhaustive_every_commit(tmp_path):
     """Exhaustive differential: version_at through the retained-
     checkpoint walk equals the checkpoint-free full fold at EVERY commit

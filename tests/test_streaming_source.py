@@ -635,6 +635,7 @@ def test_cas_writer_racing_stream_never_exposes_inflight_or_gap(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_checkpoint_survives_commit_log_archival(spark, stream_table, tmp_path):
     """Round 12 e2e: a Spark stream's checkpointed offsets span a
     commit-log archival cut.  Drain, archive the log (packing the

@@ -181,6 +181,7 @@ def test_training_shards_deterministic_and_complete(spark):
     assert c != a
 
 
+@pytest.mark.slow
 def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
     """Differential test: min-label propagation + pointer doubling must
     agree with a plain union-find on random pair sets."""
