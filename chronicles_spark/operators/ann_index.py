@@ -942,8 +942,10 @@ def _extend_publish(
                     # the list spans most row groups too, so the extra
                     # collect job buys nothing — skip it (the broadcast
                     # semi-join below is authoritative either way)
+                    from .dedup import in_list as _in_list
+
                     ids = [r[0] for r in encoded_new.select(id_col).collect()]
-                    located = located.where(F.col(id_col).isin(ids))
+                    located = located.where(_in_list(id_col, ids))
                 old_locs = (
                     located.join(F.broadcast(new_ids), id_col, "left_semi")
                     .select(BUCKET_COL)

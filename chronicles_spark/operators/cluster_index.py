@@ -665,7 +665,7 @@ def _fold_batch(
         ).select(F.col(id_col), F.col("cluster_id"))
         if e_ids is not None:
             # superset of the semi-join keys — pure row-group pruning
-            live = live.where(F.col(id_col).isin(e_ids))
+            live = live.where(DD.in_list(id_col, e_ids))
         known = live.join(endpoints, id_col, "left_semi")
     # eager=False: dedup_clusters' eager edges checkpoint (the next
     # action) materializes this one in the same job
@@ -707,7 +707,7 @@ def _fold_batch(
             spark, members_table, rsub, infer_partition_types=False
         ).select(F.col(id_col), F.col("cluster_id"))
         if r_ids is not None:
-            mem = mem.where(F.col("cluster_id").isin(r_ids))
+            mem = mem.where(DD.in_list("cluster_id", r_ids))
         moved = (
             mem.withColumnRenamed("cluster_id", "old_cluster")
             .join(relabel, "old_cluster")

@@ -113,6 +113,35 @@ def lineage_barrier(
     return df.localCheckpoint(eager=eager)
 
 
+def in_list(col: str, values) -> Column:
+    """``col IN (...)`` built from ONE parsed SQL fragment.
+
+    ``Column.isin`` pays one py4j ``lit`` round-trip per value — at the
+    10k-id pushdown caps that is seconds of driver-side plan
+    CONSTRUCTION per read (the round-15 profile's verify-gap).  One
+    ``F.expr`` parse yields the same ``In`` predicate (identical
+    semantics AND the same parquet row-group pushdown).  Ints render
+    with the ``L`` suffix (exact bigint literals, matching the id
+    columns' type); strings are backslash-escaped.  Values with control
+    characters (never produced by the id/key generators) fall back to
+    the per-element ``isin`` build."""
+    rendered = []
+    for v in values:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return F.col(col).isin(list(values))
+        if isinstance(v, int):
+            rendered.append(f"{v}L")
+        else:
+            if any(ord(ch) < 32 for ch in v):
+                return F.col(col).isin(list(values))
+            rendered.append(
+                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            )
+    if not rendered:
+        return F.lit(False)
+    return F.expr(f"`{col}` IN ({','.join(rendered)})")
+
+
 def shingle_base(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -651,8 +651,8 @@ def _band_key_filter(band_rows) -> "object | None":
         keys_by_band.setdefault(r["band_id"], set()).add(r["band_key"])
     clause = None
     for band_id, keys in sorted(keys_by_band.items()):
-        c = (F.col("band_id") == F.lit(band_id)) & F.col("band_key").isin(
-            sorted(keys)
+        c = (F.col("band_id") == F.lit(band_id)) & DD.in_list(
+            "band_key", sorted(keys)
         )
         clause = c if clause is None else (clause | c)
     return clause
@@ -1025,7 +1025,7 @@ def _extend_publish(
             ).select(F.col(id_col), payload)
             if in_ids is not None:
                 old_payloads = old_payloads.where(
-                    F.col(id_col).isin(in_ids)
+                    DD.in_list(id_col, in_ids)
                 )
             old_payloads = old_payloads.join(
                 old_cand_ids, id_col, "left_semi"

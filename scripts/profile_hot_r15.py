@@ -111,6 +111,43 @@ def main():
             b9_batch4, tbl, trk, threshold=0.9
         )[0].count())
 
+    if "b9_text" in which:
+        from chronicles_spark.operators import dedup_index as DX
+
+        b8_docs = int(os.environ.get("SPARK_GRAFT_B8_DOCS", "80000"))
+        b8_words = 40
+
+        def _b8_corpus(n, start=0):
+            words = [
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") * F.lit(7 + 13 * j) + F.lit(j * j)) % 997).cast(
+                        "string"
+                    ),
+                )
+                for j in range(b8_words)
+            ]
+            return spark.range(start, start + n).select(
+                F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+            )
+
+        d = tempfile.mkdtemp(prefix="b8gfull_", dir=tmp)
+        trk = FileBackedVersionTracker(d + "/_log")
+        tbl = TableDefinition(
+            TableName("bench", "b8gfull"), d + "/bands",
+            PartitionSchema(("band_shard",)),
+        )
+        trk.init_table(tbl.name, is_snapshot=False, user_id="bench")
+        DX.build_dedup_index(
+            _b8_corpus(b8_docs), tbl, trk, band_shards=128, doc_shards=128
+        )
+        batch = _b8_corpus(64, start=10_000_000)
+        DX.extend_dedup_index(batch, tbl, trk)[0].count()  # warm
+        batch2 = _b8_corpus(64, start=11_000_000)
+        run("b9_dedup_extend_64docs", lambda: DX.extend_dedup_index(
+            batch2, tbl, trk
+        )[0].count())
+
     if "b11_fold" in which:
         n_pairs = int(os.environ.get("SPARK_GRAFT_B10C_PAIRS", "50000"))
         d = tempfile.mkdtemp(prefix="b10clu_", dir=tmp)

@@ -699,3 +699,36 @@ def test_deferred_barrier_materializes_once_on_first_action(spark):
     first = {r["id"]: r["u"] for r in df.collect()}
     second = {r["id"]: r["u"] for r in df.collect()}
     assert first == second              # later consumers read the blocks
+
+
+def test_in_list_matches_isin_and_pushes_down(spark, tmp_path):
+    """in_list builds the same In predicate as Column.isin from ONE
+    parsed SQL fragment: identical row sets for int and string values
+    (incl. quote/backslash escaping) and the parquet scan still shows a
+    pushed In filter."""
+    from pyspark.sql import functions as F
+
+    from chronicles_spark.operators.dedup import in_list
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "cast(id as string) as s").write.parquet(p)
+    df = spark.read.parquet(p)
+    ids = list(range(0, 500, 7))
+    assert (
+        df.where(in_list("id", ids)).count()
+        == df.where(F.col("id").isin(ids)).count()
+        == len(ids)
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.where(in_list("id", ids)).explain("formatted")
+    pushed = [l for l in buf.getvalue().splitlines() if "PushedFilters" in l]
+    assert pushed and "In(id" in pushed[0]
+
+    vals = ["a'b", "x\\y", "plain"]
+    df2 = spark.createDataFrame([(v,) for v in vals] + [("other",)], ["s"])
+    got = sorted(r["s"] for r in df2.where(in_list("s", vals)).collect())
+    assert got == sorted(vals)
