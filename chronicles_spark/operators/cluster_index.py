@@ -550,6 +550,82 @@ def _collect_shards_and_ids(df, id_expr, shard_expr):
     return shards, None
 
 
+# a fold whose batch has at most this many pairs runs its min-label
+# connected components ON THE DRIVER (one bounded collect + union-find)
+# instead of the iterative DataFrame propagation: the fold's local graph
+# is {batch pairs} ∪ {endpoint → current representative}, ≤ 3·n_pairs
+# edges by construction (never the corpus), so the collect is
+# batch-bounded — the same bounded-collect class as the IN-list pushdown
+# sample — while the distributed run pays ~6 driver actions (two eager
+# checkpoints plus a checkpoint+count per propagation round).  Batches
+# over the cap keep the scale-safe distributed path.
+_LOCAL_CC_PAIR_CAP = 100_000
+
+# id types whose Python ordering provably equals Spark's min() ordering
+# (ints trivially; str because UTF-8 byte order == codepoint order) —
+# anything else falls back to the distributed run
+_LOCAL_CC_ID_TYPES = ("byte", "short", "integer", "long", "string")
+
+
+def _local_components(spark, edges, id_col: str, n_pairs: int):
+    """Driver-side min-label connected components over the fold's
+    bounded local graph: ``(id, cluster_id)`` with cluster_id = MIN
+    member id of the component — the same label contract as
+    :func:`~chronicles_spark.operators.dedup.dedup_clusters` over the
+    same edges (pinned by the differential test), computed in ONE
+    driver action.  Returns ``None`` (caller falls back to the
+    distributed propagation) when the batch is over the cap or the id
+    type's ordering is not provably identical across engines."""
+    if n_pairs > _LOCAL_CC_PAIR_CAP:
+        return None
+    f_a, f_b = edges.schema.fields[0], edges.schema.fields[1]
+    if (
+        f_a.dataType != f_b.dataType
+        or f_a.dataType.typeName() not in _LOCAL_CC_ID_TYPES
+    ):
+        return None
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            # upstream validation makes this unreachable; degrade to the
+            # distributed run rather than guess a NULL-ordering here
+            return None
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    min_of: dict = {}
+    for v in parent:
+        root = find(v)
+        m = min_of.get(root)
+        if m is None or v < m:
+            min_of[root] = v
+    out = [(v, min_of[find(v)]) for v in parent]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, f_a.dataType),
+            T.StructField("cluster_id", f_a.dataType),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def _norm_labels(batch_label) -> tuple:
     """``batch_label`` accepts one label or a sequence (a COALESCED
     fold of several journal batches — min-label components are
@@ -667,8 +743,9 @@ def _fold_batch(
             # superset of the semi-join keys — pure row-group pruning
             live = live.where(DD.in_list(id_col, e_ids))
         known = live.join(endpoints, id_col, "left_semi")
-    # eager=False: dedup_clusters' eager edges checkpoint (the next
-    # action) materializes this one in the same job
+    # eager=False: the next action — the local-CC edges collect, or the
+    # fallback's eager edges checkpoint — materializes this one in the
+    # same job
     known = DD.lineage_barrier(known, eager=False)
 
     # -- local components over {new pairs} ∪ {endpoint → current rep} ---
@@ -679,11 +756,16 @@ def _fold_batch(
             F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
         )
     )
-    # dedup_clusters' result is already a projection over ITS OWN
-    # checkpointed label frame — a second barrier here would only copy
-    # a bounded frame for one extra job; consumers re-project the
-    # checkpoint blocks instead
-    local = DD.dedup_clusters(edges, id_col).select(F.col(id_col), "cluster_id")
+    # batch-bounded graphs resolve on the driver in one collect; the
+    # over-cap / exotic-id fallback is the distributed propagation,
+    # whose result is already a projection over ITS OWN checkpointed
+    # label frame — no extra barrier either way (consumers re-project
+    # the local relation / the checkpoint blocks)
+    local = _local_components(spark, edges, id_col, counts["n"])
+    if local is None:
+        local = DD.dedup_clusters(edges, id_col).select(
+            F.col(id_col), "cluster_id"
+        )
 
     # -- relabel map: touched clusters whose representative changed -----
     touched = known.select(F.col("cluster_id").alias("old_cluster")).distinct()

@@ -1119,3 +1119,90 @@ def test_compact_dedup_pairs_sqlite_backend(spark, tmp_path):
         _pairs_df(spark, all_pairs)
     )
     assert CX.verify_dedup_clusters(spark, table, tracker).count() == 0
+
+
+def test_local_components_differential_vs_dedup_clusters(spark):
+    """The driver-side union-find must label EXACTLY like the
+    distributed min-label propagation over the same edges — chains
+    (pointer-doubling territory), stars, self-loops, singleton-rep
+    edges, and string ids all pinned."""
+    import random
+
+    rng = random.Random(1510)
+    cases = []
+    # chain of 60 + a star + disjoint pairs + self-loops
+    chain = [(i, i + 1) for i in range(100, 160)]
+    star = [(500, 500 + k) for k in range(1, 9)]
+    loops = [(900, 900), (901, 902)]
+    cases.append(chain + star + loops)
+    # random sparse graph
+    cases.append(
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    )
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = sorted(
+            map(tuple, CX._local_components(spark, edges, "doc_id", len(pairs)).collect())
+        )
+        want = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in DD.dedup_clusters(edges).collect()
+        )
+        assert got == want
+    # string ids: Python min ordering == Spark min (UTF-8/codepoint)
+    spairs = [("b", "aa"), ("aa", "z"), ("x", "y"), ("É", "e")]
+    edges = spark.createDataFrame(spairs, "id_a string, id_b string")
+    got = sorted(
+        map(tuple, CX._local_components(spark, edges, "doc_id", len(spairs)).collect())
+    )
+    want = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in DD.dedup_clusters(edges).collect()
+    )
+    assert got == want
+    # over-cap and exotic id types fall back (None => caller goes distributed)
+    assert CX._local_components(spark, edges, "doc_id", CX._LOCAL_CC_PAIR_CAP + 1) is None
+    dpairs = spark.createDataFrame(
+        [(1.5, 2.5)], "id_a double, id_b double"
+    )
+    assert CX._local_components(spark, dpairs, "doc_id", 1) is None
+
+
+def test_fold_local_vs_distributed_cc_identical(spark, tmp_path, monkeypatch):
+    """Same fold sequence with the driver-side CC (default) and with the
+    cap forced to 0 (distributed propagation) — assignment tables must
+    be byte-identical, and the cap=0 run must actually take the
+    distributed path."""
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (10, 11)],          # cross-batch merge
+        [(0, 4), (11, 12), (7, 7)],  # new minimum + growth + self-pair
+    ]
+    t_loc, k_loc = _mk(tmp_path, "cc_loc")
+    CX.build_dedup_clusters(None, t_loc, k_loc, doc_shards=4, cluster_shards=4)
+    for i, pairs in enumerate(batches):
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, pairs), t_loc, k_loc, batch_label=f"b{i}",
+        )
+    calls = {"n": 0}
+    real = DD.dedup_clusters
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(CX, "_LOCAL_CC_PAIR_CAP", 0)
+    monkeypatch.setattr(DD, "dedup_clusters", counting)
+    t_dist, k_dist = _mk(tmp_path, "cc_dist")
+    CX.build_dedup_clusters(
+        None, t_dist, k_dist, doc_shards=4, cluster_shards=4
+    )
+    for i, pairs in enumerate(batches):
+        CX.extend_dedup_clusters(
+            _pairs_df(spark, pairs), t_dist, k_dist, batch_label=f"b{i}",
+        )
+    assert calls["n"] == len(batches)  # every fold went distributed
+    assert _assignments(spark, t_loc, k_loc) == _assignments(
+        spark, t_dist, k_dist
+    )
+    assert CX.verify_dedup_clusters(spark, t_loc, k_loc).count() == 0
